@@ -1,0 +1,406 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the training-data pipeline operators.
+  *
+  * These are scalar functions Spark lacks; per the preference order they are
+  * `Expression`s (not Scala UDFs) so they stay inside Tungsten rows, avoid
+  * serialization, and — for the hot-path cosine kernel — participate in
+  * whole-stage codegen via `doGenCode`.
+  */
+
+/** Cosine similarity between two float/double arrays, computed in double.
+  * Hot path of ANN / embedding dedup, so it has real codegen: one fused loop,
+  * no boxing, no intermediate arrays (vs composing `zip_with` + `aggregate`,
+  * which allocates an array per row). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val ad = elemIsDouble(left); val bd = elemIsDouble(right)
+    var i = 0
+    while (i < n) {
+      val x = if (ad) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bd) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
+    val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = (double) $a.$getA(i);
+         |  double y = (double) $b.$getB(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(na * nb);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature of a set of string tokens: `numHashes` 32-bit hash
+  * slots, each the minimum over tokens of g_i(t) = h1(t) + i*h2(t)
+  * (Kirsch–Mitzenmacher double hashing over two murmur3 seeds). Returned as
+  * array<long> of the unsigned 32-bit minima. Runs once per document (not
+  * per row-pair), so interpreted eval is off the hot path. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private final val SeedA = 0x3c074a61
+  private final val SeedB = 0x8ea39d9b
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](numHashes)(0xFFFFFFFFL)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedA)
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedB)
+        var i = 0
+        var g = h1
+        while (i < numHashes) {
+          val u = g.toLong & 0xFFFFFFFFL
+          if (u < mins(i)) mins(i) = u
+          g += h2
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over string tokens: each token's xxhash64 votes its bits,
+  * the sign of each bit's vote becomes the output bit. Near-duplicate texts
+  * differ in few bits (small Hamming distance). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two 64-bit hashes (for SimHash comparison). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming64"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Winnowing-style document fingerprint: minimum (unsigned) 64-bit
+  * polynomial rolling hash over all `window`-byte windows of the UTF-8 text.
+  * Equal fingerprints ⇒ the documents share at least one k-byte substring
+  * that happens to be both documents' minimum — a cheap single-pass
+  * fingerprint for clustering / shard-local dedup. */
+case class RollingHashFingerprint(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  private final val Base = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val k = math.min(window, n)
+    // precompute Base^(k-1) for the rolling subtract (wraparound arithmetic)
+    var basePow = 1L
+    var i = 0
+    while (i < k - 1) { basePow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xFF) * basePow) * Base + (bytes(i) & 0xFF)
+      if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
+      i += 1
+    }
+    min
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Heuristic language identification: script detection (CJK, Cyrillic,
+  * Greek, Arabic, Hangul, Hiragana/Katakana) plus stopword voting over small
+  * per-language function-word sets for Latin-script languages. Returns an
+  * ISO 639-1 code or "und". A real deployment would swap in trained n-gram
+  * profiles; the plumbing (one pass, no UDF serialization) stays the same. */
+case class LanguageId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(LanguageId.detect(text))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LanguageId {
+  // Function words (public knowledge; top closed-class words per language).
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "was", "for", "with", "are", "this", "not"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "una", "con", "es", "para"),
+    "de" -> Set("der", "die", "und", "das", "ist", "von", "den", "im", "nicht", "mit", "ein", "eine", "zu", "auf", "sich"),
+    "fr" -> Set("le", "la", "les", "et", "des", "est", "un", "une", "du", "dans", "que", "pour", "qui", "sur", "pas", "ce"),
+    "it" -> Set("il", "di", "che", "la", "per", "un", "una", "sono", "con", "non", "del", "gli", "nel"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "os", "não"))
+
+  def detect(text: String): String = {
+    if (text.isEmpty) return "und"
+    var cjk = 0; var cyr = 0; var greek = 0; var arab = 0
+    var hangul = 0; var kana = 0; var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) cjk += 1
+        else if (block == Character.UnicodeBlock.CYRILLIC) cyr += 1
+        else if (block == Character.UnicodeBlock.GREEK) greek += 1
+        else if (block == Character.UnicodeBlock.ARABIC) arab += 1
+        else if (block == Character.UnicodeBlock.HANGUL_SYLLABLES) hangul += 1
+        else if (block == Character.UnicodeBlock.HIRAGANA ||
+                 block == Character.UnicodeBlock.KATAKANA) kana += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return "und"
+    if (kana * 5 >= letters) return "ja"
+    if (cjk * 3 >= letters) return "zh"
+    if (hangul * 3 >= letters) return "ko"
+    if (cyr * 2 >= letters) return "ru"
+    if (greek * 2 >= letters) return "el"
+    if (arab * 2 >= letters) return "ar"
+    // Latin script: stopword voting
+    val tokens = text.toLowerCase.split("[^\\p{L}]+")
+    var best = "und"; var bestHits = 0
+    stopwords.foreach { case (lang, words) =>
+      var hits = 0
+      var t = 0
+      while (t < tokens.length) {
+        if (words.contains(tokens(t))) hits += 1
+        t += 1
+      }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    if (bestHits == 0) "und" else best
+  }
+}
+
+/** Random-hyperplane (sign) LSH sketch: `tables` bucket values of `bits`
+  * sign-bits each, from dot products with a fixed seeded Gaussian plane
+  * matrix. One fused eval per row — NOT an expression tree of
+  * dim × tables × bits literal multiplies (which bloats codegen and the
+  * driver heap). Deterministic across executors: planes derive from the
+  * seed, not from runtime randomness. */
+case class SignSketch(child: Expression, dim: Int, tables: Int, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sign_sketch"
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val dd = isDouble
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var dot = 0.0
+        val m = math.min(n, plane.length)
+        var i = 0
+        while (i < m) {
+          val x = if (dd) v.getDouble(i) else v.getFloat(i).toDouble
+          dot += x * plane(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Indices of the `take` nearest centroids (by cosine) from a constant
+  * centroid matrix — the IVF assignment/probe kernel, fused in one eval. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val dd = isDouble
+    val vec = new Array[Double](n)
+    var i = 0
+    var vn = 0.0
+    while (i < n) {
+      vec(i) = if (dd) v.getDouble(i) else v.getFloat(i).toDouble
+      vn += vec(i) * vec(i)
+      i += 1
+    }
+    vn = math.sqrt(vn)
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      val m = math.min(n, cent.length)
+      i = 0
+      while (i < m) { dot += vec(i) * cent(i); i += 1 }
+      sims(c) = if (vn == 0.0 || centNorms(c) == 0.0) -2.0 else dot / (vn * centNorms(c))
+      c += 1
+    }
+    // top-`take` indices by sim desc, index asc on ties
+    val idx = (0 until cents.length).sortBy(j => (-sims(j), j)).take(take).toArray
+    new GenericArrayData(idx)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column wrappers + SQL registration for the expressions above. */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSignature(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(s"numHashes must be an int literal, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hamming64",
+      es => HammingDistance64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      es => RollingHashFingerprint(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", es => LanguageId(es(0)), "built-in")
+  }
+
+  import org.apache.spark.sql.graftshim.GraftColumn
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def signSketch(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long = 42L): Column =
+    GraftColumn.of(SignSketch(GraftColumn.expr(vec), dim, tables, bits, seed))
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], take: Int): Column =
+    GraftColumn.of(NearestCentroids(GraftColumn.expr(vec), centroids, take))
+  def minhashSig(tokens: Column, numHashes: Int): Column =
+    call_function("minhash_sig", tokens, org.apache.spark.sql.functions.lit(numHashes))
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def rollingFingerprint(text: Column, window: Int): Column =
+    call_function("rolling_fingerprint", text, org.apache.spark.sql.functions.lit(window))
+  def langId(text: Column): Column = call_function("lang_id", text)
+}

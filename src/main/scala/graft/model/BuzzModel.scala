@@ -1,0 +1,87 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Query model mirroring the reference's user-facing JSON API.
+  *
+  * Reference: `/root/reference/code/src/models/query.rs:3-41` — a query is a
+  * list of named steps (`sql`, `name`, `step_type`, optional
+  * `partition_filter`), a capacity (`zones`), and a list of catalogs
+  * (`name`, `type`, `uri`). Field names in JSON are kept identical
+  * (`step_type`, `partition_filter`) so reference query files parse as-is.
+  */
+sealed trait BuzzStepType
+object BuzzStepType {
+  /** Map stage: runs once per (group of) file(s) in the reference; in Spark
+    * it is the stage below the exchange. query.rs:10-15. */
+  case object HBee extends BuzzStepType
+  /** Reduce stage: consumes the union of map outputs. */
+  case object HComb extends BuzzStepType
+  def parse(s: String): BuzzStepType = s match {
+    case "HBee"  => HBee
+    case "HComb" => HComb
+    case other   => throw new BuzzException.BadRequest(s"Unknown step_type: $other")
+  }
+}
+
+final case class BuzzStep(
+    sql: String,
+    name: String,
+    stepType: BuzzStepType,
+    partitionFilter: Option[String])
+
+final case class BuzzCatalogRef(name: String, catalogType: String, uri: String)
+
+final case class BuzzCapacity(zones: Int)
+
+final case class BuzzQuery(
+    steps: Seq[BuzzStep],
+    capacity: BuzzCapacity,
+    catalogs: Seq[BuzzCatalogRef])
+
+object BuzzQuery {
+  /** Parse the reference's JSON query format (README.md:80-104). */
+  def fromJson(json: String): BuzzQuery = {
+    val root = JsonMethods.parse(json)
+    def str(v: JValue, field: String): String = v \ field match {
+      case JString(s) => s
+      case _ => throw new BuzzException.BadRequest(s"missing/non-string field '$field'")
+    }
+    val steps = (root \ "steps") match {
+      case JArray(arr) => arr.map { s =>
+        BuzzStep(
+          sql = str(s, "sql"),
+          name = str(s, "name"),
+          stepType = BuzzStepType.parse(str(s, "step_type")),
+          partitionFilter = s \ "partition_filter" match {
+            case JString(f) => Some(f)
+            case _          => None
+          })
+      }
+      case _ => throw new BuzzException.BadRequest("missing 'steps' array")
+    }
+    val zones = root \ "capacity" \ "zones" match {
+      case JInt(z) => z.toInt
+      case _       => 1
+    }
+    val catalogs = (root \ "catalogs") match {
+      case JArray(arr) => arr.map { c =>
+        BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"))
+      }
+      case _ => Nil
+    }
+    BuzzQuery(steps, BuzzCapacity(zones), catalogs)
+  }
+}
+
+/** Error taxonomy, parity with the reference's `BuzzError`
+  * (`/root/reference/code/src/error.rs:16-50`). */
+object BuzzException {
+  sealed abstract class BuzzError(msg: String) extends RuntimeException(msg)
+  final class BadRequest(msg: String) extends BuzzError(s"BadRequest: $msg")
+  final class PlanError(msg: String) extends BuzzError(s"Plan: $msg")
+  final class ExecutionError(msg: String) extends BuzzError(s"Execution: $msg")
+  final class SchemaMismatch(msg: String) extends BuzzError(s"SchemaMismatch: $msg")
+  final class NotImplemented(msg: String) extends BuzzError(s"NotImplemented: $msg")
+}

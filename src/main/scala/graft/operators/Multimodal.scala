@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads are opaque `binary` columns
+  * with typed metadata alongside. The Spark-side plumbing — schema,
+  * partition-preserving batch processing, feature schema — is real; the
+  * actual media decode is STUBBED (no image/audio codecs in this
+  * environment) behind [[FakeDecoder]], a deterministic stand-in with the
+  * same signature a real decoder (e.g. javacv / a JNI codec) would have.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: id, modality tag, opaque payload, metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta_format", StringType, nullable = true),
+    StructField("meta_bytes", LongType, nullable = true)))
+
+  /** Build a media table from any (id, text) table by treating the UTF-8
+    * bytes as an opaque payload — exercises the binary-column plumbing with
+    * real data shapes. */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("text").as("modality"),
+      col(textCol).cast("binary").as("payload"),
+      lit("utf-8").as("meta_format"),
+      octet_length(col(textCol).cast("binary")).cast("long").as("meta_bytes"))
+
+  /** Extracted-feature schema a real decoder would produce. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_hash", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** ======= STUB: deterministic fake media decode =======
+    * A real implementation would decode image/audio/video here (resize,
+    * frame-sample, spectrogram, ...). This environment ships no codecs, so
+    * the decode is a deterministic fake: an 8-dim "feature" derived from
+    * byte statistics. Everything around it — mapPartitions batching (one
+    * decoder init per partition, as a real codec needs), schema, narrow
+    * no-shuffle execution — is the real production plumbing. */
+  object FakeDecoder {
+    def decode(modality: String, payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return Array.fill(8)(0.0f)
+      val f = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        f(i % 8) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      val n = math.max(payload.length / 8, 1)
+      f.map(_ / n)
+    }
+  }
+
+  /** Feature extraction over the media table: partition-parallel, one
+    * decoder per partition, no shuffle. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = Encoders.row(featureSchema)
+    media.select("media_id", "modality", "payload").mapPartitions { rows =>
+      // per-partition decoder init would go here (codec contexts are not
+      // serializable; this placement is the real pattern)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val modality = r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        val hash = {
+          var h = 1125899906842597L
+          if (payload != null) { var i = 0; while (i < payload.length) { h = 31 * h + payload(i); i += 1 } }
+          h
+        }
+        Row(id, modality, nBytes, hash, FakeDecoder.decode(modality, payload))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data curation: quality signals,
+  * token counting, language ID, document fingerprinting. All are single-pass
+  * narrow transforms (no shuffle) built from codegen'd built-ins plus the
+  * native expressions in [[graft.functions]]. */
+object TextAnalysis {
+
+  private val StopWords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+  /** Per-document quality signals: char/word counts, average word length,
+    * stopword ratio, punctuation ratio. Thresholding these is the standard
+    * first-stage quality filter for web-scale corpora. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = split(text, " ")
+    val nWords = size(toks)
+    val nChars = length(text)
+    val charsNoSpace = length(regexp_replace(text, " ", ""))
+    val stopHits = size(filter(toks, w => w.isin(StopWords.map(x => x: Any): _*)))
+    val punct = nChars - length(regexp_replace(text, "[.,;:!?'\"()]", ""))
+    df.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars_c"),
+      nWords.cast("long").as("n_words"),
+      round(charsNoSpace.cast("double") / nWords, 6).as("avg_word_len"),
+      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+      punct.cast("long").as("n_punct"))
+  }
+
+  /** Composite quality score in [0,1] from the features (simple clipped
+    * heuristic: long-enough docs with normal word length score high). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, idCol, textCol)
+    val lenScore = least(col("n_words").cast("double") / 50.0, lit(1.0))
+    val wordLenOk = when(col("avg_word_len").between(2.0, 12.0), 1.0).otherwise(0.3)
+    f.withColumn("quality", round(lenScore * wordLenOk, 6))
+      .select(col(idCol), col("quality"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alphanumeric marks). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.select(
+      col(idCol),
+      size(split(text, " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"))
+  }
+
+  /** Predicted language per document (script + stopword heuristic). */
+  def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), langId(col(textCol)).as("lang_pred"))
+
+  /** Winnowing rolling-hash fingerprint per document. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, window: Int = 16): DataFrame =
+    df.select(col(idCol), rollingFingerprint(col(textCol), window).as("fingerprint"))
+}

