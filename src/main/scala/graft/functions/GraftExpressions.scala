@@ -152,10 +152,14 @@ case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming64"
+  // accept any integral input (SQL integer literals arrive as Int — there is
+  // no implicit-cast rule registered for this expression)
   override def nullSafeEval(l: Any, r: Any): Any =
-    java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
+    java.lang.Long.bitCount(
+      l.asInstanceOf[Number].longValue ^ r.asInstanceOf[Number].longValue)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount(((long) $a) ^ ((long) $b));")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

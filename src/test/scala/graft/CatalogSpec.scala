@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.BuzzException
+import graft.sources._
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Write one small parquet file per partition value; returns catalog. */
+  private def partitionedCatalog(): StaticCatalog = {
+    val dir = tmpDir("graft_cat")
+    val files = (1 to 3).map { m =>
+      val path = s"$dir/f$m.parquet"
+      Seq((m.toLong, s"v$m")).toDF("data_col", "tag")
+        .select($"data_col").coalesce(1).write.parquet(path + ".d")
+      // use the single part file inside the directory
+      val part = new java.io.File(path + ".d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      SizedFile(part.getAbsolutePath, part.length(), Seq(f"2020/$m%02d"))
+    }
+    new StaticCatalog(
+      "part_cat",
+      StructType(Seq(StructField("data_col", LongType))),
+      Seq("month"),
+      files)
+  }
+
+  test("fileTable exposes key/length/partition columns") {
+    val cat = partitionedCatalog()
+    val ft = cat.fileTable(spark)
+    assert(ft.columns.toSeq == Seq("key", "length", "month"))
+    assert(ft.count() == 3)
+  }
+
+  test("prune evaluates SQL WHERE over the file table") {
+    val cat = partitionedCatalog()
+    val pruned = cat.prune(spark, Some("month <= '2020/02'"))
+    assert(pruned.length == 2)
+    assert(cat.prune(spark, None).length == 3)
+    assert(cat.prune(spark, Some("month = 'nope'")).isEmpty)
+  }
+
+  test("invalid partition filter raises PlanError") {
+    val cat = partitionedCatalog()
+    intercept[BuzzException.PlanError] {
+      cat.prune(spark, Some("no_such_col = 1"))
+    }
+  }
+
+  test("read appends partition values as string columns") {
+    val cat = partitionedCatalog()
+    val df = cat.read(spark, cat.files)
+    assert(df.schema.fieldNames.toSeq == Seq("data_col", "month"))
+    assert(df.schema("month").dataType == StringType)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((1L, "2020/01"), (2L, "2020/02"), (3L, "2020/03")))
+  }
+
+  test("read of empty file list yields empty DF with full schema") {
+    val cat = partitionedCatalog()
+    val df = cat.read(spark, Nil)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("data_col", "month"))
+  }
+
+  test("schema verification rejects a file missing a declared column") {
+    val cat = partitionedCatalog()
+    val bad = StructType(Seq(
+      StructField("data_col", LongType),
+      StructField("ghost_col", StringType)))
+    val e = intercept[BuzzException.SchemaMismatch] {
+      SchemaVerifier.verify(cat.files.map(_.key), bad)
+    }
+    assert(e.getMessage.contains("ghost_col"))
+  }
+
+  test("schema verification rejects an incompatible type") {
+    val cat = partitionedCatalog()
+    val bad = StructType(Seq(StructField("data_col", StringType)))
+    intercept[BuzzException.SchemaMismatch] {
+      SchemaVerifier.verify(cat.files.map(_.key), bad)
+    }
+    // and accepts the true schema
+    SchemaVerifier.verify(cat.files.map(_.key), cat.schema)
+  }
+
+  test("DeltaCatalog replays add/remove/metaData actions from _delta_log") {
+    val dir = tmpDir("graft_delta")
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},
+        |{\"name\":\"year\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(logDir.resolve("00000000000000000000.json"),
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":["year"]}}
+         |{"add":{"path":"year=2020/a.parquet","size":100,"partitionValues":{"year":"2020"}}}
+         |{"add":{"path":"year=2021/b.parquet","size":200,"partitionValues":{"year":"2021"}}}
+         |""".stripMargin)
+    Files.writeString(logDir.resolve("00000000000000000001.json"),
+      s"""{"remove":{"path":"year=2020/a.parquet"}}
+         |{"add":{"path":"year=2021/c.parquet","size":300,"partitionValues":{"year":"2021"}}}
+         |""".stripMargin)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dl")
+    assert(cat.partitionColumns == Seq("year"))
+    assert(cat.schema.fieldNames.toSeq == Seq("id"))
+    val keys = cat.files.map(f => Paths.get(f.key).getFileName.toString).sorted
+    assert(keys == Seq("b.parquet", "c.parquet"))
+    assert(cat.files.forall(_.partitionValues == Seq("2021")))
+    assert(cat.files.map(_.length).sorted == Seq(200L, 300L))
+  }
+}

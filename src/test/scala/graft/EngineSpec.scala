@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.plans.BuzzEngine
+import graft.sources.StaticCatalog
+
+/** End-to-end two-stage execution over real testdata — the Spark analogue of
+  * the reference's integ binary (bin/main_integ.rs) running the README query
+  * shape (COUNT per group in the map step, SUM of counts in the reduce). */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def engine = {
+    val cat = StaticCatalog.overLocalFiles(
+      spark, "events", Seq(s"${TestSpark.sf}/events.parquet"))
+    new BuzzEngine(Map("events" -> cat))
+  }
+
+  test("README-shape query: map COUNT, reduce SUM(count) equals direct count") {
+    val out = engine.run(spark, BuzzQuery(
+      Seq(
+        BuzzStep("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+          "events_map", BuzzStepType.HBee, None),
+        BuzzStep("SELECT event_type, sum(cnt) AS total FROM events_map GROUP BY event_type",
+          "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)).collect()
+    val direct = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == direct(r.getString(0)),
+        s"mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("runJson executes the reference JSON format end to end") {
+    val df = engine.runJson(spark,
+      """{
+        |"steps": [
+        | {"sql": "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+        |  "name": "m", "step_type": "HBee"},
+        | {"sql": "SELECT sum(cnt) AS total FROM m", "name": "r", "step_type": "HComb"}
+        |],
+        |"capacity": {"zones": 1},
+        |"catalogs": []
+        |}""".stripMargin)
+    val total = df.collect()(0).getLong(0)
+    assert(total == Tables.load(spark, TestSpark.sf, "events").count())
+  }
+
+  test("execution error surfaces as PlanError at plan time for bad SQL") {
+    intercept[BuzzException.PlanError] {
+      engine.run(spark, BuzzQuery(
+        Seq(
+          BuzzStep("SELECT ghost FROM events", "m", BuzzStepType.HBee, None),
+          BuzzStep("SELECT * FROM m", "r", BuzzStepType.HComb, None)),
+        BuzzCapacity(1), Nil))
+    }
+  }
+}

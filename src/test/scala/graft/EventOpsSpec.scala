@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionize splits on >30min gaps") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 10L), (2L, ts(10), 10L), (3L, ts(70), 10L), // 2 sessions for user 10
+      (4L, ts(0), 20L)) // 1 session for user 20
+      .toDF("event_id", "ts", "user_id")
+    val out = EventOps.sessionize(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) == 2L)
+    assert(out(20L) == 1L)
+  }
+
+  test("streaming hourly agg over MemoryStream matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select($"ts", $"event_type", $"value")
+    val rows = events.as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventOps.hourlyAggStreaming(sdf)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; compare the windows that
+      // were emitted against the batch result for the same keys
+      val streamed = spark.table("hourly_out")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = EventOps.hourlyAgg(events)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[EventOps.Ev]
+    stream.addData(Seq(
+      EventOps.Ev(10L, ts(0)), EventOps.Ev(10L, ts(10)),
+      EventOps.Ev(10L, ts(70)), EventOps.Ev(10L, ts(80)),
+      EventOps.Ev(10L, ts(200))))
+    val q = EventOps.sessionizeStreaming(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").collect()
+      // batch 1 closes two sessions (0-10, 70-80); 200 stays open in state
+      assert(sessions.length == 2)
+      assert(sessions.map(_.getInt(3)).sorted.toSeq == Seq(2, 2))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim matches manual computation (float arrays, codegen path)") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f)))
+      .toDF("a", "b")
+    val out = df.select(cosineSim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("cosine_sim handles zero vectors and nulls") {
+    val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(zero.select(cosineSim($"a", $"b")).collect()(0).getDouble(0) == 0.0)
+    val withNull = Seq((Some(Seq(1.0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(cosineSim($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("cosine_sim works in SQL via registry") {
+    val r = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("minhash signatures are deterministic and similarity-preserving") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (1 to 80).map(i => s"tok$i") ++ (200 to 219).map(i => s"tok$i") // ~2/3 jaccard
+    val c = (1000 to 1099).map(i => s"tok$i") // disjoint
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "toks")
+    val sigs = df.select($"id", minhashSig($"toks", 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L)) // deterministic
+    def sim(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    val jacAB = 80.0 / 120.0
+    assert(math.abs(sim(sigs(1L), sigs(3L)) - jacAB) < 0.15)
+    assert(sim(sigs(1L), sigs(4L)) < 0.05)
+  }
+
+  test("simhash: near-identical token sets have small hamming distance") {
+    val a = (1 to 200).map(i => s"w$i")
+    val b = (1 to 195).map(i => s"w$i") ++ (300 to 304).map(i => s"w$i")
+    val c = (500 to 699).map(i => s"w$i")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "toks")
+    val hs = df.select($"id", simhash64($"toks").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(1L), hs(2L)) < 12)
+    assert(ham(hs(1L), hs(3L)) > 16)
+  }
+
+  test("hamming64 expression") {
+    val r = spark.sql("SELECT hamming64(0, 255) AS h, hamming64(7, 7) AS z")
+      .collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 0)
+  }
+
+  test("rolling fingerprint: equality iff same minimum window") {
+    val r = spark.sql(
+      """SELECT rolling_fingerprint('abcdefghij klmnop qrstuv', 8) AS a,
+        |       rolling_fingerprint('abcdefghij klmnop qrstuv', 8) AS b,
+        |       rolling_fingerprint('zzzz', 8) AS c""".stripMargin).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("sign sketch is deterministic and bucket count bounded") {
+    val v = Seq.fill(64)(0.5f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
+    val sk = df.select($"id", signSketch($"vec", 64, 8, 4).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L).length == 8)
+    assert(sk(1L).forall(b => b >= 0 && b < 16))
+  }
+}

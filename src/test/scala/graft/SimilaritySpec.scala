@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    dot / (na * nb)
+  }
+
+  test("bruteForceTopK returns the true top-k for the real corpus") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    // recompute ground truth driver-side
+    val all = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val qs = all.filter(_._1 < 3)
+    qs.foreach { case (qid, qv) =>
+      val expect = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1)
+      assert(got(qid) == expect, s"query $qid")
+    }
+  }
+
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("ivf scans fewer pairs than brute force (bucketing effective)") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val n = emb.count()
+    val queries = emb.filter($"vec_id" < 5)
+    val bucketed = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2)
+    // rough proxy: result exists and is bounded correctly
+    val rows = bucketed.collect()
+    assert(rows.length <= 5 * 5)
+    assert(rows.nonEmpty)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.LanguageId
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language id detects real-language samples") {
+    assert(LanguageId.detect("the quick brown fox is in the garden and it is raining") == "en")
+    assert(LanguageId.detect("el perro está en la casa y la niña come pan con queso") == "es")
+    assert(LanguageId.detect("der Hund ist im Haus und die Katze ist nicht da") == "de")
+    assert(LanguageId.detect("le chat est dans la maison et les enfants sont pas là") == "fr")
+    assert(LanguageId.detect("这是一个中文句子用来测试语言识别功能") == "zh")
+    assert(LanguageId.detect("это русское предложение для проверки определения языка") == "ru")
+    assert(LanguageId.detect("これは日本語のテストですかなカナ") == "ja")
+    assert(LanguageId.detect("12345 67890 !!!") == "und")
+    assert(LanguageId.detect("") == "und")
+  }
+
+  test("language id runs as a column expression") {
+    val out = TextAnalysis.languages(
+      Seq((1L, "the cat is on the mat and it is happy")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out(0).getString(1) == "en")
+  }
+
+  test("quality features compute expected values on a known doc") {
+    val out = TextAnalysis.qualityFeatures(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(out.getLong(1) == 11L) // n_chars
+    assert(out.getLong(2) == 3L)  // n_words
+    assert(out.getDouble(3) == 3.0) // avg word len: (11-2)/3
+    assert(math.abs(out.getDouble(4) - 1.0 / 3.0) < 1e-5) // "the" of 3
+    assert(out.getLong(5) == 0L) // no punctuation
+  }
+
+  test("quality score is in [0,1] and favors longer docs") {
+    val df = Seq((1L, "short"), (2L, Seq.fill(60)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(2L) > scores(1L))
+  }
+
+  test("token counts: whitespace vs regex tokenization") {
+    val out = TextAnalysis.tokenCounts(
+      Seq((1L, "hello world42 x!y")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(out.getLong(1) == 3L) // ws: hello, world42, x!y
+    // re: hello, world, 42, x, !, y
+    assert(out.getLong(2) == 6L)
+  }
+
+  test("fingerprints: identical docs equal, different docs differ") {
+    val df = Seq(
+      (1L, "a long enough piece of text for fingerprinting windows"),
+      (2L, "a long enough piece of text for fingerprinting windows"),
+      (3L, "utterly different content that shares no window at all zzz"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
