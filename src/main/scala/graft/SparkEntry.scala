@@ -124,6 +124,42 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // partition pruning surfaced as a query: a 1-file catalog with a string
+    // partition column; the partition_filter keeps the file, the partition
+    // value joins the group keys (ref catalog/mod.rs:52-99 semantics)
+    "q11_partition_prune" -> ((s, dir) => {
+      import graft.sources.SizedFile
+      import org.apache.spark.sql.types._
+      val path = s"$dir/events.parquet"
+      val dataSchema = Tables.load(s, dir, "events").schema
+      val cat = new graft.sources.StaticCatalog(
+        "evt_part", dataSchema, Seq("month"),
+        Seq(SizedFile(path, new java.io.File(path).length(), Seq("2024/01"))))
+      // NOTE: the catalog reads raw parquet, so keep ts untouched here (the
+      // map SQL only touches event_type/month, and parquet NANOS columns are
+      // pruned away by Catalyst column pruning before they would error)
+      val engine = new BuzzEngine(Map("evt_part" -> cat))
+      engine.run(s, BuzzQuery(
+        steps = Seq(
+          BuzzStep("SELECT month, event_type, count(*) AS cnt FROM evt_part GROUP BY month, event_type",
+            "evt_map", BuzzStepType.HBee, Some("month <= '2024/06'")),
+          BuzzStep("SELECT month, event_type, sum(cnt) AS total FROM evt_map GROUP BY month, event_type",
+            "r", BuzzStepType.HComb, None)),
+        capacity = BuzzCapacity(1),
+        catalogs = Nil))
+    }),
+    // SELECT * through the engine with strict footer schema verification on
+    "q12_select_star" -> ((s, dir) => {
+      val cat = StaticCatalog.overLocalFiles(s, "region_src", Seq(s"$dir/region.parquet"))
+      val engine = new BuzzEngine(Map("region_src" -> cat), verifySchemas = true)
+      engine.run(s, BuzzQuery(
+        steps = Seq(
+          BuzzStep("SELECT * FROM region_src", "region_map", BuzzStepType.HBee, None),
+          BuzzStep("SELECT * FROM region_map", "r", BuzzStepType.HComb, None)),
+        capacity = BuzzCapacity(1),
+        catalogs = Nil))
+    }),
+
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
@@ -245,6 +281,11 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q11_partition_prune" ->
+      """SELECT '2024/01' AS month, event_type, count(*) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q12_select_star" ->
+      "SELECT r_regionkey, r_name FROM region",
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value

@@ -371,6 +371,35 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection size of two SORTED string arrays by linear merge — no
+  * per-row hash set, no allocation. This is the exact-Jaccard verification
+  * kernel: candidate pairs dominate near-dup dedup cost, and a merge over
+  * pre-sorted shingle sets (sorted once per document, not once per pair)
+  * beats `array_intersect`'s per-pair hashing. Inputs MUST be sorted and
+  * distinct (pair with `array_sort(array_distinct(...))`). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration for the expressions above. */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -391,11 +420,15 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
       }), "built-in")
     reg.createOrReplaceTempFunction("lang_id", es => LanguageId(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
 
   import org.apache.spark.sql.graftshim.GraftColumn
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumn.of(SortedIntersectCount(GraftColumn.expr(a), GraftColumn.expr(b)))
   def signSketch(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long = 42L): Column =
     GraftColumn.of(SignSketch(GraftColumn.expr(vec), dim, tables, bits, seed))
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], take: Int): Column =

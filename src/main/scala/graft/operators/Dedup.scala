@@ -9,10 +9,10 @@ import graft.functions.GraftFunctions._
   *
   * All near-dup variants follow the same scale-safe shape: per-document
   * signature (narrow, one pass) → candidate generation via an equi-join on
-  * LSH bucket keys (a shuffle on small keys — never an N² crossJoin) →
-  * exact verification on the candidate pairs only. At 100 TB the bucket join
-  * is the only shuffle and its width is #docs × #bands rows of (key, id),
-  * independent of document size.
+  * LSH bucket keys carrying ONLY ids (never an N² crossJoin, and never
+  * shuffling the heavy shingle/vector payloads once per band) → exact
+  * verification on the deduplicated candidate pairs, with the payloads
+  * joined back exactly once per side.
   */
 object Dedup {
 
@@ -32,17 +32,28 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Exact Jaccard similarity between two array columns (on distinct sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  /** Exact-Jaccard verification of candidate pairs.
+    *
+    * `cands` = (id_a, id_b) candidate pairs, `sets` = (id, sh) shingle sets.
+    * Joins each side's set back once (two hash joins on ids — cheap keys,
+    * not band-multiplied payloads), applies the size-ratio bound
+    * (J(a,b) ≥ t ⇒ min|s| ≥ t·max|s|) to skip hopeless intersections, then
+    * computes the intersection ONCE per surviving pair. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .filter(least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jac") >= threshold)
   }
 
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n words) → minhash signature (`numHashes` slots) → `bands`
     * bands of `numHashes/bands` rows hashed to a bucket key → self-join on
-    * (band, bucket) → exact Jaccard verification at `threshold`.
+    * (band, bucket) ids only → exact Jaccard verification at `threshold`.
     *
     * With numHashes=256, bands=64 (4 rows/band), a pair at Jaccard 0.8 is
     * missed with probability (1 - 0.8^4)^64 ≈ 4e-15 — effectively exact at
@@ -58,26 +69,23 @@ object Dedup {
       bands: Int = 64,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val sh = df
+    val sets = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSig(col("sh"), numHashes))
+    val sig = sets.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
     // one row per (doc, band): bucket = hash of the band's signature slice
     val buckets = sig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val left = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val cands = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select("id_a", "id_b")
+    verifyJaccard(cands, sets, threshold).select("id_a", "id_b")
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash over word shingles, banded
@@ -93,22 +101,20 @@ object Dedup {
     val sig = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sim", simhash64(col("sh")))
-      .select(col("id"), col("sim"))
+      .select(col("id"), simhash64(col("sh")).as("sim"))
     val banded = sig.select(
       col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+    banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.sim"), col("r.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
@@ -123,28 +129,27 @@ object Dedup {
       blockCol: String,
       n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(
+    val sets = df.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    val cands = sets.select(col("block"), col("id").as("id_a"))
+      .join(sets.select(col("block"), col("id").as("id_b")), Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b")
+    verifyJaccard(cands, sets.select("id", "sh"), threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane (sign) LSH:
     * `tables` independent `bitsPerTable`-bit sign sketches; bucket-join on
-    * each sketch; exact cosine verification at `threshold`.
+    * each sketch (ids only); exact cosine verification at `threshold`.
     *
     * With cos θ ≥ 0.95 (θ ≤ 18.2°), P(bit match) = 1 − θ/π ≈ 0.899;
     * P(miss in all of 32 8-bit tables) = (1 − 0.899^8)^32 ≈ 2e-9. The
-    * hyperplanes are a fixed seeded pseudo-random matrix, broadcast as a
-    * literal — deterministic across runs and executors. */
+    * hyperplanes are a fixed seeded pseudo-random matrix — deterministic
+    * across runs and executors. */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
@@ -153,16 +158,18 @@ object Dedup {
       threshold: Double = 0.95,
       tables: Int = 32,
       bitsPerTable: Int = 8): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(signSketch(col(vecCol), dim, tables, bitsPerTable)))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sk = vecs.select(col("id"),
+      posexplode(signSketch(col("v"), dim, tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
-    val left = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = sk.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    left.join(right, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+    val cands = sk.as("l").join(sk.as("r"), Seq("tbl", "bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
   }

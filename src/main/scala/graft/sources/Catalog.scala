@@ -124,6 +124,9 @@ object StaticCatalog {
       paths: Seq[String],
       partitionColumns: Seq[String] = Nil,
       partitionValues: Map[String, Seq[String]] = Map.empty): StaticCatalog = {
+    // tolerate TIMESTAMP(NANOS) columns (surfaced as long epoch-nanos);
+    // Spark's reader rejects them outright otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(paths.head).schema
     val files = paths.map { p =>
       val len = new java.io.File(p).length()
