@@ -179,7 +179,14 @@ object SparkEntry {
     }),
     "dedup_embed" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // plant near-duplicates: copies of the first 20 vectors under new ids.
+      // The synthetic corpus's closest natural pair is ~0.51 cosine, so at
+      // the 0.95 production threshold an unaugmented run returns 0 rows —
+      // a vacuous (0=0) oracle match that proves nothing.
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(emb.unionAll(planted), "vec_id", "embedding", dim = 64)
     }),
 
     // ---- similarity search ----
@@ -194,9 +201,14 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings")
+      // nProbe == nCentroids probes every bucket, so the result must equal
+      // brute force exactly — that equivalence IS the oracle for the IVF
+      // plumbing (bucketing, probing, bucket-join, top-k reduce). Production
+      // use sets nProbe << nCentroids for the approximate speedup.
       Similarity.ivfTopK(
           emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -332,10 +344,83 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
     "dedup_embed" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a, embeddings b
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM aug a, aug b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((('0x' || substr(md5(sh), 1, 16))::UBIGINT >> CAST(b AS INTEGER)) & 1) = 1
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM tok CROSS JOIN range(64) r(b) GROUP BY doc_id, b
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2.0, b) AS UBIGINT) ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sig a, sig b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    "ann_ivf" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_min(list_transform(range(0, greatest(length(text) - 15, 1)),
+        |    i -> list_reduce(list_transform(range(i+1, i+1+least(16, length(text))),
+        |           j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+        |         (a, b) -> (a * CAST(1000003 AS BIGINT) + b) % 2147483647))) AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(tk, w -> w IN ('the','and','of','to','in','is','it','that','was','for','with','are','this','not'))) AS h_en,
+        |    len(list_filter(tk, w -> w IN ('el','la','de','que','y','en','los','del','se','las','por','un','una','con','es','para'))) AS h_es,
+        |    len(list_filter(tk, w -> w IN ('der','die','und','das','ist','von','den','im','nicht','mit','ein','eine','zu','auf','sich'))) AS h_de,
+        |    len(list_filter(tk, w -> w IN ('le','la','les','et','des','est','un','une','du','dans','que','pour','qui','sur','pas','ce'))) AS h_fr,
+        |    len(list_filter(tk, w -> w IN ('il','di','che','la','per','un','una','sono','con','non','del','gli','nel'))) AS h_it,
+        |    len(list_filter(tk, w -> w IN ('o','a','de','que','e','do','da','em','um','uma','para','com','os','não'))) AS h_pt
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN NOT regexp_matches(text, '[a-zA-Z]') THEN 'und'
+        |       WHEN greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) = 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'en'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'es'
+        |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'fr'
+        |       WHEN h_it = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'it'
+        |       ELSE 'pt' END AS lang_pred
+        |FROM h""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+        |FROM documents""".stripMargin,
     "ann_brute" ->
       """SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (

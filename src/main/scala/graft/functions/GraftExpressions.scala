@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{graftshim, Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -23,9 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * no boxing, no intermediate arrays (vs composing `zip_with` + `aggregate`,
   * which allocates an array per row). */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // float or double arrays only: anything else would silently read garbage
+  // through ArrayData.getFloat, so reject it at analysis time
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)),
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)))
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -75,9 +82,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * array<long> of the unsigned 32-bit minima. Runs once per document (not
   * per row-pair), so interpreted eval is off the hot path. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(StringType)))
 
   private final val SeedA = 0x3c074a61
   private final val SeedB = 0x8ea39d9b
@@ -109,13 +117,22 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 64-bit SimHash over string tokens: each token's xxhash64 votes its bits,
-  * the sign of each bit's vote becomes the output bit. Near-duplicate texts
-  * differ in few bits (small Hamming distance). */
+/** 64-bit SimHash over string tokens: each token's 64-bit hash votes its
+  * bits, the sign of each bit's vote becomes the output bit. Near-duplicate
+  * texts differ in few bits (small Hamming distance).
+  *
+  * The per-token hash is the top 8 bytes of MD5 (big-endian) — deliberately
+  * a hash every engine can compute, so an external oracle (DuckDB
+  * `('0x' || substr(md5(t),1,16))::UBIGINT`) reproduces the signature
+  * bit-for-bit. MD5 costs more than xxhash but runs once per distinct
+  * shingle per document — off the pairwise hot path. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(StringType)))
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -124,9 +141,10 @@ case class SimHash64(child: Expression)
     val n = arr.numElements()
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val d = md.digest(arr.getUTF8String(t).getBytes)
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -164,34 +182,42 @@ case class HammingDistance64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Winnowing-style document fingerprint: minimum (unsigned) 64-bit
-  * polynomial rolling hash over all `window`-byte windows of the UTF-8 text.
-  * Equal fingerprints ⇒ the documents share at least one k-byte substring
-  * that happens to be both documents' minimum — a cheap single-pass
-  * fingerprint for clustering / shard-local dedup. */
+/** Winnowing-style document fingerprint: minimum polynomial rolling hash
+  * (base 1000003, modulus 2^31−1) over all `window`-byte windows of the
+  * UTF-8 text. Equal fingerprints ⇒ the documents share at least one k-byte
+  * substring that happens to be both documents' minimum — a cheap
+  * single-pass fingerprint for clustering / shard-local dedup.
+  *
+  * The modulus is a prime below 2^31 so every intermediate fits a 64-bit
+  * long without wraparound — which also makes the hash reproducible in any
+  * engine with plain BIGINT arithmetic (the DuckDB oracle recomputes it with
+  * `list_reduce`). */
 case class RollingHashFingerprint(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
 
   private final val Base = 1000003L
+  private final val Mod = 2147483647L // 2^31 − 1 (prime)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     if (n == 0) return 0L
     val k = math.min(window, n)
-    // precompute Base^(k-1) for the rolling subtract (wraparound arithmetic)
+    // Base^(k-1) mod M for the rolling subtract
     var basePow = 1L
     var i = 0
-    while (i < k - 1) { basePow *= Base; i += 1 }
+    while (i < k - 1) { basePow = (basePow * Base) % Mod; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    while (i < k) { h = (h * Base + (bytes(i) & 0xFF)) % Mod; i += 1 }
     var min = h
     while (i < n) {
-      h = (h - (bytes(i - k) & 0xFF) * basePow) * Base + (bytes(i) & 0xFF)
-      if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
+      val dropped = ((bytes(i - k) & 0xFF) * basePow) % Mod
+      h = ((h - dropped + Mod) % Mod * Base + (bytes(i) & 0xFF)) % Mod
+      if (h < min) min = h
       i += 1
     }
     min
@@ -206,9 +232,10 @@ case class RollingHashFingerprint(child: Expression, window: Int)
   * ISO 639-1 code or "und". A real deployment would swap in trained n-gram
   * profiles; the plumbing (one pass, no UDF serialization) stays the same. */
 case class LanguageId(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -220,7 +247,10 @@ case class LanguageId(child: Expression)
 
 object LanguageId {
   // Function words (public knowledge; top closed-class words per language).
-  private val stopwords: Map[String, Set[String]] = Map(
+  // An ORDERED Seq, not a Map: equal-hit ties resolve to the earliest
+  // language, so detection is deterministic (and an external SQL oracle can
+  // reproduce it with an ordered CASE).
+  private[functions] val stopwords: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "was", "for", "with", "are", "this", "not"),
     "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "una", "con", "es", "para"),
     "de" -> Set("der", "die", "und", "das", "ist", "von", "den", "im", "nicht", "mit", "ein", "eine", "zu", "auf", "sich"),
@@ -278,9 +308,11 @@ object LanguageId {
   * driver heap). Deterministic across executors: planes derive from the
   * seed, not from runtime randomness. */
 case class SignSketch(child: Expression, dim: Int, tables: Int, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "sign_sketch"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)))
 
   @transient private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -326,9 +358,11 @@ case class SignSketch(child: Expression, dim: Int, tables: Int, bits: Int, seed:
 /** Indices of the `take` nearest centroids (by cosine) from a constant
   * centroid matrix — the IVF assignment/probe kernel, fused in one eval. */
 case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)))
 
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val centNorms: Array[Double] =
@@ -378,9 +412,11 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   * beats `array_intersect`'s per-pair hashing. Inputs MUST be sorted and
   * distinct (pair with `array_sort(array_distinct(...))`). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(StringType)), Seq(ArrayType(StringType)))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -398,6 +434,179 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Fused MinHash band keys: computes the `numHashes`-slot minhash signature
+  * (identical to [[MinHashSignature]]) and collapses each of the `bands`
+  * consecutive `numHashes/bands`-slot groups into one 64-bit FNV-mixed
+  * bucket key, in a single pass. Replaces a 64-way `transform(slice(hash))`
+  * expression tree over the signature array — one eval, no intermediate
+  * signature array crossing operators. */
+case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(StringType)))
+
+  private final val SeedA = 0x3c074a61
+  private final val SeedB = 0x8ea39d9b
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](numHashes)(0xFFFFFFFFL)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedA)
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedB)
+        var i = 0
+        var g = h1
+        while (i < numHashes) {
+          val u = g.toLong & 0xFFFFFFFFL
+          if (u < mins(i)) mins(i) = u
+          g += h2
+          i += 1
+        }
+      }
+      t += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = FnvOffset
+      var r = 0
+      while (r < rows) {
+        h = (h ^ mins(b * rows + r)) * FnvPrime
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Bounded top-k by score: a [[TypedImperativeAggregate]] keeping at most
+  * `k` (score, id) pairs in a min-heap (worst at the root). With
+  * partial/final aggregation only k rows per group per partition cross the
+  * exchange — vs a window `row_number()` which shuffles EVERY scored row.
+  * This is the scale-safe top-k for ANN: |corpus|×|queries| scored rows stay
+  * map-side; `k × queries × partitions` rows move.
+  *
+  * Output: array<struct<neighbor_id,sim>> sorted by (sim desc, id asc) —
+  * ties break on the smaller id, matching a `row_number() OVER (ORDER BY
+  * sim DESC, id)` oracle. */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with graftshim.GraftExpectsInputTypes {
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_by_score"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(DoubleType), Seq(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.n) { buffer.insert(other.scores(i), other.ids(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any = {
+    val order = (0 until buffer.n).sortBy(i => (-buffer.scores(i), buffer.ids(i)))
+    new GenericArrayData(order.map(i =>
+      InternalRow(buffer.ids(i), buffer.scores(i)): Any).toArray)
+  }
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buffer.n * 16)
+    bb.putInt(buffer.n)
+    var i = 0
+    while (i < buffer.n) { bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble(), bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+/** Min-heap of at most k (score, id) pairs, worst element at the root;
+  * "worse" = lower score, then higher id (so ties keep the smaller id). */
+final class TopKBuffer(val k: Int) {
+  var n: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n < k) {
+      scores(n) = s; ids(n) = id; n += 1
+      var c = n - 1
+      while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+        swap(c, (c - 1) / 2); c = (c - 1) / 2
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = 2 * c + 2
+        var worst = c
+        if (l < n && worse(scores(l), ids(l), scores(worst), ids(worst))) worst = l
+        if (r < n && worse(scores(r), ids(r), scores(worst), ids(worst))) worst = r
+        if (worst == c) done = true
+        else { swap(c, worst); c = worst }
+      }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
 }
 
 /** Column wrappers + SQL registration for the expressions above. */
@@ -435,6 +644,11 @@ object GraftFunctions {
     GraftColumn.of(NearestCentroids(GraftColumn.expr(vec), centroids, take))
   def minhashSig(tokens: Column, numHashes: Int): Column =
     call_function("minhash_sig", tokens, org.apache.spark.sql.functions.lit(numHashes))
+  def minhashBandKeys(tokens: Column, numHashes: Int, bands: Int): Column =
+    GraftColumn.of(MinHashBandKeys(GraftColumn.expr(tokens), numHashes, bands))
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    GraftColumn.of(
+      TopKByScore(GraftColumn.expr(score), GraftColumn.expr(id), k).toAggregateExpression())
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def rollingFingerprint(text: Column, window: Int): Column =

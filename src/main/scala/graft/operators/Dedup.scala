@@ -22,29 +22,37 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n"))
 
-  /** Distinct word n-gram shingles of a text column (built-in composition:
-    * split → sequence → transform → array_distinct; no UDF). */
+  /** Distinct word n-gram shingles of a text column, SORTED ascending
+    * (built-in composition: split → sequence → transform → array_distinct →
+    * array_sort; no UDF). Sorted output is a set invariant the verification
+    * kernel exploits: `sorted_intersect_count` merges two pre-sorted sets in
+    * O(|a|+|b|) with zero per-pair allocation, vs `array_intersect` hashing
+    * one side per pair. Docs with fewer than n words yield an empty array
+    * (a descending `sequence(1,0)` would otherwise throw). */
   def wordShingles(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n,
+      array_sort(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact-Jaccard verification of candidate pairs.
     *
-    * `cands` = (id_a, id_b) candidate pairs, `sets` = (id, sh) shingle sets.
-    * Joins each side's set back once (two hash joins on ids — cheap keys,
-    * not band-multiplied payloads), applies the size-ratio bound
+    * `cands` = (id_a, id_b) candidate pairs, `sets` = (id, sh) SORTED
+    * shingle sets. Joins each side's set back once (two hash joins on ids —
+    * cheap keys, not band-multiplied payloads), applies the size-ratio bound
     * (J(a,b) ≥ t ⇒ min|s| ≥ t·max|s|) to skip hopeless intersections, then
-    * computes the intersection ONCE per surviving pair. */
+    * computes the intersection ONCE per surviving pair with the sorted-merge
+    * kernel — the pairwise hot path of every near-dup variant. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
     cands.join(a, "id_a").join(b, "id_b")
       .filter(least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jac", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jac") >= threshold)
   }
@@ -68,17 +76,14 @@ object Dedup {
       numHashes: Int = 256,
       bands: Int = 64,
       threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
     val sets = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sets.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
-    // one row per (doc, band): bucket = hash of the band's signature slice
-    val buckets = sig.select(
+    // one row per (doc, band): signature + per-band bucket keys in ONE fused
+    // eval (MinHashBandKeys) instead of a bands-wide slice/hash expression tree
+    val buckets = sets.select(
       col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows)), b))))
+      posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val cands = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
@@ -118,10 +123,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard dedup within a blocking key (e.g. source/domain):
-    * deterministic (no LSH), the blocking key bounds the pair blow-up. The
-    * join is an equi-join on the block, so it scales with the largest block,
-    * not the corpus. Returns (id_a, id_b, jac rounded to 6dp). */
+  /** Exact n-gram Jaccard dedup within a blocking key (e.g. source/domain),
+    * with PREFIX-FILTERED candidate generation (AllPairs/PPJoin): under a
+    * global shingle order (rarest-first by document frequency), any pair
+    * with J(x,y) ≥ t must share a shingle within each side's first
+    * |x| − ⌈t·|x|⌉ + 1 shingles — so candidates come from an equi-join on
+    * (block, prefix-shingle), not an O(block²) id cross-join. Exact: no
+    * LSH misses; the verify step computes true Jaccard. Scales with the
+    * document frequency of RARE shingles (the prefix is exactly the rare
+    * end of each document), not with block size squared.
+    * Returns (id_a, id_b, jac rounded to 6dp). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -134,10 +145,23 @@ object Dedup {
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val cands = sets.select(col("block"), col("id").as("id_a"))
-      .join(sets.select(col("block"), col("id").as("id_b")), Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val toks = sets.select(col("block"), col("id"), explode(col("sh")).as("tok"))
+    // global document frequency per shingle → the global shingle order
+    // (df asc, shingle asc); one narrow groupBy with map-side combine
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    // each doc's shingles rarest-first; keep the prefix-filter prefix
+    val prefixes = toks.join(dfreq, "tok")
+      .groupBy(col("block"), col("id"))
+      .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
+      .select(
+        col("block"), col("id"),
+        expr(s"slice(transform(ord, s -> s.tok), 1, " +
+             s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
+    val pe = prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok"))
+    val cands = pe.as("l").join(pe.as("r"), Seq("block", "tok"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     verifyJaccard(cands, sets.select("id", "sh"), threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }

@@ -62,22 +62,28 @@ object Multimodal {
   }
 
   /** Feature extraction over the media table: partition-parallel, one
-    * decoder per partition, no shuffle. */
+    * decoder per partition, no shuffle. `content_hash` is the top 60 bits of
+    * the payload's MD5 (big-endian) — an engine-portable content digest any
+    * SQL oracle reproduces as `('0x' || substr(md5(payload), 1, 15))::BIGINT`
+    * (60 bits so the value fits a signed 64-bit integer in every engine). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = Encoders.row(featureSchema)
     media.select("media_id", "modality", "payload").mapPartitions { rows =>
-      // per-partition decoder init would go here (codec contexts are not
-      // serializable; this placement is the real pattern)
+      // per-partition decoder/digest init (codec contexts and MessageDigest
+      // instances are not serializable; this placement is the real pattern)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
         val modality = r.getString(1)
         val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         val nBytes = if (payload == null) 0L else payload.length.toLong
-        val hash = {
-          var h = 1125899906842597L
-          if (payload != null) { var i = 0; while (i < payload.length) { h = 31 * h + payload(i); i += 1 } }
-          h
+        val hash = if (payload == null) 0L else {
+          val d = md.digest(payload)
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+          h >>> 4 // top 60 bits = first 15 hex digits of the md5
         }
         Row(id, modality, nBytes, hash, FakeDecoder.decode(modality, payload))
       }

@@ -1,9 +1,6 @@
 package graft.operators
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -18,8 +15,28 @@ import graft.functions.GraftFunctions._
   *    centroid once; a query only scans its `nProbe` nearest buckets.
   *    At 100 TB this turns a full-corpus scan per query batch into a
   *    `nProbe/k` fraction, joined bucket-to-bucket.
+  *
+  * Both paths reduce with [[graft.functions.TopKByScore]], a bounded-heap
+  * `TypedImperativeAggregate`: scored rows are folded into a k-slot heap
+  * map-side (partial aggregation), so only k rows per query per partition
+  * cross the exchange — vs `row_number().over(Window)` which shuffles ALL
+  * |corpus|×|queries| scored rows to rank them.
   */
 object Similarity {
+
+  /** Fold scored rows to (query_id, rank, neighbor_id, sim): bounded-heap
+    * partial top-k per partition, merge at reduce, explode ranks. Ties break
+    * by the smaller neighbor id (same order as a `row_number` oracle). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as("sim"))
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Returns (query_id, rank, neighbor_id, sim). `queries` must be small
@@ -34,19 +51,17 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSim(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest of `centroids`; each query probes its `nProbe` nearest
     * centroid buckets only. Centroids are a deterministic sample of the
     * corpus (seeded), computed once driver-side — at scale you'd train
-    * k-means; assignment/probing plumbing is identical. */
+    * k-means; assignment/probing plumbing is identical. With
+    * `nProbe == nCentroids` every bucket is probed and the result is
+    * EXACTLY the brute-force answer (each corpus vector lives in one
+    * bucket), which is how the correctness gate oracles this operator. */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -70,11 +85,6 @@ object Similarity {
     val scored = bucketed.join(broadcast(probed), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSim(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopK(scored, k)
   }
 }

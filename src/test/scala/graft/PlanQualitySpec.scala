@@ -60,11 +60,34 @@ class PlanQualitySpec extends AnyFunSuite {
   test("dedup LSH bucket joins carry only ids, not shingle payloads") {
     val df = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
-    // the band self-join inputs must not include the shingle array column
-    val joinSection = plan.linesIterator
-      .dropWhile(l => !l.contains("Join"))
-      .take(8).mkString("\n")
-    assert(!joinSection.contains("sh#"),
-      s"band join should not shuffle shingle arrays:\n$joinSection")
+    // the (band, bucket) self-join's Project children must emit only
+    // id/band/bucket — never the shingle array (the Generate below them may
+    // legitimately CONSUME sh to compute the band keys)
+    val lines = plan.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("Join") && l.contains("band#")),
+      s"no band join found in:\n$plan")
+    // the join inputs are the Projects aliasing the posexplode output to
+    // (band, bucket); they must emit nothing but id/band/bucket
+    val bucketProjects = lines.filter(l => l.contains("Project [") && l.contains("AS bucket#"))
+    assert(bucketProjects.nonEmpty, s"band/bucket projects not found in:\n$plan")
+    bucketProjects.foreach(p =>
+      assert(!p.contains("sh#"), s"band join input shuffles shingle arrays: $p"))
+  }
+
+  test("ann top-k is a partial/final bounded-heap aggregate, not a window shuffle") {
+    val df = SparkEntry.queries("ann_brute")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k should be a TypedImperativeAggregate:\n${plan.take(800)}")
+    assert(!plan.contains("Window"),
+      "scored rows must fold into k-slot heaps map-side, not shuffle through a window")
+  }
+
+  test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
+    val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    val joins = plan.linesIterator.filter(_.contains("Join Inner")).toSeq
+    assert(joins.exists(_.contains("tok#")),
+      s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
   }
 }
