@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions._
 
@@ -21,6 +22,22 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n"))
+
+  /** Spread a too-narrow input across the cluster before CPU-heavy
+    * per-document work. A small corpus arrives as one or two file splits
+    * (one task), which would serialize the signature computation; at real
+    * scale the scan already has thousands of splits and this is a no-op. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Persist a signature/set relation that the downstream plan references
+    * several times (candidate generation + both verify sides): one
+    * materialization instead of recomputing shingles/signatures per use.
+    * MEMORY_AND_DISK spills instead of recomputing at 100 TB. */
+  private def shared(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Distinct word n-gram shingles of a text column, SORTED ascending
     * (built-in composition: split → sequence → transform → array_distinct →
@@ -76,16 +93,16 @@ object Dedup {
       numHashes: Int = 256,
       bands: Int = 64,
       threshold: Double = 0.8): DataFrame = {
-    val sets = df
+    val sets = shared(widen(df)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
     // one row per (doc, band): signature + per-band bucket keys in ONE fused
     // eval (MinHashBandKeys) instead of a bands-wide slice/hash expression tree
-    val buckets = sets.select(
+    val buckets = shared(sets.select(
       col("id"),
       posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"))
     val cands = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -103,16 +120,16 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df
+    val sig = shared(widen(df)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), simhash64(col("sh")).as("sim"))
-    val banded = sig.select(
+      .select(col("id"), simhash64(col("sh")).as("sim")))
+    val banded = shared(sig.select(
       col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"))
     banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(
@@ -140,11 +157,11 @@ object Dedup {
       blockCol: String,
       n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sets = df.select(
+    val sets = shared(widen(df).select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
     val toks = sets.select(col("block"), col("id"), explode(col("sh")).as("tok"))
     // global document frequency per shingle → the global shingle order
     // (df asc, shingle asc); one narrow groupBy with map-side combine
@@ -157,7 +174,8 @@ object Dedup {
         col("block"), col("id"),
         expr(s"slice(transform(ord, s -> s.tok), 1, " +
              s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
-    val pe = prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok"))
+    val pe = shared(
+      prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok")))
     val cands = pe.as("l").join(pe.as("r"), Seq("block", "tok"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -182,11 +200,11 @@ object Dedup {
       threshold: Double = 0.95,
       tables: Int = 32,
       bitsPerTable: Int = 8): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sk = vecs.select(col("id"),
+    val vecs = shared(widen(df).select(col(idCol).as("id"), col(vecCol).as("v")))
+    val sk = shared(vecs.select(col("id"),
       posexplode(signSketch(col("v"), dim, tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"))
     val cands = sk.as("l").join(sk.as("r"), Seq("tbl", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
