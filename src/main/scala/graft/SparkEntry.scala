@@ -48,19 +48,22 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
-    // the reference's own two-statement map/reduce API, end to end:
-    // catalog resolution → plan validation → map SQL → exchange → reduce SQL
+    // the reference's own two-statement map/reduce API, end to end FROM JSON:
+    // catalog resolution from the query's catalogs array (fuse_service.rs:
+    // 40-59) → plan validation → map SQL → exchange → reduce SQL
     "q3_two_stage" -> ((s, dir) => {
-      val catalog = StaticCatalog.overLocalFiles(s, "events_src", Seq(s"$dir/events.parquet"))
-      val engine = new BuzzEngine(Map("events_src" -> catalog))
-      engine.run(s, BuzzQuery(
-        steps = Seq(
-          BuzzStep("SELECT event_type, count(*) AS cnt FROM events_src GROUP BY event_type",
-            "events_map", BuzzStepType.HBee, None),
-          BuzzStep("SELECT event_type, sum(cnt) AS total FROM events_map GROUP BY event_type",
-            "events_reduce", BuzzStepType.HComb, None)),
-        capacity = BuzzCapacity(1),
-        catalogs = Seq(BuzzCatalogRef("events_src", "Static", dir))))
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |  "steps": [
+           |    {"sql": "SELECT event_type, count(*) AS cnt FROM events_src GROUP BY event_type",
+           |     "name": "events_map", "step_type": "HBee"},
+           |    {"sql": "SELECT event_type, sum(cnt) AS total FROM events_map GROUP BY event_type",
+           |     "name": "events_reduce", "step_type": "HComb"}
+           |  ],
+           |  "capacity": {"zones": 1},
+           |  "catalogs": [{"name": "events_src", "type": "Static", "uri": "$dir/events.parquet"}]
+           |}""".stripMargin)
     }),
     "q4_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -126,24 +129,23 @@ object SparkEntry {
 
     // partition pruning surfaced as a query: a 1-file catalog with a string
     // partition column; the partition_filter keeps the file, the partition
-    // value joins the group keys (ref catalog/mod.rs:52-99 semantics)
+    // value joins the group keys (ref catalog/mod.rs:52-99 semantics). The
+    // map SQL also aggregates the TIMESTAMP(NANOS) ts column — exercising
+    // the catalog's nanos→µs read path, not column-pruning luck.
     "q11_partition_prune" -> ((s, dir) => {
-      import graft.sources.SizedFile
-      import org.apache.spark.sql.types._
-      val path = s"$dir/events.parquet"
-      val dataSchema = Tables.load(s, dir, "events").schema
-      val cat = new graft.sources.StaticCatalog(
-        "evt_part", dataSchema, Seq("month"),
-        Seq(SizedFile(path, new java.io.File(path).length(), Seq("2024/01"))))
-      // NOTE: the catalog reads raw parquet, so keep ts untouched here (the
-      // map SQL only touches event_type/month, and parquet NANOS columns are
-      // pruned away by Catalyst column pruning before they would error)
+      val cat = StaticCatalog.overPath(
+        s, "evt_part", s"$dir/events.parquet", Seq("month"), _ => Seq("2024/01"))
       val engine = new BuzzEngine(Map("evt_part" -> cat))
       engine.run(s, BuzzQuery(
         steps = Seq(
-          BuzzStep("SELECT month, event_type, count(*) AS cnt FROM evt_part GROUP BY month, event_type",
+          BuzzStep(
+            "SELECT month, event_type, count(*) AS cnt, max(ts) AS mx " +
+              "FROM evt_part GROUP BY month, event_type",
             "evt_map", BuzzStepType.HBee, Some("month <= '2024/06'")),
-          BuzzStep("SELECT month, event_type, sum(cnt) AS total FROM evt_map GROUP BY month, event_type",
+          BuzzStep(
+            "SELECT month, event_type, sum(cnt) AS total, " +
+              "date_format(max(mx), 'yyyy-MM-dd HH:mm:ss') AS max_ts " +
+              "FROM evt_map GROUP BY month, event_type",
             "r", BuzzStepType.HComb, None)),
         capacity = BuzzCapacity(1),
         catalogs = Nil))
@@ -158,6 +160,29 @@ object SparkEntry {
           BuzzStep("SELECT * FROM region_map", "r", BuzzStepType.HComb, None)),
         capacity = BuzzCapacity(1),
         catalogs = Nil))
+    }),
+    // Delta Lake catalog end to end: a protocol-shaped local Delta table
+    // (checkpoint parquet + _last_checkpoint + log-cleaned early commits +
+    // a post-checkpoint remove/re-add commit) resolved from the query JSON,
+    // partition-pruned, and queried through the two-stage engine
+    "q13_delta" -> ((s, dir) => {
+      import graft.sources.DeltaFixture
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_fixture_" +
+        Integer.toHexString(dir.hashCode)
+      DeltaFixture.writeTable(s, t(s, dir, "nation"), "n_regionkey", tbl)
+      val engine = new BuzzEngine(Map.empty)
+      engine.run(s, BuzzQuery(
+        steps = Seq(
+          BuzzStep(
+            "SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey) AS snk " +
+              "FROM delta_nation GROUP BY n_regionkey",
+            "nation_map", BuzzStepType.HBee, Some("n_regionkey <= '2'")),
+          BuzzStep(
+            "SELECT n_regionkey, sum(cnt) AS n, sum(snk) AS sum_nk " +
+              "FROM nation_map GROUP BY n_regionkey",
+            "r", BuzzStepType.HComb, None)),
+        capacity = BuzzCapacity(1),
+        catalogs = Seq(BuzzCatalogRef("delta_nation", "DeltaLake", tbl))))
     }),
 
     // ---- event streams ----
@@ -294,10 +319,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
     "q11_partition_prune" ->
-      """SELECT '2024/01' AS month, event_type, count(*) AS total
+      """SELECT '2024/01' AS month, event_type, count(*) AS total,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
         |FROM events GROUP BY event_type""".stripMargin,
     "q12_select_star" ->
       "SELECT r_regionkey, r_name FROM region",
+    "q13_delta" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
+        |FROM nation WHERE CAST(n_regionkey AS VARCHAR) <= '2'
+        |GROUP BY 1""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value

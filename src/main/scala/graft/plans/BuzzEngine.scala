@@ -3,10 +3,10 @@ package graft.plans
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.model.BuzzQuery
-import graft.sources.{SchemaVerifier, SplittableCatalog}
+import graft.sources.{CatalogResolver, SchemaVerifier, SplittableCatalog}
 
 /** Executes a validated two-step buzz query.
   *
@@ -26,10 +26,15 @@ final class BuzzEngine(
     catalogs: Map[String, SplittableCatalog],
     verifySchemas: Boolean = false) {
 
-  private val planner = new QueryPlanner(catalogs)
-
-  def plan(spark: SparkSession, query: BuzzQuery): DistributedPlan =
-    planner.plan(spark, query)
+  /** Catalog resolution happens per query: constructor-injected catalogs
+    * (the reference's compiled-in set) are joined by catalogs resolved from
+    * the query's own `catalogs` array (Static uri → parquet catalog,
+    * DeltaLake uri → delta-log catalog — fuse_service.rs:40-59); a query
+    * catalog wins on name collision, like re-registration would. */
+  def plan(spark: SparkSession, query: BuzzQuery): DistributedPlan = {
+    val resolved = catalogs ++ CatalogResolver.resolve(spark, query.catalogs)
+    new QueryPlanner(resolved).plan(spark, query)
+  }
 
   /** Plan + build the final DataFrame (lazy; no job runs until an action). */
   def run(spark: SparkSession, query: BuzzQuery): DataFrame = {
@@ -44,6 +49,32 @@ final class BuzzEngine(
 
   def runJson(spark: SparkSession, json: String): DataFrame =
     run(spark, BuzzQuery.fromJson(json))
+
+  /** Execute and collect with per-query metrics — parity with the
+    * reference's per-worker observability (hbee_service.rs:45-52 logs
+    * query_duration / downloaded_bytes / processed_bytes per worker; Spark
+    * tracks the same per task, and the listener aggregates them for the
+    * query's duration). */
+  def runAndCollect(spark: SparkSession, query: BuzzQuery): (Array[Row], Map[String, Long]) = {
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = run(spark, query).collect()
+      // the listener bus is async: wait until task-end events stop arriving
+      var last = -1L
+      var stableChecks = 0
+      var waitedMs = 0
+      while (stableChecks < 2 && waitedMs < 2000) {
+        val t = listener.tasks.sum()
+        if (t == last) stableChecks += 1 else { stableChecks = 0; last = t }
+        Thread.sleep(50)
+        waitedMs += 50
+      }
+      (rows, listener.summary)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
 
 /** Per-query observability, parity with the reference's per-worker metrics

@@ -39,6 +39,12 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     if (query.steps.length != 2)
       throw new BuzzException.PlanError(
         s"exactly 2 steps (HBee, HComb) required, got ${query.steps.length}")
+    // the reference asserts a single zone (hcomb_manager.rs:28,51); accept
+    // the field but reject silently-ignored capacities instead of "working"
+    if (query.capacity.zones != 1)
+      throw new BuzzException.NotImplemented(
+        s"capacity.zones must be 1 (got ${query.capacity.zones}); the reference " +
+          "asserts a single zone and Spark owns worker placement")
     val Seq(mapStep, reduceStep) = query.steps
     if (mapStep.stepType != BuzzStepType.HBee)
       throw new BuzzException.PlanError("step 1 must be an HBee (map) step")
@@ -65,20 +71,26 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
   }
 
   /** The single base table a statement reads; rejects multi-source plans
-    * (joins/unions/subquery sources), parity with the reference's linear-plan
-    * restriction. */
+    * (joins/unions/subquery sources — including SELF-joins, which have one
+    * distinct name but two relation inputs), parity with the reference's
+    * linear-plan restriction (every >1-input plan node is rejected,
+    * services/utils.rs:12-15). Compares full multipart identifiers so
+    * `db1.t` and `db2.t` are different sources. */
   private[graft] def soleSource(spark: SparkSession, sql: String): String = {
     val parsed: LogicalPlan =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch {
         case e: Exception => throw new BuzzException.PlanError(s"cannot parse '$sql': ${e.getMessage}")
       }
-    val sources = parsed.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }.distinct
-    sources match {
+    val occurrences = parsed.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }
+    occurrences match {
       case Seq(one) => one
       case Seq()    => throw new BuzzException.PlanError(s"statement reads no table: $sql")
       case many     => throw new BuzzException.PlanError(
-        s"buzz statements are single-table (linear plans); found sources ${many.mkString(", ")}")
+        "buzz statements are single-table (linear plans); found " +
+          s"${many.length} relation reads: ${many.mkString(", ")}")
     }
   }
 
@@ -94,9 +106,19 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     }
   }
 
+  /** Register `df` under `name` for the duration of `body`, then restore
+    * whatever temp view previously held that name — analysis-time planning
+    * must not destroy session catalog state as a side effect (a view
+    * registered via e.g. `Tables.registerAll` would otherwise silently
+    * vanish after `plan()`). */
   private def withTempView[T](spark: SparkSession, name: String, df: DataFrame)(body: => T): T = {
+    val sessionCatalog = spark.sessionState.catalog
+    val prior = sessionCatalog.getRawTempView(name)
     df.createOrReplaceTempView(name)
     try body
-    finally spark.catalog.dropTempView(name)
+    finally {
+      spark.catalog.dropTempView(name)
+      prior.foreach(v => sessionCatalog.createTempView(name, v, overrideIfExists = true))
+    }
   }
 }

@@ -35,6 +35,13 @@ trait SplittableCatalog {
     * columns (static_catalog.rs:111-120). */
   def partitionColumns: Seq[String]
 
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader only
+    * surfaces as epoch-nanos longs: declared TimestampType in [[schema]],
+    * read as long, truncated to microseconds inside [[read]]. Keeping the
+    * conversion in the catalog read path means any map SQL can touch these
+    * columns — instead of relying on column pruning to hide them. */
+  def nanosColumns: Seq[String] = Nil
+
   def files: Seq[SizedFile]
 
   /** Full table schema including partition columns, as workers see it. */
@@ -86,10 +93,21 @@ trait SplittableCatalog {
     if (selected.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
     }
+    // TIMESTAMP(NANOS) columns: declared TimestampType publicly, read as
+    // epoch-nanos long, truncated to µs (integer DIV — double division loses
+    // precision above 2^53 ns; DuckDB's ns→µs cast truncates identically)
+    val readSchema = StructType(schema.fields.map(f =>
+      if (nanosColumns.contains(f.name)) f.copy(dataType = LongType) else f))
+    if (nanosColumns.nonEmpty) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))
     val dfs = groups.map { case (partVals, fs) =>
-      val base = spark.read.schema(schema).parquet(fs.map(_.key): _*)
-      partitionColumns.zip(partVals).foldLeft(base) { case (df, (p, v)) =>
+      val base = spark.read.schema(readSchema).parquet(fs.map(_.key): _*)
+      val converted = nanosColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
+      }
+      partitionColumns.zip(partVals).foldLeft(converted) { case (df, (p, v)) =>
         df.withColumn(p, lit(v))
       }
     }
@@ -109,7 +127,8 @@ final class StaticCatalog(
     val name: String,
     val schema: StructType,
     val partitionColumns: Seq[String],
-    val files: Seq[SizedFile])
+    val files: Seq[SizedFile],
+    override val nanosColumns: Seq[String] = Nil)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
@@ -117,21 +136,68 @@ final class StaticCatalog(
 }
 
 object StaticCatalog {
-  /** Catalog over local parquet files, inferring schema from the first file. */
+  /** Parquet columns physically stored as TIMESTAMP(NANOS) in the first
+    * file's footer — Spark's reader only surfaces these as longs, so the
+    * catalog converts them explicitly (see [[SplittableCatalog.read]]). */
+  private def detectNanosColumns(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val footer = ParquetFileReader.readFooter(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
+        spark.sessionState.newHadoopConf()).getConfiguration,
+      new org.apache.hadoop.fs.Path(path))
+    import scala.jdk.CollectionConverters._
+    footer.getFileMetaData.getSchema.getFields.asScala.collect {
+      case f if f.isPrimitive &&
+        (f.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }) => f.getName
+    }.toSeq
+  }
+
+  /** Catalog over explicit parquet paths, inferring the schema from the
+    * first file; file lengths come from the Hadoop FileSystem so `file://`,
+    * `hdfs://` and `s3a://` URIs all work. */
   def overLocalFiles(
       spark: SparkSession,
       name: String,
       paths: Seq[String],
       partitionColumns: Seq[String] = Nil,
       partitionValues: Map[String, Seq[String]] = Map.empty): StaticCatalog = {
-    // tolerate TIMESTAMP(NANOS) columns (surfaced as long epoch-nanos);
-    // Spark's reader rejects them outright otherwise
+    // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
+    // then re-declare them TimestampType backed by the catalog's conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(paths.head).schema
+    val nanosCols = detectNanosColumns(spark, paths.head)
+    val inferred = spark.read.parquet(paths.head).schema
+    val schema = StructType(inferred.fields.map(f =>
+      if (nanosCols.contains(f.name)) f.copy(dataType = TimestampType) else f))
     val files = paths.map { p =>
-      val len = new java.io.File(p).length()
-      SizedFile(p, len, partitionValues.getOrElse(p, Nil))
+      SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))
     }
-    new StaticCatalog(name, schema, partitionColumns, files)
+    new StaticCatalog(name, schema, partitionColumns, files, nanosCols)
+  }
+
+  /** Catalog over a parquet file or a directory of parquet files (the shape
+    * a `Static` catalog uri takes in the JSON query API). */
+  def overPath(
+      spark: SparkSession,
+      name: String,
+      uri: String,
+      partitionColumns: Seq[String] = Nil,
+      partitionValuesFor: String => Seq[String] = _ => Nil): StaticCatalog = {
+    val paths =
+      if (FsUtil.isDirectory(spark, uri)) {
+        FsUtil.listStatus(spark, uri)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+      } else Seq(uri)
+    if (paths.isEmpty)
+      throw new BuzzException.BadRequest(s"no parquet files under '$uri'")
+    overLocalFiles(spark, name, paths, partitionColumns,
+      paths.map(p => p -> partitionValuesFor(p)).toMap)
   }
 }

@@ -1,84 +1,168 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.model.BuzzException
 
-/** Delta Lake catalog built by replaying `_delta_log JSON commit` actions —
-  * zero-dependency parity with the reference's delta-rs-backed catalog
+/** Delta Lake catalog built from the `_delta_log` — zero-dependency parity
+  * with the reference's delta-rs-backed catalog
   * (`/root/reference/code/src/datasource/catalog/delta_catalog.rs:68-140`):
-  * schema comes from the latest `metaData` action, the file list from
-  * `add` actions minus `remove` actions, partition values from each add's
+  * schema from the latest `metaData` action, the file list from `add`
+  * actions minus `remove` actions, partition values from each add's
   * `partitionValues` map.
   *
-  * The log is tiny driver-side metadata (one JSON object per action), so it
-  * is parsed with plain Jackson on the driver — no Spark job. At 100 TB a
-  * Delta table's checkpoint parquet would be preferred; JSON replay is the
-  * correctness path and handles the fixture-sized logs the reference tests
-  * use (delta-tbl-overwrite, delta-tbl-partition).
+  * Snapshot construction follows the Delta protocol's checkpoint contract:
+  * if `_last_checkpoint` exists, the state is seeded from the referenced
+  * checkpoint parquet (real tables compact the log every ~10 commits and
+  * clean old JSON commits — replaying JSON alone would silently see a
+  * truncated file list), then the JSON commits AFTER the checkpoint version
+  * replay on top. Missing history fails loudly instead of returning a
+  * partial table. All file access goes through the Hadoop FileSystem, so
+  * `file://`/`hdfs://`/`s3a://` table paths work alike.
   */
 object DeltaCatalog {
-  def fromDeltaLog(spark: SparkSession, tablePath: String, name: String): StaticCatalog = {
-    val logDir = new java.io.File(tablePath, "_delta_log")
-    if (!logDir.isDirectory)
-      throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
-    val logFiles = logDir.listFiles()
-      .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .sortBy(_.getName)
-    if (logFiles.isEmpty)
-      throw new BuzzException.BadRequest(s"empty _delta_log under $tablePath")
 
+  private val CommitFile = """(\d{20})\.json""".r
+
+  private final class State {
     var schemaJson: Option[String] = None
     var partitionCols: Seq[String] = Nil
-    // key -> (size, partitionValues); replay in commit order so removes win
+    // path -> (size, partitionValues); replay order means removes win
     val live = scala.collection.mutable.LinkedHashMap[String, (Long, Map[String, String])]()
+  }
 
-    logFiles.foreach { lf =>
-      scala.io.Source.fromFile(lf, "UTF-8").getLines().filter(_.nonEmpty).foreach { line =>
-        val v = JsonMethods.parse(line)
-        v \ "metaData" match {
-          case JNothing =>
-          case md =>
-            md \ "schemaString" match {
-              case JString(s) => schemaJson = Some(s)
-              case _ =>
-            }
-            md \ "partitionColumns" match {
-              case JArray(cols) => partitionCols = cols.collect { case JString(c) => c }
-              case _ =>
-            }
-        }
-        v \ "add" match {
-          case JNothing =>
-          case add =>
-            val path = add \ "path" match { case JString(p) => p; case _ => "" }
-            val size = add \ "size" match {
-              case JInt(s)  => s.toLong
-              case JLong(s) => s
-              case _        => 0L
-            }
-            val pv = add \ "partitionValues" match {
-              case JObject(fields) =>
-                fields.collect { case JField(k, JString(vv)) => k -> vv }.toMap
-              case _ => Map.empty[String, String]
-            }
-            if (path.nonEmpty) live(path) = (size, pv)
-        }
-        v \ "remove" match {
-          case JNothing =>
-          case rm =>
-            rm \ "path" match {
-              case JString(p) => live.remove(p)
-              case _ =>
-            }
-        }
-      }
+  def fromDeltaLog(spark: SparkSession, tablePath: String, name: String): StaticCatalog = {
+    val logDir = s"$tablePath/_delta_log"
+    if (!FsUtil.isDirectory(spark, logDir))
+      throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
+
+    val state = new State
+    val checkpointVersion = readCheckpoint(spark, logDir, state)
+
+    val commits = FsUtil.listStatus(spark, logDir)
+      .flatMap(st => st.getPath.getName match {
+        case CommitFile(v) => Some(v.toLong -> st.getPath.toString)
+        case _             => None
+      })
+      .filter(_._1 > checkpointVersion)
+      .sortBy(_._1)
+
+    if (checkpointVersion < 0 && commits.isEmpty)
+      throw new BuzzException.BadRequest(s"empty _delta_log under $tablePath")
+    // fail loudly on cleaned history: without a checkpoint the replay must
+    // start at version 0, and post-checkpoint commits must be contiguous
+    val expectedFirst = checkpointVersion + 1
+    commits.headOption.foreach { case (v, _) =>
+      if (v != expectedFirst && !(checkpointVersion < 0 && v == 0))
+        throw new BuzzException.BadRequest(
+          s"delta log gap: first replayable commit is $v but expected $expectedFirst " +
+            s"(checkpoint version $checkpointVersion) — history was cleaned")
+    }
+    commits.map(_._1).sliding(2).foreach {
+      case Seq(a, b) if b != a + 1 =>
+        throw new BuzzException.BadRequest(s"delta log gap between commits $a and $b")
+      case _ =>
     }
 
-    val schema = schemaJson match {
+    commits.foreach { case (_, path) =>
+      FsUtil.readString(spark, path).linesIterator.filter(_.nonEmpty)
+        .foreach(line => applyAction(JsonMethods.parse(line), state))
+    }
+
+    toCatalog(spark, tablePath, name, state)
+  }
+
+  /** Seed state from `_last_checkpoint` + checkpoint parquet if present;
+    * returns the checkpoint version, or -1 when there is none. */
+  private def readCheckpoint(spark: SparkSession, logDir: String, state: State): Long = {
+    val lastCp = s"$logDir/_last_checkpoint"
+    if (!FsUtil.exists(spark, lastCp)) return -1L
+    val meta = JsonMethods.parse(FsUtil.readString(spark, lastCp))
+    val version = meta \ "version" match {
+      case JInt(v)  => v.toLong
+      case JLong(v) => v
+      case _ => throw new BuzzException.BadRequest(s"malformed _last_checkpoint in $logDir")
+    }
+    meta \ "parts" match {
+      case JInt(p) if p > 1 =>
+        throw new BuzzException.NotImplemented(
+          s"multi-part checkpoint ($p parts) at version $version")
+      case _ =>
+    }
+    val cpPath = f"$logDir/$version%020d.checkpoint.parquet"
+    if (!FsUtil.exists(spark, cpPath))
+      throw new BuzzException.BadRequest(
+        s"_last_checkpoint points to $version but $cpPath is missing")
+
+    val df = spark.read.parquet(cpPath)
+    val cols = df.columns.toSet
+    df.collect().foreach { row =>
+      if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
+        val md = row.getStruct(row.fieldIndex("metaData"))
+        Option(md.getAs[String]("schemaString")).foreach(s => state.schemaJson = Some(s))
+        Option(md.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          .foreach(p => state.partitionCols = p.toSeq)
+      }
+      if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
+        val a = row.getStruct(row.fieldIndex("add"))
+        val path = a.getAs[String]("path")
+        val size = a.getAs[Long]("size")
+        val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        if (path != null && path.nonEmpty) state.live(path) = (size, pv)
+      }
+      // `remove` entries in a checkpoint are expired tombstones — ignored
+    }
+    version
+  }
+
+  /** Apply one JSON commit action (metaData / add / remove) to the state. */
+  private def applyAction(v: JValue, state: State): Unit = {
+    v \ "metaData" match {
+      case JNothing =>
+      case md =>
+        md \ "schemaString" match {
+          case JString(s) => state.schemaJson = Some(s)
+          case _ =>
+        }
+        md \ "partitionColumns" match {
+          case JArray(cols) => state.partitionCols = cols.collect { case JString(c) => c }
+          case _ =>
+        }
+    }
+    v \ "add" match {
+      case JNothing =>
+      case add =>
+        val path = add \ "path" match { case JString(p) => p; case _ => "" }
+        val size = add \ "size" match {
+          case JInt(s)  => s.toLong
+          case JLong(s) => s
+          case _        => 0L
+        }
+        val pv = add \ "partitionValues" match {
+          case JObject(fields) =>
+            fields.collect { case JField(k, JString(vv)) => k -> vv }.toMap
+          case _ => Map.empty[String, String]
+        }
+        if (path.nonEmpty) state.live(path) = (size, pv)
+    }
+    v \ "remove" match {
+      case JNothing =>
+      case rm =>
+        rm \ "path" match {
+          case JString(p) => state.live.remove(p)
+          case _ =>
+        }
+    }
+  }
+
+  private def toCatalog(
+      spark: SparkSession, tablePath: String, name: String, state: State): StaticCatalog = {
+    val schema = state.schemaJson match {
       case Some(s) => DataType.fromJson(s).asInstanceOf[StructType]
       case None => throw new BuzzException.BadRequest(s"no metaData action in $tablePath")
     }
@@ -86,13 +170,13 @@ object DeltaCatalog {
     // NOT contain them. Keep the data schema = declared minus partition cols,
     // and surface partition values from the log (as the reference does,
     // delta_catalog.rs:86-99).
-    val dataSchema = StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)))
-    val files = live.toSeq.map { case (path, (size, pv)) =>
+    val dataSchema = StructType(schema.fields.filterNot(f => state.partitionCols.contains(f.name)))
+    val files = state.live.toSeq.map { case (path, (size, pv)) =>
       SizedFile(
-        new java.io.File(tablePath, path).getAbsolutePath,
+        new Path(tablePath, path).toString,
         size,
-        partitionCols.map(c => pv.getOrElse(c, "")))
+        state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
-    new StaticCatalog(name, dataSchema, partitionCols, files)
+    new StaticCatalog(name, dataSchema, state.partitionCols, files)
   }
 }

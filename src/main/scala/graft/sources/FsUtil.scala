@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop `FileSystem` access for the catalog layer: everything that touches
+  * file metadata or reads small control files goes through the FS API, so a
+  * catalog works identically over `file://`, `hdfs://` or `s3a://` URIs —
+  * parity with the reference's S3-native client layer
+  * (`/root/reference/code/src/clients/s3.rs:19-55`), delegated to Hadoop
+  * instead of hand-rolled HTTP range requests. */
+object FsUtil {
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def status(spark: SparkSession, path: String): FileStatus =
+    fs(spark, path).getFileStatus(new Path(path))
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def isDirectory(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    f.exists(new Path(path)) && f.getFileStatus(new Path(path)).isDirectory
+  }
+
+  def listStatus(spark: SparkSession, dir: String): Seq[FileStatus] =
+    fs(spark, dir).listStatus(new Path(dir)).toSeq
+
+  /** Read a small control file (delta log commit, _last_checkpoint) fully. */
+  def readString(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}

@@ -119,4 +119,70 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.files.forall(_.partitionValues == Seq("2021")))
     assert(cat.files.map(_.length).sorted == Seq(200L, 300L))
   }
+
+  test("DeltaCatalog reconstructs state from checkpoint + tail commits (log-cleaned table)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_delta_cp")
+    val df = (0L until 25L).map(i => (i, s"name$i", (i % 5).toString))
+      .toDF("id", "nm", "rk")
+    DeltaFixture.writeTable(spark, df, "rk", s"$dir/tbl")
+    // the fixture deletes commits 0 and 1 — only the checkpoint knows most files
+    val logFiles = new java.io.File(s"$dir/tbl/_delta_log").listFiles().map(_.getName).sorted
+    assert(logFiles.contains("00000000000000000001.checkpoint.parquet"))
+    assert(logFiles.contains("_last_checkpoint"))
+    assert(!logFiles.contains("00000000000000000000.json"), "pre-checkpoint commits cleaned")
+    assert(logFiles.contains("00000000000000000002.json"), "post-checkpoint commit present")
+
+    val cat = DeltaCatalog.fromDeltaLog(spark, s"$dir/tbl", "dl_cp")
+    assert(cat.partitionColumns == Seq("rk"))
+    assert(cat.schema.fieldNames.toSeq == Seq("id", "nm"))
+    assert(cat.files.length == 5, s"5 live files expected, got ${cat.files.map(_.key)}")
+    // the rewritten partition must point at the v2 file, not the removed one
+    assert(cat.files.exists(_.key.endsWith("part-v2.parquet")))
+    assert(!cat.files.exists(f => f.partitionValues == Seq("4") && f.key.contains("part-v1")))
+    // and reading the catalog returns the full 25 rows with partition values
+    val all = cat.read(spark, cat.files)
+    assert(all.count() == 25)
+    assert(all.schema.fieldNames.toSeq == Seq("id", "nm", "rk"))
+  }
+
+  test("DeltaCatalog fails loudly on cleaned history without a checkpoint") {
+    val dir = tmpDir("graft_delta_gap")
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    // history starts at version 3 with no checkpoint — must not silently
+    // return a partial table
+    Files.writeString(logDir.resolve("00000000000000000003.json"),
+      """{"add":{"path":"a.parquet","size":10,"partitionValues":{}}}""" + "\n")
+    val e = intercept[BuzzException.BadRequest] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "dl_gap")
+    }
+    assert(e.getMessage.contains("gap") || e.getMessage.contains("cleaned"))
+  }
+
+  test("CatalogResolver resolves Static and DeltaLake refs from query JSON shape") {
+    import graft.model.BuzzCatalogRef
+    import spark.implicits._
+    val dir = tmpDir("graft_resolver")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/static_tbl")
+    val resolved = CatalogResolver.resolve(spark, Seq(
+      BuzzCatalogRef("st", "Static", s"$dir/static_tbl")))
+    assert(resolved.keySet == Set("st"))
+    assert(resolved("st").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(resolved("st").files.nonEmpty)
+    intercept[BuzzException.BadRequest] {
+      CatalogResolver.resolve(spark, Seq(BuzzCatalogRef("bad", "Iceberg", dir)))
+    }
+  }
+
+  test("StaticCatalog.overPath declares TIMESTAMP(NANOS) columns as usable timestamps") {
+    val events = s"${TestSpark.sf}/events.parquet"
+    val cat = StaticCatalog.overPath(spark, "evt", events)
+    assert(cat.schema("ts").dataType == TimestampType)
+    assert(cat.nanosColumns == Seq("ts"))
+    // a query touching ts through the catalog read path must work
+    val mx = cat.read(spark, cat.files).selectExpr("max(ts)").collect()(0)
+    assert(!mx.isNullAt(0))
+  }
 }

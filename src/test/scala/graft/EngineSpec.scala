@@ -51,6 +51,19 @@ class EngineSpec extends AnyFunSuite {
     assert(total == Tables.load(spark, TestSpark.sf, "events").count())
   }
 
+  test("runAndCollect surfaces per-query worker metrics (hbee_service.rs:45-52 parity)") {
+    val (rows, metrics) = engine.runAndCollect(spark, BuzzQuery(
+      Seq(
+        BuzzStep("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+          "events_map", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(cnt) AS total FROM events_map", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil))
+    assert(rows.length == 1)
+    assert(metrics("processed_rows") > 0, s"metrics: $metrics")
+    assert(metrics("downloaded_bytes") > 0, s"metrics: $metrics")
+    assert(metrics("tasks") > 0, s"metrics: $metrics")
+  }
+
   test("execution error surfaces as PlanError at plan time for bad SQL") {
     intercept[BuzzException.PlanError] {
       engine.run(spark, BuzzQuery(

@@ -74,6 +74,35 @@ class QueryPlannerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("single-table"))
   }
 
+  test("self-joins are rejected (one name, two relation inputs — linear-plan rule)") {
+    val e = intercept[BuzzException.PlanError] {
+      planner.plan(spark, twoSteps(
+        "SELECT a.data_col FROM test a JOIN test b ON a.data_col = b.data_col",
+        "SELECT * FROM mapper"))
+    }
+    assert(e.getMessage.contains("single-table"))
+  }
+
+  test("capacity.zones != 1 is rejected, not silently ignored (hcomb_manager.rs:28,51)") {
+    val q = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT * FROM test", "mapper", BuzzStepType.HBee, None),
+        BuzzStep("SELECT * FROM mapper", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(7), Nil)
+    intercept[BuzzException.NotImplemented] { planner.plan(spark, q) }
+  }
+
+  test("planning does not destroy a pre-existing temp view of the same name") {
+    import spark.implicits._
+    Seq((42L, "keep")).toDF("data_col", "tag").createOrReplaceTempView("mapper")
+    try {
+      planner.plan(spark, twoSteps("SELECT * FROM test", "SELECT * FROM mapper"))
+      // the analysis-time scratch view must not have clobbered ours
+      val rows = spark.table("mapper").collect()
+      assert(rows.length == 1 && rows(0).getString(1) == "keep")
+    } finally spark.catalog.dropTempView("mapper")
+  }
+
   test("exactly two steps required") {
     val q = BuzzQuery(
       Seq(BuzzStep("SELECT * FROM test", "m", BuzzStepType.HBee, None)),
