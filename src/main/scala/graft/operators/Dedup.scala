@@ -111,23 +111,38 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash over word shingles, banded
-    * into four 16-bit keys (a pair within Hamming distance 3 of each other
-    * collides on at least one band by pigeonhole — exact recall, no
-    * probabilistic misses), verified by exact Hamming distance. */
+    * into `maxHamming + 1` bit-range keys (a pair within Hamming distance
+    * `maxHamming` has all its differing bits spread over at most `maxHamming`
+    * bands, so by pigeonhole at least one band matches exactly — exact
+    * recall, no probabilistic misses), verified by exact Hamming distance.
+    *
+    * Scale bound: candidate pairs grow as Σ_buckets n_b², i.e. ~n²/2^w per
+    * band for band width w = 64/(maxHamming+1) under uniform hashing. The
+    * default (4 bands × 16 bits) caps bucket space at 2^16 per band — fine
+    * to ~10⁷ docs; at ≥10⁸ docs lower `maxHamming` (fewer, wider bands:
+    * maxHamming=1 → 2 bands × 32 bits → n²/2^32) or pre-block the corpus
+    * (e.g. by language or length bucket) before banding. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBands = maxHamming + 1
+    // distribute the 64 bits over the bands as evenly as possible
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sig = shared(widen(df)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), simhash64(col("sh")).as("sim")))
     val banded = shared(sig.select(
       col("id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nBands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+        shiftrightunsigned(col("sim"), offsets(b)).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket"))
     banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
@@ -191,7 +206,13 @@ object Dedup {
     * With cos θ ≥ 0.95 (θ ≤ 18.2°), P(bit match) = 1 − θ/π ≈ 0.899;
     * P(miss in all of 32 8-bit tables) = (1 − 0.899^8)^32 ≈ 2e-9. The
     * hyperplanes are a fixed seeded pseudo-random matrix — deterministic
-    * across runs and executors. */
+    * across runs and executors.
+    *
+    * Scale bound: each table contributes ~n²/2^bitsPerTable candidate
+    * pairs for weakly-correlated vectors, so `bitsPerTable` must grow with
+    * the corpus: size it ≳ log2(n) − 10 to keep expected bucket occupancy
+    * ~O(1k) (e.g. 8 bits to ~10⁶ docs, 16 bits at 10⁸ — recall at a given
+    * threshold is then retuned via `tables`: miss = (1 − p^bits)^tables). */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,

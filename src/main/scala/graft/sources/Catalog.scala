@@ -136,6 +136,16 @@ final class StaticCatalog(
 }
 
 object StaticCatalog {
+  /** Driver-side cache of inferred (schema, nanosColumns) per first-file
+    * path. The reference reads one footer per catalog construction; callers
+    * that rebuild a catalog per query (the JSON API resolves catalogs at
+    * query time) would otherwise pay a footer read + Spark schema inference
+    * on every query — the measured bulk of the two-stage engine's overhead
+    * vs a direct Spark query. Parquet files are immutable in this model, so
+    * path-keyed caching is sound. */
+  private val inferenceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Seq[String])]()
+
   /** Parquet columns physically stored as TIMESTAMP(NANOS) in the first
     * file's footer — Spark's reader only surfaces these as longs, so the
     * catalog converts them explicitly (see [[SplittableCatalog.read]]). */
@@ -168,13 +178,15 @@ object StaticCatalog {
       paths: Seq[String],
       partitionColumns: Seq[String] = Nil,
       partitionValues: Map[String, Seq[String]] = Map.empty): StaticCatalog = {
-    // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
-    // then re-declare them TimestampType backed by the catalog's conversion
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosCols = detectNanosColumns(spark, paths.head)
-    val inferred = spark.read.parquet(paths.head).schema
-    val schema = StructType(inferred.fields.map(f =>
-      if (nanosCols.contains(f.name)) f.copy(dataType = TimestampType) else f))
+    val (schema, nanosCols) = inferenceCache.computeIfAbsent(paths.head, { p =>
+      // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
+      // then re-declare them TimestampType backed by the catalog's conversion
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nanos = detectNanosColumns(spark, p)
+      val inferred = spark.read.parquet(p).schema
+      (StructType(inferred.fields.map(f =>
+        if (nanos.contains(f.name)) f.copy(dataType = TimestampType) else f)), nanos)
+    })
     val files = paths.map { p =>
       SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))
     }

@@ -83,6 +83,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "scored rows must fold into k-slot heaps map-side, not shuffle through a window")
   }
 
+  test("LSH bucket keys spread the corpus: no bucket holds a large fraction") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val n = docs.count()
+    val cap = math.max(n / 10, 16L)
+    // minhash band buckets: occupancy is what bounds candidate pairs (~Σ n_b²)
+    val mbOcc = docs
+      .select(posexplode(minhashBandKeys(Dedup.wordShingles(col("text"), 3), 256, 64)))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(mbOcc <= cap, s"minhash bucket occupancy $mbOcc > $cap of $n docs")
+    // sign-sketch buckets for embeddings
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val skOcc = emb
+      .select(posexplode(signSketch(col("embedding"), 64, 32, 8)))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    val embCap = math.max(emb.count() / 4, 16L) // 256 buckets/table at this SF
+    assert(skOcc <= embCap, s"sign-sketch bucket occupancy $skOcc > $embCap")
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
