@@ -202,6 +202,13 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source")
     }),
+    // pairwise hits → duplicate clusters → canonical keeper per cluster:
+    // the step that turns near-dup detection into an actually-deduped corpus
+    "dedup_clusters" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+    }),
     "dedup_embed" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -247,6 +254,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "text_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- sinks (beyond reference: it has no write path) ----
+    "sink_partitioned" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
+        Integer.toHexString(dir.hashCode)
+      Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
     // ---- multimodal ----
@@ -384,6 +401,32 @@ object SparkEntry {
         |FROM aug a, aug b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
@@ -447,6 +490,16 @@ object SparkEntry {
         |       WHEN h_it = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'it'
         |       ELSE 'pt' END AS lang_pred
         |FROM h""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  round(
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |    (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                     / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
+        |          THEN 1.0 ELSE 0.3 END), 6) AS quality
+        |FROM documents""".stripMargin,
+    "sink_partitioned" ->
+      "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "multimodal_features" ->
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -199,6 +199,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Connected components over a duplicate-pair graph: assigns every node
+    * the minimum id reachable from it, i.e. the canonical "keeper" of its
+    * duplicate cluster — the step that turns pairwise near-dup hits into a
+    * deduplicated corpus. Returns (id, component).
+    *
+    * Implementation is iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors,
+    * converging in O(diameter) rounds (duplicate clusters are near-cliques,
+    * so usually 2–3). Each round is one shuffle on node id over the edge
+    * list — the standard large-scale CC shape (GraphX/connected-components
+    * papers); no driver-side graph state beyond the convergence counter. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // undirected edge list, both directions, plus self-loops so isolated
+    // endpoints keep their own label
+    val edges = shared(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (sign) LSH:
     * `tables` independent `bitsPerTable`-bit sign sketches; bucket-join on
     * each sketch (ids only); exact cosine verification at `threshold`.

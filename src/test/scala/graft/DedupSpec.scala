@@ -80,4 +80,18 @@ class DedupSpec extends AnyFunSuite {
     // (verification step is exact), so just sanity-check the shape
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("connected components: min reachable id labels each duplicate cluster") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                     // chain: needs >1 propagation round
+      (10L, 11L),                             // pair
+      (20L, 21L), (21L, 22L), (20L, 22L))     // triangle
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
