@@ -185,6 +185,35 @@ object SparkEntry {
         catalogs = Seq(BuzzCatalogRef("delta_nation", "DeltaLake", tbl))))
     }),
 
+    // full loop: the partitioned sink's Hive layout is discovered back as a
+    // partitioned catalog (partition columns from `source=...` dir names),
+    // pruned by partition_filter BEFORE any data file is read, and queried
+    // through the two-stage engine — the reference's static-catalog
+    // partition model over a real multi-file layout
+    "q14_hive_catalog" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
+        Integer.toHexString(dir.hashCode)
+      if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
+        Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
+      }
+      val cat = StaticCatalog.overPath(s, "docs_hive", out)
+      val engine = new BuzzEngine(Map("docs_hive" -> cat))
+      engine.run(s, BuzzQuery(
+        steps = Seq(
+          BuzzStep(
+            "SELECT source, count(*) AS cnt, sum(n_chars) AS sc " +
+              "FROM docs_hive GROUP BY source",
+            "m", BuzzStepType.HBee, Some("source >= 'src14'")),
+          BuzzStep(
+            "SELECT source, sum(cnt) AS n, sum(sc) AS sum_chars " +
+              "FROM m GROUP BY source",
+            "r", BuzzStepType.HComb, None)),
+        capacity = BuzzCapacity(1),
+        catalogs = Nil))
+    }),
+
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
@@ -257,6 +286,8 @@ object SparkEntry {
     }),
     "text_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -346,6 +377,9 @@ object SparkEntry {
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
         |FROM nation WHERE CAST(n_regionkey AS VARCHAR) <= '2'
         |GROUP BY 1""".stripMargin,
+    "q14_hive_catalog" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source >= 'src14' GROUP BY source""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
@@ -498,6 +532,18 @@ object SparkEntry {
         |                     / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
         |          THEN 1.0 ELSE 0.3 END), 6) AS quality
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+        |  FROM t WHERE len(tk) >= 2
+        |),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY 1)
+        |SELECT t.doc_id,
+        |  round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_word_frac,
+        |  round(CAST(top.mc AS DOUBLE) / top.total, 6) AS top_bigram_frac
+        |FROM t JOIN top USING (doc_id)""".stripMargin,
     "sink_partitioned" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "multimodal_features" ->

@@ -54,6 +54,31 @@ object TextAnalysis {
         .cast("long").as("re_tokens"))
   }
 
+  /** Repetition signals (the Gopher-style quality rules): fraction of
+    * duplicate words and the share of all word bigrams taken by the single
+    * most frequent bigram. High values flag boilerplate/spam for filtering.
+    * One explode + two grouped aggregates, partial-aggregated map-side. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol).as("id"), toks.as("tk"), bigrams.as("bg"))
+    val top = base.select(col("id"), explode(col("bg")).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("mc"), sum(col("c")).as("total"))
+    base
+      .select(
+        col("id"),
+        round(lit(1.0) - size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
+          .as("dup_word_frac"))
+      .join(top, "id")
+      .select(
+        col("id").as(idCol),
+        col("dup_word_frac"),
+        round(col("mc").cast("double") / col("total"), 6).as("top_bigram_frac"))
+  }
+
   /** Predicted language per document (script + stopword heuristic). */
   def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langId(col(textCol)).as("lang_pred"))

@@ -194,22 +194,55 @@ object StaticCatalog {
   }
 
   /** Catalog over a parquet file or a directory of parquet files (the shape
-    * a `Static` catalog uri takes in the JSON query API). */
+    * a `Static` catalog uri takes in the JSON query API). A directory laid
+    * out Hive-style (`col=value/` subdirectories) is discovered as a
+    * partitioned catalog: partition columns come from the directory names,
+    * values are strings (exactly the reference's partition model,
+    * README.md:113), and the `partition_filter` prunes whole directories
+    * before any data is read. */
   def overPath(
       spark: SparkSession,
       name: String,
       uri: String,
       partitionColumns: Seq[String] = Nil,
       partitionValuesFor: String => Seq[String] = _ => Nil): StaticCatalog = {
-    val paths =
-      if (FsUtil.isDirectory(spark, uri)) {
-        FsUtil.listStatus(spark, uri)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).sorted
-      } else Seq(uri)
-    if (paths.isEmpty)
+    if (!FsUtil.isDirectory(spark, uri)) {
+      return overLocalFiles(spark, name, Seq(uri), partitionColumns,
+        Map(uri -> partitionValuesFor(uri)))
+    }
+    // recursive listing: collect leaf parquet files plus the key=value
+    // partition path segments above them
+    val HivePart = "([^=/]+)=([^/]*)".r
+    def walk(dir: String, parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
+      FsUtil.listStatus(spark, dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val child = st.getPath.toString
+        if (st.isDirectory) {
+          st.getPath.getName match {
+            case HivePart(k, v) => walk(child, parts :+ (k -> v))
+            case _              => walk(child, parts)
+          }
+        } else if (st.getPath.getName.endsWith(".parquet")) {
+          Seq(child -> parts)
+        } else Nil
+      }
+    val found = walk(uri, Nil)
+    if (found.isEmpty)
       throw new BuzzException.BadRequest(s"no parquet files under '$uri'")
-    overLocalFiles(spark, name, paths, partitionColumns,
-      paths.map(p => p -> partitionValuesFor(p)).toMap)
+    val discoveredCols = found.head._2.map(_._1)
+    if (found.exists(_._2.map(_._1) != discoveredCols))
+      throw new BuzzException.BadRequest(
+        s"inconsistent Hive partition layout under '$uri'")
+    if (discoveredCols.nonEmpty && partitionColumns.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"'$uri' is Hive-partitioned (${discoveredCols.mkString(",")}); " +
+          "explicit partitionColumns conflict with the discovered layout")
+    val cols = if (discoveredCols.nonEmpty) discoveredCols else partitionColumns
+    val valuesFor: String => Seq[String] =
+      if (discoveredCols.nonEmpty) {
+        val byPath = found.toMap
+        p => byPath(p).map(_._2)
+      } else partitionValuesFor
+    overLocalFiles(spark, name, found.map(_._1), cols,
+      found.map { case (p, _) => p -> valuesFor(p) }.toMap)
   }
 }

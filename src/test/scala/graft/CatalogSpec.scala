@@ -176,6 +176,22 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("overPath discovers Hive key=value layout as partition columns") {
+    val dir = tmpDir("graft_hive")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$dir/src=alpha")
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$dir/src=beta")
+    val cat = StaticCatalog.overPath(spark, "hive", dir)
+    assert(cat.partitionColumns == Seq("src"))
+    assert(cat.files.map(_.partitionValues).toSet == Set(Seq("alpha"), Seq("beta")))
+    // pruning on the discovered column works before any data read
+    assert(cat.prune(spark, Some("src = 'beta'")).map(_.partitionValues) == Seq(Seq("beta")))
+    val df = cat.read(spark, cat.files)
+    assert(df.columns.toSeq == Seq("k", "v", "src"))
+    assert(df.count() == 3)
+  }
+
   test("StaticCatalog.overPath declares TIMESTAMP(NANOS) columns as usable timestamps") {
     val events = s"${TestSpark.sf}/events.parquet"
     val cat = StaticCatalog.overPath(spark, "evt", events)
