@@ -218,6 +218,7 @@ object Dedup {
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
+    var prevPersisted: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -230,6 +231,8 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).count()
+      prevPersisted.foreach(_.unpersist(blocking = false)) // next is materialized
+      prevPersisted = Some(next)
       labels = next
       converged = changed == 0
       iter += 1

@@ -54,27 +54,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Distributed Lloyd iterations refining an initial centroid set: assign
+    * every vector to its nearest centroid (one narrow pass with the fused
+    * [[graft.functions.NearestCentroids]] kernel), then recompute each
+    * centroid as the element-wise mean of its bucket — one partial-agg
+    * shuffle of (bucket, pos) per iteration, never the vectors themselves
+    * more than once. Buckets that lose all members keep their previous
+    * centroid. Deterministic given the seed-deterministic init. */
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String,
+      init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
+    var cents = init
+    (0 until iterations).foreach { _ =>
+      val means = corpus
+        .select(
+          nearestCentroids(col(vecCol), cents, 1).getItem(0).as("bucket"),
+          posexplode(col(vecCol)))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ord"))
+        .select(col("bucket"), expr("transform(ord, s -> s.m)").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    * their nearest of `centroids`; each query probes its `nProbe` nearest
-    * centroid buckets only. Centroids are a deterministic sample of the
-    * corpus (seeded), computed once driver-side — at scale you'd train
-    * k-means; assignment/probing plumbing is identical. With
-    * `nProbe == nCentroids` every bucket is probed and the result is
-    * EXACTLY the brute-force answer (each corpus vector lives in one
-    * bucket), which is how the correctness gate oracles this operator. */
+    * their nearest of `nCentroids` centroids; each query probes its
+    * `nProbe` nearest centroid buckets only. Centroids start as a
+    * deterministic hash-ordered sample of the corpus and are refined with
+    * `kmeansIters` distributed Lloyd iterations ([[trainCentroids]]).
+    * With `nProbe == nCentroids` every bucket is probed and the result is
+    * EXACTLY the brute-force answer regardless of centroid quality (each
+    * corpus vector lives in one bucket) — which is how the correctness
+    * gate oracles this operator; centroid quality only affects recall at
+    * nProbe < nCentroids. */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic centroid pick: nCentroids corpus vectors by id hash
-    // order (at scale: train k-means; the assignment plumbing is identical)
-    val cents: Seq[Seq[Double]] = corpus
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    val init: Seq[Seq[Double]] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nCentroids)
       .collect()
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
       .toSeq
+    val cents = trainCentroids(corpus, vecCol, init, kmeansIters)
 
     val bucketed = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
