@@ -23,21 +23,7 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n"))
 
-  /** Spread a too-narrow input across the cluster before CPU-heavy
-    * per-document work. A small corpus arrives as one or two file splits
-    * (one task), which would serialize the signature computation; at real
-    * scale the scan already has thousands of splits and this is a no-op. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
-  /** Persist a signature/set relation that the downstream plan references
-    * several times (candidate generation + both verify sides): one
-    * materialization instead of recomputing shingles/signatures per use.
-    * MEMORY_AND_DISK spills instead of recomputing at 100 TB. */
-  private def shared(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+  import OpUtils.{shared, widen}
 
   /** Distinct word n-gram shingles of a text column, SORTED ascending
     * (built-in composition: split → sequence → transform → array_distinct →

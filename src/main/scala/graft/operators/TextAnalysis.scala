@@ -59,11 +59,12 @@ object TextAnalysis {
     * most frequent bigram. High values flag boilerplate/spam for filtering.
     * One explode + two grouped aggregates, partial-aggregated map-side. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import OpUtils.{shared, widen}
     val toks = split(col(textCol), " ")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1), i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val base = df.select(col(idCol).as("id"), toks.as("tk"), bigrams.as("bg"))
+    val base = shared(widen(df).select(col(idCol).as("id"), toks.as("tk"), bigrams.as("bg")))
     val top = base.select(col("id"), explode(col("bg")).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("mc"), sum(col("c")).as("total"))
