@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.BuzzEngine
 import graft.sources.StaticCatalog
 import graft.streaming.EventOps
@@ -297,6 +297,43 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // ---- corpus curation (training-data pipeline beyond the reference) ----
+    // benchmark decontamination: eval split = every 97th doc; flag corpus
+    // docs sharing any word 3-gram with it (production suites use 8-13-grams)
+    "curate_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
+    // PII redaction over a deterministically-planted corpus (the synthetic
+    // text has no natural PII; every 7th doc gets an email+ip+phone suffix
+    // built identically on both engine and oracle side)
+    "curate_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"), lit("@ex.com ip 10.1."),
+            col("doc_id") % 250, lit(".7 call 555-123-4567")))
+          .otherwise(col("text")).as("ptext"))
+      Curation.piiRedact(planted, "doc_id", "ptext")
+    }),
+    // reproducible 20% split: md5-bucket of the id, not rand()
+    "curate_sample" -> ((s, dir) =>
+      Curation.sampleDeterministic(t(s, dir, "documents"), "doc_id")
+        .select(col("source"), col("doc_id"))),
+    // fixed-token-budget sequence packing per source shard
+    "curate_pack" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "source", 256)
+        .select(col("grp").as("source"), col("bin"), col("n_docs"), col("sum_tokens"))),
+    // corpus vocabulary top-100
+    "curate_vocab" -> ((s, dir) =>
+      Curation.vocabulary(t(s, dir, "documents"), "text", 100)),
+    // the full cleaning pipeline (exact-dup keeper ∧ quality ∧ uncontaminated)
+    "curate_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.cleanCorpus(docs, "doc_id", "text", docs.filter(col("doc_id") % 97 === 0))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    }),
+
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -580,5 +617,71 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS modality, 'utf-8' AS meta_format,
         | CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes
         |FROM documents""".stripMargin,
+    "curate_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM tok WHERE len(tk) >= 3
+        |),
+        |e AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS nh FROM s JOIN e USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_eval_ngrams,
+        |  COALESCE(hits.nh, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "curate_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' contact u' || doc_id || '@ex.com ip 10.1.' || (doc_id % 250) || '.7 call 555-123-4567'
+        |    ELSE text END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii,
+        |  regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\b\d{3}-\d{3}-\d{4}\b',
+        |    '<PII>', 'g') AS redacted
+        |FROM p""".stripMargin,
+    "curate_sample" ->
+      """SELECT source, doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0""".stripMargin,
+    "curate_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST(floor((cum - tok) / 256.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "curate_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "curate_clean" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM tok WHERE len(tk) >= 3
+        |),
+        |e AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS nh FROM s JOIN e USING (sh) GROUP BY 1),
+        |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                       / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
+        |            THEN 1.0 ELSE 0.3 END), 6) AS quality
+        |  FROM documents)
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d
+        |JOIN k USING (doc_id)
+        |JOIN q USING (doc_id)
+        |LEFT JOIN hits USING (doc_id)
+        |WHERE q.quality >= 0.5 AND COALESCE(hits.nh, 0) = 0
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -613,6 +613,9 @@ final class TopKBuffer(val k: Int) {
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registration is a no-op (and avoids the per-call
+    // "function replaced" warning when many queries share one session)
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",

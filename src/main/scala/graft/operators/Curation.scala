@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, PII redaction, deterministic sampling, sequence packing,
+  * vocabulary building, and an end-to-end cleaning composition.
+  *
+  * Beyond-reference surface (the reference engine has no data-curation
+  * layer); designed for the 100 TB shape: narrow transforms where possible,
+  * broadcast joins against the (small) eval set, semi-joins for filtering,
+  * and deterministic hash-based decisions instead of `rand()` so reruns and
+  * retried tasks agree.
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every corpus document, count how many of
+    * its distinct word n-grams appear anywhere in `evalDocs` (the benchmark
+    * /eval split). Training-data hygiene standard practice — documents with
+    * overlap are dropped or audited so eval numbers aren't inflated.
+    *
+    * Shape: the eval n-gram set is distinct-ed and BROADCAST (benchmarks are
+    * tiny next to the corpus — ~1e6 grams even for large suites); the corpus
+    * side is a narrow explode + broadcast-hash-join + one partial-aggregated
+    * groupBy on doc id. Nothing N², no shuffle of the corpus text. At this
+    * synthetic corpus's vocabulary n=3 already discriminates; production
+    * suites use 8–13-gram overlap.
+    *
+    * Returns (idCol, n_eval_ngrams, contaminated). */
+  def decontaminate(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val corpusGrams = corpus.select(
+      col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+    val hits = corpusGrams.join(broadcast(evalGrams), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("nh")) // shingles are distinct per doc already
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("nh"), lit(0L)).as("n_eval_ngrams"),
+        (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
+    * lookaround) so external engines can evaluate the same pattern. */
+  val PiiPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+      "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
+      "|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing: count and redact emails, IPv4 addresses and phone
+    * numbers. Purely narrow, codegen'd `regexp_*` built-ins — scales as a
+    * map-only pass. Returns (idCol, n_pii, redacted). */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(PiiPattern), lit(0)))
+        .cast("long").as("n_pii"),
+      regexp_replace(col(textCol), PiiPattern, "<PII>").as("redacted"))
+
+  /** Deterministic bucket sampling: keep rows whose md5(id) falls in
+    * `keepBucket` of `buckets` equal hash buckets (≈ 1/buckets sampling
+    * rate). Unlike `df.sample()`/`rand()`, the decision is a pure function
+    * of the id — task retries, reruns and incremental loads select the same
+    * rows, which is what reproducible training-data splits need. Narrow
+    * (no shuffle, no state). */
+  def sampleDeterministic(
+      df: DataFrame,
+      idCol: String,
+      buckets: Int = 5,
+      keepBucket: Int = 0): DataFrame = {
+    require(buckets > 0 && keepBucket >= 0 && keepBucket < buckets)
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets === keepBucket)
+  }
+
+  /** Greedy sequence packing: within each `groupCol` partition, documents
+    * (ordered by id) are packed into consecutive bins of `budgetTokens`
+    * whitespace tokens — each document lands in the bin where its running
+    * token offset starts. This is the contiguous-fill packing used to build
+    * fixed-length training batches from variable-length documents.
+    *
+    * One window shuffle keyed on the group column. The group must be finer
+    * than "everything" at real scale — pack per source/shard (a Zipf-heavy
+    * group key skews the window; pre-shard with pmod(hash(id), k) if
+    * needed). Returns per-bin stats (group, bin, n_docs, sum_tokens). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    df.select(
+        col(groupCol).as("grp"),
+        col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("tok")) / lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+  }
+
+  /** Corpus vocabulary: top-k whitespace tokens by frequency (ties broken by
+    * token, so the result set is deterministic). Partial-aggregated count
+    * per token, then a TakeOrdered top-k — only k rows reach the driver. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** End-to-end corpus cleaning: keep a document iff it is
+    *   (a) the canonical keeper of its exact-duplicate group (min id per
+    *       content hash),
+    *   (b) above the `minQuality` composite quality score, and
+    *   (c) not contaminated against `evalDocs` (`n`-gram overlap).
+    * Composition of [[Dedup.exact]] semantics, [[TextAnalysis.qualityScore]]
+    * and [[decontaminate]], all applied as LEFT SEMI joins on the id — the
+    * document payload is never duplicated or shuffled per filter. Returns
+    * the surviving rows of `df` unchanged. */
+  def cleanCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      minQuality: Double = 0.5,
+      n: Int = 3): DataFrame = {
+    val keepers = df
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val qualityPass = TextAnalysis.qualityScore(df, idCol, textCol)
+      .filter(col("quality") >= minQuality)
+      .select(idCol)
+    val cleanPass = decontaminate(df, evalDocs, idCol, textCol, n)
+      .filter(!col("contaminated"))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+      .join(qualityPass, Seq(idCol), "left_semi")
+      .join(cleanPass, Seq(idCol), "left_semi")
+  }
+}

@@ -212,14 +212,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
+      // carry the per-node "label improved" flag through the same pass so the
+      // convergence check is a filter over the persisted frame, not a second
+      // join against the previous labels (one fewer shuffle per round)
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val changed = next.filter(col("chg")).count()
       prevPersisted.foreach(_.unpersist(blocking = false)) // next is materialized
       prevPersisted = Some(next)
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+    (2L, "alpha beta gamma completely different tail here", "s1"),
+    (3L, "nothing shared with anybody at all today", "s2"),
+    (4L, "alpha beta gamma delta epsilon zeta", "s2")) // exact dup of 1
+    .toDF("doc_id", "text", "source")
+
+  test("decontaminate flags docs sharing a 3-gram with the eval set") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1/4 share "alpha beta gamma" + "beta gamma delta"; doc 2 shares one
+    assert(out(1L) == (2L, true))
+    assert(out(4L) == (2L, true))
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (0L, false))
+  }
+
+  test("piiRedact counts and masks emails, IPs and phone numbers") {
+    val df = Seq(
+      (1L, "mail me at a.b@ex.com or 10.0.0.1 or 555-123-4567 ok"),
+      (2L, "no pii here just words 1234"))
+      .toDF("doc_id", "text")
+    val out = Curation.piiRedact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == "mail me at <PII> or <PII> or <PII> ok")
+    assert(out(2L) == (0L, "no pii here just words 1234"))
+  }
+
+  test("sampleDeterministic is a pure function of the id") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val a = Curation.sampleDeterministic(df, "doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleDeterministic(df, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // ~20% with hash-uniform spread
+    assert(a.size > 120 && a.size < 280)
+    // union of all buckets is a partition of the input
+    val all = (0 until 5).flatMap(k =>
+      Curation.sampleDeterministic(df, "doc_id", 5, k).collect().map(_.getLong(0)))
+    assert(all.length == 1000 && all.toSet.size == 1000)
+  }
+
+  test("packSequences fills bins in id order within each group") {
+    // tokens: id1=2, id2=3, id3=2; budget 4 ⇒ id1 starts at 0 (bin 0),
+    // id2 starts at 2 (bin 0), id3 starts at 5 (bin 1)
+    val df = Seq(
+      (1L, "a b", "g"),
+      (2L, "c d e", "g"),
+      (3L, "f g", "g"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(df, "doc_id", "text", "source", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("g", 0L)) == (2L, 5L))
+    assert(out(("g", 1L)) == (1L, 2L))
+  }
+
+  test("vocabulary returns top-k tokens with deterministic tie-break") {
+    val df = Seq("x x x y y z", "y w").toDF("text")
+    val out = Curation.vocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("x", 3L), ("y", 3L), ("w", 1L)))
+  }
+
+  test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
+    val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
+    // minQuality 0: isolate the dedup + decontamination semantics
+    val kept = Curation.cleanCorpus(corpus, "doc_id", "text", eval, minQuality = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    // doc 4 dropped (exact dup of 1, not the min id); doc 3 dropped (contaminated)
+    assert(kept == Set(1L, 2L))
+  }
+}
