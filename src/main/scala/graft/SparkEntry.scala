@@ -297,6 +297,18 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // int8 embedding quantization (the memory-compression step before ANN at
+    // 10⁹ vectors); the oracle checks the exact integer codes via their
+    // sum/sum-of-squares — floor-based codes are engine-portable
+    "embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale_q"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c * c).as("qnorm"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("qsum"))
+    }),
+
     // ---- corpus curation (training-data pipeline beyond the reference) ----
     // benchmark decontamination: eval split = every 97th doc; flag corpus
     // docs sharing any word 3-gram with it (production suites use 8-13-grams)
@@ -617,6 +629,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS modality, 'utf-8' AS meta_format,
         | CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes
         |FROM documents""".stripMargin,
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+        |c AS (
+        |  SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / mx) AS BIGINT)) END AS codes
+        |  FROM m)
+        |SELECT vec_id, round(mx / 127.0, 6) AS scale_q,
+        |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS qnorm,
+        |  CAST(list_sum(codes) AS BIGINT) AS qsum
+        |FROM c""".stripMargin,
     "curate_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |s AS (

@@ -84,6 +84,25 @@ object Similarity {
     cents
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `max|x|/127`, codes `floor(x·127/max|x|)`. The 4× memory cut (and the
+    * SIMD-friendly integer dot product) is the standard compression step
+    * before ANN at the 10⁹-vector scale; the float vectors are then only
+    * touched to rerank final candidates. Narrow map-only pass. `floor` (not
+    * `round`) keeps the code a pure IEEE-deterministic function — identical
+    * on every engine/executor. Returns (idCol, scale, codes). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .select(
+        col(idCol),
+        (col("mx") / 127.0).as("scale"),
+        when(col("mx") === 0, transform(col("e"), _ => lit(0L)))
+          .otherwise(transform(col("e"), x => floor(x * lit(127.0) / col("mx")).cast("long")))
+          .as("codes"))
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest of `nCentroids` centroids; each query probes its
     * `nProbe` nearest centroid buckets only. Centroids start as a

@@ -72,6 +72,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("x", 3L), ("y", 3L), ("w", 1L)))
   }
 
+  test("quantizeInt8 codes are exact floor(x*127/max) and bounded to [-127,127]") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))) // zero vector guard
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(out(1L)._2 == Seq(127L, -64L, 31L)) // floor semantics: -63.5 → -64
+    assert(out(1L)._1 == 1.0 / 127.0)
+    assert(out(2L)._2 == Seq(0L, 0L, 0L))
+    assert(out(2L)._1 == 0.0)
+  }
+
+  test("streaming exact dedup emits only first-seen content") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, "same text", ts(0)),
+      (2L, "same text", ts(1)),  // dup inside the watermark → dropped
+      (3L, "other text", ts(2))))
+    val q = CorpusStream.dedupExactStreaming(
+        stream.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics

@@ -106,6 +106,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(skOcc <= embCap, s"sign-sketch bucket occupancy $skOcc > $embCap")
   }
 
+  test("decontaminate broadcasts the eval n-gram set") {
+    val plan = formatted("curate_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-set join must broadcast — the corpus side never shuffles")
+  }
+
+  test("pii redaction and sampling are map-only (no exchange)") {
+    for (q <- Seq("curate_pii_redact", "curate_sample")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"$q should be a narrow scan-transform:\n${plan.take(600)}")
+    }
+  }
+
+  test("vocabulary top-k is a TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("curate_vocab")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must keep only k rows per partition:\n${plan.take(600)}")
+  }
+
+  test("cleanCorpus filters are semi-joins — the doc payload is never duplicated") {
+    val df = SparkEntry.queries("curate_clean")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.linesIterator.count(_.contains("LeftSemi")) >= 3,
+      s"expected three semi-join filters:\n${plan.take(900)}")
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
