@@ -165,6 +165,49 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a text column, SORTED ascending by
+  * UTF8 binary order — one fused eval replacing the
+  * `split → sequence → transform(slice + concat_ws) → array_distinct →
+  * array_sort` built-in chain. The chain is semantically right but its
+  * higher-order functions are interpreted (no whole-stage codegen) and
+  * allocate per position; profiled at sf0.1 the shingle pass dominated the
+  * signature stage of every near-dup operator. Semantics match the chain
+  * exactly: tokens split on single spaces keeping empties (Spark
+  * `split(text, " ")`), fewer than n tokens → empty array, output distinct
+  * and sorted (the `sorted_intersect_count` invariant). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    // TreeSet of UTF8String: dedup + UTF8-binary sort in one structure,
+    // matching array_sort(array_distinct(...)) over StringType
+    val set = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two 64-bit hashes (for SimHash comparison). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -405,6 +448,48 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All unordered pairs (a, b) with a < b from an array of int64 ids — the
+  * LSH bucket→candidate-pairs kernel. Emitting pairs from a grouped bucket
+  * (`groupBy(bucket).agg(collect_list(id))` → explode this) costs ONE
+  * exchange of the bucket table; the equivalent bucket self-join shuffles
+  * the table twice and sorts/hashes it for the join. Output size is
+  * m(m-1)/2 per bucket — safe only because LSH bucket occupancy is bounded
+  * (asserted in PlanQualitySpec); a skew-blown bucket would blow up either
+  * plan. Ids are sorted first so (id_a < id_b) holds without a filter. */
+case class PairCombinations(child: Expression)
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_combinations"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(LongType)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(ids(i), ids(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Intersection size of two SORTED string arrays by linear merge — no
   * per-row hash set, no allocation. This is the exact-Jaccard verification
   * kernel: candidate pairs dominate near-dup dedup cost, and a merge over
@@ -632,6 +717,11 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
       }), "built-in")
     reg.createOrReplaceTempFunction("lang_id", es => LanguageId(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
@@ -657,4 +747,8 @@ object GraftFunctions {
   def rollingFingerprint(text: Column, window: Int): Column =
     call_function("rolling_fingerprint", text, org.apache.spark.sql.functions.lit(window))
   def langId(text: Column): Column = call_function("lang_id", text)
+  def wordShinglesExpr(text: Column, n: Int): Column =
+    GraftColumn.of(WordShingles(GraftColumn.expr(text), n))
+  def pairCombinations(ids: Column): Column =
+    GraftColumn.of(PairCombinations(GraftColumn.expr(ids)))
 }

@@ -25,22 +25,37 @@ object Dedup {
 
   import OpUtils.{shared, widen}
 
-  /** Distinct word n-gram shingles of a text column, SORTED ascending
-    * (built-in composition: split → sequence → transform → array_distinct →
-    * array_sort; no UDF). Sorted output is a set invariant the verification
-    * kernel exploits: `sorted_intersect_count` merges two pre-sorted sets in
-    * O(|a|+|b|) with zero per-pair allocation, vs `array_intersect` hashing
-    * one side per pair. Docs with fewer than n words yield an empty array
-    * (a descending `sequence(1,0)` would otherwise throw). */
-  def wordShingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
-    when(size(toks) >= n,
-      array_sort(array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a text column, SORTED ascending.
+    * Sorted output is a set invariant the verification kernel exploits:
+    * `sorted_intersect_count` merges two pre-sorted sets in O(|a|+|b|) with
+    * zero per-pair allocation, vs `array_intersect` hashing one side per
+    * pair. Docs with fewer than n words yield an empty array.
+    *
+    * Delegates to the fused [[graft.functions.WordShingles]] expression —
+    * one eval per document. The equivalent built-in chain
+    * (`split → sequence → transform(slice+concat_ws) → array_distinct →
+    * array_sort`, kept as the cross-check in ExpressionSpec) runs its
+    * higher-order functions interpreted and was the profiled hot spot of
+    * every near-dup signature stage. */
+  def wordShingles(textCol: Column, n: Int): Column =
+    wordShinglesExpr(textCol, n)
+
+  /** LSH bucket table → deduplicated candidate id pairs.
+    *
+    * `buckets` has an `id` column plus `keyCols` bucket keys. One exchange:
+    * group by bucket key, collect the (occupancy-bounded) id list, explode
+    * its pair combinations ([[graft.functions.PairCombinations]]), dedup
+    * across buckets. The alternative — a bucket self-join — shuffles the
+    * bucket table twice and hashes it again for the join; at 10⁹ docs ×
+    * 64 bands that is the dominant wire cost of LSH dedup. */
+  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+    buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   /** Exact-Jaccard verification of candidate pairs.
     *
@@ -84,16 +99,17 @@ object Dedup {
       .filter(size(col("sh")) > 0))
     // one row per (doc, band): signature + per-band bucket keys in ONE fused
     // eval (MinHashBandKeys) instead of a bands-wide slice/hash expression tree
-    val buckets = shared(sets.select(
+    val buckets = sets.select(
       col("id"),
       posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket"))
-    val cands = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cands, sets, threshold).select("id_a", "id_b")
+      .withColumnRenamed("col", "bucket")
+    val cands = bucketPairs(buckets, Seq("band", "bucket"))
+    // the verified pair list is tiny and is consumed by multiple downstream
+    // plans (cluster resolution unions it twice; other queries reuse the
+    // same lineage via the cache manager) — persist the RESULT, so the
+    // candidate+verify pipeline runs once per corpus, not once per consumer
+    shared(verifyJaccard(cands, sets, threshold).select("id_a", "id_b"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash over word shingles, banded
@@ -123,21 +139,25 @@ object Dedup {
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), simhash64(col("sh")).as("sim")))
-    val banded = shared(sig.select(
-      col("id"), col("sim"),
+    val banded = sig.select(
+      col("id"),
       posexplode(array((0 until nBands).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         shiftrightunsigned(col("sim"), offsets(b)).bitwiseAND(lit(mask))
       }: _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket"))
-    banded.as("l").join(banded.as("r"), Seq("band", "bucket"))
-      .filter(col("l.id") < col("r.id"))
+      .withColumnRenamed("col", "bucket")
+    // candidates once per unique pair, then the signatures join back (two
+    // cheap id-keyed joins against the persisted sig) for the Hamming check —
+    // vs carrying both sigs through the band self-join and hamming-filtering
+    // every band collision
+    bucketPairs(banded, Seq("band", "bucket"))
+      .join(sig.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(
-        col("l.id").as("id_a"), col("r.id").as("id_b"),
-        hamming64(col("l.sim"), col("r.sim")).as("hamming"))
+        col("id_a"), col("id_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
@@ -175,12 +195,8 @@ object Dedup {
         col("block"), col("id"),
         expr(s"slice(transform(ord, s -> s.tok), 1, " +
              s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
-    val pe = shared(
-      prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok")))
-    val cands = pe.as("l").join(pe.as("r"), Seq("block", "tok"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pe = prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok"))
+    val cands = bucketPairs(pe, Seq("block", "tok"))
     verifyJaccard(cands, sets.select("id", "sh"), threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
@@ -199,29 +215,39 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // undirected edge list, both directions, plus self-loops so isolated
     // endpoints keep their own label
-    val edges = shared(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // persist the PAIR LIST, not just the edge union: edges reference the
+    // pairs lineage twice (both directions), so an un-persisted candidate
+    // pipeline would run end-to-end once per union branch
+    val p = shared(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+    // init fuses the first propagation round into the node-list aggregation:
+    // label(v) = min(v, neighbors(v)) — the same shuffle a plain `distinct`
+    // would cost, but cliques (the common dup-cluster shape) are already
+    // converged after it, so the loop below only pays the detection round
+    var labels = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("comp"))
     var prevPersisted: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
+      // one round = ONE shuffle join + ONE aggregation: neighbor labels
+      // (edges ⋈ labels) union'd with each node's own label, min per node.
+      // The own row is tagged so the same aggregation also recovers the
+      // previous label — the convergence check is then a filter over the
+      // persisted frame, with no second join against the old labels.
+      val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("ncomp"))
-      // carry the per-node "label improved" flag through the same pass so the
-      // convergence check is a filter over the persisted frame, not a second
-      // join against the previous labels (one fewer shuffle per round)
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+        .select(col("src").as("id"), col("comp"), lit(false).as("own"))
+      val next = labels.select(col("id"), col("comp"), lit(true).as("own"))
+        .unionAll(neighborLabels)
+        .groupBy(col("id"))
+        .agg(
+          min(col("comp")).as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("chg")).count()
+      val changed = next.filter(col("comp") < col("prev")).count()
       prevPersisted.foreach(_.unpersist(blocking = false)) // next is materialized
       prevPersisted = Some(next)
       labels = next.select(col("id"), col("comp"))
@@ -254,15 +280,11 @@ object Dedup {
       tables: Int = 32,
       bitsPerTable: Int = 8): DataFrame = {
     val vecs = shared(widen(df).select(col(idCol).as("id"), col(vecCol).as("v")))
-    val sk = shared(vecs.select(col("id"),
+    val sk = vecs.select(col("id"),
       posexplode(signSketch(col("v"), dim, tables, bitsPerTable)))
       .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket"))
-    val cands = sk.as("l").join(sk.as("r"), Seq("tbl", "bucket"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cands
+      .withColumnRenamed("col", "bucket")
+    bucketPairs(sk, Seq("tbl", "bucket"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)

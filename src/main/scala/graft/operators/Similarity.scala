@@ -65,21 +65,30 @@ object Similarity {
       corpus: DataFrame, vecCol: String,
       init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
     var cents = init
+    val dim = init.headOption.map(_.length).getOrElse(0)
     (0 until iterations).foreach { _ =>
-      val means = corpus
+      // one partial-agg shuffle of (bucket, pos) per iteration; the final
+      // assembly of nCentroids × dim mean cells into centroid vectors is
+      // driver-side (it's a constant-size result), NOT a second shuffle +
+      // collect_list stage
+      val cells = corpus
         .select(
           nearestCentroids(col(vecCol), cents, 1).getItem(0).as("bucket"),
           posexplode(col(vecCol)))
         .groupBy(col("bucket"), col("pos"))
         .agg(avg(col("col")).as("m"))
-        .groupBy(col("bucket"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ord"))
-        .select(col("bucket"), expr("transform(ord, s -> s.m)").as("centroid"))
         .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
-        .toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      val means = Array.tabulate(cents.length)(i => cents(i).toArray)
+      val seen = new Array[Boolean](cents.length)
+      cells.foreach { r =>
+        val b = r.getInt(0)
+        if (b >= 0 && b < means.length) {
+          if (!seen(b)) { means(b) = new Array[Double](dim); seen(b) = true }
+          val p = r.getInt(1)
+          if (p < dim) means(b)(p) = r.getDouble(2)
+        }
+      }
+      cents = means.map(_.toSeq).toSeq
     }
     cents
   }
@@ -118,18 +127,21 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 2): DataFrame = {
-    val init: Seq[Seq[Double]] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)))
+    // one projected+persisted corpus frame feeds the init sample, every
+    // Lloyd iteration, and the final bucket assignment — the parquet scan
+    // and column decode run once, not 3 + kmeansIters times
+    val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val init: Seq[Seq[Double]] = vecs
+      .orderBy(xxhash64(col("id")))
       .limit(nCentroids)
       .collect()
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
       .toSeq
-    val cents = trainCentroids(corpus, vecCol, init, kmeansIters)
+    val cents = trainCentroids(vecs, "v", init, kmeansIters)
 
-    val bucketed = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nearestCentroids(col(vecCol), cents, 1).getItem(0).as("bucket"))
+    val bucketed = vecs.select(
+      col("id").as("neighbor_id"), col("v").as("cv"),
+      nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
     val probed = queries.select(
       col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       explode(nearestCentroids(col(qVecCol), cents, nProbe)).as("bucket"))

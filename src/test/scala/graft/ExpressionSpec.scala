@@ -21,6 +21,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(out(2) + 1.0) < 1e-12)
   }
 
+  test("word_shingles matches the built-in split/transform/distinct/sort chain") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // the chain WordShingles replaced — kept here as the semantic oracle
+    def chain(textCol: Column, n: Int): Column = {
+      val toks = split(textCol, " ")
+      when(size(toks) >= n,
+        array_sort(array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = Seq(
+      "a b c d e",
+      "a a a a",            // repeats → distinct collapses
+      "one two",            // fewer than 3 tokens → empty
+      "",                   // empty text
+      "x  y z",             // double space → empty token kept by split
+      "trailing space ",    // trailing empty token
+      "Zeta alpha Beta zeta alpha Beta", // case-sensitive sort order
+      "ümlaut é ascii mixed bytes here") // non-ASCII byte order
+      .toDF("text")
+    for (n <- Seq(2, 3)) {
+      val got = docs.select(wordShinglesExpr(col("text"), n)).collect().map(_.getSeq[String](0))
+      val want = docs.select(chain(col("text"), n)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+  }
+
   test("cosine_sim handles zero vectors and nulls") {
     val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     assert(zero.select(cosineSim($"a", $"b")).collect()(0).getDouble(0) == 0.0)

@@ -57,21 +57,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "map/reduce boundary should be a shuffle exchange inside one plan")
   }
 
-  test("dedup LSH bucket joins carry only ids, not shingle payloads") {
+  test("dedup LSH candidates come from ONE bucket aggregation carrying only ids") {
     val df = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf)
-    val plan = df.queryExecution.optimizedPlan.toString()
-    // the (band, bucket) self-join's Project children must emit only
-    // id/band/bucket — never the shingle array (the Generate below them may
-    // legitimately CONSUME sh to compute the band keys)
+    // the pair-list result is persisted, so the optimized plan tops out at an
+    // InMemoryRelation — unwrap cached subtrees to see the candidate pipeline
+    val top = df.queryExecution.optimizedPlan
+    val sb = new StringBuilder(top.toString)
+    top.foreach {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        sb.append(r.cachedPlan.toString)
+      case _ =>
+    }
+    val plan = sb.toString
     val lines = plan.linesIterator.toSeq
-    assert(lines.exists(l => l.contains("Join") && l.contains("band#")),
-      s"no band join found in:\n$plan")
-    // the join inputs are the Projects aliasing the posexplode output to
-    // (band, bucket); they must emit nothing but id/band/bucket
-    val bucketProjects = lines.filter(l => l.contains("Project [") && l.contains("AS bucket#"))
-    assert(bucketProjects.nonEmpty, s"band/bucket projects not found in:\n$plan")
-    bucketProjects.foreach(p =>
-      assert(!p.contains("sh#"), s"band join input shuffles shingle arrays: $p"))
+    // candidate generation = group buckets, collect id lists, explode pair
+    // combinations — ONE exchange of the bucket table. A band self-join
+    // (the old shape) would shuffle it twice.
+    assert(!lines.exists(l => l.contains("Join") && l.contains("band#")),
+      s"bucket self-join found — candidates should come from one aggregation:\n$plan")
+    val bucketAggs = lines.filter(l =>
+      l.contains("band#") && l.contains("collect_list"))
+    assert(bucketAggs.nonEmpty, s"bucket collect_list aggregation not found in:\n$plan")
+    // the aggregation collects ids only — never the shingle array
+    bucketAggs.foreach(a =>
+      assert(!a.contains("collect_list(sh#"), s"bucket aggregation carries shingle arrays: $a"))
+    assert(lines.exists(_.contains("pair_combinations")),
+      s"pair_combinations explode not found in:\n$plan")
   }
 
   test("ann top-k is a partial/final bounded-heap aggregate, not a window shuffle") {
