@@ -217,6 +217,24 @@ object SparkEntry {
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
+    // as-of join: every click is enriched with the user's most recent prior
+    // (or simultaneous) view — one tagged-union window pass, no range join.
+    // The right side is pre-aggregated to one row per (user, ts) because
+    // equal-timestamp right rows are ambiguous in ANY as-of semantics.
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
+      EventOps.asofJoin(clicks, views, "user_id", "ts")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("prior_event_id"),
+          date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_ts_s"))
+    }),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -288,6 +306,19 @@ object SparkEntry {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-trained unigram LM scoring (the cheap perplexity-filter proxy)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-level n-gram occurrence statistics, top-k by count
+    "text_ngram_stats" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // duplicated-substring coverage (exact-substring dedup signal)
+    "dedup_substring" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")
+    }),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -433,6 +464,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_asof" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  v.event_id AS prior_event_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_ts_s
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -581,6 +622,35 @@ object SparkEntry {
         |                     / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
         |          THEN 1.0 ELSE 0.3 END), 6) AS quality
         |FROM documents""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+        |SELECT doc_id, round(avg(ln(c / n)), 4) AS logprob
+        |FROM tok JOIN cnt USING (tk) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "text_ngram_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3)
+        |SELECT gram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+        |FROM g GROUP BY gram
+        |ORDER BY occurrences DESC, gram
+        |LIMIT 50""".stripMargin,
+    "dedup_substring" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 5),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |d AS (SELECT g, count(*) AS dfreq FROM e GROUP BY 1)
+        |SELECT e.doc_id AS doc_id, count(*) AS n_grams,
+        |  round(CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM e JOIN d USING (g)
+        |GROUP BY e.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bg AS (

@@ -174,8 +174,12 @@ case class SimHash64(child: Expression)
   * signature stage of every near-dup operator. Semantics match the chain
   * exactly: tokens split on single spaces keeping empties (Spark
   * `split(text, " ")`), fewer than n tokens → empty array, output distinct
-  * and sorted (the `sorted_intersect_count` invariant). */
-case class WordShingles(child: Expression, n: Int)
+  * and sorted (the `sorted_intersect_count` invariant).
+  *
+  * With `distinct = false` the shingles come back in TEXT ORDER with
+  * multiplicity — the occurrence stream that corpus-level n-gram statistics
+  * and language-model counts need (set semantics would undercount repeats). */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -187,7 +191,8 @@ case class WordShingles(child: Expression, n: Int)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     // TreeSet of UTF8String: dedup + UTF8-binary sort in one structure,
     // matching array_sort(array_distinct(...)) over StringType
-    val set = new java.util.TreeSet[UTF8String]()
+    val set = if (distinct) new java.util.TreeSet[UTF8String]() else null
+    val seq = if (distinct) null else new Array[AnyRef](toks.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     val last = toks.length - n
@@ -199,10 +204,12 @@ case class WordShingles(child: Expression, n: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      set.add(UTF8String.fromString(sb.toString))
+      val s = UTF8String.fromString(sb.toString)
+      if (distinct) set.add(s) else seq(i) = s
       i += 1
     }
-    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+    if (distinct) new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+    else new GenericArrayData(seq)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -749,6 +756,8 @@ object GraftFunctions {
   def langId(text: Column): Column = call_function("lang_id", text)
   def wordShinglesExpr(text: Column, n: Int): Column =
     GraftColumn.of(WordShingles(GraftColumn.expr(text), n))
+  def wordNgramsAll(text: Column, n: Int): Column =
+    GraftColumn.of(WordShingles(GraftColumn.expr(text), n, distinct = false))
   def pairCombinations(ids: Column): Column =
     GraftColumn.of(PairCombinations(GraftColumn.expr(ids)))
 }

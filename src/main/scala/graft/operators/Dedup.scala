@@ -257,6 +257,32 @@ object Dedup {
     labels
   }
 
+  /** Per-document duplicated-substring coverage: the fraction of a
+    * document's distinct word n-grams that occur in at least one OTHER
+    * document — the detection half of exact-substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021), scoped
+    * to fixed-length n-grams so it runs as two grouped aggregations instead
+    * of a suffix array. High coverage flags boilerplate and templated spam
+    * that pairwise whole-doc dedup misses. Returns (id, n_grams, dup_frac).
+    *
+    * Shape: explode distinct shingles → document frequency per shingle
+    * (one partial-agg shuffle over the shingle stream) → join back → per-doc
+    * ratio. The shingle-frequency table is vocabulary-sized; nothing is
+    * pairwise. */
+  def duplicatedNgramCoverage(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val e = shared(widen(df)
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("g")))
+    val dfreq = e.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    e.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(when(col("dfreq") > 1, 1).otherwise(0)).cast("double") / count(lit(1)), 6)
+          .as("dup_frac"))
+      .select(col("id").as(idCol), col("n_grams"), col("dup_frac"))
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (sign) LSH:
     * `tables` independent `bitsPerTable`-bit sign sketches; bucket-join on
     * each sketch (ids only); exact cosine verification at `threshold`.

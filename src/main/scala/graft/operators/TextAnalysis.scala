@@ -80,6 +80,47 @@ object TextAnalysis {
         round(col("mc").cast("double") / col("total"), 6).as("top_bigram_frac"))
   }
 
+  /** Per-document average unigram log-probability under the corpus's own
+    * unigram language model — the cheap stand-in for perplexity-based
+    * quality filtering (KenLM-style): documents of improbable tokens score
+    * low. Two passes over the token stream: (1) global token counts — one
+    * partial-aggregated shuffle; (2) re-join each token occurrence to its
+    * count and average ln(count/total) per document — one shuffle on token
+    * plus one on doc id. The count table is vocabulary-sized (Heaps' law:
+    * ≪ corpus size), and the single-row total joins in broadcast, so
+    * nothing here scales worse than the token stream itself. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import OpUtils.{shared, widen}
+    val toks = shared(widen(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok")))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    toks
+      .join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(round(avg(log(col("c").cast("double") / col("n"))), 4).as("logprob"))
+      .select(col("id").as(idCol), col("logprob"))
+  }
+
+  /** Corpus-level n-gram statistics: the `topK` n-grams by occurrence count
+    * (ties broken by the gram ascending) with their document frequency.
+    * Occurrences come from the non-distinct shingle stream; one grouped
+    * aggregation (count + count-distinct docs), then a TakeOrdered top-k —
+    * only k rows per partition reach the driver-side ordering. */
+  def ngramStats(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, topK: Int = 50): DataFrame = {
+    import OpUtils.widen
+    widen(df)
+      .select(col(idCol).as("id"), explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Predicted language per document (script + stopword heuristic). */
   def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langId(col(textCol)).as("lang_pred"))

@@ -57,6 +57,53 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** As-of join: each left row picks up the LATEST right row of the same
+    * key with `right.ts <= left.ts` (inclusive — a right row at the exact
+    * left timestamp matches). The event-enrichment primitive: join every
+    * click to the most recent prior view, every trade to the prevailing
+    * quote.
+    *
+    * Spark has no AsOfJoin operator; the scale-safe composition is NOT a
+    * range join (which explodes to |L|×|R| per key before picking the max)
+    * but a tagged union + per-key ordered window: both sides shuffle ONCE
+    * on the key, sort within partitions on (ts, side), and
+    * `last(payload, ignoreNulls)` carries the newest right payload forward
+    * into each left row. Cost = one exchange + one sort over |L|+|R| rows,
+    * independent of match distance; per-key skew is the window sort's
+    * (spillable) problem, same as any per-entity analytics window.
+    *
+    * Right rows sharing (key, ts) are ambiguous — pre-aggregate the right
+    * side to one row per (key, ts) for deterministic output. Returns all
+    * left columns plus each non-key right column as `<prefix><name>`
+    * (NULL when no right row precedes the left row). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      prefix: String = "prior_"): DataFrame = {
+    val leftStruct = struct(left.columns.map(col): _*)
+    val leftType = left.select(leftStruct.as("s")).schema("s").dataType
+    val rightCols = right.columns.filterNot(_ == keyCol).toSeq
+    val rightStruct = struct(rightCols.map(col): _*)
+    val rightType = right.select(rightStruct.as("s")).schema("s").dataType
+    val l = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(1).as("__side"),
+      leftStruct.as("__l"), lit(null).cast(rightType).as("__r"))
+    val r = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(0).as("__side"),
+      lit(null).cast(leftType).as("__l"), rightStruct.as("__r"))
+    // right (side 0) sorts before left (side 1) at equal ts → inclusive <=
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionAll(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      left.columns.map(c => col(s"__l.$c").as(c)).toSeq ++
+        rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
+
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
     * with a processing-time timeout; emits a row per closed session. The
     * streaming analogue of [[sessionize]] for unbounded input. */

@@ -24,6 +24,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(20L) == 1L)
   }
 
+  test("asofJoin picks the latest right row at or before each left ts, per key") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq(
+      (100L, 1L, ts(10)),  // after right rows at 0 and 5 → matches 5
+      (101L, 1L, ts(5)),   // EXACTLY at right ts 5 → inclusive match
+      (102L, 1L, ts(1)),   // only right 0 precedes
+      (103L, 2L, ts(50)),  // other key: matches that key's row only
+      (104L, 3L, ts(9)))   // key with no right rows → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, ts(0)), (901L, 1L, ts(5)), (902L, 1L, ts(30)), // 30 is AFTER all left
+      (903L, 2L, ts(49)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("prior_event_id"))))
+      .toMap
+    assert(out(100L) == Some(901L))
+    assert(out(101L) == Some(901L))
+    assert(out(102L) == Some(900L))
+    assert(out(103L) == Some(903L))
+    assert(out(104L) == None)
+  }
+
   test("streaming hourly agg over MemoryStream matches the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.load(spark, TestSpark.sf, "events")

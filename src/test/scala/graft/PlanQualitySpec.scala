@@ -145,6 +145,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected three semi-join filters:\n${plan.take(900)}")
   }
 
+  test("as-of join is a tagged-union window pass, not a range join") {
+    val df = SparkEntry.queries("events_asof")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), s"window pass not found:\n${plan.take(600)}")
+    assert(!plan.contains("Join"),
+      s"as-of must not plan a join (range joins explode |L|x|R| per key):\n${plan.take(900)}")
+  }
+
+  test("ngram stats top-k is a TakeOrdered over the grouped counts") {
+    val df = SparkEntry.queries("text_ngram_stats")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must keep only k rows per partition:\n${plan.take(600)}")
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()

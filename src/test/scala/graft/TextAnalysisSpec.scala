@@ -57,6 +57,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getLong(2) == 6L)
   }
 
+  test("unigram logprob averages ln(count/total) over token occurrences") {
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, total=4
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected1 = BigDecimal((math.log(0.5) * 3) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == expected1)
+    assert(out(2L) == expected1) // same per-token prob
+  }
+
+  test("ngram stats count occurrences WITH multiplicity and doc frequency") {
+    val df = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val rows = TextAnalysis.ngramStats(df, "doc_id", "text", n = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "x y": 2 occurrences in doc 1 + 1 in doc 2
+    assert(rows.head == ("x y", 3L, 2L))
+    assert(rows.map(_._1).contains("y x")) // interior repeat bigram
+  }
+
+  test("duplicated-ngram coverage flags only grams shared across docs") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "a b c"),   // bigrams: {a b, b c}
+      (2L, "b c d"),   // shares "b c" with doc 1
+      (3L, "p q r"))   // shares nothing
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramCoverage(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (2L, 0.5))
+    assert(out(2L) == (2L, 0.5))
+    assert(out(3L) == (2L, 0.0))
+  }
+
   test("fingerprints: identical docs equal, different docs differ") {
     val df = Seq(
       (1L, "a long enough piece of text for fingerprinting windows"),
