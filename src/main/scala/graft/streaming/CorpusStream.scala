@@ -26,4 +26,53 @@ object CorpusStream {
       .withColumn("h", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
+
+  /** End-to-end incremental curation: streaming dedup + the stateless
+    * curation passes, composed exactly as the batch pipeline but runnable
+    * under `readStream`/`writeStream`:
+    *   1. first-seen-only per content hash (bounded state via watermark),
+    *   2. PII redaction (narrow regexp pass; the OUTPUT text is the
+    *      redacted text),
+    *   3. composite quality score ≥ `minQuality`,
+    *   4. language filter (keep `keepLangs`, empty set = keep all).
+    * Emits (id, ts, lang_pred, quality, text) append-mode rows — the shape
+    * a `writeStream.format("parquet").partitionBy(...)` training-corpus
+    * sink wants. Decontamination stays batch-side: its eval-set join is a
+    * broadcast of STATIC data and belongs in the downstream batch pass, not
+    * in per-microbatch state. */
+  def curateStreaming(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      minQuality: Double = 0.5,
+      keepLangs: Set[String] = Set.empty,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Curation
+    import graft.functions.GraftFunctions.langId
+
+    val deduped = dedupExactStreaming(docs, textCol, tsCol, watermark)
+    // stateless, narrow passes compose directly on the streaming frame
+    val redacted = deduped.withColumn(
+      "text_clean",
+      regexp_replace(col(textCol), Curation.PiiPattern, "<PII>"))
+    val scored = redacted
+      .withColumn("n_words", size(split(col("text_clean"), " ")))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col("text_clean"), " ", "")).cast("double") /
+          col("n_words"))
+      .withColumn("quality",
+        round(
+          least(col("n_words").cast("double") / 50.0, lit(1.0)) *
+            when(col("avg_word_len").between(2.0, 12.0), 1.0).otherwise(0.3), 6))
+      .withColumn("lang_pred", langId(col("text_clean")))
+    val kept =
+      if (keepLangs.isEmpty) scored
+      else scored.filter(col("lang_pred").isin(keepLangs.toSeq: _*))
+    kept
+      .filter(col("quality") >= minQuality)
+      .select(
+        col(idCol), col(tsCol), col("lang_pred"), col("quality"),
+        col("text_clean").as(textCol))
+  }
 }

@@ -108,6 +108,34 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation dedups, redacts PII, filters quality and language") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val good = Seq.fill(12)("the quick brown fox jumps over the lazy dog today again")
+      .mkString(" ") // long + English → quality 1.0
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, good + " mail me at a@b.com", ts(0)),
+      (2L, good + " mail me at a@b.com", ts(1)), // exact dup → dropped
+      (3L, "short", ts(2)),                      // quality fail
+      (4L, Seq.fill(40)("el la de que y en los del se las por un una es").mkString(" "), ts(3)))) // es → lang fail
+    val q = CorpusStream.curateStreaming(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", minQuality = 0.5, keepLangs = Set("en"))
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curate_stream_out").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L))
+      val text = rows(0).getString(rows(0).fieldIndex("text"))
+      assert(text.contains("<PII>") && !text.contains("a@b.com"))
+    } finally q.stop()
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics
