@@ -236,6 +236,17 @@ object SparkEntry {
           date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_ts_s"))
     }),
 
+    // bounded range join: errors counted against same-user clicks within
+    // ±5 minutes, via window-width binning (bin ±1 equi-join), never a
+    // per-key cross product
+    "events_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventOps.rangeJoinCount(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", windowSeconds = 300)
+    }),
+
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash" -> ((s, dir) => {
@@ -387,6 +398,12 @@ object SparkEntry {
           Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("modality"), col("n_bytes"), col("content_hash"))
     }),
+    // frame sampling: one media row fans out to one row per sampled frame
+    // (64-byte stride frames, every 4th) — the video-pipeline batch shape
+    "multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -474,6 +491,13 @@ object SparkEntry {
         |  v.event_id AS prior_event_id,
         |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_ts_s
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "events_range" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_nearby
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+        |GROUP BY e.event_id""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -670,6 +694,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
         |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_idx,
+        |    substr(text, CAST(i * 64 + 1 AS BIGINT), 64) AS fr
+        |  FROM documents,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS t(i))
+        |SELECT media_id, frame_idx,
+        |  CAST(octet_length(encode(fr)) AS BIGINT) AS frame_bytes,
+        |  ('0x' || substr(md5(fr), 1, 15))::BIGINT AS frame_hash
+        |FROM f""".stripMargin,
     "ann_brute" ->
       """SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (

@@ -61,6 +61,45 @@ object Multimodal {
     }
   }
 
+  /** Sampled-frame schema: one row per sampled frame of a media payload. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("frame_hash", LongType, nullable = false)))
+
+  /** Frame sampling: the payload is treated as consecutive `frameBytes`-wide
+    * frames (a real video decoder would surface codec frames; the fixed
+    * stride is the stub), and every `every`-th frame is emitted as its own
+    * row — the one-media-row → many-frame-rows batch shape of video
+    * pipelines. Partition-parallel flatMap, digest init once per partition,
+    * no shuffle; downstream ops (dedup, embedding) treat frames as
+    * first-class rows. `frame_hash` is the md5-top-60-bits content digest
+    * ([[extractFeatures]]'s convention, reproducible by any SQL engine).
+    * The final frame may be shorter than `frameBytes`. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val enc = Encoders.row(frameSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).iterator.map { idx =>
+          val from = idx * frameBytes
+          val until = math.min(from + frameBytes, payload.length)
+          val frame = java.util.Arrays.copyOfRange(payload, from, until)
+          val d = md.digest(frame)
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+          Row(id, idx.toLong, (until - from).toLong, h >>> 4)
+        }
+      }
+    }(enc)
+  }
+
   /** Feature extraction over the media table: partition-parallel, one
     * decoder per partition, no shuffle. `content_hash` is the top 60 bits of
     * the payload's MD5 (big-endian) — an engine-portable content digest any

@@ -104,6 +104,45 @@ object EventOps {
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
 
+  /** Bounded range join: for every left row, the COUNT of right rows of the
+    * same key within ±`windowSeconds` — proximity enrichment (errors near
+    * clicks, trades near quotes) without Spark's default plan for a time
+    * inequality join, which is a per-key cross product filtered after the
+    * fact.
+    *
+    * Scale shape: both sides are binned into window-width buckets; each
+    * left row joins its own bin ±1 (a right row within the window is
+    * always in one of those three bins, and each (left, right) pair meets
+    * in exactly ONE bin — the right row's — so no dedup is needed). The
+    * equi-join on (key, bin) shuffles each side once; candidates are 3
+    * bins wide per left row instead of |L|×|R| per key; the exact |Δt| ≤
+    * window filter runs on the joined rows. Left rows with no neighbor
+    * come back with 0. */
+  def rangeJoinCount(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      windowSeconds: Long): DataFrame = {
+    val winUs = windowSeconds * 1000000L
+    val lBin = floor(unix_micros(col(tsCol)) / winUs).cast("long")
+    val l = left.select(
+        col(idCol), col(keyCol), unix_micros(col(tsCol)).as("__lus"), lBin.as("__b"))
+      .withColumn("__bin", explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
+      .drop("__b")
+    val r = right.select(
+      col(keyCol), unix_micros(col(tsCol)).as("__rus"),
+      floor(unix_micros(col(tsCol)) / winUs).cast("long").as("__bin"))
+    val counts = l.join(r, Seq(keyCol, "__bin"))
+      .filter(abs(col("__lus") - col("__rus")) <= winUs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_nearby"))
+    left.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+  }
+
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
     * with a processing-time timeout; emits a row per closed session. The
     * streaming analogue of [[sessionize]] for unbounded input. */

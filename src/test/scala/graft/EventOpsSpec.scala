@@ -48,6 +48,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(104L) == None)
   }
 
+  test("rangeJoinCount counts same-key rows within the window, including bin edges") {
+    def tsSec(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val left = Seq(
+      (1L, 10L, tsSec(100)),
+      (2L, 10L, tsSec(1000)),  // far from every right row
+      (3L, 20L, tsSec(100)))   // other key
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, tsSec(100)),   // Δ=0 for left 1
+      (10L, tsSec(160)),   // Δ=60 ≤ 60 → inclusive boundary
+      (10L, tsSec(161)),   // Δ=61 → out
+      (10L, tsSec(41)),    // Δ=59, crosses a bin boundary below
+      (20L, tsSec(90)))    // matches only left 3
+      .toDF("user_id", "ts")
+    val out = EventOps.rangeJoinCount(left, right, "user_id", "ts", "event_id", 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("streaming hourly agg over MemoryStream matches the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.load(spark, TestSpark.sf, "events")

@@ -29,6 +29,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.length == 50)
   }
 
+  test("sampleFrames fans out every k-th stride frame with a partial tail") {
+    // 10-byte payload, 4-byte frames, every 2nd → frames 0 and 2;
+    // frame 2 is the 2-byte tail
+    val media = Multimodal.fromText(
+      Seq((7L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.sampleFrames(media, frameBytes = 4, every = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 4L), (2L, 2L)))
+    // deterministic digests: same payload → same frame hashes
+    val h1 = Multimodal.sampleFrames(media).collect().map(_.getLong(3)).toSeq
+    val h2 = Multimodal.sampleFrames(media).collect().map(_.getLong(3)).toSeq
+    assert(h1 == h2)
+  }
+
   test("fake decode produces fixed-width feature vectors") {
     val media = Multimodal.fromText(
       Seq((1L, "some payload text")).toDF("doc_id", "text"), "doc_id", "text")
