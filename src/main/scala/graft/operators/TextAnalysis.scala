@@ -61,10 +61,9 @@ object TextAnalysis {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import OpUtils.{shared, widen}
     val toks = split(col(textCol), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val base = shared(widen(df).select(col(idCol).as("id"), toks.as("tk"), bigrams.as("bg")))
+    // non-distinct fused shingle expression: bigram OCCURRENCES in text order
+    val base = shared(widen(df).select(
+      col(idCol).as("id"), toks.as("tk"), wordNgramsAll(col(textCol), 2).as("bg")))
     val top = base.select(col("id"), explode(col("bg")).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("mc"), sum(col("c")).as("total"))

@@ -61,6 +61,59 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("asofJoin == per-left-row argmax over prior right rows (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val genSide = Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    check(Prop.forAll(genSide, genSide) { (ls: List[(Long, Long)], rs: List[(Long, Long)]) =>
+      if (ls.isEmpty) true else {
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        // operator contract: right unique per (key, ts); derive a
+        // deterministic id from the pair so the reference can predict it
+        val right = rs.distinct.map { case (k, t) => (1000L + k * 100 + t, k, ts(t)) }
+        val out = EventOps.asofJoin(
+            left.toDF("event_id", "user_id", "ts"),
+            right.toDF("event_id", "user_id", "ts"), "user_id", "ts")
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("prior_event_id"))))
+          .toMap
+        val ref = left.map { case (id, k, t) =>
+          val prior = rs.distinct.filter { case (rk, rt) => rk == k && ts(rt).compareTo(t) <= 0 }
+          id -> prior.sortBy(_._2).lastOption.map { case (rk, rt) => 1000L + rk * 100 + rt }
+        }.toMap
+        out == ref
+      }
+    }, minTests = 12)
+  }
+
+  test("rangeJoinCount == brute-force window count (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val genSide = Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 60L)))
+    val genWin = Gen.choose(1L, 12L)
+    check(Prop.forAll(genSide, genSide, genWin) {
+      (ls: List[(Long, Long)], rs: List[(Long, Long)], w: Long) =>
+        if (ls.isEmpty) true else {
+          val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+          val right = rs.map { case (k, t) => (k, ts(t)) }
+          val out = EventOps.rangeJoinCount(
+              left.toDF("event_id", "user_id", "ts"),
+              right.toDF("user_id", "ts"), "user_id", "ts", "event_id", w)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val ref = ls.zipWithIndex.map { case ((k, t), i) =>
+            i.toLong -> rs.count { case (rk, rt) => rk == k && math.abs(rt - t) <= w }.toLong
+          }.toMap
+          out == ref
+        }
+    }, minTests = 12)
+  }
+
   test("partition pruning == filtering the file list directly") {
     val genN = Gen.choose(0, 12)
     val genCut = Gen.choose(0, 12)
