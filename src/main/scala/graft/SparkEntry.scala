@@ -325,6 +325,9 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // per-document TF-IDF keyword extraction, deterministic tie-break
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")),
     // duplicated-substring coverage (exact-substring dedup signal)
     "dedup_substring" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
@@ -663,6 +666,21 @@ object SparkEntry {
         |FROM g GROUP BY gram
         |ORDER BY occurrences DESC, gram
         |LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tk AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) x
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / df.dfreq), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+        |  term, score
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
     "dedup_substring" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),

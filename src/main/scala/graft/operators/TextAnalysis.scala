@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -118,6 +119,35 @@ object TextAnalysis {
         countDistinct(col("id")).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(topK)
+  }
+
+  /** Top-`k` TF-IDF terms per document — keyword extraction for corpus
+    * exploration and topic bucketing. tf = in-document count, idf =
+    * ln(nDocs / docFreq); ranked per doc by (score desc, term asc) so ties
+    * are deterministic.
+    *
+    * Shape: one grouped count on (doc, term), document frequency from a
+    * second aggregation over that result (already one row per (doc, term),
+    * so `count(*)` IS doc frequency), idf joined back on term, and a
+    * per-document window for the rank — the window partitions on doc id,
+    * so its sort is per-document-sized, never global. The nDocs scalar
+    * broadcasts. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import OpUtils.{shared, widen}
+    val tf = shared(widen(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("score"))
   }
 
   /** Predicted language per document (script + stopword heuristic). */

@@ -91,6 +91,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == (2L, 0.0))
   }
 
+  test("tfidf ranks doc-specific terms above corpus-wide ones") {
+    val df = Seq(
+      (1L, "common common unique1 unique1 unique1"),
+      (2L, "common common unique2"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // rank 1 for docs 1 and 2 must be their unique term, not "common"
+    // (idf of a term in every doc is ln(1) = 0)
+    assert(out.contains((1L, 1L, "unique1")))
+    assert(out.contains((2L, 1L, "unique2")))
+    assert(!out.exists { case (_, r, t) => t == "common" && r == 1L })
+  }
+
   test("fingerprints: identical docs equal, different docs differ") {
     val df = Seq(
       (1L, "a long enough piece of text for fingerprinting windows"),
