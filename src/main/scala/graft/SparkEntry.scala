@@ -126,6 +126,35 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // ROLLUP: subtotal + grand-total rows in the same aggregation pass
+    "q15_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    // anti join: customers with no URGENT order — Spark's left_anti (the
+    // shape Catalyst rewrites NOT EXISTS into); the predicate keeps the
+    // result non-empty at every SF so the oracle row is not a vacuous 0=0
+    "q16_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    // exact percentiles (linear interpolation — DuckDB quantile_cont parity)
+    "q17_quantiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+    }),
 
     // partition pruning surfaced as a query: a 1-file catalog with a string
     // partition column; the partition_filter keeps the file, the partition
@@ -377,6 +406,12 @@ object SparkEntry {
     "curate_sample" -> ((s, dir) =>
       Curation.sampleDeterministic(t(s, dir, "documents"), "doc_id")
         .select(col("source"), col("doc_id"))),
+    // data mixing: per-source keep rates (src0 80%, src1 50%, others 20%)
+    "curate_stratified" -> ((s, dir) =>
+      Curation.sampleStratified(
+          t(s, dir, "documents"), "doc_id", "source",
+          keepBuckets = Map("src0" -> 8, "src1" -> 5), buckets = 10, defaultKeep = 2)
+        .select(col("source"), col("doc_id"))),
     // fixed-token-budget sequence packing per source shard
     "curate_pack" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "source", 256)
@@ -466,6 +501,21 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q16_antijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q17_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q11_partition_prune" ->
       """SELECT '2024/01' AS month, event_type, count(*) AS total,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
@@ -791,6 +841,10 @@ object SparkEntry {
     "curate_sample" ->
       """SELECT source, doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0""".stripMargin,
+    "curate_stratified" ->
+      """SELECT source, doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+        |  < CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5 ELSE 2 END""".stripMargin,
     "curate_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),

@@ -85,6 +85,30 @@ object Curation {
         % buckets === keepBucket)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates expressed as
+    * `keepBuckets` of [[sampleDeterministic]]'s `buckets` hash buckets
+    * (stratum → how many buckets to keep; absent strata use `defaultKeep`).
+    * The data-mixing primitive for training corpora — up-weight curated
+    * sources, down-weight crawl — with the same reproducibility contract as
+    * the uniform sampler: the keep decision is a pure function of the id,
+    * so reruns, retries and incremental loads agree. Narrow map-only pass;
+    * the rate map rides the closure (it is strata-sized, i.e. tiny). */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      keepBuckets: Map[String, Int],
+      buckets: Int = 10,
+      defaultKeep: Int = 0): DataFrame = {
+    require(buckets > 0 && (keepBuckets.values ++ Seq(defaultKeep)).forall(k => k >= 0 && k <= buckets))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val keep = keepBuckets.foldLeft(lit(defaultKeep)) { case (acc, (s, k)) =>
+      when(col(strataCol) === s, lit(k)).otherwise(acc)
+    }
+    df.filter(bucket < keep)
+  }
+
   /** Greedy sequence packing: within each `groupCol` partition, documents
     * (ordered by id) are packed into consecutive bins of `budgetTokens`
     * whitespace tokens — each document lands in the bin where its running

@@ -51,6 +51,22 @@ class CurationSpec extends AnyFunSuite {
     assert(all.length == 1000 && all.toSet.size == 1000)
   }
 
+  test("sampleStratified applies per-stratum rates and is deterministic") {
+    import graft.operators.Curation
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run() = Curation.sampleStratified(
+        df, "doc_id", "source", Map("a" -> 8), buckets = 10, defaultKeep = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept = run()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // 500 docs per stratum; hash buckets ≈ uniform → a ≈ 400, b ≈ 100
+    assert(byStratum("a") > 300 && byStratum("a") < 500)
+    assert(byStratum("b") > 50 && byStratum("b") < 150)
+    assert(run().toSet == kept.toSet) // pure function of the id
+  }
+
   test("packSequences fills bins in id order within each group") {
     // tokens: id1=2, id2=3, id3=2; budget 4 ⇒ id1 starts at 0 (bin 0),
     // id2 starts at 2 (bin 0), id3 starts at 5 (bin 1)
