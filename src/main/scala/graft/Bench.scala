@@ -31,6 +31,10 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () } // warm-up failures surface in the measured pass
     }
+    // drop the warm-up SF's persisted frames: they can never be cache hits
+    // for the measured SF, and dozens of stale cached relations otherwise
+    // eat storage memory + GC time for the whole measured pass
+    spark.catalog.clearCache()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
