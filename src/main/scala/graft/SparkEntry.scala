@@ -371,6 +371,26 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // bucketed-table loop: both sides written hash-bucketed on the join key,
+    // then joined WITHOUT an exchange (the 100 TB co-located-join layout;
+    // bucket alignment asserted in PlanQualitySpec)
+    "sink_bucketed" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val h = Integer.toHexString(dir.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$h"
+      val o = Sinks.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        s"graft_orders_b_$h", s"$base/orders", "o_custkey", 8)
+      val c = Sinks.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        s"graft_customer_b_$h", s"$base/customer", "c_custkey", 8)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_total"))
+    }),
+
     // int8 embedding quantization (the memory-compression step before ANN at
     // 10⁹ vectors); the oracle checks the exact integer codes via their
     // sum/sum-of-squares — floor-based codes are engine-portable
@@ -411,6 +431,10 @@ object SparkEntry {
       Curation.sampleStratified(
           t(s, dir, "documents"), "doc_id", "source",
           keepBuckets = Map("src0" -> 8, "src1" -> 5), buckets = 10, defaultKeep = 2)
+        .select(col("source"), col("doc_id"))),
+    // corpus balancing: at most 10 docs per source, hash-order selection
+    "curate_cap" -> ((s, dir) =>
+      Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 10)
         .select(col("source"), col("doc_id"))),
     // fixed-token-budget sequence packing per source shard
     "curate_pack" -> ((s, dir) =>
@@ -801,6 +825,11 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS modality, 'utf-8' AS meta_format,
         | CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes
         |FROM documents""".stripMargin,
+    "sink_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
@@ -845,6 +874,13 @@ object SparkEntry {
       """SELECT source, doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
         |  < CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5 ELSE 2 END""".stripMargin,
+    "curate_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 10""".stripMargin,
     "curate_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),

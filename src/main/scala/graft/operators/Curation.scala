@@ -109,6 +109,22 @@ object Curation {
     df.filter(bucket < keep)
   }
 
+  /** Per-group deterministic cap: keep at most `k` rows per group, chosen
+    * by md5-hash order of the id (ties on the id itself) — corpus balancing
+    * that caps over-represented sources without `rand()`'s retry/rerun
+    * nondeterminism. The selection is an unbiased pseudo-random k-subset of
+    * each group, stable across runs. One window shuffle on the group
+    * column; each group's sort is group-sized (cap skewed groups upstream
+    * with [[sampleStratified]] if a single group dwarfs executors). */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Greedy sequence packing: within each `groupCol` partition, documents
     * (ordered by id) are packed into consecutive bins of `budgetTokens`
     * whitespace tokens — each document lands in the bin where its running

@@ -27,4 +27,26 @@ object Sinks {
       .groupBy(col(partitionCol))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Write `df` as a BUCKETED parquet table (external, at `path`): rows are
+    * hash-distributed into `numBuckets` files per partition by `bucketCol`,
+    * and the layout is recorded in the session catalog. Joins and
+    * aggregations between tables bucketed the same way on the same key run
+    * WITHOUT an exchange — at the 100 TB scale, pre-bucketing the big fact
+    * tables once converts every subsequent key-join from a full shuffle
+    * into a zip of co-located buckets (asserted in PlanQualitySpec).
+    * Returns the re-read table. */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

@@ -145,6 +145,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected three semi-join filters:\n${plan.take(900)}")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("sink_bucketed")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n${plan.take(600)}")
+      // bucket-aligned scans feed the join directly; the ONLY hash exchange
+      // in the plan is the final 5-group aggregate above the join
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"bucketed join should not shuffle its inputs ($exchanges exchanges):\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tfidf window partitions on doc id — no global sort of the term relation") {
+    val df = SparkEntry.queries("text_tfidf")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), s"rank window missing:\n${plan.take(600)}")
+    // a global Sort node outside the window's partial sort would mean the
+    // whole (doc, term) relation is ordered on one timeline — wrong at scale
+    val sortLines = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq
+    sortLines.foreach(l => assert(l.contains("id#"),
+      s"sort not keyed by doc id partition: $l"))
+  }
+
+  test("unigram logprob broadcasts the single-row total") {
+    val df = SparkEntry.queries("text_unigram_logprob")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the corpus-total scalar must broadcast, not shuffle:\n${plan.take(900)}")
+  }
+
   test("as-of join is a tagged-union window pass, not a range join") {
     val df = SparkEntry.queries("events_asof")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
