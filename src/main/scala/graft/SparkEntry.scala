@@ -432,6 +432,13 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "source",
           keepBuckets = Map("src0" -> 8, "src1" -> 5), buckets = 10, defaultKeep = 2)
         .select(col("source"), col("doc_id"))),
+    // fixed-size overlapping chunking (64-token windows, 8-token overlap);
+    // chunk text surfaces as its md5 so the compare moves digests, not text
+    "curate_chunk" -> ((s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
     // corpus balancing: at most 10 docs per source, hash-order selection
     "curate_cap" -> ((s, dir) =>
       Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 10)
@@ -874,6 +881,17 @@ object SparkEntry {
       """SELECT source, doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
         |  < CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5 ELSE 2 END""".stripMargin,
+    "curate_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |  CASE WHEN len(tk) <= 64 THEN 1
+        |       ELSE CAST(ceil((len(tk) - 8) / 56.0) AS INT) END AS nc FROM t),
+        |e AS (SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM c),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |        list_slice(tk, i * 56 + 1, i * 56 + 64) AS ctk FROM e)
+        |SELECT doc_id, chunk_idx, CAST(len(ctk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ctk, ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
     "curate_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

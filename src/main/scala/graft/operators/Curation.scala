@@ -153,6 +153,38 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
   }
 
+  /** Fixed-size document chunking with overlap — the window splitter that
+    * turns variable-length documents into training/RAG-sized pieces. Chunk
+    * i covers tokens [i·step, i·step + chunkTokens) with
+    * step = chunkTokens − overlap; the final chunk may be short, and every
+    * token is covered. Purely narrow: tokens → chunk-start sequence →
+    * per-chunk slice, one output row per chunk, no shuffle. Returns
+    * (idCol, chunk_idx, n_tokens, chunk_text). */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0)
+    val step = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - overlap).cast("double") / step).cast("int"))
+    df.select(col(idCol), toks.as("tk"), nChunks.as("nc"))
+      .select(col(idCol), col("tk"), posexplode(sequence(lit(0), col("nc") - 1)))
+      .select(
+        col(idCol),
+        col("col").cast("long").as("chunk_idx"),
+        expr(s"slice(tk, col * $step + 1, $chunkTokens)").as("ctk"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("ctk")).as("chunk_text"))
+  }
+
   /** Corpus vocabulary: top-k whitespace tokens by frequency (ties broken by
     * token, so the result set is deterministic). Partial-aggregated count
     * per token, then a TakeOrdered top-k — only k rows reach the driver. */

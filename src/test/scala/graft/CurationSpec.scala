@@ -67,6 +67,22 @@ class CurationSpec extends AnyFunSuite {
     assert(run().toSet == kept.toSet) // pure function of the id
   }
 
+  test("chunkDocuments covers every token with the declared overlap") {
+    import graft.operators.Curation
+    val words = (1 to 150).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkTokens = 64, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 150 tokens, step 56 → ceil((150-8)/56) = 3 chunks: 64, 64, 150-112=38
+    assert(doc1.map(c => (c._2, c._3)).toSeq == Seq((0L, 64L), (1L, 64L), (2L, 38L)))
+    assert(doc1(1)._4.startsWith("w57 ")) // chunk 1 starts at token 57 (8-token overlap)
+    assert(doc1(2)._4.endsWith(" w150")) // full coverage
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.map(c => (c._2, c._3)).toSeq == Seq((0L, 2L)))
+  }
+
   test("packSequences fills bins in id order within each group") {
     // tokens: id1=2, id2=3, id3=2; budget 4 ⇒ id1 starts at 0 (bin 0),
     // id2 starts at 2 (bin 0), id3 starts at 5 (bin 1)
