@@ -146,6 +146,17 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
+    // set operations: INTERSECT / EXCEPT with distinct semantics, windowed
+    // to the first day so BOTH branches return rows at every SF (every user
+    // eventually does everything — the full-range split would be vacuous)
+    "q18_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      clickers.intersect(buyers).withColumn("op", lit("both"))
+        .unionAll(clickers.except(buyers).withColumn("op", lit("click_only")))
+        .select(col("op"), col("user_id"))
+    }),
     // exact percentiles (linear interpolation — DuckDB quantile_cont parity)
     "q17_quantiles" -> ((s, dir) => {
       t(s, dir, "events")
@@ -541,6 +552,14 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q18_setops" ->
+      """WITH c AS (SELECT user_id FROM events
+        |  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02'),
+        |p AS (SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02')
+        |SELECT 'both' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p) x
+        |UNION ALL
+        |SELECT 'click_only' AS op, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p) y""".stripMargin,
     "q17_quantiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 4) AS p50,
