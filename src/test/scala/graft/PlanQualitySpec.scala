@@ -160,6 +160,17 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("range join is an equi-join on (key, bin), never a theta/cross join") {
+    val df = SparkEntry.queries("events_range")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"range join planned a cross product:\n${plan.take(900)}")
+    // the |Δt| predicate must be a post-join filter on an equi-join, which
+    // Catalyst prints as join keys including the bin column
+    assert(plan.linesIterator.exists(l => l.contains("Join Inner") && l.contains("__bin")),
+      s"expected an equi-join keyed on the time bin:\n${plan.take(900)}")
+  }
+
   test("tfidf window partitions on doc id — no global sort of the term relation") {
     val df = SparkEntry.queries("text_tfidf")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
