@@ -455,34 +455,53 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** All unordered pairs (a, b) with a < b from an array of int64 ids — the
-  * LSH bucket→candidate-pairs kernel. Emitting pairs from a grouped bucket
-  * (`groupBy(bucket).agg(collect_list(id))` → explode this) costs ONE
-  * exchange of the bucket table; the equivalent bucket self-join shuffles
-  * the table twice and sorts/hashes it for the join. Output size is
-  * m(m-1)/2 per bucket — safe only because LSH bucket occupancy is bounded
-  * (asserted in PlanQualitySpec); a skew-blown bucket would blow up either
-  * plan. Ids are sorted first so (id_a < id_b) holds without a filter. */
-case class PairCombinations(child: Expression)
+/** All unordered pairs (a, b) with a < b from an array of ids (long or
+  * string) — the LSH bucket→candidate-pairs kernel. Emitting pairs from a
+  * grouped bucket (`groupBy(bucket).agg(collect_list(id))` → explode this)
+  * costs ONE exchange of the bucket table; the equivalent bucket self-join
+  * shuffles the table twice and sorts/hashes it for the join.
+  *
+  * Output size is m(m-1)/2 per bucket, materialized as one array row —
+  * acceptable only while LSH bucket occupancy is bounded. That bound is a
+  * DESIGN obligation on the LSH parameters (bands/bits sized to the
+  * corpus; asserted empirically in PlanQualitySpec), not something this
+  * expression can restore after the fact — so rather than silently
+  * OOM-ing or overflowing on a skew-blown bucket, it FAILS with the
+  * occupancy and a remediation hint at `maxPairs` (default 10M pairs ≈
+  * occupancy ~4.5k). Ids are sorted first so (id_a < id_b) holds without
+  * a filter. */
+case class PairCombinations(child: Expression, maxPairs: Long = PairCombinations.DefaultMaxPairs)
     extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _                => LongType
+  }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("id_a", LongType, nullable = false),
-      StructField("id_b", LongType, nullable = false))),
+      StructField("id_a", elemType, nullable = false),
+      StructField("id_b", elemType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "pair_combinations"
-  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(LongType)))
+  override def graftInputTypes: Seq[Seq[DataType]] =
+    Seq(Seq(ArrayType(LongType), ArrayType(IntegerType), ArrayType(StringType)))
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val ids = new Array[Long](n)
-    var i = 0
-    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
-    java.util.Arrays.sort(ids)
-    val out = new Array[Any](n * (n - 1) / 2)
+    val ids = arr.toObjectArray(elemType)
+    val n = ids.length
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > maxPairs)
+      throw new IllegalStateException(
+        s"pair_combinations: bucket occupancy $n yields $nPairs candidate pairs " +
+          s"(> $maxPairs). The LSH bucket space is too small for this corpus — " +
+          "increase bands/bits-per-table or pre-block the input (see Dedup scaladoc).")
+    java.util.Arrays.sort(ids, ordering.asInstanceOf[java.util.Comparator[Any]])
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
-    i = 0
+    var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
@@ -495,6 +514,10 @@ case class PairCombinations(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PairCombinations {
+  val DefaultMaxPairs: Long = 10_000_000L
 }
 
 /** Intersection size of two SORTED string arrays by linear merge — no
@@ -705,32 +728,31 @@ final class TopKBuffer(val k: Int) {
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // idempotent: re-registration is a no-op (and avoids the per-call
-    // "function replaced" warning when many queries share one session)
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSignature(es(0), es(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(s"numHashes must be an int literal, got $other")
-      }), "built-in")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("hamming64",
-      es => HammingDistance64(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("rolling_fingerprint",
-      es => RollingHashFingerprint(es(0), es(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
-      }), "built-in")
-    reg.createOrReplaceTempFunction("lang_id", es => LanguageId(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es(0), es(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
-      }), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es(0), es(1)), "built-in")
+    // idempotent PER FUNCTION: an existing registration (ours from an
+    // earlier call, or a user's same-named function, which we must not
+    // clobber) is skipped, but every still-missing graft function is added —
+    // a single-sentinel early return would silently skip the rest whenever
+    // any one name pre-exists
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("cosine_sim")(es => CosineSimilarity(es(0), es(1)))
+    ensure("minhash_sig")(es => MinHashSignature(es(0), es(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(s"numHashes must be an int literal, got $other")
+    }))
+    ensure("simhash64")(es => SimHash64(es(0)))
+    ensure("hamming64")(es => HammingDistance64(es(0), es(1)))
+    ensure("rolling_fingerprint")(es => RollingHashFingerprint(es(0), es(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
+    }))
+    ensure("lang_id")(es => LanguageId(es(0)))
+    ensure("word_shingles")(es => WordShingles(es(0), es(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+    }))
+    ensure("sorted_intersect_count")(es => SortedIntersectCount(es(0), es(1)))
   }
 
   import org.apache.spark.sql.graftshim.GraftColumn

@@ -141,7 +141,11 @@ object Curation {
       textCol: String,
       groupCol: String,
       budgetTokens: Int): DataFrame = {
+    // explicit ROWS frame: the default frame for an ordered window is RANGE,
+    // which would give duplicate (group, id) rows each other's tokens in
+    // their running sum — sequential packing is inherently row-ordered
     val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
         col(groupCol).as("grp"),
         col(idCol).as("id"),
@@ -172,17 +176,21 @@ object Curation {
     val n = size(toks)
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(ceil((n - overlap).cast("double") / step).cast("int"))
-    df.select(col(idCol), toks.as("tk"), nChunks.as("nc"))
-      .select(col(idCol), col("tk"), posexplode(sequence(lit(0), col("nc") - 1)))
+    // "__"-prefixed intermediates: unqualified names like tk/nc would
+    // collide with (or capture) same-named user columns
+    df.select(col(idCol), toks.as("__tk"), nChunks.as("__nc"))
+      .select(
+        col(idCol), col("__tk"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("__pos", "__ci")))
       .select(
         col(idCol),
-        col("col").cast("long").as("chunk_idx"),
-        expr(s"slice(tk, col * $step + 1, $chunkTokens)").as("ctk"))
+        col("__ci").cast("long").as("chunk_idx"),
+        expr(s"slice(__tk, __ci * $step + 1, $chunkTokens)").as("__ctk"))
       .select(
         col(idCol),
         col("chunk_idx"),
-        size(col("ctk")).cast("long").as("n_tokens"),
-        concat_ws(" ", col("ctk")).as("chunk_text"))
+        size(col("__ctk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ctk")).as("chunk_text"))
   }
 
   /** Corpus vocabulary: top-k whitespace tokens by frequency (ties broken by

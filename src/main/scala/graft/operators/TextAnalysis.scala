@@ -34,15 +34,23 @@ object TextAnalysis {
       punct.cast("long").as("n_punct"))
   }
 
+  /** The composite quality formula as a Column, over (n_words,
+    * avg_word_len AS ROUNDED BY [[qualityFeatures]]). Single source of
+    * truth: the batch scorer and the streaming curation pipeline both call
+    * this, so the boundary behavior (a doc at avg_word_len exactly 12.0
+    * after rounding) cannot diverge between the two. */
+  private[graft] def qualityScoreCol(nWords: Column, avgWordLen: Column): Column = {
+    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
+    val wordLenOk = when(avgWordLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    round(lenScore * wordLenOk, 6)
+  }
+
   /** Composite quality score in [0,1] from the features (simple clipped
     * heuristic: long-enough docs with normal word length score high). */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val f = qualityFeatures(df, idCol, textCol)
-    val lenScore = least(col("n_words").cast("double") / 50.0, lit(1.0))
-    val wordLenOk = when(col("avg_word_len").between(2.0, 12.0), 1.0).otherwise(0.3)
-    f.withColumn("quality", round(lenScore * wordLenOk, 6))
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityFeatures(df, idCol, textCol)
+      .withColumn("quality", qualityScoreCol(col("n_words"), col("avg_word_len")))
       .select(col(idCol), col("quality"))
-  }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens
     * (letter runs / digit runs / single non-alphanumeric marks). */

@@ -23,9 +23,10 @@ object CorpusStream {
       tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("h", md5(col(textCol)))
+      .withColumn("__h", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("h")
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h") // internal dedup key — the output schema is the input's
 
   /** End-to-end incremental curation: streaming dedup + the stateless
     * curation passes, composed exactly as the batch pipeline but runnable
@@ -52,19 +53,21 @@ object CorpusStream {
     import graft.functions.GraftFunctions.langId
 
     val deduped = dedupExactStreaming(docs, textCol, tsCol, watermark)
-    // stateless, narrow passes compose directly on the streaming frame
+    // stateless, narrow passes compose directly on the streaming frame;
+    // the quality formula is THE batch formula (TextAnalysis.qualityScoreCol
+    // over the same rounded avg_word_len), so batch and streaming keep/drop
+    // identically at the score boundaries
     val redacted = deduped.withColumn(
       "text_clean",
       regexp_replace(col(textCol), Curation.PiiPattern, "<PII>"))
     val scored = redacted
       .withColumn("n_words", size(split(col("text_clean"), " ")))
       .withColumn("avg_word_len",
-        length(regexp_replace(col("text_clean"), " ", "")).cast("double") /
-          col("n_words"))
-      .withColumn("quality",
         round(
-          least(col("n_words").cast("double") / 50.0, lit(1.0)) *
-            when(col("avg_word_len").between(2.0, 12.0), 1.0).otherwise(0.3), 6))
+          length(regexp_replace(col("text_clean"), " ", "")).cast("double") /
+            col("n_words"), 6))
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityScoreCol(col("n_words"), col("avg_word_len")))
       .withColumn("lang_pred", langId(col("text_clean")))
     val kept =
       if (keepLangs.isEmpty) scored

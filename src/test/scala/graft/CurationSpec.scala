@@ -97,6 +97,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out(("g", 1L)) == (1L, 2L))
   }
 
+  test("packSequences packs duplicate (group, id) rows sequentially (ROWS frame)") {
+    import graft.operators.Curation
+    // two docs sharing an id: a RANGE-framed running sum would give both
+    // cum=10 → both land in bin 1 and bin 0 stays empty
+    val df = Seq(
+      (1L, "a b c d e", "g"),
+      (1L, "a b c d e", "g"))
+      .toDF("doc_id", "text", "source")
+    val bins = Curation.packSequences(df, "doc_id", "text", "source", budgetTokens = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bins == Map(0L -> 1L, 1L -> 1L), s"got $bins")
+  }
+
   test("vocabulary returns top-k tokens with deterministic tie-break") {
     val df = Seq("x x x y y z", "y w").toDF("text")
     val out = Curation.vocabulary(df, "text", 3)

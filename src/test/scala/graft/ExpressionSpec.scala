@@ -51,6 +51,27 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("pair_combinations handles string ids and fails loudly on blown buckets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PairCombinations
+    import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+    // string ids through the DataFrame API
+    val out = Seq(Tuple1(Seq("b", "a", "c"))).toDF("ids")
+      .select(org.apache.spark.sql.graftshim.GraftColumn.of(
+        PairCombinations(org.apache.spark.sql.graftshim.GraftColumn.expr(fcol("ids")))).as("p"))
+      .selectExpr("explode(p) AS q").selectExpr("q.id_a", "q.id_b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // occupancy guard: a bucket over the pair cap fails with guidance, not OOM
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val big = Literal.create((0 until 100).map(_.toLong), ArrayType(LongType))
+    val capped = PairCombinations(big, maxPairs = 10L)
+    val e = intercept[IllegalStateException](capped.eval(null))
+    assert(e.getMessage.contains("bucket occupancy"))
+  }
+
   test("cosine_sim handles zero vectors and nulls") {
     val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     assert(zero.select(cosineSim($"a", $"b")).collect()(0).getDouble(0) == 0.0)
