@@ -150,9 +150,15 @@ object SparkEntry {
     // to the first day so BOTH branches return rows at every SF (every user
     // eventually does everything — the full-range split would be vacuous)
     "q18_setops" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
       val ev = t(s, dir, "events").filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      // both id sets feed TWO set operations each — persist them (they are
+      // id-only projections) so the parquet scan+filter runs once per side,
+      // not once per branch
       val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       clickers.intersect(buyers).withColumn("op", lit("both"))
         .unionAll(clickers.except(buyers).withColumn("op", lit("click_only")))
         .select(col("op"), col("user_id"))
@@ -361,18 +367,14 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
     // corpus-level n-gram occurrence statistics, top-k by count
-    "text_ngram_stats" -> ((s, dir) => {
-      GraftFunctions.registerAll(s)
-      TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")
-    }),
+    "text_ngram_stats" -> ((s, dir) =>
+      TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")),
     // per-document TF-IDF keyword extraction, deterministic tie-break
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")),
     // duplicated-substring coverage (exact-substring dedup signal)
-    "dedup_substring" -> ((s, dir) => {
-      GraftFunctions.registerAll(s)
-      Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")
-    }),
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -812,6 +814,11 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
         |FROM documents""".stripMargin,
+    // NOTE: this oracle slices text by CHARACTERS (DuckDB has no BLOB
+    // substring) while sampleFrames slices the payload by BYTES — the two
+    // agree only because the test corpus is verified pure ASCII. The Spark
+    // side is the byte-true one; a non-ASCII corpus needs a byte-capable
+    // oracle engine, not a change to sampleFrames.
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, i AS frame_idx,

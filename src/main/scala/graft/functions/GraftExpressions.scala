@@ -499,18 +499,20 @@ case class PairCombinations(child: Expression, maxPairs: Long = PairCombinations
           s"(> $maxPairs). The LSH bucket space is too small for this corpus — " +
           "increase bands/bits-per-table or pre-block the input (see Dedup scaladoc).")
     java.util.Arrays.sort(ids, ordering.asInstanceOf[java.util.Comparator[Any]])
-    val out = new Array[Any](nPairs.toInt)
-    var k = 0
+    // strict a < b: a duplicated id value in one bucket (dirty input rows
+    // sharing an id) must not emit a self-pair — the bucket self-join this
+    // replaced enforced the same with its l.id < r.id filter
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nPairs.toInt)
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        out(k) = InternalRow(ids(i), ids(j))
-        k += 1; j += 1
+        if (ordering.compare(ids(i), ids(j)) != 0) out += InternalRow(ids(i), ids(j))
+        j += 1
       }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

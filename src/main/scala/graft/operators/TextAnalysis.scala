@@ -147,7 +147,9 @@ object TextAnalysis {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    // doc count from the persisted tf relation (every doc has ≥1 term row —
+    // split of even an empty string yields [""]), not a second source scan
+    val nDocs = tf.select(col("id")).distinct().agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))

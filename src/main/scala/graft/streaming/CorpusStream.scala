@@ -50,8 +50,13 @@ object CorpusStream {
       keepLangs: Set[String] = Set.empty,
       watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Curation
-    import graft.functions.GraftFunctions.langId
+    import graft.functions.GraftFunctions
+    import GraftFunctions.langId
 
+    // langId resolves through the SQL function registry — register the
+    // kernels so the pipeline works on a plain session (no extensions conf,
+    // no prior registerAll call)
+    GraftFunctions.registerAll(docs.sparkSession)
     val deduped = dedupExactStreaming(docs, textCol, tsCol, watermark)
     // stateless, narrow passes compose directly on the streaming frame;
     // the quality formula is THE batch formula (TextAnalysis.qualityScoreCol
