@@ -181,6 +181,28 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end pipeline: clean -> cap -> chunk -> partitioned sink round-trips") {
+    import graft.operators.{Curation, Sinks}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val eval = Seq((900001L, "completely disjoint benchmark text nothing shared"))
+      .toDF("doc_id", "text")
+    val cleaned = Curation.cleanCorpus(docs, "doc_id", "text", eval, minQuality = 0.0)
+    val capped = Curation.capPerGroup(cleaned, "doc_id", "source", k = 5)
+    val chunks = Curation.chunkDocuments(capped, "doc_id", "text")
+      .join(capped.select("doc_id", "source"), "doc_id")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline_e2e"
+    val manifest = Sinks.writePartitioned(chunks, out, "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every surviving source wrote a partition; chunk counts are positive
+    // and bounded by cap × max-chunks-per-doc
+    assert(manifest.nonEmpty)
+    assert(manifest.values.forall(n => n > 0 && n <= 5 * 20))
+    // the written corpus reads back with the chunk schema intact
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet == Set("doc_id", "chunk_idx", "n_tokens", "chunk_text", "source"))
+    assert(back.count() == manifest.values.sum)
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics
