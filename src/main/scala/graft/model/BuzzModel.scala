@@ -61,15 +61,22 @@ object BuzzQuery {
       }
       case _ => throw new BuzzException.BadRequest("missing 'steps' array")
     }
+    // malformed typed fields are REJECTED, not defaulted: a string-typed
+    // zones or an object-typed catalogs silently becoming 1 / Nil would
+    // bypass the planner's deliberate validation of those fields
     val zones = root \ "capacity" \ "zones" match {
-      case JInt(z) => z.toInt
-      case _       => 1
+      case JInt(z)   => z.toInt
+      case JNothing  => 1 // capacity/zones absent: the reference's default
+      case other     => throw new BuzzException.BadRequest(
+        s"capacity.zones must be an integer, got $other")
     }
     val catalogs = (root \ "catalogs") match {
       case JArray(arr) => arr.map { c =>
         BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"))
       }
-      case _ => Nil
+      case JNothing => Nil
+      case other    => throw new BuzzException.BadRequest(
+        s"'catalogs' must be an array, got $other")
     }
     BuzzQuery(steps, BuzzCapacity(zones), catalogs)
   }

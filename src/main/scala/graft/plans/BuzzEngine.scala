@@ -36,15 +36,36 @@ final class BuzzEngine(
     new QueryPlanner(resolved).plan(spark, query)
   }
 
-  /** Plan + build the final DataFrame (lazy; no job runs until an action). */
+  /** Plan + build the final DataFrame (lazy; no job runs until an action).
+    *
+    * The catalog and map-output temp views exist only while the statements
+    * are analyzed: `spark.sql` resolves views eagerly, so the returned
+    * DataFrame keeps its resolved plan after the views are dropped, and any
+    * SAME-NAMED session view a user had registered (e.g. via
+    * `Tables.registerAll`) is restored — running a query must not mutate
+    * session catalog state. Concurrent `run` calls in one session that share
+    * a catalog or step name would still race between register and drop;
+    * use distinct step names (or sessions) for concurrent queries. */
   def run(spark: SparkSession, query: BuzzQuery): DataFrame = {
     val p = plan(spark, query)
-    if (verifySchemas) SchemaVerifier.verify(p.files.map(_.key), p.catalog.schema)
+    if (verifySchemas)
+      SchemaVerifier.verify(
+        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
     val source = p.catalog.read(spark, p.files)
-    source.createOrReplaceTempView(p.catalog.name)
-    val mapDf = spark.sql(p.mapStep.sql)
-    mapDf.createOrReplaceTempView(p.mapStep.name)
-    spark.sql(p.reduceStep.sql)
+    val names = Seq(p.catalog.name, p.mapStep.name).distinct
+    val sessionCatalog = spark.sessionState.catalog
+    val prior = names.map(n => n -> sessionCatalog.getRawTempView(n))
+    try {
+      source.createOrReplaceTempView(p.catalog.name)
+      val mapDf = spark.sql(p.mapStep.sql)
+      mapDf.createOrReplaceTempView(p.mapStep.name)
+      spark.sql(p.reduceStep.sql)
+    } finally {
+      names.foreach(spark.catalog.dropTempView)
+      prior.foreach { case (n, v) =>
+        v.foreach(raw => sessionCatalog.createTempView(n, raw, overrideIfExists = true))
+      }
+    }
   }
 
   def runJson(spark: SparkSession, json: String): DataFrame =
@@ -54,7 +75,12 @@ final class BuzzEngine(
     * reference's per-worker observability (hbee_service.rs:45-52 logs
     * query_duration / downloaded_bytes / processed_bytes per worker; Spark
     * tracks the same per task, and the listener aggregates them for the
-    * query's duration). */
+    * query's duration).
+    *
+    * The listener is SparkContext-wide: metrics are exact when this is the
+    * only job running (the reference's hbee is likewise one process per
+    * query); tasks of an unrelated concurrent job in the same context would
+    * be attributed to this query. */
   def runAndCollect(spark: SparkSession, query: BuzzQuery): (Array[Row], Map[String, Long]) = {
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)

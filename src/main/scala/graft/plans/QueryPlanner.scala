@@ -51,12 +51,26 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     if (reduceStep.stepType != BuzzStepType.HComb)
       throw new BuzzException.PlanError("step 2 must be an HComb (reduce) step")
 
+    // the reduce step has no catalog to prune — a partition_filter there
+    // would be silently dead, so reject it like the zones check above
+    if (reduceStep.partitionFilter.isDefined)
+      throw new BuzzException.PlanError(
+        "partition_filter is only valid on the HBee (map) step — the HComb " +
+          "(reduce) step reads the map output, not a catalog")
+
+    // identifier comparison follows the session's resolution rules
+    // (spark.sql.caseSensitive=false by default) — `FROM Evt_Part` must
+    // resolve a catalog registered as `evt_part`, exactly as spark.sql would
+    def resolves(a: String, b: String): Boolean =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) a == b else a.equalsIgnoreCase(b)
+
     val mapSource = soleSource(spark, mapStep.sql)
-    val catalog = catalogs.getOrElse(mapSource,
-      throw new BuzzException.PlanError(s"map step reads unknown table '$mapSource'"))
+    val catalog = catalogs.collectFirst { case (n, c) if resolves(n, mapSource) => c }
+      .getOrElse(
+        throw new BuzzException.PlanError(s"map step reads unknown table '$mapSource'"))
 
     val reduceSource = soleSource(spark, reduceStep.sql)
-    if (reduceSource != mapStep.name)
+    if (!resolves(reduceSource, mapStep.name))
       throw new BuzzException.PlanError(
         s"reduce step must read the map step's output '${mapStep.name}', reads '$reduceSource'")
 
@@ -82,9 +96,7 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
       catch {
         case e: Exception => throw new BuzzException.PlanError(s"cannot parse '$sql': ${e.getMessage}")
       }
-    val occurrences = parsed.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
-    }
+    val occurrences = relationNames(parsed)
     occurrences match {
       case Seq(one) => one
       case Seq()    => throw new BuzzException.PlanError(s"statement reads no table: $sql")
@@ -92,6 +104,23 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
         "buzz statements are single-table (linear plans); found " +
           s"${many.length} relation reads: ${many.mkString(", ")}")
     }
+  }
+
+  /** Every relation a parsed statement reads — INCLUDING relations inside
+    * expression subqueries (`WHERE x IN (SELECT ...)`), which
+    * `LogicalPlan.collect` alone misses because subquery plans live inside
+    * expression trees, not the plan's children. Without this, a subquery
+    * smuggles a second table read past the single-table validation. */
+  private def relationNames(plan: LogicalPlan): Seq[String] = {
+    val direct = plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }
+    val nested = plan.flatMap { node =>
+      node.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s.plan
+      })
+    }.flatMap(relationNames)
+    direct ++ nested
   }
 
   private def analyzeAgainstEmpty(

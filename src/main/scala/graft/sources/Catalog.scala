@@ -99,6 +99,12 @@ trait SplittableCatalog {
     val readSchema = StructType(schema.fields.map(f =>
       if (nanosColumns.contains(f.name)) f.copy(dataType = LongType) else f))
     if (nanosColumns.nonEmpty) {
+      // DELIBERATE session-conf set, not scoped: the flag is consulted at
+      // EXECUTION time by the parquet reader, so restoring it after building
+      // this (lazy) DataFrame would break the read. The flag is monotonic in
+      // effect — it only changes files that would otherwise FAIL to read
+      // (Spark errors on TIMESTAMP(NANOS) without it) into long-typed
+      // columns; valid reads are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))

@@ -26,6 +26,10 @@ import graft.model.BuzzException
   */
 object DeltaCatalog {
 
+  /** Hive/Spark's sentinel for a NULL partition value — how null partitions
+    * surface in the string-typed partition-value model. */
+  val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
   private val CommitFile = """(\d{20})\.json""".r
 
   private final class State {
@@ -112,7 +116,11 @@ object DeltaCatalog {
         val path = a.getAs[String]("path")
         val size = a.getAs[Long]("size")
         val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-          .map(_.toMap).getOrElse(Map.empty[String, String])
+          .map(_.toMap.map { case (k, v) =>
+            // checkpoint maps carry explicit nulls for null partition values
+            k -> (if (v == null) NullPartitionValue else v)
+          })
+          .getOrElse(Map.empty[String, String])
         if (path != null && path.nonEmpty) state.live(path) = (size, pv)
       }
       // `remove` entries in a checkpoint are expired tombstones — ignored
@@ -145,7 +153,13 @@ object DeltaCatalog {
         }
         val pv = add \ "partitionValues" match {
           case JObject(fields) =>
-            fields.collect { case JField(k, JString(vv)) => k -> vv }.toMap
+            fields.collect {
+              case JField(k, JString(vv)) => k -> vv
+              // Delta records NULL partition values as JSON null — surface
+              // them with Hive's default-partition sentinel (Spark's own
+              // convention) instead of conflating them with ""
+              case JField(k, JNull) => k -> NullPartitionValue
+            }.toMap
           case _ => Map.empty[String, String]
         }
         if (path.nonEmpty) state.live(path) = (size, pv)
@@ -173,10 +187,22 @@ object DeltaCatalog {
     val dataSchema = StructType(schema.fields.filterNot(f => state.partitionCols.contains(f.name)))
     val files = state.live.toSeq.map { case (path, (size, pv)) =>
       SizedFile(
-        new Path(tablePath, path).toString,
+        new Path(tablePath, decodePath(path)).toString,
         size,
         state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
     new StaticCatalog(name, dataSchema, state.partitionCols, files)
   }
+
+  /** Delta `add.path` values are percent-encoded relative URIs per the
+    * protocol (a partition value with a space is stored as `%20`); decode
+    * before joining to the table path, else the literal `%20` directory is
+    * looked up and the scan fails. Falls back to the raw string for paths
+    * that do not parse as URIs. */
+  private[graft] def decodePath(p: String): String =
+    try new java.net.URI(p).getPath match {
+      case null => p
+      case d    => d
+    }
+    catch { case _: java.net.URISyntaxException => p }
 }

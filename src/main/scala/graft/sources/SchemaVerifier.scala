@@ -21,8 +21,14 @@ import graft.model.BuzzException
   * sample or push the check into the first task per file instead.
   */
 object SchemaVerifier {
-  def verify(paths: Seq[String], declared: StructType): Unit = {
-    val conf = new Configuration()
+  /** Pass the session's Hadoop conf (`spark.sessionState.newHadoopConf()`)
+    * so `spark.hadoop.*` filesystem settings (s3a credentials, endpoints)
+    * apply to the footer reads — a bare Configuration would resolve remote
+    * paths with none of the session's filesystem config. */
+  def verify(
+      paths: Seq[String],
+      declared: StructType,
+      conf: Configuration = new Configuration()): Unit = {
     paths.foreach { p =>
       val footer = ParquetFileReader.readFooter(
         HadoopInputFile.fromPath(new Path(p), conf).getConfiguration, new Path(p))

@@ -111,6 +111,14 @@ class CatalogSpec extends AnyFunSuite {
       s"""{"remove":{"path":"year=2020/a.parquet"}}
          |{"add":{"path":"year=2021/c.parquet","size":300,"partitionValues":{"year":"2021"}}}
          |""".stripMargin)
+    // percent-encoded add.path + null partition value handling (Delta
+    // protocol: paths are URL-encoded, null partition values are JSON null)
+    Files.writeString(logDir.resolve("00000000000000000002.json"),
+      s"""{"add":{"path":"year=2021/d%20e.parquet","size":50,"partitionValues":{"year":null}}}
+         |{"remove":{"path":"year=2021/d%20e.parquet"}}
+         |""".stripMargin)
+    assert(DeltaCatalog.decodePath("year=a%20b/f.parquet") == "year=a b/f.parquet")
+    assert(DeltaCatalog.decodePath("plain/path.parquet") == "plain/path.parquet")
     val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dl")
     assert(cat.partitionColumns == Seq("year"))
     assert(cat.schema.fieldNames.toSeq == Seq("id"))

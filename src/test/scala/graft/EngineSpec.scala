@@ -64,6 +64,25 @@ class EngineSpec extends AnyFunSuite {
     assert(metrics("tasks") > 0, s"metrics: $metrics")
   }
 
+  test("run() restores same-named session temp views and leaves no residue") {
+    import spark.implicits._
+    // user's own view shares the catalog's name
+    Seq((1L, "mine")).toDF("id", "tag").createOrReplaceTempView("events")
+    val result = engine.run(spark, BuzzQuery(
+      Seq(
+        BuzzStep("SELECT count(*) AS cnt FROM events", "em", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(cnt) AS total FROM em", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil))
+    // the result still computes (its plan resolved before the views dropped)
+    assert(result.collect()(0).getLong(0) > 1L)
+    // the user's view is back, and the map-step view did not leak
+    try {
+      val mine = spark.table("events").collect()
+      assert(mine.length == 1 && mine(0).getString(1) == "mine")
+      assert(!spark.catalog.tableExists("em"))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("execution error surfaces as PlanError at plan time for bad SQL") {
     intercept[BuzzException.PlanError] {
       engine.run(spark, BuzzQuery(

@@ -51,6 +51,41 @@ class QueryPlannerSpec extends AnyFunSuite {
     assert(p.files.map(_.key) == Seq("file_1", "file_2", "file_3"))
   }
 
+  test("expression subqueries cannot smuggle a second table past validation") {
+    val e = intercept[BuzzException.PlanError] {
+      planner.plan(spark, twoSteps(
+        "SELECT * FROM test WHERE data_col IN (SELECT x FROM other_table)",
+        "SELECT * FROM mapper"))
+    }
+    assert(e.getMessage.contains("single-table"), e.getMessage)
+  }
+
+  test("identifier matching is case-insensitive like spark.sql resolution") {
+    val p = planner.plan(spark, twoSteps(
+      "SELECT * FROM TEST",
+      "SELECT * FROM Mapper"))
+    assert(p.files.length == 5)
+  }
+
+  test("a partition_filter on the reduce step is rejected, not ignored") {
+    val q = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT * FROM test", "mapper", BuzzStepType.HBee, None),
+        BuzzStep("SELECT * FROM mapper", "reducer", BuzzStepType.HComb, Some("part_key_1 = 'x'"))),
+      BuzzCapacity(1), Nil)
+    val e = intercept[BuzzException.PlanError](planner.plan(spark, q))
+    assert(e.getMessage.contains("only valid on the HBee"), e.getMessage)
+  }
+
+  test("malformed capacity.zones and catalogs are rejected, not defaulted") {
+    val e1 = intercept[BuzzException.BadRequest](BuzzQuery.fromJson(
+      """{"steps": [], "capacity": {"zones": "2"}}"""))
+    assert(e1.getMessage.contains("zones"))
+    val e2 = intercept[BuzzException.BadRequest](BuzzQuery.fromJson(
+      """{"steps": [], "catalogs": {"name": "x"}}"""))
+    assert(e2.getMessage.contains("catalogs"))
+  }
+
   test("unknown source table is rejected") {
     val e = intercept[BuzzException.PlanError] {
       planner.plan(spark, twoSteps("SELECT * FROM nope", "SELECT * FROM mapper"))
