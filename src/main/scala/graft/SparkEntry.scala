@@ -805,8 +805,8 @@ object SparkEntry {
         |top AS (SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY 1)
         |SELECT t.doc_id,
         |  round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_word_frac,
-        |  round(CAST(top.mc AS DOUBLE) / top.total, 6) AS top_bigram_frac
-        |FROM t JOIN top USING (doc_id)""".stripMargin,
+        |  coalesce(round(CAST(top.mc AS DOUBLE) / top.total, 6), 0.0) AS top_bigram_frac
+        |FROM t LEFT JOIN top USING (doc_id)""".stripMargin,
     "sink_partitioned" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     "multimodal_features" ->
@@ -869,7 +869,7 @@ object SparkEntry {
         |c AS (
         |  SELECT vec_id, mx,
         |    CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / mx) AS BIGINT)) END AS codes
+        |         ELSE list_transform(e, x -> greatest(CAST(floor(x * 127.0 / mx) AS BIGINT), -127)) END AS codes
         |  FROM m)
         |SELECT vec_id, round(mx / 127.0, 6) AS scale_q,
         |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS qnorm,

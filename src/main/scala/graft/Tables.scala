@@ -15,6 +15,11 @@ object Tables {
       // Read nanos as long and truncate to microseconds (integer DIV — a
       // double division would lose precision above 2^53 ns). DuckDB's
       // ns→µs cast truncates identically, so oracle comparisons agree.
+      // The conf set is DELIBERATELY session-wide and not restored: the
+      // flag is consulted at execution time by the reader, so restoring it
+      // after building this lazy DataFrame would break the read. Its only
+      // effect elsewhere is turning reads that would FAIL (Spark errors on
+      // TIMESTAMP(NANOS) by default) into long-typed columns.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -47,6 +47,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val ad = elemIsDouble(left); val bd = elemIsDouble(right)
     var i = 0
     while (i < n) {
+      // a null ELEMENT passes the analysis-time type check (nullability is
+      // not part of type equality) but would be misread as 0.0 through the
+      // primitive accessor — fail loudly, matching this class's contract
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_sim: null array element at index $i — vectors must be dense")
       val x = if (ad) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bd) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -63,6 +69,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) {
+         |    throw new IllegalArgumentException(
+         |      "cosine_sim: null array element at index " + i + " — vectors must be dense");
+         |  }
          |  double x = (double) $a.$getA(i);
          |  double y = (double) $b.$getB(i);
          |  dot += x * y; na += x * x; nb += y * y;
@@ -87,11 +97,22 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
   override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(StringType)))
 
-  private final val SeedA = 0x3c074a61
-  private final val SeedB = 0x8ea39d9b
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashCore.slots(input.asInstanceOf[ArrayData], numHashes))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The Kirsch–Mitzenmacher double-hashing minhash inner loop, shared by
+  * [[MinHashSignature]] and [[MinHashBandKeys]] — the two MUST stay
+  * bit-identical (band keys are documented as a fusion of the signature),
+  * so the seeds and slot update live in exactly one place. */
+private[functions] object MinHashCore {
+  final val SeedA = 0x3c074a61
+  final val SeedB = 0x8ea39d9b
+
+  /** `numHashes` unsigned-32-bit minima over the tokens of `arr`. */
+  def slots(arr: ArrayData, numHashes: Int): Array[Long] = {
     val mins = Array.fill[Long](numHashes)(0xFFFFFFFFL)
     var t = 0
     val n = arr.numElements()
@@ -111,10 +132,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       }
       t += 1
     }
-    new GenericArrayData(mins)
+    mins
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash over string tokens: each token's 64-bit hash votes its
@@ -217,11 +236,13 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
 
 /** Hamming distance between two 64-bit hashes (for SimHash comparison). */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming64"
-  // accept any integral input (SQL integer literals arrive as Int — there is
-  // no implicit-cast rule registered for this expression)
+  // long or int per side (SQL integer literals arrive as Int) — anything
+  // else must fail at analysis, not ClassCastException executor-side
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(LongType, IntegerType), Seq(LongType, IntegerType))
   override def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Long.bitCount(
       l.asInstanceOf[Number].longValue ^ r.asInstanceOf[Number].longValue)
@@ -379,6 +400,13 @@ case class SignSketch(child: Expression, dim: Int, tables: Int, bits: Int, seed:
     val n = v.numElements()
     val dd = isDouble
     val out = new Array[Int](tables)
+    var c0 = 0
+    while (c0 < n) {
+      if (v.isNullAt(c0))
+        throw new IllegalArgumentException(
+          s"sign_sketch: null array element at index $c0 — vectors must be dense")
+      c0 += 1
+    }
     var t = 0
     while (t < tables) {
       var bucket = 0
@@ -431,6 +459,9 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
     var i = 0
     var vn = 0.0
     while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nearest_centroids: null array element at index $i — vectors must be dense")
       vec(i) = if (dd) v.getDouble(i) else v.getFloat(i).toDouble
       vn += vec(i) * vec(i)
       i += 1
@@ -541,6 +572,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element — inputs must be dense sorted sets")
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { n += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -566,32 +600,11 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   override def prettyName: String = "minhash_band_keys"
   override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(ArrayType(StringType)))
 
-  private final val SeedA = 0x3c074a61
-  private final val SeedB = 0x8ea39d9b
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill[Long](numHashes)(0xFFFFFFFFL)
-    var t = 0
-    val n = arr.numElements()
-    while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedA)
-        val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedB)
-        var i = 0
-        var g = h1
-        while (i < numHashes) {
-          val u = g.toLong & 0xFFFFFFFFL
-          if (u < mins(i)) mins(i) = u
-          g += h2
-          i += 1
-        }
-      }
-      t += 1
-    }
+    val mins = MinHashCore.slots(input.asInstanceOf[ArrayData], numHashes)
     val rows = numHashes / bands
     val out = new Array[Long](bands)
     var b = 0

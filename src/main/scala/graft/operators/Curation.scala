@@ -68,6 +68,14 @@ object Curation {
         .cast("long").as("n_pii"),
       regexp_replace(col(textCol), PiiPattern, "<PII>").as("redacted"))
 
+  /** The hash-bucket expression every deterministic sampler shares:
+    * uniform bucket in [0, buckets) as a pure function of the id. ONE
+    * definition on purpose — [[sampleDeterministic]], [[sampleStratified]]
+    * and [[capPerGroup]] all promise that reruns/retries make identical
+    * decisions, which only holds while they hash identically. */
+  private def idHashBucket(idCol: String, buckets: Int) =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
   /** Deterministic bucket sampling: keep rows whose md5(id) falls in
     * `keepBucket` of `buckets` equal hash buckets (≈ 1/buckets sampling
     * rate). Unlike `df.sample()`/`rand()`, the decision is a pure function
@@ -80,9 +88,7 @@ object Curation {
       buckets: Int = 5,
       keepBucket: Int = 0): DataFrame = {
     require(buckets > 0 && keepBucket >= 0 && keepBucket < buckets)
-    df.filter(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
-        % buckets === keepBucket)
+    df.filter(idHashBucket(idCol, buckets) === keepBucket)
   }
 
   /** Stratified deterministic sampling: per-stratum keep rates expressed as
@@ -101,12 +107,10 @@ object Curation {
       buckets: Int = 10,
       defaultKeep: Int = 0): DataFrame = {
     require(buckets > 0 && (keepBuckets.values ++ Seq(defaultKeep)).forall(k => k >= 0 && k <= buckets))
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
     val keep = keepBuckets.foldLeft(lit(defaultKeep)) { case (acc, (s, k)) =>
       when(col(strataCol) === s, lit(k)).otherwise(acc)
     }
-    df.filter(bucket < keep)
+    df.filter(idHashBucket(idCol, buckets) < keep)
   }
 
   /** Per-group deterministic cap: keep at most `k` rows per group, chosen
@@ -118,6 +122,8 @@ object Curation {
     * with [[sampleStratified]] if a single group dwarfs executors). */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
     require(k > 0)
+    // order by the shared hash (bucket count 1 disables the modulo: the raw
+    // hash is the order key) then id — same hash family as the samplers
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -219,10 +225,10 @@ object Curation {
       evalDocs: DataFrame,
       minQuality: Double = 0.5,
       n: Int = 3): DataFrame = {
-    val keepers = df
-      .groupBy(md5(col(textCol)).as("h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
+    // the canonical-keeper definition is Dedup.exact's — reuse it so the
+    // "keeper" rule lives in exactly one place
+    val keepers = Dedup.exact(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
     val qualityPass = TextAnalysis.qualityScore(df, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(idCol)

@@ -254,6 +254,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a partial result would silently keep multiple "keepers" per cluster —
+    // fail loudly instead (duplicate clusters converge in 2-3 rounds;
+    // hitting the cap means a pathological chain or a far-too-low setting)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations — " +
+          "labels are partial; raise maxIterations for long drift chains")
     labels
   }
 

@@ -106,7 +106,6 @@ object Multimodal {
     * SQL oracle reproduces as `('0x' || substr(md5(payload), 1, 15))::BIGINT`
     * (60 bits so the value fits a signed 64-bit integer in every engine). */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = Encoders.row(featureSchema)
     media.select("media_id", "modality", "payload").mapPartitions { rows =>
       // per-partition decoder/digest init (codec contexts and MessageDigest

@@ -109,7 +109,11 @@ object Similarity {
         col(idCol),
         (col("mx") / 127.0).as("scale"),
         when(col("mx") === 0, transform(col("e"), _ => lit(0L)))
-          .otherwise(transform(col("e"), x => floor(x * lit(127.0) / col("mx")).cast("long")))
+          // clamp to −127: for x = −mx the two-rounding chain
+          // fl(fl(x·127)/mx) can land one ulp below −127, and floor would
+          // emit −128 — outside the symmetric range the contract promises
+          .otherwise(transform(col("e"),
+            x => greatest(floor(x * lit(127.0) / col("mx")).cast("long"), lit(-127L))))
           .as("codes"))
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to

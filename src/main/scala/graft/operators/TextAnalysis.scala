@@ -81,11 +81,15 @@ object TextAnalysis {
         col("id"),
         round(lit(1.0) - size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
           .as("dup_word_frac"))
-      .join(top, "id")
+      // LEFT join: a doc with fewer than 2 tokens has no bigrams and no
+      // `top` row, but its dup_word_frac is still defined — an inner join
+      // would silently drop it from the signal table entirely
+      .join(top, Seq("id"), "left")
       .select(
         col("id").as(idCol),
         col("dup_word_frac"),
-        round(col("mc").cast("double") / col("total"), 6).as("top_bigram_frac"))
+        coalesce(round(col("mc").cast("double") / col("total"), 6), lit(0.0))
+          .as("top_bigram_frac"))
   }
 
   /** Per-document average unigram log-probability under the corpus's own

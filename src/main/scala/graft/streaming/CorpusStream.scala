@@ -58,22 +58,24 @@ object CorpusStream {
     // no prior registerAll call)
     GraftFunctions.registerAll(docs.sparkSession)
     val deduped = dedupExactStreaming(docs, textCol, tsCol, watermark)
-    // stateless, narrow passes compose directly on the streaming frame;
-    // the quality formula is THE batch formula (TextAnalysis.qualityScoreCol
-    // over the same rounded avg_word_len), so batch and streaming keep/drop
-    // identically at the score boundaries
-    val redacted = deduped.withColumn(
-      "text_clean",
-      regexp_replace(col(textCol), Curation.PiiPattern, "<PII>"))
-    val scored = redacted
-      .withColumn("n_words", size(split(col("text_clean"), " ")))
+    // stateless, narrow passes compose directly on the streaming frame.
+    // Quality and language are computed on the RAW text — the same input the
+    // batch path (TextAnalysis.qualityScore over the source text) scores —
+    // and the formula is the shared TextAnalysis.qualityScoreCol, so batch
+    // and streaming keep/drop identically. Redaction only rewrites the
+    // OUTPUT text; scoring redacted text would shift word-length stats for
+    // any PII-bearing doc and diverge from batch.
+    val scored = deduped
+      .withColumn("n_words", size(split(col(textCol), " ")))
       .withColumn("avg_word_len",
         round(
-          length(regexp_replace(col("text_clean"), " ", "")).cast("double") /
+          length(regexp_replace(col(textCol), " ", "")).cast("double") /
             col("n_words"), 6))
       .withColumn("quality",
         graft.operators.TextAnalysis.qualityScoreCol(col("n_words"), col("avg_word_len")))
-      .withColumn("lang_pred", langId(col("text_clean")))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("text_clean",
+        regexp_replace(col(textCol), Curation.PiiPattern, "<PII>"))
     val kept =
       if (keepLangs.isEmpty) scored
       else scored.filter(col("lang_pred").isin(keepLangs.toSeq: _*))

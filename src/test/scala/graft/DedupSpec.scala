@@ -94,4 +94,14 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("connected components fail loudly instead of returning partial labels") {
+    // a 6-node chain cannot converge in 1 iteration — partial labels would
+    // silently keep several "keepers" in one duplicate cluster
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIterations = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -104,11 +104,17 @@ class EventOpsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").start()
     try {
-      q.processAllAvailable()
-      val sessions = spark.table("sessions_out").collect()
+      // the processing-time timeout (which closes idle users' final
+      // sessions) keeps the stream scheduling batches, so
+      // processAllAvailable never sees a quiescent stream — poll the sink
+      val deadline = System.currentTimeMillis() + 60000
+      def sessions() = spark.table("sessions_out").collect()
+      while (sessions().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       // batch 1 closes two sessions (0-10, 70-80); 200 stays open in state
-      assert(sessions.length == 2)
-      assert(sessions.map(_.getInt(3)).sorted.toSeq == Seq(2, 2))
+      // until the 30-minute processing-time timeout (not reached here)
+      assert(sessions().length == 2)
+      assert(sessions().map(_.getInt(3)).sorted.toSeq == Seq(2, 2))
     } finally q.stop()
   }
 }

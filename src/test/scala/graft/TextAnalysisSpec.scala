@@ -91,6 +91,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == (2L, 0.0))
   }
 
+  test("repetition signals keep sub-bigram docs with zero top_bigram_frac") {
+    val df = Seq((1L, "hello"), (2L, "a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0.0, 0.0)) // one token: no dup words, no bigrams — but PRESENT
+    assert(out(2L)._1 == 0.75)    // 4 tokens, 1 distinct
+    assert(out(2L)._2 == 1.0)     // "a a" is every bigram
+  }
+
   test("tfidf ranks doc-specific terms above corpus-wide ones") {
     val df = Seq(
       (1L, "common common unique1 unique1 unique1"),
