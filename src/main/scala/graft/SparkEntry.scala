@@ -282,6 +282,11 @@ object SparkEntry {
           date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_ts_s"))
     }),
 
+    // ordered funnel: users progressing view → click → purchase in order
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnelCounts(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
     // bounded range join: errors counted against same-user clicks within
     // ±5 minutes, via window-width binning (bin ±1 equi-join), never a
     // per-key cross product
@@ -596,6 +601,18 @@ object SparkEntry {
         |  v.event_id AS prior_event_id,
         |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_ts_s
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
     "events_range" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')

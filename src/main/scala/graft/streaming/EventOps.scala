@@ -104,6 +104,46 @@ object EventOps {
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
 
+  /** Ordered funnel: how many keys progressed through `stages` IN ORDER —
+    * stage i counts keys with an event of type stages(i) at-or-after their
+    * earliest qualifying stages(i−1) event. The product-analytics staple
+    * (view → click → purchase conversion).
+    *
+    * Shape: one filtered grouped-min per stage, each joined to the previous
+    * stage's (key, ts) frame — stages are few and static, so the plan is a
+    * short chain of partial-aggregated shuffles on the key, never a per-key
+    * sort or a self-join of the raw event table against itself. Returns
+    * (stage_idx, stage, users). */
+  def funnelCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val base = events.select(
+      col(keyCol).as("__k"), col(typeCol).as("__et"), col(tsCol).as("__t"))
+    var prev: Option[DataFrame] = None
+    val perStage = stages.map { s =>
+      val filtered = base.filter(col("__et") === s)
+      val qualifying = prev match {
+        case None => filtered
+        case Some(p) =>
+          filtered.join(p, Seq("__k")).filter(col("__t") >= col("__pt"))
+      }
+      val reached = qualifying.groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+      prev = Some(reached)
+      reached
+    }
+    perStage.zip(stages).zipWithIndex.map { case ((df, s), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(
+          lit(i + 1).cast("long").as("stage_idx"),
+          lit(s).as("stage"),
+          col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Bounded range join: for every left row, the COUNT of right rows of the
     * same key within ±`windowSeconds` — proximity enrichment (errors near
     * clicks, trades near quotes) without Spark's default plan for a time

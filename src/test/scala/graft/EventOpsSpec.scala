@@ -48,6 +48,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(104L) == None)
   }
 
+  test("funnelCounts requires stage order, not mere presence") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // user 2: clicked BEFORE viewing, purchase after — reaches view only
+      (2L, "click", ts(0)), (2L, "view", ts(5)), (2L, "purchase", ts(9)),
+      // user 3: view then click, no purchase
+      (3L, "view", ts(1)), (3L, "click", ts(2)),
+      // user 4: purchase at the exact click timestamp (inclusive >=)
+      (4L, "view", ts(0)), (4L, "click", ts(3)), (4L, "purchase", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventOps.funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 4L, "click" -> 3L, "purchase" -> 2L))
+  }
+
   test("rangeJoinCount counts same-key rows within the window, including bin edges") {
     def tsSec(s: Long) = new Timestamp(1700000000000L + s * 1000L)
     val left = Seq(
