@@ -28,7 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =

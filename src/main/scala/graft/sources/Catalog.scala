@@ -160,10 +160,10 @@ object StaticCatalog {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-    val footer = ParquetFileReader.readFooter(
+    val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
-        spark.sessionState.newHadoopConf()).getConfiguration,
-      new org.apache.hadoop.fs.Path(path))
+        spark.sessionState.newHadoopConf()))
+    val footer = try reader.getFooter finally reader.close()
     import scala.jdk.CollectionConverters._
     footer.getFileMetaData.getSchema.getFields.asScala.collect {
       case f if f.isPrimitive &&

@@ -30,8 +30,8 @@ object SchemaVerifier {
       declared: StructType,
       conf: Configuration = new Configuration()): Unit = {
     paths.foreach { p =>
-      val footer = ParquetFileReader.readFooter(
-        HadoopInputFile.fromPath(new Path(p), conf).getConfiguration, new Path(p))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+      val footer = try reader.getFooter finally reader.close()
       val fileSchema = footer.getFileMetaData.getSchema
       declared.fields.foreach { f =>
         if (!fileSchema.containsField(f.name))

@@ -82,7 +82,7 @@ object EventOps {
       keyCol: String,
       tsCol: String,
       prefix: String = "prior_"): DataFrame = {
-    val leftStruct = struct(left.columns.map(col): _*)
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val leftType = left.select(leftStruct.as("s")).schema("s").dataType
     val rightCols = right.columns.filterNot(_ == keyCol).toSeq
     val rightStruct = struct(rightCols.map(col): _*)
