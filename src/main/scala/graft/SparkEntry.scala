@@ -24,6 +24,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Key for an on-disk fixture derived from a testdata table: a digest of
+    * the table file's identity AND content signature (length + mtime), so a
+    * regenerated testdata directory gets a fresh fixture instead of silently
+    * reusing one built from the old data. */
+  private def fixtureKey(dir: String, tables: String*): String = {
+    val sig = tables.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"$dir/$n|${f.length}|${f.lastModified}"
+    }.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
@@ -214,7 +228,7 @@ object SparkEntry {
     "q13_delta" -> ((s, dir) => {
       import graft.sources.DeltaFixture
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_fixture_" +
-        Integer.toHexString(dir.hashCode)
+        fixtureKey(dir, "nation")
       DeltaFixture.writeTable(s, t(s, dir, "nation"), "n_regionkey", tbl)
       val engine = new BuzzEngine(Map.empty)
       engine.run(s, BuzzQuery(
@@ -240,7 +254,7 @@ object SparkEntry {
       import graft.operators.Sinks
       import graft.sources.FsUtil
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
-        Integer.toHexString(dir.hashCode)
+        fixtureKey(dir, "documents")
       if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
         Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
       }
@@ -385,7 +399,7 @@ object SparkEntry {
     "sink_partitioned" -> ((s, dir) => {
       import graft.operators.Sinks
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
-        Integer.toHexString(dir.hashCode)
+        fixtureKey(dir, "documents")
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
@@ -394,7 +408,7 @@ object SparkEntry {
     // bucket alignment asserted in PlanQualitySpec)
     "sink_bucketed" -> ((s, dir) => {
       import graft.operators.Sinks
-      val h = Integer.toHexString(dir.hashCode)
+      val h = fixtureKey(dir, "orders", "customer")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$h"
       val o = Sinks.writeBucketed(
         t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),

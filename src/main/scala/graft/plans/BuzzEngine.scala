@@ -85,7 +85,8 @@ final class BuzzEngine(
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      val rows = run(spark, query).collect()
+      val df = run(spark, query)
+      val rows = df.collect()
       // the listener bus is async: wait until task-end events stop arriving
       var last = -1L
       var stableChecks = 0
@@ -96,10 +97,35 @@ final class BuzzEngine(
         Thread.sleep(50)
         waitedMs += 50
       }
-      (rows, listener.summary)
+      (rows, listener.summary + ("scan_time_ms" -> scanTimeMs(df.queryExecution.executedPlan)))
     } finally {
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  /** Total parquet-scan wall time from the executed plan's SQL metrics —
+    * the IO-side observability half the reference reports per worker
+    * (`range_cache.rs:62-82`: waiting_download_ms). Traverses AQE stage and
+    * reused-exchange boundaries (leaf nodes to the naive `collect`). */
+  private def scanTimeMs(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val own = plan match {
+      case s: FileSourceScanExec =>
+        s.metrics.get("scanTime").map { m =>
+          if (m.metricType == "nsTiming") m.value / 1000000L else m.value
+        }.getOrElse(0L)
+      case _ => 0L
+    }
+    val children = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case r: ReusedSubqueryExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    own + children.map(scanTimeMs).sum
   }
 }
 
@@ -111,6 +137,8 @@ final class QueryMetricsListener extends SparkListener {
   val bytesRead = new LongAdder
   val recordsRead = new LongAdder
   val shuffleBytesWritten = new LongAdder
+  val shuffleBytesRead = new LongAdder
+  val shuffleFetchWaitMs = new LongAdder
   val taskTimeMs = new LongAdder
   val tasks = new LongAdder
 
@@ -120,6 +148,12 @@ final class QueryMetricsListener extends SparkListener {
       bytesRead.add(m.inputMetrics.bytesRead)
       recordsRead.add(m.inputMetrics.recordsRead)
       shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
+      shuffleBytesRead.add(
+        m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead)
+      // blocked-on-fetch time — the reducer-side analog of the reference's
+      // waiting_download_ms (range_cache.rs:62-82): time the reduce stage
+      // spent waiting on map output rather than computing
+      shuffleFetchWaitMs.add(m.shuffleReadMetrics.fetchWaitTime)
       taskTimeMs.add(m.executorRunTime)
       tasks.increment()
     }
@@ -129,6 +163,8 @@ final class QueryMetricsListener extends SparkListener {
     "downloaded_bytes" -> bytesRead.sum(),
     "processed_rows" -> recordsRead.sum(),
     "shuffle_bytes" -> shuffleBytesWritten.sum(),
+    "shuffle_bytes_read" -> shuffleBytesRead.sum(),
+    "shuffle_fetch_wait_ms" -> shuffleFetchWaitMs.sum(),
     "task_time_ms" -> taskTimeMs.sum(),
     "tasks" -> tasks.sum())
 }

@@ -83,11 +83,22 @@ trait SplittableCatalog {
 
   /** Read the given files as one DataFrame with partition columns appended.
     *
-    * Files are grouped by partition tuple so each group is a single
-    * multi-file scan (keeps Spark's file → task packing, vectorized reader,
-    * and parquet pushdown intact); groups are unioned. Partition values
-    * become literal columns — constant-folded by Catalyst, so a filter on
-    * them prunes whole branches of the union at optimization time.
+    * Partitioned catalogs whose files sit in a consistent Hive layout
+    * (`.../col=value/file.parquet` under one root — the layout every sink,
+    * Delta table, and discovered directory catalog produces) read through
+    * Spark's native partitioned datasource: ONE FileScan regardless of
+    * partition-tuple count, with partition values parsed from the paths.
+    * The alternative — one scan per partition tuple unioned together — is
+    * correct but its plan grows linearly with tuple count: at a real
+    * 100 TB layout with 10⁴–10⁵ directories, analysis/optimization of a
+    * 10⁴-branch union dominates, and per-group scans defeat cross-partition
+    * file packing.
+    *
+    * Files whose paths do NOT encode their declared partition values (an
+    * explicit catalog with arbitrary metadata values, empty values, or
+    * null-sentinel values whose surfaced form must stay the literal
+    * sentinel string) fall back to the per-tuple union; such catalogs are
+    * the explicit-file kind with few tuples.
     */
   final def read(spark: SparkSession, selected: Seq[SizedFile]): DataFrame = {
     if (selected.isEmpty) {
@@ -107,17 +118,58 @@ trait SplittableCatalog {
       // columns; valid reads are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))
-    val dfs = groups.map { case (partVals, fs) =>
-      val base = spark.read.schema(readSchema).parquet(fs.map(_.key): _*)
-      val converted = nanosColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
-      }
-      partitionColumns.zip(partVals).foldLeft(converted) { case (df, (p, v)) =>
-        df.withColumn(p, lit(v))
+    val scanned = hiveBasePath(selected) match {
+      case Some(base) =>
+        // partition columns are declared StringType in the user schema, so
+        // Spark skips type inference and keeps the reference's strings-only
+        // partition model (README.md:113); values are percent-decoded by
+        // Spark's own path parsing, matching the check in hiveBasePath
+        val withParts = StructType(readSchema.fields.toSeq ++
+          partitionColumns.map(p => StructField(p, StringType, nullable = true)))
+        spark.read.schema(withParts)
+          .option("basePath", base)
+          .parquet(selected.map(_.key): _*)
+      case None =>
+        val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))
+        groups.map { case (partVals, fs) =>
+          val base = spark.read.schema(readSchema).parquet(fs.map(_.key): _*)
+          partitionColumns.zip(partVals).foldLeft(base) { case (df, (p, v)) =>
+            df.withColumn(p, lit(v))
+          }
+        }.reduce(_.unionAll(_))
+    }
+    val converted = nanosColumns.foldLeft(scanned) { (df, c) =>
+      df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
+    }
+    // enforce the catalog's declared column order (data cols, then
+    // partition cols) independent of the datasource's placement
+    converted.select(fullSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The common root of a consistent Hive layout, if every selected file's
+    * path ends in `col=value` segments (one per partition column, in order,
+    * directly above the file) whose percent-decoded values equal the file's
+    * declared partition values. Returns None — union fallback — otherwise. */
+  private def hiveBasePath(selected: Seq[SizedFile]): Option[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    if (partitionColumns.isEmpty) return None // single multi-file scan already
+    val nParts = partitionColumns.length
+    val bases = selected.map { f =>
+      val segs = f.key.split('/')
+      if (segs.length < nParts + 2) None // need root + partition dirs + file
+      else {
+        val partSegs = segs.slice(segs.length - 1 - nParts, segs.length - 1)
+        val consistent = partSegs.lazyZip(partitionColumns).lazyZip(f.partitionValues)
+          .forall { (seg, colName, value) =>
+            seg.startsWith(colName + "=") &&
+              unescapePathName(seg.substring(colName.length + 1)) == value &&
+              value.nonEmpty && value != DeltaCatalog.NullPartitionValue
+          }
+        if (consistent) Some(segs.take(segs.length - 1 - nParts).mkString("/"))
+        else None
       }
     }
-    dfs.reduce(_.unionAll(_))
+    bases.headOption.flatten.filter(b => bases.forall(_.contains(b)))
   }
 
   /** One scan unit per file — parity with the reference's split

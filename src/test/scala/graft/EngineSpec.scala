@@ -62,6 +62,12 @@ class EngineSpec extends AnyFunSuite {
     assert(metrics("processed_rows") > 0, s"metrics: $metrics")
     assert(metrics("downloaded_bytes") > 0, s"metrics: $metrics")
     assert(metrics("tasks") > 0, s"metrics: $metrics")
+    // IO-wait observability (range_cache.rs:62-82 parity): the two-stage run
+    // must surface scan time and reducer fetch-wait alongside the byte counts
+    for (k <- Seq("scan_time_ms", "shuffle_fetch_wait_ms", "shuffle_bytes_read"))
+      assert(metrics.get(k).exists(_ >= 0L), s"missing $k in: $metrics")
+    assert(metrics("shuffle_bytes_read") > 0,
+      s"map→reduce exchange should read shuffle bytes: $metrics")
   }
 
   test("run() restores same-named session temp views and leaves no residue") {

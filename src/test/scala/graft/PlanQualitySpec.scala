@@ -204,6 +204,40 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must keep only k rows per partition:\n${plan.take(600)}")
   }
 
+  test("Hive-layout catalog reads as ONE FileScan at high partition cardinality") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.StaticCatalog
+    // 120 partition directories: the per-tuple-union read path would plan a
+    // 120-branch union whose analysis alone dominates at real cardinality —
+    // the native partitioned read must keep a single scan node
+    val dir = java.nio.file.Files.createTempDirectory("graft_manyparts").toString
+    spark.range(120)
+      .select(
+        col("id"),
+        format_string("p%03d", col("id") % 120).as("bucket"),
+        (col("id") * 7).as("v"))
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val cat = StaticCatalog.overPath(spark, "many", dir)
+    assert(cat.files.length == 120, s"expected 120 files, got ${cat.files.length}")
+    val pruned = cat.prune(spark, Some("bucket >= 'p100'"))
+    assert(pruned.length == 20)
+    val df = cat.read(spark, pruned)
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collectLeaves().collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1,
+      s"expected ONE FileScan for 20 partition dirs, got ${scans.length}:\n${plan.toString.take(1200)}")
+    assert(!plan.toString.contains("Union"),
+      s"partitioned read must not union per-tuple scans:\n${plan.toString.take(1200)}")
+    // only the pruned directories' files feed the scan
+    assert(df.inputFiles.length == 20, s"scan reads ${df.inputFiles.length} files, want 20")
+    // partition values surface as strings with full fidelity
+    val got = df.select("bucket").distinct().collect().map(_.getString(0)).toSet
+    assert(got == (100 until 120).map(i => f"p$i%03d").toSet)
+    assert(df.count() == 20)
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
