@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, PipelineCache}
+
+/** Scale probe: measures how LSH candidate-pair counts and the
+  * connected-components pipeline behave at 10× the input, using corpora
+  * that grow the INDEX without planting quadratic true-duplicate structure
+  * (each replica perturbs every token / rotates every vector, so replicas
+  * are mutually dissimilar — growth beyond ~scale× then measures real
+  * bucket-collision blowup, which is exactly the 100 TB failure mode).
+  *
+  * Prints one JSON line per measurement:
+  *   {"probe":"simhash_candidates","scale":10,"value":N,"seconds":S}
+  * Sub-quadratic health = value(10×) ≲ ~10-20 × value(1×); clusters round
+  * count must not grow with scale.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val idStride = 100000000L
+
+    // replica i: every token suffixed with the copy index — every shingle
+    // (and so every simhash/minhash signature) differs from every other copy
+    def docsX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i * idStride)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$i"))), " ").as("text"))
+      }.reduce(_.unionAll(_))
+
+    // replica i: vector rotated by i dims — near-orthogonal to the original
+    def embX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(i * idStride)).as("vec_id"),
+          concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i)).as("embedding"))
+      }.reduce(_.unionAll(_))
+
+    def report(probe: String, scale: Int, value: Long, secs: Double): Unit =
+      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f}""")
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (scale <- Seq(1, 10)) {
+      val d = docsX(scale)
+      val e = embX(scale)
+      val n = d.count()
+
+      // simhash: candidate pairs out of the corpus-sized banding
+      val (simCands, simSecs) = timed {
+        val sig = Dedup.simhashSignatures(d, "doc_id", "text", 3)
+        Dedup.bucketPairs(Dedup.simhashBuckets(sig, 3, n), Seq("band", "bucket")).count()
+      }
+      report("simhash_candidates", scale, simCands, simSecs)
+
+      // embeddings: candidate pairs out of the corpus-sized sign sketch
+      val (embCands, embSecs) = timed {
+        val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+        val nv = vecs.count()
+        val (bits, tbls) = Dedup.embedSketchSize(nv, 0.95, 32, 8)
+        Dedup.bucketPairs(Dedup.embedBuckets(vecs, 64, tbls, bits), Seq("tbl", "bucket")).count()
+      }
+      report("embed_candidates", scale, embCands, embSecs)
+
+      // dedup_clusters end-to-end: minhash pairs -> CC rounds
+      val (_, clSecs) = timed {
+        val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+        report("clusters_rounds", scale, rounds.toLong, 0.0)
+        report("clusters_labels", scale, labels.count(), 0.0)
+      }
+      report("clusters_seconds", scale, n, clSecs)
+
+      PipelineCache.clear()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

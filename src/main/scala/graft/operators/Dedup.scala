@@ -48,7 +48,7 @@ object Dedup {
     * across buckets. The alternative — a bucket self-join — shuffles the
     * bucket table twice and hashes it again for the join; at 10⁹ docs ×
     * 64 bands that is the dominant wire cost of LSH dedup. */
-  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+  private[graft] def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
@@ -113,40 +113,34 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash over word shingles, banded
-    * into `maxHamming + 1` bit-range keys (a pair within Hamming distance
-    * `maxHamming` has all its differing bits spread over at most `maxHamming`
-    * bands, so by pigeonhole at least one band matches exactly — exact
-    * recall, no probabilistic misses), verified by exact Hamming distance.
+    * by a pigeonhole block scheme sized to the corpus, verified by exact
+    * Hamming distance.
     *
-    * Scale bound: candidate pairs grow as Σ_buckets n_b², i.e. ~n²/2^w per
-    * band for band width w = 64/(maxHamming+1) under uniform hashing. The
-    * default (4 bands × 16 bits) caps bucket space at 2^16 per band — fine
-    * to ~10⁷ docs; at ≥10⁸ docs lower `maxHamming` (fewer, wider bands:
-    * maxHamming=1 → 2 bands × 32 bits → n²/2^32) or pre-block the corpus
-    * (e.g. by language or length bucket) before banding. */
+    * Banding: the 64 bits are cut into `b` blocks; a pair within Hamming
+    * distance `maxHamming` differs in at most `maxHamming` blocks, so it
+    * agrees exactly on SOME `b - maxHamming` of them — every such block
+    * subset becomes one bucket key (exact recall, no probabilistic misses,
+    * for ANY valid `b`). `b = maxHamming + 1` (single-block keys) is the
+    * classic scheme but caps key width at `64/(maxHamming+1)` bits: with
+    * the default maxHamming=3 that is 16 bits — candidate pairs ~n²/2^16,
+    * quadratic blowup beyond ~10⁷ docs. [[simhashBlockCount]] therefore
+    * grows `b` with the corpus: wider multi-block keys (e.g. b=6 → 20 keys
+    * of 32 bits, b=8 → 56 keys of 40 bits) trade a few more bucket rows per
+    * doc for exponentially fewer collisions. The corpus size comes from
+    * `corpusSizeHint`, or is counted off the (about-to-be-materialized)
+    * signature relation when absent. Verification output is independent of
+    * the banding, so results are byte-identical across sizes. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      corpusSizeHint: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val nBands = maxHamming + 1
-    // distribute the 64 bits over the bands as evenly as possible
-    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val sig = shared(widen(df)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), simhash64(col("sh")).as("sim")))
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until nBands).map { b =>
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
-        shiftrightunsigned(col("sim"), offsets(b)).bitwiseAND(lit(mask))
-      }: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val sig = simhashSignatures(df, idCol, textCol, shingleSize)
+    val n = corpusSizeHint.getOrElse(sig.count())
+    val banded = simhashBuckets(sig, maxHamming, n)
     // candidates once per unique pair, then the signatures join back (two
     // cheap id-keyed joins against the persisted sig) for the Hamming check —
     // vs carrying both sigs through the band self-join and hamming-filtering
@@ -159,6 +153,55 @@ object Dedup {
         hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Persisted (id, sim) 64-bit simhash signatures over word shingles. */
+  private[graft] def simhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    shared(widen(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), simhash64(col("sh")).as("sim")))
+
+  /** (id, band, bucket) LSH bucket rows for a signature relation, banding
+    * sized by [[simhashBlockCount]] for a corpus of `n` docs. */
+  private[graft] def simhashBuckets(sig: DataFrame, maxHamming: Int, n: Long): DataFrame = {
+    val nBlocks = simhashBlockCount(maxHamming, n)
+    // distribute the 64 bits over the blocks as evenly as possible
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(col("sim"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    // one bucket key per (b - maxHamming)-block subset: blocks concatenated
+    // into a long (total key width ≤ 64 - maxHamming*floor(64/b) < 64 bits)
+    val subsets = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    val keys = subsets.map(s =>
+      s.foldLeft(lit(0L)) { (acc, i) => shiftleft(acc, widths(i)).bitwiseOR(block(i)) })
+    sig.select(col("id"), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Smallest block count whose key width keeps expected bucket collisions
+    * sub-quadratic for a corpus of `n` docs: key width (conservatively
+    * `floor(64/b) · (b-k)` bits) must cover `log2(n) + log2(#subsets) + 4`.
+    * Capped where the per-doc key count C(b, b-k) passes 128 — at that
+    * point (≳10⁹ docs for k=3) pre-block the corpus (language/length)
+    * before banding instead. */
+  private[graft] def simhashBlockCount(maxHamming: Int, n: Long): Int = {
+    val k = maxHamming
+    val need = math.log(math.max(n, 2L).toDouble) / math.log(2.0)
+    def subsets(b: Int): Double =
+      (1 to k).map(i => (b - k + i).toDouble / i).product // C(b, k) = C(b, b-k)
+    def width(b: Int): Int = (64 / b) * (b - k)
+    val candidates = Iterator.from(k + 1)
+      .takeWhile(b => b == k + 1 || subsets(b) <= 128.0)
+      .toSeq
+    candidates
+      .find(b => width(b) >= need + math.log(subsets(b)) / math.log(2.0) + 4)
+      .getOrElse(candidates.last)
   }
 
   /** Exact n-gram Jaccard dedup within a blocking key (e.g. source/domain),
@@ -212,7 +255,14 @@ object Dedup {
     * so usually 2–3). Each round is one shuffle on node id over the edge
     * list — the standard large-scale CC shape (GraphX/connected-components
     * papers); no driver-side graph state beyond the convergence counter. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIterations)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds run —
+    * the scale probe asserts round count stays flat as the corpus grows
+    * (cluster diameter, not corpus size, drives it). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIterations: Int = 20): (DataFrame, Int) = {
     // undirected edge list, both directions, plus self-loops so isolated
     // endpoints keep their own label
     // persist the PAIR LIST, not just the edge union: edges reference the
@@ -261,7 +311,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations — " +
           "labels are partial; raise maxIterations for long drift chains")
-    labels
+    (labels, iter)
   }
 
   /** Per-document duplicated-substring coverage: the fraction of a
@@ -299,11 +349,16 @@ object Dedup {
     * hyperplanes are a fixed seeded pseudo-random matrix — deterministic
     * across runs and executors.
     *
-    * Scale bound: each table contributes ~n²/2^bitsPerTable candidate
-    * pairs for weakly-correlated vectors, so `bitsPerTable` must grow with
-    * the corpus: size it ≳ log2(n) − 10 to keep expected bucket occupancy
-    * ~O(1k) (e.g. 8 bits to ~10⁶ docs, 16 bits at 10⁸ — recall at a given
-    * threshold is then retuned via `tables`: miss = (1 − p^bits)^tables). */
+    * Scale bound: each table contributes ~n²/2^bits candidate pairs for
+    * weakly-correlated vectors — a FIXED bit width is quadratic in the
+    * corpus. [[embedSketchSize]] therefore grows the width with the corpus
+    * (bits ≈ log2 n, the classic LSH sizing that keeps far-pair collisions
+    * ~O(n) per table) and re-derives the table count to preserve the miss
+    * probability the caller's (tables, bitsPerTable) configuration implies
+    * at `threshold` — table count grows only ~n^0.15, the LSH exponent for
+    * this p₁. `corpusSizeHint` overrides the count of the
+    * (about-to-be-materialized) vector relation. At small n the caller's
+    * exact configuration is used unchanged. */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
@@ -311,16 +366,46 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       tables: Int = 32,
-      bitsPerTable: Int = 8): DataFrame = {
+      bitsPerTable: Int = 8,
+      corpusSizeHint: Option[Long] = None): DataFrame = {
     val vecs = shared(widen(df).select(col(idCol).as("id"), col(vecCol).as("v")))
-    val sk = vecs.select(col("id"),
-      posexplode(signSketch(col("v"), dim, tables, bitsPerTable)))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
+    val n = corpusSizeHint.getOrElse(vecs.count())
+    val (bits, tbls) = embedSketchSize(n, threshold, tables, bitsPerTable)
+    val sk = embedBuckets(vecs, dim, tbls, bits)
     bucketPairs(sk, Seq("tbl", "bucket"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Corpus-sized sign-sketch shape: widen the per-table bit count to
+    * ~log2(n) − 2 (bounding far-pair collisions per table at ~O(n)), then
+    * re-derive the table count so the pair-miss probability stays at what
+    * the caller's (tables, bits) configuration implies for `threshold`:
+    * miss = (1 − p₁^bits)^tables with p₁ = 1 − θ/π. Returns the caller's
+    * exact configuration when the corpus is small enough for it. Bits cap
+    * at 28 (Int bucket keys) and tables at 512 — past that (~10¹⁰ docs)
+    * pre-block the corpus or use [[Similarity]]'s IVF path. */
+  private[graft] def embedSketchSize(
+      n: Long, threshold: Double, tables: Int, bitsPerTable: Int): (Int, Int) = {
+    val log2n = math.log(math.max(n, 2L).toDouble) / math.log(2.0)
+    val bits = math.min(28, math.max(bitsPerTable, math.ceil(log2n).toInt - 2))
+    if (bits == bitsPerTable) (bitsPerTable, tables)
+    else {
+      val p1 = 1.0 - math.acos(math.min(math.max(threshold, 0.0), 1.0)) / math.Pi
+      // ln(miss) implied by the caller's config, carried to the wider keys
+      val lnMiss = tables * math.log1p(-math.pow(p1, bitsPerTable))
+      val t = math.ceil(lnMiss / math.log1p(-math.pow(p1, bits))).toInt
+      (bits, math.min(512, math.max(t, tables)))
+    }
+  }
+
+  /** (id, tbl, bucket) sign-sketch LSH bucket rows for a (id, v) relation. */
+  private[graft] def embedBuckets(
+      vecs: DataFrame, dim: Int, tables: Int, bitsPerTable: Int): DataFrame =
+    vecs.select(col("id"),
+      posexplode(signSketch(col("v"), dim, tables, bitsPerTable)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
 }

@@ -200,6 +200,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("catalog layer runs end-to-end over a non-file FileSystem scheme") {
+    import graft.model._
+    import graft.plans.BuzzEngine
+    // register the local-backed mocks3:// FileSystem; from here on every
+    // path crosses the same scheme→FileSystem resolution s3a:// would
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mocks3.impl", classOf[MockRemoteFileSystem].getName)
+    val local = tmpDir("graft_remote")
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("k", "v", "p").coalesce(1)
+      .write.mode("overwrite").partitionBy("p").parquet(local)
+    val uri = s"mocks3://$local"
+
+    val cat = StaticCatalog.overPath(spark, "remote", uri)
+    assert(cat.files.nonEmpty)
+    assert(cat.files.forall(_.key.startsWith("mocks3:")),
+      s"catalog keys must stay on the remote scheme: ${cat.files.map(_.key)}")
+    assert(cat.partitionColumns == Seq("p"))
+    // full read (native partitioned path) + pruned read over the scheme
+    assert(cat.read(spark, cat.files).count() == 3)
+    assert(cat.read(spark, cat.prune(spark, Some("p = 'x'"))).count() == 2)
+    // and a two-stage engine query over the remote-scheme catalog
+    val out = new BuzzEngine(Map("remote" -> cat)).run(spark, BuzzQuery(
+      Seq(
+        BuzzStep("SELECT p, count(*) AS cnt FROM remote GROUP BY p", "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT p, sum(cnt) AS n FROM m GROUP BY p", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("StaticCatalog.overPath declares TIMESTAMP(NANOS) columns as usable timestamps") {
     val events = s"${TestSpark.sf}/events.parquet"
     val cat = StaticCatalog.overPath(spark, "evt", events)

@@ -53,6 +53,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash corpus-sized banding returns identical pairs at every width") {
+    // the pigeonhole guarantee holds for ANY block count, so the verified
+    // output must be byte-identical whether the corpus hint selects the
+    // classic 4-block banding (small n) or wide multi-block keys (large n)
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(200)
+    def run(hint: Option[Long]) =
+      Dedup.simhashPairs(docs, "doc_id", "text", corpusSizeHint = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val small = run(Some(100L))          // b = 4:  classic 16-bit bands
+    val large = run(Some(100_000_000L))  // b ≥ 7: multi-block wide keys
+    assert(small == large, s"banding width changed the result: ${small.diff(large)} / ${large.diff(small)}")
+    // block-count growth curve: wider keys as n grows, capped key fan-out
+    assert(Dedup.simhashBlockCount(3, 1000L) == 4)
+    val b9 = Dedup.simhashBlockCount(3, 1_000_000_000L)
+    assert(b9 > 4 && b9 <= 10, s"10⁹ docs should select multi-block banding, got $b9")
+  }
+
   test("ngram jaccard within block finds the planted pair with its score") {
     val out = Dedup.ngramJaccardPairs(planted, "doc_id", "text", "source", threshold = 0.5)
       .collect()
