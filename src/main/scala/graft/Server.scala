@@ -1,0 +1,87 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.model.BuzzException
+import graft.plans.BuzzEngine
+
+/** HTTP entry point for the two-stage engine — the service-binary surface
+  * the reference ships (`/root/reference/code/src/bin/main_fuse_local.rs:6-34`
+  * runs a query service; `flight_service.rs:142-169` exposes a HealthCheck
+  * action). The transport is plain HTTP + the engine's JSON query format
+  * (README.md:80-104) on the JDK's built-in server — zero dependencies,
+  * matching the sandbox constraint; the inter-stage exchange stays Spark's
+  * shuffle (SURVEY §2c), so this server is the EXTERNAL API only:
+  *
+  *   POST /query  — body: buzz JSON query → 200 with a JSON array of result
+  *                  rows; 400 on bad/unplannable queries; 500 otherwise.
+  *   GET  /health — 200 "H" (the reference's HealthCheck action reply).
+  *
+  * One Spark session serves all requests (the local[n] analog of the
+  * reference's one-process-per-service topology); requests execute on the
+  * server's dispatch threads and Spark schedules them concurrently.
+  */
+object Server {
+
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val engine = new BuzzEngine(Map.empty)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+
+    def jsonError(msg: String): String =
+      "{\"error\":\"" + msg.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\"}"
+
+    server.createContext("/query", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, jsonError("POST a buzz JSON query"))
+      } else {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        try {
+          val rows = engine.runJson(spark, body).toJSON.collect()
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        } catch {
+          case e: BuzzException.BuzzError => respond(ex, 400, jsonError(e.getMessage))
+          case e: Exception =>
+            respond(ex, 500, jsonError(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      })
+    server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "\"H\""))
+
+    server.setExecutor(null) // default dispatcher; Spark fans each query out
+    server.start()
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("GRAFT_PORT", "3333").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    val server = start(spark, port)
+    println(s"""{"server":"graft","port":${server.getAddress.getPort}}""")
+    Thread.currentThread().join() // serve until killed
+  }
+}
