@@ -22,8 +22,8 @@ import graft.plans.BuzzEngine
   *   GET  /health — 200 "H" (the reference's HealthCheck action reply).
   *
   * One Spark session serves all requests (the local[n] analog of the
-  * reference's one-process-per-service topology); requests execute on the
-  * server's dispatch threads and Spark schedules them concurrently.
+  * reference's one-process-per-service topology); requests execute on a
+  * cached handler pool and Spark schedules their jobs concurrently.
   */
 object Server {
 
@@ -63,7 +63,10 @@ object Server {
       })
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "\"H\""))
 
-    server.setExecutor(null) // default dispatcher; Spark fans each query out
+    // a null executor would run every handler inline on the single dispatch
+    // thread, serializing queries and blocking /health behind them — a
+    // cached pool keeps health checks live while long queries run
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server
   }

@@ -43,7 +43,14 @@ final case class BuzzQuery(
 object BuzzQuery {
   /** Parse the reference's JSON query format (README.md:80-104). */
   def fromJson(json: String): BuzzQuery = {
-    val root = JsonMethods.parse(json)
+    // unparseable bytes are a client error (BadRequest), not an internal
+    // failure — jackson's parse exceptions must not escape as 500s
+    val root =
+      try JsonMethods.parse(json)
+      catch {
+        case e: Exception =>
+          throw new BuzzException.BadRequest(s"invalid JSON: ${e.getMessage}")
+      }
     def str(v: JValue, field: String): String = v \ field match {
       case JString(s) => s
       case _ => throw new BuzzException.BadRequest(s"missing/non-string field '$field'")

@@ -192,13 +192,14 @@ object Dedup {
     * before banding instead. */
   private[graft] def simhashBlockCount(maxHamming: Int, n: Long): Int = {
     val k = maxHamming
+    if (k == 0) return 1 // exact-signature match: one 64-bit key
     val need = math.log(math.max(n, 2L).toDouble) / math.log(2.0)
     def subsets(b: Int): Double =
       (1 to k).map(i => (b - k + i).toDouble / i).product // C(b, k) = C(b, b-k)
     def width(b: Int): Int = (64 / b) * (b - k)
-    val candidates = Iterator.from(k + 1)
+    // hard-bounded at 64 blocks (1-bit blocks) besides the key-count cap
+    val candidates = (k + 1 to 64)
       .takeWhile(b => b == k + 1 || subsets(b) <= 128.0)
-      .toSeq
     candidates
       .find(b => width(b) >= need + math.log(subsets(b)) / math.log(2.0) + 4)
       .getOrElse(candidates.last)

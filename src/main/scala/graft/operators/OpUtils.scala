@@ -19,10 +19,19 @@ private[operators] object OpUtils {
     val session = df.sparkSession
     val target = session.sparkContext.defaultParallelism
     val bytesPerSplit = BigInt(session.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = df.queryExecution.analyzed.collectLeaves()
-      .map(l => (l.stats.sizeInBytes / bytesPerSplit + 1).min(Int.MaxValue))
-      .sum
-    if (estSplits < target) df.repartition(target) else df
+    val sizes = df.queryExecution.analyzed.collectLeaves().map(_.stats.sizeInBytes)
+    // a leaf with no computed statistics reports the defaultSizeInBytes
+    // sentinel (Long.MaxValue by default) — treating that as "huge" would
+    // silently skip the repartition exactly where it matters (e.g. a
+    // LogicalRDD with 1-2 partitions), so fall back to measuring the real
+    // partition count for unknown-size inputs
+    val unknown = BigInt(session.sessionState.conf.defaultSizeInBytes)
+    if (sizes.exists(_ >= unknown)) {
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else {
+      val estSplits = sizes.map(s => (s / bytesPerSplit + 1).min(Int.MaxValue)).sum
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 
   private val persisted = java.util.Collections.newSetFromMap(

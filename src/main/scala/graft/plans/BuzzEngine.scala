@@ -121,8 +121,10 @@ final class BuzzEngine(
     val children = plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case r: ReusedSubqueryExec    => Seq(r.child)
+      // Reused* nodes POINT BACK at a subtree that is also reachable from
+      // its original position — descending would double-count its scans
+      case _: ReusedExchangeExec    => Nil
+      case _: ReusedSubqueryExec    => Nil
       case other                    => other.children
     }
     own + children.map(scanTimeMs).sum

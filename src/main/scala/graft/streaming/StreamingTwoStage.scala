@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.{BuzzException, BuzzQuery}
 import graft.plans.BuzzEngine
-import graft.sources.SplittableCatalog
+import graft.sources.{FsUtil, SplittableCatalog}
 
 /** Pipelined (liveness) twin of the two-stage engine.
   *
@@ -43,6 +43,10 @@ object StreamingTwoStage {
     if (p.mapStep.partitionFilter.isDefined)
       throw new BuzzException.NotImplemented(
         "partition_filter on the streaming twin — prune via the batch engine")
+    if (p.catalog.partitionColumns.nonEmpty)
+      throw new BuzzException.NotImplemented(
+        "partitioned catalog on the streaming twin — the directory source " +
+          "reads data columns only; stream via the batch engine")
 
     // the streaming source is the catalog's directory: every selected file
     // must sit directly under one parent (the single-table landing-dir
@@ -51,6 +55,20 @@ object StreamingTwoStage {
     if (parents.length != 1)
       throw new BuzzException.NotImplemented(
         s"streaming twin needs a single source directory, got: ${parents.take(3).mkString(", ")}")
+    // the directory source consumes EVERY parquet file under the parent —
+    // a catalog declaring a strict subset would silently widen its input
+    val fs = FsUtil.fs(spark, parents.head)
+    def qualified(k: String): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(k)).toString
+    val onDisk = FsUtil.listStatus(spark, parents.head)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => qualified(st.getPath.toString)).toSet
+    val declared = p.files.map(f => qualified(f.key)).toSet
+    if (onDisk != declared)
+      throw new BuzzException.NotImplemented(
+        "streaming twin needs the catalog to cover the source directory " +
+          s"exactly (directory has ${onDisk.size} parquet files, catalog " +
+          s"declares ${declared.size})")
 
     val source = spark.readStream
       .schema(p.catalog.schema)

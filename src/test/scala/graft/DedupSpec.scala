@@ -68,6 +68,11 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashBlockCount(3, 1000L) == 4)
     val b9 = Dedup.simhashBlockCount(3, 1_000_000_000L)
     assert(b9 > 4 && b9 <= 10, s"10⁹ docs should select multi-block banding, got $b9")
+    // maxHamming = 0 (exact-signature dedup) must terminate with one
+    // full-width key, and every admissible maxHamming must terminate
+    assert(Dedup.simhashBlockCount(0, 1_000_000L) == 1)
+    for (k <- 1 to 63; n <- Seq(100L, 1_000_000_000L))
+      assert(Dedup.simhashBlockCount(k, n) > k)
   }
 
   test("ngram jaccard within block finds the planted pair with its score") {

@@ -52,6 +52,11 @@ class ServerSpec extends AnyFunSuite {
       assert(bad == 400, badBody)
       assert(badBody.contains("error"))
 
+      // syntactically invalid JSON is ALSO a client error, not a 500
+      val (unparseable, upBody) = request(s"$base/query", "POST", Some("not json at all"))
+      assert(unparseable == 400, upBody)
+      assert(upBody.contains("invalid JSON"))
+
       // wrong method
       assert(request(s"$base/query", "GET", None)._1 == 405)
     } finally server.stop(0)

@@ -71,4 +71,19 @@ class StreamingTwoStageSpec extends AnyFunSuite {
       StreamingTwoStage.run(spark, Map("nation_src" -> cat), filtered, (_, _) => ())
     }
   }
+
+  test("streaming twin rejects a catalog covering only part of the source directory") {
+    // the directory source would consume EVERY file under the parent; a
+    // subset catalog must be rejected instead of silently widening its input
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2s_sub").toString
+    Tables.load(spark, TestSpark.sf, "nation")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val all = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(all.length == 2)
+    val subset = StaticCatalog.overLocalFiles(spark, "nation_src", Seq(all.head))
+    intercept[BuzzException.NotImplemented] {
+      StreamingTwoStage.run(spark, Map("nation_src" -> subset), twoStage, (_, _) => ())
+    }
+  }
 }
