@@ -301,6 +301,9 @@ object SparkEntry {
       EventOps.funnelCounts(
         t(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
+    // cohort retention matrix: users by first-activity day × return offset
+    "events_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
     // bounded range join: errors counted against same-user clicks within
     // ±5 minutes, via window-width binning (bin ±1 equi-join), never a
     // per-key cross product
@@ -364,6 +367,14 @@ object SparkEntry {
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nCentroids = 16, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+    // all-pairs kNN self-join (embedding-cluster/neighborhood primitive);
+    // nProbe == nCentroids ⇒ exhaustive ⇒ oracled against brute force
+    "ann_knn_join" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -488,6 +499,9 @@ object SparkEntry {
       Curation.cleanCorpus(docs, "doc_id", "text", docs.filter(col("doc_id") % 97 === 0))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),
+    // quality-biased data-mixing weights per source domain
+    "curate_mix" -> ((s, dir) =>
+      Curation.mixingWeights(t(s, dir, "documents"), "doc_id", "text", "source")),
 
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) => {
@@ -627,6 +641,14 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS users FROM v
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - cohort AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_range" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
@@ -870,6 +892,16 @@ object SparkEntry {
         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+    "ann_knn_join" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings c, embeddings q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_c,
@@ -994,5 +1026,20 @@ object SparkEntry {
         |LEFT JOIN hits USING (doc_id)
         |WHERE q.quality >= 0.5 AND COALESCE(hits.nh, 0) = 0
         |GROUP BY 1""".stripMargin,
+    "curate_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                       / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
+        |            THEN 1.0 ELSE 0.3 END), 6) AS quality
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |        round(avg(quality), 4) AS avg_quality
+        |      FROM q GROUP BY 1),
+        |w AS (SELECT *, docs * power(avg_quality, 2.0) AS raw FROM g),
+        |t AS (SELECT sum(raw) AS t FROM w)
+        |SELECT source, docs, avg_quality, round(raw / t, 6) AS weight
+        |FROM w CROSS JOIN t""".stripMargin,
   )
 }

@@ -239,4 +239,34 @@ object Curation {
       .join(qualityPass, Seq(idCol), "left_semi")
       .join(cleanPass, Seq(idCol), "left_semi")
   }
+
+  /** Data-mixing weights per corpus group (source/domain): each group's
+    * sampling weight ∝ docs · avg_quality^alpha — the static quality-biased
+    * mixing step of a training-data pipeline (upweight clean domains,
+    * without starving large ones). Quality is the SHARED composite score
+    * ([[TextAnalysis.qualityScore]]), so mixing and filtering agree on what
+    * "quality" means. Shape: one id-keyed join (payload-free), one grouped
+    * aggregate to group-cardinality rows, one single-row broadcast total —
+    * nothing corpus-sized crosses a second exchange. Returns
+    * (groupCol, docs, avg_quality, weight) with weights summing to 1. */
+  def mixingWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      alpha: Double = 2.0): DataFrame = {
+    val quality = TextAnalysis.qualityScore(df, idCol, textCol)
+    val grouped = df.select(col(idCol), col(groupCol))
+      .join(quality, idCol)
+      .groupBy(col(groupCol))
+      // avg rounded BEFORE the power/normalize arithmetic: downstream math
+      // then runs on identical doubles in any engine (oracle parity)
+      .agg(count(lit(1)).as("docs"), round(avg(col("quality")), 4).as("avg_quality"))
+    val raw = grouped.withColumn("raw", col("docs") * pow(col("avg_quality"), alpha))
+    val total = raw.agg(sum(col("raw")).as("t"))
+    raw.crossJoin(broadcast(total))
+      .select(
+        col(groupCol), col("docs"), col("avg_quality"),
+        round(col("raw") / col("t"), 6).as("weight"))
+  }
 }

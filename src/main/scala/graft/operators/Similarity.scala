@@ -154,4 +154,38 @@ object Similarity {
       .withColumn("sim", cosineSim(col("cv"), col("qv")))
     rankTopK(scored, k)
   }
+
+  /** All-pairs kNN self-join: every corpus vector's top-k cosine neighbors
+    * — the primitive under embedding-cluster dedup, semantic-neighborhood
+    * mining, and retrieval-index validation. Same IVF pruning as
+    * [[ivfTopK]], but the probe side is the corpus itself, so the
+    * bucket-to-bucket join SHUFFLES on the centroid bucket key instead of
+    * broadcasting (both sides are corpus-sized): per-bucket work is
+    * |bucket| × nProbe·|bucket|, never |corpus|². `nProbe == nCentroids`
+    * probes every bucket — exactly the brute-force answer (the correctness
+    * oracle); production sets nProbe ≪ nCentroids. Returns
+    * (query_id, rank, neighbor_id, sim). */
+  def knnJoin(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val init: Seq[Seq[Double]] = vecs
+      .orderBy(xxhash64(col("id")))
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+      .toSeq
+    val cents = trainCentroids(vecs, "v", init, kmeansIters)
+    val bucketed = vecs.select(
+      col("id").as("neighbor_id"), col("v").as("cv"),
+      nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
+    val probed = vecs.select(
+      col("id").as("query_id"), col("v").as("qv"),
+      explode(nearestCentroids(col("v"), cents, nProbe)).as("bucket"))
+    val scored = bucketed.join(probed, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineSim(col("cv"), col("qv")))
+    rankTopK(scored, k)
+  }
 }

@@ -144,6 +144,31 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Cohort retention: users grouped by their first-activity day (the
+    * cohort), counted on each later day-offset they return — the classic
+    * engagement matrix behind "day-N retention".
+    *
+    * Shape: distinct (user, day) activity first (one pre-aggregation that
+    * collapses the event stream to at most users × days rows), the per-user
+    * first day derived from THAT small relation, then an id-keyed join and
+    * one grouped count — the raw event table crosses exactly one exchange.
+    * Returns (cohort_day string, day_offset, users). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val active = events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    // per-user first day as a window min over the ALREADY-SMALL distinct
+    // relation: one shuffle on user, no self-join, active referenced once
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
+    active.withColumn("cohort", min(col("day")).over(byUser))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users")) // (user, day) is distinct ⇒ count = distinct users
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("users"))
+  }
+
   /** Bounded range join: for every left row, the COUNT of right rows of the
     * same key within ±`windowSeconds` — proximity enrichment (errors near
     * clicks, trades near quotes) without Spark's default plan for a time

@@ -211,4 +211,20 @@ class CurationSpec extends AnyFunSuite {
     // doc 4 dropped (exact dup of 1, not the min id); doc 3 dropped (contaminated)
     assert(kept == Set(1L, 2L))
   }
+
+  test("mixingWeights sum to 1 and favor the higher-quality group at equal size") {
+    val longDoc = Array.fill(60)("word").mkString(" ") // quality 1.0
+    val shortDoc = "tiny doc here"                     // length-penalized
+    val docs = (
+      (1 to 10).map(i => (i.toLong, longDoc, "clean")) ++
+      (11 to 20).map(i => (i.toLong, shortDoc, "noisy"))
+    ).toDF("doc_id", "text", "source")
+    val w = Curation.mixingWeights(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("clean")._1 == 10L && w("noisy")._1 == 10L)
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-4, s"weights must normalize: $w")
+    assert(w("clean")._3 > w("noisy")._3,
+      s"equal-sized higher-quality group must get more weight: $w")
+    assert(w("noisy")._3 > 0.0, "no group is starved to zero")
+  }
 }

@@ -66,6 +66,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("view" -> 4L, "click" -> 3L, "purchase" -> 2L))
   }
 
+  test("cohortRetention groups users by first-activity day and counts returns") {
+    def day(d: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: cohort day 1, returns day 2 and day 4 (two events day 2 —
+      // must count once)
+      (1L, day(1)), (1L, day(2)), (1L, day(2, 18)), (1L, day(4)),
+      // user 2: cohort day 1, never returns
+      (2L, day(1)),
+      // user 3: cohort day 2, returns day 3
+      (3L, day(2)), (3L, day(3)))
+      .toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 3L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
   test("rangeJoinCount counts same-key rows within the window, including bin edges") {
     def tsSec(s: Long) = new Timestamp(1700000000000L + s * 1000L)
     val left = Seq(

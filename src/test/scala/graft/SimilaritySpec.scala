@@ -51,6 +51,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("knnJoin at exhaustive probe equals per-query brute force; self excluded") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(100)
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(knn.map(_._1).toSet == ids, "every vector must get neighbors")
+    assert(knn.forall { case (q, _, n) => q != n }, "self-match must be excluded")
+    // spot-check one query against brute force
+    val q0 = emb.filter($"vec_id" === knn.head._1)
+    val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q0, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val mine = knn.filter(_._1 == knn.head._1).map(t => (t._2, t._3)).toSet
+    assert(mine == brute, s"knnJoin != brute force for query ${knn.head._1}")
+  }
+
   test("ivf scans fewer pairs than brute force (bucketing effective)") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val n = emb.count()
