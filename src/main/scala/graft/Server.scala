@@ -53,7 +53,13 @@ object Server {
       } else {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         try {
-          val rows = engine.runJson(spark, body).toJSON.collect()
+          // each request gets a CLONED session (own temp-view catalog and
+          // conf over the shared context): BuzzEngine.run registers views
+          // under the query's own step names, so two concurrent queries in
+          // ONE session would race between register and drop
+          val session = spark.newSession()
+          graft.functions.GraftFunctions.registerAll(session)
+          val rows = engine.runJson(session, body).toJSON.collect()
           respond(ex, 200, rows.mkString("[", ",", "]"))
         } catch {
           case e: BuzzException.BuzzError => respond(ex, 400, jsonError(e.getMessage))

@@ -238,6 +238,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("retention derives cohorts with a window over the distinct relation — no self-join") {
+    val df = SparkEntry.queries("events_retention")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join"),
+      s"cohort derivation must not self-join the activity relation:\n${plan.take(900)}")
+    assert(df.queryExecution.executedPlan.toString().contains("Window"),
+      "per-user first day should be a window min")
+  }
+
+  test("mixing weights normalize through a broadcast single-row total") {
+    val df = SparkEntry.queries("curate_mix")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the scalar total must broadcast, not shuffle:\n${plan.take(900)}")
+  }
+
+  test("kNN self-join meets on the centroid bucket key, never a cross product") {
+    val df = SparkEntry.queries("ann_knn_join")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"kNN join planned a cross product:\n${plan.take(900)}")
+    assert(plan.linesIterator.exists(l => l.contains("Join Inner") && l.contains("bucket")),
+      s"expected an equi-join keyed on the centroid bucket:\n${plan.take(900)}")
+    // the reduce is the bounded-heap aggregate, not a window rank
+    val exec = df.queryExecution.executedPlan.toString()
+    assert(exec.contains("ObjectHashAggregate") && !exec.contains("Window"),
+      s"top-k must fold into k-slot heaps map-side:\n${exec.take(600)}")
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()

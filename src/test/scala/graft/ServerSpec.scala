@@ -59,6 +59,18 @@ class ServerSpec extends AnyFunSuite {
 
       // wrong method
       assert(request(s"$base/query", "GET", None)._1 == 405)
+
+      // concurrent identical queries share step names — per-request session
+      // cloning must keep their temp views from racing
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence(Seq.fill(4)(Future(request(s"$base/query", "POST", Some(query))))),
+        120.seconds)
+      results.foreach { case (st, b) =>
+        assert(st == 200 && b == """[{"total":5}]""", s"concurrent run broke: $st $b")
+      }
     } finally server.stop(0)
   }
 }
