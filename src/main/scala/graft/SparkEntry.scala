@@ -296,6 +296,16 @@ object SparkEntry {
           date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_ts_s"))
     }),
 
+    // pivot: monthly revenue spread across order-status columns — the
+    // wide-table reshaping surface (Spark pivot with an EXPLICIT value list,
+    // so no extra distinct-values job runs and the schema is plannable)
+    "q19_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("month"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))),
+
     // ordered funnel: users progressing view → click → purchase in order
     "events_funnel" -> ((s, dir) =>
       EventOps.funnelCounts(
@@ -345,6 +355,17 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
       Dedup.embeddingPairs(emb.unionAll(planted), "vec_id", "embedding", dim = 64)
+    }),
+    // semantic dedup end-to-end: embedding near-dup pairs → connected
+    // components → one canonical keeper per semantic cluster (the
+    // embedding-space analog of dedup_clusters' shingle pipeline)
+    "dedup_semantic_clusters" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.connectedComponents(
+        Dedup.embeddingPairs(emb.unionAll(planted), "vec_id", "embedding", dim = 64))
     }),
 
     // ---- similarity search ----
@@ -641,6 +662,13 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS users FROM v
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "q19_pivot" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
@@ -707,6 +735,29 @@ object SparkEntry {
         |FROM aug a, aug b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE
+        |aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM aug a, aug b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |s AS (
