@@ -95,6 +95,13 @@ object ScaleProbe {
       }
       report("clusters_seconds", scale, n, clSecs)
 
+      // kNN self-join at the PRODUCTION probe setting (nProbe << nCentroids)
+      val (knnRows, knnSecs) = timed {
+        graft.operators.Similarity.knnJoin(e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3, nCentroids = 16, nProbe = 4).count()
+      }
+      report("knn_join_rows", scale, knnRows, knnSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }
