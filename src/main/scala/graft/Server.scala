@@ -27,7 +27,18 @@ import graft.plans.BuzzEngine
   */
 object Server {
 
-  def start(spark: SparkSession, port: Int): HttpServer = {
+  /** Start serving on `port` (0 = ephemeral). Each request executes in a
+    * CLONE of `spark` (own temp-view catalog + runtime conf over the shared
+    * context), so concurrent queries cannot race on the engine's step-named
+    * views — which also means runtime session state a caller set AFTER
+    * building `spark` (conf.set, temp views, extra UDFs) is NOT visible to
+    * queries unless re-applied via `sessionInit`, which runs once per
+    * request on the fresh clone (default: register the graft SQL kernels).
+    * Builder-time configs survive through the shared context. */
+  def start(
+      spark: SparkSession,
+      port: Int,
+      sessionInit: SparkSession => Unit = graft.functions.GraftFunctions.registerAll): HttpServer = {
     val engine = new BuzzEngine(Map.empty)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -58,7 +69,7 @@ object Server {
           // under the query's own step names, so two concurrent queries in
           // ONE session would race between register and drop
           val session = spark.newSession()
-          graft.functions.GraftFunctions.registerAll(session)
+          sessionInit(session)
           val rows = engine.runJson(session, body).toJSON.collect()
           respond(ex, 200, rows.mkString("[", ",", "]"))
         } catch {

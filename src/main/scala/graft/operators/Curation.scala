@@ -244,20 +244,23 @@ object Curation {
     * sampling weight ∝ docs · avg_quality^alpha — the static quality-biased
     * mixing step of a training-data pipeline (upweight clean domains,
     * without starving large ones). Quality is the SHARED composite score
-    * ([[TextAnalysis.qualityScore]]), so mixing and filtering agree on what
-    * "quality" means. Shape: one id-keyed join (payload-free), one grouped
-    * aggregate to group-cardinality rows, one single-row broadcast total —
-    * nothing corpus-sized crosses a second exchange. Returns
-    * (groupCol, docs, avg_quality, weight) with weights summing to 1. */
+    * ([[TextAnalysis.qualityScoreExpr]]), so mixing and filtering agree on
+    * what "quality" means. Shape: one narrow projection (group + score off
+    * the same row), one grouped aggregate to group-cardinality rows, one
+    * single-row broadcast total — the corpus crosses exactly one exchange.
+    * Returns (groupCol, docs, avg_quality, weight) with weights summing
+    * to 1. */
   def mixingWeights(
       df: DataFrame,
       idCol: String,
       textCol: String,
       groupCol: String,
       alpha: Double = 2.0): DataFrame = {
-    val quality = TextAnalysis.qualityScore(df, idCol, textCol)
-    val grouped = df.select(col(idCol), col(groupCol))
-      .join(quality, idCol)
+    // score computed IN the same projection as the group column — an
+    // id-join back to qualityScore's output would shuffle two
+    // corpus-cardinality relations just to reattach a derivable column
+    val grouped = df
+      .select(col(groupCol), TextAnalysis.qualityScoreExpr(col(textCol)).as("quality"))
       .groupBy(col(groupCol))
       // avg rounded BEFORE the power/normalize arithmetic: downstream math
       // then runs on identical doubles in any engine (oracle parity)

@@ -126,14 +126,14 @@ object Similarity {
     * corpus vector lives in one bucket) — which is how the correctness
     * gate oracles this operator; centroid quality only affects recall at
     * nProbe < nCentroids. */
-  def ivfTopK(
+  /** Build the IVF index once: projected+persisted (id, v) corpus frame,
+    * trained centroid set, and the bucket-assigned corpus. One persisted
+    * frame feeds the init sample, every Lloyd iteration, and the final
+    * bucket assignment — the parquet scan and column decode run once, not
+    * 3 + kmeansIters times. Shared by [[ivfTopK]] and [[knnJoin]]. */
+  private def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 2): DataFrame = {
-    // one projected+persisted corpus frame feeds the init sample, every
-    // Lloyd iteration, and the final bucket assignment — the parquet scan
-    // and column decode run once, not 3 + kmeansIters times
+      nCentroids: Int, kmeansIters: Int): (DataFrame, Seq[Seq[Double]], DataFrame) = {
     val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
     val init: Seq[Seq[Double]] = vecs
       .orderBy(xxhash64(col("id")))
@@ -142,10 +142,18 @@ object Similarity {
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
       .toSeq
     val cents = trainCentroids(vecs, "v", init, kmeansIters)
-
     val bucketed = vecs.select(
       col("id").as("neighbor_id"), col("v").as("cv"),
       nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
+    (vecs, cents, bucketed)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    val (_, cents, bucketed) = buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters)
     val probed = queries.select(
       col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       explode(nearestCentroids(col(qVecCol), cents, nProbe)).as("bucket"))
@@ -169,17 +177,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 2): DataFrame = {
-    val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
-    val init: Seq[Seq[Double]] = vecs
-      .orderBy(xxhash64(col("id")))
-      .limit(nCentroids)
-      .collect()
-      .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
-      .toSeq
-    val cents = trainCentroids(vecs, "v", init, kmeansIters)
-    val bucketed = vecs.select(
-      col("id").as("neighbor_id"), col("v").as("cv"),
-      nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
+    val (vecs, cents, bucketed) = buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters)
     val probed = vecs.select(
       col("id").as("query_id"), col("v").as("qv"),
       explode(nearestCentroids(col("v"), cents, nProbe)).as("bucket"))

@@ -45,6 +45,17 @@ object TextAnalysis {
     round(lenScore * wordLenOk, 6)
   }
 
+  /** The composite quality score straight from a text column — for callers
+    * that need the score ALONGSIDE other columns of the same row in one
+    * narrow projection (no id-join back to [[qualityScore]]'s output).
+    * Feature construction matches [[qualityFeatures]] exactly, including
+    * the 6-dp rounding of avg word length before thresholding. */
+  private[graft] def qualityScoreExpr(text: Column): Column = {
+    val nWords = size(split(text, " "))
+    val charsNoSpace = length(regexp_replace(text, " ", ""))
+    qualityScoreCol(nWords, round(charsNoSpace.cast("double") / nWords, 6))
+  }
+
   /** Composite quality score in [0,1] from the features (simple clipped
     * heuristic: long-enough docs with normal word length score high). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =

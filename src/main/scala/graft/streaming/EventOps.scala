@@ -159,7 +159,7 @@ object EventOps {
       .distinct()
     // per-user first day as a window min over the ALREADY-SMALL distinct
     // relation: one shuffle on user, no self-join, active referenced once
-    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
+    val byUser = Window.partitionBy(col("user"))
     active.withColumn("cohort", min(col("day")).over(byUser))
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("users")) // (user, day) is distinct ⇒ count = distinct users

@@ -247,11 +247,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-user first day should be a window min")
   }
 
-  test("mixing weights normalize through a broadcast single-row total") {
+  test("mixing weights: one corpus pass, scalar total via nested-loop broadcast") {
     val df = SparkEntry.queries("curate_mix")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"the scalar total must broadcast, not shuffle:\n${plan.take(900)}")
+    // the ONLY join is the single-row total attach — specifically a
+    // BroadcastNestedLoopJoin (cross join of a broadcast 1-row side); any
+    // other join means the corpus was re-joined to reattach its own columns
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the scalar total must attach via nested-loop broadcast:\n${plan.take(900)}")
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"expected exactly the total-attach join, got $joins:\n${plan.take(900)}")
   }
 
   test("kNN self-join meets on the centroid bucket key, never a cross product") {
