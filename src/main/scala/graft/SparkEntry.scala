@@ -426,6 +426,9 @@ object SparkEntry {
     // duplicated-substring coverage (exact-substring dedup signal)
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-health Zipf slope (ln freq ~ ln rank over the vocabulary)
+    "text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -529,6 +532,13 @@ object SparkEntry {
       Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
         .select(col("media_id"), col("modality"), col("meta_format"), col("meta_bytes"))
     }),
+    // byte-exact dedup over OPAQUE binary payloads: Dedup.exact's md5-group
+    // shape works unchanged on a binary column (the image/audio/video dedup
+    // first pass — no decode needed, so it runs at wire speed)
+    "multimodal_dedup" -> ((s, dir) =>
+      Dedup.exact(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"),
+        "media_id", "payload")),
     "multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
           Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -697,6 +707,16 @@ object SparkEntry {
         |FROM g GROUP BY user_id""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n FROM documents GROUP BY 1",
+    "multimodal_dedup" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n FROM documents GROUP BY 1",
+    "text_zipf" ->
+      """WITH c AS (SELECT tk, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) x
+        |  GROUP BY 1),
+        |r AS (SELECT tk, c, row_number() OVER (ORDER BY c DESC, tk) AS rank FROM c)
+        |SELECT round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+        |  CAST(count(*) AS BIGINT) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM r""".stripMargin,
     "dedup_minhash" ->
       """WITH s AS (
         |  SELECT doc_id,

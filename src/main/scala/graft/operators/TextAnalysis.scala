@@ -182,4 +182,22 @@ object TextAnalysis {
   /** Winnowing rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, window: Int = 16): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol), window).as("fingerprint"))
+
+  /** Corpus-health Zipf check: the slope of ln(frequency) against ln(rank)
+    * over the token vocabulary. Natural corpora run near −1; synthetic,
+    * template-heavy, or truncated-vocabulary data drifts visibly — a cheap
+    * one-number drift detector for an ingestion pipeline. The rank window
+    * sorts only the VOCABULARY-sized count relation (the corpus itself
+    * crosses one count-aggregate exchange); the regression is a single
+    * scalar aggregate. Returns one row (zipf_slope, vocab, n_tokens). */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val byFreq = Window.orderBy(col("c").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(byFreq))
+      .agg(
+        round(regr_slope(log(col("c")), log(col("rank"))), 4).as("zipf_slope"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"))
+  }
 }

@@ -125,4 +125,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("zipfSlope is negative on skewed corpora and totals check out") {
+    // frequencies 8,4,2,1 over ranks 1..4 — a clean power-law decay
+    val docs = Seq((1L, Array.fill(8)("alpha").mkString(" ") + " " +
+      Array.fill(4)("beta").mkString(" ") + " " +
+      Array.fill(2)("gamma").mkString(" ") + " delta"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(docs, "text").collect()(0)
+    assert(r.getDouble(0) < -1.0, s"power-law corpus should slope below -1: $r")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 15L)
+  }
 }
