@@ -114,6 +114,65 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 12)
   }
 
+  test("cohortRetention == brute-force cohort/offset counting (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(day: Long, off: Long) = new Timestamp(1700000000000L + (day * 86400L + off) * 1000L)
+    val genEvents = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 9L), Gen.choose(0L, 86399L)))
+    check(Prop.forAll(genEvents) { (evs: List[(Long, Long, Long)]) =>
+      val df = evs.map { case (u, d, s) => (u, ts(d, s)) }.toDF("user_id", "ts")
+      val out = EventOps.cohortRetention(df, "user_id", "ts")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // reference: the TRUE UTC epoch-day per event (the fixture base is
+      // NOT midnight-aligned, so a generated "day" can span two UTC dates)
+      val days = evs
+        .map { case (u, d, s) => (u, (1700000000L + d * 86400L + s) / 86400L) }
+        .distinct
+      val first = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val ref = days
+        .groupBy { case (u, day) => (first(u), day - first(u)) }
+        .map { case ((c, off), us) =>
+          (java.time.LocalDate.ofEpochDay(c).toString, off) -> us.length.toLong
+        }
+      out == ref
+    }, minTests = 12)
+  }
+
+  test("knnJoin at exhaustive probe == brute-force top-k for every query (randomized)") {
+    import graft.operators.Similarity
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 12 + rnd.nextInt(20)
+      val dim = 8
+      val vecs = (0L until n.toLong).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val k = 1 + rnd.nextInt(4)
+      val out = Similarity.knnJoin(df, "vec_id", "embedding", k,
+          nCentroids = 4, nProbe = 4, kmeansIters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.lazyZip(b).map((x, y) => x.toDouble * y.toDouble).sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      val ref = (for {
+        (qid, qv) <- vecs
+        ranked = vecs.filter(_._1 != qid)
+          .map { case (nid, nv) => (nid, cos(qv, nv)) }
+          .sortBy { case (nid, s) => (-s, nid) }
+          .take(k).zipWithIndex
+        ((nid, _), i) <- ranked
+      } yield (qid, (i + 1).toLong, nid)).toSet
+      assert(out == ref, s"n=$n k=$k: ${out.diff(ref)} / ${ref.diff(out)}")
+    }
+  }
+
   test("partition pruning == filtering the file list directly") {
     val genN = Gen.choose(0, 12)
     val genCut = Gen.choose(0, 12)
