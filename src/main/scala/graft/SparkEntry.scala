@@ -526,6 +526,16 @@ object SparkEntry {
     // quality-biased data-mixing weights per source domain
     "curate_mix" -> ((s, dir) =>
       Curation.mixingWeights(t(s, dir, "documents"), "doc_id", "text", "source")),
+    // pairwise near-dup hits → clusters → deduplicated corpus: keep each
+    // cluster's canonical keeper plus all unpaired docs
+    "curate_dedup_near" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select("id_a", "id_b")
+      Curation.dropNearDuplicates(docs, "doc_id", pairs)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    }),
 
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) => {
@@ -1096,6 +1106,36 @@ object SparkEntry {
         |JOIN q USING (doc_id)
         |LEFT JOIN hits USING (doc_id)
         |WHERE q.quality >= 0.5 AND COALESCE(hits.nh, 0) = 0
+        |GROUP BY 1""".stripMargin,
+    "curate_dedup_near" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
+        |WHERE labels.id IS NULL OR labels.comp = d.doc_id
         |GROUP BY 1""".stripMargin,
     "curate_mix" ->
       """WITH q AS (

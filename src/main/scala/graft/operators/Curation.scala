@@ -240,6 +240,24 @@ object Curation {
       .join(cleanPass, Seq(idCol), "left_semi")
   }
 
+  /** Remove near-duplicates given a duplicate-pair list (from any detector:
+    * minhash / simhash / n-gram / embedding LSH): resolve pairs to clusters
+    * ([[Dedup.connectedComponents]]), keep each cluster's canonical keeper
+    * (the minimum reachable id) plus every unpaired document — the step
+    * that turns pairwise hits into a deduplicated corpus.
+    *
+    * The label relation is PAIR-ENDPOINT-sized (dup-cluster members only),
+    * orders of magnitude smaller than the corpus, so the left join
+    * broadcasts at scale; the corpus payload crosses no exchange. Returns
+    * the surviving rows of `df` unchanged. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    df.join(labels, Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Data-mixing weights per corpus group (source/domain): each group's
     * sampling weight ∝ docs · avg_quality^alpha — the static quality-biased
     * mixing step of a training-data pipeline (upweight clean domains,

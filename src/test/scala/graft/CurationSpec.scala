@@ -212,6 +212,20 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("dropNearDuplicates keeps cluster keepers and unpaired docs") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e"))
+      .toDF("doc_id", "text")
+    // clusters {1,2,3} (chained) and {4,9}; keepers 1 and 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 9L)).toDF("id_a", "id_b")
+    val kept = Curation.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // no pairs at all → everything survives
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Curation.dropNearDuplicates(docs, "doc_id", none).count() == 5)
+  }
+
   test("mixingWeights sum to 1 and favor the higher-quality group at equal size") {
     val longDoc = Array.fill(60)("word").mkString(" ") // quality 1.0
     val shortDoc = "tiny doc here"                     // length-penalized
