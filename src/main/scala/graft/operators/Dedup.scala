@@ -297,10 +297,15 @@ object Dedup {
         .agg(
           min(col("comp")).as("comp"),
           min(when(col("own"), col("comp"))).as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // an equal round plan may already be cached by another query over the
+      // same pair lineage (e.g. cluster resolution + corpus-level removal
+      // in one session) — reuse it WITHOUT taking ownership, so this run
+      // never unpersists a relation the other query still serves from
+      val alreadyCached = next.storageLevel != StorageLevel.NONE
+      if (!alreadyCached) next.persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.filter(col("comp") < col("prev")).count()
       prevPersisted.foreach(_.unpersist(blocking = false)) // next is materialized
-      prevPersisted = Some(next)
+      prevPersisted = if (alreadyCached) None else Some(next)
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
