@@ -532,7 +532,6 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
-        .select("id_a", "id_b")
       Curation.dropNearDuplicates(docs, "doc_id", pairs)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),

@@ -242,20 +242,31 @@ object Curation {
 
   /** Remove near-duplicates given a duplicate-pair list (from any detector:
     * minhash / simhash / n-gram / embedding LSH): resolve pairs to clusters
-    * ([[Dedup.connectedComponents]]), keep each cluster's canonical keeper
-    * (the minimum reachable id) plus every unpaired document — the step
-    * that turns pairwise hits into a deduplicated corpus.
+    * ([[Dedup.connectedComponents]]), keep ONE canonical keeper per cluster
+    * (the minimum id among cluster members PRESENT in `df` — a detector may
+    * have run on a superset of `df`, so the globally-minimal member can be
+    * absent and must not take the whole cluster down with it) plus every
+    * unpaired document — the step that turns pairwise hits into a
+    * deduplicated corpus.
     *
-    * The label relation is PAIR-ENDPOINT-sized (dup-cluster members only),
-    * orders of magnitude smaller than the corpus, so the left join
-    * broadcasts at scale; the corpus payload crosses no exchange. Returns
-    * the surviving rows of `df` unchanged. */
+    * The label/keeper relations are PAIR-ENDPOINT-sized (dup-cluster
+    * members only), orders of magnitude smaller than the corpus, so the
+    * left join broadcasts at scale; the keeper derivation touches `df`
+    * only through a column-pruned id projection, and the corpus payload
+    * crosses no exchange. Returns the surviving rows of `df` unchanged.
+    * Internal columns are `__`-prefixed, so any `comp`/`id` column in `df`
+    * is untouched. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val labels = Dedup.connectedComponents(pairs)
-      .select(col("id").as(idCol), col("comp"))
-    df.join(labels, Seq(idCol), "left")
-      .filter(col("comp").isNull || col("comp") === col(idCol))
-      .drop("comp")
+      .select(col("id").as("__ndd_id"), col("comp").as("__ndd_comp"))
+    val present = df.select(col(idCol).as("__ndd_id")).join(labels, "__ndd_id")
+    val keepers = present.groupBy(col("__ndd_comp"))
+      .agg(min(col("__ndd_id")).as("__ndd_keeper"))
+    val assigned = present.join(keepers, "__ndd_comp")
+      .select(col("__ndd_id").as(idCol), col("__ndd_keeper"))
+    df.join(assigned, Seq(idCol), "left")
+      .filter(col("__ndd_keeper").isNull || col("__ndd_keeper") === col(idCol))
+      .drop("__ndd_keeper")
   }
 
   /** Data-mixing weights per corpus group (source/domain): each group's

@@ -224,6 +224,13 @@ class CurationSpec extends AnyFunSuite {
     // no pairs at all → everything survives
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Curation.dropNearDuplicates(docs, "doc_id", none).count() == 5)
+    // pairs computed on a SUPERSET of df: cluster {1,2,3}'s global keeper 1
+    // is absent from the subset — the present-member keeper (2) must
+    // survive instead of the cluster vanishing
+    val subset = docs.filter($"doc_id" =!= 1L)
+    val keptSub = Curation.dropNearDuplicates(subset, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSub == Set(2L, 4L), s"got $keptSub")
   }
 
   test("mixingWeights sum to 1 and favor the higher-quality group at equal size") {
