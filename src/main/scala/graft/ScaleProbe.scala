@@ -95,10 +95,12 @@ object ScaleProbe {
       }
       report("clusters_seconds", scale, n, clSecs)
 
-      // kNN self-join at the PRODUCTION probe setting (nProbe << nCentroids)
+      // kNN self-join at the PRODUCTION setting: corpus-sized index
+      // (nlist ≈ √n) and the default √nlist probe — per-bucket work ≈ √n,
+      // so wall time should grow ~n^1.25, not the n² of a fixed nlist
       val (knnRows, knnSecs) = timed {
         graft.operators.Similarity.knnJoin(e.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", k = 3, nCentroids = 16, nProbe = 4).count()
+          "vec_id", "embedding", k = 3).count()
       }
       report("knn_join_rows", scale, knnRows, knnSecs)
 

@@ -380,22 +380,23 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings")
-      // nProbe == nCentroids probes every bucket, so the result must equal
+      // nCentroids = 0 auto-sizes the index to the corpus (nlist ≈ √n);
+      // nProbe = MaxValue probes every bucket, so the result must equal
       // brute force exactly — that equivalence IS the oracle for the IVF
-      // plumbing (bucketing, probing, bucket-join, top-k reduce). Production
-      // use sets nProbe << nCentroids for the approximate speedup.
+      // plumbing (corpus sizing, bucketing, probing, bucket-join, top-k
+      // reduce). Production use sets nProbe << nCentroids for the speedup.
       Similarity.ivfTopK(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 16)
+          k = 5, nCentroids = 0, nProbe = Int.MaxValue)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
     // all-pairs kNN self-join (embedding-cluster/neighborhood primitive);
-    // nProbe == nCentroids ⇒ exhaustive ⇒ oracled against brute force
+    // corpus-sized index, nProbe ≥ nlist ⇒ exhaustive ⇒ oracled vs brute force
     "ann_knn_join" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, nCentroids = 16, nProbe = 16)
+          k = 3, nCentroids = 0, nProbe = Int.MaxValue)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 

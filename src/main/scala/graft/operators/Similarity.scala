@@ -54,6 +54,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Centroid count for a corpus of `n` vectors: the classic IVF sizing
+    * `nlist ≈ √n`, which keeps bucket size ≈ √n so the bucket-to-bucket
+    * join in [[knnJoin]] does ~n^1.5·nProbe/nlist work instead of the
+    * n²·nProbe/nlist a FIXED nlist degrades to as the corpus grows.
+    * Floor of 16 (below that the index is pointless), cap of 2^17 — the
+    * centroid set is broadcast to every task and its per-iteration mean
+    * cells are assembled driver-side, so nlist·dim must stay comfortably
+    * in one JVM (2^17 × dim=1024 doubles ≈ 1 GiB; beyond ~10^10 vectors
+    * use a two-level coarse quantizer, which this layout composes with:
+    * the bucket key simply becomes the second-level centroid id). */
+  def ivfCentroidCount(n: Long): Int = {
+    val root = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
+    math.max(16L, math.min(root, 1L << 17)).min(math.max(n, 1L)).toInt
+  }
+
+  /** Default probe width for an auto-sized index: the √nlist rule — recall
+    * grows steeply in the first few probed buckets, and probing √nlist of
+    * √n buckets touches ~n^0.25 of the corpus per query. */
+  def ivfProbeCount(nCentroids: Int): Int =
+    math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+
   /** Distributed Lloyd iterations refining an initial centroid set: assign
     * every vector to its nearest centroid (one narrow pass with the fused
     * [[graft.functions.NearestCentroids]] kernel), then recompute each
@@ -120,8 +141,11 @@ object Similarity {
     * their nearest of `nCentroids` centroids; each query probes its
     * `nProbe` nearest centroid buckets only. Centroids start as a
     * deterministic hash-ordered sample of the corpus and are refined with
-    * `kmeansIters` distributed Lloyd iterations ([[trainCentroids]]).
-    * With `nProbe == nCentroids` every bucket is probed and the result is
+    * `kmeansIters` distributed Lloyd iterations ([[trainCentroids]]) over a
+    * bounded training sample. `nCentroids <= 0` (the default) sizes the
+    * index to the corpus — `nlist ≈ √n` — so bucket size stays ≈ √n as the
+    * corpus grows instead of n/16; `nProbe <= 0` probes √nlist buckets.
+    * With `nProbe >= nCentroids` every bucket is probed and the result is
     * EXACTLY the brute-force answer regardless of centroid quality (each
     * corpus vector lives in one bucket) — which is how the correctness
     * gate oracles this operator; centroid quality only affects recall at
@@ -130,33 +154,65 @@ object Similarity {
     * trained centroid set, and the bucket-assigned corpus. One persisted
     * frame feeds the init sample, every Lloyd iteration, and the final
     * bucket assignment — the parquet scan and column decode run once, not
-    * 3 + kmeansIters times. Shared by [[ivfTopK]] and [[knnJoin]]. */
+    * 3 + kmeansIters times. Shared by [[ivfTopK]] and [[knnJoin]].
+    *
+    * `nCentroids <= 0` sizes the index to the corpus ([[ivfCentroidCount]],
+    * count taken from `corpusSizeHint` or a count of the already-persisted
+    * frame). Lloyd training runs over a deterministic hash sample of
+    * ~[[trainPointsPerCentroid]] vectors per centroid (the standard k-means
+    * training budget), NOT the full corpus — training cost is then
+    * O(sample·nlist·dim) per iteration independent of corpus size, while
+    * the one full-corpus pass left is the final bucket assignment. */
   private def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, kmeansIters: Int): (DataFrame, Seq[Seq[Double]], DataFrame) = {
+      nCentroids: Int, kmeansIters: Int,
+      corpusSizeHint: Option[Long]): (DataFrame, Seq[Seq[Double]], DataFrame, Int) = {
     val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
-    val init: Seq[Seq[Double]] = vecs
+    val n = corpusSizeHint.getOrElse(vecs.count())
+    val nlist = if (nCentroids > 0) nCentroids else ivfCentroidCount(n)
+    // deterministic hash-threshold sample (narrow, no shuffle, no global
+    // limit funnel): keep ids whose hash falls under sampleTarget/n of the
+    // 64-bit space; every run and every retry selects the same rows
+    val sampleTarget = trainPointsPerCentroid.toLong * nlist
+    val train =
+      if (n <= sampleTarget) vecs
+      else vecs.filter(
+        abs(xxhash64(col("id"))) <= (sampleTarget.toDouble / n * Long.MaxValue).toLong)
+    val init: Seq[Seq[Double]] = train
       .orderBy(xxhash64(col("id")))
-      .limit(nCentroids)
+      .limit(nlist)
       .collect()
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
       .toSeq
-    val cents = trainCentroids(vecs, "v", init, kmeansIters)
+    val cents = trainCentroids(train, "v", init, kmeansIters)
     val bucketed = vecs.select(
       col("id").as("neighbor_id"), col("v").as("cv"),
       nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
-    (vecs, cents, bucketed)
+    (vecs, cents, bucketed, cents.length)
   }
+
+  /** k-means training budget per centroid (faiss uses 256 by default). */
+  private val trainPointsPerCentroid = 256
+
+  /** `nProbe <= 0` → the [[ivfProbeCount]] default; values ≥ nlist clamp to
+    * probing every bucket — the exhaustive configuration whose result is
+    * exactly brute force (pass `Int.MaxValue` to request it explicitly
+    * without knowing the auto-sized nlist). */
+  private def resolveProbe(nProbe: Int, nlist: Int): Int =
+    if (nProbe <= 0) math.min(ivfProbeCount(nlist), nlist)
+    else math.min(nProbe, nlist)
 
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 2): DataFrame = {
-    val (_, cents, bucketed) = buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters)
+      k: Int, nCentroids: Int = 0, nProbe: Int = 0,
+      kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
+    val (_, cents, bucketed, nlist) =
+      buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters, corpusSizeHint)
+    val probe = resolveProbe(nProbe, nlist)
     val probed = queries.select(
       col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
-      explode(nearestCentroids(col(qVecCol), cents, nProbe)).as("bucket"))
+      explode(nearestCentroids(col(qVecCol), cents, probe)).as("bucket"))
     val scored = bucketed.join(broadcast(probed), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSim(col("cv"), col("qv")))
@@ -175,12 +231,13 @@ object Similarity {
     * (query_id, rank, neighbor_id, sim). */
   def knnJoin(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 2): DataFrame = {
-    val (vecs, cents, bucketed) = buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters)
+      k: Int, nCentroids: Int = 0, nProbe: Int = 0,
+      kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
+    val (vecs, cents, bucketed, nlist) =
+      buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters, corpusSizeHint)
     val probed = vecs.select(
       col("id").as("query_id"), col("v").as("qv"),
-      explode(nearestCentroids(col("v"), cents, nProbe)).as("bucket"))
+      explode(nearestCentroids(col("v"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
     val scored = bucketed.join(probed, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSim(col("cv"), col("qv")))

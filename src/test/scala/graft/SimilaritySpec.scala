@@ -68,6 +68,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mine == brute, s"knnJoin != brute force for query ${knn.head._1}")
   }
 
+  test("ivfCentroidCount follows the √n rule with floor and cap") {
+    assert(Similarity.ivfCentroidCount(1L) == 1)        // can't exceed corpus
+    assert(Similarity.ivfCentroidCount(100L) == 16)     // floor
+    assert(Similarity.ivfCentroidCount(1000000L) == 1000)
+    assert(Similarity.ivfCentroidCount(100000000L) == 10000)
+    assert(Similarity.ivfCentroidCount(Long.MaxValue) == (1 << 17)) // cap
+    // probe default: √nlist
+    assert(Similarity.ivfProbeCount(16) == 4)
+    assert(Similarity.ivfProbeCount(1000) == 32)
+  }
+
+  test("auto-sized index + exhaustive probe == brute force (the oracle path)") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(300)
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nCentroids=0 sizes nlist from the corpus count; Int.MaxValue clamps
+    // to probing every bucket, so the answer must be exactly brute force
+    val auto = Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 4, nCentroids = 0, nProbe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == brute)
+  }
+
+  test("corpusSizeHint skips the sizing count and still matches brute force") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(200)
+    val knnHint = Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 2, nProbe = Int.MaxValue, corpusSizeHint = Some(200L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val knnCount = Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 2, nProbe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(knnHint == knnCount)
+  }
+
   test("ivf scans fewer pairs than brute force (bucketing effective)") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val n = emb.count()
