@@ -306,6 +306,42 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .select(col("month"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))),
 
+    // GROUPING SETS: three grouping granularities in one aggregation pass
+    // (the generalization ROLLUP/CUBE are sugar for) — Spark 4's native
+    // Dataset.groupingSets, so Catalyst plans a single Expand + aggregate
+    "q20_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // lead/lag window: inter-event gap + next event type per user — one
+    // window shuffle on user_id serves both offset functions
+    "q21_lead_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    }),
+
+    // fixed-width histogram of the event value distribution: deterministic
+    // floor binning (not width_bucket — identical arithmetic in any engine),
+    // one partial-aggregated shuffle of bin-cardinality rows
+    "events_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))),
+
     // ordered funnel: users progressing view → click → purchase in order
     "events_funnel" -> ((s, dir) =>
       EventOps.funnelCounts(
@@ -430,6 +466,10 @@ object SparkEntry {
     // corpus-health Zipf slope (ln freq ~ ln rank over the vocabulary)
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
+    // character-distribution entropy (gibberish/boilerplate signal) — one
+    // narrow pass with the native kernel, no per-char row explosion
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.characterEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -477,6 +517,14 @@ object SparkEntry {
     "curate_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
+    // bloom-prefiltered decontamination: bit-identical output to the exact
+    // operator (the verify join removes bloom false positives), but the
+    // eval set travels as ~10 bloom bits/gram and the corpus gram stream is
+    // filtered map-side — the shape for eval suites too big to broadcast
+    "curate_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bloomDecontaminate(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
     }),
     // PII redaction over a deterministically-planted corpus (the synthetic
     // text has no natural PII; every 7th doc gets an email+ip+phone suffix
@@ -562,7 +610,12 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // the bloom-prefiltered path promises bit-identical output to the exact
+    // operator, so it shares that operator's oracle verbatim
+    oracleSqlBase + ("curate_bloom_decontaminate" -> oracleSqlBase("curate_decontaminate"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
@@ -689,6 +742,27 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q21_lead_lag" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "events_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    "text_entropy" ->
+      """SELECT doc_id, round(entropy(c), 4) AS char_entropy
+        |FROM (SELECT doc_id, unnest(split(text, '')) AS c
+        |      FROM documents WHERE length(text) > 0) x
+        |GROUP BY doc_id""".stripMargin,
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)

@@ -234,6 +234,71 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shannon entropy (base 2) of the character distribution of a string — the
+  * classic gibberish/boilerplate quality signal (very low entropy = repeated
+  * filler, very high = random bytes). One pass over the UTF-16 chars, no row
+  * explosion: the built-in alternative (explode chars → groupBy → agg)
+  * multiplies the row count by the text length, which is exactly what a
+  * 100 TB corpus pass cannot afford. Accumulation runs in sorted-char order,
+  * so the double result is deterministic; an external oracle computing
+  * −Σ p·log₂p over the same characters agrees to well past 4 decimals. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) 0.0
+    else {
+      val counts = new java.util.TreeMap[Char, Long]()
+      var i = 0
+      while (i < s.length) {
+        counts.merge(s.charAt(i), 1L, (a, b) => a + b)
+        i += 1
+      }
+      val n = s.length.toDouble
+      var acc = 0.0
+      counts.forEach { (_, c) =>
+        val p = c / n
+        acc -= p * (math.log(p) / math.log(2.0))
+      }
+      acc
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership probe against a pre-built Bloom filter sketch
+  * (`org.apache.spark.util.sketch.BloomFilter` bytes, as produced by
+  * `DataFrameStatFunctions.bloomFilter`): true if the string MIGHT be in the
+  * set, false if it definitely is not. The 100 TB decontamination pattern:
+  * an eval-suite n-gram set too large to broadcast as a hash relation
+  * (~50+ bytes/entry) still fits as ~10 bloom bits/entry, and the filter
+  * runs as a NARROW map pass over the corpus gram stream — only the ~fpp
+  * survivors reach the exact verification join. The sketch rides the
+  * expression (serialized once into the task closure) and is deserialized
+  * lazily once per executor instance, not per row. */
+case class BloomMightContain(
+    child: Expression,
+    bloomBytes: scala.collection.immutable.ArraySeq[Byte])
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.unsafeArray.asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two 64-bit hashes (for SimHash comparison). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression with graftshim.GraftExpectsInputTypes {
@@ -763,6 +828,7 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(s"window must be an int literal, got $other")
     }))
     ensure("lang_id")(es => LanguageId(es(0)))
+    ensure("char_entropy")(es => CharEntropy(es(0)))
     ensure("word_shingles")(es => WordShingles(es(0), es(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
@@ -791,6 +857,13 @@ object GraftFunctions {
   def rollingFingerprint(text: Column, window: Int): Column =
     call_function("rolling_fingerprint", text, org.apache.spark.sql.functions.lit(window))
   def langId(text: Column): Column = call_function("lang_id", text)
+  // direct construction (not call_function): usable without registerAll
+  def charEntropy(text: Column): Column =
+    GraftColumn.of(CharEntropy(GraftColumn.expr(text)))
+  def bloomMightContain(text: Column, bloomBytes: Array[Byte]): Column =
+    GraftColumn.of(BloomMightContain(
+      GraftColumn.expr(text),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
   def wordShinglesExpr(text: Column, n: Int): Column =
     GraftColumn.of(WordShingles(GraftColumn.expr(text), n))
   def wordNgramsAll(text: Column, n: Int): Column =

@@ -51,6 +51,54 @@ object Curation {
         (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination: same contract and EXACT same output
+    * as [[decontaminate]], built for the regime where the eval n-gram set is
+    * too large to broadcast as a hash relation. A Bloom filter over the eval
+    * grams (~10 bits/gram at the default fpp vs ~50+ bytes/gram hashed) is
+    * built once with `DataFrameStatFunctions.bloomFilter` — a bounded,
+    * sketch-sized driver collect — and applied as a NARROW map-side filter
+    * over the corpus gram stream; only the ~fpp false-positive survivors and
+    * the true hits reach the exact verification join, so the join input is
+    * hit-sized, not corpus-sized. False positives are eliminated by the
+    * verify join (bloom filters have no false negatives), which is why the
+    * output is bit-identical to the exact operator and shares its oracle.
+    *
+    * The verify join deliberately carries no broadcast hint: its left side
+    * is the tiny survivor stream, and at real scale the eval-gram relation
+    * may be exactly what could NOT be broadcast — AQE picks the strategy
+    * both sides can afford. Returns (idCol, n_eval_ngrams, contaminated). */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.GraftFunctions.bloomMightContain
+    val evalGrams = OpUtils.shared(
+      evalDocs
+        .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+        .distinct())
+    val bloom = evalGrams.stat.bloomFilter("sh", math.max(evalGrams.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val survivors = corpus
+      .select(col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .filter(bloomMightContain(col("sh"), bytes))
+    val hits = survivors.join(evalGrams, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("nh"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("nh"), lit(0L)).as("n_eval_ngrams"),
+        (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

@@ -179,6 +179,17 @@ object TextAnalysis {
   def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langId(col(textCol)).as("lang_pred"))
 
+  /** Character-distribution Shannon entropy per document — the classic
+    * gibberish/boilerplate signal (low = repeated filler, high = random
+    * noise). One narrow pass via the native [[graft.functions.CharEntropy]]
+    * kernel; the explode-chars alternative would multiply the row count by
+    * the text length. Rounded to 4 dp for cross-engine float parity.
+    * Empty documents are excluded (their entropy is undefined — an external
+    * aggregate over zero characters yields NULL, not 0). */
+  def characterEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), round(charEntropy(col(textCol)), 4).as("char_entropy"))
+
   /** Winnowing rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, window: Int = 16): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol), window).as("fingerprint"))

@@ -233,6 +233,19 @@ class CurationSpec extends AnyFunSuite {
     assert(keptSub == Set(2L, 4L), s"got $keptSub")
   }
 
+  test("bloomDecontaminate output is bit-identical to exact decontaminate") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(200)
+    val eval = docs.filter($"doc_id" % 9 === 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val exact = Curation.decontaminate(docs, eval, "doc_id", "text")
+      .collect().map(key).toSet
+    val bloom = Curation.bloomDecontaminate(docs, eval, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3), "test must exercise contaminated docs")
+    assert(exact.exists(!_._3), "test must exercise clean docs")
+  }
+
   test("mixingWeights sum to 1 and favor the higher-quality group at equal size") {
     val longDoc = Array.fill(60)("word").mkString(" ") // quality 1.0
     val shortDoc = "tiny doc here"                     // length-penalized

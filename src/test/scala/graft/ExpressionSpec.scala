@@ -128,6 +128,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  test("char_entropy matches -sum(p*log2 p); empty string is 0; SQL-callable") {
+    // "aabbc": p = {2/5, 2/5, 1/5} -> 1.5219... (matches DuckDB's entropy())
+    val r = spark.sql(
+      "SELECT char_entropy('aabbc') AS e, char_entropy('aaaa') AS z, char_entropy('') AS v")
+      .collect()(0)
+    val expect = {
+      val ps = Seq(2.0 / 5, 2.0 / 5, 1.0 / 5)
+      -ps.map(p => p * math.log(p) / math.log(2.0)).sum
+    }
+    assert(math.abs(r.getDouble(0) - expect) < 1e-12)
+    assert(r.getDouble(1) == 0.0) // single distinct char
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("char_entropy rejects non-string input at analysis time") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT char_entropy(42)").collect()
+    }
+    assert(ex.getMessage.contains("char_entropy") || ex.getMessage.contains("DATATYPE"))
+  }
+
+  test("bloom_might_contain: no false negatives, few false positives") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val members = (0 until 1000).map(i => s"member_$i")
+    val bf = BloomFilter.create(1000, 0.01)
+    members.foreach(bf.putString)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val probes = (members ++ (0 until 1000).map(i => s"other_$i")).toDF("s")
+    val hits = probes.filter(bloomMightContain($"s", bytes))
+      .collect().map(_.getString(0)).toSet
+    assert(members.forall(hits.contains), "bloom filters must have NO false negatives")
+    assert(hits.size < 1000 + 100, s"fpp blown: ${hits.size - 1000} false positives")
+  }
+
   test("sign sketch is deterministic and bucket count bounded") {
     val v = Seq.fill(64)(0.5f)
     val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
