@@ -67,5 +67,8 @@ private[operators] object OpUtils {
   * between pipeline runs to release them without touching caches the
   * application registered itself (unlike `spark.catalog.clearCache()`). */
 object PipelineCache {
-  def clear(): Unit = OpUtils.unpersistAll()
+  def clear(): Unit = {
+    OpUtils.unpersistAll()
+    Similarity.clearIndexCache()
+  }
 }

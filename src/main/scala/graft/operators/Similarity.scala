@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -168,23 +169,40 @@ object Similarity {
       nCentroids: Int, kmeansIters: Int,
       corpusSizeHint: Option[Long]): (DataFrame, Seq[Seq[Double]], DataFrame, Int) = {
     val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
-    val n = corpusSizeHint.getOrElse(vecs.count())
+    val planKey = vecs.queryExecution.analyzed.canonicalized
+    val n = corpusSizeHint.getOrElse(
+      countCache.computeIfAbsent(planKey, _ => vecs.count()).longValue())
     val nlist = if (nCentroids > 0) nCentroids else ivfCentroidCount(n)
-    // deterministic hash-threshold sample (narrow, no shuffle, no global
-    // limit funnel): keep ids whose hash falls under sampleTarget/n of the
-    // 64-bit space; every run and every retry selects the same rows
-    val sampleTarget = trainPointsPerCentroid.toLong * nlist
-    val train =
-      if (n <= sampleTarget) vecs
-      else vecs.filter(
-        abs(xxhash64(col("id"))) <= (sampleTarget.toDouble / n * Long.MaxValue).toLong)
-    val init: Seq[Seq[Double]] = train
-      .orderBy(xxhash64(col("id")))
-      .limit(nlist)
-      .collect()
-      .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
-      .toSeq
-    val cents = trainCentroids(train, "v", init, kmeansIters)
+    val cents = centroidCache.computeIfAbsent((planKey, nlist, kmeansIters), { _ =>
+      // deterministic hash-threshold sample (narrow, no shuffle, no global
+      // limit funnel): keep ids whose hash falls under sampleTarget/n of the
+      // 64-bit space; every run and every retry selects the same rows
+      val sampleTarget = trainPointsPerCentroid.toLong * nlist
+      val train =
+        if (n <= sampleTarget) vecs
+        else vecs.filter(
+          abs(xxhash64(col("id"))) <= (sampleTarget.toDouble / n * Long.MaxValue).toLong)
+      val dim = vecs.select(size(col("v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+      if (math.min(n, sampleTarget) * math.max(dim, 1) <= localTrainBudgetDoubles) {
+        // small-sample fast path: ONE narrow collect of (hash, v), then the
+        // init pick (hash-ordered prefix, same rule as the distributed
+        // orderBy/limit) and every Lloyd iteration run driver-side
+        val sample = train
+          .select(xxhash64(col("id")).as("h"), col("v"))
+          .collect()
+          .sortBy(_.getLong(0))
+          .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+        localLloyd(sample, sample.take(nlist).map(_.toSeq).toSeq, kmeansIters)
+      } else {
+        val init: Seq[Seq[Double]] = train
+          .orderBy(xxhash64(col("id")))
+          .limit(nlist)
+          .collect()
+          .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+          .toSeq
+        trainCentroids(train, "v", init, kmeansIters)
+      }
+    })
     val bucketed = vecs.select(
       col("id").as("neighbor_id"), col("v").as("cv"),
       nearestCentroids(col("v"), cents, 1).getItem(0).as("bucket"))
@@ -194,6 +212,82 @@ object Similarity {
   /** k-means training budget per centroid (faiss uses 256 by default). */
   private val trainPointsPerCentroid = 256
 
+  /** Size ceiling (in doubles) under which Lloyd training runs driver-side
+    * on the collected sample instead of as Spark jobs. The sample is already
+    * bounded to `trainPointsPerCentroid·nlist` vectors; when it also fits in
+    * ~16 MB the per-iteration job overhead (analysis + scheduling of an
+    * assign/avg round) dwarfs the arithmetic, so one narrow collect plus
+    * local iterations replaces `1 + kmeansIters` distributed rounds. Past
+    * the budget (large nlist·dim) the distributed path takes over — the
+    * local fast path never changes WHAT is computed, only where. */
+  private val localTrainBudgetDoubles = 2L * 1024 * 1024
+
+  /** Driver-side Lloyd over a collected sample — the same assignment rule
+    * as [[graft.functions.NearestCentroids]] (max cosine, lowest index on
+    * ties, zero-norm sims pinned to -2) and the same mean/empty-bucket
+    * rules as [[trainCentroids]], so the two training paths are
+    * interchangeable up to floating-point summation order. */
+  private def localLloyd(
+      sample: Array[Array[Double]],
+      init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
+    var cents = init.map(_.toArray).toArray
+    val vecNorms = sample.map(v => math.sqrt(v.map(x => x * x).sum))
+    (0 until iterations).foreach { _ =>
+      val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      // per-(bucket, pos) sums/counts, mirroring the distributed
+      // avg-over-posexplode: a position only averages over vectors that
+      // actually have it, and a memberless bucket keeps its old centroid
+      val sums = cents.map(c => new Array[Double](c.length))
+      val counts = cents.map(c => new Array[Long](c.length))
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var dot = 0.0
+          val m = math.min(v.length, cents(c).length)
+          var j = 0
+          while (j < m) { dot += v(j) * cents(c)(j); j += 1 }
+          val sim =
+            if (vecNorms(i) == 0.0 || centNorms(c) == 0.0) -2.0
+            else dot / (vecNorms(i) * centNorms(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        val bs = sums(best); val bc = counts(best)
+        val m = math.min(v.length, bs.length)
+        var j = 0
+        while (j < m) { bs(j) += v(j); bc(j) += 1; j += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c).forall(_ == 0L)) cents(c)
+        else Array.tabulate(cents(c).length)(j =>
+          if (counts(c)(j) == 0L) 0.0 else sums(c)(j) / counts(c)(j))
+      }
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Session-scoped memo of trained centroid sets, keyed on the canonical
+    * analyzed plan of the (id, vec) projection plus the index parameters:
+    * a pipeline that builds an IVF index and then runs several query
+    * batches (or both [[ivfTopK]] and [[knnJoin]]) trains ONCE. Entries
+    * are released by [[PipelineCache.clear]] alongside the persisted
+    * frames; a source whose files change under an identical plan must
+    * clear between runs (same contract as the persisted corpus itself). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Int, Int), Seq[Seq[Double]]]()
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+
+  private[operators] def clearIndexCache(): Unit = {
+    centroidCache.clear()
+    countCache.clear()
+  }
+
   /** `nProbe <= 0` → the [[ivfProbeCount]] default; values ≥ nlist clamp to
     * probing every bucket — the exhaustive configuration whose result is
     * exactly brute force (pass `Int.MaxValue` to request it explicitly
@@ -202,21 +296,45 @@ object Similarity {
     if (nProbe <= 0) math.min(ivfProbeCount(nlist), nlist)
     else math.min(nProbe, nlist)
 
+  /** Resolve the (possibly auto-sized) centroid count without training:
+    * shares the persisted (id, v) projection and the memoized corpus count
+    * with [[buildIvfIndex]], so probing this first costs nothing extra. */
+  private def resolveNlist(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, corpusSizeHint: Option[Long]): Int =
+    if (nCentroids > 0) nCentroids
+    else {
+      val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      val planKey = vecs.queryExecution.analyzed.canonicalized
+      val n = corpusSizeHint.getOrElse(
+        countCache.computeIfAbsent(planKey, _ => vecs.count()).longValue())
+      ivfCentroidCount(n)
+    }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCentroids: Int = 0, nProbe: Int = 0,
       kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
-    val (_, cents, bucketed, nlist) =
-      buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters, corpusSizeHint)
-    val probe = resolveProbe(nProbe, nlist)
-    val probed = queries.select(
-      col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
-      explode(nearestCentroids(col(qVecCol), cents, probe)).as("bucket"))
-    val scored = bucketed.join(broadcast(probed), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineSim(col("cv"), col("qv")))
-    rankTopK(scored, k)
+    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+    if (resolveProbe(nProbe, nlist) >= nlist)
+      // probing every bucket scans every corpus vector for every query no
+      // matter what the centroids are — that IS brute force, so take its
+      // plan directly (broadcast queries, one codegen'd corpus pass) and
+      // skip training plus the bucket explode/join entirely. This is the
+      // oracle/validation configuration; production sets nProbe ≪ nlist.
+      bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+    else {
+      val (_, cents, bucketed, _) =
+        buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+      val probed = queries.select(
+        col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        explode(nearestCentroids(col(qVecCol), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+      val scored = bucketed.join(broadcast(probed), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineSim(col("cv"), col("qv")))
+      rankTopK(scored, k)
+    }
   }
 
   /** All-pairs kNN self-join: every corpus vector's top-k cosine neighbors
@@ -233,14 +351,33 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 0, nProbe: Int = 0,
       kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
-    val (vecs, cents, bucketed, nlist) =
-      buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters, corpusSizeHint)
-    val probed = vecs.select(
-      col("id").as("query_id"), col("v").as("qv"),
-      explode(nearestCentroids(col("v"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
-    val scored = bucketed.join(probed, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineSim(col("cv"), col("qv")))
-    rankTopK(scored, k)
+    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+    if (resolveProbe(nProbe, nlist) >= nlist) {
+      // exhaustive probe ⇒ every query meets every corpus vector: the
+      // bucket explode/join reproduces the full cross product while
+      // duplicating each query row nlist times, so score the pairs
+      // directly and skip training. This is the oracle/validation
+      // configuration — the honest cost of EXACT all-pairs kNN is
+      // quadratic at any scale; production sets nProbe ≪ nlist and takes
+      // the IVF path below. (No broadcast hint: Spark broadcasts a small
+      // corpus by its stats; two huge sides fall back to a partitioned
+      // cartesian, which is the correct plan for what was asked.)
+      val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      val scored = vecs.select(col("id").as("neighbor_id"), col("v").as("cv"))
+        .crossJoin(vecs.select(col("id").as("query_id"), col("v").as("qv")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineSim(col("cv"), col("qv")))
+      rankTopK(scored, k)
+    } else {
+      val (vecs, cents, bucketed, _) =
+        buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+      val probed = vecs.select(
+        col("id").as("query_id"), col("v").as("qv"),
+        explode(nearestCentroids(col("v"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+      val scored = bucketed.join(probed, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineSim(col("cv"), col("qv")))
+      rankTopK(scored, k)
+    }
   }
 }

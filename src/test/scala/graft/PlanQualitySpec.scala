@@ -259,14 +259,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly the total-attach join, got $joins:\n${plan.take(900)}")
   }
 
-  test("kNN self-join meets on the centroid bucket key, never a cross product") {
-    val df = SparkEntry.queries("ann_knn_join")(spark, TestSpark.sf)
+  test("kNN self-join at production probe meets on the centroid bucket key, never a cross product") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val df = graft.operators.Similarity.knnJoin(
+      emb, "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 2)
     val plan = df.queryExecution.optimizedPlan.toString()
     assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
       s"kNN join planned a cross product:\n${plan.take(900)}")
     assert(plan.linesIterator.exists(l => l.contains("Join Inner") && l.contains("bucket")),
       s"expected an equi-join keyed on the centroid bucket:\n${plan.take(900)}")
     // the reduce is the bounded-heap aggregate, not a window rank
+    val exec = df.queryExecution.executedPlan.toString()
+    assert(exec.contains("ObjectHashAggregate") && !exec.contains("Window"),
+      s"top-k must fold into k-slot heaps map-side:\n${exec.take(600)}")
+  }
+
+  test("kNN self-join at exhaustive probe skips the bucket machinery but keeps the heap reduce") {
+    // nProbe >= nlist means every query meets every corpus vector — the
+    // oracle configuration deliberately plans the direct all-pairs scan
+    // (no index build, no bucket explode/join); the top-k reduce must
+    // still be the bounded-heap aggregate, never a window rank
+    val df = SparkEntry.queries("ann_knn_join")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("nearest_centroids"),
+      s"exhaustive probe must not pay for centroid assignment:\n${plan.take(900)}")
     val exec = df.queryExecution.executedPlan.toString()
     assert(exec.contains("ObjectHashAggregate") && !exec.contains("Window"),
       s"top-k must fold into k-slot heaps map-side:\n${exec.take(600)}")
