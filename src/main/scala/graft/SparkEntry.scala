@@ -584,6 +584,19 @@ object SparkEntry {
       Curation.dropNearDuplicates(docs, "doc_id", pairs)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),
+    // near-dup-level decontamination: drop training docs that are MinHash
+    // near-duplicates of any eval doc (eval = doc_id % 5 == 0 here) —
+    // catches reworded benchmark contamination that exact-gram overlap
+    // misses; bipartite LSH join, neither corpus broadcast
+    "curate_neardup_decontam" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateNearDup(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", threshold = 0.8)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    }),
 
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) => {
@@ -1210,6 +1223,25 @@ object SparkEntry {
         |SELECT d.source, count(*) AS n_kept
         |FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.comp = d.doc_id
+        |GROUP BY 1""".stripMargin,
+    "curate_neardup_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM s a, s b
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |)
+        |SELECT source, count(*) AS n_kept
+        |FROM documents
+        |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
         |GROUP BY 1""".stripMargin,
     "curate_mix" ->
       """WITH q AS (

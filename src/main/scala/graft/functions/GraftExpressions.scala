@@ -618,6 +618,61 @@ object PairCombinations {
   val DefaultMaxPairs: Long = 10_000_000L
 }
 
+/** All cross pairs (a, b) with a from `left` and b from `right` — the
+  * bipartite bucket→candidate-pairs kernel for LSH joins BETWEEN two
+  * corpora (e.g. near-dup decontamination of a training set against an
+  * eval set). Same one-exchange shape and the same occupancy obligation as
+  * [[PairCombinations]]: output is |left|·|right| per bucket, so a bucket
+  * blown past `maxPairs` fails loudly with a remediation hint instead of
+  * silently OOM-ing — bucket occupancy is a design obligation on the LSH
+  * parameters, not something this kernel can repair. */
+case class CrossPairCombinations(
+    left: Expression, right: Expression,
+    maxPairs: Long = PairCombinations.DefaultMaxPairs)
+    extends BinaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _                => LongType
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", elemType(left), nullable = false),
+      StructField("id_b", elemType(right), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cross_pair_combinations"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(LongType), ArrayType(IntegerType), ArrayType(StringType)),
+    Seq(ArrayType(LongType), ArrayType(IntegerType), ArrayType(StringType)))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData].toObjectArray(elemType(left))
+    val ra = r.asInstanceOf[ArrayData].toObjectArray(elemType(right))
+    val nPairs = la.length.toLong * ra.length
+    if (nPairs > maxPairs)
+      throw new IllegalStateException(
+        s"cross_pair_combinations: bucket occupancy ${la.length}×${ra.length} yields " +
+          s"$nPairs candidate pairs (> $maxPairs). The LSH bucket space is too small " +
+          "for this corpus — increase bands/bits-per-table or pre-block the input " +
+          "(see Dedup scaladoc).")
+    val out = new Array[Any](nPairs.toInt)
+    var k = 0
+    var i = 0
+    while (i < la.length) {
+      var j = 0
+      while (j < ra.length) {
+        out(k) = InternalRow(la(i), ra(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Intersection size of two SORTED string arrays by linear merge — no
   * per-row hash set, no allocation. This is the exact-Jaccard verification
   * kernel: candidate pairs dominate near-dup dedup cost, and a merge over
@@ -870,4 +925,6 @@ object GraftFunctions {
     GraftColumn.of(WordShingles(GraftColumn.expr(text), n, distinct = false))
   def pairCombinations(ids: Column): Column =
     GraftColumn.of(PairCombinations(GraftColumn.expr(ids)))
+  def crossPairCombinations(leftIds: Column, rightIds: Column): Column =
+    GraftColumn.of(CrossPairCombinations(GraftColumn.expr(leftIds), GraftColumn.expr(rightIds)))
 }

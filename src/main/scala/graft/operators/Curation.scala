@@ -99,6 +99,28 @@ object Curation {
         (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Near-duplicate-level decontamination: drop corpus documents that are
+    * MinHash-near-duplicates (Jaccard ≥ `threshold` on word shingles) of
+    * any eval/benchmark document. Catches lightly-reworded benchmark
+    * contamination that exact n-gram overlap ([[decontaminate]] /
+    * [[bloomDecontaminate]]) misses, and — because the bipartite LSH join
+    * ([[Dedup.crossMinhashPairs]]) never broadcasts either side — stays
+    * viable when the eval corpus is itself too large for a broadcast gram
+    * set. The corpus payload is filtered with one LEFT ANTI join on id
+    * against the (tiny) verified hit list. */
+  def decontaminateNearDup(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val hits = Dedup
+      .crossMinhashPairs(corpus, evalDf, idCol, textCol, shingleSize, threshold = threshold)
+      .select(col("id_a").as(idCol))
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

@@ -65,9 +65,17 @@ object Dedup {
     * (J(a,b) ≥ t ⇒ min|s| ≥ t·max|s|) to skip hopeless intersections, then
     * computes the intersection ONCE per surviving pair with the sorted-merge
     * kernel — the pairwise hot path of every near-dup variant. */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
-    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(cands, sets, sets, threshold)
+
+  /** Two-set-table variant for bipartite candidates: `id_a` resolves in
+    * `setsA`, `id_b` in `setsB` (the two corpora of a cross-LSH join may
+    * use overlapping id spaces, so one union'd set table would be
+    * ambiguous). */
+  private def verifyJaccard(
+      cands: DataFrame, setsA: DataFrame, setsB: DataFrame, threshold: Double): DataFrame = {
+    val a = setsA.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
+    val b = setsB.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
     cands.join(a, "id_a").join(b, "id_b")
       .filter(least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
       .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -110,6 +118,51 @@ object Dedup {
     // same lineage via the cache manager) — persist the RESULT, so the
     // candidate+verify pipeline runs once per corpus, not once per consumer
     shared(verifyJaccard(cands, sets, threshold).select("id_a", "id_b"))
+  }
+
+  /** Bipartite MinHash + LSH near-duplicate pairs BETWEEN two corpora —
+    * the candidate generator for near-dup-level decontamination (a training
+    * corpus vs an eval/benchmark corpus): only cross-side pairs are ever
+    * emitted or verified, so two corpora that are each internally
+    * duplicate-heavy cost |bucket_left|·|bucket_right| per bucket, not
+    * occupancy².
+    *
+    * Same scale shape as [[minhashPairs]]: per-doc signatures narrow, ONE
+    * exchange of id-only (band, bucket) rows for candidate generation
+    * (grouped aggregation + [[graft.functions.CrossPairCombinations]], not
+    * a bucket-table join), exact Jaccard verification with each side's
+    * shingle sets joined back once. Neither corpus is ever broadcast —
+    * unlike the gram-set approach ([[Curation.decontaminate]]) this stays
+    * viable when the eval side is itself too large for a broadcast set.
+    * Returns (id_a from `left`, id_b from `right`); id spaces of the two
+    * corpora may overlap freely. */
+  def crossMinhashPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    def sets(df: DataFrame): DataFrame = shared(widen(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0))
+    def buckets(s: DataFrame, isLeft: Boolean): DataFrame = s
+      .select(col("id"), posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
+      .select(lit(isLeft).as("is_left"), col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val ls = sets(left)
+    val rs = sets(right)
+    val cands = buckets(ls, isLeft = true).unionAll(buckets(rs, isLeft = false))
+      .groupBy(col("band"), col("bucket"))
+      .agg(
+        collect_list(when(col("is_left"), col("id"))).as("la"),
+        collect_list(when(!col("is_left"), col("id"))).as("ra"))
+      .filter(size(col("la")) > 0 && size(col("ra")) > 0)
+      .select(explode(crossPairCombinations(col("la"), col("ra"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    shared(verifyJaccard(cands, ls, rs, threshold).select("id_a", "id_b"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash over word shingles, banded

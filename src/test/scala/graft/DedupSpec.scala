@@ -36,6 +36,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("cross-corpus minhash finds only cross-side pairs; decontamination drops the hit") {
+    import org.apache.spark.sql.functions.col
+    // left: two internal near-dups (1, 2) plus one doc (4) near-dup'ing the
+    // right side; right: one eval doc. Internal left pairs must NOT surface.
+    val left = Seq(
+      (1L, base, "s1"),
+      (2L, base.replace("silver", "golden"), "s1"),
+      (4L, base.replace("quick", "sly"), "s1"),
+      (3L, "completely different text about spark query engines and columnar execution at scale " +
+        "with shuffles exchanges and adaptive planning everywhere in the optimizer", "s1"))
+      .toDF("doc_id", "text", "source")
+    val right = Seq((100L, base, "eval")).toDF("doc_id", "text", "source")
+    val pairs = Dedup.crossMinhashPairs(left, right, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (2L, 100L), (4L, 100L)),
+      s"expected only cross-side hits, got $pairs")
+    // id spaces may overlap: the eval doc reusing a left id must not confuse
+    // verification (sets resolve per side)
+    val rightSameId = Seq((3L, base, "eval")).toDF("doc_id", "text", "source")
+    val overlap = Dedup.crossMinhashPairs(left, rightSameId, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlap == Set((1L, 3L), (2L, 3L), (4L, 3L)), s"got $overlap")
+    val kept = graft.operators.Curation
+      .decontaminateNearDup(left, right, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"only the unrelated doc survives, got $kept")
+  }
+
   test("simhash banding finds shingle-identical docs, skips unrelated ones") {
     // simhash needs many features for a small hamming delta; with short docs
     // only shingle-set-identical pairs are guaranteed within the banded

@@ -72,6 +72,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket occupancy"))
   }
 
+  test("cross_pair_combinations emits the full cross product and guards occupancy") {
+    import graft.functions.CrossPairCombinations
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val out = Seq((Seq(1L, 2L), Seq(10L, 11L))).toDF("la", "ra")
+      .select(graft.functions.GraftFunctions.crossPairCombinations(col("la"), col("ra")).as("p"))
+      .selectExpr("explode(p) AS q").selectExpr("q.id_a", "q.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    val big = Literal.create((0 until 100).map(_.toLong), ArrayType(LongType))
+    val capped = CrossPairCombinations(big, big, maxPairs = 10L)
+    val e = intercept[IllegalStateException](capped.eval(null))
+    assert(e.getMessage.contains("bucket occupancy"))
+  }
+
   test("cosine_sim handles zero vectors and nulls") {
     val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     assert(zero.select(cosineSim($"a", $"b")).collect()(0).getDouble(0) == 0.0)
