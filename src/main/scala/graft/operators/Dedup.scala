@@ -120,6 +120,30 @@ object Dedup {
     shared(verifyJaccard(cands, sets, threshold).select("id_a", "id_b"))
   }
 
+  /** Precomputed MinHash-LSH index of a STATIC corpus, for checking other
+    * data against it repeatedly (the static side of streaming ingest dedup,
+    * or one side of a bipartite batch check). Returns two persisted frames:
+    * `sets` = (id, sh) sorted shingle sets, and `buckets` =
+    * (band, bucket, id) id-only band keys — the payload is deliberately NOT
+    * duplicated into the band rows, so index memory is |corpus| sets plus
+    * `bands` skinny id rows per doc, and a probe joins buckets first (cheap
+    * keys) and sets exactly once per surviving candidate. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64): (DataFrame, DataFrame) = {
+    val sets = shared(widen(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val buckets = shared(sets
+      .select(col("id"), posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("id")))
+    (sets, buckets)
+  }
+
   /** Bipartite MinHash + LSH near-duplicate pairs BETWEEN two corpora —
     * the candidate generator for near-dup-level decontamination (a training
     * corpus vs an eval/benchmark corpus): only cross-side pairs are ever

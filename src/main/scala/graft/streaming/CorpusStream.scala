@@ -28,6 +28,64 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h") // internal dedup key — the output schema is the input's
 
+  /** Streaming near-duplicate detection at ingest: flag stream documents
+    * that are MinHash-near-duplicates (Jaccard ≥ `threshold` on word
+    * shingles) of a STATIC reference corpus — an already-curated training
+    * set, or an eval/benchmark suite for ingest-time decontamination.
+    *
+    * Per micro-batch this is stateless (the reference never changes), so
+    * the whole check is a stream-static join pipeline Spark re-runs
+    * against the persisted index each batch: stream docs shingle narrowly,
+    * explode to (band, bucket) rows, equi-join the id-only index bucket
+    * table ([[graft.operators.Dedup.minhashIndex]]), join each surviving
+    * candidate's reference set back ONCE, verify exact Jaccard with the
+    * sorted-merge kernel. A final `dropDuplicatesWithinWatermark` emits
+    * each flagged doc once (state = flagged ids inside the watermark
+    * horizon, bounded), with an arbitrary witnessing reference doc.
+    *
+    * Returns append-mode rows (idCol, tsCol, ref_id, jac). The keep-side
+    * complement is an anti-join of the ingest batch against these ids in
+    * the downstream compaction pass — streaming can only say "flagged",
+    * because "never flagged" is undecidable until the batch closes. */
+  def nearDupHitsStreaming(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      refCorpus: DataFrame,
+      refIdCol: String,
+      refTextCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64,
+      threshold: Double = 0.8,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.{minhashBandKeys, sortedIntersectCount, wordShinglesExpr}
+    val (refSets, refBuckets) =
+      Dedup.minhashIndex(refCorpus, refIdCol, refTextCol, shingleSize, numHashes, bands)
+    val exploded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), wordShinglesExpr(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), col(tsCol), col("__sh"),
+        posexplode(minhashBandKeys(col("__sh"), numHashes, bands)))
+      .select(col(idCol), col(tsCol), col("__sh"),
+        col("pos").as("band"), col("col").as("bucket"))
+    exploded
+      .join(refBuckets.withColumnRenamed("id", "ref_id"), Seq("band", "bucket"))
+      .join(refSets.select(col("id").as("ref_id"), col("sh").as("__ref_sh")), "ref_id")
+      .withColumn("__sa", size(col("__sh")))
+      .withColumn("__sb", size(col("__ref_sh")))
+      .filter(least(col("__sa"), col("__sb")) >= lit(threshold) * greatest(col("__sa"), col("__sb")))
+      .withColumn("__inter", sortedIntersectCount(col("__sh"), col("__ref_sh")))
+      .withColumn("jac",
+        col("__inter").cast("double") / (col("__sa") + col("__sb") - col("__inter")))
+      .filter(col("jac") >= threshold)
+      .select(col(idCol), col(tsCol), col("ref_id"), round(col("jac"), 6).as("jac"))
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** End-to-end incremental curation: streaming dedup + the stateless
     * curation passes, composed exactly as the batch pipeline but runnable
     * under `readStream`/`writeStream`:
