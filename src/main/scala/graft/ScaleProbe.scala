@@ -95,6 +95,15 @@ object ScaleProbe {
       }
       report("clusters_seconds", scale, n, clSecs)
 
+      // bipartite cross-corpus near-dup check: the "eval" side stays FIXED
+      // (the 1× corpus) while the train side grows — candidate volume must
+      // track train-side bucket hits against the fixed side, never the
+      // train side's internal duplicate structure
+      val (xcands, xSecs) = timed {
+        Dedup.crossMinhashPairs(d, docs, "doc_id", "text", threshold = 0.8).count()
+      }
+      report("cross_minhash_verified", scale, xcands, xSecs)
+
       // kNN self-join at the PRODUCTION setting: corpus-sized index
       // (nlist ≈ √n) and the default √nlist probe — per-bucket work ≈ √n,
       // so wall time should grow ~n^1.25, not the n² of a fixed nlist
