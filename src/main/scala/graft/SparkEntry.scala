@@ -584,6 +584,10 @@ object SparkEntry {
       Curation.dropNearDuplicates(docs, "doc_id", pairs)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),
+    // canonical text normalization (NFC + lowercase + control-strip +
+    // whitespace collapse) — the narrow pass in front of hashing/dedup
+    "curate_normalize" -> ((s, dir) =>
+      Curation.normalizeText(t(s, dir, "documents"), "doc_id", "text")),
     // near-dup-level decontamination: drop training docs that are MinHash
     // near-duplicates of any eval doc (eval = doc_id % 5 == 0 here) —
     // catches reworded benchmark contamination that exact-gram overlap
@@ -1224,6 +1228,13 @@ object SparkEntry {
         |FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.comp = d.doc_id
         |GROUP BY 1""".stripMargin,
+    "curate_normalize" ->
+      """SELECT doc_id, n AS text_norm, CAST(length(n) AS BIGINT) AS n_chars_norm
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents) x""".stripMargin,
     "curate_neardup_decontam" ->
       """WITH s AS (
         |  SELECT doc_id,

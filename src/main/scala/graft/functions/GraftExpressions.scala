@@ -498,6 +498,31 @@ case class SignSketch(child: Expression, dim: Int, tables: Int, bits: Int, seed:
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) via `java.text.Normalizer` —
+  * the canonicalization step in front of hashing/dedup/tokenization, so
+  * byte-different but canonically-equal texts (é composed vs e+◌́) hash
+  * identically. Normalization is a JDK-table pure function: identical
+  * output on every executor/JVM, and NFC agrees with external engines'
+  * `nfc_normalize` (the oracle check). Not codegen'd: the per-row cost is
+  * the Normalizer call itself; a quick-check fast path skips already-NFC
+  * text (the overwhelmingly common case) in O(n). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+
+  @transient private lazy val normForm = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, normForm)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, normForm))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Indices of the `take` nearest centroids (by cosine) from a constant
   * centroid matrix — the IVF assignment/probe kernel, fused in one eval. */
 case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take: Int)
@@ -884,6 +909,10 @@ object GraftFunctions {
     }))
     ensure("lang_id")(es => LanguageId(es(0)))
     ensure("char_entropy")(es => CharEntropy(es(0)))
+    ensure("unicode_normalize")(es => UnicodeNormalize(es(0), es(1) match {
+      case Literal(v, StringType) => v.toString
+      case other => throw new IllegalArgumentException(s"form must be a string literal, got $other")
+    }))
     ensure("word_shingles")(es => WordShingles(es(0), es(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
@@ -915,6 +944,8 @@ object GraftFunctions {
   // direct construction (not call_function): usable without registerAll
   def charEntropy(text: Column): Column =
     GraftColumn.of(CharEntropy(GraftColumn.expr(text)))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftColumn.of(UnicodeNormalize(GraftColumn.expr(text), form))
   def bloomMightContain(text: Column, bloomBytes: Array[Byte]): Column =
     GraftColumn.of(BloomMightContain(
       GraftColumn.expr(text),

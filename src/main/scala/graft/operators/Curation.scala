@@ -99,6 +99,30 @@ object Curation {
         (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Canonical text normalization in front of hashing/dedup/tokenization:
+    * Unicode-normalize (NFC by default — composed vs decomposed accents
+    * hash identically), optionally lowercase, strip control characters,
+    * collapse whitespace runs to one space, trim. Purely narrow codegen'd
+    * built-ins around the [[graft.functions.UnicodeNormalize]] kernel — a
+    * map-only pass at any scale. Returns (idCol, text_norm,
+    * n_chars_norm). */
+  def normalizeText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      form: String = "NFC",
+      lowercase: Boolean = true): DataFrame = {
+    import graft.functions.GraftFunctions.unicodeNormalize
+    val unicode = unicodeNormalize(col(textCol), form)
+    val cased = if (lowercase) lower(unicode) else unicode
+    val cleaned = trim(regexp_replace(
+      regexp_replace(cased, "[\\p{Cntrl}]", " "), "\\s+", " "))
+    df.select(
+      col(idCol),
+      cleaned.as("text_norm"),
+      length(cleaned).cast("long").as("n_chars_norm"))
+  }
+
   /** Near-duplicate-level decontamination: drop corpus documents that are
     * MinHash-near-duplicates (Jaccard ≥ `threshold` on word shingles) of
     * any eval/benchmark document. Catches lightly-reworded benchmark

@@ -72,6 +72,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket occupancy"))
   }
 
+  test("unicode_normalize canonicalizes composed/decomposed forms; NFKC folds compatibility chars") {
+    import graft.functions.GraftFunctions.unicodeNormalize
+    val composed = "café"            // é as one codepoint
+    val decomposed = "café"         // e + combining acute
+    val df = Seq((composed, decomposed)).toDF("a", "b")
+    val nfc = df.select(unicodeNormalize(col("a")), unicodeNormalize(col("b")))
+      .collect()(0)
+    assert(nfc.getString(0) == nfc.getString(1), "NFC must unify composed/decomposed")
+    // NFKC folds compatibility characters (ﬁ ligature → fi)
+    val nfkc = Seq(Tuple1("ﬁle")).toDF("t")
+      .select(unicodeNormalize(col("t"), "NFKC")).collect()(0).getString(0)
+    assert(nfkc == "file")
+    // normalization composes with the full cleaning pass
+    val out = graft.operators.Curation.normalizeText(
+        Seq((1L, "  Café\tNOISEhere  ")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()(0)
+    // the literal above carries a decomposed é, a tab, and a BEL control
+    // char — NFC composes the accent, tab/BEL become spaces and collapse
+    assert(out.getString(1) == "café noise here", s"got '${out.getString(1)}'")
+    assert(out.getLong(2) == out.getString(1).length)
+  }
+
   test("cross_pair_combinations emits the full cross product and guards occupancy") {
     import graft.functions.CrossPairCombinations
     import org.apache.spark.sql.catalyst.expressions.Literal
