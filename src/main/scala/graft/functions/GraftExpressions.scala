@@ -643,6 +643,94 @@ object PairCombinations {
   val DefaultMaxPairs: Long = 10_000_000L
 }
 
+/** Size-filtered pair combinations — the AllPairs/PPJoin LENGTH filter
+  * applied INSIDE the bucket, before any candidate pair crosses the wire.
+  * Input is a bucket's `array<struct<sz, id>>` (set size + id); output is
+  * every id pair whose sizes can still satisfy `J ≥ threshold`
+  * (min ≥ threshold·max — the same bound the verify step re-checks, but a
+  * pair pruned here never joins its payloads back at all). Entries are
+  * scanned sorted by size ascending, so each anchor's inner loop STOPS at
+  * the first partner larger than sz/threshold instead of touching the
+  * whole bucket. Same loud occupancy guard (on the unfiltered pair count)
+  * and the same `id_a < id_b`, no-self-pairs contract as
+  * [[PairCombinations]]. */
+case class SizeFilteredPairCombinations(
+    child: Expression, threshold: Double,
+    maxPairs: Long = PairCombinations.DefaultMaxPairs)
+    extends UnaryExpression with CodegenFallback {
+  private def fields: Option[(DataType, DataType)] = child.dataType match {
+    case ArrayType(StructType(Array(sz, id)), _) => Some((sz.dataType, id.dataType))
+    case _                                       => None
+  }
+  private def idType: DataType = fields.map(_._2).getOrElse(LongType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", idType, nullable = false),
+      StructField("id_b", idType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "size_filtered_pair_combinations"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    fields match {
+      case Some((szT, idT))
+          if Seq(IntegerType, LongType).contains(szT) &&
+            Seq(IntegerType, LongType, StringType).contains(idT) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<struct<sz: int/bigint, id: int/bigint/string>>, " +
+            s"got ${child.dataType.catalogString}")
+    }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(idType)
+  @transient private lazy val szIsLong = fields.exists(_._1 == LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val nPairs = m.toLong * (m - 1) / 2
+    if (nPairs > maxPairs)
+      throw new IllegalStateException(
+        s"$prettyName: bucket occupancy $m yields $nPairs candidate pairs " +
+          s"(> $maxPairs). The blocking/prefix space is too small for this corpus — " +
+          "tighten the threshold, raise n, or pre-block the input (see Dedup scaladoc).")
+    val szs = new Array[Long](m)
+    val ids = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      szs(i) = if (szIsLong) row.getLong(0) else row.getInt(0).toLong
+      ids(i) = row.get(1, idType)
+      i += 1
+    }
+    // sort by (size asc, id) so each anchor's partner scan can stop early
+    val order = (0 until m).sortBy(k => (szs(k), ids(k)))(
+      Ordering.Tuple2(Ordering.Long, ordering))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < m) {
+      val a = order(i)
+      val bound = szs(a) / threshold
+      var j = i + 1
+      var inBound = true
+      while (j < m && inBound) {
+        val b = order(j)
+        if (szs(b) > bound) inBound = false
+        else if (ordering.compare(ids(a), ids(b)) != 0) {
+          if (ordering.compare(ids(a), ids(b)) < 0) out += InternalRow(ids(a), ids(b))
+          else out += InternalRow(ids(b), ids(a))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All cross pairs (a, b) with a from `left` and b from `right` — the
   * bipartite bucket→candidate-pairs kernel for LSH joins BETWEEN two
   * corpora (e.g. near-dup decontamination of a training set against an
@@ -958,4 +1046,6 @@ object GraftFunctions {
     GraftColumn.of(PairCombinations(GraftColumn.expr(ids)))
   def crossPairCombinations(leftIds: Column, rightIds: Column): Column =
     GraftColumn.of(CrossPairCombinations(GraftColumn.expr(leftIds), GraftColumn.expr(rightIds)))
+  def sizeFilteredPairCombinations(entries: Column, threshold: Double): Column =
+    GraftColumn.of(SizeFilteredPairCombinations(GraftColumn.expr(entries), threshold))
 }

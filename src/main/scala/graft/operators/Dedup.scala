@@ -313,11 +313,22 @@ object Dedup {
       .groupBy(col("block"), col("id"))
       .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
       .select(
-        col("block"), col("id"),
+        col("block"), col("id"), size(col("ord")).as("sz"),
         expr(s"slice(transform(ord, s -> s.tok), 1, " +
              s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
-    val pe = prefixes.select(col("block"), col("id"), explode(col("pfx")).as("tok"))
-    val cands = bucketPairs(pe, Seq("block", "tok"))
+    val pe = prefixes.select(
+      col("block"), col("id"), col("sz"), explode(col("pfx")).as("tok"))
+    // candidate generation applies the AllPairs LENGTH filter in-kernel:
+    // the set size rides with the id into the bucket rows, and a pair whose
+    // sizes cannot reach `threshold` is pruned BEFORE it crosses the
+    // exchange or joins its shingle payloads back
+    val cands = pe
+      .groupBy(col("block"), col("tok"))
+      .agg(collect_list(struct(col("sz"), col("id"))).as("entries"))
+      .filter(size(col("entries")) > 1)
+      .select(explode(sizeFilteredPairCombinations(col("entries"), threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     verifyJaccard(cands, sets.select("id", "sh"), threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }

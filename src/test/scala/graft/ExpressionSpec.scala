@@ -110,6 +110,37 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket occupancy"))
   }
 
+  test("size_filtered_pair_combinations prunes size-incompatible pairs in-kernel") {
+    import graft.functions.GraftFunctions.sizeFilteredPairCombinations
+    val df = Seq(Tuple1(Seq((10, 1L), (40, 2L), (18, 3L)))).toDF("e")
+      .selectExpr("transform(e, x -> struct(x._1 AS sz, x._2 AS id)) AS entries")
+    val out = df.select(explode(sizeFilteredPairCombinations(col("entries"), 0.5)).as("p"))
+      .selectExpr("p.id_a", "p.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // min >= 0.5*max admits (10,18) and nothing touching 40 (18 < 20, 10 < 20)
+    assert(out == Set((1L, 3L)), s"got $out")
+    // duplicate ids in one bucket never emit a self-pair; output is id-ordered
+    val dup = Seq(Tuple1(Seq((10, 7L), (10, 7L), (10, 2L)))).toDF("e")
+      .selectExpr("transform(e, x -> struct(x._1 AS sz, x._2 AS id)) AS entries")
+      .select(explode(sizeFilteredPairCombinations(col("entries"), 0.9)).as("p"))
+      .selectExpr("p.id_a", "p.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.toSet == Set((2L, 7L)), s"got ${dup.toSeq}")
+    // occupancy guard fires on the UNFILTERED pair count
+    import graft.functions.SizeFilteredPairCombinations
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val st = ArrayType(StructType(Seq(
+      StructField("sz", IntegerType), StructField("id", LongType))))
+    val big = Literal.create(
+      new GenericArrayData((0 until 100).map(i => InternalRow(1, i.toLong)).toArray), st)
+    val e = intercept[IllegalStateException](
+      SizeFilteredPairCombinations(big, 0.5, maxPairs = 10L).eval(null))
+    assert(e.getMessage.contains("bucket occupancy"))
+  }
+
   test("cosine_sim handles zero vectors and nulls") {
     val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     assert(zero.select(cosineSim($"a", $"b")).collect()(0).getDouble(0) == 0.0)
