@@ -588,6 +588,13 @@ object SparkEntry {
     // whitespace collapse) — the narrow pass in front of hashing/dedup
     "curate_normalize" -> ((s, dir) =>
       Curation.normalizeText(t(s, dir, "documents"), "doc_id", "text")),
+    // per-source k best docs by the shared quality score, ranked with the
+    // bounded-heap aggregate (k ids/group/partition cross the exchange,
+    // never a full window sort)
+    "curate_top_quality" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Curation.topQualityPerGroup(t(s, dir, "documents"), "doc_id", "text", "source", k = 3)
+    }),
     // near-dup-level decontamination: drop training docs that are MinHash
     // near-duplicates of any eval doc (eval = doc_id % 5 == 0 here) —
     // catches reworded benchmark contamination that exact-gram overlap
@@ -1228,6 +1235,19 @@ object SparkEntry {
         |FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.comp = d.doc_id
         |GROUP BY 1""".stripMargin,
+    "curate_top_quality" ->
+      """SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, q AS quality
+        |FROM (
+        |  SELECT source, doc_id,
+        |    round(
+        |      least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                       / len(string_split(text, ' ')), 6) BETWEEN 2.0 AND 12.0
+        |            THEN 1.0 ELSE 0.3 END), 6) AS q
+        |  FROM documents) x
+        |QUALIFY rank <= 3""".stripMargin,
     "curate_normalize" ->
       """SELECT doc_id, n AS text_norm, CAST(length(n) AS BIGINT) AS n_chars_norm
         |FROM (

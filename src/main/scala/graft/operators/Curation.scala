@@ -99,6 +99,35 @@ object Curation {
         (coalesce(col("nh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Keep each group's k HIGHEST-QUALITY documents (the quality-ranked
+    * counterpart of [[capPerGroup]]'s hash-ordered cap): score with the
+    * shared composite quality formula in the same narrow projection as the
+    * group key, then rank with the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKByScore]]) — k ids per group per partition
+    * cross the exchange, instead of a `row_number().over(Window)` sorting
+    * every group's full membership. Ties break toward the smaller id
+    * (row_number-oracle order). Returns (groupCol, rank, idCol,
+    * quality). */
+  def topQualityPerGroup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.topKByScore
+    df.select(
+        col(groupCol), col(idCol),
+        TextAnalysis.qualityScoreExpr(col(textCol)).as("quality"))
+      .groupBy(col(groupCol))
+      .agg(topKByScore(col("quality"), col(idCol), k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as(idCol),
+        col("col.sim").as("quality"))
+  }
+
   /** Canonical text normalization in front of hashing/dedup/tokenization:
     * Unicode-normalize (NFC by default — composed vs decomposed accents
     * hash identically), optionally lowercase, strip control characters,

@@ -288,6 +288,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must fold into k-slot heaps map-side:\n${exec.take(600)}")
   }
 
+  test("per-group quality top-k folds into bounded heaps, never a window sort") {
+    val df = SparkEntry.queries("curate_top_quality")(spark, TestSpark.sf)
+    val exec = df.queryExecution.executedPlan.toString()
+    assert(exec.contains("ObjectHashAggregate") && !exec.contains("Window"),
+      s"top-k must use the k-slot heap aggregate:\n${exec.take(600)}")
+  }
+
   test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
