@@ -417,18 +417,23 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings")
       // nCentroids = 0 auto-sizes the index to the corpus (nlist ≈ √n);
-      // nProbe = MaxValue probes every bucket, so the result must equal
-      // brute force exactly — that equivalence IS the oracle for the IVF
-      // plumbing (corpus sizing, bucketing, probing, bucket-join, top-k
-      // reduce). Production use sets nProbe << nCentroids for the speedup.
+      // nProbe = 1<<20 clamps to nlist, so every bucket is probed THROUGH
+      // the bucket machinery and the result must equal brute force exactly
+      // — that equivalence IS the oracle for the IVF plumbing (corpus
+      // sizing, training, bucketing, probing, bucket-join, top-k reduce).
+      // Int.MaxValue would instead request the brute-force plan outright
+      // and verify nothing. Production sets nProbe << nCentroids.
       Similarity.ivfTopK(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCentroids = 0, nProbe = Int.MaxValue)
+          k = 5, nCentroids = 0, nProbe = 1 << 20)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
     // all-pairs kNN self-join (embedding-cluster/neighborhood primitive);
-    // corpus-sized index, nProbe ≥ nlist ⇒ exhaustive ⇒ oracled vs brute force
+    // Int.MaxValue explicitly requests the brute-force plan — the oracle
+    // checks the exact all-pairs answer and the heap top-k reduce; the
+    // bucketed IVF path itself is oracled by ann_ivf and unit-tested
+    // (SimilaritySpec/PropertySpec) at exhaustive-through-buckets probes
     "ann_knn_join" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",

@@ -252,16 +252,21 @@ case class CharEntropy(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     if (s.isEmpty) 0.0
     else {
-      val counts = new java.util.TreeMap[Char, Long]()
+      // count CODE POINTS, not UTF-16 code units: an external engine
+      // splitting per character sees one symbol where a surrogate pair
+      // would be two chars — code points keep the distributions equal
+      val counts = new java.util.TreeMap[Int, Long]()
       var i = 0
+      var n = 0L
       while (i < s.length) {
-        counts.merge(s.charAt(i), 1L, (a, b) => a + b)
-        i += 1
+        val cp = s.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => a + b)
+        n += 1
+        i += Character.charCount(cp)
       }
-      val n = s.length.toDouble
       var acc = 0.0
       counts.forEach { (_, c) =>
-        val p = c / n
+        val p = c.toDouble / n
         acc -= p * (math.log(p) / math.log(2.0))
       }
       acc

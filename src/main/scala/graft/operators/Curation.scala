@@ -106,7 +106,9 @@ object Curation {
     * ([[graft.functions.TopKByScore]]) — k ids per group per partition
     * cross the exchange, instead of a `row_number().over(Window)` sorting
     * every group's full membership. Ties break toward the smaller id
-    * (row_number-oracle order). Returns (groupCol, rank, idCol,
+    * (row_number-oracle order). `idCol` must be LONG — the heap aggregate
+    * is typed (analysis fails loudly otherwise); hash or zip surrogate ids
+    * first for string-keyed corpora. Returns (groupCol, rank, idCol,
     * quality). */
   def topQualityPerGroup(
       df: DataFrame,

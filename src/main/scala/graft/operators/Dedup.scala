@@ -405,6 +405,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations — " +
           "labels are partial; raise maxIterations for long drift chains")
+    // the FINAL round's frame outlives this call (it backs the returned
+    // labels, and equal-plan queries reuse it through the cache manager) —
+    // register it so PipelineCache.clear() can release it instead of
+    // leaking one cached relation per distinct pair lineage
+    prevPersisted.foreach(OpUtils.track)
     (labels, iter)
   }
 

@@ -55,6 +55,12 @@ private[operators] object OpUtils {
       p
     }
 
+  /** Register an externally-persisted frame for [[PipelineCache.clear]]
+    * release — for operators that manage persist lifetimes themselves
+    * (e.g. the CC round loop) but whose FINAL frame outlives the call and
+    * must not leak past the pipeline scope. */
+  private[operators] def track(df: DataFrame): Unit = persisted.add(df)
+
   private[operators] def unpersistAll(): Unit = {
     persisted.forEach(df => df.unpersist(blocking = false))
     persisted.clear()

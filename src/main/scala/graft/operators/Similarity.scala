@@ -290,11 +290,21 @@ object Similarity {
 
   /** `nProbe <= 0` → the [[ivfProbeCount]] default; values ≥ nlist clamp to
     * probing every bucket — the exhaustive configuration whose result is
-    * exactly brute force (pass `Int.MaxValue` to request it explicitly
-    * without knowing the auto-sized nlist). */
+    * exactly brute force. */
   private def resolveProbe(nProbe: Int, nlist: Int): Int =
     if (nProbe <= 0) math.min(ivfProbeCount(nlist), nlist)
     else math.min(nProbe, nlist)
+
+  /** `nProbe == Int.MaxValue` is the EXPLICIT brute-force request: the
+    * caller wants the exhaustive answer and does not care about the index,
+    * so the operators skip training and the bucket machinery entirely and
+    * take the brute-force plan (by contract the identical result). Any
+    * other `nProbe ≥ nlist` still runs exhaustively but THROUGH the bucket
+    * machinery — deliberately, so the correctness gate (and any caller
+    * validating an index) can exercise assignment/probing/bucket-join with
+    * an exactly-known expected result instead of silently testing the
+    * brute-force branch against itself. */
+  private def bruteForceRequested(nProbe: Int): Boolean = nProbe == Int.MaxValue
 
   /** Resolve the (possibly auto-sized) centroid count without training:
     * shares the persisted (id, v) projection and the memoized corpus count
@@ -316,15 +326,12 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCentroids: Int = 0, nProbe: Int = 0,
       kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
-    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
-    if (resolveProbe(nProbe, nlist) >= nlist)
-      // probing every bucket scans every corpus vector for every query no
-      // matter what the centroids are — that IS brute force, so take its
-      // plan directly (broadcast queries, one codegen'd corpus pass) and
-      // skip training plus the bucket explode/join entirely. This is the
-      // oracle/validation configuration; production sets nProbe ≪ nlist.
+    if (bruteForceRequested(nProbe))
+      // explicit brute-force request: skip even the corpus count — the
+      // index would be built only to be ignored
       bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
     else {
+      val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
       val (_, cents, bucketed, _) =
         buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
       val probed = queries.select(
@@ -351,17 +358,16 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 0, nProbe: Int = 0,
       kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
-    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
-    if (resolveProbe(nProbe, nlist) >= nlist) {
-      // exhaustive probe ⇒ every query meets every corpus vector: the
-      // bucket explode/join reproduces the full cross product while
-      // duplicating each query row nlist times, so score the pairs
-      // directly and skip training. This is the oracle/validation
-      // configuration — the honest cost of EXACT all-pairs kNN is
-      // quadratic at any scale; production sets nProbe ≪ nlist and takes
-      // the IVF path below. (No broadcast hint: Spark broadcasts a small
-      // corpus by its stats; two huge sides fall back to a partitioned
-      // cartesian, which is the correct plan for what was asked.)
+    if (bruteForceRequested(nProbe)) {
+      // explicit brute-force request ⇒ every query meets every corpus
+      // vector: the bucket explode/join would reproduce the full cross
+      // product while duplicating each query row nlist times, so score the
+      // pairs directly and skip training. The honest cost of EXACT
+      // all-pairs kNN is quadratic at any scale; production sets
+      // nProbe ≪ nlist and takes the IVF path below. (No broadcast hint:
+      // Spark broadcasts a small corpus by its stats; two huge sides fall
+      // back to a partitioned cartesian, which is the correct plan for
+      // what was asked.)
       val vecs = OpUtils.shared(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       val scored = vecs.select(col("id").as("neighbor_id"), col("v").as("cv"))
         .crossJoin(vecs.select(col("id").as("query_id"), col("v").as("qv")))
@@ -369,6 +375,7 @@ object Similarity {
         .withColumn("sim", cosineSim(col("cv"), col("qv")))
       rankTopK(scored, k)
     } else {
+      val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
       val (vecs, cents, bucketed, _) =
         buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
       val probed = vecs.select(

@@ -74,6 +74,13 @@ object CorpusStream {
         col("pos").as("band"), col("col").as("bucket"))
     exploded
       .join(refBuckets.withColumnRenamed("id", "ref_id"), Seq("band", "bucket"))
+      // a true near-dup collides in ~every band by design — dedup the
+      // (doc, ref) candidate BEFORE the set join, so verification runs
+      // once per candidate pair, not once per colliding band (the
+      // streaming analogue of the batch dropDuplicates-then-verify order);
+      // state is candidate pairs inside the watermark horizon
+      .select(col(idCol), col(tsCol), col("__sh"), col("ref_id"))
+      .dropDuplicatesWithinWatermark(idCol, "ref_id")
       .join(refSets.select(col("id").as("ref_id"), col("sh").as("__ref_sh")), "ref_id")
       .withColumn("__sa", size(col("__sh")))
       .withColumn("__sb", size(col("__ref_sh")))

@@ -167,7 +167,7 @@ class CurationSpec extends AnyFunSuite {
       .toDF("ref_id", "ref_text")
     val stream = MemoryStream[(Long, String, Timestamp)]
     stream.addData(Seq(
-      (1L, base.replace("silver", "golden"), ts(0)),       // near-dup of ref 100
+      (1L, base.replace("wizards", "sorcerers"), ts(0)),   // REWORDED near-dup of ref 100
       (2L, "totally unrelated text about spark query planning and columnar execution with " +
         "shuffles exchanges and adaptive replanning in the optimizer pipeline", ts(1)),
       (3L, base, ts(2))))                                  // exact shingle match of ref 100

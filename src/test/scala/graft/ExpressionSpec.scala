@@ -209,6 +209,15 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - expect) < 1e-12)
     assert(r.getDouble(1) == 0.0) // single distinct char
     assert(r.getDouble(2) == 0.0)
+    // non-BMP symbols count as ONE code point, not two UTF-16 units — a
+    // repeated emoji is a single-symbol distribution (entropy 0), and
+    // emoji+ascii is a fair coin (entropy 1), matching a per-character
+    // external oracle
+    val astral = spark.sql(
+      "SELECT char_entropy('😀😀') AS a, char_entropy('😀x') AS b")
+      .collect()(0)
+    assert(astral.getDouble(0) == 0.0)
+    assert(math.abs(astral.getDouble(1) - 1.0) < 1e-12)
   }
 
   test("char_entropy rejects non-string input at analysis time") {

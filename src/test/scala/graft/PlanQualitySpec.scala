@@ -274,10 +274,9 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must fold into k-slot heaps map-side:\n${exec.take(600)}")
   }
 
-  test("kNN self-join at exhaustive probe skips the bucket machinery but keeps the heap reduce") {
-    // nProbe >= nlist means every query meets every corpus vector — the
-    // oracle configuration deliberately plans the direct all-pairs scan
-    // (no index build, no bucket explode/join); the top-k reduce must
+  test("kNN self-join at the explicit brute-force request skips the bucket machinery, keeps the heap reduce") {
+    // nProbe == Int.MaxValue explicitly requests the exhaustive all-pairs
+    // plan (no index build, no bucket explode/join); the top-k reduce must
     // still be the bounded-heap aggregate, never a window rank
     val df = SparkEntry.queries("ann_knn_join")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()

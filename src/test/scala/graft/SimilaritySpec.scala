@@ -85,22 +85,31 @@ class SimilaritySpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // nCentroids=0 sizes nlist from the corpus count; Int.MaxValue clamps
-    // to probing every bucket, so the answer must be exactly brute force
+    // nCentroids=0 sizes nlist from the corpus count; a huge (non-sentinel)
+    // nProbe clamps to probing every bucket THROUGH the bucket machinery,
+    // so the answer must be exactly brute force — this is the real-path
+    // equivalence the driver oracle (ann_ivf) relies on
     val auto = Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 4, nCentroids = 0, nProbe = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == brute)
+    // Int.MaxValue is the explicit brute-force request — same answer, no
+    // index build
+    val sentinel = Similarity.ivfTopK(
         emb, "vec_id", "embedding", queries, "vec_id", "embedding",
         k = 4, nCentroids = 0, nProbe = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(auto == brute)
+    assert(sentinel == brute)
   }
 
   test("corpusSizeHint skips the sizing count and still matches brute force") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(200)
     val knnHint = Similarity.knnJoin(emb, "vec_id", "embedding",
-        k = 2, nProbe = Int.MaxValue, corpusSizeHint = Some(200L))
+        k = 2, nProbe = 1 << 20, corpusSizeHint = Some(200L))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val knnCount = Similarity.knnJoin(emb, "vec_id", "embedding",
-        k = 2, nProbe = Int.MaxValue)
+        k = 2, nProbe = 1 << 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(knnHint == knnCount)
   }
