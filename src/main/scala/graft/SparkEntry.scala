@@ -374,6 +374,13 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source")
     }),
+    // asymmetric containment (quote/excerpt/subsumption detection): the
+    // contained side's rare-shingle prefix meets the containing side's
+    // full shingle stream in a (block, shingle) equi-join
+    "dedup_containment" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    }),
     // pairwise hits → duplicate clusters → canonical keeper per cluster:
     // the step that turns near-dup detection into an actually-deduped corpus
     "dedup_clusters" -> ((s, dir) => {
@@ -858,6 +865,18 @@ object SparkEntry {
         |WHERE a.source = b.source AND a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+    "dedup_containment" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS sh
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 2
+        |)
+        |SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.8""".stripMargin,
     "dedup_embed" ->
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings

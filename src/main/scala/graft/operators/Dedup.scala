@@ -333,6 +333,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
 
+  /** ASYMMETRIC containment pairs: documents whose shingle set is
+    * substantially CONTAINED in another document's (|A∩B| / |A| ≥
+    * `threshold`, A the smaller side) — quotes, excerpts and subsumed
+    * revisions that symmetric Jaccard misses (a 50-shingle doc fully
+    * inside a 500-shingle doc has J ≈ 0.1 but containment 1.0).
+    *
+    * Candidate generation is the one-sided prefix filter: under the global
+    * rarest-first shingle order, C(A,·) ≥ t forces a match within A's
+    * first |A| − ⌈t·|A|⌉ + 1 shingles — so the CONTAINED side emits only
+    * that prefix, while the containing side must be findable by any
+    * shingle (it cannot know which of its shingles is rare for A) and
+    * emits all of them. The candidate join is (block, shingle) equi —
+    * volume tracks rare-shingle document frequency times prefix size,
+    * never block². Verification computes true containment once per
+    * deduplicated pair with the sorted-merge kernel. Returns
+    * (id_small, id_big, containment rounded to 6dp), id_small ≠ id_big;
+    * both directions are checked (a ⊆ b and b ⊆ a emit separately). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shared(widen(df).select(
+      col(blockCol).as("block"),
+      col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val toks = sets.select(col("block"), col("id"), explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val prefixes = toks.join(dfreq, "tok")
+      .groupBy(col("block"), col("id"))
+      .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
+      .select(
+        col("block"), col("id"),
+        expr(s"slice(transform(ord, s -> s.tok), 1, " +
+             s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
+    val pe = prefixes.select(col("block"), col("id").as("id_small"), explode(col("pfx")).as("tok"))
+    // contained-side prefixes meet the containing side's FULL token stream;
+    // the id pair is ordered (small = the candidate contained doc)
+    val cands = pe
+      .join(toks.select(col("block"), col("id").as("id_big"), col("tok")), Seq("block", "tok"))
+      .filter(col("id_small") =!= col("id_big"))
+      .select("id_small", "id_big")
+      .dropDuplicates("id_small", "id_big")
+    val a = sets.select(col("id").as("id_small"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
+    val b = sets.select(col("id").as("id_big"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
+    cands.join(a, "id_small").join(b, "id_big")
+      // containment of A in B needs |A∩B| ≥ t·|A|, impossible if |B| < t·|A|
+      .filter(col("sb") >= lit(threshold) * col("sa"))
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment", round(col("inter").cast("double") / col("sa"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_small"), col("id_big"), col("containment"))
+  }
+
   /** Connected components over a duplicate-pair graph: assigns every node
     * the minimum id reachable from it, i.e. the canonical "keeper" of its
     * duplicate cluster — the step that turns pairwise near-dup hits into a

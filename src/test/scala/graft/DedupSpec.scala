@@ -64,6 +64,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(3L), s"only the unrelated doc survives, got $kept")
   }
 
+  test("containment finds a doc subsumed by a much larger one that Jaccard misses") {
+    // small doc = the first ~20 words of big doc; J ≈ 20/60 ≪ 0.8 but
+    // containment(small ⊆ big) = 1.0 — the asymmetric case
+    val big = base + " " + ("extra filler words about many other topics " * 5).trim
+    val small = base.split(" ").take(20).mkString(" ")
+    val docs = Seq(
+      (1L, big, "s1"),
+      (2L, small, "s1"),
+      (3L, "completely different text about spark query engines and columnar execution", "s1"),
+      (4L, small, "s2")) // same text, different block → never compared
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", "source", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((2L, 1L)), s"got ${out.toSeq}")
+    assert(out.head._3 == 1.0)
+    // the symmetric detector must NOT fire on this pair at the same bar
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 2, threshold = 0.8)
+      .collect()
+    assert(jac.isEmpty, s"jaccard should miss subsumption: ${jac.toSeq}")
+  }
+
   test("simhash banding finds shingle-identical docs, skips unrelated ones") {
     // simhash needs many features for a small hamming delta; with short docs
     // only shingle-set-identical pairs are guaranteed within the banded
