@@ -330,6 +330,25 @@ object SparkEntry {
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
           lead(col("event_type"), 1).over(w).as("next_type"))
     }),
+    // explicit salted equi-join (the skew lever when AQE's split partitions
+    // still re-skew on one hot key): result must equal the plain join
+    "q22_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      operators.Joins.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // deterministic global shuffle: reproducible epoch ordering with
+    // distributed rank assembly (range partition + per-partition offsets),
+    // never a one-reducer global window
+    "curate_shuffle" -> ((s, dir) =>
+      Curation.shuffleDeterministic(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .select(col("rank"), col("doc_id"))),
 
     // fixed-width histogram of the event value distribution: deterministic
     // floor binning (not width_bucket — identical arithmetic in any engine),
@@ -789,6 +808,16 @@ object SparkEntry {
         |  lead(event_type, 1) OVER w AS next_type
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q22_salted_join" ->
+      """SELECT o_orderstatus,
+        | round(sum(l_extendedprice), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "curate_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,
+        |  doc_id
+        |FROM documents""".stripMargin,
     "events_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi

@@ -176,6 +176,48 @@ object Curation {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic global shuffle + enumeration: every row gets its rank
+    * under a hash-of-id total order — the reproducible "epoch ordering" a
+    * training pipeline needs (same corpus ⇒ same order on any cluster,
+    * any partitioning, any retry), WITHOUT the single-reducer funnel of
+    * `row_number()` over a global window.
+    *
+    * Shape: range-repartition on (md5(id), id) gives a total order ACROSS
+    * partitions (partition p's rows all precede partition p+1's); ranks
+    * are then per-partition row_numbers plus each partition's start
+    * offset, computed from the partition-cardinality table (a
+    * #partitions-row collect, broadcast back as a literal map). Where the
+    * range boundaries land only moves rows between partitions — the
+    * (offset + within-rank) sum is the same global position regardless —
+    * so the output is deterministic even though the sampler isn't.
+    * Returns the input columns plus `rank` (1-based). */
+  def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    // the ranged frame MUST be persisted: the offset branch and the rank
+    // branch both read it, and a re-executed range exchange may sample
+    // DIFFERENT boundaries (the sampler is seeded per execution) — offsets
+    // keyed on one materialization's partition ids would then be applied
+    // to another's. One materialization makes the pid -> offset table and
+    // the ranked rows agree by construction.
+    val ranged = OpUtils.shared(df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .repartitionByRange(parts, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id()))
+    // partition start offsets: a #partitions-row aggregate, window-summed
+    // (tiny, single-partition window is fine) and broadcast back
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rank", (col("__r") + col("__off")).cast("long"))
+      .drop("__h", "__pid", "__r", "__off")
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

@@ -153,6 +153,35 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("salted join equals the plain join; left rows survive unmatched; bad types rejected") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions.col
+    val big = (1L to 200L).map(i => (i % 7, i)).toDF("k", "v")        // key 0..6, skewed-ish
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tag") // keys 3..6 unmatched
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Joins.saltedJoin(big, small, "k", salts = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    val left = Joins.saltedJoin(big, small, "k", salts = 5, joinType = "left")
+    assert(left.count() == 200, "every big row exactly once under left join")
+    assert(left.filter(col("tag").isNull).count() == big.filter(col("k") > 2).count())
+    intercept[IllegalArgumentException](Joins.saltedJoin(big, small, "k", 5, "full"))
+  }
+
+  test("deterministic shuffle assigns each row a unique stable global rank") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id")
+    val r1 = Curation.shuffleDeterministic(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> rank
+    val n = docs.count()
+    assert(r1.values.toSeq.sorted == (1L to n).toSeq, "ranks are a permutation of 1..n")
+    graft.operators.PipelineCache.clear()
+    val r2 = Curation.shuffleDeterministic(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "order must be identical across runs")
+  }
+
   test("streaming near-dup filter flags only docs near-duplicating the static reference") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
