@@ -368,15 +368,23 @@ object Dedup {
       .groupBy(col("block"), col("id"))
       .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
       .select(
-        col("block"), col("id"),
+        col("block"), col("id"), size(col("ord")).as("pa"),
         expr(s"slice(transform(ord, s -> s.tok), 1, " +
              s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
-    val pe = prefixes.select(col("block"), col("id").as("id_small"), explode(col("pfx")).as("tok"))
+    val pe = prefixes.select(
+      col("block"), col("id").as("id_small"), col("pa"),
+      explode(col("pfx")).as("tok"))
+    val full = sets.select(
+      col("block"), col("id").as("id_big"), size(col("sh")).as("pb"),
+      explode(col("sh")).as("tok"))
     // contained-side prefixes meet the containing side's FULL token stream;
-    // the id pair is ordered (small = the candidate contained doc)
+    // the id pair is ordered (small = the candidate contained doc). Sizes
+    // ride with the ids so the containment length bound (|B| ≥ t·|A|)
+    // prunes size-incompatible pairs BEFORE the dedup exchange and the
+    // payload join-back
     val cands = pe
-      .join(toks.select(col("block"), col("id").as("id_big"), col("tok")), Seq("block", "tok"))
-      .filter(col("id_small") =!= col("id_big"))
+      .join(full, Seq("block", "tok"))
+      .filter(col("id_small") =!= col("id_big") && col("pb") >= lit(threshold) * col("pa"))
       .select("id_small", "id_big")
       .dropDuplicates("id_small", "id_big")
     val a = sets.select(col("id").as("id_small"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
