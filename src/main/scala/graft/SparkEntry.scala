@@ -396,10 +396,8 @@ object SparkEntry {
     // asymmetric containment (quote/excerpt/subsumption detection): the
     // contained side's rare-shingle prefix meets the containing side's
     // full shingle stream in a (block, shingle) equi-join
-    "dedup_containment" -> ((s, dir) => {
-      GraftFunctions.registerAll(s)
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
-    }),
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", "source")),
     // pairwise hits → duplicate clusters → canonical keeper per cluster:
     // the step that turns near-dup detection into an actually-deduped corpus
     "dedup_clusters" -> ((s, dir) => {

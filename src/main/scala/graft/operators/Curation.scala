@@ -192,6 +192,9 @@ object Curation {
     * so the output is deterministic even though the sampler isn't.
     * Returns the input columns plus `rank` (1-based). */
   def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame = {
+    Seq("rank", "__h", "__pid", "__r", "__off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"shuffleDeterministic reserves the '$c' column; rename it first"))
     val parts = df.sparkSession.sparkContext.defaultParallelism
     // the ranged frame MUST be persisted: the offset branch and the rank
     // branch both read it, and a re-executed range exchange may sample

@@ -292,13 +292,16 @@ object Dedup {
     * document frequency of RARE shingles (the prefix is exactly the rare
     * end of each document), not with block size squared.
     * Returns (id_a, id_b, jac rounded to 6dp). */
-  def ngramJaccardPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      blockCol: String,
-      n: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+  /** Shared front half of the prefix-filtered detectors: blocked sorted
+    * shingle sets plus each doc's rarest-first prefix under the global
+    * document-frequency order (df asc, shingle asc). `prefixKeep` is the
+    * number of prefix shingles as a function of set size — Jaccard and
+    * containment use the same |s| − ⌈t·|s|⌉ + 1 bound, so both detectors
+    * share this table and any fix to the prefix math lands in one place.
+    * Returns (sets = (block, id, sh), prefixes = (block, id, sz, pfx)). */
+  private def prefixTable(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): (DataFrame, DataFrame) = {
     val sets = shared(widen(df).select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
@@ -316,6 +319,17 @@ object Dedup {
         col("block"), col("id"), size(col("ord")).as("sz"),
         expr(s"slice(transform(ord, s -> s.tok), 1, " +
              s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
+    (sets, prefixes)
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val (sets, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
     val pe = prefixes.select(
       col("block"), col("id"), col("sz"), explode(col("pfx")).as("tok"))
     // candidate generation applies the AllPairs LENGTH filter in-kernel:
@@ -357,22 +371,9 @@ object Dedup {
       blockCol: String,
       n: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val sets = shared(widen(df).select(
-      col(blockCol).as("block"),
-      col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val toks = sets.select(col("block"), col("id"), explode(col("sh")).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
-    val prefixes = toks.join(dfreq, "tok")
-      .groupBy(col("block"), col("id"))
-      .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
-      .select(
-        col("block"), col("id"), size(col("ord")).as("pa"),
-        expr(s"slice(transform(ord, s -> s.tok), 1, " +
-             s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
+    val (sets, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
     val pe = prefixes.select(
-      col("block"), col("id").as("id_small"), col("pa"),
+      col("block"), col("id").as("id_small"), col("sz").as("pa"),
       explode(col("pfx")).as("tok"))
     val full = sets.select(
       col("block"), col("id").as("id_big"), size(col("sh")).as("pb"),
@@ -388,10 +389,9 @@ object Dedup {
       .select("id_small", "id_big")
       .dropDuplicates("id_small", "id_big")
     val a = sets.select(col("id").as("id_small"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
-    val b = sets.select(col("id").as("id_big"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
+    val b = sets.select(col("id").as("id_big"), col("sh").as("sh_b"))
+    // the |B| ≥ t·|A| length bound was already applied pre-exchange above
     cands.join(a, "id_small").join(b, "id_big")
-      // containment of A in B needs |A∩B| ≥ t·|A|, impossible if |B| < t·|A|
-      .filter(col("sb") >= lit(threshold) * col("sa"))
       .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("containment", round(col("inter").cast("double") / col("sa"), 6))
       .filter(col("containment") >= threshold)

@@ -17,10 +17,14 @@ object Joins {
     * key's rows then land on `salts` reducers instead of one. Replication
     * multiplies the SMALL side only (salts × |small| rows through the
     * exchange), so size `salts` to the observed hot-key multiplicity, not
-    * higher. The salt value routes rows but never affects the join result,
-    * so the nondeterministic per-row hash is retry-safe. Supported
-    * `joinType`: inner / left (replication breaks right/full semantics —
-    * an unmatched small-side row would appear `salts` times). */
+    * higher. The salt is a pure hash of the big row's CONTENT — a retried
+    * task recomputes identical salts, so no row can double-deliver to one
+    * reducer and vanish from another the way a per-execution random salt
+    * can. (Byte-identical duplicate rows share a salt; the spread comes
+    * from the non-key columns, which is what distinguishes a hot key's
+    * rows in the first place.) Supported `joinType`: inner / left
+    * (replication breaks right/full semantics — an unmatched small-side
+    * row would appear `salts` times). */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -31,8 +35,10 @@ object Joins {
     val jt = joinType.toLowerCase.replace("_", "")
     require(Seq("inner", "left", "leftouter").contains(jt),
       s"saltedJoin supports inner/left joins, got $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
