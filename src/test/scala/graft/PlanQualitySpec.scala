@@ -301,4 +301,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(joins.exists(_.contains("tok#")),
       s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
   }
+
+  test("containment candidates come from a prefix-shingle equi-join, not a block cross-join") {
+    val df = SparkEntry.queries("dedup_containment")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"containment planned a cross product:\n${plan.take(900)}")
+    val joins = plan.linesIterator.filter(_.contains("Join Inner")).toSeq
+    assert(joins.exists(_.contains("tok#")),
+      s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
+  }
+
+  test("deterministic shuffle range-partitions the corpus, never a global single-partition sort") {
+    val df = SparkEntry.queries("curate_shuffle")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange for the total order:\n${plan.take(900)}")
+    // the only unpartitioned window must be over the #partitions-row offset
+    // table, not the corpus — the corpus-side window is keyed by __pid
+    assert(plan.contains("partitionBy:=[__pid") || plan.contains("[__pid"),
+      s"corpus window must be per-partition:\n${plan.take(900)}")
+  }
 }

@@ -173,6 +173,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs == brute-force containment on random token docs") {
+    import graft.operators.Dedup
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val docs = (0L until n.toLong).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), s"b${i % 2}")
+      }
+      val df = docs.toDF("doc_id", "text", "block")
+      val t = 0.6
+      val out = Dedup.containmentPairs(df, "doc_id", "text", "block", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(s: String): Set[String] =
+        s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val ref = (for {
+        (ia, ta, ba) <- docs
+        (ib, tb, bb) <- docs
+        if ia != ib && ba == bb
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty
+        c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= t
+      } yield (ia, ib)).toSet
+      assert(out == ref, s"trial $trial: extra=${out.diff(ref)} missing=${ref.diff(out)}")
+    }
+  }
+
   test("partition pruning == filtering the file list directly") {
     val genN = Gen.choose(0, 12)
     val genCut = Gen.choose(0, 12)
