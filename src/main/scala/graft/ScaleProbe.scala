@@ -95,6 +95,17 @@ object ScaleProbe {
       }
       report("clusters_seconds", scale, n, clSecs)
 
+      // asymmetric containment within hash blocks: replicas are mutually
+      // dissimilar, so verified pairs must scale ~linearly with the corpus
+      // (each replica contributes its own within-replica structure) and
+      // wall time tracks rare-shingle document frequency, never block²
+      val (ctPairs, ctSecs) = timed {
+        Dedup.containmentPairs(
+          d.withColumn("blk", pmod(col("doc_id"), lit(10L))),
+          "doc_id", "text", "blk", n = 2, threshold = 0.8).count()
+      }
+      report("containment_verified", scale, ctPairs, ctSecs)
+
       // bipartite cross-corpus near-dup check: the "eval" side stays FIXED
       // (the 1× corpus) while the train side grows — candidate volume must
       // track train-side bucket hits against the fixed side, never the
