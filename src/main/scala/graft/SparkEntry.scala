@@ -349,6 +349,12 @@ object SparkEntry {
       Curation.shuffleDeterministic(
           t(s, dir, "documents").select(col("doc_id")), "doc_id")
         .select(col("rank"), col("doc_id"))),
+    // reproducible token-budget fill: same distributed prefix-sum shape
+    "curate_token_budget" -> ((s, dir) =>
+      Curation.sampleTokenBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", tokenBudget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("run_tokens"))),
 
     // fixed-width histogram of the event value distribution: deterministic
     // floor binning (not width_bucket — identical arithmetic in any engine),
@@ -816,6 +822,15 @@ object SparkEntry {
       """SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,
         |  doc_id
         |FROM documents""".stripMargin,
+    "curate_token_budget" ->
+      """SELECT doc_id, n_tokens, run_tokens FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_tokens
+        |  FROM documents) x
+        |WHERE run_tokens <= 10000""".stripMargin,
     "events_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi

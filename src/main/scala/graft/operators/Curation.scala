@@ -221,6 +221,44 @@ object Curation {
       .drop("__h", "__pid", "__r", "__off")
   }
 
+  /** Fill a TOKEN budget reproducibly: keep documents in the deterministic
+    * hash-of-id order (same total order as [[shuffleDeterministic]]) while
+    * the running whitespace-token total stays ≤ `tokenBudget` — "give me
+    * exactly ~N tokens of corpus, the same N tokens on every run/cluster".
+    * The running total is a DISTRIBUTED prefix sum: range partition on the
+    * hash order, per-partition running sums, plus each partition's token
+    * start-offset from a #partitions-row broadcast table — never a
+    * corpus-sized single-reducer window. Returns the input columns plus
+    * `n_tokens` (per doc) and `run_tokens` (inclusive running total). */
+  def sampleTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long): DataFrame = {
+    Seq("n_tokens", "run_tokens", "__h", "__pid", "__t", "__off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"sampleTokenBudget reserves the '$c' column; rename it first"))
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    // persisted for the same reason as shuffleDeterministic: the offset
+    // branch and the filter branch must see ONE range materialization
+    val ranged = OpUtils.shared(df
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .repartitionByRange(parts, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("run_tokens",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("run_tokens", col("run_tokens") + col("__off"))
+      .filter(col("run_tokens") <= tokenBudget)
+      .drop("__h", "__pid", "__off")
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

@@ -182,6 +182,32 @@ class CurationSpec extends AnyFunSuite {
     assert(r1 == r2, "order must be identical across runs")
   }
 
+  test("token-budget sampling keeps a stable hash-order prefix within budget") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val budget = 5000L
+    val out = Curation.sampleTokenBudget(docs, "doc_id", "text", budget)
+      .select(col("doc_id"), col("run_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.values.max <= budget)
+    // the kept set is the PREFIX of the shuffle order: every kept doc ranks
+    // before every dropped doc under the shared hash-of-id total order
+    graft.operators.PipelineCache.clear()
+    val rank = Curation.shuffleDeterministic(docs.select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptRanks = out.keySet.map(rank)
+    val maxKept = keptRanks.max
+    assert(keptRanks == (1L to maxKept).toSet,
+      "kept docs must be a contiguous rank prefix")
+    // rerun agrees exactly
+    graft.operators.PipelineCache.clear()
+    val out2 = Curation.sampleTokenBudget(docs, "doc_id", "text", budget)
+      .select(col("doc_id"), col("run_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == out2)
+  }
+
   test("streaming near-dup filter flags only docs near-duplicating the static reference") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
