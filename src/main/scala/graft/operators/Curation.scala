@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,34 +191,48 @@ object Curation {
     * (offset + within-rank) sum is the same global position regardless —
     * so the output is deterministic even though the sampler isn't.
     * Returns the input columns plus `rank` (1-based). */
-  def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame = {
-    Seq("rank", "__h", "__pid", "__r", "__off").foreach(c =>
+  def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame =
+    runningTotalByHashOrder(df, idCol, lit(1L), "rank")
+
+  /** Shared distributed-prefix-sum core of [[shuffleDeterministic]] and
+    * [[sampleTokenBudget]]: range-partition `df` on the (md5(id), id)
+    * total order, compute the inclusive running sum of `weight` in that
+    * order as `outCol` — per-partition running windows plus each
+    * partition's start offset from a #partitions-row broadcast table,
+    * never a corpus-sized single-reducer window. With weight 1 the
+    * running sum IS the 1-based global rank.
+    *
+    * The ranged frame MUST be persisted: the offset branch and the
+    * running-sum branch both read it, and a re-executed range exchange may
+    * sample DIFFERENT boundaries (the sampler is seeded per execution) —
+    * offsets keyed on one materialization's partition ids would then be
+    * applied to another's. One materialization makes the pid → offset
+    * table and the windowed rows agree by construction. */
+  private def runningTotalByHashOrder(
+      df: DataFrame, idCol: String, weight: Column, outCol: String): DataFrame = {
+    Seq(outCol, "__h", "__pid", "__w", "__r", "__off").foreach(c =>
       require(!df.columns.contains(c),
-        s"shuffleDeterministic reserves the '$c' column; rename it first"))
+        s"deterministic ordering reserves the '$c' column; rename it first"))
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    // the ranged frame MUST be persisted: the offset branch and the rank
-    // branch both read it, and a re-executed range exchange may sample
-    // DIFFERENT boundaries (the sampler is seeded per execution) — offsets
-    // keyed on one materialization's partition ids would then be applied
-    // to another's. One materialization makes the pid -> offset table and
-    // the ranked rows agree by construction.
     val ranged = OpUtils.shared(df
+      .withColumn("__w", weight.cast("long"))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .repartitionByRange(parts, col("__h"), col(idCol))
       .withColumn("__pid", spark_partition_id()))
     // partition start offsets: a #partitions-row aggregate, window-summed
     // (tiny, single-partition window is fine) and broadcast back
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("__w")).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     ranged
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))))
+      .withColumn("__r", sum(col("__w")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets), "__pid")
-      .withColumn("rank", (col("__r") + col("__off")).cast("long"))
-      .drop("__h", "__pid", "__r", "__off")
+      .withColumn(outCol, (col("__r") + col("__off")).cast("long"))
+      .drop("__h", "__pid", "__w", "__r", "__off")
   }
 
   /** Fill a TOKEN budget reproducibly: keep documents in the deterministic
@@ -232,31 +246,12 @@ object Curation {
     * `n_tokens` (per doc) and `run_tokens` (inclusive running total). */
   def sampleTokenBudget(df: DataFrame, idCol: String, textCol: String,
       tokenBudget: Long): DataFrame = {
-    Seq("n_tokens", "run_tokens", "__h", "__pid", "__t", "__off").foreach(c =>
-      require(!df.columns.contains(c),
-        s"sampleTokenBudget reserves the '$c' column; rename it first"))
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    // persisted for the same reason as shuffleDeterministic: the offset
-    // branch and the filter branch must see ONE range materialization
-    val ranged = OpUtils.shared(df
-      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .repartitionByRange(parts, col("__h"), col(idCol))
-      .withColumn("__pid", spark_partition_id()))
-    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__t"))
-      .withColumn("__off",
-        coalesce(sum(col("__t")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    ranged
-      .withColumn("run_tokens",
-        sum(col("n_tokens")).over(
-          Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), "__pid")
-      .withColumn("run_tokens", col("run_tokens") + col("__off"))
+    require(!df.columns.contains("n_tokens"),
+      "sampleTokenBudget reserves the 'n_tokens' column; rename it first")
+    runningTotalByHashOrder(
+        df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long")),
+        idCol, col("n_tokens"), "run_tokens")
       .filter(col("run_tokens") <= tokenBudget)
-      .drop("__h", "__pid", "__off")
   }
 
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no

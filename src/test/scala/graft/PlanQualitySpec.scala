@@ -317,14 +317,14 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.toLowerCase.contains("rangepartitioning"),
       s"expected a range exchange for the total order:\n${plan.take(900)}")
-    // the corpus-side row_number window must be keyed by __pid — a
-    // row_number with an empty partition spec would be the corpus-sized
-    // single-reducer sort this operator exists to avoid (the offsets
-    // branch's tiny unpartitioned sum-window prints without row_number,
-    // so filtering on row_number isolates the corpus window)
-    val rnWindows = plan.linesIterator
-      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
-    assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("__pid")),
-      s"corpus row_number window must partition by __pid:\n${rnWindows.mkString("\n")}")
+    // the corpus-side running-sum window (over the per-row weight __w)
+    // must be keyed by __pid — an empty partition spec there would be the
+    // corpus-sized single-reducer sort this operator exists to avoid (the
+    // offsets branch's tiny unpartitioned window sums the aggregated __n,
+    // not __w, so filtering on __w isolates the corpus window)
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__w")).toSeq
+    assert(corpusWindows.nonEmpty && corpusWindows.forall(_.contains("__pid")),
+      s"corpus running-sum window must partition by __pid:\n${corpusWindows.mkString("\n")}")
   }
 }
