@@ -342,6 +342,25 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // correlated scalar subquery: customers ordering more often than 1.5×
+    // their nation's average order count. Exercises Catalyst's
+    // RewriteCorrelatedScalarSubquery de-correlation (subquery → aggregate
+    // + join, never a per-row re-execution); the compared quantities are
+    // integer counts (exact in double), so the float boundary is
+    // engine-stable
+    "q23_correlated" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """WITH cnt AS (
+          |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+          |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          |  GROUP BY c.c_custkey, c.c_nationkey)
+          |SELECT c_custkey, n_orders
+          |FROM cnt x
+          |WHERE n_orders > 1.5 * (
+          |  SELECT avg(y.n_orders) FROM cnt y WHERE y.c_nationkey = x.c_nationkey)
+          |""".stripMargin)
+    }),
     // deterministic global shuffle: reproducible epoch ordering with
     // distributed rank assembly (range partition + per-partition offsets),
     // never a one-reducer global window
@@ -489,6 +508,10 @@ object SparkEntry {
     // corpus-trained unigram LM scoring (the cheap perplexity-filter proxy)
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-trained bigram LM scoring (word-ORDER-sensitive perplexity
+    // proxy: common words in an improbable order now score low)
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
     // corpus-level n-gram occurrence statistics, top-k by count
     "text_ngram_stats" -> ((s, dir) =>
       TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -623,6 +646,17 @@ object SparkEntry {
     // whitespace collapse) — the narrow pass in front of hashing/dedup
     "curate_normalize" -> ((s, dir) =>
       Curation.normalizeText(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-level duplicate-LINE removal (CCNet/RefinedWeb boilerplate
+    // pass). The synthetic docs are single-line, so the query first folds
+    // every 3 tokens into a line (same regex both engines) — repeated
+    // 3-token runs across documents then behave exactly like repeated
+    // boilerplate lines in a crawl
+    "curate_line_dedup" -> ((s, dir) =>
+      Curation.dedupLines(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
+        "doc_id", "text")),
     // per-source k best docs by the shared quality score, ranked with the
     // bounded-heap aggregate (k ids/group/partition cross the exchange,
     // never a full window sort)
@@ -818,6 +852,16 @@ object SparkEntry {
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q23_correlated" ->
+      """WITH cnt AS (
+        |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey)
+        |SELECT c_custkey, n_orders
+        |FROM cnt x
+        |WHERE n_orders > 1.5 * (
+        |  SELECT avg(y.n_orders) FROM cnt y WHERE y.c_nationkey = x.c_nationkey)
+        |""".stripMargin,
     "curate_shuffle" ->
       """SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,
         |  doc_id
@@ -1056,6 +1100,23 @@ object SparkEntry {
         |SELECT doc_id, round(avg(ln(c / n)), 4) AS logprob
         |FROM tok JOIN cnt USING (tk) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 2),
+        |c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS logprob_bi
+        |  FROM bg JOIN c2 USING (b)
+        |  JOIN c1 ON split_part(b, ' ', 1) = c1.w1
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.logprob_bi
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "text_ngram_stats" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
@@ -1321,6 +1382,19 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    "curate_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d) x),
+        |fl AS (SELECT doc_id, pos, line,
+        |    count(*) OVER (PARTITION BY line) >= 2 AS dup FROM l)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE NOT dup) AS n_lines_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dup), '')
+        |    AS text_clean
+        |FROM fl GROUP BY doc_id""".stripMargin,
     "curate_neardup_decontam" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -254,6 +254,66 @@ object Curation {
       .filter(col("run_tokens") <= tokenBudget)
   }
 
+  /** Corpus-level duplicate-LINE removal (the CCNet / RefinedWeb /
+    * MassiveText boilerplate pass): drop every occurrence of any line whose
+    * corpus-wide frequency reaches `minFreq`, and reassemble each document
+    * from its surviving lines in original order. Removes navigation bars,
+    * cookie banners, license headers — the boilerplate that document-level
+    * dedup can't touch because the surrounding text differs.
+    *
+    * Shape: one narrow posexplode of the line stream; the duplicated-line
+    * set comes from ONE partial-aggregated count keyed on md5(line) — the
+    * 128-bit digest crosses the exchange instead of arbitrarily long line
+    * text, and grouping collides only on real duplicates (md5 collisions are
+    * ignorable at any corpus size). The flagged-digest relation holds ONLY
+    * lines at/above `minFreq` (boilerplate-sized, ≪ corpus — Zipf's tail is
+    * unique), so it broadcasts a dup flag onto the line stream; ONE per-doc
+    * aggregation then computes the totals and reassembles the surviving
+    * lines in position order (`sort_array` over (pos, line) structs INSIDE
+    * the row, never a per-doc window) — the corpus crosses exactly one
+    * exchange. A document whose every line is boilerplate still
+    * returns, with empty `text_clean` — dropping it is the caller's policy
+    * decision, not this operator's.
+    *
+    * Returns (idCol, n_lines, n_lines_kept, text_clean). */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minFreq: Int = 2): DataFrame = {
+    require(minFreq >= 2, "minFreq < 2 would drop every line")
+    // the line stream is read by two plan branches (the count and the
+    // regroup), but the branch feeding the broadcast build side is the
+    // digest-only aggregate — cheap to recompute, not worth a persist
+    val lines = df
+      .select(col(idCol).as("__ld_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__ld_pos", "__ld_line")))
+      .withColumn("__ld_h", md5(col("__ld_line")))
+    val flagged = lines
+      .groupBy(col("__ld_h"))
+      .agg(count(lit(1)).as("__ld_n"))
+      .filter(col("__ld_n") >= minFreq)
+      .select(col("__ld_h"), lit(true).as("__ld_dup"))
+    // one broadcast join attaches the dup flag; ONE per-doc aggregation then
+    // yields totals + the ordered surviving lines — the corpus's single
+    // wide exchange is this groupBy on the id
+    lines.join(broadcast(flagged), Seq("__ld_h"), "left")
+      .groupBy(col("__ld_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__ld_dup").isNull, 1)).as("n_lines_kept"),
+        sort_array(collect_list(when(col("__ld_dup").isNull,
+          struct(col("__ld_pos"), col("__ld_line"))))).as("__ld_kl"))
+      .select(
+        col("__ld_id").as(idCol),
+        col("n_lines"),
+        col("n_lines_kept"),
+        concat_ws(sep, transform(col("__ld_kl"), x => x.getField("__ld_line")))
+          .as("text_clean"))
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

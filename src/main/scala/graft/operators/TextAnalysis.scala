@@ -126,6 +126,50 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("logprob"))
   }
 
+  /** Per-document average bigram conditional log-probability under the
+    * corpus's own bigram LM — one order up from [[unigramLogProb]] and a
+    * materially better perplexity-filter proxy: a document of common words
+    * in an improbable ORDER now scores low, which is exactly the
+    * word-salad/template signal unigrams cannot see. Scores
+    * avg ln P(w_i | w_{i-1}) with MLE conditionals
+    * c(w_{i-1} w_i) / c(w_{i-1} ·) — both counts come from the SAME bigram
+    * stream (the denominator is the prefix-marginal, so every observed
+    * bigram has probability > 0 and no smoothing constant leaks into the
+    * contract).
+    *
+    * Shape: the fused [[graft.functions.GraftFunctions.wordNgramsAll]]
+    * kernel emits bigram occurrences narrowly; the bigram-count table is
+    * one partial-aggregated shuffle and Heaps-law-sized (≪ the token
+    * stream), the prefix-marginal table is vocabulary-sized and derived
+    * from the bigram counts (no second corpus pass). Re-attaching counts
+    * shuffles on the bigram key, the marginal join is left to AQE (it
+    * broadcasts while the vocab fits, shuffles when it doesn't), and the
+    * final per-doc average shuffles on the id. Docs with fewer than two
+    * tokens have no bigrams: they surface with NULL logprob_bi rather than
+    * silently vanishing. Returns (idCol, n_bigrams, logprob_bi). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import OpUtils.{shared, widen}
+    val bigrams = shared(widen(df)
+      .select(col(idCol).as("id"), explode(wordNgramsAll(col(textCol), 2)).as("bg")))
+    val c2 = shared(bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2")))
+    val c1 = c2
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val scored = bigrams
+      .join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("logprob_bi"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob_bi"))
+  }
+
   /** Corpus-level n-gram statistics: the `topK` n-grams by occurrence count
     * (ties broken by the gram ascending) with their document frequency.
     * Occurrences come from the non-distinct shingle stream; one grouped

@@ -349,4 +349,30 @@ class CurationSpec extends AnyFunSuite {
       s"equal-sized higher-quality group must get more weight: $w")
     assert(w("noisy")._3 > 0.0, "no group is starved to zero")
   }
+
+  test("dedupLines drops corpus-duplicated lines, keeps order, keeps emptied docs") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique first\ncookie banner\nreal content one"),
+      (2L, "unique second\ncookie banner\nreal content two"),
+      (3L, "cookie banner"), // every line is boilerplate
+      (4L, "all original\nnothing shared"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "cookie banner" occurs 4x corpus-wide (twice in doc 1) -> all dropped
+    assert(out(1L) == (4L, 2L, "unique first\nreal content one"))
+    assert(out(2L) == (3L, 2L, "unique second\nreal content two"))
+    assert(out(3L) == (1L, 0L, ""), "fully-boilerplate doc survives, emptied")
+    assert(out(4L) == (2L, 2L, "all original\nnothing shared"))
+  }
+
+  test("dedupLines minFreq raises the duplication bar") {
+    val docs = Seq(
+      (1L, "twice\nthrice"), (2L, "twice\nthrice"), (3L, "thrice\nsolo"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, "doc_id", "text", minFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // freq("twice")=2 < 3 survives; freq("thrice")=3 dropped everywhere
+    assert(out(1L) == "twice" && out(2L) == "twice" && out(3L) == "solo")
+  }
 }

@@ -68,6 +68,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == expected1) // same per-token prob
   }
 
+  test("bigram logprob conditions on the prefix word; short docs get NULL") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
+    // bigram counts: "a b"=2, "a c"=1; prefix-marginal c1("a")=3
+    val rows = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L) == (1L, Some(r4(math.log(2.0 / 3)))))
+    assert(rows(2L) == (1L, Some(r4(math.log(2.0 / 3)))))
+    assert(rows(3L) == (1L, Some(r4(math.log(1.0 / 3)))))
+    assert(rows(4L) == (0L, None), "a one-token doc has no bigrams, not a crash")
+    // order sensitivity: identical token MULTISETS (unigram logprob ties)
+    // but different orders diverge — doc 2's "a a" is the rare transition
+    val ordered = Seq((1L, "a b a"), (2L, "a a b")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogProb(ordered, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val u = TextAnalysis.unigramLogProb(ordered, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(u(1L) == u(2L), "unigrams cannot see word order")
+    assert(s(2L) < s(1L), "the improbable ORDER must score lower")
+  }
+
   test("ngram stats count occurrences WITH multiplicity and doc frequency") {
     val df = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     val rows = TextAnalysis.ngramStats(df, "doc_id", "text", n = 2, topK = 10)
