@@ -312,6 +312,55 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
   }
 
+  test("line dedup broadcasts the flagged-digest set; reassembly is in-row, not a window") {
+    val df = SparkEntry.queries("curate_line_dedup")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the duplicated-line set is boilerplate-sized — it must broadcast onto
+    // the line stream, never shuffle the corpus-sized stream to meet it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"flagged-line join must broadcast:\n${plan.take(900)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("__ld_h")),
+      s"broadcast key should be the line digest:\n${plan.take(900)}")
+    // per-doc reassembly sorts (pos, line) structs INSIDE the row
+    assert(!plan.contains("Window"),
+      s"line reassembly must not be a per-doc window sort:\n${plan.take(900)}")
+  }
+
+  test("bigram logprob derives both count tables from one stream, no cross join") {
+    val df = SparkEntry.queries("text_bigram_logprob")(spark, TestSpark.sf)
+    val top = df.queryExecution.optimizedPlan
+    val plan = top.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"bigram scoring planned a cross product:\n${plan.take(900)}")
+    // every bigram row must come from the ONE persisted stream: the join
+    // pipeline itself re-explodes nothing (c1 derives from the cached c2,
+    // c2 from the cached stream — a second corpus pass would surface as a
+    // Generate node in the top tree)
+    val generates = top.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.isEmpty,
+      s"join pipeline re-explodes the corpus (${generates.size} Generate nodes):\n${plan.take(1200)}")
+    // exactly two distinct cached relations feed it: the stream and c2
+    val cached = scala.collection.mutable.Set[Int]()
+    top.foreach {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        cached.add(System.identityHashCode(r.cacheBuilder))
+      case _ =>
+    }
+    assert(cached.size == 2, s"expected the stream + c2 cached, got ${cached.size}")
+  }
+
+  test("correlated scalar subquery is de-correlated into an aggregate join") {
+    val df = SparkEntry.queries("q23_correlated")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("scalar-subquery"),
+      s"subquery must be rewritten, not re-executed per row:\n${plan.take(900)}")
+    assert(plan.contains("Aggregate") && plan.contains("Join"),
+      s"expected the de-correlated aggregate+join shape:\n${plan.take(900)}")
+  }
+
   test("deterministic shuffle range-partitions the corpus, never a global single-partition sort") {
     val df = SparkEntry.queries("curate_shuffle")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
