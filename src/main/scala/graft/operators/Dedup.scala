@@ -293,15 +293,19 @@ object Dedup {
     * end of each document), not with block size squared.
     * Returns (id_a, id_b, jac rounded to 6dp). */
   /** Shared front half of the prefix-filtered detectors: blocked sorted
-    * shingle sets plus each doc's rarest-first prefix under the global
-    * document-frequency order (df asc, shingle asc). `prefixKeep` is the
-    * number of prefix shingles as a function of set size — Jaccard and
-    * containment use the same |s| − ⌈t·|s|⌉ + 1 bound, so both detectors
-    * share this table and any fix to the prefix math lands in one place.
-    * Returns (sets = (block, id, sh), prefixes = (block, id, sz, pfx)). */
+    * shingle sets, each doc's FULL shingle list in the global rarest-first
+    * order (df asc, shingle asc), and the prefix-filter prefix of that
+    * list. `prefixKeep` is the number of prefix shingles as a function of
+    * set size — Jaccard and containment use the same |s| − ⌈t·|s|⌉ + 1
+    * bound, so both detectors share this table and any fix to the prefix
+    * math lands in one place. The ordered list is what makes POSITIONAL
+    * pruning possible downstream: a shingle's index in it upper-bounds how
+    * much overlap can still follow. Returns
+    * (sets = (block, id, sh), ordered = (block, id, sz, ord),
+    *  prefixes = (block, id, sz, pfx) — a narrow slice of `ordered`). */
   private def prefixTable(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double): (DataFrame, DataFrame) = {
+      n: Int, threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val sets = shared(widen(df).select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
@@ -311,15 +315,17 @@ object Dedup {
     // global document frequency per shingle → the global shingle order
     // (df asc, shingle asc); one narrow groupBy with map-side combine
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
-    // each doc's shingles rarest-first; keep the prefix-filter prefix
-    val prefixes = toks.join(dfreq, "tok")
+    // each doc's shingles rarest-first
+    val ordered = shared(toks.join(dfreq, "tok")
       .groupBy(col("block"), col("id"))
-      .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
+      .agg(array_sort(collect_list(struct(col("dfreq"), col("tok")))).as("ordS"))
       .select(
-        col("block"), col("id"), size(col("ord")).as("sz"),
-        expr(s"slice(transform(ord, s -> s.tok), 1, " +
-             s"cast(size(ord) - ceil($threshold * size(ord)) + 1 as int))").as("pfx"))
-    (sets, prefixes)
+        col("block"), col("id"), size(col("ordS")).as("sz"),
+        expr("transform(ordS, s -> s.tok)").as("ord")))
+    val prefixes = ordered.select(
+      col("block"), col("id"), col("sz"),
+      expr(s"slice(ord, 1, cast(sz - ceil($threshold * sz) + 1 as int))").as("pfx"))
+    (sets, ordered, prefixes)
   }
 
   def ngramJaccardPairs(
@@ -329,7 +335,7 @@ object Dedup {
       blockCol: String,
       n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val (sets, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
+    val (sets, _, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
     val pe = prefixes.select(
       col("block"), col("id"), col("sz"), explode(col("pfx")).as("tok"))
     // candidate generation applies the AllPairs LENGTH filter in-kernel:
@@ -360,8 +366,14 @@ object Dedup {
     * shingle (it cannot know which of its shingles is rare for A) and
     * emits all of them. The candidate join is (block, shingle) equi —
     * volume tracks rare-shingle document frequency times prefix size,
-    * never block². Verification computes true containment once per
-    * deduplicated pair with the sorted-merge kernel. Returns
+    * never block². Joined rows then pass the PPJoin POSITIONAL bound
+    * before anything crosses the dedup exchange: at a match seen at index
+    * posA of A's order and posB of B's, the containment overlap can reach
+    * at most 1 + min(|A|−posA, |B|−posB) — on dense vocabularies (where
+    * every shingle is common and the prefix filter alone is weak) this is
+    * what keeps the candidate set near the true-pair set. Verification
+    * computes true containment once per deduplicated pair with the
+    * sorted-merge kernel. Returns
     * (id_small, id_big, containment rounded to 6dp), id_small ≠ id_big;
     * both directions are checked (a ⊆ b and b ⊆ a emit separately). */
   def containmentPairs(
@@ -371,21 +383,32 @@ object Dedup {
       blockCol: String,
       n: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val (sets, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
+    val (sets, ordered, prefixes) = prefixTable(df, idCol, textCol, blockCol, n, threshold)
     val pe = prefixes.select(
-      col("block"), col("id").as("id_small"), col("sz").as("pa"),
-      explode(col("pfx")).as("tok"))
-    val full = sets.select(
-      col("block"), col("id").as("id_big"), size(col("sh")).as("pb"),
-      explode(col("sh")).as("tok"))
-    // contained-side prefixes meet the containing side's FULL token stream;
-    // the id pair is ordered (small = the candidate contained doc). Sizes
-    // ride with the ids so the containment length bound (|B| ≥ t·|A|)
-    // prunes size-incompatible pairs BEFORE the dedup exchange and the
-    // payload join-back
+        col("block"), col("id").as("id_small"), col("sz").as("pa"),
+        posexplode(col("pfx")).as(Seq("pos_a", "tok")))
+    val full = ordered.select(
+        col("block"), col("id").as("id_big"), col("sz").as("pb"),
+        posexplode(col("ord")).as(Seq("pos_b", "tok")))
+    // contained-side prefixes meet the containing side's FULL token stream
+    // (both in the global rarest-first order); the id pair is ordered
+    // (small = the candidate contained doc). Sizes AND positions ride with
+    // the ids: the containment length bound (|B| ≥ t·|A|) and the PPJoin
+    // positional bound both prune BEFORE the dedup exchange and the
+    // payload join-back. Positional soundness: at a true pair's FIRST
+    // matching shingle, every matched element still lies at-or-after the
+    // match on both sides, so C ≤ 1 + min(|A|−posA, |B|−posB); a row
+    // failing that can be dropped because the first-match row of any true
+    // pair always passes, and dropDuplicates keeps a pair if ANY of its
+    // rows survives. (posexplode is 0-based: |A|−posA−1 remain after the
+    // match.) The epsilon guards the t·|A| float boundary — pruning may
+    // only ever be LESS aggressive than the exact verify.
     val cands = pe
       .join(full, Seq("block", "tok"))
-      .filter(col("id_small") =!= col("id_big") && col("pb") >= lit(threshold) * col("pa"))
+      .filter(col("id_small") =!= col("id_big") &&
+        col("pb") >= lit(threshold) * col("pa") &&
+        (lit(1) + least(col("pa") - col("pos_a") - 1, col("pb") - col("pos_b") - 1)) >=
+          lit(threshold) * col("pa") - lit(1e-9))
       .select("id_small", "id_big")
       .dropDuplicates("id_small", "id_big")
     val a = sets.select(col("id").as("id_small"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
