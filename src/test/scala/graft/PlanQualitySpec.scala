@@ -294,12 +294,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must use the k-slot heap aggregate:\n${exec.take(600)}")
   }
 
-  test("ngram candidates come from a prefix-shingle equi-join, not a block cross-join") {
+  test("ngram candidates come from prefix-shingle buckets, never a block cross-join") {
     val df = SparkEntry.queries("dedup_ngram")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
+    // candidate pairs are generated INSIDE (block, prefix-shingle) buckets by
+    // the size-filtering kernel — an aggregation, not a join — so the only
+    // acceptable joins are the id-keyed verify join-backs; a cross join or a
+    // block-only equi-join would mean the prefix filter fell out of the plan
+    assert(!plan.contains("Join Cross"), s"ngram planned a cross product:\n${plan.take(900)}")
+    assert(plan.contains("size_filtered_pair_combinations"),
+      s"candidates must come from the in-kernel size-filtered bucket pairs:\n${plan.take(900)}")
     val joins = plan.linesIterator.filter(_.contains("Join Inner")).toSeq
-    assert(joins.exists(_.contains("tok#")),
-      s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
+    assert(joins.forall(j => j.contains("id_a#") || j.contains("id_b#") || j.contains("tok#")),
+      s"unexpected non-id candidate join:\n${joins.mkString("\n")}")
   }
 
   test("containment candidates come from a prefix-shingle equi-join, not a block cross-join") {
