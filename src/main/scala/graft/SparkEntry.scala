@@ -361,6 +361,27 @@ object SparkEntry {
           |  SELECT avg(y.n_orders) FROM cnt y WHERE y.c_nationkey = x.c_nationkey)
           |""".stripMargin)
     }),
+    // EXISTS + IN subqueries (semi-join surface): suppliers with any
+    // near-max-quantity line item, in the first three regions. Integer
+    // comparisons only — no float boundary can flip a row between engines
+    "q24_exists" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM supplier s
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+          |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+          |""".stripMargin)
+    }),
+    // Gopher/RefinedWeb rule-based quality filter: all structural signals
+    // + the keep verdict in one narrow map-only projection. minStopHits=1:
+    // this synthetic vocabulary contains only 'the' from the required-word
+    // set, so the Gopher default of 2 would flag every document and leave
+    // the other rules unexercised
+    "curate_gopher_rules" -> ((s, dir) =>
+      Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text", minStopHits = 1)),
     // deterministic global shuffle: reproducible epoch ordering with
     // distributed rank assembly (range partition + per-partition offsets),
     // never a one-reducer global window
@@ -489,6 +510,23 @@ object SparkEntry {
           k = 3, nCentroids = 0, nProbe = Int.MaxValue)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
+    // radius search: every corpus vector within cosine 0.3 of each query —
+    // the "all sufficiently similar" contract top-k can't express. nProbe
+    // = 1<<20 clamps to nlist: every bucket probed THROUGH the bucket
+    // machinery, so the result must equal the exhaustive answer (the same
+    // exhaustive-oracle trick as ann_ivf). The sim column stays internal:
+    // the threshold compares the 6dp-rounded value, the output is the hit
+    // PAIR list (float parity, same reasoning as ann_brute's rank-only
+    // output).
+    "ann_range" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.rangeSearch(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          threshold = 0.3, nCentroids = 0, nProbe = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
 
     // ---- text analysis ----
     "text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")),
@@ -512,6 +550,17 @@ object SparkEntry {
     // proxy: common words in an improbable order now score low)
     "text_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // DSIR importance weights toward the English slice: log-likelihood
+    // ratio under add-one-smoothed target vs raw unigram LMs, both count
+    // tables off ONE token stream
+    "text_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")),
+    // CCNet head/middle/tail perplexity tiers per language; the per-lang
+    // rank is the distributed groupedRank assembly, never a
+    // Window.partitionBy(lang) funnel
+    "text_ppl_bucket" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text", "lang")),
     // corpus-level n-gram occurrence statistics, top-k by count
     "text_ngram_stats" -> ((s, dir) =>
       TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -862,6 +911,64 @@ object SparkEntry {
         |WHERE n_orders > 1.5 * (
         |  SELECT avg(y.n_orders) FROM cnt y WHERE y.c_nationkey = x.c_nationkey)
         |""".stripMargin,
+    "q24_exists" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        |""".stripMargin,
+    "curate_gopher_rules" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |  round(CAST((length(text) - length(replace(text, '#', ''))) +
+        |             (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS symbol_ratio,
+        |  round(CAST(len(list_filter(string_split(text, chr(10)),
+        |          l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |        / len(string_split(text, chr(10))), 6) AS bullet_frac,
+        |  round(CAST(len(list_filter(string_split(text, chr(10)),
+        |          l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
+        |        / len(string_split(text, chr(10))), 6) AS ellipsis_frac,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS alpha_frac,
+        |  CAST((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS stop_hits,
+        |  (len(string_split(text, ' ')) BETWEEN 50 AND 100000
+        |   AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
+        |   AND round(CAST((length(text) - length(replace(text, '#', ''))) +
+        |                  (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) <= 0.1
+        |   AND round(CAST(len(list_filter(string_split(text, chr(10)),
+        |               l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |             / len(string_split(text, chr(10))), 6) <= 0.9
+        |   AND round(CAST(len(list_filter(string_split(text, chr(10)),
+        |               l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
+        |             / len(string_split(text, chr(10))), 6) <= 0.3
+        |   AND round(CAST(len(list_filter(string_split(text, ' '),
+        |               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) >= 0.8
+        |   AND ((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END) +
+        |        (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END)) >= 1)
+        |    AS keep
+        |FROM documents""".stripMargin,
     "curate_shuffle" ->
       """SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,
         |  doc_id
@@ -1117,6 +1224,34 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.logprob_bi
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "text_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+        |               unnest(string_split(text, ' ')) AS tk FROM documents),
+        |cr AS (SELECT tk, count(*) AS cr FROM tok GROUP BY 1),
+        |ct AS (SELECT tk, count(*) AS ct FROM tok WHERE tgt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(count(*) AS DOUBLE) AS v FROM cr),
+        |ttt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM ct),
+        |r AS (SELECT tk,
+        |        ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (tt + v)) -
+        |        ln(CAST(cr + 1 AS DOUBLE) / (tr + v)) AS lr
+        |      FROM cr LEFT JOIN ct USING (tk) CROSS JOIN tot CROSS JOIN ttt)
+        |SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS log_weight
+        |FROM tok JOIN r USING (tk)
+        |GROUP BY doc_id""".stripMargin,
+    "text_ppl_bucket" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |sc AS (SELECT doc_id, lang, round(avg(ln(c / n)), 4) AS logprob
+        |       FROM tok JOIN cnt USING (tk) CROSS JOIN tot GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS nl
+        |      FROM sc)
+        |SELECT doc_id, lang, logprob,
+        |  CASE CAST(floor((rk - 1) * 3.0 / nl) AS INT)
+        |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin,
     "text_ngram_stats" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
@@ -1208,6 +1343,12 @@ object SparkEntry {
         |FROM embeddings c, embeddings q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+    "ann_range" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |WHERE c.vec_id <> q.vec_id
+        |  AND round(list_cosine_similarity(
+        |        CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) >= 0.3""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_c,

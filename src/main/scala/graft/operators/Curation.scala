@@ -314,6 +314,79 @@ object Curation {
           .as("text_clean"))
   }
 
+  /** The Gopher "required words": a natural-language document is expected
+    * to contain at least `minStopHits` DISTINCT members. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/RefinedWeb-style rule-based quality filtering: the battery of
+    * cheap structural heuristics applied to web text BEFORE any model-based
+    * scoring — word-count bounds, mean word length bounds, symbol-to-word
+    * ratio (# and … are markup/truncation tells), bullet-point and
+    * ellipsis-terminated line fractions, alphabetic-word fraction, and the
+    * required-stopword count (documents of pure code/data contain none).
+    * Every signal AND the composite `keep` verdict are returned so the
+    * caller can audit or re-threshold without recomputing.
+    *
+    * Purely narrow: one projection of codegen'd built-ins over the row —
+    * a map-only pass at any scale (the rule thresholds ride the plan as
+    * literals). Ratios are rounded to 6 dp BEFORE thresholding so the
+    * keep decision is engine-stable. Returns (idCol, n_words,
+    * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+    * stop_hits, keep). */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val toks = split(text, " ")
+    val nWords = size(toks)
+    val meanWordLen =
+      round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
+    // '#' occurrences + '...' occurrences, counted by replace-and-diff —
+    // no regex scan needed for fixed strings
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nWords, 6)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines, 6)
+    val alphaFrac = round(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
+    val stopHits = GopherStopWords
+      .map(sw => when(array_contains(toks, sw), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(
+        col(idCol),
+        nWords.cast("long").as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** Email / IPv4 / US-phone patterns. Kept RE2-compatible (no backrefs, no
     * lookaround) so external engines can evaluate the same pattern. */
   val PiiPattern: String =

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Shared plan-shaping helpers for the pipeline operators. */
@@ -32,6 +34,43 @@ private[operators] object OpUtils {
       val estSplits = sizes.map(s => (s / bytesPerSplit + 1).min(Int.MaxValue)).sum
       if (estSplits < target) df.repartition(target) else df
     }
+  }
+
+  /** Distributed PER-GROUP rank under `orderCols` — the grouped analog of
+    * Curation's hash-order prefix sum, for when
+    * `row_number().over(Window.partitionBy(group).orderBy(...))` would
+    * funnel each group's FULL membership through one task (a handful of
+    * languages over a web corpus = a handful of tasks doing everything).
+    *
+    * Shape: range-repartition on (group, orderCols) gives a total order
+    * across partitions WITHIN each group (a group's rows in partition p all
+    * precede its rows in p+1); ranks are then per-(partition, group)
+    * row_numbers plus the group's start offset in that partition, from a
+    * (#partitions × #groups)-row broadcast table. Parallelism is
+    * #partitions × #groups instead of #groups. The ranged frame must be
+    * persisted: the offset branch and the rank branch both read it, and a
+    * re-executed range exchange may sample different boundaries. */
+  def groupedRank(
+      df: DataFrame, groupCol: String, orderCols: Seq[Column], rankCol: String): DataFrame = {
+    Seq(rankCol, "__gr_pid", "__gr_n", "__gr_r", "__gr_off").foreach(c =>
+      require(!df.columns.contains(c), s"groupedRank reserves the '$c' column; rename it first"))
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = shared(df
+      .repartitionByRange(parts, (col(groupCol) +: orderCols): _*)
+      .withColumn("__gr_pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__gr_pid"), col(groupCol))
+      .agg(count(lit(1)).as("__gr_n"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_n")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col(groupCol), col("__gr_off"))
+    ranged
+      .withColumn("__gr_r", row_number().over(
+        Window.partitionBy(col("__gr_pid"), col(groupCol)).orderBy(orderCols: _*)))
+      .join(broadcast(offsets), Seq("__gr_pid", groupCol))
+      .withColumn(rankCol, (col("__gr_r") + col("__gr_off")).cast("long"))
+      .drop("__gr_pid", "__gr_r", "__gr_off")
   }
 
   private val persisted = java.util.Collections.newSetFromMap(

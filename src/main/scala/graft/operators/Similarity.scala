@@ -344,6 +344,48 @@ object Similarity {
     }
   }
 
+  /** Radius (range) search: every corpus vector within cosine `threshold`
+    * of each query vector — the retrieval primitive for "all sufficiently
+    * similar" questions (near-duplicate audit around a probe set, recall
+    * measurement, contamination lookups), where top-k's fixed cutoff is the
+    * wrong contract. Same IVF pruning as [[ivfTopK]]: queries probe their
+    * `nProbe` nearest centroid buckets and only those buckets' vectors are
+    * scored, so per-query work is ~nProbe/nlist of the corpus. With
+    * `nProbe >= nlist` every bucket is probed and the result is EXACTLY the
+    * exhaustive answer (each corpus vector lives in one bucket — no
+    * dedup needed), which is how the correctness gate oracles it;
+    * `nProbe == Int.MaxValue` skips the index entirely (explicit
+    * brute-force request, broadcast cross-score). Unlike top-k there is no
+    * per-query rank state — the result is a pure filter over the scored
+    * stream, so the reduce side is hit-sized. Returns
+    * (query_id, neighbor_id, sim rounded to 6dp), sim ≥ threshold. */
+  def rangeSearch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      threshold: Double, nCentroids: Int = 0, nProbe: Int = 0,
+      kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
+    val out = (scored: DataFrame) => scored
+      .withColumn("sim", round(cosineSim(col("cv"), col("qv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    if (bruteForceRequested(nProbe)) {
+      val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      out(corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id")))
+    } else {
+      val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+      val (_, cents, bucketed, _) =
+        buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+      val probed = queries.select(
+        col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        explode(nearestCentroids(col(qVecCol), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+      out(bucketed.join(broadcast(probed), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id")))
+    }
+  }
+
   /** All-pairs kNN self-join: every corpus vector's top-k cosine neighbors
     * — the primitive under embedding-cluster dedup, semantic-neighborhood
     * mining, and retrieval-index validation. Same IVF pruning as

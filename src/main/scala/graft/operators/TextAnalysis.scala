@@ -170,6 +170,89 @@ object TextAnalysis {
         col("logprob_bi"))
   }
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): each document's log importance weight
+    * Σ_w c_w(doc) · ln(p_target(w) / p_raw(w)) under add-one-smoothed
+    * unigram LMs of the target slice (`targetPred` rows) and the whole
+    * corpus. Documents that look like the target domain get positive
+    * weights; resampling by these weights is the standard way to tilt a
+    * crawl toward a curated domain without hard filtering.
+    *
+    * Shape: ONE token stream feeds both count tables (the target counts
+    * are a filtered re-aggregation, not a second corpus pass); both tables
+    * are vocabulary-sized (Heaps' law, ≪ corpus), their outer join and the
+    * two single-row totals broadcast, and the per-token log ratio is
+    * re-attached with one shuffle on the token key plus one per-doc
+    * aggregation — exactly [[unigramLogProb]]'s scaling. Every stream
+    * token exists in the raw table by construction, so the ratio join is
+    * inner and lossless. Returns (idCol, n_tokens, log_weight rounded to
+    * 4 dp). */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, targetPred: Column): DataFrame = {
+    import OpUtils.{shared, widen}
+    val toks = shared(widen(df).select(
+      col(idCol).as("id"), targetPred.as("tgt"),
+      explode(split(col(textCol), " ")).as("tok")))
+    val raw = toks.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("tgt")).groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val rawTotals = raw.agg(
+      sum(col("cr")).cast("double").as("tr"), count(lit(1)).cast("double").as("v"))
+    val tgtTotal = tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("tt"))
+    val ratios = raw.join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(rawTotals))
+      .crossJoin(broadcast(tgtTotal))
+      .select(
+        col("tok"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + col("v"))) -
+          log((col("cr") + 1).cast("double") / (col("tr") + col("v")))).as("lr"))
+    toks.join(ratios, "tok")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")), 4).as("log_weight"))
+      .select(col("id").as(idCol), col("n_tokens"), col("log_weight"))
+  }
+
+  /** CCNet-style perplexity bucketing: documents ranked per language by a
+    * corpus-trained LM score and cut into head / middle / tail thirds —
+    * the coarse quality tiers CCNet ships as its primary output. The score
+    * is the unigram logprob ([[unigramLogProb]], computed here with the
+    * language carried through so the corpus is scanned once); ranking is
+    * (logprob desc, id asc), so ties are deterministic, and bucket
+    * boundaries are floor((rank−1)·3 / n_lang) — exact integer math that
+    * any engine reproduces bit-for-bit.
+    *
+    * The per-language rank uses [[OpUtils.groupedRank]]'s distributed
+    * range-partition + per-partition offsets assembly, NOT a
+    * `Window.partitionBy(lang)` — a handful of languages over a web-scale
+    * corpus would otherwise funnel each language's every document through
+    * one task. Returns (idCol, langCol, logprob, ppl_bucket). */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
+    import OpUtils.{shared, widen, groupedRank}
+    val toks = shared(widen(df).select(
+      col(idCol).as("id"), col(langCol).as("lang"),
+      explode(split(col(textCol), " ")).as("tok")))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    val scored = toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"), col("lang"))
+      .agg(round(avg(log(col("c").cast("double") / col("n"))), 4).as("logprob"))
+    val sizes = scored.groupBy(col("lang")).agg(count(lit(1)).as("__pb_n"))
+    groupedRank(scored, "lang", Seq(col("logprob").desc, col("id")), "__pb_rk")
+      .join(broadcast(sizes), "lang")
+      .withColumn("__pb_b", floor((col("__pb_rk") - 1) * 3 / col("__pb_n")))
+      .select(
+        col("id").as(idCol),
+        col("lang").as(langCol),
+        col("logprob"),
+        when(col("__pb_b") === 0, "head")
+          .when(col("__pb_b") === 1, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Corpus-level n-gram statistics: the `topK` n-grams by occurrence count
     * (ties broken by the gram ascending) with their document frequency.
     * Occurrences come from the non-distinct shingle stream; one grouped

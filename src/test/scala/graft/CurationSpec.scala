@@ -375,4 +375,27 @@ class CurationSpec extends AnyFunSuite {
     // freq("twice")=2 < 3 survives; freq("thrice")=3 dropped everywhere
     assert(out(1L) == "twice" && out(2L) == "twice" && out(3L) == "solo")
   }
+
+  test("gopherRules signals and keep verdict") {
+    val good = (Seq.fill(30)("the data") :+ "rest").mkString(" ") // 61 words
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),
+      (3L, (Seq.fill(60)("the word") :+ "x#y # ## #### ## ## ### ##").mkString(" ")),
+      (4L, "- bullet one\n- bullet two\n* bullet three"),
+      (5L, "waiting...\nmore waiting...\nstill..."))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs, "doc_id", "text", minStopHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("stop_hits") == 1L)
+    // too short
+    assert(out(2L).getAs[Long]("n_words") == 2L && !out(2L).getAs[Boolean]("keep"))
+    // symbol-heavy: 17 '#' chars over 128 words → ratio ≈ 0.133 > 0.1
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.09 - 1e-9)
+    // every line a bullet / ellipsis-terminated
+    assert(out(4L).getAs[Double]("bullet_frac") == 1.0 && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
+  }
+
 }

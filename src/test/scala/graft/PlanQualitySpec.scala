@@ -383,4 +383,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(corpusWindows.nonEmpty && corpusWindows.forall(_.contains("__pid")),
       s"corpus running-sum window must partition by __pid:\n${corpusWindows.mkString("\n")}")
   }
+
+  test("gopher rules are a single narrow projection — no exchange at all") {
+    val df = SparkEntry.queries("curate_gopher_rules")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"rule filtering must stay map-only:\n${plan.take(600)}")
+  }
+
+  test("perplexity buckets rank per language with the distributed assembly, not a per-lang window funnel") {
+    val df = SparkEntry.queries("text_ppl_bucket")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange for the per-group total order:\n${plan.take(900)}")
+    // the corpus-side rank window must be keyed by (__gr_pid, lang) — a
+    // lang-only partition spec would funnel each language's every document
+    // through one task (the offsets branch's tiny window sums the
+    // aggregated __gr_n, not row_number, so filtering isolates the rank)
+    val rankWindows = plan.linesIterator
+      .filter(l => l.contains("row_number()")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__gr_pid")),
+      s"rank window not keyed by partition id:\n${rankWindows.mkString("\n")}")
+  }
+
+  test("range search probes broadcast onto the bucketed corpus; the reduce side is hit-sized") {
+    val df = SparkEntry.queries("ann_range")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed queries must broadcast onto the bucketed corpus:\n${plan.take(600)}")
+    assert(!plan.contains("Window") && !plan.contains("ObjectHashAggregate"),
+      s"range search needs no rank state at all:\n${plan.take(600)}")
+  }
+
+  test("exists/in subqueries plan as semi joins, never per-row re-execution") {
+    val df = SparkEntry.queries("q24_exists")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LeftSemi"), s"expected semi joins:\n${plan.take(900)}")
+    assert(!plan.toLowerCase.contains("exists#"),
+      s"subquery survived de-correlation:\n${plan.take(900)}")
+  }
+
 }

@@ -126,4 +126,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.length <= 5 * 5)
     assert(rows.nonEmpty)
   }
+
+  test("rangeSearch finds every neighbor over the threshold, exactly") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)),      // query
+      (2L, Seq(0.99f, 0.1f, 0f)), // near 1 (sim ~ 0.995)
+      (3L, Seq(0f, 1f, 0f)),      // orthogonal
+      (4L, Seq(0.9f, 0.4f, 0f)),  // sim ~ 0.91
+      (5L, Seq(-1f, 0f, 0f)))     // opposite
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 1L)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.rangeSearch(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      threshold = 0.9, nProbe = Int.MaxValue))
+    assert(brute == Set((1L, 2L), (1L, 4L)))
+    // through the bucket machinery at exhaustive probes: identical result
+    val ivf = hits(Similarity.rangeSearch(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 2, nProbe = 1 << 20))
+    assert(ivf == brute)
+    // threshold is inclusive on the ROUNDED sim: vec 4 at ~0.9138 stays,
+    // raising the bar past it drops it
+    val tight = hits(Similarity.rangeSearch(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      threshold = 0.95, nProbe = Int.MaxValue))
+    assert(tight == Set((1L, 2L)))
+  }
+
 }

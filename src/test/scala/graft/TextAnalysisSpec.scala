@@ -158,4 +158,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(0) < -1.0, s"power-law corpus should slope below -1: $r")
     assert(r.getLong(1) == 4L && r.getLong(2) == 15L)
   }
+
+  test("dsirWeights tilts toward the target slice") {
+    val df = Seq(
+      (1L, "medical clinical trial", "tgt"),
+      (2L, "medical clinical study", "tgt"),
+      (3L, "random web junk words", "raw"),
+      (4L, "medical clinical trial", "raw"))
+      .toDF("doc_id", "text", "src")
+    val out = TextAnalysis
+      .dsirWeights(df, "doc_id", "text", org.apache.spark.sql.functions.col("src") === "tgt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(4L)._1 == 3L && out(3L)._1 == 4L)
+    // identical text ⇒ identical weight; target-looking ≫ junk
+    assert(out(4L)._2 == out(1L)._2)
+    assert(out(4L)._2 > out(3L)._2)
+  }
+
+  test("perplexityBuckets cuts each language into head/middle/tail by logprob") {
+    // lang a: 'common' appears 6x, 'mid' 3x, rare words once — three docs
+    // with strictly ordered unigram logprobs; lang b: two docs (sizes 1+1
+    // under the floor cut: ranks 1,2 of n=2 -> buckets 0,1 -> head, middle)
+    val df = Seq(
+      (1L, "common common common", "a"),
+      (2L, "common mid mid", "a"),
+      (3L, "rare1 rare2 rare3", "a"),
+      (4L, "common common mid", "b"),
+      (5L, "rare4 rare5 rare6", "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(out(1L) == ("a", "head"))
+    assert(out(2L) == ("a", "middle"))
+    assert(out(3L) == ("a", "tail"))
+    assert(out(4L) == ("b", "head"))
+    assert(out(5L) == ("b", "middle"))
+  }
+
 }
