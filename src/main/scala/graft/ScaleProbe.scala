@@ -124,6 +124,28 @@ object ScaleProbe {
       }
       report("knn_join_rows", scale, knnRows, knnSecs)
 
+      // radius search at the PRODUCTION setting against a FIXED query set:
+      // the probed fraction of the corpus shrinks as the index grows
+      // (√nlist of nlist ≈ √n buckets), so scanned work per query grows
+      // ~√n and wall time must stay well under the 10× of a full scan;
+      // hits track the fixed queries' true neighborhoods
+      val (rsHits, rsSecs) = timed {
+        graft.operators.Similarity.rangeSearch(
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          threshold = 0.3).count()
+      }
+      report("range_search_hits", scale, rsHits, rsSecs)
+
+      // distributed grouped rank (the perplexity-bucket assembly): wall
+      // time must track the corpus ~linearly — parallelism is
+      // #partitions × #groups, never #groups tasks doing everything
+      val (grMax, grSecs) = timed {
+        graft.operators.OpProbe.groupedRankMax(
+          d.select(col("doc_id"), col("lang"), col("n_chars")))
+      }
+      report("grouped_rank_max", scale, grMax, grSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

@@ -74,14 +74,27 @@ object Dedup {
     * ambiguous). */
   private def verifyJaccard(
       cands: DataFrame, setsA: DataFrame, setsB: DataFrame, threshold: Double): DataFrame = {
-    val a = setsA.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
-    val b = setsB.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("sb"))
+    val a = setsA.select(
+      col("id").as("id_a"), hashedSet(col("sh")).as("sh_a"), size(col("sh")).as("sa"))
+    val b = setsB.select(
+      col("id").as("id_b"), hashedSet(col("sh")).as("sh_b"), size(col("sh")).as("sb"))
     cands.join(a, "id_a").join(b, "id_b")
       .filter(least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
       .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jac", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jac") >= threshold)
   }
+
+  /** 64-bit hash image of a shingle SET, sorted — what the verification
+    * joins carry and merge instead of the string arrays: hashing is one
+    * narrow pass per DOCUMENT (not per pair), the per-pair payload drops
+    * ~4× (8-byte elements vs UTF8 strings + offsets), and the merge kernel
+    * compares fixed-width longs. Distinct inputs stay distinct modulo
+    * xxhash64 collisions, which inflate one pair's intersection with
+    * probability ~|a|·|b|/2⁶⁴ — immaterial against the exactness the
+    * verify step promises. */
+  private def hashedSet(sh: Column): Column =
+    array_sort(transform(sh, x => xxhash64(x)))
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -411,8 +424,9 @@ object Dedup {
           lit(threshold) * col("pa") - lit(1e-9))
       .select("id_small", "id_big")
       .dropDuplicates("id_small", "id_big")
-    val a = sets.select(col("id").as("id_small"), col("sh").as("sh_a"), size(col("sh")).as("sa"))
-    val b = sets.select(col("id").as("id_big"), col("sh").as("sh_b"))
+    val a = sets.select(
+      col("id").as("id_small"), hashedSet(col("sh")).as("sh_a"), size(col("sh")).as("sa"))
+    val b = sets.select(col("id").as("id_big"), hashedSet(col("sh")).as("sh_b"))
     // the |B| ≥ t·|A| length bound was already applied pre-exchange above
     cands.join(a, "id_small").join(b, "id_big")
       .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))

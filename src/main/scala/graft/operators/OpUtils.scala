@@ -106,6 +106,19 @@ private[operators] object OpUtils {
   }
 }
 
+/** Probe hook for the scale harness (which lives outside this package):
+  * ranks `df`'s rows per its 2nd column ordered by (3rd column desc, 1st
+  * column) with the distributed [[OpUtils.groupedRank]] assembly and
+  * returns the maximum rank (= the largest group's cardinality when the
+  * assembly is correct). */
+object OpProbe {
+  def groupedRankMax(df: DataFrame): Long = {
+    val Array(idC, grpC, ordC) = df.columns
+    OpUtils.groupedRank(df, grpC, Seq(col(ordC).desc, col(idC)), "__probe_rank")
+      .agg(max(col("__probe_rank"))).collect()(0).getLong(0)
+  }
+}
+
 /** Lifecycle scope for the intermediate relations the pipeline operators
   * persist (signature sets, LSH pair lists). A long-lived session otherwise
   * accumulates MEMORY_AND_DISK relations until eviction; call `clear()`

@@ -21,11 +21,26 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("sorted-merge intersect count == set intersection size") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val strArr = Literal.create(null, ArrayType(StringType))
     val genSet = Gen.listOf(Gen.alphaNumStr.map(_.take(8))).map(_.toSet)
     check(Prop.forAll(genSet, genSet) { (a: Set[String], b: Set[String]) =>
-      val expr = SortedIntersectCount(null, null)
+      val expr = SortedIntersectCount(strArr, strArr)
       val toArr = (s: Set[String]) =>
         new GenericArrayData(s.toSeq.sorted.map(UTF8String.fromString(_): Any).toArray)
+      val n = expr.nullSafeEval(toArr(a), toArr(b)).asInstanceOf[Int]
+      n == a.intersect(b).size
+    })
+  }
+
+  test("sorted-merge intersect count on 64-bit hash arrays == set intersection size") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val longArr = Literal.create(null, ArrayType(LongType))
+    val genSet = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.toSet)
+    check(Prop.forAll(genSet, genSet) { (a: Set[Long], b: Set[Long]) =>
+      val expr = SortedIntersectCount(longArr, longArr)
+      val toArr = (s: Set[Long]) =>
+        new GenericArrayData(s.toSeq.sorted.map(x => x: Any).toArray)
       val n = expr.nullSafeEval(toArr(a), toArr(b)).asInstanceOf[Int]
       n == a.intersect(b).size
     })
