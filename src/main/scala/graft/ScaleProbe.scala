@@ -139,10 +139,13 @@ object ScaleProbe {
 
       // distributed grouped rank (the perplexity-bucket assembly): wall
       // time must track the corpus ~linearly — parallelism is
-      // #partitions × #groups, never #groups tasks doing everything
+      // #partitions × #groups, never #groups tasks doing everything.
+      // Group = a synthetic 5-way split of the replicated ids (the replicas
+      // carry only id+text); max rank must equal the largest group size
       val (grMax, grSecs) = timed {
         graft.operators.OpProbe.groupedRankMax(
-          d.select(col("doc_id"), col("lang"), col("n_chars")))
+          d.select(col("doc_id"), pmod(col("doc_id"), lit(5L)).as("grp"),
+            length(col("text")).as("ord")))
       }
       report("grouped_rank_max", scale, grMax, grSecs)
 

@@ -49,7 +49,12 @@ private[operators] object OpUtils {
     * (#partitions × #groups)-row broadcast table. Parallelism is
     * #partitions × #groups instead of #groups. The ranged frame must be
     * persisted: the offset branch and the rank branch both read it, and a
-    * re-executed range exchange may sample different boundaries. */
+    * re-executed range exchange may sample different boundaries.
+    *
+    * `orderCols` MUST be a total order within each group (end with a
+    * unique id column): the range partitioner may split order-ties across
+    * partition boundaries, and tied rows would then take arbitrary —
+    * though still valid — rank assignments run to run. */
   def groupedRank(
       df: DataFrame, groupCol: String, orderCols: Seq[Column], rankCol: String): DataFrame = {
     Seq(rankCol, "__gr_pid", "__gr_n", "__gr_r", "__gr_off").foreach(c =>
