@@ -54,7 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => LanguageId(es(0))
     }
     inject("sorted_intersect_count",
-      "sorted_intersect_count(a, b) - intersection size of two sorted string arrays") {
+      "sorted_intersect_count(a, b) - intersection size of two sorted arrays " +
+        "(both array<string> or both array<bigint>)") {
       es => SortedIntersectCount(es(0), es(1))
     }
     inject("word_shingles", "word_shingles(text, n) - distinct sorted word n-grams") {

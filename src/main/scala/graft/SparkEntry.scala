@@ -944,30 +944,13 @@ object SparkEntry {
         |       (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END) +
         |       (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END) AS BIGINT)
         |    AS stop_hits,
-        |  (len(string_split(text, ' ')) BETWEEN 50 AND 100000
-        |   AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |             / len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
-        |   AND round(CAST((length(text) - length(replace(text, '#', ''))) +
-        |                  (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
-        |             / len(string_split(text, ' ')), 6) <= 0.1
-        |   AND round(CAST(len(list_filter(string_split(text, chr(10)),
-        |               l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
-        |             / len(string_split(text, chr(10))), 6) <= 0.9
-        |   AND round(CAST(len(list_filter(string_split(text, chr(10)),
-        |               l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
-        |             / len(string_split(text, chr(10))), 6) <= 0.3
-        |   AND round(CAST(len(list_filter(string_split(text, ' '),
-        |               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |             / len(string_split(text, ' ')), 6) >= 0.8
-        |   AND ((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END) +
-        |        (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END)) >= 1)
-        |    AS keep
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1
+        |   AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8
+        |   AND stop_hits >= 1) AS keep
         |FROM documents""".stripMargin,
     "curate_shuffle" ->
       """SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,

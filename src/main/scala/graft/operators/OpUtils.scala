@@ -70,12 +70,19 @@ private[operators] object OpUtils {
           Window.partitionBy(col(groupCol)).orderBy(col("__gr_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col(groupCol), col("__gr_off"))
+    // null-SAFE group equality on the offsets join: a NULL group is a group
+    // (groupBy and Window.partitionBy both rank it) — plain equality would
+    // silently drop every null-group row here
+    val off = offsets
+      .withColumnRenamed("__gr_pid", "__gr_pid2")
+      .withColumnRenamed(groupCol, "__gr_g2")
     ranged
       .withColumn("__gr_r", row_number().over(
         Window.partitionBy(col("__gr_pid"), col(groupCol)).orderBy(orderCols: _*)))
-      .join(broadcast(offsets), Seq("__gr_pid", groupCol))
+      .join(broadcast(off),
+        col("__gr_pid") === col("__gr_pid2") && col(groupCol) <=> col("__gr_g2"))
       .withColumn(rankCol, (col("__gr_r") + col("__gr_off")).cast("long"))
-      .drop("__gr_pid", "__gr_r", "__gr_off")
+      .drop("__gr_pid", "__gr_pid2", "__gr_g2", "__gr_r", "__gr_off")
   }
 
   private val persisted = java.util.Collections.newSetFromMap(

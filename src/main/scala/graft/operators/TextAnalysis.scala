@@ -236,13 +236,19 @@ object TextAnalysis {
       explode(split(col(textCol), " ")).as("tok")))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n"))
-    val scored = toks.join(counts, "tok")
+    // persisted: the sizes branch and groupedRank's range repartition both
+    // consume it — without this the token join + per-doc aggregation (the
+    // expensive stage) would execute twice
+    val scored = shared(toks.join(counts, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("id"), col("lang"))
-      .agg(round(avg(log(col("c").cast("double") / col("n"))), 4).as("logprob"))
+      .agg(round(avg(log(col("c").cast("double") / col("n"))), 4).as("logprob")))
+    // null-safe lang equality: a NULL language is still a cohort (both
+    // engines' PARTITION BY rank it), so it must not drop out of the join
     val sizes = scored.groupBy(col("lang")).agg(count(lit(1)).as("__pb_n"))
+      .withColumnRenamed("lang", "__pb_lang")
     groupedRank(scored, "lang", Seq(col("logprob").desc, col("id")), "__pb_rk")
-      .join(broadcast(sizes), "lang")
+      .join(broadcast(sizes), col("lang") <=> col("__pb_lang"))
       .withColumn("__pb_b", floor((col("__pb_rk") - 1) * 3 / col("__pb_n")))
       .select(
         col("id").as(idCol),

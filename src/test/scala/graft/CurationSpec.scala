@@ -391,8 +391,11 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("stop_hits") == 1L)
     // too short
     assert(out(2L).getAs[Long]("n_words") == 2L && !out(2L).getAs[Boolean]("keep"))
-    // symbol-heavy: 17 '#' chars over 128 words → ratio ≈ 0.133 > 0.1
-    assert(out(3L).getAs[Double]("symbol_ratio") > 0.09 - 1e-9)
+    // symbol-heavy: 17 '#' chars over 128 words → ratio ≈ 0.133 > 0.1; the
+    // doc passes every OTHER rule, so keep=false pins the symbol clause
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(3L).getAs[Long]("n_words") == 128L)
+    assert(!out(3L).getAs[Boolean]("keep"))
     // every line a bullet / ellipsis-terminated
     assert(out(4L).getAs[Double]("bullet_frac") == 1.0 && !out(4L).getAs[Boolean]("keep"))
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))

@@ -196,4 +196,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == ("b", "middle"))
   }
 
+
+  test("perplexityBuckets keeps a NULL language as its own cohort") {
+    val df = Seq(
+      (1L, "common common common", Some("a")),
+      (2L, "rare1 rare2 rare3", Some("a")),
+      (3L, "common common rare4", None),
+      (4L, "rare5 rare6 rare7", None))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(3))).toMap
+    // null-group rows must neither vanish nor merge into another cohort
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(3L) == (None, "head"))
+    assert(out(4L) == (None, "middle"))
+    assert(out(1L) == (Some("a"), "head"))
+    assert(out(2L) == (Some("a"), "middle"))
+  }
+
 }
