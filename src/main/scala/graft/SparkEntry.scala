@@ -375,6 +375,22 @@ object SparkEntry {
           |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
           |""".stripMargin)
     }),
+    // SQL generator surface: LATERAL VIEW explode in Spark SQL (DuckDB
+    // oracles with unnest) — token-level filtering + aggregation inline
+    // in a SQL statement rather than the DataFrame API
+    "q25_lateral" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id, tok, count(*) AS n
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) x AS tok
+          |WHERE tok LIKE 'a%'
+          |GROUP BY doc_id, tok
+          |""".stripMargin)
+    }),
+    // signed feature hashing: the vocabulary-free text→vector bridge;
+    // sparse (id, dim, value) integer rows — engine-exact by construction
+    "text_hash_features" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(t(s, dir, "documents"), "doc_id", "text")),
     // Gopher/RefinedWeb rule-based quality filter: all structural signals
     // + the keep verdict in one narrow map-only projection. minStopHits=1:
     // this synthetic vocabulary contains only 'the' from the required-word
@@ -406,6 +422,11 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(min(col("value")), 4).as("lo"),
           round(max(col("value")), 4).as("hi"))),
+    // hourly-volume anomaly flags (ingestion gaps / bot bursts): one
+    // partial-aggregated hourly count, per-type stats broadcast back,
+    // z-score thresholded on rounded values (engine-stable)
+    "events_anomaly" -> ((s, dir) =>
+      EventOps.anomalousHours(t(s, dir, "events"))),
 
     // ordered funnel: users progressing view → click → purchase in order
     "events_funnel" -> ((s, dir) =>
@@ -911,6 +932,29 @@ object SparkEntry {
         |WHERE n_orders > 1.5 * (
         |  SELECT avg(y.n_orders) FROM cnt y WHERE y.c_nationkey = x.c_nationkey)
         |""".stripMargin,
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, round(avg(n), 6) AS mean_n,
+        |             round(stddev_pop(n), 6) AS sd_n
+        |      FROM h GROUP BY 1)
+        |SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, h.event_type,
+        |  CAST(h.n AS BIGINT) AS n, round((h.n - s.mean_n) / s.sd_n, 4) AS z
+        |FROM h JOIN s USING (event_type)
+        |WHERE abs(round((h.n - s.mean_n) / s.sd_n, 4)) >= 3.0""".stripMargin,
+    "q25_lateral" ->
+      """SELECT doc_id, tok, count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok LIKE 'a%'
+        |GROUP BY doc_id, tok""".stripMargin,
+    "text_hash_features" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS dim,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(tk), 9, 1))::BIGINT % 2 = 0
+        |                THEN 1 ELSE -1 END) AS BIGINT) AS value
+        |FROM tok GROUP BY 1, 2""".stripMargin,
     "q24_exists" ->
       """SELECT s_suppkey, s_name
         |FROM supplier s

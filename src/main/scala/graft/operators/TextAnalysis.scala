@@ -308,6 +308,35 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Signed feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * each document's bag of words folded into a `dim`-bucket signed count
+    * vector — the deterministic, vocabulary-free text→vector bridge into
+    * the embedding/ANN operators when no learned encoder is in the loop.
+    * Bucket and sign both derive from md5 hex prefixes of the token, so
+    * any engine reproduces them bit-for-bit, and the emitted values are
+    * exact integers — no float parity concerns at all.
+    *
+    * Output is the SPARSE (idCol, dim, value) row form, one row per
+    * populated bucket: exploding a dense array column out of a grouped
+    * collect would shuffle `dim` doubles per document and make the result
+    * order-sensitive; consumers that need the dense vector assemble it
+    * with their own group-collect at the point of use. One token-stream
+    * exchange, partial-aggregated. */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    import OpUtils.widen
+    require(dim > 0)
+    widen(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim)
+      .withColumn("sign",
+        when(conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("sign")).as("value"))
+      .select(col("id").as(idCol), col("bucket").as("dim"), col("value"))
+  }
+
   /** Predicted language per document (script + stopword heuristic). */
   def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langId(col(textCol)).as("lang_pred"))

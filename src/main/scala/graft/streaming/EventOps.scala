@@ -215,6 +215,32 @@ object EventOps {
   case class SessionState(start: Long, last: Long, n: Int)
   case class ClosedSession(user_id: Long, start: Long, end: Long, n_events: Int)
 
+  /** Volume-anomaly detection over the hourly event stream: flag (hour,
+    * event_type) cells whose event count sits `nSigma`+ population standard
+    * deviations from that type's mean hourly count — the monitoring pass
+    * that catches ingestion gaps, bot bursts and replay storms in an event
+    * pipeline. Shape: ONE partial-aggregated hourly count (the raw events
+    * cross exactly that exchange); the per-type mean/stddev table is
+    * event-type-cardinality (tiny) and broadcasts back onto the hourly
+    * cells. Mean and stddev are rounded to 6 dp BEFORE the z-score (and z
+    * to 4 dp before thresholding), so the flag decision is engine-stable.
+    * Returns (hour, event_type, n, z) for |z| ≥ nSigma. */
+  def anomalousHours(events: DataFrame, nSigma: Double = 3.0): DataFrame = {
+    val hourly = events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(
+        round(avg(col("n")), 6).as("mean_n"),
+        round(stddev_pop(col("n")), 6).as("sd_n"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(abs(col("z")) >= nSigma)
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("z"))
+  }
+
   def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

@@ -153,4 +153,20 @@ class EventOpsSpec extends AnyFunSuite {
       assert(sessions().map(_.getInt(3)).sorted.toSeq == Seq(2, 2))
     } finally q.stop()
   }
+
+  test("anomalousHours flags the burst hour and only it") {
+    def ts(hour: Long, i: Long) = new Timestamp(1700000000000L + hour * 3600000L + i * 1000L)
+    // 9 calm hours at 2 events, one 40-event burst: mean 5.8, sd 11.4,
+    // z(burst) = 34.2/11.4 = exactly 3.0 — also pins the INCLUSIVE
+    // threshold boundary
+    val rows = (0L until 9L).flatMap(h => Seq((h, 0L), (h, 1L))) ++
+      (0L until 40L).map(i => (9L, i))
+    val df = rows.zipWithIndex.map { case ((h, i), id) =>
+      (id.toLong, ts(h, i), "click") }.toDF("event_id", "ts", "event_type")
+    val out = EventOps.anomalousHours(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 40L)
+    assert(out(0).getAs[Double]("z") == 3.0)
+  }
+
 }

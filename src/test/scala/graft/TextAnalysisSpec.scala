@@ -214,4 +214,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == (Some("a"), "middle"))
   }
 
+
+  test("hashFeatures: deterministic signed bucket sums, token-count mass") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(df, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d1 = out.collect { case ((1L, d), v) => d -> v }.toMap
+    val d2 = out.collect { case ((2L, d), v) => d -> v }.toMap
+    // identical text ⇒ identical sparse vector; |values| sum ≤ 3 tokens
+    assert(d1 == d2)
+    assert(d1.values.map(math.abs).sum <= 3L)
+    assert(d1.keys.forall(d => d >= 0 && d < 8))
+    // 'alpha' lands twice in one bucket with one sign: some |value| == 2
+    assert(d1.values.exists(v => math.abs(v) == 2L))
+  }
+
 }
