@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Shared plan-shaping helpers for the pipeline operators. */
-private[operators] object OpUtils {
+private[graft] object OpUtils {
 
   /** Spread a too-narrow input across the cluster before CPU-heavy
     * per-document work. A small corpus arrives as one or two file splits

@@ -226,9 +226,11 @@ object EventOps {
     * to 4 dp before thresholding), so the flag decision is engine-stable.
     * Returns (hour, event_type, n, z) for |z| ≥ nSigma. */
   def anomalousHours(events: DataFrame, nSigma: Double = 3.0): DataFrame = {
-    val hourly = events.groupBy(
+    // persisted: the stats branch and the join's left side both read it —
+    // without this the raw events cross the count exchange twice
+    val hourly = graft.operators.OpUtils.shared(events.groupBy(
         date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val stats = hourly.groupBy(col("event_type"))
       .agg(
         round(avg(col("n")), 6).as("mean_n"),
