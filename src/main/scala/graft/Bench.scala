@@ -2,13 +2,22 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall seconds at
-  * `SPARK_GRAFT_SF_DIR`.
+/** Benchmark main: per-query wall seconds at `SPARK_GRAFT_SF_DIR`, printed
+  * as JSON — one line per query, then the full aggregate line, then a
+  * COMPACT `{"metric":"total",...}` line LAST. The layered output makes the
+  * artifact robust to tail-window capture: even if the long aggregate line
+  * is truncated, the individually-small per-query lines and the final
+  * compact total still carry every number.
   *
   * A warm-up pass first runs every query once against the smallest SF so
   * the measured pass reflects steady state (JIT + codegen + reader caches),
   * not first-query JVM warm-up — the reference's numbers are steady-state
   * Lambda/Fargate timings, and ours should measure the same thing.
+  *
+  * `SPARK_GRAFT_REPS` (default 1) runs the measured pass N times and
+  * reports the per-query MIN — single runs on a shared host swing ±2× per
+  * query from scheduling/GC noise, and min-of-N is the stable statistic
+  * for "how fast is this plan".
   *
   * Failures do NOT masquerade as fast green numbers: a failed query keeps
   * its elapsed time and is reported under `"errors"`. */
@@ -17,6 +26,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,15 +47,18 @@ object Bench {
     spark.catalog.clearCache()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = best.get(name).fold(sec)(_ min sec)
     }
+    val results = names.map(n => n -> best(n))
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -56,10 +69,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // one small line per query — each survives any tail-window capture
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":${q(k)},"value":$v,"unit":"sec"}""")
+    }
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}""")
+    // compact headline LAST: carries the total even if the line above was
+    // truncated by a tail capture
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

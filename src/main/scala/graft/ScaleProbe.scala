@@ -149,6 +149,18 @@ object ScaleProbe {
       }
       report("grouped_rank_max", scale, grMax, grSecs)
 
+      // corpus-level line dedup (token-per-line stress): the flagged-digest
+      // side grows WITH the corpus (each replica's boilerplate is distinct
+      // by construction), exactly the regime where a forced broadcast dies —
+      // the unhinted join must keep wall time ~linear and dropped-line
+      // volume ~scale×
+      val (ldDropped, ldSecs) = timed {
+        graft.operators.Curation.dedupLines(d, "doc_id", "text", sep = " ")
+          .agg(coalesce(sum(col("n_lines") - col("n_lines_kept")), lit(0L)))
+          .collect()(0).getLong(0)
+      }
+      report("line_dedup_dropped", scale, ldDropped, ldSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

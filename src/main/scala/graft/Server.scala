@@ -18,14 +18,29 @@ import graft.plans.BuzzEngine
   * shuffle (SURVEY §2c), so this server is the EXTERNAL API only:
   *
   *   POST /query  — body: buzz JSON query → 200 with a JSON array of result
-  *                  rows; 400 on bad/unplannable queries; 500 otherwise.
+  *                  rows, or, when the request's Accept header names
+  *                  `application/vnd.apache.arrow.stream`, a complete Arrow
+  *                  IPC stream (schema + batches + EOS) — wire-format parity
+  *                  with the reference's Arrow results
+  *                  (`flight_utils.rs:42-81`); 400 on bad/unplannable
+  *                  queries; 500 otherwise.
   *   GET  /health — 200 "H" (the reference's HealthCheck action reply).
   *
   * One Spark session serves all requests (the local[n] analog of the
   * reference's one-process-per-service topology); requests execute on a
   * cached handler pool and Spark schedules their jobs concurrently.
+  *
+  * Like the reference's hcomb (`hcomb_service.rs:24,33-47` exits after 300 s
+  * without work — the serverless contract: a reducer that nobody queries
+  * must release its instance), the server can self-stop after an idle
+  * period: pass `idleShutdownMs`, or `SPARK_GRAFT_IDLE_SHUTDOWN_SEC` for the
+  * main binary (default 300, ≤ 0 disables). A request in flight is work —
+  * the idle clock only runs while no handler is active.
   */
 object Server {
+
+  /** MIME type of the Arrow IPC stream format on the wire. */
+  val ArrowMime = "application/vnd.apache.arrow.stream"
 
   /** Start serving on `port` (0 = ephemeral). Each request executes in a
     * CLONE of `spark` (own temp-view catalog + runtime conf over the shared
@@ -34,18 +49,40 @@ object Server {
     * building `spark` (conf.set, temp views, extra UDFs) is NOT visible to
     * queries unless re-applied via `sessionInit`, which runs once per
     * request on the fresh clone (default: register the graft SQL kernels).
-    * Builder-time configs survive through the shared context. */
+    * Builder-time configs survive through the shared context.
+    *
+    * `idleShutdownMs`: when set, a daemon watcher stops the server (and runs
+    * `onStop`) once no request has STARTED or been IN FLIGHT for that long. */
   def start(
       spark: SparkSession,
       port: Int,
-      sessionInit: SparkSession => Unit = graft.functions.GraftFunctions.registerAll): HttpServer = {
+      sessionInit: SparkSession => Unit = graft.functions.GraftFunctions.registerAll,
+      idleShutdownMs: Option[Long] = None,
+      onStop: () => Unit = () => ()): HttpServer = {
     val engine = new BuzzEngine(Map.empty)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    // idle tracking: the clock restarts when the LAST in-flight request
+    // finishes, so a long query can never be shut down under itself
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastDone = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def tracked(handler: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+      (ex: HttpExchange) => {
+        inFlight.incrementAndGet()
+        try handler(ex)
+        finally { lastDone.set(System.nanoTime()); inFlight.decrementAndGet() }
+      }
 
     def respond(ex: HttpExchange, status: Int, body: String): Unit = {
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(status, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+
+    def respondArrow(ex: HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.getResponseHeaders.set("Content-Type", ArrowMime)
+      ex.sendResponseHeaders(200, bytes.length.toLong)
       try ex.getResponseBody.write(bytes) finally ex.close()
     }
 
@@ -58,7 +95,7 @@ object Server {
         case c => c.toString
       } + "\"}"
 
-    server.createContext("/query", (ex: HttpExchange) =>
+    server.createContext("/query", tracked((ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") {
         respond(ex, 405, jsonError("POST a buzz JSON query"))
       } else {
@@ -70,21 +107,43 @@ object Server {
           // ONE session would race between register and drop
           val session = spark.newSession()
           sessionInit(session)
-          val rows = engine.runJson(session, body).toJSON.collect()
-          respond(ex, 200, rows.mkString("[", ",", "]"))
+          val result = engine.runJson(session, body)
+          val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .exists(_.contains(ArrowMime))
+          if (wantsArrow)
+            respondArrow(ex, org.apache.spark.sql.graft.ArrowBridge.toIPCStream(result))
+          else
+            respond(ex, 200, result.toJSON.collect().mkString("[", ",", "]"))
         } catch {
           case e: BuzzException.BuzzError => respond(ex, 400, jsonError(e.getMessage))
           case e: Exception =>
             respond(ex, 500, jsonError(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
         }
-      })
-    server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "\"H\""))
+      }))
+    server.createContext("/health", tracked((ex: HttpExchange) => respond(ex, 200, "\"H\"")))
 
     // a null executor would run every handler inline on the single dispatch
     // thread, serializing queries and blocking /health behind them — a
     // cached pool keeps health checks live while long queries run
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
+
+    idleShutdownMs.filter(_ > 0).foreach { timeoutMs =>
+      val watcher = new Thread(() => {
+        var running = true
+        while (running) {
+          Thread.sleep(math.max(timeoutMs / 4, 10))
+          val idleNs = System.nanoTime() - lastDone.get()
+          if (inFlight.get() == 0 && idleNs > timeoutMs * 1000000L) {
+            server.stop(0)
+            onStop()
+            running = false
+          }
+        }
+      }, "graft-server-idle-watcher")
+      watcher.setDaemon(true)
+      watcher.start()
+    }
     server
   }
 
@@ -100,8 +159,15 @@ object Server {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
-    val server = start(spark, port)
-    println(s"""{"server":"graft","port":${server.getAddress.getPort}}""")
-    Thread.currentThread().join() // serve until killed
+    // serverless parity: exit after the reference's 300 s idle default
+    // (hcomb_service.rs:24); <= 0 disables and the server runs until killed
+    val idleSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_SHUTDOWN_SEC", "300").toDouble
+    val stopped = new java.util.concurrent.CountDownLatch(1)
+    val server = start(spark, port,
+      idleShutdownMs = Some((idleSec * 1000).toLong).filter(_ > 0),
+      onStop = () => stopped.countDown())
+    println(s"""{"server":"graft","port":${server.getAddress.getPort},"idle_shutdown_sec":$idleSec}""")
+    if (idleSec > 0) { stopped.await(); spark.stop() }
+    else Thread.currentThread().join() // serve until killed
   }
 }

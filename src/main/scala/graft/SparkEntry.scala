@@ -164,15 +164,15 @@ object SparkEntry {
     // to the first day so BOTH branches return rows at every SF (every user
     // eventually does everything — the full-range split would be vacuous)
     "q18_setops" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
       val ev = t(s, dir, "events").filter(col("ts") < lit("2024-01-02").cast("timestamp"))
       // both id sets feed TWO set operations each — persist them (they are
       // id-only projections) so the parquet scan+filter runs once per side,
-      // not once per branch
-      val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // not once per branch; OpUtils.shared registers them with
+      // PipelineCache so a long-lived session can release them
+      val clickers = graft.operators.OpUtils.shared(
+        ev.filter(col("event_type") === "click").select(col("user_id")))
+      val buyers = graft.operators.OpUtils.shared(
+        ev.filter(col("event_type") === "purchase").select(col("user_id")))
       clickers.intersect(buyers).withColumn("op", lit("both"))
         .unionAll(clickers.except(buyers).withColumn("op", lit("click_only")))
         .select(col("op"), col("user_id"))
@@ -941,8 +941,9 @@ object SparkEntry {
         |      FROM h GROUP BY 1)
         |SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, h.event_type,
         |  CAST(h.n AS BIGINT) AS n, round((h.n - s.mean_n) / s.sd_n, 4) AS z
-        |FROM h JOIN s USING (event_type)
-        |WHERE abs(round((h.n - s.mean_n) / s.sd_n, 4)) >= 3.0""".stripMargin,
+        |FROM h JOIN s ON h.event_type IS NOT DISTINCT FROM s.event_type
+        |WHERE s.sd_n > 0
+        |  AND abs(round((h.n - s.mean_n) / s.sd_n, 4)) >= 3.0""".stripMargin,
     "q25_lateral" ->
       """SELECT doc_id, tok, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

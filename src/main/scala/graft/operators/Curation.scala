@@ -265,15 +265,18 @@ object Curation {
     * set comes from ONE partial-aggregated count keyed on md5(line) — the
     * 128-bit digest crosses the exchange instead of arbitrarily long line
     * text, and grouping collides only on real duplicates (md5 collisions are
-    * ignorable at any corpus size). The flagged-digest relation holds ONLY
-    * lines at/above `minFreq` (boilerplate-sized, ≪ corpus — Zipf's tail is
-    * unique), so it broadcasts a dup flag onto the line stream; ONE per-doc
-    * aggregation then computes the totals and reassembles the surviving
-    * lines in position order (`sort_array` over (pos, line) structs INSIDE
-    * the row, never a per-doc window) — the corpus crosses exactly one
-    * exchange. A document whose every line is boilerplate still
-    * returns, with empty `text_clean` — dropping it is the caller's policy
-    * decision, not this operator's.
+    * ignorable at any corpus size). The flagged-digest set attaches a dup
+    * flag via an UNHINTED join: on a real web crawl the at/above-`minFreq`
+    * digest set is itself hundreds of millions of rows (every boilerplate
+    * line ever repeated), far past any broadcast budget, so the plan must
+    * never force a broadcast — AQE upgrades the join to broadcast at
+    * runtime exactly when the flagged side's measured size allows it, and
+    * falls back to a hash-partitioned shuffle join when it doesn't. ONE
+    * per-doc aggregation then computes the totals and reassembles the
+    * surviving lines in position order (`sort_array` over (pos, line)
+    * structs INSIDE the row, never a per-doc window). A document whose
+    * every line is boilerplate still returns, with empty `text_clean` —
+    * dropping it is the caller's policy decision, not this operator's.
     *
     * Returns (idCol, n_lines, n_lines_kept, text_clean). */
   def dedupLines(
@@ -296,10 +299,11 @@ object Curation {
       .agg(count(lit(1)).as("__ld_n"))
       .filter(col("__ld_n") >= minFreq)
       .select(col("__ld_h"), lit(true).as("__ld_dup"))
-    // one broadcast join attaches the dup flag; ONE per-doc aggregation then
-    // yields totals + the ordered surviving lines — the corpus's single
-    // wide exchange is this groupBy on the id
-    lines.join(broadcast(flagged), Seq("__ld_h"), "left")
+    // unhinted join: the flagged-digest set is unbounded at crawl scale, so
+    // the strategy choice (broadcast vs shuffle) is left to AQE's runtime
+    // size measurement; ONE per-doc aggregation then yields totals + the
+    // ordered surviving lines
+    lines.join(flagged, Seq("__ld_h"), "left")
       .groupBy(col("__ld_id"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -48,8 +48,15 @@ private[graft] object OpUtils {
     * row_numbers plus the group's start offset in that partition, from a
     * (#partitions × #groups)-row broadcast table. Parallelism is
     * #partitions × #groups instead of #groups. The ranged frame must be
-    * persisted: the offset branch and the rank branch both read it, and a
-    * re-executed range exchange may sample different boundaries.
+    * MATERIALIZED ONCE: the offset branch and the rank branch both read it,
+    * and a re-executed range exchange may sample different boundaries —
+    * the two branches would then disagree on pid assignment and silently
+    * corrupt ranks. When the session has a checkpoint directory configured
+    * (`sc.setCheckpointDir`), the frame is reliably checkpointed, which
+    * survives executor loss; otherwise it is persisted MEMORY_AND_DISK,
+    * which freezes pids for the normal case but NOT across a mid-job
+    * executor loss that forces a lineage recompute — resilience-critical
+    * deployments should set a checkpoint dir.
     *
     * `orderCols` MUST be a total order within each group (end with a
     * unique id column): the range partitioner may split order-ties across
@@ -60,9 +67,15 @@ private[graft] object OpUtils {
     Seq(rankCol, "__gr_pid", "__gr_n", "__gr_r", "__gr_off").foreach(c =>
       require(!df.columns.contains(c), s"groupedRank reserves the '$c' column; rename it first"))
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val ranged = shared(df
+    val rangedRaw = df
       .repartitionByRange(parts, (col(groupCol) +: orderCols): _*)
-      .withColumn("__gr_pid", spark_partition_id()))
+      .withColumn("__gr_pid", spark_partition_id())
+    // reliable checkpoint when available: pid assignment is frozen on disk
+    // and survives executor loss; the persist fallback freezes it only as
+    // long as no lineage recompute occurs (see docstring)
+    val ranged =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) rangedRaw.checkpoint()
+      else shared(rangedRaw)
     val offsets = ranged.groupBy(col("__gr_pid"), col(groupCol))
       .agg(count(lit(1)).as("__gr_n"))
       .withColumn("__gr_off",

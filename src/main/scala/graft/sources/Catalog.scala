@@ -104,6 +104,10 @@ trait SplittableCatalog {
     if (selected.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
     }
+    // ranged-read tuning for object-store catalogs (no-op for any other
+    // scheme); all of a catalog's files share one scheme, so the first
+    // decides
+    FsUtil.applyS3aTuning(spark, selected.head.key)
     // TIMESTAMP(NANOS) columns: declared TimestampType publicly, read as
     // epoch-nanos long, truncated to µs (integer DIV — double division loses
     // precision above 2^53 ns; DuckDB's ns→µs cast truncates identically)

@@ -12,6 +12,36 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/code/src/clients/s3.rs:19-55`), delegated to Hadoop
   * instead of hand-rolled HTTP range requests. */
 object FsUtil {
+
+  /** Downloads the reference overlaps per file before Arrow decode
+    * (`range_cache.rs:120`: an 8-permit semaphore bounds concurrent range
+    * GETs per process). */
+  val ReferenceDownloadConcurrency = 8
+
+  /** The S3A analog of the reference's ranged-read cache
+    * (`/root/reference/code/src/clients/range_cache.rs:62-120`): parquet
+    * access is footer + column-chunk ranges, not sequential, so
+    * `fadvise=random` stops S3A from draining/aborting streams on seek and
+    * issues bounded range GETs; `readahead.range` is the per-seek prefetch
+    * (the reference's download chunks); the connection pool and transfer
+    * threads are sized to the reference's 8 concurrent downloads PER TASK
+    * across all local executor threads.
+    *
+    * Applied to the SHARED scan-time Hadoop conf only when a catalog
+    * actually points at `s3a://`, and only `setIfUnset` — explicit user
+    * configuration always wins. Returns whether tuning applied. */
+  def applyS3aTuning(spark: SparkSession, uri: String): Boolean = {
+    val scheme = new Path(uri).toUri.getScheme
+    if (scheme != "s3a") return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setIfUnset("fs.s3a.experimental.input.fadvise", "random")
+    conf.setIfUnset("fs.s3a.readahead.range", "262144")
+    val pool = ReferenceDownloadConcurrency * spark.sparkContext.defaultParallelism
+    conf.setIfUnset("fs.s3a.connection.maximum", pool.toString)
+    conf.setIfUnset("fs.s3a.threads.max", pool.toString)
+    true
+  }
+
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 

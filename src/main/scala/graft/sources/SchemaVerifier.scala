@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type
 import org.apache.spark.sql.types._
 
 import graft.model.BuzzException
@@ -12,9 +13,12 @@ import graft.model.BuzzException
 /** Strict schema verification against the parquet footer, parity with the
   * reference's scan-time check (`/root/reference/code/src/execution_plan/
   * parquet.rs:84-100`): for every declared column, the file must contain a
-  * field with the same name and a compatible physical type, else the scan
-  * fails up front. Spark alone is permissive (missing columns become nulls,
-  * compatible types are cast), so this is an explicit pre-flight check.
+  * field with the same name, a compatible physical type AND the same
+  * nullability (the reference compares `is_nullable()` exactly: a parquet
+  * REQUIRED column declared nullable fails, as does OPTIONAL declared
+  * non-nullable), else the scan fails up front. Spark alone is permissive
+  * (missing columns become nulls, compatible types are cast, nullability
+  * is widened), so this is an explicit pre-flight check.
   *
   * Scale note: this reads only footers (a few KB each), driver-side, and is
   * opt-in per catalog read. For 100 TB / ~100k files you would verify a
@@ -45,6 +49,14 @@ object SchemaVerifier {
             throw new BuzzException.SchemaMismatch(
               s"file $p column '${f.name}': parquet $prim incompatible with declared ${f.dataType.sql}")
         }
+        // nullability parity: parquet REQUIRED ⇔ nullable=false, anything
+        // else (OPTIONAL/REPEATED) ⇔ nullable=true — exact match, both
+        // directions, per the reference's is_nullable() equality
+        val fileNullable = ft.getRepetition != Type.Repetition.REQUIRED
+        if (fileNullable != f.nullable)
+          throw new BuzzException.SchemaMismatch(
+            s"file $p column '${f.name}': parquet repetition ${ft.getRepetition} " +
+              s"incompatible with declared nullable=${f.nullable}")
       }
     }
   }

@@ -224,6 +224,12 @@ object EventOps {
     * event-type-cardinality (tiny) and broadcasts back onto the hourly
     * cells. Mean and stddev are rounded to 6 dp BEFORE the z-score (and z
     * to 4 dp before thresholding), so the flag decision is engine-stable.
+    * A zero-variance type (every hourly count identical — heartbeats) by
+    * definition has no outlier hours and is filtered out BEFORE the z-score
+    * is formed; without that guard 0.0/0.0 = NaN, and Spark's NaN ordering
+    * makes abs(NaN) >= nSigma TRUE, flagging every hour of a perfectly
+    * regular type. A NULL event_type is a real cohort (groupBy keeps it),
+    * so the stats join is null-safe (<=>) rather than equality.
     * Returns (hour, event_type, n, z) for |z| ≥ nSigma. */
   def anomalousHours(events: DataFrame, nSigma: Double = 3.0): DataFrame = {
     // persisted: the stats branch and the join's left side both read it —
@@ -235,7 +241,9 @@ object EventOps {
       .agg(
         round(avg(col("n")), 6).as("mean_n"),
         round(stddev_pop(col("n")), 6).as("sd_n"))
-    hourly.join(broadcast(stats), "event_type")
+      .filter(col("sd_n") > 0)
+      .withColumnRenamed("event_type", "__an_type")
+    hourly.join(broadcast(stats), col("event_type") <=> col("__an_type"))
       .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
       .filter(abs(col("z")) >= nSigma)
       .select(

@@ -29,7 +29,10 @@ class CatalogSpec extends AnyFunSuite {
     }
     new StaticCatalog(
       "part_cat",
-      StructType(Seq(StructField("data_col", LongType))),
+      // the fixture writes data_col from a product-encoded Long → parquet
+      // REQUIRED, so the declared schema is non-nullable (the verifier
+      // checks repetition parity exactly)
+      StructType(Seq(StructField("data_col", LongType, nullable = false))),
       Seq("month"),
       files)
   }
@@ -75,7 +78,7 @@ class CatalogSpec extends AnyFunSuite {
   test("schema verification rejects a file missing a declared column") {
     val cat = partitionedCatalog()
     val bad = StructType(Seq(
-      StructField("data_col", LongType),
+      StructField("data_col", LongType, nullable = false),
       StructField("ghost_col", StringType)))
     val e = intercept[BuzzException.SchemaMismatch] {
       SchemaVerifier.verify(cat.files.map(_.key), bad)
@@ -91,6 +94,54 @@ class CatalogSpec extends AnyFunSuite {
     }
     // and accepts the true schema
     SchemaVerifier.verify(cat.files.map(_.key), cat.schema)
+  }
+
+  test("schema verification rejects a nullability mismatch, both directions") {
+    val cat = partitionedCatalog()
+    // file column is REQUIRED (non-null Long): declaring it nullable fails
+    val declaredNullable = StructType(Seq(StructField("data_col", LongType)))
+    val e = intercept[BuzzException.SchemaMismatch] {
+      SchemaVerifier.verify(cat.files.map(_.key), declaredNullable)
+    }
+    assert(e.getMessage.contains("REQUIRED"))
+    assert(e.getMessage.contains("nullable=true"))
+    // and an OPTIONAL file column declared non-nullable fails too
+    val dir = tmpDir("graft_nul")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS opt_col UNION ALL SELECT NULL")
+      .coalesce(1).write.parquet(s"$dir/opt.d")
+    val optFile = new java.io.File(s"$dir/opt.d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val declaredRequired =
+      StructType(Seq(StructField("opt_col", LongType, nullable = false)))
+    val e2 = intercept[BuzzException.SchemaMismatch] {
+      SchemaVerifier.verify(Seq(optFile), declaredRequired)
+    }
+    assert(e2.getMessage.contains("OPTIONAL"))
+    assert(e2.getMessage.contains("nullable=false"))
+  }
+
+  test("s3a catalogs tune the shared Hadoop conf; file catalogs do not") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("fs.s3a.experimental.input.fadvise", "fs.s3a.readahead.range",
+      "fs.s3a.connection.maximum", "fs.s3a.threads.max").foreach(conf.unset)
+    // file:// (and bare local paths) leave the conf untouched
+    assert(!FsUtil.applyS3aTuning(spark, "/tmp/local.parquet"))
+    assert(!FsUtil.applyS3aTuning(spark, "file:///tmp/local.parquet"))
+    assert(conf.get("fs.s3a.experimental.input.fadvise") == null)
+    // an s3a uri applies the ranged-read profile
+    assert(FsUtil.applyS3aTuning(spark, "s3a://bucket/key.parquet"))
+    assert(conf.get("fs.s3a.experimental.input.fadvise") == "random")
+    assert(conf.get("fs.s3a.readahead.range") == "262144")
+    val expectedPool =
+      FsUtil.ReferenceDownloadConcurrency * spark.sparkContext.defaultParallelism
+    assert(conf.get("fs.s3a.connection.maximum") == expectedPool.toString)
+    assert(conf.get("fs.s3a.threads.max") == expectedPool.toString)
+    // explicit user configuration wins: setIfUnset semantics
+    conf.set("fs.s3a.readahead.range", "1048576")
+    FsUtil.applyS3aTuning(spark, "s3a://bucket/other.parquet")
+    assert(conf.get("fs.s3a.readahead.range") == "1048576")
+    Seq("fs.s3a.experimental.input.fadvise", "fs.s3a.readahead.range",
+      "fs.s3a.connection.maximum", "fs.s3a.threads.max").foreach(conf.unset)
   }
 
   test("DeltaCatalog replays add/remove/metaData actions from _delta_log") {

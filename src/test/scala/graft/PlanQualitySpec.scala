@@ -319,19 +319,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate join should be keyed on the prefix shingle:\n${joins.mkString("\n")}")
   }
 
-  test("line dedup broadcasts the flagged-digest set; reassembly is in-row, not a window") {
-    val df = SparkEntry.queries("curate_line_dedup")(spark, TestSpark.sf)
-    val plan = df.queryExecution.executedPlan.toString()
-    // the duplicated-line set is boilerplate-sized — it must broadcast onto
-    // the line stream, never shuffle the corpus-sized stream to meet it
-    assert(plan.contains("BroadcastHashJoin"),
-      s"flagged-line join must broadcast:\n${plan.take(900)}")
-    assert(plan.linesIterator.exists(l =>
-        l.contains("BroadcastHashJoin") && l.contains("__ld_h")),
-      s"broadcast key should be the line digest:\n${plan.take(900)}")
-    // per-doc reassembly sorts (pos, line) structs INSIDE the row
-    assert(!plan.contains("Window"),
-      s"line reassembly must not be a per-doc window sort:\n${plan.take(900)}")
+  test("line dedup never FORCES a broadcast of the flagged-digest set") {
+    // on a web crawl the at/above-minFreq digest set is unbounded (every
+    // repeated boilerplate line), so the join must carry NO broadcast hint:
+    // with the broadcast threshold disabled, a hint-free plan degrades to a
+    // shuffle join — a forced broadcast() would ignore the threshold and
+    // OOM at exactly the scale the operator exists for
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("curate_line_dedup")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"flagged-digest join is hint-forced to broadcast:\n${plan.take(900)}")
+      // per-doc reassembly sorts (pos, line) structs INSIDE the row
+      assert(!plan.contains("Window"),
+        s"line reassembly must not be a per-doc window sort:\n${plan.take(900)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // and with the default threshold, AQE/the planner is FREE to broadcast
+    // the (runtime-small) flagged side — the strategy is size-driven, not
+    // hint-driven
+    val df2 = SparkEntry.queries("curate_line_dedup")(spark, TestSpark.sf)
+    assert(!df2.queryExecution.executedPlan.toString().contains("Window"))
   }
 
   test("bigram logprob derives both count tables from one stream, no cross join") {

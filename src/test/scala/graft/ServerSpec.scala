@@ -73,4 +73,71 @@ class ServerSpec extends AnyFunSuite {
       }
     } finally server.stop(0)
   }
+
+  test("Accept: arrow stream returns a decodable Arrow IPC response") {
+    val server = Server.start(spark, 0)
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val query =
+        s"""{
+           |"steps": [
+           | {"sql": "SELECT r_regionkey, r_name FROM region",
+           |  "name": "m", "step_type": "HBee"},
+           | {"sql": "SELECT r_regionkey, r_name FROM m ORDER BY r_regionkey",
+           |  "name": "r", "step_type": "HComb"}
+           |],
+           |"capacity": {"zones": 1},
+           |"catalogs": [{"name": "region", "type": "Static",
+           |  "uri": "${TestSpark.sf}/region.parquet"}]
+           |}""".stripMargin
+      val conn = URI.create(s"$base/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Accept", Server.ArrowMime)
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(query.getBytes(UTF_8))
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType == Server.ArrowMime)
+      val bytes = conn.getInputStream.readAllBytes()
+      conn.disconnect()
+
+      // decode with the bundled Arrow Java reader — exactly what an external
+      // pyarrow/arrow-rs client would do — and compare to the JSON rows
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.ipc.ArrowStreamReader
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+      val decoded = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      try {
+        val root = reader.getVectorSchemaRoot
+        assert(root.getSchema.getFields.size() == 2)
+        while (reader.loadNextBatch()) {
+          val keys = root.getVector("r_regionkey")
+            .asInstanceOf[org.apache.arrow.vector.IntVector]
+          val names = root.getVector("r_name")
+            .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+          (0 until root.getRowCount).foreach { i =>
+            decoded += ((keys.get(i), new String(names.get(i), UTF_8)))
+          }
+        }
+      } finally { reader.close(); alloc.close() }
+      val viaJson = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(decoded.toSeq == viaJson)
+    } finally server.stop(0)
+  }
+
+  test("idle server self-stops after the configured timeout") {
+    val stopped = new java.util.concurrent.CountDownLatch(1)
+    val server = Server.start(spark, 0,
+      idleShutdownMs = Some(300L), onStop = () => stopped.countDown())
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    // activity holds it open: a request resets the idle clock
+    assert(request(s"$base/health", "GET", None)._1 == 200)
+    // then no traffic → the watcher stops the server and fires onStop
+    assert(stopped.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "server did not self-stop after idle timeout")
+    val refused = intercept[Exception] { request(s"$base/health", "GET", None) }
+    assert(refused != null)
+  }
 }
