@@ -495,6 +495,22 @@ object SparkEntry {
         Dedup.embeddingPairs(emb.unionAll(planted), "vec_id", "embedding", dim = 64))
     }),
 
+    // incremental dedup: the daily-ingest pattern — a saved LSH index over
+    // the accumulated "history" (doc_id % 5 == 0), each new shard deduped
+    // against the index tables alone (history never re-shingled). The save →
+    // load → query loop runs end to end through parquet.
+    "dedup_incremental" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_" +
+        fixtureKey(dir, "documents")
+      Dedup.saveMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0), "doc_id", "text", idx)
+      val (sets, buckets) = Dedup.loadMinhashIndex(s, idx)
+      Dedup.dedupAgainstIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "doc_id", "text", sets, buckets)
+    }),
+
     // ---- similarity search ----
     "ann_brute" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
@@ -1583,6 +1599,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
         |GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |)
+        |SELECT a.doc_id AS id, b.doc_id AS ref_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+        |FROM s a, s b
+        |WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
     "curate_mix" ->
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -157,6 +157,82 @@ object Dedup {
     (sets, buckets)
   }
 
+  /** Persist a MinHash LSH index as two parquet tables under `dir` —
+    * `sets` (id, shl: sorted 64-bit hashed shingle set, s: set size) and
+    * `buckets` (band, bucket, id). This is the cross-run artifact a
+    * continuously-ingesting pipeline maintains: build once over the
+    * accumulated corpus, then dedup each incoming shard against it with
+    * [[dedupAgainstIndex]] — no re-shingling of history, and the shard run
+    * reads only the index tables. The sets table stores the 64-bit hash
+    * image (what verification merges), not the string shingles: ~4× smaller
+    * on disk, and the verify join loads fixed-width longs.
+    *
+    * Scale shape: both tables are written once per index refresh; the
+    * buckets table is the large one (|corpus| × bands rows of three narrow
+    * columns) and partitions on read like any parquet source. */
+  def saveMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64): Unit = {
+    val (sets, buckets) = minhashIndex(df, idCol, textCol, shingleSize, numHashes, bands)
+    sets
+      .select(col("id"), hashedSet(col("sh")).as("shl"), size(col("sh")).as("s"))
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+
+  /** Load a saved index: (sets(id, shl, s), buckets(band, bucket, id)). */
+  def loadMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets"))
+
+  /** Near-duplicate hits of an incoming shard against a SAVED index
+    * ([[saveMinhashIndex]]'s tables): returns (id, ref_id, jac) — one row
+    * per (shard doc, indexed doc) pair at exact Jaccard ≥ `threshold`
+    * (jac rounded to 6 dp). The batch analog of
+    * [[graft.streaming.CorpusStream.nearDupHitsStreaming]], for the daily
+    * ingest pattern where history is too large to re-process per shard.
+    *
+    * Scale shape: the shard is shingled once (narrow); candidates come from
+    * ONE equi-join of the shard's id-only (band, bucket) rows against the
+    * index buckets; pairs are deduplicated BEFORE verification, and the two
+    * set tables join back once each — the indexed corpus is never
+    * broadcast, never re-shingled, and only its bucket-colliding rows are
+    * touched. `shingleSize`/`numHashes`/`bands` must match the values the
+    * index was built with. */
+  def dedupAgainstIndex(
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexSets: DataFrame,
+      indexBuckets: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shared(widen(shard)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val cands = sets
+      .select(col("id"), posexplode(minhashBandKeys(col("sh"), numHashes, bands)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .join(indexBuckets.withColumnRenamed("id", "ref_id"), Seq("band", "bucket"))
+      .select(col("id"), col("ref_id"))
+      .dropDuplicates("id", "ref_id")
+    val a = sets.select(col("id"), hashedSet(col("sh")).as("shl"), size(col("sh")).as("sa"))
+    val b = indexSets.select(col("id").as("ref_id"), col("shl").as("ref_shl"), col("s").as("sb"))
+    cands.join(a, "id").join(b, "ref_id")
+      .filter(least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
+      .withColumn("inter", sortedIntersectCount(col("shl"), col("ref_shl")))
+      .withColumn("jac", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id"), col("ref_id"), round(col("jac"), 6).as("jac"))
+  }
+
   /** Bipartite MinHash + LSH near-duplicate pairs BETWEEN two corpora —
     * the candidate generator for near-dup-level decontamination (a training
     * corpus vs an eval/benchmark corpus): only cross-side pairs are ever

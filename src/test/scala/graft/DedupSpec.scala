@@ -144,6 +144,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("saved minhash index round-trips; shard dedup against it finds the planted hit") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    // history = docs 2 and 3; incoming shard = doc 1 (near-dup of 2) plus an
+    // unrelated doc 4
+    val history = planted.filter(col("doc_id") > 1)
+    val shard = planted.filter(col("doc_id") === 1).unionAll(
+      Seq((4L, "entirely new material covering streaming watermarks state stores and " +
+        "checkpoint recovery semantics in modern engines today", "s2"))
+        .toDF("doc_id", "text", "source"))
+    Dedup.saveMinhashIndex(history, "doc_id", "text", dir)
+    val (sets, buckets) = Dedup.loadMinhashIndex(spark, dir)
+    // round-trip shape: one row per history doc with its hashed set + size
+    assert(sets.count() == 2 && sets.columns.toSeq == Seq("id", "shl", "s"))
+    assert(buckets.columns.toSeq == Seq("band", "bucket", "id"))
+    val hits = Dedup.dedupAgainstIndex(shard, "doc_id", "text", sets, buckets,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSet == Set((1L, 2L)), s"got ${hits.toSeq}")
+    // agreement with the direct bipartite pass over the same corpora
+    val direct = Dedup.crossMinhashPairs(shard, history, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSet == hits.toSet)
+  }
+
   test("minhash misses genuinely dissimilar pairs (no false positives at 0.8)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).collect()
