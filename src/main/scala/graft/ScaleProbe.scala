@@ -161,6 +161,23 @@ object ScaleProbe {
       }
       report("line_dedup_dropped", scale, ldDropped, ldSecs)
 
+      // incremental dedup: index over the k×-corpus, FIXED probe shard (the
+      // 1× docs). Replicas are mutually dissimilar, so verified hits must be
+      // IDENTICAL at both scales (only the shard's true matches inside
+      // replica 0 fire); index build cost tracks the corpus, and the query
+      // cost tracks the shard's bucket collisions — never the index size²
+      val idxDir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_idx_$scale").toString
+      val (_, idxBuildSecs) = timed {
+        Dedup.saveMinhashIndex(d, "doc_id", "text", idxDir)
+      }
+      report("index_build_docs", scale, n, idxBuildSecs)
+      val (incHits, incSecs) = timed {
+        val (sets, buckets) = Dedup.loadMinhashIndex(spark, idxDir)
+        Dedup.dedupAgainstIndex(docs, "doc_id", "text", sets, buckets).count()
+      }
+      report("index_query_hits", scale, incHits, incSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

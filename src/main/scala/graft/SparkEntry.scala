@@ -427,6 +427,20 @@ object SparkEntry {
     // z-score thresholded on rounded values (engine-stable)
     "events_anomaly" -> ((s, dir) =>
       EventOps.anomalousHours(t(s, dir, "events"))),
+    // semi-structured property extraction: JSON path into the string props
+    // column inside the aggregation projection — codegen'd get_json_object,
+    // no UDF, one narrow exchange on the group key (the standard shape for
+    // event payloads whose schema is not declared up front)
+    "events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          count_distinct(col("k")).as("n_k"))),
 
     // ordered funnel: users progressing view → click → purchase in order
     "events_funnel" -> ((s, dir) =>
@@ -534,6 +548,21 @@ object SparkEntry {
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nCentroids = 0, nProbe = 1 << 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+    // IVF-PQ: product-quantized candidate scoring + exact shortlist re-rank
+    // (the RAM-resident index layout at 10⁹ vectors). Oracle configuration:
+    // exhaustive probes + keep-all shortlist (refineFactor = 0) make the
+    // exact re-rank equal brute force EXACTLY while the plan still runs
+    // encode → LUT → ADC → shortlist → re-rank; production sets
+    // nProbe ≪ nlist and refineFactor ~2–8 (recall unit-tested).
+    "ann_ivfpq" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, m = 8, ksub = 256, refineFactor = 0, nCentroids = 0, nProbe = 1 << 20)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
     // all-pairs kNN self-join (embedding-cluster/neighborhood primitive);
@@ -1031,6 +1060,14 @@ object SparkEntry {
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS n_k
+        |FROM events GROUP BY 1""".stripMargin,
     "text_entropy" ->
       """SELECT doc_id, round(entropy(c), 4) AS char_entropy
         |FROM (SELECT doc_id, unnest(split(text, '')) AS c
@@ -1196,6 +1233,16 @@ object SparkEntry {
         |FROM sig a, sig b
         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
     "ann_ivf" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
+    "ann_ivfpq" ->
       """SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (
         |    PARTITION BY q.vec_id

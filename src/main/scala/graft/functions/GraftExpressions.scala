@@ -648,6 +648,160 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encode: split the vector into `m` equal subspaces
+  * and emit, per subspace, the index of the L2-NEAREST codebook centroid
+  * (ties → lowest index). `codebooks(j)(c)` is centroid c of subspace j.
+  * The 64-dim float vector (256 B) becomes m codes (m bytes stored as ints
+  * here) + one stored norm — the ~30× memory cut that makes a 10⁹-vector
+  * ANN index RAM-resident. L2 assignment (not cosine) because the codes
+  * must reconstruct the subvector for the ADC dot-product approximation:
+  * dot(q, v) ≈ Σⱼ dot(qⱼ, codebook(j)(codeⱼ)). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dd = isDouble
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val book = books(j)
+      val subdim = if (book.isEmpty) 0 else book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val idx = off + i
+          val x =
+            if (idx >= v.numElements() || v.isNullAt(idx)) 0.0
+            else if (dd) v.getDouble(idx) else v.getFloat(idx).toDouble
+          val diff = x - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest
+        c += 1
+      }
+      out(j) = best
+      off += subdim
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table: lut[j·ksub + c] = dot(qⱼ, codebook(j)(c)),
+  * flattened. Computed ONCE per query row; each (query, candidate) pair
+  * then approximates the full dot product with m array reads ([[PqAdc]])
+  * instead of a dim-length multiply loop — the amortization that makes PQ
+  * scoring ~dim/m cheaper per pair than exact scoring. */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val ksub: Int = books.headOption.map(_.length).getOrElse(0)
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dd = isDouble
+    val m = books.length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val book = books(j)
+      val subdim = if (book.isEmpty) 0 else book(0).length
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var i = 0
+        while (i < subdim) {
+          val idx = off + i
+          val x =
+            if (idx >= v.numElements() || v.isNullAt(idx)) 0.0
+            else if (dd) v.getDouble(idx) else v.getFloat(idx).toDouble
+          dot += x * cent(i)
+          i += 1
+        }
+        out(j * ksub + c) = dot
+        c += 1
+      }
+      off += subdim
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC approximate dot product: Σⱼ lut[j·ksub + codes[j]] — the per-pair
+  * hot path of PQ scoring (m array reads). Static-kernel codegen keeps the
+  * scoring stage in one WholeStageCodegen span. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with graftshim.GraftExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(
+    Seq(ArrayType(DoubleType)), Seq(ArrayType(IntegerType)))
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PqKernel.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.PqKernel.adc($l, $r, $ksub);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqKernel {
+  def adc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    var s = 0.0
+    val m = codes.numElements()
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      val idx = j * ksub + c
+      if (idx < lut.numElements()) s += lut.getDouble(idx)
+      j += 1
+    }
+    s
+  }
+}
+
 /** All unordered pairs (a, b) with a < b from an array of ids (long or
   * string) — the LSH bucket→candidate-pairs kernel. Emitting pairs from a
   * grouped bucket (`groupBy(bucket).agg(collect_list(id))` → explode this)
@@ -1099,6 +1253,12 @@ object GraftFunctions {
     GraftColumn.of(SignSketch(GraftColumn.expr(vec), dim, tables, bits, seed))
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], take: Int): Column =
     GraftColumn.of(NearestCentroids(GraftColumn.expr(vec), centroids, take))
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumn.of(PqEncode(GraftColumn.expr(vec), codebooks))
+  def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumn.of(PqLut(GraftColumn.expr(vec), codebooks))
+  def pqAdc(lut: Column, codes: Column, ksub: Int): Column =
+    GraftColumn.of(PqAdc(GraftColumn.expr(lut), GraftColumn.expr(codes), ksub))
   def minhashSig(tokens: Column, numHashes: Int): Column =
     call_function("minhash_sig", tokens, org.apache.spark.sql.functions.lit(numHashes))
   def minhashBandKeys(tokens: Column, numHashes: Int, bands: Int): Column =

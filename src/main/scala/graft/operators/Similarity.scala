@@ -282,10 +282,129 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Int, Int), Seq[Seq[Double]]]()
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
 
   private[operators] def clearIndexCache(): Unit = {
     centroidCache.clear()
     countCache.clear()
+    pqCache.clear()
+  }
+
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids each,
+    * trained driver-side with L2 Lloyd over a bounded deterministic sample
+    * (hash-ordered prefix, ~[[trainPointsPerCentroid]]·ksub vectors — the
+    * faiss training budget; training cost is independent of corpus size).
+    * L2 — not cosine — because a code must RECONSTRUCT its subvector: the
+    * ADC approximation dot(q,v) ≈ Σⱼ dot(qⱼ, book(j)(codeⱼ)) is tight
+    * exactly when each codeword is the least-squares stand-in for its
+    * members. Empty clusters keep their previous centroid; assignment
+    * ties go to the lowest index — deterministic across runs. */
+  private def trainPqCodebooks(
+      vecs: DataFrame, m: Int, ksub: Int, iterations: Int): Seq[Seq[Seq[Double]]] = {
+    val sampleTarget = trainPointsPerCentroid * ksub
+    val sample = vecs
+      .select(xxhash64(col("id")).as("h"), col("v"))
+      .orderBy(col("h"))
+      .limit(sampleTarget)
+      .collect()
+      .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(m > 0 && dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val subdim = dim / m
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subdim, (j + 1) * subdim))
+      var cents = sub.take(ksub).map(_.clone)
+      (0 until iterations).foreach { _ =>
+        val sums = cents.map(_ => new Array[Double](subdim))
+        val counts = new Array[Long](cents.length)
+        sub.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < subdim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest
+            c += 1
+          }
+          var i = 0
+          while (i < subdim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(cents.length)(c =>
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(subdim)(i => sums(c)(i) / counts(c)))
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Exact L2 vector norm as a column (built-ins; runs once per row at
+    * encode/query time, off the per-pair hot path). */
+  private def vecNorm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+
+  /** IVF-PQ approximate top-k: IVF pruning ([[ivfTopK]]'s bucket layout)
+    * plus product-quantized candidate scoring — the memory path for a
+    * 10⁹-vector index. Corpus vectors are encoded ONCE to `m` codebook
+    * indices + an exact stored norm (≈ m bytes + 8 vs dim·4 — the float
+    * vectors leave RAM); each query computes one ADC lookup table and
+    * scores candidates with m array reads per pair instead of a dim-length
+    * loop; the per-query top `k·refineFactor` shortlist is then re-ranked
+    * EXACTLY, joining the shortlist (not the corpus) back to the float
+    * vectors by id. Scored rows reduce through the same bounded-heap
+    * aggregate as every ANN path — only the shortlist crosses the exchange.
+    *
+    * `refineFactor <= 0` keeps EVERY scored candidate in the shortlist
+    * (the heap degrades to "all"): combined with `nProbe >= nlist`
+    * (exhaustive-through-buckets) the exact re-rank then returns EXACTLY
+    * the brute-force answer while still exercising encode → LUT → ADC →
+    * shortlist → re-rank — the correctness-gate configuration, the same
+    * trick as ann_ivf. Production sets nProbe ≪ nlist, refineFactor ~2–8.
+    * Returns (query_id, rank, neighbor_id, sim). */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 256, refineFactor: Int = 4,
+      nCentroids: Int = 0, nProbe: Int = 0,
+      kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
+    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+    val (vecs, cents, bucketed, _) =
+      buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+    val planKey = vecs.queryExecution.analyzed.canonicalized
+    val books = pqCache.computeIfAbsent((planKey, m, ksub, kmeansIters),
+      _ => trainPqCodebooks(vecs, m, ksub, math.max(kmeansIters, 1)))
+    // the PQ image of the corpus: codes + exact norm, float vectors dropped
+    val encoded = bucketed.select(
+      col("neighbor_id"), col("bucket"),
+      pqEncode(col("cv"), books).as("codes"), vecNorm(col("cv")).as("vn"))
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .select(
+        col("query_id"), pqLut(col("qv"), books).as("lut"), vecNorm(col("qv")).as("qn"),
+        explode(nearestCentroids(col("qv"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+    val approx = encoded.join(broadcast(probed), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // zero-norm sims pinned to -2, same convention as the cosine kernel
+      .withColumn("asim", when(col("qn") * col("vn") === 0, lit(-2.0))
+        .otherwise(pqAdc(col("lut"), col("codes"), ksub) / (col("qn") * col("vn"))))
+    val shortK = if (refineFactor <= 0) 1 << 20 else math.max(k, k * refineFactor)
+    val shortlist = approx
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("asim"), col("neighbor_id"), shortK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("cand"))
+      .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"))
+    // exact re-rank: the shortlist — not the corpus — joins back to the
+    // float vectors (shuffle join by id; the index side is never broadcast)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val rescored = shortlist
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosineSim(col("cv"), col("qv")))
+    rankTopK(rescored, k)
   }
 
   /** `nProbe <= 0` → the [[ivfProbeCount]] default; values ≥ nlist clamp to

@@ -343,6 +343,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!df2.queryExecution.executedPlan.toString().contains("Window"))
   }
 
+  test("incremental dedup never forces a broadcast; index side joins by shuffle when large") {
+    // the index buckets/sets tables are corpus-sized on a real deployment:
+    // with the broadcast threshold disabled the candidate and verify joins
+    // must all degrade to shuffle joins — any hint-forced broadcast here
+    // would OOM at exactly the accumulated-history scale the operator
+    // exists for
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_incremental")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"index join is hint-forced to broadcast:\n${plan.take(900)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Join Cross"),
+        s"incremental dedup planned a cross product:\n${plan.take(900)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("bigram logprob derives both count tables from one stream, no cross join") {
     val df = SparkEntry.queries("text_bigram_logprob")(spark, TestSpark.sf)
     val top = df.queryExecution.optimizedPlan

@@ -51,6 +51,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("ivfPqTopK oracle config (exhaustive probes, keep-all shortlist) == brute force") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 256, refineFactor = 0, nProbe = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == brute, "exact re-rank over the full candidate set must equal brute force")
+  }
+
+  test("ivfPqTopK production config achieves high recall; approx scoring is lossy but close") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // production shape: bounded probes, PQ shortlist 4× over-fetch, exact
+    // re-rank — the shortlist must recover most of the true top-k even
+    // though ADC scores are approximate
+    val pq = Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 256, refineFactor = 4, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+  }
+
   test("knnJoin at exhaustive probe equals per-query brute force; self excluded") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(100)
     val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
