@@ -93,6 +93,55 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** [[nearDupHitsStreaming]] over a SAVED minhash index — the streaming
+    * leg of the incremental-dedup story: the accumulated corpus lives as
+    * [[graft.operators.Dedup.saveMinhashIndex]]'s parquet tables
+    * (refreshed by the batch pipeline), each ingest micro-batch joins them
+    * stream-static, and history is never re-shingled by either leg. The
+    * index `sets` table already carries the 64-bit hashed shingle image,
+    * so the stream side hashes its own shingles once (per doc, narrow)
+    * and verification merges fixed-width longs. Same output contract as
+    * [[nearDupHitsStreaming]]: append-mode (idCol, tsCol, ref_id, jac),
+    * each flagged doc once. */
+  def nearDupHitsStreamingIndexed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      indexSets: DataFrame,
+      indexBuckets: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 256,
+      bands: Int = 64,
+      threshold: Double = 0.8,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashBandKeys, sortedIntersectCount, wordShinglesExpr}
+    val exploded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), wordShinglesExpr(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), col(tsCol),
+        // the same 64-bit hash image the index stores (Dedup.hashedSet)
+        array_sort(transform(col("__sh"), x => xxhash64(x))).as("__shl"),
+        size(col("__sh")).as("__sa"),
+        posexplode(minhashBandKeys(col("__sh"), numHashes, bands)))
+      .select(col(idCol), col(tsCol), col("__shl"), col("__sa"),
+        col("pos").as("band"), col("col").as("bucket"))
+    exploded
+      .join(indexBuckets.withColumnRenamed("id", "ref_id"), Seq("band", "bucket"))
+      .select(col(idCol), col(tsCol), col("__shl"), col("__sa"), col("ref_id"))
+      .dropDuplicatesWithinWatermark(idCol, "ref_id")
+      .join(indexSets.select(
+        col("id").as("ref_id"), col("shl").as("__ref_shl"), col("s").as("__sb")), "ref_id")
+      .filter(least(col("__sa"), col("__sb")) >= lit(threshold) * greatest(col("__sa"), col("__sb")))
+      .withColumn("__inter", sortedIntersectCount(col("__shl"), col("__ref_shl")))
+      .withColumn("jac",
+        col("__inter").cast("double") / (col("__sa") + col("__sb") - col("__inter")))
+      .filter(col("jac") >= threshold)
+      .select(col(idCol), col(tsCol), col("ref_id"), round(col("jac"), 6).as("jac"))
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** End-to-end incremental curation: streaming dedup + the stateless
     * curation passes, composed exactly as the batch pipeline but runnable
     * under `readStream`/`writeStream`:

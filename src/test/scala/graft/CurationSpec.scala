@@ -241,6 +241,43 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup over a SAVED index flags the same docs as the in-memory path") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val base =
+      "the quick brown fox jumps over the lazy dog and runs far away into the green forest " +
+      "tonight while seven wizards watch quietly from the old stone tower beside the river"
+    val ref = Seq((100L, base), (101L, "benchmark question about ancient rome and its emperors " +
+      "during the long imperial centuries of expansion and decline across the mediterranean"))
+      .toDF("ref_id", "ref_text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    Dedup.saveMinhashIndex(ref, "ref_id", "ref_text", idxDir)
+    val (sets, buckets) = Dedup.loadMinhashIndex(spark, idxDir)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, base.replace("wizards", "sorcerers"), ts(0)), // REWORDED near-dup of ref 100
+      (2L, "totally unrelated text about spark query planning and columnar execution with " +
+        "shuffles exchanges and adaptive replanning in the optimizer pipeline", ts(1)),
+      (3L, base, ts(2))))                                // exact shingle match of ref 100
+    val q = CorpusStream.nearDupHitsStreamingIndexed(
+        stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        sets, buckets, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_idx_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("neardup_idx_stream_out").collect()
+      val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.length == 2, s"each flagged doc emits exactly once: ${rows.mkString(",")}")
+      assert(byId.keySet == Set(1L, 3L), s"got $byId")
+      assert(byId.values.toSet == Set(100L), "witness must be the near-dup'd ref doc")
+    } finally q.stop()
+  }
+
   test("streaming curation dedups, redacts PII, filters quality and language") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

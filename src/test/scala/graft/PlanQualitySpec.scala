@@ -343,6 +343,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!df2.queryExecution.executedPlan.toString().contains("Window"))
   }
 
+  test("ivfpq: probes broadcast by hint, the encoded corpus never does, no cross product") {
+    // the two small relations (probed queries, rerank query vectors) are
+    // explicitly broadcast; the PQ-encoded corpus and the shortlist→vector
+    // rerank join must stay shuffle-side — with the threshold disabled,
+    // ONLY the two hinted broadcasts may remain
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("ann_ivfpq")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Join Cross"),
+        s"PQ scoring planned a cross product:\n${plan.take(900)}")
+      val nBroadcast = plan.linesIterator.count(_.contains("BroadcastExchange"))
+      assert(nBroadcast <= 2,
+        s"only the probed-queries and rerank-queries broadcasts are hinted; got $nBroadcast:\n${plan.take(900)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("incremental dedup never forces a broadcast; index side joins by shuffle when large") {
     // the index buckets/sets tables are corpus-sized on a real deployment:
     // with the broadcast threshold disabled the candidate and verify joins
