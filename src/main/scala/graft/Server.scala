@@ -130,14 +130,23 @@ object Server {
 
     idleShutdownMs.filter(_ > 0).foreach { timeoutMs =>
       val watcher = new Thread(() => {
+        def idle: Boolean =
+          inFlight.get() == 0 && (System.nanoTime() - lastDone.get()) > timeoutMs * 1000000L
         var running = true
         while (running) {
           Thread.sleep(math.max(timeoutMs / 4, 10))
-          val idleNs = System.nanoTime() - lastDone.get()
-          if (inFlight.get() == 0 && idleNs > timeoutMs * 1000000L) {
-            server.stop(0)
-            onStop()
-            running = false
+          if (idle) {
+            // double-check after a grace period: a request ACCEPTED at the
+            // deadline but whose handler hasn't started yet leaves inFlight
+            // at 0 — any such handler starts well within the grace and its
+            // completion bumps lastDone, so a second consistent observation
+            // closes the race; stop(1) then still drains anything started
+            Thread.sleep(math.max(timeoutMs / 4, 10))
+            if (idle) {
+              server.stop(1)
+              onStop()
+              running = false
+            }
           }
         }
       }, "graft-server-idle-watcher")

@@ -520,9 +520,8 @@ object SparkEntry {
         fixtureKey(dir, "documents")
       Dedup.saveMinhashIndex(
         docs.filter(pmod(col("doc_id"), lit(5L)) === 0), "doc_id", "text", idx)
-      val (sets, buckets) = Dedup.loadMinhashIndex(s, idx)
-      Dedup.dedupAgainstIndex(
-        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "doc_id", "text", sets, buckets)
+      Dedup.dedupAgainstSavedIndex(
+        s, docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "doc_id", "text", idx)
     }),
 
     // ---- similarity search ----

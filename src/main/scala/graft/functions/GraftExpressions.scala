@@ -767,9 +767,12 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 }
 
 /** ADC approximate dot product: Σⱼ lut[j·ksub + codes[j]] — the per-pair
-  * hot path of PQ scoring (m array reads). Static-kernel codegen keeps the
-  * scoring stage in one WholeStageCodegen span. */
-case class PqAdc(left: Expression, right: Expression, ksub: Int)
+  * hot path of PQ scoring (m array reads). The LUT stride (the ACTUAL
+  * per-subspace centroid count) is derived from the array lengths, so a
+  * codebook trained on a corpus smaller than the requested ksub still
+  * indexes correctly. Static-kernel codegen keeps the scoring stage in one
+  * WholeStageCodegen span. */
+case class PqAdc(left: Expression, right: Expression)
     extends BinaryExpression with graftshim.GraftExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
@@ -777,25 +780,27 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     Seq(ArrayType(DoubleType)), Seq(ArrayType(IntegerType)))
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    PqKernel.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], ksub)
+    PqKernel.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.PqKernel.adc($l, $r, $ksub);")
+      s"${ev.value} = graft.functions.PqKernel.adc($l, $r);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object PqKernel {
-  def adc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+  def adc(lut: ArrayData, codes: ArrayData): Double = {
     var s = 0.0
     val m = codes.numElements()
+    if (m == 0) return s
+    val stride = lut.numElements() / m // actual ksub of the trained books
     var j = 0
     while (j < m) {
       val c = codes.getInt(j)
-      val idx = j * ksub + c
-      if (idx < lut.numElements()) s += lut.getDouble(idx)
+      val idx = j * stride + c
+      if (c < stride && idx < lut.numElements()) s += lut.getDouble(idx)
       j += 1
     }
     s
@@ -1257,8 +1262,8 @@ object GraftFunctions {
     GraftColumn.of(PqEncode(GraftColumn.expr(vec), codebooks))
   def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     GraftColumn.of(PqLut(GraftColumn.expr(vec), codebooks))
-  def pqAdc(lut: Column, codes: Column, ksub: Int): Column =
-    GraftColumn.of(PqAdc(GraftColumn.expr(lut), GraftColumn.expr(codes), ksub))
+  def pqAdc(lut: Column, codes: Column): Column =
+    GraftColumn.of(PqAdc(GraftColumn.expr(lut), GraftColumn.expr(codes)))
   def minhashSig(tokens: Column, numHashes: Int): Column =
     call_function("minhash_sig", tokens, org.apache.spark.sql.functions.lit(numHashes))
   def minhashBandKeys(tokens: Column, numHashes: Int, bands: Int): Column =

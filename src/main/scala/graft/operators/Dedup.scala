@@ -93,7 +93,7 @@ object Dedup {
     * xxhash64 collisions, which inflate one pair's intersection with
     * probability ~|a|·|b|/2⁶⁴ — immaterial against the exactness the
     * verify step promises. */
-  private def hashedSet(sh: Column): Column =
+  private[graft] def hashedSet(sh: Column): Column =
     array_sort(transform(sh, x => xxhash64(x)))
 
   /** MinHash + LSH near-duplicate pairs.
@@ -183,12 +183,50 @@ object Dedup {
       .select(col("id"), hashedSet(col("sh")).as("shl"), size(col("sh")).as("s"))
       .write.mode("overwrite").parquet(s"$dir/sets")
     buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    // the parameters are PART of the index: band keys computed with
+    // different shingle/hash/band settings share no buckets, so a
+    // mismatched query would silently report "no duplicates" — the params
+    // file makes the dir self-describing (dedupAgainstSavedIndex reads it)
+    graft.sources.FsUtil.writeString(df.sparkSession, s"$dir/params",
+      s"shingleSize=$shingleSize\nnumHashes=$numHashes\nbands=$bands\n")
   }
 
   /** Load a saved index: (sets(id, shl, s), buckets(band, bucket, id)). */
   def loadMinhashIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets"))
+
+  /** The parameters a saved index was built with. Fails loudly on a dir
+    * without a params file — querying with guessed parameters would
+    * silently return no hits. */
+  def loadMinhashIndexParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, Int] = {
+    val path = s"$dir/params"
+    if (!graft.sources.FsUtil.exists(spark, path))
+      throw new IllegalArgumentException(
+        s"$dir has no params file — not a saveMinhashIndex dir (or written by an older build); " +
+          "re-save the index or call dedupAgainstIndex with the original parameters")
+    graft.sources.FsUtil.readString(spark, path)
+      .linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim.toInt }
+      .toMap
+  }
+
+  /** [[dedupAgainstIndex]] over a [[saveMinhashIndex]] dir: reads the
+    * params file and queries with EXACTLY the parameters the index was
+    * built with — a silent mismatch is impossible on this path. */
+  def dedupAgainstSavedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val p = loadMinhashIndexParams(spark, dir)
+    val (sets, buckets) = loadMinhashIndex(spark, dir)
+    dedupAgainstIndex(shard, idCol, textCol, sets, buckets,
+      p("shingleSize"), p("numHashes"), p("bands"), threshold)
+  }
 
   /** Near-duplicate hits of an incoming shard against a SAVED index
     * ([[saveMinhashIndex]]'s tables): returns (id, ref_id, jac) — one row

@@ -51,12 +51,16 @@ private[graft] object OpUtils {
     * MATERIALIZED ONCE: the offset branch and the rank branch both read it,
     * and a re-executed range exchange may sample different boundaries —
     * the two branches would then disagree on pid assignment and silently
-    * corrupt ranks. When the session has a checkpoint directory configured
-    * (`sc.setCheckpointDir`), the frame is reliably checkpointed, which
-    * survives executor loss; otherwise it is persisted MEMORY_AND_DISK,
-    * which freezes pids for the normal case but NOT across a mid-job
-    * executor loss that forces a lineage recompute — resilience-critical
-    * deployments should set a checkpoint dir.
+    * corrupt ranks. When the session has BOTH a checkpoint directory
+    * (`sc.setCheckpointDir`) and checkpoint GC enabled
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`), the frame
+    * is reliably checkpointed, which survives executor loss; checkpointing
+    * without the cleaner flag would leak one full copy of the frame to the
+    * checkpoint FS per call (Spark never deletes them), so in that case —
+    * and with no checkpoint dir — the frame is persisted MEMORY_AND_DISK
+    * instead, which freezes pids for the normal case but NOT across a
+    * mid-job executor loss that forces a lineage recompute.
+    * Resilience-critical deployments should set both knobs.
     *
     * `orderCols` MUST be a total order within each group (end with a
     * unique id column): the range partitioner may split order-ties across
@@ -70,11 +74,15 @@ private[graft] object OpUtils {
     val rangedRaw = df
       .repartitionByRange(parts, (col(groupCol) +: orderCols): _*)
       .withColumn("__gr_pid", spark_partition_id())
-    // reliable checkpoint when available: pid assignment is frozen on disk
-    // and survives executor loss; the persist fallback freezes it only as
-    // long as no lineage recompute occurs (see docstring)
+    // reliable checkpoint when available AND garbage-collected (see
+    // docstring — without cleanCheckpoints every call leaks a frame copy to
+    // the checkpoint FS); the persist fallback freezes pid assignment only
+    // as long as no lineage recompute occurs
+    val sc = df.sparkSession.sparkContext
     val ranged =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) rangedRaw.checkpoint()
+      if (sc.getCheckpointDir.isDefined &&
+          sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        rangedRaw.checkpoint()
       else shared(rangedRaw)
     val offsets = ranged.groupBy(col("__gr_pid"), col(groupCol))
       .agg(count(lit(1)).as("__gr_n"))

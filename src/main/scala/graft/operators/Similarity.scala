@@ -303,11 +303,19 @@ object Similarity {
   private def trainPqCodebooks(
       vecs: DataFrame, m: Int, ksub: Int, iterations: Int): Seq[Seq[Seq[Double]]] = {
     val sampleTarget = trainPointsPerCentroid * ksub
-    val sample = vecs
+    // deterministic hash-threshold sample + driver-side sort, the same
+    // narrow no-shuffle shape as buildIvfIndex — a global orderBy+limit
+    // would plan a full-corpus TakeOrdered funnel for the same prefix
+    val planKey = vecs.queryExecution.analyzed.canonicalized
+    val n = countCache.computeIfAbsent(planKey, _ => vecs.count()).longValue()
+    val train =
+      if (n <= sampleTarget) vecs
+      else vecs.filter(
+        abs(xxhash64(col("id"))) <= (sampleTarget.toDouble / n * Long.MaxValue).toLong)
+    val sample = train
       .select(xxhash64(col("id")).as("h"), col("v"))
-      .orderBy(col("h"))
-      .limit(sampleTarget)
       .collect()
+      .sortBy(_.getLong(0))
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
     val dim = sample.headOption.map(_.length).getOrElse(0)
     require(m > 0 && dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
@@ -358,12 +366,13 @@ object Similarity {
     * vectors by id. Scored rows reduce through the same bounded-heap
     * aggregate as every ANN path — only the shortlist crosses the exchange.
     *
-    * `refineFactor <= 0` keeps EVERY scored candidate in the shortlist
-    * (the heap degrades to "all"): combined with `nProbe >= nlist`
-    * (exhaustive-through-buckets) the exact re-rank then returns EXACTLY
-    * the brute-force answer while still exercising encode → LUT → ADC →
-    * shortlist → re-rank — the correctness-gate configuration, the same
-    * trick as ann_ivf. Production sets nProbe ≪ nlist, refineFactor ~2–8.
+    * `refineFactor <= 0` keeps EVERY scored candidate (no shortlist heap
+    * at all — the ADC scores gate rows without truncating): combined with
+    * `nProbe >= nlist` (exhaustive-through-buckets) the exact re-rank then
+    * returns EXACTLY the brute-force answer at ANY corpus size while still
+    * exercising encode → LUT → ADC → re-rank — the correctness-gate
+    * configuration, the same trick as ann_ivf. Production sets
+    * nProbe ≪ nlist, refineFactor ~2–8.
     * Returns (query_id, rank, neighbor_id, sim). */
   def ivfPqTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -381,22 +390,38 @@ object Similarity {
     val encoded = bucketed.select(
       col("neighbor_id"), col("bucket"),
       pqEncode(col("cv"), books).as("codes"), vecNorm(col("cv")).as("vn"))
-    val probed = queries
-      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .select(
-        col("query_id"), pqLut(col("qv"), books).as("lut"), vecNorm(col("qv")).as("qn"),
-        explode(nearestCentroids(col("qv"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
-    val approx = encoded.join(broadcast(probed), Seq("bucket"))
+    // two small broadcasts, deliberately split: the exploded probe relation
+    // carries ONLY (query_id, bucket) — broadcasting the LUT inside it
+    // would duplicate each ~m·ksub-double table nProbe times — and the
+    // one-row-per-query LUT relation joins back after the bucket match
+    val qRows = OpUtils.shared(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")))
+    val probedKeys = qRows.select(
+      col("query_id"),
+      explode(nearestCentroids(col("qv"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+    val qMeta = qRows.select(
+      col("query_id"), pqLut(col("qv"), books).as("lut"), vecNorm(col("qv")).as("qn"))
+    val approx = encoded.join(broadcast(probedKeys), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qMeta), Seq("query_id"))
       // zero-norm sims pinned to -2, same convention as the cosine kernel
       .withColumn("asim", when(col("qn") * col("vn") === 0, lit(-2.0))
-        .otherwise(pqAdc(col("lut"), col("codes"), ksub) / (col("qn") * col("vn"))))
-    val shortK = if (refineFactor <= 0) 1 << 20 else math.max(k, k * refineFactor)
-    val shortlist = approx
-      .groupBy(col("query_id"))
-      .agg(topKByScore(col("asim"), col("neighbor_id"), shortK).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("cand"))
-      .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"))
+        .otherwise(pqAdc(col("lut"), col("codes")) / (col("qn") * col("vn"))))
+    val shortlist =
+      if (refineFactor <= 0)
+        // keep-all (the oracle configuration): no heap — TopKBuffer
+        // preallocates its k slots, so a "huge k" stand-in would either cap
+        // silently or OOM. The ADC score still gates every row through a
+        // non-foldable predicate (asim is nullable to the planner), so the
+        // encode → LUT → ADC path genuinely executes rather than being
+        // pruned as dead columns.
+        approx.filter(col("asim").isNotNull)
+          .select(col("query_id"), col("neighbor_id"))
+      else approx
+        .groupBy(col("query_id"))
+        .agg(topKByScore(col("asim"), col("neighbor_id"), math.max(k, k * refineFactor)).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("cand"))
+        .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"))
     // exact re-rank: the shortlist — not the corpus — joins back to the
     // float vectors (shuffle join by id; the index side is never broadcast)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))

@@ -211,17 +211,24 @@ object StaticCatalog {
   /** Parquet columns physically stored as TIMESTAMP(NANOS) in the first
     * file's footer — Spark's reader only surfaces these as longs, so the
     * catalog converts them explicitly (see [[SplittableCatalog.read]]). */
-  private def detectNanosColumns(spark: SparkSession, path: String): Seq[String] = {
+  /** One footer read serving inference: the TIMESTAMP(NANOS) column names
+    * and the REQUIRED (non-nullable) column names. Spark's own inference
+    * widens every field to nullable, which would make an inferred catalog
+    * over a REQUIRED column unverifiable under the strict (reference-
+    * parity) nullability check — the footer's repetition is the truth. */
+  private def footerMeta(spark: SparkSession, path: String): (Seq[String], Set[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import org.apache.parquet.schema.Type
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
         spark.sessionState.newHadoopConf()))
     val footer = try reader.getFooter finally reader.close()
     import scala.jdk.CollectionConverters._
-    footer.getFileMetaData.getSchema.getFields.asScala.collect {
+    val fields = footer.getFileMetaData.getSchema.getFields.asScala
+    val nanos = fields.collect {
       case f if f.isPrimitive &&
         (f.getLogicalTypeAnnotation match {
           case t: TimestampLogicalTypeAnnotation =>
@@ -229,6 +236,10 @@ object StaticCatalog {
           case _ => false
         }) => f.getName
     }.toSeq
+    val required = fields.collect {
+      case f if f.getRepetition == Type.Repetition.REQUIRED => f.getName
+    }.toSet
+    (nanos, required)
   }
 
   /** Catalog over explicit parquet paths, inferring the schema from the
@@ -244,10 +255,15 @@ object StaticCatalog {
       // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
       // then re-declare them TimestampType backed by the catalog's conversion
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val nanos = detectNanosColumns(spark, p)
+      val (nanos, required) = footerMeta(spark, p)
       val inferred = spark.read.parquet(p).schema
-      (StructType(inferred.fields.map(f =>
-        if (nanos.contains(f.name)) f.copy(dataType = TimestampType) else f)), nanos)
+      (StructType(inferred.fields.map { f0 =>
+        // Spark widens every inferred field to nullable; restore the
+        // footer's repetition so the inferred declaration round-trips
+        // through the strict nullability check (reference parity)
+        val f = f0.copy(nullable = !required.contains(f0.name))
+        if (nanos.contains(f.name)) f.copy(dataType = TimestampType) else f
+      }), nanos)
     })
     val files = paths.map { p =>
       SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))

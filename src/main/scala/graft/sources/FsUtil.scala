@@ -59,6 +59,12 @@ object FsUtil {
   def listStatus(spark: SparkSession, dir: String): Seq[FileStatus] =
     fs(spark, dir).listStatus(new Path(dir)).toSeq
 
+  /** Write a small control file (index params), overwriting. */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val out = fs(spark, path).create(new Path(path), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   /** Read a small control file (delta log commit, _last_checkpoint) fully. */
   def readString(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))

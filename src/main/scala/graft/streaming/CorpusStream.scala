@@ -121,8 +121,9 @@ object CorpusStream {
       .select(col(idCol), col(tsCol), wordShinglesExpr(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), col(tsCol),
-        // the same 64-bit hash image the index stores (Dedup.hashedSet)
-        array_sort(transform(col("__sh"), x => xxhash64(x))).as("__shl"),
+        // the SAME hash-image helper the index writer uses — any change to
+        // the stored image changes both sides together
+        graft.operators.Dedup.hashedSet(col("__sh")).as("__shl"),
         size(col("__sh")).as("__sa"),
         posexplode(minhashBandKeys(col("__sh"), numHashes, bands)))
       .select(col(idCol), col(tsCol), col("__shl"), col("__sa"),

@@ -120,6 +120,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nullable=false"))
   }
 
+  test("inferred catalog over a REQUIRED-column file passes strict verification") {
+    // Spark's own inference widens every field to nullable; the catalog
+    // restores the footer's repetition, so an inference-built declaration
+    // must round-trip through the strict nullability check
+    val dir = tmpDir("graft_req")
+    import org.apache.spark.sql.functions.when
+    Seq((1L, "a"), (2L, "b")).toDF("req_col", "opt_col")
+      .select($"req_col", when($"req_col" > 1, $"opt_col").as("opt_col"))
+      .coalesce(1).write.parquet(s"$dir/f.d")
+    val part = new java.io.File(s"$dir/f.d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val cat = StaticCatalog.overLocalFiles(spark, "req_cat", Seq(part))
+    assert(!cat.schema("req_col").nullable, "footer REQUIRED must infer non-nullable")
+    assert(cat.schema("opt_col").nullable, "footer OPTIONAL must infer nullable")
+    SchemaVerifier.verify(Seq(part), cat.schema) // must not throw
+    val rows = cat.read(spark, cat.files).collect()
+    assert(rows.length == 2)
+  }
+
   test("s3a catalogs tune the shared Hadoop conf; file catalogs do not") {
     val conf = spark.sparkContext.hadoopConfiguration
     Seq("fs.s3a.experimental.input.fadvise", "fs.s3a.readahead.range",

@@ -156,10 +156,19 @@ class DedupSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "source"))
     Dedup.saveMinhashIndex(history, "doc_id", "text", dir)
     val (sets, buckets) = Dedup.loadMinhashIndex(spark, dir)
-    // round-trip shape: one row per history doc with its hashed set + size
+    // round-trip shape: one row per history doc with its hashed set + size,
+    // plus a self-describing params file
     assert(sets.count() == 2 && sets.columns.toSeq == Seq("id", "shl", "s"))
     assert(buckets.columns.toSeq == Seq("band", "bucket", "id"))
-    val hits = Dedup.dedupAgainstIndex(shard, "doc_id", "text", sets, buckets,
+    assert(Dedup.loadMinhashIndexParams(spark, dir) ==
+      Map("shingleSize" -> 3, "numHashes" -> 256, "bands" -> 64))
+    // a dir without a params file fails loudly instead of silently
+    // returning zero hits with guessed parameters
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstSavedIndex(spark, shard, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft_noparams").toString)
+    }
+    val hits = Dedup.dedupAgainstSavedIndex(spark, shard, "doc_id", "text", dir,
         threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hits.toSet == Set((1L, 2L)), s"got ${hits.toSeq}")

@@ -344,10 +344,11 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("ivfpq: probes broadcast by hint, the encoded corpus never does, no cross product") {
-    // the two small relations (probed queries, rerank query vectors) are
-    // explicitly broadcast; the PQ-encoded corpus and the shortlist→vector
-    // rerank join must stay shuffle-side — with the threshold disabled,
-    // ONLY the two hinted broadcasts may remain
+    // the three query-sized relations (exploded probe keys, the per-query
+    // LUT rows, the rerank query vectors) are explicitly broadcast; the
+    // PQ-encoded corpus and the shortlist→vector rerank join must stay
+    // shuffle-side — with the threshold disabled, ONLY those hinted
+    // broadcasts may remain
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -356,8 +357,8 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct") && !plan.contains("Join Cross"),
         s"PQ scoring planned a cross product:\n${plan.take(900)}")
       val nBroadcast = plan.linesIterator.count(_.contains("BroadcastExchange"))
-      assert(nBroadcast <= 2,
-        s"only the probed-queries and rerank-queries broadcasts are hinted; got $nBroadcast:\n${plan.take(900)}")
+      assert(nBroadcast <= 3,
+        s"only the three query-sized broadcasts are hinted; got $nBroadcast:\n${plan.take(900)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
