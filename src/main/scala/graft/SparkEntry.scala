@@ -140,6 +140,27 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // TPC-H Q5 shape: six-table star join (two fact-fact shuffles, the
+    // rest dims), date-window + region filters applied BEFORE the joins so
+    // pushdown prunes the fact scans; nation/region broadcast, the
+    // customer-nation = supplier-nation equality rides the supplier join
+    "q26_regional_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
     // ROLLUP: subtotal + grand-total rows in the same aggregation pass
     "q15_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -871,6 +892,17 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 2""".stripMargin,
+    "q26_regional_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1996-01-01'
+        |GROUP BY 1""".stripMargin,
     "q10_join_agg" ->
       """SELECT c_mktsegment, o_orderpriority,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -343,6 +343,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!df2.queryExecution.executedPlan.toString().contains("Window"))
   }
 
+  test("q26 six-table join: no cartesian, dims broadcast, date filter pushed to the scan") {
+    val df = SparkEntry.queries("q26_regional_revenue")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join Cross"),
+      s"star join planned a cross product:\n${plan.take(900)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins should broadcast:\n${plan.take(900)}")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"the date window must reach the orders scan:\n${plan.take(1200)}")
+  }
+
   test("ivfpq: probes broadcast by hint, the encoded corpus never does, no cross product") {
     // the three query-sized relations (exploded probe keys, the per-query
     // LUT rows, the rerank query vectors) are explicitly broadcast; the
