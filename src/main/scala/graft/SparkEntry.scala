@@ -265,6 +265,32 @@ object SparkEntry {
         capacity = BuzzCapacity(1),
         catalogs = Seq(BuzzCatalogRef("delta_nation", "DeltaLake", tbl))))
     }),
+    // Delta TIME TRAVEL through the JSON API: a v3 commit removes the last
+    // partition's file, so the LATEST snapshot is missing region 4 — the
+    // oracle (the full-table aggregate) passes ONLY if version_as_of = 2
+    // actually serves the older snapshot
+    "q27_delta_time_travel" -> ((s, dir) => {
+      import graft.sources.DeltaFixture
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_tt_" +
+        fixtureKey(dir, "nation")
+      DeltaFixture.writeTable(s, t(s, dir, "nation"), "n_regionkey", tbl)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tbl/_delta_log/00000000000000000003.json"),
+        "{\"remove\":{\"path\":\"n_regionkey=4/part-v2.parquet\",\"dataChange\":true}}\n")
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |"steps": [
+           | {"sql": "SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey) AS snk FROM delta_nation GROUP BY n_regionkey",
+           |  "name": "m", "step_type": "HBee"},
+           | {"sql": "SELECT n_regionkey, sum(cnt) AS n, sum(snk) AS sum_nk FROM m GROUP BY n_regionkey",
+           |  "name": "r", "step_type": "HComb"}
+           |],
+           |"capacity": {"zones": 1},
+           |"catalogs": [{"name": "delta_nation", "type": "DeltaLake",
+           |  "uri": "$tbl", "version_as_of": 2}]
+           |}""".stripMargin)
+    }),
 
     // full loop: the partitioned sink's Hive layout is discovered back as a
     // partitioned catalog (partition columns from `source=...` dir names),
@@ -944,6 +970,11 @@ object SparkEntry {
       """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
         |FROM nation WHERE CAST(n_regionkey AS VARCHAR) <= '2'
+        |GROUP BY 1""".stripMargin,
+    "q27_delta_time_travel" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
+        |FROM nation
         |GROUP BY 1""".stripMargin,
     "q14_hive_catalog" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -31,7 +31,11 @@ final case class BuzzStep(
     stepType: BuzzStepType,
     partitionFilter: Option[String])
 
-final case class BuzzCatalogRef(name: String, catalogType: String, uri: String)
+final case class BuzzCatalogRef(
+    name: String,
+    catalogType: String,
+    uri: String,
+    versionAsOf: Option[Long] = None)
 
 final case class BuzzCapacity(zones: Int)
 
@@ -79,7 +83,16 @@ object BuzzQuery {
     }
     val catalogs = (root \ "catalogs") match {
       case JArray(arr) => arr.map { c =>
-        BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"))
+        // optional Delta time travel; a malformed value is rejected, not
+        // silently treated as "latest"
+        val versionAsOf = c \ "version_as_of" match {
+          case JInt(v)   => Some(v.toLong)
+          case JLong(v)  => Some(v)
+          case JNothing  => None
+          case other     => throw new BuzzException.BadRequest(
+            s"version_as_of must be an integer, got $other")
+        }
+        BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"), versionAsOf)
       }
       case JNothing => Nil
       case other    => throw new BuzzException.BadRequest(

@@ -18,9 +18,12 @@ object CatalogResolver {
     refs.map { r =>
       r.name -> (r.catalogType match {
         case "Static" =>
+          if (r.versionAsOf.isDefined)
+            throw new BuzzException.BadRequest(
+              s"version_as_of is only valid for DeltaLake catalogs ('${r.name}' is Static)")
           StaticCatalog.overPath(spark, r.name, r.uri): SplittableCatalog
         case "DeltaLake" =>
-          DeltaCatalog.fromDeltaLog(spark, r.uri, r.name): SplittableCatalog
+          DeltaCatalog.fromDeltaLog(spark, r.uri, r.name, r.versionAsOf): SplittableCatalog
         case other =>
           throw new BuzzException.BadRequest(
             s"unknown catalog type '$other' for '${r.name}' (expected Static or DeltaLake)")

@@ -39,37 +39,67 @@ object DeltaCatalog {
     val live = scala.collection.mutable.LinkedHashMap[String, (Long, Map[String, String])]()
   }
 
-  def fromDeltaLog(spark: SparkSession, tablePath: String, name: String): StaticCatalog = {
+  /** Build the catalog for the table's LATEST snapshot, or — time travel —
+    * for `versionAsOf`: the snapshot exactly as of that commit version.
+    * Time travel ignores a checkpoint AHEAD of the target version (the
+    * snapshot must not contain later state) and instead replays JSON
+    * commits from version 0, so a target older than the cleaned-history
+    * horizon fails loudly ("history was cleaned") rather than returning a
+    * partial table; a target beyond the latest version is equally loud. */
+  def fromDeltaLog(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      versionAsOf: Option[Long] = None): StaticCatalog = {
     val logDir = s"$tablePath/_delta_log"
     if (!FsUtil.isDirectory(spark, logDir))
       throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
+    versionAsOf.foreach(v => if (v < 0)
+      throw new BuzzException.BadRequest(s"version_as_of must be >= 0, got $v"))
 
     val state = new State
-    val checkpointVersion = readCheckpoint(spark, logDir, state)
+    // a checkpoint is only usable when it is NOT ahead of the target
+    // version — otherwise its state already contains later commits
+    val cpVersion = checkpointVersion(spark, logDir)
+    val useCheckpoint = cpVersion >= 0 && versionAsOf.forall(_ >= cpVersion)
+    val seedVersion =
+      if (useCheckpoint) { seedFromCheckpoint(spark, logDir, cpVersion, state); cpVersion }
+      else -1L
 
-    val commits = FsUtil.listStatus(spark, logDir)
+    val allCommits = FsUtil.listStatus(spark, logDir)
       .flatMap(st => st.getPath.getName match {
         case CommitFile(v) => Some(v.toLong -> st.getPath.toString)
         case _             => None
       })
-      .filter(_._1 > checkpointVersion)
       .sortBy(_._1)
+    val commits = allCommits
+      .filter(_._1 > seedVersion)
+      .filter { case (v, _) => versionAsOf.forall(v <= _) }
 
-    if (checkpointVersion < 0 && commits.isEmpty)
-      throw new BuzzException.BadRequest(s"empty _delta_log under $tablePath")
-    // fail loudly on cleaned history: without a checkpoint the replay must
-    // start at version 0, and post-checkpoint commits must be contiguous
-    val expectedFirst = checkpointVersion + 1
+    if (seedVersion < 0 && commits.isEmpty)
+      throw new BuzzException.BadRequest(
+        versionAsOf.fold(s"empty _delta_log under $tablePath")(v =>
+          s"version $v does not exist under $tablePath"))
+    // fail loudly on cleaned history: without a (usable) checkpoint the
+    // replay must start at version 0, and commits must be contiguous
+    val expectedFirst = seedVersion + 1
     commits.headOption.foreach { case (v, _) =>
-      if (v != expectedFirst && !(checkpointVersion < 0 && v == 0))
+      if (v != expectedFirst && !(seedVersion < 0 && v == 0))
         throw new BuzzException.BadRequest(
           s"delta log gap: first replayable commit is $v but expected $expectedFirst " +
-            s"(checkpoint version $checkpointVersion) — history was cleaned")
+            s"(checkpoint version $seedVersion) — history was cleaned")
     }
     commits.map(_._1).sliding(2).foreach {
       case Seq(a, b) if b != a + 1 =>
         throw new BuzzException.BadRequest(s"delta log gap between commits $a and $b")
       case _ =>
+    }
+    // the target version must actually be reached by the replay
+    versionAsOf.foreach { v =>
+      val last = commits.lastOption.map(_._1).getOrElse(seedVersion)
+      if (last < v)
+        throw new BuzzException.BadRequest(
+          s"version $v does not exist under $tablePath (latest replayable is $last)")
     }
 
     commits.foreach { case (_, path) =>
@@ -80,9 +110,8 @@ object DeltaCatalog {
     toCatalog(spark, tablePath, name, state)
   }
 
-  /** Seed state from `_last_checkpoint` + checkpoint parquet if present;
-    * returns the checkpoint version, or -1 when there is none. */
-  private def readCheckpoint(spark: SparkSession, logDir: String, state: State): Long = {
+  /** The `_last_checkpoint` version, or -1 when there is none. */
+  private def checkpointVersion(spark: SparkSession, logDir: String): Long = {
     val lastCp = s"$logDir/_last_checkpoint"
     if (!FsUtil.exists(spark, lastCp)) return -1L
     val meta = JsonMethods.parse(FsUtil.readString(spark, lastCp))
@@ -97,6 +126,12 @@ object DeltaCatalog {
           s"multi-part checkpoint ($p parts) at version $version")
       case _ =>
     }
+    version
+  }
+
+  /** Seed state from the checkpoint parquet at `version`. */
+  private def seedFromCheckpoint(
+      spark: SparkSession, logDir: String, version: Long, state: State): Unit = {
     val cpPath = f"$logDir/$version%020d.checkpoint.parquet"
     if (!FsUtil.exists(spark, cpPath))
       throw new BuzzException.BadRequest(
@@ -125,7 +160,6 @@ object DeltaCatalog {
       }
       // `remove` entries in a checkpoint are expired tombstones — ignored
     }
-    version
   }
 
   /** Apply one JSON commit action (metaData / add / remove) to the state. */

@@ -237,19 +237,50 @@ object EventOps {
     val hourly = graft.operators.OpUtils.shared(events.groupBy(
         date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n")))
-    val stats = hourly.groupBy(col("event_type"))
-      .agg(
-        round(avg(col("n")), 6).as("mean_n"),
-        round(stddev_pop(col("n")), 6).as("sd_n"))
-      .filter(col("sd_n") > 0)
-      .withColumnRenamed("event_type", "__an_type")
-    hourly.join(broadcast(stats), col("event_type") <=> col("__an_type"))
+    hourly.join(broadcast(hourlyTypeStats(hourly)), col("event_type") <=> col("__an_type"))
       .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
       .filter(abs(col("z")) >= nSigma)
       .select(
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("z"))
   }
+
+  /** Per-type hourly-count statistics from the (hour, event_type, n) cells:
+    * (`__an_type`, mean_n, sd_n), zero-variance types dropped. Shared by
+    * the batch detector and — precomputed over history — the streaming
+    * twin. */
+  def hourlyTypeStats(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("event_type"))
+      .agg(
+        round(avg(col("n")), 6).as("mean_n"),
+        round(stddev_pop(col("n")), 6).as("sd_n"))
+      .filter(col("sd_n") > 0)
+      .withColumnRenamed("event_type", "__an_type")
+
+  /** Streaming twin of [[anomalousHours]]: hourly WINDOWED counts under a
+    * watermark, z-scored against PRECOMPUTED per-type stats — the batch
+    * pipeline's [[hourlyTypeStats]] over history, refreshed out of band.
+    * (An append-mode stream cannot both accumulate a type's full hourly
+    * history for the mean/sd AND emit per-hour verdicts — the stats are a
+    * slowly-changing static input by design, exactly like the saved
+    * minhash index in the dedup twins.) Emits append-mode
+    * (hour, event_type, n, z) once each hourly window closes; state is the
+    * open windows inside the watermark horizon, bounded. */
+  def anomalousHoursStreaming(
+      events: DataFrame,
+      stats: DataFrame,
+      nSigma: Double = 3.0,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(stats), col("event_type") <=> col("__an_type"))
+      .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(abs(col("z")) >= nSigma)
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("z"))
 
   def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -198,6 +198,60 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.files.map(_.length).sorted == Seq(200L, 300L))
   }
 
+  test("DeltaCatalog time travel: versionAsOf replays exactly to the target version") {
+    val dir = tmpDir("graft_delta_tt")
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(logDir.resolve("00000000000000000000.json"),
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[]}}
+         |{"add":{"path":"a.parquet","size":100,"partitionValues":{}}}
+         |""".stripMargin)
+    Files.writeString(logDir.resolve("00000000000000000001.json"),
+      s"""{"add":{"path":"b.parquet","size":200,"partitionValues":{}}}
+         |""".stripMargin)
+    Files.writeString(logDir.resolve("00000000000000000002.json"),
+      s"""{"remove":{"path":"a.parquet"}}
+         |""".stripMargin)
+    def names(v: Long) =
+      DeltaCatalog.fromDeltaLog(spark, dir, "tt", Some(v))
+        .files.map(f => Paths.get(f.key).getFileName.toString).sorted
+    assert(names(0L) == Seq("a.parquet"))
+    assert(names(1L) == Seq("a.parquet", "b.parquet"))
+    assert(names(2L) == Seq("b.parquet"))
+    // latest snapshot == highest version
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "tt").files.map(f =>
+      Paths.get(f.key).getFileName.toString).sorted == names(2L))
+    // a version beyond the log fails loudly
+    val e = intercept[BuzzException.BadRequest] { names(7L) }
+    assert(e.getMessage.contains("does not exist"))
+    intercept[BuzzException.BadRequest] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "tt", Some(-1L))
+    }
+  }
+
+  test("DeltaCatalog time travel before a cleaned checkpoint fails loudly") {
+    import spark.implicits._
+    val dir = tmpDir("graft_delta_ttcp")
+    val df = (0L until 25L).map(i => (i, s"name$i", (i % 5).toString))
+      .toDF("id", "nm", "rk")
+    DeltaFixture.writeTable(spark, df, "rk", s"$dir/tbl")
+    // the fixture checkpoints at version 1 and deletes commits 0-1: a
+    // target BEFORE the checkpoint needs the cleaned JSON history, and the
+    // snapshot must not be silently served from the (later) checkpoint
+    val e = intercept[BuzzException.BadRequest] {
+      DeltaCatalog.fromDeltaLog(spark, s"$dir/tbl", "ttcp", Some(0L))
+    }
+    assert(e.getMessage.contains("history was cleaned") ||
+      e.getMessage.contains("does not exist"))
+    // time travel AT the checkpoint version itself works (checkpoint usable)
+    val cat = DeltaCatalog.fromDeltaLog(spark, s"$dir/tbl", "ttcp", Some(1L))
+    assert(cat.files.nonEmpty)
+  }
+
   test("DeltaCatalog reconstructs state from checkpoint + tail commits (log-cleaned table)") {
     import spark.implicits._
     val dir = tmpDir("graft_delta_cp")

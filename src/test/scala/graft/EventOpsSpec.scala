@@ -169,4 +169,39 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("z") == 3.0)
   }
 
+  test("streaming anomaly twin flags the burst window against precomputed stats") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hour: Long, i: Long) = new Timestamp(1700000000000L + hour * 3600000L + i * 1000L)
+    // history: calm hours at ~2 events → mean 2, sd small; stats built with
+    // the SAME helper the batch detector uses
+    val hist = (0L until 8L).flatMap(h => Seq((h, 0L), (h, 1L))) ++ Seq((3L, 2L))
+    val histDf = hist.zipWithIndex.map { case ((h, i), id) =>
+      (id.toLong, ts(h, i), "click") }.toDF("event_id", "ts", "event_type")
+    val hourly = histDf.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = EventOps.hourlyTypeStats(hourly)
+    // stream: one calm hour (2 events), one 30-event burst, then a late
+    // event 3 hours on that advances the watermark past both windows
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    stream.addData(
+      Seq((1000L, ts(20, 0), "click"), (1001L, ts(20, 1), "click")) ++
+        (0L until 30L).map(i => (1100L + i, ts(21, i), "click")) ++
+        Seq((2000L, ts(24, 0), "click")))
+    val q = EventOps.anomalousHoursStreaming(
+        stream.toDF().toDF("event_id", "ts", "event_type"), stats)
+      .writeStream.format("memory").queryName("anomaly_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch so the advanced watermark closes the earlier windows
+      stream.addData(Seq((2001L, ts(25, 0), "click")))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_stream_out").collect()
+      assert(rows.length == 1, s"only the burst window flags: ${rows.mkString(",")}")
+      assert(rows(0).getAs[Long]("n") == 30L)
+      assert(math.abs(rows(0).getAs[Double]("z")) >= 3.0)
+    } finally q.stop()
+  }
+
 }

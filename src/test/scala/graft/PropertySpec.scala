@@ -46,6 +46,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PQ with memorizing codebooks reconstructs the exact dot product (randomized)") {
+    // when every distinct subvector is itself a codeword, PqEncode must
+    // pick it exactly (L2 distance 0) and the ADC sum over the LUT must
+    // equal the true dot product — the end-to-end algebra of
+    // encode → lut → adc with quantization error forced to zero
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{PqEncode, PqKernel, PqLut}
+    val dblArr = Literal.create(null, ArrayType(DoubleType))
+    val intArr = Literal.create(null, ArrayType(IntegerType))
+    val genVec = Gen.listOfN(8, Gen.choose(-5.0, 5.0)).map(_.toArray)
+    check(Prop.forAll(Gen.nonEmptyListOf(genVec), genVec) { (corpus, q) =>
+      val m = 4 // 8 dims → 4 subspaces of 2
+      val subdim = 2
+      val books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+        corpus.map(v => v.slice(j * subdim, (j + 1) * subdim).toSeq).distinct)
+      val enc = PqEncode(dblArr, books)
+      val lutE = PqLut(dblArr, books)
+      val toArr = (v: Array[Double]) => new GenericArrayData(v.map(x => x: Any))
+      val lut = lutE.nullSafeEval(toArr(q)).asInstanceOf[GenericArrayData]
+      corpus.forall { v =>
+        val codes = enc.nullSafeEval(toArr(v)).asInstanceOf[GenericArrayData]
+        val adc = PqKernel.adc(lut, codes)
+        val exact = v.zip(q).map { case (a, b) => a * b }.sum
+        math.abs(adc - exact) <= 1e-9 * math.max(1.0, math.abs(exact))
+      }
+    })
+  }
+
   test("TopKBuffer == sort-desc-take-k, ties to the smaller id") {
     val genPairs = Gen.listOf(Gen.zip(Gen.choose(-10.0, 10.0), Gen.choose(0L, 50L)))
     val genK = Gen.choose(1, 12)
