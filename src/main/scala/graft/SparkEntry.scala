@@ -161,6 +161,28 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
     }),
+    // TPC-H Q8 shape: market share — conditional aggregation (one nation's
+    // revenue over the region total) per order year, over the same star
+    // join as q26; the CASE rides the aggregation projection, one exchange
+    "q28_market_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("n_name") === "NATION_7", col("volume")).otherwise(lit(0.0))) /
+            sum(col("volume")), 6).as("mkt_share"))
+    }),
     // ROLLUP: subtotal + grand-total rows in the same aggregation pass
     "q15_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -918,6 +940,19 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 2""".stripMargin,
+    "q28_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN n_name = 'NATION_7'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "q26_regional_revenue" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -252,6 +252,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.files.nonEmpty)
   }
 
+  test("version_as_of on a Static catalog is rejected loudly") {
+    import graft.model.BuzzCatalogRef
+    val e = intercept[BuzzException.BadRequest] {
+      CatalogResolver.resolve(spark,
+        Seq(BuzzCatalogRef("x", "Static", "/tmp/nope.parquet", Some(1L))))
+    }
+    assert(e.getMessage.contains("version_as_of"))
+  }
+
   test("DeltaCatalog reconstructs state from checkpoint + tail commits (log-cleaned table)") {
     import spark.implicits._
     val dir = tmpDir("graft_delta_cp")
