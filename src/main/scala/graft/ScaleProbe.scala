@@ -173,8 +173,8 @@ object ScaleProbe {
       }
       report("index_build_docs", scale, n, idxBuildSecs)
       val (incHits, incSecs) = timed {
-        val (sets, buckets) = Dedup.loadMinhashIndex(spark, idxDir)
-        Dedup.dedupAgainstIndex(docs, "doc_id", "text", sets, buckets).count()
+        // the params-file path: queries with exactly the build parameters
+        Dedup.dedupAgainstSavedIndex(spark, docs, "doc_id", "text", idxDir).count()
       }
       report("index_query_hits", scale, incHits, incSecs)
 

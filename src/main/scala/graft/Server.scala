@@ -138,12 +138,16 @@ object Server {
           if (idle) {
             // double-check after a grace period: a request ACCEPTED at the
             // deadline but whose handler hasn't started yet leaves inFlight
-            // at 0 — any such handler starts well within the grace and its
-            // completion bumps lastDone, so a second consistent observation
-            // closes the race; stop(1) then still drains anything started
+            // at 0 — any such handler normally starts well within the grace
+            // and its completion bumps lastDone, so a second consistent
+            // observation makes the window practically empty (it cannot be
+            // fully closed from outside HttpServer's dispatch). The stop
+            // drain is bounded — timeout/1000 s, capped at 30 — so a query
+            // that slips in right at shutdown gets a real grace but cannot
+            // hold the instance open indefinitely (the serverless contract).
             Thread.sleep(math.max(timeoutMs / 4, 10))
             if (idle) {
-              server.stop(1)
+              server.stop(math.min(30L, math.max(1L, timeoutMs / 1000)).toInt)
               onStop()
               running = false
             }

@@ -296,6 +296,12 @@ object SparkEntry {
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_tt_" +
         fixtureKey(dir, "nation")
       DeltaFixture.writeTable(s, t(s, dir, "nation"), "n_regionkey", tbl)
+      // the file the v3 commit removes MUST exist, else the remove is a
+      // silent no-op and the oracle stops discriminating time travel from
+      // "latest" (it would pass either way) — fail loudly instead
+      val removed = s"$tbl/n_regionkey=4/part-v2.parquet"
+      require(graft.sources.FsUtil.exists(s, removed),
+        s"fixture drift: $removed not found — update q27's remove path")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$tbl/_delta_log/00000000000000000003.json"),
         "{\"remove\":{\"path\":\"n_regionkey=4/part-v2.parquet\",\"dataChange\":true}}\n")

@@ -658,6 +658,11 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], take
   * dot(q, v) ≈ Σⱼ dot(qⱼ, codebook(j)(codeⱼ)). */
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  // uniform ksub across subspaces is the LUT layout contract: PqLut flattens
+  // at stride books.head.length and PqAdc re-derives that stride from the
+  // array lengths — ragged books would silently misindex, so reject them
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks.head.length),
+    "pq codebooks must have the same centroid count per subspace")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
   override def graftInputTypes: Seq[Seq[DataType]] = Seq(
@@ -717,6 +722,8 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   * scoring ~dim/m cheaper per pair than exact scoring. */
 case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks.head.length),
+    "pq codebooks must have the same centroid count per subspace")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
   override def graftInputTypes: Seq[Seq[DataType]] = Seq(

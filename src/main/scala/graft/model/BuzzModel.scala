@@ -86,11 +86,13 @@ object BuzzQuery {
         // optional Delta time travel; a malformed value is rejected, not
         // silently treated as "latest"
         val versionAsOf = c \ "version_as_of" match {
-          case JInt(v)   => Some(v.toLong)
+          // BigInt beyond Long range is rejected, not wrapped — toLong on
+          // 2^64+1 would silently time-travel to version 1
+          case JInt(v) if v.isValidLong => Some(v.toLong)
           case JLong(v)  => Some(v)
           case JNothing  => None
           case other     => throw new BuzzException.BadRequest(
-            s"version_as_of must be an integer, got $other")
+            s"version_as_of must be an integer in long range, got $other")
         }
         BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"), versionAsOf)
       }

@@ -77,13 +77,23 @@ private[graft] object OpUtils {
     // reliable checkpoint when available AND garbage-collected (see
     // docstring — without cleanCheckpoints every call leaks a frame copy to
     // the checkpoint FS); the persist fallback freezes pid assignment only
-    // as long as no lineage recompute occurs
+    // as long as no lineage recompute occurs. The downgrade is LOUD: a
+    // deployment that set a checkpoint dir expecting resilience must know
+    // it isn't getting it until the cleaner flag is also set.
     val sc = df.sparkSession.sparkContext
+    val cleanerOn =
+      sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
     val ranged =
-      if (sc.getCheckpointDir.isDefined &&
-          sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false))
-        rangedRaw.checkpoint()
-      else shared(rangedRaw)
+      if (sc.getCheckpointDir.isDefined && cleanerOn) rangedRaw.checkpoint()
+      else {
+        if (sc.getCheckpointDir.isDefined && checkpointDowngradeWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "groupedRank: checkpoint dir is set but " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints is false — falling back to " +
+              "persist (no executor-loss resilience); enable the cleaner flag to checkpoint " +
+              "without leaking checkpoint files")
+        shared(rangedRaw)
+      }
     val offsets = ranged.groupBy(col("__gr_pid"), col(groupCol))
       .agg(count(lit(1)).as("__gr_n"))
       .withColumn("__gr_off",
@@ -105,6 +115,8 @@ private[graft] object OpUtils {
       .withColumn(rankCol, (col("__gr_r") + col("__gr_off")).cast("long"))
       .drop("__gr_pid", "__gr_pid2", "__gr_g2", "__gr_r", "__gr_off")
   }
+
+  private val checkpointDowngradeWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private val persisted = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())

@@ -312,8 +312,15 @@ object Similarity {
       if (n <= sampleTarget) vecs
       else vecs.filter(
         abs(xxhash64(col("id"))) <= (sampleTarget.toDouble / n * Long.MaxValue).toLong)
+    // hard driver-memory cap as a safety valve: the hash threshold is sized
+    // from a CACHED corpus count, so a corpus that grew under an identical
+    // plan would admit proportionally more rows — the limit bounds the
+    // collect at 4× the budget regardless (only the pathological stale-count
+    // case ever truncates, and then nondeterministically; normal operation
+    // collects every threshold-passing row)
     val sample = train
       .select(xxhash64(col("id")).as("h"), col("v"))
+      .limit(4 * sampleTarget)
       .collect()
       .sortBy(_.getLong(0))
       .map(r => r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)

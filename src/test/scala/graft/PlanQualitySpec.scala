@@ -350,8 +350,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"star join planned a cross product:\n${plan.take(900)}")
     assert(plan.contains("BroadcastHashJoin"),
       s"dimension joins should broadcast:\n${plan.take(900)}")
-    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
-      s"the date window must reach the orders scan:\n${plan.take(1200)}")
+    // the pushed-filter LIST must name the date column — "PushedFilters"
+    // alone prints (empty) on every scan, and o_orderdate appears in join
+    // keys regardless, so each alone is vacuous
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("o_orderdate")),
+      s"the date window must reach the orders scan's pushed filters:\n${plan.take(1200)}")
   }
 
   test("ivfpq: probes broadcast by hint, the encoded corpus never does, no cross product") {

@@ -59,8 +59,11 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(Gen.nonEmptyListOf(genVec), genVec) { (corpus, q) =>
       val m = 4 // 8 dims → 4 subspaces of 2
       val subdim = 2
+      // no per-subspace distinct: it could produce RAGGED books (rejected
+      // by the uniform-ksub contract); duplicate codewords are fine — the
+      // strict-< assignment picks the first (lowest-index) occurrence
       val books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-        corpus.map(v => v.slice(j * subdim, (j + 1) * subdim).toSeq).distinct)
+        corpus.map(v => v.slice(j * subdim, (j + 1) * subdim).toSeq))
       val enc = PqEncode(dblArr, books)
       val lutE = PqLut(dblArr, books)
       val toArr = (v: Array[Double]) => new GenericArrayData(v.map(x => x: Any))
