@@ -473,6 +473,15 @@ object SparkEntry {
     // the other rules unexercised
     "curate_gopher_rules" -> ((s, dir) =>
       Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text", minStopHits = 1)),
+    // fasttext/CCNet-style model-based quality filtering: an in-query
+    // multinomial Naive Bayes over md5-hashed token features separates a
+    // reference class (here the doc_id % 7 == 0 pseudo-curated set) from
+    // the rest; every doc gets its log-odds score. Two exchanges total,
+    // the dims-sized model is broadcast, closed-form training — no ML
+    // runtime
+    "curate_quality_classifier" -> ((s, dir) =>
+      Curation.qualityNBScores(t(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(7L)) === 0)),
     // deterministic global shuffle: reproducible epoch ordering with
     // distributed rank assembly (range partition + per-partition offsets),
     // never a one-reducer global window
@@ -1163,6 +1172,26 @@ object SparkEntry {
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "curate_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 7 = 0 AS ref,
+        |    ('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS dim
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) x),
+        |cnt AS (SELECT dim,
+        |    CAST(count(*) FILTER (WHERE ref) AS BIGINT) AS n1,
+        |    CAST(count(*) FILTER (WHERE NOT ref) AS BIGINT) AS n0
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS t1,
+        |               CAST(sum(n0) AS DOUBLE) AS t0 FROM cnt),
+        |pr AS (SELECT ln((count(*) FILTER (WHERE doc_id % 7 = 0) + 1.0)
+        |             / (count(*) FILTER (WHERE doc_id % 7 <> 0) + 1.0)) AS prior
+        |       FROM documents),
+        |w AS (SELECT dim,
+        |    ln((n1 + 1.0) / (t1 + 64.0)) - ln((n0 + 1.0) / (t0 + 64.0)) AS w
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT t.doc_id, round(sum(w.w) + any_value(pr.prior), 4) AS nb_score
+        |FROM tok t JOIN w USING (dim) CROSS JOIN pr
+        |GROUP BY t.doc_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -641,4 +641,65 @@ object Curation {
         col(groupCol), col("docs"), col("avg_quality"),
         round(col("raw") / col("t"), 6).as("weight"))
   }
+
+  /** Model-based quality scoring — the fasttext/CCNet "quality classifier"
+    * pass: a multinomial Naive Bayes over hashed token features is trained
+    * IN-QUERY to separate a reference class (`refPredicate` rows — a
+    * curated corpus, Wikipedia, whatever the pipeline trusts) from the
+    * rest, and every document is scored with its token log-odds plus the
+    * class prior. Positive = "looks like the reference class"; the caller
+    * thresholds or takes a top fraction. This is the standard model-based
+    * filtering step (GPT-3 §A, CCNet) without an ML-runtime dependency —
+    * NB's closed form IS two grouped counts.
+    *
+    * Scale shape: ONE token-stream exchange produces the per-(class, dim)
+    * count table (`dims` rows — broadcastable at any corpus size, even
+    * dims = 2^20); the weight table derives from it with a single-row
+    * cross join (totals + doc-count prior), and scoring joins the
+    * BROADCAST weights back onto the same persisted token stream with one
+    * per-doc aggregation. The corpus crosses exactly two exchanges total
+    * (count + score), the model never leaves the plan.
+    *
+    * Token→dim hashing is the md5-hex-prefix scheme of
+    * [[TextAnalysis.hashFeatures]], so any engine reproduces the features
+    * bit-for-bit; the per-doc sum is rounded to 4 dp (the same float
+    * contract as the LM log-prob scorers). Returns (idCol, nb_score). */
+  def qualityNBScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPredicate: Column,
+      dims: Int = 64,
+      alpha: Double = 1.0): DataFrame = {
+    require(dims > 0 && alpha > 0)
+    import OpUtils.{shared, widen}
+    val toks = shared(widen(df)
+      .select(col(idCol).as("__nb_id"), refPredicate.as("__nb_ref"),
+        explode(split(col(textCol), " ")).as("__nb_tk"))
+      .withColumn("__nb_dim",
+        conv(substring(md5(col("__nb_tk")), 1, 8), 16, 10).cast("long") % dims)
+      .drop("__nb_tk"))
+    val byDim = toks.groupBy(col("__nb_dim"))
+      .agg(
+        coalesce(sum(when(col("__nb_ref"), 1L)), lit(0L)).as("__nb_n1"),
+        coalesce(sum(when(!col("__nb_ref"), 1L)), lit(0L)).as("__nb_n0"))
+    // single-row scalars: token totals per class + the doc-count prior —
+    // one broadcast nested-loop join onto the dims-sized weight table
+    val scalars = toks.agg(
+        sum(when(col("__nb_ref"), 1L)).as("__nb_t1"),
+        sum(when(!col("__nb_ref"), 1L)).as("__nb_t0"))
+      .crossJoin(df.agg(
+        log((count(when(refPredicate, 1)) + alpha) /
+          (count(when(!refPredicate, 1)) + alpha)).as("__nb_prior")))
+    val weights = byDim.crossJoin(broadcast(scalars))
+      .select(
+        col("__nb_dim"),
+        (log((col("__nb_n1") + alpha) / (col("__nb_t1") + alpha * dims)) -
+          log((col("__nb_n0") + alpha) / (col("__nb_t0") + alpha * dims))).as("__nb_w"),
+        col("__nb_prior"))
+    toks.join(broadcast(weights), Seq("__nb_dim"))
+      .groupBy(col("__nb_id"))
+      .agg(round(sum(col("__nb_w")) + first(col("__nb_prior")), 4).as("nb_score"))
+      .select(col("__nb_id").as(idCol), col("nb_score"))
+  }
 }

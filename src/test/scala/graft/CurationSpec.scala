@@ -241,6 +241,31 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NB quality classifier ranks reference-like docs above off-vocabulary docs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // reference class (ids 0,7): a distinctive "clean" vocabulary; the
+    // probe doc 1 shares it, the probe doc 2 uses disjoint junk tokens —
+    // the classifier must separate them by log-odds
+    val clean = "the curated encyclopedia article discusses verified history with careful sources"
+    val junk = "zzz qqq spam spam buy now click here winner zzz qqq spam"
+    val docs = Seq(
+      (0L, clean), (7L, clean + " and more verified careful sources"),
+      (1L, "article discusses verified history with careful sources"),
+      (2L, junk), (3L, junk + " free prize")).toDF("doc_id", "text")
+    val scores = Curation.qualityNBScores(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(7L)) === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 5)
+    assert(scores(1L) > scores(2L),
+      s"reference-vocabulary doc must outscore junk: ${scores.toSeq.sorted}")
+    assert(scores(1L) > scores(3L))
+    // scoring is deterministic across runs
+    val again = Curation.qualityNBScores(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(7L)) === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores)
+  }
+
   test("streaming near-dup over a SAVED index flags the same docs as the in-memory path") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
