@@ -140,6 +140,12 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // entity resolution: edit-distance-1 record pairs via FastSS
+    // deletion-neighborhood blocking (id-only variant equi-join, verified
+    // once per candidate with codegen'd levenshtein) — never a length-block
+    // cross join
+    "er_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
     // TPC-H Q5 shape: six-table star join (two fact-fact shuffles, the
     // rest dims), date-window + region filters applied BEFORE the joins so
     // pushdown prunes the fact scans; nation/region broadcast, the
@@ -955,6 +961,13 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 2""".stripMargin,
+    "er_fuzzy_pairs" ->
+      """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        |  CAST(b.c_custkey AS BIGINT) AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q28_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN n_name = 'NATION_7'

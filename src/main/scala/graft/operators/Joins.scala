@@ -43,4 +43,43 @@ object Joins {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Entity-resolution fuzzy self-pairs: all (id_a, id_b, dist) with
+    * `levenshtein(str_a, str_b) <= 1` — the record-matching primitive for
+    * near-identical identifiers (names, SKUs, URLs differing by one typo).
+    *
+    * Blocking is the FastSS deletion neighborhood: each string emits
+    * itself plus its |s| single-deletion variants, and ANY pair at edit
+    * distance ≤ 1 provably shares a variant (equal strings share the
+    * string; a substitution pair shares the deletion at the differing
+    * position; an insertion/deletion pair shares the shorter string). The
+    * naive alternative — a length-blocked cross join — is |block|²; here
+    * candidates come from an id-only equi-join on the variant key
+    * (the LSH bucket machinery reused verbatim), and each candidate pair
+    * is verified ONCE with the codegen'd levenshtein kernel.
+    *
+    * Scale shape: |s|+1 narrow rows per record into one grouped exchange;
+    * variant-bucket occupancy is bounded by the alphabet at the deleted
+    * position (not the corpus), so pair explosion is structurally capped
+    * the way LSH bands are. Identical strings (dist 0) are included —
+    * that IS the exact-duplicate signal. Returns (id_a, id_b, dist),
+    * id_a < id_b. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val rows = OpUtils.shared(OpUtils.widen(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
+    val variants = rows
+      .select(col("id"), explode(concat(
+        array(col("s")),
+        expr("transform(sequence(0, length(s) - 1), " +
+          "i -> concat(substring(s, 1, i), substring(s, i + 2, length(s))))")))
+        .as("v"))
+      .distinct() // "aa" deletes to "a" twice — one bucket entry per (id, variant)
+    val cands = Dedup.bucketPairs(variants, Seq("v"))
+    val a = rows.select(col("id").as("id_a"), col("s").as("__fz_sa"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("__fz_sb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("dist", levenshtein(col("__fz_sa"), col("__fz_sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -241,6 +241,38 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzzy pairs: exact recall at distance 1 across sub/ins/del; no distance-2 leakage") {
+    import graft.operators.Joins
+    val recs = Seq(
+      (1L, "acme corp"),   // base
+      (2L, "acme corp"),   // exact duplicate → dist 0
+      (3L, "acme korp"),   // one substitution → dist 1
+      (4L, "acme corps"),  // one insertion → dist 1
+      (5L, "acme cor"),    // one deletion → dist 1
+      (6L, "acme kords"),  // two edits from base → excluded
+      (7L, "zenith ltd"))  // unrelated
+      .toDF("rid", "name")
+    val got = Joins.fuzzyPairs(recs, "rid", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute-force expected set over all pairs
+    val all = recs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      dist = lev(sa, sb) if dist <= 1
+    } yield ((ia, ib), dist.toLong)).toMap
+    assert(got == expect, s"got $got expected $expect")
+    assert(got(((1L, 2L))) == 0L && got(((1L, 3L))) == 1L &&
+      got(((1L, 4L))) == 1L && got(((1L, 5L))) == 1L)
+    assert(!got.contains((1L, 6L)) && !got.contains((1L, 7L)))
+  }
+
   test("NB quality classifier ranks reference-like docs above off-vocabulary docs") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // reference class (ids 0,7): a distinctive "clean" vocabulary; the

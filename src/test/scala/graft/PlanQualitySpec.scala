@@ -343,6 +343,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!df2.queryExecution.executedPlan.toString().contains("Window"))
   }
 
+  test("fuzzy pairs: candidates from the variant equi-join, never a cross join") {
+    val df = SparkEntry.queries("er_fuzzy_pairs")(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"fuzzy blocking degenerated into a cross join:\n${plan.take(900)}")
+  }
+
   test("q26 six-table join: no cartesian, dims broadcast, date filter pushed to the scan") {
     val df = SparkEntry.queries("q26_regional_revenue")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
