@@ -178,6 +178,28 @@ object ScaleProbe {
       }
       report("index_query_hits", scale, incHits, incSecs)
 
+      // pagerank: k disconnected copies of the trade graph (node ids
+      // offset per replica). Rounds are FIXED (power iteration), so wall
+      // must track the edge count ~linearly — each round is one equi-join
+      // + one agg regardless of scale; node count must be exactly scale×
+      val fwd = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      val edges1 = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val edgesK = (0 until scale).map { i =>
+        if (i == 0) edges1
+        else edges1.select((col("src") + lit(i * idStride)).as("src"),
+          (col("dst") + lit(i * idStride)).as("dst"))
+      }.reduce(_.unionAll(_))
+      val (prNodes, prSecs) = timed {
+        graft.operators.Graph.pageRank(edgesK).count()
+      }
+      report("pagerank_nodes", scale, prNodes, prSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

@@ -146,6 +146,20 @@ object SparkEntry {
     // cross join
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // link analysis: 3-round PageRank over the symmetrized customer↔supplier
+    // trade graph (supplier node ids offset by 1e6 out of the custkey
+    // range). One shuffle join + one agg per round; the rank vector is
+    // never broadcast or collected (see Graph.pageRank)
+    "graph_pagerank" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      graft.operators.Graph.pageRank(
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
     // TPC-H Q5 shape: six-table star join (two fact-fact shuffles, the
     // rest dims), date-window + region filters applied BEFORE the joins so
     // pushdown prunes the fact scans; nation/region broadcast, the
@@ -968,6 +982,49 @@ object SparkEntry {
         |FROM customer a, customer b
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // 3 unrolled power-iteration rounds; every float expression mirrors the
+    // Spark side op-for-op (1/outd precomputed as an edge weight, teleport
+    // = (1-d)/n, per-round ROUND to 10 dp) so both engines walk the same
+    // 1e-10 grid and order-dependent sum drift cannot compound
+    "graph_pagerank" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM fwd
+        |      UNION SELECT dst AS src, src AS dst FROM fwd),
+        |w AS (
+        |  SELECT e.src, e.dst, CAST(1 AS DOUBLE) / d.outd AS w
+        |  FROM e JOIN (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd
+        |               FROM e GROUP BY src) d ON e.src = d.src),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT nodes.id,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)), 10) AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT w.dst AS id, SUM(r0.r * w.w) AS s
+        |    FROM w JOIN r0 ON w.src = r0.id GROUP BY w.dst) c
+        |  ON nodes.id = c.id),
+        |r2 AS (
+        |  SELECT nodes.id,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)), 10) AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT w.dst AS id, SUM(r1.r * w.w) AS s
+        |    FROM w JOIN r1 ON w.src = r1.id GROUP BY w.dst) c
+        |  ON nodes.id = c.id),
+        |r3 AS (
+        |  SELECT nodes.id,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)), 10) AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT w.dst AS id, SUM(r2.r * w.w) AS s
+        |    FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c
+        |  ON nodes.id = c.id)
+        |SELECT id AS node_id, ROUND(r, 6) AS pr FROM r3""".stripMargin,
     "q28_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN n_name = 'NATION_7'

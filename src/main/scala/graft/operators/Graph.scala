@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative link analysis over edge lists — the graph-signal leg of a
+  * web-corpus curation pipeline (CommonCrawl-style host ranking feeding
+  * quality filters), expressed as fixed-point join/aggregate rounds the
+  * same way [[Dedup.connectedComponents]] runs label propagation.
+  *
+  * 100 TB shape: per iteration exactly ONE shuffle join (edges ⋈ ranks on
+  * src) and ONE aggregation (contributions per dst) — the edge list, the
+  * dominant relation, is hash-partitioned once up front and every round's
+  * join reuses that layout, so iterating does not re-exchange the big
+  * side. The rank vector is corpus-sized and is NEVER broadcast or
+  * collected; the only driver-side values are two scalar counts (node
+  * count, dangling-node count) and, when danglers exist, a per-round
+  * 1-row mass aggregate that IS broadcast (a scalar, not the vector). */
+object Graph {
+
+  /** PageRank with `iterations` fixed power-iteration rounds at damping
+    * factor `d`: rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) +
+    * dangling/N), ranks initialized uniform 1/N. Multi-edges are collapsed
+    * (dropDuplicates) so a repeated link contributes once, matching the
+    * usual web-graph formulation. Dangling mass (rank sitting on nodes
+    * with no out-edges) is redistributed uniformly; when the graph has no
+    * danglers — e.g. a symmetrized graph — the per-round mass aggregate is
+    * skipped entirely (decided from one O(1) driver-side count).
+    *
+    * Fixed iterations rather than convergence detection: the engine-parity
+    * contract (same numbers from any engine running the same rounds)
+    * requires a deterministic round count, and ranks are ROUNDED to
+    * `iterDp` decimals after every round so cross-engine float-sum
+    * drift (order-dependent low bits) cannot compound across rounds.
+    * Per-dst contribution sums at web scale hold ~10³ terms of magnitude
+    * ≤ 1, so accumulated IEEE error is ~1e-13 — far inside a 1e-10 grid.
+    *
+    * Returns (node_id, pr) over every node appearing as src or dst,
+    * pr rounded to 6 dp, summing to ~1 over the graph. */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      iterDp: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = OpUtils.shared(
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+    // per-edge transition weight 1/outdeg(src) rides the edge list so the
+    // round loop never re-joins degrees; persisted — every round reads it
+    val weighted = OpUtils.shared(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+        .join(e, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("outd")).as("w")))
+    val nodes = OpUtils.shared(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct())
+    val n = nodes.count().toDouble // scalar metadata, O(1) on the driver
+    // nodes with no out-edges, fixed for the whole run; the count (a
+    // scalar) decides whether the per-round mass aggregate exists at all
+    val danglers = OpUtils.shared(
+      nodes.join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti"))
+    val nDanglers = danglers.count()
+
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    var prevPersisted: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val withDangling = roundUpdate(
+        nodes, weighted, ranks, danglers, nDanglers, n, damping, iterDp)
+      // materialize each round once: the next round's join and (with
+      // danglers) its mass aggregate both read it, and an unpersisted
+      // round would re-run the whole chain back to the edge scan
+      val next = withDangling.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prevPersisted.foreach(_.unpersist(blocking = false))
+      prevPersisted = Some(next)
+      ranks = next
+    }
+    // the final round's frame backs the returned ranks — hand it to the
+    // pipeline cache registry instead of leaking it (CC does the same)
+    prevPersisted.foreach(OpUtils.track)
+    ranks.select(col("id").as("node_id"), round(col("r"), 6).as("pr"))
+  }
+
+  /** One power-iteration round, unexecuted — split out so plan tests can
+    * assert its shape (contribution join + aggregate; the only cross join
+    * ever present is the 1-row dangling-mass scalar broadcast). */
+  private[graft] def roundUpdate(
+      nodes: DataFrame,
+      weighted: DataFrame,
+      ranks: DataFrame,
+      danglers: DataFrame,
+      nDanglers: Long,
+      n: Double,
+      damping: Double,
+      iterDp: Int): DataFrame = {
+    val teleport = (1.0 - damping) / n
+    val contribs = weighted
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("r") * col("w")).as("c"))
+    if (nDanglers == 0)
+      nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("c"), lit(0.0)), iterDp).as("r"))
+    else {
+      // 1-row frame: total rank mass stranded on danglers this round —
+      // broadcast as a scalar onto every node's update
+      val mass = ranks.join(danglers, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("id"),
+          round(lit(teleport) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)), iterDp).as("r"))
+    }
+  }
+}

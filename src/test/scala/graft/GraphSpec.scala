@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank checked against a driver-side reference power iteration — the
+  * distributed join/agg rounds must reproduce the textbook recurrence
+  * exactly (same rounding schedule), including dangling-mass redistribution
+  * and multi-edge collapse. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference implementation: dense power iteration on the driver with the
+    * operator's exact float schedule (uniform init, per-round 10dp round,
+    * final 6dp round). */
+  private def referencePr(
+      edges: Seq[(Long, Long)], iterations: Int, d: Double): Map[Long, Double] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outd = es.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(outd.contains).map(r).sum
+      val contrib = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map(e => r(e._1) * (1.0 / outd(e._1))).sum
+      }
+      r = nodes.map { v =>
+        val base = (1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) +
+          (if (nodes.exists(x => !outd.contains(x))) dangling / n else 0.0))
+        v -> BigDecimal(base).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r.map { case (k, v) =>
+      k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  private def run(edges: Seq[(Long, Long)], iterations: Int = 3): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), iterations)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("matches the reference recurrence on a small directed graph") {
+    // 1→2, 1→3, 2→3, 3→1: strongly connected, no danglers
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val got = run(edges)
+    val want = referencePr(edges, 3, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: got ${got(k)}, want $v")
+    // node 3 has two in-links from higher-rank sources — it must dominate
+    assert(got(3L) > got(2L))
+  }
+
+  test("dangling mass is redistributed, total rank conserved") {
+    // 4 is a pure sink (no out-edges): its rank must flow back uniformly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (3L, 1L))
+    val got = run(edges)
+    val want = referencePr(edges, 3, 0.85)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: got ${got(k)}, want $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4,
+      s"mass not conserved: ${got.values.sum}")
+  }
+
+  test("multi-edges collapse to one link") {
+    val single = run(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
+    val multi = run(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
+    assert(single == multi)
+  }
+
+  test("symmetrized graph: rank orders by degree") {
+    // star: hub 1 linked both ways with 2,3,4 — hub must outrank leaves,
+    // leaves tie exactly (identical in/out structure)
+    val fwd = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = fwd ++ fwd.map(_.swap)
+    val got = run(edges)
+    assert(got(1L) > got(2L))
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+  }
+
+  test("rejects bad parameters") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(df, damping = 1.0))
+  }
+}

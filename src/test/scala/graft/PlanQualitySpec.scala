@@ -350,6 +350,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fuzzy blocking degenerated into a cross join:\n${plan.take(900)}")
   }
 
+  test("pagerank round: equi-join + aggregate, rank vector never cross-joined or hint-broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 200L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
+    val e = edges.dropDuplicates("src", "dst")
+    val weighted = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+      .join(e, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outd")).as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val ranks = nodes.select(col("id"), lit(0.005).as("r"))
+    // no-dangler path: the round must be pure equi-join + aggregate
+    val round0 = graft.operators.Graph.roundUpdate(
+      nodes, weighted, ranks, nodes.limit(0), 0L, 200.0, 0.85, 10)
+    val plan0 = round0.queryExecution.optimizedPlan.toString
+    assert(!plan0.contains("Join Cross") && !plan0.contains("CartesianProduct"),
+      s"pagerank round cross-joined:\n${plan0.take(900)}")
+    assert(!plan0.contains("ResolvedHint"), "rank vector must not be hint-broadcast")
+    // dangler path: the ONLY cross join is the 1-row mass scalar, and it
+    // is the broadcast side
+    val round1 = graft.operators.Graph.roundUpdate(
+      nodes, weighted, ranks, nodes.limit(1), 1L, 200.0, 0.85, 10)
+    val plan1 = round1.queryExecution.executedPlan.toString
+    val crosses = plan1.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(crosses <= 1, s"more than the scalar cross join:\n${plan1.take(900)}")
+    assert(!plan1.contains("CartesianProduct"),
+      "the mass scalar must broadcast, not cartesian")
+  }
+
   test("q26 six-table join: no cartesian, dims broadcast, date filter pushed to the scan") {
     val df = SparkEntry.queries("q26_regional_revenue")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
