@@ -160,6 +160,31 @@ object SparkEntry {
       graft.operators.Graph.pageRank(
         fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // mergeable-sketch summary tables: per-(type, day) HLL cells rolled up
+    // per type by unioning CELLS (the raw events are scanned once, ever).
+    // At this cardinality the sketches sit in their exact sparse regime, so
+    // the DuckDB exact-count oracle hash-matches; at 100 TB the same plan
+    // answers within ±1.04/√2^14 without ever re-shuffling raw keys
+    "sketch_distinct_rollup" -> ((s, dir) => {
+      val cells = graft.operators.Sketches.hllCells(
+        t(s, dir, "events").select(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id")),
+        Seq("event_type", "day"), "user_id")
+      graft.operators.Sketches.hllRollup(cells, Seq("event_type"))
+        .select(col("event_type"),
+          col("est_distinct").as("est_users"), col("n_cells").as("n_days"))
+    }),
+    // theta-sketch set algebra: click vs purchase audience overlap without
+    // joining the key sets — exact below the sketch capacity (lgK=20 ≫
+    // corpus user count), ±1/√2^20 past it
+    "sketch_user_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Sketches.thetaOverlap(
+        ev.filter(col("event_type") === "click").select(col("user_id")), "user_id",
+        ev.filter(col("event_type") === "purchase").select(col("user_id")), "user_id")
+    }),
     // TPC-H Q5 shape: six-table star join (two fact-fact shuffles, the
     // rest dims), date-window + region filters applied BEFORE the joins so
     // pushdown prunes the fact scans; nation/region broadcast, the
@@ -1025,6 +1050,22 @@ object SparkEntry {
         |    FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c
         |  ON nodes.id = c.id)
         |SELECT id AS node_id, ROUND(r, 6) AS pr FROM r3""".stripMargin,
+    // the sketches are in their exact regimes at sf0.01 (verified locally),
+    // so the oracle is the exact computation the sketches approximate
+    "sketch_distinct_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
+        |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sketch_user_overlap" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS est_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS est_b,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS est_both,
+        |  CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT) AS est_union,
+        |  CAST((SELECT count(*) FROM a ANTI JOIN b USING (user_id)) AS BIGINT) AS est_only_a""".stripMargin,
     "q28_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN n_name = 'NATION_7'

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (Apache DataSketches via Spark's native
+  * hll_ / theta_ expressions) — the pre-aggregated summary-table pattern
+  * that makes distinct-count analytics affordable at 100 TB.
+  *
+  * The scale story is the MERGE, not the estimate: materialize one small
+  * sketch per partition cell (per day, per source, per shard) in a summary
+  * table, then answer any coarser rollup — per month, per corpus, across
+  * corpora — by unioning CELLS. The raw data is scanned exactly once, ever;
+  * every subsequent distinct-count question costs |cells|, not |rows|, and
+  * a new day appends one cell instead of invalidating the total. Exact
+  * COUNT(DISTINCT) offers no such decomposition: its partials are the full
+  * key sets, so every rollup re-shuffles every key.
+  *
+  * Theta sketches add set ALGEBRA (intersection, difference) — e.g.
+  * estimate train∩eval contamination or cross-corpus user overlap without
+  * materializing a join. A theta sketch is EXACT below its nominal capacity
+  * k = 2^lgK (it keeps raw 64-bit key hashes until k overflows, only then
+  * sampling); past k the relative standard error is ~1/√k. HLL estimates
+  * are likewise exact while the sketch is still in its sparse/coupon
+  * regime and ~1.04/√(2^lgK) RSE once dense. */
+object Sketches {
+
+  /** Per-cell HLL distinct sketches: one binary sketch of `valueCol` per
+    * `groupCols` cell — the summary table you'd write daily. One narrow
+    * partial/final aggregation; cells are a few KB each at any row count. */
+  def hllCells(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 14): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+
+  /** Roll sketch cells up to coarser groups: distinct estimates from
+    * unioning CELLS — the raw rows are never touched again. Also returns
+    * how many cells merged into each estimate. */
+  def hllRollup(cells: DataFrame, groupCols: Seq[String]): DataFrame =
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_distinct"),
+        count(lit(1)).as("n_cells"))
+
+  /** Set-algebra estimate between two keyed relations via theta sketches:
+    * |A|, |B|, |A∩B|, |A∪B|, |A∖B| from ONE aggregation per side and a
+    * 1-row × 1-row combine — no join of the underlying keys. With lgK
+    * sized above both cardinalities the numbers are exact; past that,
+    * ±1/√(2^lgK) — either way the 100 TB contamination question ("is the
+    * overlap ~0 or ~10%?") is answered before any full decontamination
+    * join is paid for. */
+  def thetaOverlap(
+      a: DataFrame,
+      aCol: String,
+      b: DataFrame,
+      bCol: String,
+      lgK: Int = 20): DataFrame = {
+    val sa = a.agg(theta_sketch_agg(col(aCol), lgK).as("ska"))
+    val sb = b.agg(theta_sketch_agg(col(bCol), lgK).as("skb"))
+    // both sides are single-row aggregates — the cross join combines two
+    // scalars, not relations
+    sa.crossJoin(sb).select(
+      theta_sketch_estimate(col("ska")).as("est_a"),
+      theta_sketch_estimate(col("skb")).as("est_b"),
+      theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))).as("est_both"),
+      // theta_union has its OWN nominal k (default lgK=12) — pass the
+      // sketch lgK through or the union silently downsamples below it
+      theta_sketch_estimate(theta_union(col("ska"), col("skb"), lgK)).as("est_union"),
+      theta_sketch_estimate(theta_difference(col("ska"), col("skb"))).as("est_only_a"))
+  }
+}

@@ -380,6 +380,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "the mass scalar must broadcast, not cartesian")
   }
 
+  test("sketch rollup: partial/final object aggregates, raw keys never re-shuffled") {
+    val plan = formatted("sketch_distinct_rollup")
+    // a COUNT(DISTINCT) rewrite would show an Expand; the sketch path must
+    // aggregate binary sketch buffers instead (map-side partial + final)
+    assert(!plan.contains("Expand"), s"distinct expansion crept in:\n${plan.take(600)}")
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 4, s"expected split partial/final sketch aggregates, saw $objAggs")
+  }
+
   test("q26 six-table join: no cartesian, dims broadcast, date filter pushed to the scan") {
     val df = SparkEntry.queries("q26_regional_revenue")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
