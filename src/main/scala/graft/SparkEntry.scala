@@ -176,6 +176,27 @@ object SparkEntry {
         .select(col("event_type"),
           col("est_distinct").as("est_users"), col("n_cells").as("n_days"))
     }),
+    // mergeable QUANTILE summary table (custom KLL aggregate — Spark has no
+    // hll-analog for quantiles): per-(type, day) cells, merged per type,
+    // p50/p90/p99 read off the merged sketch. k=4096 keeps the whole path
+    // in KLL's exact deterministic regime at this scale (≈2000 values per
+    // merged sketch), so the windowed cume_dist oracle matches
+    // element-for-element; a 100 TB run sizes k down and takes the ±ε
+    "sketch_value_quantiles" -> ((s, dir) => {
+      val cells = graft.operators.Sketches.kllCells(
+        t(s, dir, "events").select(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("value")),
+        Seq("event_type", "day"), "value", k = 4096)
+      graft.operators.Sketches.kllRollup(cells, Seq("event_type"),
+          Seq(0.5, 0.9, 0.99), k = 4096)
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99"),
+          col("n_cells").as("n_days"))
+    }),
     // theta-sketch set algebra: click vs purchase audience overlap without
     // joining the key sets — exact below the sketch capacity (lgK=20 ≫
     // corpus user count), ±1/√2^20 past it
@@ -1057,6 +1078,20 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+    // inclusive-rank quantiles: smallest value whose cume_dist ≥ q — the
+    // exact semantics KllQuantiles implements; both sides pick real data
+    // elements, so the compare involves no float arithmetic at all
+    "sketch_value_quantiles" ->
+      """SELECT event_type,
+        |  min(value) FILTER (WHERE cd >= 0.5) AS p50,
+        |  min(value) FILTER (WHERE cd >= 0.9) AS p90,
+        |  min(value) FILTER (WHERE cd >= 0.99) AS p99,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |FROM (
+        |  SELECT event_type, value, date_trunc('day', ts) AS day,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY event_type""".stripMargin,
     "sketch_user_overlap" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
         |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

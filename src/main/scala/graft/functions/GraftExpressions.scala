@@ -1220,6 +1220,157 @@ final class TopKBuffer(val k: Int) {
   }
 }
 
+/** KLL doubles quantile sketch aggregate (Apache DataSketches, already on
+  * Spark's classpath): builds one mergeable sketch per group — the
+  * quantile analog of `hll_sketch_agg`, which Spark does not ship. With
+  * partial/final aggregation only ~3k retained items per partition cross
+  * the exchange, vs an exact percentile which shuffles every value.
+  *
+  * Exactness contract: a KLL sketch is EXACT (it retains every item) until
+  * its capacity (~k items, more after merges grow levels) forces a
+  * compaction; past that, rank error is ~1.33% at k=200 and compaction
+  * offsets are randomized (true of any KLL implementation), so compacted
+  * estimates are not run-deterministic. Size k above the merged row count
+  * to stay in the exact regime — the sf0.01 oracle does; a 100 TB run
+  * accepts the ±ε instead. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch]
+  with graftshim.GraftExpectsInputTypes {
+  require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch_agg"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(DoubleType))
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def update(
+      buffer: org.apache.datasketches.kll.KllDoublesSketch,
+      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.kll.KllDoublesSketch,
+      other: org.apache.datasketches.kll.KllDoublesSketch): org.apache.datasketches.kll.KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: org.apache.datasketches.kll.KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.kll.KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch = {
+    // heapify returns a READ-ONLY view over compact bytes; merges need an
+    // updatable heap sketch, so adopt the items into a fresh instance
+    val s = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+    s.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = c(0))
+}
+
+/** Union of KLL sketch binaries (the quantile analog of `hll_union_agg`):
+  * rolls cell sketches up to coarser groups without touching raw values. */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch]
+  with graftshim.GraftExpectsInputTypes {
+  require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge_agg"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType))
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def update(
+      buffer: org.apache.datasketches.kll.KllDoublesSketch,
+      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.kll.KllDoublesSketch,
+      other: org.apache.datasketches.kll.KllDoublesSketch): org.apache.datasketches.kll.KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: org.apache.datasketches.kll.KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.kll.KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch = {
+    val s = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+    s.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = c(0))
+}
+
+/** Quantiles from a KLL sketch binary at the given probabilities, INCLUSIVE
+  * rank semantics: result i is the smallest retained item whose inclusive
+  * normalized rank (#items ≤ item)/n ≥ probs(i) — the `cume_dist() ≥ q`
+  * rule, so an exact-regime sketch matches a windowed SQL oracle
+  * element-for-element with zero float arithmetic. CodegenFallback: this
+  * evaluates on summary rows (one per group cell), never per raw row. */
+case class KllQuantiles(child: Expression, probs: Seq[Double])
+    extends UnaryExpression with CodegenFallback with graftshim.GraftExpectsInputTypes {
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probs must be in [0,1], got $probs")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "kll_quantiles"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(input.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null
+    else new GenericArrayData(probs.map(p => s.getQuantile(p,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)).toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers + SQL registration for the expressions above. */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -1278,6 +1429,12 @@ object GraftFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftColumn.of(
       TopKByScore(GraftColumn.expr(score), GraftColumn.expr(id), k).toAggregateExpression())
+  def kllSketchAgg(value: Column, k: Int): Column =
+    GraftColumn.of(KllSketchAgg(GraftColumn.expr(value), k).toAggregateExpression())
+  def kllMergeAgg(sketch: Column, k: Int): Column =
+    GraftColumn.of(KllMergeAgg(GraftColumn.expr(sketch), k).toAggregateExpression())
+  def kllQuantiles(sketch: Column, probs: Seq[Double]): Column =
+    GraftColumn.of(KllQuantiles(GraftColumn.expr(sketch), probs))
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def rollingFingerprint(text: Column, window: Int): Column =

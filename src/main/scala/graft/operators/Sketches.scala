@@ -36,6 +36,27 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
 
+  /** Streaming twin of [[hllCells]]: watermarked daily windows emit one
+    * immutable HLL cell per (window, group) once the window closes
+    * (append mode) — the summary-table PRODUCER as a continuous job. The
+    * emitted binary cells are byte-compatible with the batch cells, so one
+    * [[hllRollup]] serves history written by either path; state is the
+    * open windows inside the watermark horizon, each a few-KB sketch
+    * buffer rather than a key set. */
+  def hllCellsStreaming(
+      events: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lgK: Int = 14,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col(groupCol), col("hll"))
+
   /** Roll sketch cells up to coarser groups: distinct estimates from
     * unioning CELLS — the raw rows are never touched again. Also returns
     * how many cells merged into each estimate. */
@@ -44,6 +65,33 @@ object Sketches {
       .agg(
         hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_distinct"),
         count(lit(1)).as("n_cells"))
+
+  /** Per-cell KLL quantile sketches over `valueCol` — the quantile analog
+    * of [[hllCells]], via the custom [[graft.functions.KllSketchAgg]]
+    * (Spark ships no mergeable quantile sketch). Size `k` above the
+    * merged-cell row count to stay in the exact deterministic regime;
+    * past it the estimate carries the KLL ±ε. */
+  def kllCells(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions.kllSketchAgg(col(valueCol), k).as("kll"))
+
+  /** Roll KLL cells up to coarser groups and evaluate `probs` quantiles on
+    * the merged sketch — raw values are never touched again. Returns the
+    * group columns + `qs` (array<double>, one entry per prob, INCLUSIVE
+    * rank semantics) + `n_cells`. */
+  def kllRollup(cells: DataFrame, groupCols: Seq[String], probs: Seq[Double],
+      k: Int = 200): DataFrame =
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(
+        graft.functions.GraftFunctions.kllMergeAgg(col("kll"), k).as("merged"),
+        count(lit(1)).as("n_cells"))
+      .select(groupCols.map(col) ++ Seq(
+        graft.functions.GraftFunctions.kllQuantiles(col("merged"), probs).as("qs"),
+        col("n_cells")): _*)
 
   /** Set-algebra estimate between two keyed relations via theta sketches:
     * |A|, |B|, |A∩B|, |A∪B|, |A∖B| from ONE aggregation per side and a

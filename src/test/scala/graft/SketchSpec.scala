@@ -68,6 +68,97 @@ class SketchSpec extends AnyFunSuite {
     assert(out == Seq(180, 180, 180, 180, 180), s"got $out")
   }
 
+  test("kll quantiles are exact order statistics below capacity") {
+    // 1..1000 scattered over 10 cells, merged back: inclusive-rank rule
+    // says p50 = smallest v with (#≤v)/1000 ≥ 0.5 = 500
+    val df = spark.range(1, 1001)
+      .select((col("id") % 10).as("cell"), col("id").cast("double").as("v"))
+    val out = Sketches.kllRollup(
+      Sketches.kllCells(df, Seq("cell"), "v", k = 2048)
+        .withColumn("g", lit(1)), Seq("g"), Seq(0.5, 0.9, 0.99), k = 2048)
+      .collect()(0)
+    val qs = out.getSeq[Double](1)
+    assert(qs == Seq(500.0, 900.0, 990.0), s"got $qs")
+    assert(out.getLong(2) == 10) // n_cells
+  }
+
+  test("kll cells merge to the same quantiles as one direct sketch (exact regime)") {
+    val df = spark.range(0, 3000)
+      .select((col("id") % 7).as("cell"), (col("id") * 3 % 1009).cast("double").as("v"))
+    val viaCells = Sketches.kllRollup(
+      Sketches.kllCells(df, Seq("cell"), "v", k = 4096)
+        .withColumn("g", lit(1)), Seq("g"), Seq(0.25, 0.5, 0.75), k = 4096)
+      .collect()(0).getSeq[Double](1)
+    val direct = df.agg(graft.functions.GraftFunctions.kllQuantiles(
+      graft.functions.GraftFunctions.kllSketchAgg(col("v"), 4096),
+      Seq(0.25, 0.5, 0.75)).as("qs")).collect()(0).getSeq[Double](0)
+    assert(viaCells == direct, s"cells $viaCells vs direct $direct")
+  }
+
+  test("kll rank error is bounded past capacity") {
+    // k=200 (ε ≈ 1.33%) against 100k uniform values: estimated p50 must
+    // land within 8ε of the true rank (compaction is randomized, so the
+    // bound is generous rather than flake-prone)
+    val df = spark.range(0, 100000).select(col("id").cast("double").as("v"))
+    val qs = df.agg(graft.functions.GraftFunctions.kllQuantiles(
+      graft.functions.GraftFunctions.kllSketchAgg(col("v"), 200),
+      Seq(0.5)).as("qs")).collect()(0).getSeq[Double](0)
+    assert(math.abs(qs.head - 50000.0) / 100000.0 < 8 * 0.0133,
+      s"p50 estimate ${qs.head} too far from 50000")
+  }
+
+  test("kll skips nulls") {
+    val df = Seq(Some(1.0), None, Some(3.0), Some(2.0), None)
+      .toDF("v").withColumn("g", lit(1))
+    val qs = Sketches.kllRollup(
+      Sketches.kllCells(df, Seq("g"), "v"), Seq("g"), Seq(0.5))
+      .collect()(0).getSeq[Double](1)
+    assert(qs == Seq(2.0), s"got $qs")
+  }
+
+  test("streaming hll cells merge with batch cells into one rollup") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, m: Int) = new Timestamp(1700000000000L + day * 86400000L + m * 60000L)
+    // two days of events; a third-day tick past the watermark closes them
+    val rows = Seq(
+      (ts(0, 1), "a", 1L), (ts(0, 2), "a", 2L), (ts(0, 3), "a", 1L),
+      (ts(1, 1), "a", 3L), (ts(1, 2), "a", 4L), (ts(1, 3), "b", 9L),
+      (ts(4, 0), "z", 0L))
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    stream.addData(rows)
+    val q = Sketches.hllCellsStreaming(
+        stream.toDF().toDF("ts", "g", "u"), "g", "u", watermark = "1 day")
+      .writeStream.format("memory").queryName("sketch_cells_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq((ts(6, 0), "z", 0L))) // advance the watermark
+      q.processAllAvailable()
+      val cells = spark.table("sketch_cells_out")
+      // streamed cells are byte-compatible with batch cells: one rollup
+      // over the STREAM-written table gives the exact per-group distincts
+      val rolled = Sketches.hllRollup(cells.select(col("g"), col("hll")), Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rolled("a") == 4, s"got $rolled") // users 1,2,3,4
+      assert(rolled("b") == 1, s"got $rolled")
+      // and per-cell estimates match the batch producer on the same rows
+      val batchCells = Sketches.hllCells(
+        rows.toDF("ts", "g", "u").filter(col("g") === "a")
+          .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("g"), col("u")),
+        Seq("day", "g"), "u")
+      val streamEst = cells.filter(col("g") === "a")
+        .select(col("day"), hll_sketch_estimate(col("hll")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchEst = batchCells
+        .select(col("day"), hll_sketch_estimate(col("hll")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
+    } finally q.stop()
+  }
+
   test("sketch estimates are deterministic across runs") {
     val df = spark.range(0, 50000).toDF("k")
     def once(): Long = df.agg(
