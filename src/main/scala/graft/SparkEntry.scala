@@ -197,6 +197,18 @@ object SparkEntry {
           col("qs").getItem(2).as("p99"),
           col("n_cells").as("n_days"))
     }),
+    // one-pass heavy hitters (custom frequent-items aggregate): part keys
+    // with ≥45 lineitems, found in fixed sketch memory per partition —
+    // never a full distinct-key shuffle. maxMapSize 4096 > 2000 distinct
+    // parts keeps counts exact here; a 100 TB run sizes the map down and
+    // takes ε·N with NO false negatives
+    "sketch_heavy_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(graft.functions.GraftFunctions
+          .freqItemsAgg(col("l_partkey").cast("long"), 4096, 45L).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("part_id"), col("h.est").as("n_lines"))
+    }),
     // theta-sketch set algebra: click vs purchase audience overlap without
     // joining the key sets — exact below the sketch capacity (lgK=20 ≫
     // corpus user count), ±1/√2^20 past it
@@ -1078,6 +1090,10 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+    "sketch_heavy_parts" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS part_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45""".stripMargin,
     // inclusive-rank quantiles: smallest value whose cume_dist ≥ q — the
     // exact semantics KllQuantiles implements; both sides pick real data
     // elements, so the compare involves no float arithmetic at all

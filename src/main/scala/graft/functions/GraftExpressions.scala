@@ -1345,6 +1345,84 @@ case class KllMergeAgg(
     copy(child = c(0))
 }
 
+/** Mergeable heavy-hitters aggregate (DataSketches frequent-items over
+  * longs): finds every item whose count reaches `threshold` in ONE pass
+  * with fixed `maxMapSize`-bounded memory per partial — the corpus-scale
+  * answer to "which hosts/tokens/keys dominate" that an exact
+  * count-group-by-filter answers only by shuffling every distinct key.
+  * Partials are sketches, so the map-side combine and the final merge both
+  * stay sketch-sized.
+  *
+  * Exactness contract: while the distinct-item count stays below the
+  * sketch's map capacity no purge ever happens and estimates are exact
+  * counts (the sf0.01 oracle regime). Past capacity, counts carry at most
+  * ε·N error with ε ≈ 3.5/maxMapSize, and NO_FALSE_NEGATIVES guarantees
+  * every true heavy hitter is returned (some borderline extras may ride
+  * along) — the right failure mode for corpus triage.
+  *
+  * Output: array<struct<item, est>> sorted (est desc, item asc). */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    threshold: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.LongsSketch]
+  with graftshim.GraftExpectsInputTypes {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+  require(threshold > 0, s"threshold must be positive, got $threshold")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items_agg"
+  override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", LongType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): org.apache.datasketches.frequencies.LongsSketch =
+    new org.apache.datasketches.frequencies.LongsSketch(maxMapSize)
+
+  override def update(
+      buffer: org.apache.datasketches.frequencies.LongsSketch,
+      input: InternalRow): org.apache.datasketches.frequencies.LongsSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.frequencies.LongsSketch,
+      other: org.apache.datasketches.frequencies.LongsSketch): org.apache.datasketches.frequencies.LongsSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: org.apache.datasketches.frequencies.LongsSketch): Any = {
+    val rows = buffer.getFrequentItems(threshold,
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+    val order = rows.sortBy(r => (-r.getEstimate, r.getItem))
+    new GenericArrayData(order.map(r =>
+      InternalRow(r.getItem, r.getEstimate): Any))
+  }
+
+  override def serialize(buffer: org.apache.datasketches.frequencies.LongsSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.frequencies.LongsSketch =
+    org.apache.datasketches.frequencies.LongsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(offset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(child = c(0))
+}
+
 /** Quantiles from a KLL sketch binary at the given probabilities, INCLUSIVE
   * rank semantics: result i is the smallest retained item whose inclusive
   * normalized rank (#items ≤ item)/n ≥ probs(i) — the `cume_dist() ≥ q`
@@ -1435,6 +1513,9 @@ object GraftFunctions {
     GraftColumn.of(KllMergeAgg(GraftColumn.expr(sketch), k).toAggregateExpression())
   def kllQuantiles(sketch: Column, probs: Seq[Double]): Column =
     GraftColumn.of(KllQuantiles(GraftColumn.expr(sketch), probs))
+  def freqItemsAgg(item: Column, maxMapSize: Int, threshold: Long): Column =
+    GraftColumn.of(
+      FreqItemsAgg(GraftColumn.expr(item), maxMapSize, threshold).toAggregateExpression())
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def rollingFingerprint(text: Column, window: Int): Column =

@@ -159,6 +159,41 @@ class SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frequent items are exact below map capacity") {
+    // item i appears i times, i in 1..100: threshold 90 → items 90..100,
+    // sorted count desc then item asc
+    val df = spark.range(1, 101)
+      .select(explode(sequence(lit(1), col("id"))).as("_"), col("id").as("item"))
+    val out = df.agg(graft.functions.GraftFunctions
+        .freqItemsAgg(col("item"), 256, 90L).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == (100L to 90L by -1).map(i => (i, i)).toSeq, s"got $out")
+  }
+
+  test("frequent items never miss a true heavy hitter past capacity") {
+    // 50k distinct tail items (one hit each) vs 5 planted heavy items —
+    // map size 128 forces constant purging; NO_FALSE_NEGATIVES must still
+    // surface all 5, with counts within the sketch's max error
+    val tail = spark.range(1000, 51000).select(col("id").as("item"))
+    val heavy = spark.range(0, 5)
+      .select(explode(sequence(lit(1), lit(5000))).as("_"), col("id").as("item"))
+    val out = tail.select("item").unionAll(heavy.select("item"))
+      .agg(graft.functions.GraftFunctions
+        .freqItemsAgg(col("item"), 128, 4000L).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach { i =>
+      assert(out.contains(i), s"lost heavy item $i: $out")
+      // estimates may land either side of truth (purge subtracts, the
+      // reported estimate adds the error offset back), but within ε·N
+      assert(math.abs(out(i) - 5000) <= (3.5 * 75000 / 128).toLong,
+        s"estimate for $i out of error band: ${out(i)}")
+    }
+  }
+
   test("sketch estimates are deterministic across runs") {
     val df = spark.range(0, 50000).toDF("k")
     def once(): Long = df.agg(
