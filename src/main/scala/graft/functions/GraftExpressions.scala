@@ -1437,6 +1437,9 @@ case class KllQuantiles(child: Expression, probs: Seq[Double])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "kll_quantiles"
   override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType))
+  // an EMPTY sketch (a cell whose values were all null) yields null even
+  // when the child is non-nullable — don't inherit the child's nullability
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val s = org.apache.datasketches.kll.KllDoublesSketch.heapify(

@@ -58,6 +58,9 @@ object Graph {
         .unionAll(e.select(col("dst").as("id")))
         .distinct())
     val n = nodes.count().toDouble // scalar metadata, O(1) on the driver
+    // an empty edge list would otherwise silently produce 1/0 = Infinity
+    // ranks; no graph is a caller error, not a degenerate result
+    require(n > 0, "pageRank requires a non-empty edge list")
     // nodes with no out-edges, fixed for the whole run; the count (a
     // scalar) decides whether the per-round mass aggregate exists at all
     val danglers = OpUtils.shared(
