@@ -200,6 +200,27 @@ object ScaleProbe {
       }
       report("pagerank_nodes", scale, prNodes, prSecs)
 
+      // triangles: k disconnected copies of the part co-purchase graph —
+      // the count must be EXACTLY scale× (copies share no nodes), and wall
+      // must track the wedge volume ~linearly (degree orientation keeps
+      // per-node fan-out bounded regardless of corpus size)
+      val copurchase = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      val triK = (0 until scale).map { i =>
+        if (i == 0) copurchase
+        else copurchase.select((col("src") + lit(i * idStride)).as("src"),
+          (col("dst") + lit(i * idStride)).as("dst"))
+      }.reduce(_.unionAll(_))
+      val (nTri, triSecs) = timed {
+        graft.operators.Graph.triangleCount(triK).collect()(0).getLong(0)
+      }
+      report("triangle_count", scale, nTri, triSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

@@ -197,6 +197,25 @@ object SparkEntry {
           col("qs").getItem(2).as("p99"),
           col("n_cells").as("n_days"))
     }),
+    // triangle count over the part co-purchase graph (parts sharing an
+    // order are linked): per-order pair explosion via the in-kernel
+    // PairCombinations, then degree-oriented wedge counting — oriented
+    // out-degree is O(√m), so hub neighborhoods never explode (see
+    // Graph.triangleCount)
+    "graph_triangles" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val pairs = t(s, dir, "lineitem")
+        .join(orders95, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.triangleCount(pairs)
+    }),
     // one-pass heavy hitters (custom frequent-items aggregate): part keys
     // with ≥45 lineitems, found in fixed sketch memory per partition —
     // never a full distinct-key shuffle. maxMapSize 4096 > 2000 distinct
@@ -1090,6 +1109,18 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+    // a<b<c three-way join counts each triangle once — the declarative
+    // mirror of the oriented wedge count
+    "graph_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE year(o_orderdate) = 1995),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
     "sketch_heavy_parts" ->
       """SELECT CAST(l_partkey AS BIGINT) AS part_id,
         |  CAST(count(*) AS BIGINT) AS n_lines

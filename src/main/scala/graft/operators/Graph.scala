@@ -87,6 +87,56 @@ object Graph {
     ranks.select(col("id").as("node_id"), round(col("r"), 6).as("pr"))
   }
 
+  /** Triangle count over an undirected edge list via DEGREE ORIENTATION —
+    * the standard trick that makes the wedge join survive power-law
+    * graphs. Edges are first canonicalized (self-loops dropped, both
+    * orientations and multi-edges collapsed to one u<v pair), then each
+    * edge is directed from its lower-(degree, id) endpoint to the higher:
+    * every triangle is counted exactly once (at its lowest-ordered
+    * vertex), and — the scale property — out-degree in the oriented graph
+    * is O(√m), so the wedge self-join generates Σ C(outdeg, 2) ≤ O(m^1.5)
+    * candidates even when a raw hub's neighborhood (C(deg, 2) on the
+    * unoriented graph) would explode. A web-corpus hub with 10⁶ links
+    * contributes ~10¹² unoriented wedges but only its oriented out-fan
+    * here. Three shuffles total: degree aggregation, wedge self-join on
+    * the oriented source, and the closing edge equi-join.
+    *
+    * Returns one row: (n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .dropDuplicates("u", "v")
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient low → high in (degree, id) order; both endpoint degrees ride
+    // the edge so the wedge ordering below never re-joins degrees
+    val oriented = OpUtils.shared(canon
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd")))
+    // wedges (y, z) centered on src, emitted once in orientation order;
+    // a triangle exists iff the oriented closing edge y→z does
+    val l = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+    val r = oriented.select(col("src"), col("dst").as("z"), col("dd").as("dz"))
+    val wedges = l.join(r, l("src") === r("src") &&
+      (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
+      .select(col("y"), col("z"))
+    wedges.join(oriented.select(col("src"), col("dst")),
+        col("y") === col("src") && col("z") === col("dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** One power-iteration round, unexecuted — split out so plan tests can
     * assert its shape (contribution join + aggregate; the only cross join
     * ever present is the 1-row dangling-mass scalar broadcast). */

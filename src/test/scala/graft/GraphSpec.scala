@@ -78,6 +78,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) == got(3L) && got(3L) == got(4L))
   }
 
+  test("triangle count on known graphs") {
+    def count(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("src", "dst")).collect()(0).getLong(0)
+    // K4 has C(4,3) = 4 triangles
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(count(k4) == 4)
+    // a 5-cycle has none
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))) == 0)
+    // two triangles sharing an edge
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))) == 2)
+    // self-loops, duplicates and reversed orientations must not inflate
+    assert(count(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (1L, 1L))) == 1)
+  }
+
+  test("triangle count matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Graph.triangleCount(edges.toDF("src", "dst")).collect()(0).getLong(0)
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } yield 1).size.toLong
+    assert(got == want, s"got $got want $want")
+  }
+
   test("rejects bad parameters") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))

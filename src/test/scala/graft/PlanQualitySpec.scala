@@ -389,6 +389,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(objAggs >= 4, s"expected split partial/final sketch aggregates, saw $objAggs")
   }
 
+  test("triangle count: wedge and closing joins stay equi, never cartesian") {
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (i % 60, (i * 7) % 60)).toDF("src", "dst")
+    val df = graft.operators.Graph.triangleCount(edges)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
+      s"triangle join degenerated into a cross join:\n${plan.take(900)}")
+  }
+
   test("q26 six-table join: no cartesian, dims broadcast, date filter pushed to the scan") {
     val df = SparkEntry.queries("q26_regional_revenue")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
