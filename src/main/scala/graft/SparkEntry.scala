@@ -817,6 +817,11 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")),
     // corpus-health Zipf slope (ln freq ~ ln rank over the vocabulary)
+    // top-50 word associations by PMI over window-3 co-occurrence — the
+    // pair stream is O(tokens · window) by construction (n-gram endpoint
+    // fan-out), never a per-document quadratic explosion
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiTopPairs(t(s, dir, "documents"), "text")),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
     // character-distribution entropy (gibberish/boilerplate signal) — one
@@ -1428,6 +1433,27 @@ object SparkEntry {
       "SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n FROM documents GROUP BY 1",
     "multimodal_dedup" ->
       "SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n FROM documents GROUP BY 1",
+    // positional self-join mirror of the n-gram endpoint fan-out: tokens
+    // at distance 1..3 within a doc co-occur; identical operand order in
+    // the PMI ratio keeps float parity with the Spark side
+    "text_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+        |ct AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |pr AS (
+        |  SELECT least(a.tok, b.tok) AS u, greatest(a.tok, b.tok) AS v
+        |  FROM toks a JOIN toks b
+        |    ON a.id = b.id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |  WHERE a.tok <> b.tok),
+        |np AS (SELECT CAST(count(*) AS DOUBLE) AS n_pair FROM pr),
+        |cp AS (SELECT u, v, count(*) AS c_pair FROM pr GROUP BY u, v HAVING count(*) >= 5)
+        |SELECT u, v, CAST(c_pair AS BIGINT) AS c_pair,
+        |  round(ln((c_pair * n_tok * n_tok) / (n_pair * cu.c * cv.c)), 4) AS pmi
+        |FROM cp JOIN ct cu ON cp.u = cu.tok JOIN ct cv ON cp.v = cv.tok, np, tot
+        |ORDER BY pmi DESC, u, v
+        |LIMIT 50""".stripMargin,
     "text_zipf" ->
       """WITH c AS (SELECT tk, count(*) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) x

@@ -373,4 +373,57 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("vocab"),
         sum(col("c")).cast("long").as("n_tokens"))
   }
+
+  /** Top-k word associations by pointwise mutual information over
+    * WINDOW-BOUNDED co-occurrence: two tokens co-occur when they sit at
+    * most `window` positions apart in a document, so the pair stream is
+    * O(len · window) — linear in the corpus — never the C(len, 2) per-doc
+    * explosion of whole-document co-occurrence (a 100k-token concatenated
+    * crawl page contributes 100k·w pairs here, not 5·10⁹).
+    * PMI = ln(p(u,v) / (p(u)·p(v))) with p(u,v) from the pair stream and
+    * p(·) from the token stream; pairs below `minCount` are dropped first
+    * (PMI's low-count bias makes hapax pairs meaningless).
+    *
+    * Shape: pairs come from the fused n-gram kernel's (first, last)
+    * endpoints at each distance 1..window — a narrow per-row fan-out, no
+    * positional self-join. The pair-count and token-count tables are the
+    * only corpus-crossing exchanges (both Heaps-law-sized after partial
+    * aggregation); the two marginal joins are left to AQE (broadcast while
+    * the vocab fits); the scalar totals ride 1-row broadcasts; and the
+    * final top-k is a TakeOrdered, never a global sort materialization.
+    * Ties are broken (pmi desc, u, v) so the k-boundary is deterministic.
+    * Returns (u, v, c_pair, pmi). */
+  def pmiTopPairs(df: DataFrame, textCol: String,
+      window: Int = 3, minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import OpUtils.shared
+    val text = df.select(col(textCol).as("t"))
+    val cTok = shared(text
+      .select(explode(split(col("t"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val nTok = cTok.agg(sum(col("c")).cast("double").as("n_tok"))
+    val pairs = shared((1 to window).map { d =>
+      text.select(explode(wordNgramsAll(col("t"), d + 1)).as("g"))
+        .select(
+          substring_index(col("g"), " ", 1).as("a"),
+          substring_index(col("g"), " ", -1).as("b"))
+    }.reduce(_.unionAll(_))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")))
+    val nPair = pairs.agg(count(lit(1)).cast("double").as("n_pair"))
+    pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+      .join(cTok.select(col("tok").as("u"), col("c").as("cu")), "u")
+      .join(cTok.select(col("tok").as("v"), col("c").as("cv")), "v")
+      .crossJoin(broadcast(nPair))
+      .crossJoin(broadcast(nTok))
+      .select(col("u"), col("v"), col("c_pair"),
+        round(log(
+          (col("c_pair") * col("n_tok") * col("n_tok")) /
+            (col("n_pair") * col("cu") * col("cv"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }

@@ -229,4 +229,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d1.values.exists(v => math.abs(v) == 2L))
   }
 
+  test("pmiTopPairs: hand-computed window co-occurrence") {
+    val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiTopPairs(df, "text", window = 2, minCount = 2, k = 10)
+      .collect()
+    // pairs within distance 2: (a,b)x3 in doc 1 (self-pairs at distance 2
+    // dropped), (c,d)x1 in doc 2; only (a,b) survives minCount=2.
+    // PMI = ln(3 * 6 * 6 / (4 * 2 * 2)) = ln(6.75)
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 3L))
+    assert(math.abs(r.getDouble(3) - math.log(6.75)) < 5e-5)
+  }
+
+  test("pmiTopPairs matches brute force on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val (window, minCount, k) = (3, 2, 20)
+    val got = TextAnalysis.pmiTopPairs(docs.toDF("doc_id", "text"), "text",
+        window, minCount, k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val toks = docs.flatMap(_._2.split(" ", -1))
+    val pairs = docs.flatMap { case (_, t) =>
+      val w = t.split(" ", -1)
+      for {
+        i <- w.indices; j <- (i + 1) until math.min(i + window + 1, w.length)
+        if w(i) != w(j)
+      } yield if (w(i) < w(j)) (w(i), w(j)) else (w(j), w(i))
+    }
+    val cTok = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val want = pairs.groupBy(identity).toSeq
+      .map { case ((u, v), occ) => (u, v, occ.size.toLong) }
+      .filter(_._3 >= minCount)
+      .map { case (u, v, c) =>
+        val raw = c.toDouble * toks.size * toks.size / (pairs.size.toDouble * cTok(u) * cTok(v))
+        (u, v, c, BigDecimal(math.log(raw)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (u, v, _, pmi) => (-pmi, u, v) }
+      .take(k)
+    assert(got.toSeq == want)
+  }
+
+  test("pmiTopPairs: top-k is a TakeOrdered, never a global sort") {
+    val df = Seq((1L, "x y z x y")).toDF("doc_id", "text")
+    val plan = TextAnalysis.pmiTopPairs(df, "text")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("pmiTopPairs rejects bad parameters") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.pmiTopPairs(df, "text", window = 0))
+    intercept[IllegalArgumentException](TextAnalysis.pmiTopPairs(df, "text", minCount = 0))
+    intercept[IllegalArgumentException](TextAnalysis.pmiTopPairs(df, "text", k = 0))
+  }
+
 }
