@@ -221,6 +221,17 @@ object ScaleProbe {
       }
       report("triangle_count", scale, nTri, triSecs)
 
+      // k-core: the same k disconnected co-purchase copies — peeling depth
+      // is a property of each component's structure, so the ROUND COUNT
+      // must stay FLAT under replication (copies peel in parallel inside
+      // the same per-round jobs) and core membership must be exactly
+      // scale×; wall tracks edges ~linearly (one agg + two semi joins per
+      // round, all unhinted)
+      val (nCore, coreSecs) = timed {
+        graft.operators.Graph.kCore(triK, k = 6).count()
+      }
+      report("kcore_nodes", scale, nCore, coreSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

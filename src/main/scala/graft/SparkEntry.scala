@@ -216,6 +216,26 @@ object SparkEntry {
         .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
       graft.operators.Graph.triangleCount(pairs)
     }),
+    // 4-core of the Q1-1995 part co-purchase graph: iterative peeling to
+    // the unique maximal subgraph of min-degree >= 4 (converges in 3
+    // rounds at sf0.01; the oracle unrolls 6 — post-convergence rounds are
+    // no-ops). Per round: one degree agg + two unhinted semi joins of the
+    // edge list against the survivor set (see Graph.kCore)
+    "graph_kcore" -> ((s, dir) => {
+      val ordersQ1 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-04-01").cast("date"))
+        .select(col("o_orderkey"))
+      val pairs = t(s, dir, "lineitem")
+        .join(ordersQ1, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.kCore(pairs, k = 4)
+    }),
     // one-pass heavy hitters (custom frequent-items aggregate): part keys
     // with ≥45 lineitems, found in fixed sketch memory per partition —
     // never a full distinct-key shuffle. maxMapSize 4096 > 2000 distinct
@@ -1126,6 +1146,34 @@ object SparkEntry {
         |FROM e e1
         |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // peeling unrolled to 6 rounds (observed convergence at sf0.01: 3) —
+    // a round applied to an already-converged edge set keeps it unchanged,
+    // so over-unrolling is safe and proves the fixpoint; the k-core is
+    // peel-order-unique, so both engines land on identical membership
+    // MATERIALIZED CTEs: each round references its predecessor three times
+    // (two join sides + the survivor set) — default CTE inlining would
+    // re-expand the chain 3^rounds times
+    "graph_kcore" -> {
+      val rounds = (1 to 6).map { i =>
+        s""",
+           |k$i AS MATERIALIZED (SELECT id
+           |        FROM (SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+           |        GROUP BY id HAVING count(*) >= 4),
+           |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+           |        JOIN k$i a ON e${i - 1}.u = a.id JOIN k$i b ON e${i - 1}.v = b.id)"""
+          .stripMargin
+      }.mkString
+      s"""WITH lp AS MATERIALIZED (
+         |       SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       WHERE o_orderdate >= DATE '1995-01-01'
+         |         AND o_orderdate < DATE '1995-04-01'),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p)$rounds
+         |SELECT id AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6)
+         |GROUP BY id""".stripMargin
+    },
     "sketch_heavy_parts" ->
       """SELECT CAST(l_partkey AS BIGINT) AS part_id,
         |  CAST(count(*) AS BIGINT) AS n_lines

@@ -137,6 +137,77 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-k CORE of an undirected graph — the unique maximal subgraph in
+    * which every node has degree ≥ `k` — via the standard peeling fixpoint:
+    * repeatedly delete nodes of degree < k (and their edges) until none
+    * remain. The result is peel-order-independent, so any engine running
+    * the same definition produces identical membership and degrees; the
+    * oracle unrolls MORE rounds than convergence needs (extra rounds are
+    * no-ops on a converged edge set) rather than guessing the exact depth.
+    *
+    * 100 TB shape: each round is ONE node-sized degree aggregation plus two
+    * LEFT SEMI joins of the edge list against the surviving-node set — the
+    * edge list (the dominant relation) is filtered in place, never
+    * collected, and the survivor set is never broadcast by hint (AQE
+    * upgrades the semi join to broadcast exactly when the survivor table's
+    * measured size allows — late rounds on a peeled graph — and shuffles
+    * when it doesn't — the corpus-sized early rounds). The driver sees one
+    * scalar per round (the under-degree count, which is also the
+    * convergence test), and each round's edge set is materialized once and
+    * the previous round released, the [[pageRank]] discipline. Peeling
+    * depth on real graphs is O(log n)-ish for fixed k; `maxRounds` turns a
+    * pathological non-convergence into a loud error instead of an infinite
+    * job chain.
+    *
+    * Returns (node_id, core_deg): members of the k-core with their degree
+    * WITHIN the core (≥ k by construction). Empty when the whole graph
+    * peels away — a legitimate result, not an error. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k (k<=1 keeps every non-isolated node)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .dropDuplicates("u", "v")
+    // each round reads the current edge set twice (degree agg + semi-join
+    // probe side) — materialize it once per round, release the previous
+    var cur = canon.persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var live = cur
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val deg = degrees(cur)
+      val nBad = deg.filter(col("d") < k).count() // driver scalar, O(1) rows
+      if (nBad == 0) converged = true
+      else {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"k-core peeling did not converge within $maxRounds rounds " +
+            s"($nBad under-degree nodes remain) — raise maxRounds or check the graph")
+        val keep = deg.filter(col("d") >= k).select(col("id"))
+        val next = cur
+          .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        live.unpersist(blocking = false)
+        live = next
+        cur = next
+      }
+    }
+    // the converged frame backs the returned degrees — registry, not leak
+    OpUtils.track(live)
+    degrees(cur).select(col("id").as("node_id"), col("d").cast("long").as("core_deg"))
+  }
+
+  /** Undirected degree table (id, d) of a canonical u<v edge list. */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
   /** One power-iteration round, unexecuted — split out so plan tests can
     * assert its shape (contribution join + aggregate; the only cross join
     * ever present is the 1-row dangling-mass scalar broadcast). */

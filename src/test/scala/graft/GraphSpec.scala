@@ -107,9 +107,58 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore peels a tail off a clique, keeps the clique") {
+    // K4 on {1,2,3,4} plus a tail 4-5-6: peeling at k=2 removes 6 (deg 1),
+    // then 5 (deg 1 after 6 is gone) — two dependent rounds — leaving K4
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val got2 = core(edges, 2)
+    assert(got2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // at k=3 the same core; at k=4 nothing survives (K4 max degree is 3)
+    assert(core(edges, 3) == got2)
+    assert(core(edges, 4) == Map.empty)
+  }
+
+  test("kCore keeps a cycle whole at k=2") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(core(cyc, 2) == (1L to 5L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore ignores self-loops, duplicates and reversed orientations") {
+    // only real undirected edge is 1-2 → both nodes peel at k=2
+    assert(core(Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L)), 2) == Map.empty)
+  }
+
+  test("kCore matches brute-force peeling on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val k = 3
+    val got = core(edges, k)
+    // reference: iterate deletion on the driver
+    var es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, v) => n -> v.size }
+      val bad = deg.filter(_._2 < k).keySet
+      changed = bad.nonEmpty
+      es = es.filter(e => !bad(e._1) && !bad(e._2))
+    }
+    val want = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, v) => n -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got.values.forall(_ >= k))
+  }
+
   test("rejects bad parameters") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(df, damping = 1.0))
+    intercept[IllegalArgumentException](Graph.kCore(df, k = 1))
+    intercept[IllegalArgumentException](Graph.kCore(df, k = 2, maxRounds = 0))
   }
 }
