@@ -146,6 +146,22 @@ object SparkEntry {
     // cross join
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // per-column profile of orders in ONE scan/ONE aggregation (plan-
+    // asserted: single FileScan + Expand for the exact distincts). Floats
+    // are rounded and timestamps formatted BEFORE profiling so the
+    // string-cast min/max stay engine-portable; the nullif-derived column
+    // keeps the null-count path non-vacuous (base TPC-H has no NULLs)
+    "profile_columns" -> ((s, dir) =>
+      graft.operators.Profiler.profile(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"),
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("o_status_closed")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority", "o_status_closed"))),
     // link analysis: 3-round PageRank over the symmetrized customer↔supplier
     // trade graph (supplier node ids offset by 1e6 out of the custkey
     // range). One shuffle join + one agg per round; the rank vector is
@@ -1077,6 +1093,29 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 2""".stripMargin,
+    // one UNION ALL block per profiled column over the shared projection —
+    // the declarative mirror of the single-pass profile unpivot
+    "profile_columns" -> {
+      val cs = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_status_closed")
+      val blocks = cs.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM o""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS MATERIALIZED (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    ROUND(o_totalprice, 2) AS o_totalprice,
+         |    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |    o_orderpriority,
+         |    CASE WHEN o_orderstatus = 'O' THEN NULL
+         |         ELSE o_orderstatus END AS o_status_closed
+         |  FROM orders)
+         |$blocks""".stripMargin
+    },
     "er_fuzzy_pairs" ->
       """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
         |  CAST(b.c_custkey AS BIGINT) AS id_b,

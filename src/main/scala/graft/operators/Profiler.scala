@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the per-column data-quality summary (row count, null
+  * count, distinct count, min/max) every ingestion pipeline runs before
+  * trusting a new drop of training data.
+  *
+  * 100 TB shape: ALL columns are profiled in ONE aggregation over ONE scan —
+  * never a scan-per-column loop. The per-column statistics ride a single
+  * 1-row aggregate (partial/final, map-side combined), and the row-per-column
+  * output shape is produced by exploding that 1-row frame driver-free. Exact
+  * distinct counts make Spark plan an Expand (one input row replicated per
+  * DISTINCT aggregate — rows × #cols intermediate, still one scan); at real
+  * scale pass `exact = false` to switch every distinct count to HLL
+  * `approx_count_distinct` (±2.3% at the default precision), which drops the
+  * Expand and keeps the aggregate state fixed-size per column. The oracle
+  * pins the exact mode; the approx mode shares every other expression.
+  *
+  * Min/max are cast to string so heterogeneous column types share one output
+  * schema — the profiler idiom. Cast formatting is engine-sensitive for
+  * floats (exponent thresholds differ), so float columns should be rounded
+  * BEFORE profiling (round is monotone, so round(min) = min(round)).
+  *
+  * Returns one row per profiled column:
+  * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).cast("long").as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("long").as(s"__cnt_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).cast("long").as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).cast("long").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -204,6 +204,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must keep only k rows per partition:\n${plan.take(600)}")
   }
 
+  test("profile_columns reads the table ONCE for all per-column stats") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("profile_columns")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // AQE wraps the tree
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1,
+      s"profiler must not scan per column — got ${scans.length} scans:\n" +
+        plan.toString.take(800))
+    // exact distincts plan through ONE Expand over that single scan
+    assert(plan.toString.contains("Expand"), plan.toString.take(800))
+  }
+
   test("Hive-layout catalog reads as ONE FileScan at high partition cardinality") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec

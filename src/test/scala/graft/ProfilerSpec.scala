@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profiler
+
+/** The single-pass profiler must report exact per-column stats (including
+  * null accounting and string-cast min/max) and degrade only the distinct
+  * counts in approx mode. */
+class ProfilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), 2.5),
+    (2L, None, 1.0),
+    (3L, Some("b"), 4.0),
+    (4L, Some("a"), 1.0)
+  ).toDF("id", "tag", "score")
+
+  test("exact profile: counts, nulls, distincts, min/max per column") {
+    val got = Profiler.profile(df, Seq("id", "tag", "score"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("tag") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("score") == ((4L, 0L, 3L, "1.0", "4.0")))
+  }
+
+  test("approx mode keeps every non-distinct stat identical") {
+    val exact = Profiler.profile(df, Seq("id", "tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).toSet
+    val approx = Profiler.profile(df, Seq("id", "tag"), exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).toSet
+    assert(exact == approx)
+    // at 4 distinct values HLL is exact too
+    val nd = Profiler.profile(df, Seq("id"), exact = false).collect()(0).getLong(3)
+    assert(nd == 4L)
+  }
+
+  test("an all-null column profiles without error") {
+    val got = Profiler.profile(
+        df.withColumn("gone", org.apache.spark.sql.functions.lit(null).cast("string")),
+        Seq("gone"))
+      .collect()(0)
+    assert(got.getLong(2) == 4L && got.getLong(3) == 0L)
+    assert(got.isNullAt(4) && got.isNullAt(5))
+  }
+
+  test("rejects unknown and empty column lists") {
+    intercept[IllegalArgumentException](Profiler.profile(df, Seq.empty))
+    intercept[IllegalArgumentException](Profiler.profile(df, Seq("nope")))
+  }
+}
