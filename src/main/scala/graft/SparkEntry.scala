@@ -232,6 +232,24 @@ object SparkEntry {
         .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
       graft.operators.Graph.triangleCount(pairs)
     }),
+    // multi-source BFS: hop distance from nation-1 customers over the
+    // symmetrized trade graph, bounded at 3 hops (contamination-radius /
+    // crawl-frontier shape). Per round ONE frontier⋈edges equi-join + one
+    // anti-join against the visited set (see Graph.hopDistances); seeds
+    // with no orders stay at hops 0 — the isolated-seed branch is real
+    "graph_bfs" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").cast("long").as("id"))
+      graft.operators.Graph.hopDistances(
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+        seeds, maxHops = 3)
+    }),
     // 4-core of the Q1-1995 part co-purchase graph: iterative peeling to
     // the unique maximal subgraph of min-degree >= 4 (converges in 3
     // rounds at sf0.01; the oracle unrolls 6 — post-convergence rounds are
@@ -1189,6 +1207,31 @@ object SparkEntry {
     // a round applied to an already-converged edge set keeps it unchanged,
     // so over-unrolling is safe and proves the fixpoint; the k-core is
     // peel-order-unique, so both engines land on identical membership
+    // frontier expansion unrolled to the operator's exact 3-hop bound:
+    // round i joins only the hops=i-1 frontier, NOT-IN keeps the minimum
+    // distance — the declarative mirror of the per-round anti-join
+    "graph_bfs" -> {
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |a$i AS MATERIALIZED (
+           |  SELECT id, hops FROM a${i - 1}
+           |  UNION ALL
+           |  SELECT x.id, CAST($i AS BIGINT) AS hops FROM (
+           |    SELECT DISTINCT e.dst AS id
+           |    FROM a${i - 1} f JOIN e ON f.id = e.src AND f.hops = ${i - 1}) x
+           |  WHERE x.id NOT IN (SELECT id FROM a${i - 1}))""".stripMargin
+      }.mkString
+      s"""WITH fwd AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |         1000000 + CAST(l_suppkey AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM fwd
+         |     UNION SELECT dst AS src, src AS dst FROM fwd),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS hops
+         |  FROM customer WHERE c_nationkey = 1)$rounds
+         |SELECT id AS node_id, hops FROM a3""".stripMargin
+    },
     // MATERIALIZED CTEs: each round references its predecessor three times
     // (two join sides + the survivor set) — default CTE inlining would
     // re-expand the chain 3^rounds times

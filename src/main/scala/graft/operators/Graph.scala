@@ -203,6 +203,61 @@ object Graph {
     degrees(cur).select(col("id").as("node_id"), col("d").cast("long").as("core_deg"))
   }
 
+  /** Multi-source BFS: minimum hop distance from ANY seed node, expanded
+    * for exactly `maxHops` frontier rounds (nodes further than `maxHops`
+    * are absent from the result). The hop bound is part of the operator's
+    * contract — it makes the result independent of traversal scheduling,
+    * so any engine unrolling the same rounds lands on identical rows, and
+    * it is what a crawl-frontier / contamination-radius query actually
+    * wants ("everything within k links"), not full all-pairs reachability.
+    *
+    * 100 TB shape: per round ONE equi-join of the CURRENT FRONTIER (not
+    * the full visited set) against the edge list, one distinct, and one
+    * anti-join against the visited set to keep the frontier monotone
+    * shrinking-or-expanding without revisits. The edge list is never
+    * collected; the visited set is never broadcast by hint (AQE chooses —
+    * early rounds it is tiny and broadcasts, late rounds it shuffles).
+    * The driver sees one scalar per round (frontier size, which also
+    * short-circuits exhausted graphs before the bound). Rounds are
+    * `maxHops`, a query constant — the job chain is bounded by design.
+    *
+    * Returns (node_id, hops): every node reachable within `maxHops`,
+    * seeds included at hops = 0, each node at its MINIMUM distance. */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = OpUtils.shared(
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).cast("long").as("hops"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    var frontier = dist
+    var live = List(dist) // frontier + visited both read the round's frames
+    var hop = 0L
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("hops"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
+      else {
+        val acc = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+        acc.count()
+        live.foreach(_.unpersist(blocking = false))
+        live = List(next, acc)
+        frontier = next
+        dist = acc
+      }
+    }
+    live.foreach(OpUtils.track)
+    dist.select(col("id").as("node_id"), col("hops"))
+  }
+
   /** Undirected degree table (id, d) of a canonical u<v edge list. */
   private[graft] def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))

@@ -154,11 +154,56 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= k))
   }
 
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Long] =
+    Graph.hopDistances(edges.toDF("src", "dst"),
+        seeds.toDF("id"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hopDistances walks a path up to the bound, seeds at zero") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = path ++ path.map(_.swap)
+    assert(bfs(sym, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two sources: every node takes its MINIMUM distance
+    assert(bfs(sym, Seq(1L, 5L), 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 0L, 4L -> 1L))
+  }
+
+  test("hopDistances follows edge direction and keeps isolated seeds") {
+    // only 2→1 exists: seed 1 cannot expand, seed 99 is not in the graph
+    assert(bfs(Seq((2L, 1L)), Seq(1L, 99L), 3) == Map(1L -> 0L, 99L -> 0L))
+  }
+
+  test("hopDistances stops early on an exhausted frontier") {
+    // triangle fully reached at hop 1; rounds 2..5 must be no-ops
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (2L, 3L), (3L, 2L))
+    assert(bfs(tri, Seq(1L), 5) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hopDistances matches reference BFS on a seeded random graph") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 1L, 2L)
+    val maxHops = 3
+    val got = bfs(edges, seeds, maxHops)
+    val adj = edges.distinct.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    var want = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1L to maxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty)) -- want.keySet
+      want = want ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("rejects bad parameters") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(df, damping = 1.0))
     intercept[IllegalArgumentException](Graph.kCore(df, k = 1))
     intercept[IllegalArgumentException](Graph.kCore(df, k = 2, maxRounds = 0))
+    intercept[IllegalArgumentException](
+      Graph.hopDistances(df, Seq(1L).toDF("id"), maxHops = 0))
   }
 }
