@@ -502,6 +502,11 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // 7-day trailing moving average of daily counts per type: the raw
+    // stream reduces to (type, day) FIRST — the window runs over the tiny
+    // aggregated series, never the raw events (see rollingDailyCounts)
+    "events_rolling" -> ((s, dir) =>
+      EventOps.rollingDailyCounts(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
     // as-of join: every click is enriched with the user's most recent prior
     // (or simultaneous) view — one tagged-union window pass, no range join.
@@ -1361,6 +1366,19 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // ROWS frame over the aggregated daily series — present days only,
+    // mirroring the Spark window op-for-op (avg over BIGINT → DOUBLE,
+    // round 4, day strings sort chronologically)
+    "events_rolling" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_n
+        |FROM d""".stripMargin,
     "events_asof" ->
       """WITH v AS (
         |  SELECT user_id, ts, max(event_id) AS event_id

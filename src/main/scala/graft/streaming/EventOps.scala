@@ -37,6 +37,33 @@ object EventOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Trailing `windowDays`-day moving average of DAILY event counts per
+    * type — the ops-dashboard smoothing query. The window frame is ROWS
+    * (not RANGE): each day row averages itself plus up to windowDays−1
+    * PRESENT preceding day rows, so a day with zero events is skipped, not
+    * zero-filled — the semantics of a moving average over an observation
+    * series. Early rows average over their shorter prefix.
+    *
+    * 100 TB shape: the raw stream is reduced FIRST by one partial/final
+    * aggregation to (type, day) — the only corpus-sized exchange — and the
+    * window runs over that ~(#types × #days)-row table, where partitioning
+    * by type is a handful of rows per task, not a per-type funnel of raw
+    * events. The same discipline as [[hourlyTypeStats]]: never a window
+    * over the raw stream.
+    *
+    * Returns (event_type, day, n, avg_n) with avg_n rounded to 4 dp. */
+  def rollingDailyCounts(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = events.groupBy(
+        col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1L), Window.currentRow)
+    daily.select(col("event_type"), col("day"), col("n"),
+      round(avg(col("n")).over(w), 4).as("avg_n"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap) in batch: a session
     * starts where the gap from the previous event of the same user exceeds
     * the gap; session count per user = sum of starts. One shuffle on

@@ -154,6 +154,29 @@ class EventOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollingDailyCounts averages over present days only, per type") {
+    def day(d: Int, i: Long) =
+      new Timestamp(1700000000000L + d * 86400000L + i * 1000L)
+    // type a: days 0,1,3 (day 2 absent — must be SKIPPED, not zero-filled)
+    // with counts 2,4,6; type b: one day, count 1
+    val rows =
+      (0L until 2L).map(i => (day(0, i), "a")) ++
+        (0L until 4L).map(i => (day(1, i), "a")) ++
+        (0L until 6L).map(i => (day(3, i), "a")) ++
+        Seq((day(0, 0L), "b"))
+    val df = rows.zipWithIndex.map { case ((t, ty), id) => (id.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = EventOps.rollingDailyCounts(df, windowDays = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).takeRight(2), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // window 2: avg(self, previous PRESENT day) — day 3 pairs with day 1
+    assert(got == Set(
+      ("a", "14", 2L, 2.0), ("a", "15", 4L, 3.0), ("a", "17", 6L, 5.0),
+      ("b", "14", 1L, 1.0)))
+    intercept[IllegalArgumentException](EventOps.rollingDailyCounts(df, 0))
+  }
+
   test("anomalousHours flags the burst hour and only it") {
     def ts(hour: Long, i: Long) = new Timestamp(1700000000000L + hour * 3600000L + i * 1000L)
     // 9 calm hours at 2 events, one 40-event burst: mean 5.8, sd 11.4,
