@@ -502,6 +502,18 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // SCD2 dimension build: day-1 changelog → per-user status intervals,
+    // consecutive same-status runs collapsed, latest row open-ended. Two
+    // per-key window passes, the second over change rows only (see
+    // statusIntervals); (ts, event_id) ordering pins same-ts changelog rows
+    "events_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      EventOps.statusIntervals(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("status"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
+    }),
     // 7-day trailing moving average of daily counts per type: the raw
     // stream reduces to (type, day) FIRST — the window runs over the tiny
     // aggregated series, never the raw events (see rollingDailyCounts)
@@ -1366,6 +1378,25 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // lag marks change points (IS DISTINCT FROM = the null-safe <=>
+    // mirror), lead over the change rows closes intervals; both windows
+    // order by (ts, event_id) exactly like the Spark side
+    "events_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS status, ts, event_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+        |m AS (
+        |  SELECT user_id, status, ts, event_id,
+        |    lag(status) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, status, ts, event_id FROM m
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM status)
+        |SELECT user_id, status,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        |FROM c""".stripMargin,
     // ROWS frame over the aggregated daily series — present days only,
     // mirroring the Spark window op-for-op (avg over BIGINT → DOUBLE,
     // round 4, day strings sort chronologically)

@@ -64,6 +64,45 @@ object EventOps {
       round(avg(col("n")).over(w), 4).as("avg_n"))
   }
 
+  /** SCD2-style status history: compact a per-key changelog into validity
+    * intervals, collapsing CONSECUTIVE RUNS of the same status — the
+    * dimension-build that turns an event stream into point-in-time joinable
+    * history (the batch complement of [[asofJoin]]). A row opens when the
+    * status differs from the key's previous row and closes at the next
+    * OPEN (exclusive end); the key's latest status stays open (null
+    * valid_to). Ordering within a key is (ts, idCol) so same-timestamp
+    * changelog rows resolve deterministically.
+    *
+    * 100 TB shape: two window passes (lag to find change points, lead over
+    * the CHANGE ROWS ONLY to close intervals), both partitioned by the
+    * entity key — million-key cardinality spreads across every task, and
+    * the second pass runs over the compacted change rows, not the raw
+    * stream. No joins, no global sort.
+    *
+    * Returns (keyCol, status, valid_from, valid_to) with timestamps kept
+    * as native types for downstream as-of joins. */
+  def statusIntervals(
+      changelog: DataFrame,
+      keyCol: String,
+      statusCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = changelog
+      .select(col(keyCol), col(statusCol).as("status"), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col("status"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // row_number anchors the first row: lag's boundary null would be
+      // indistinguishable from a genuinely-NULL first status, which must
+      // open an interval too; <=> keeps null runs collapsing like others
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col("status")))
+      .drop("__prev", "__rn")
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("status"),
+        col(tsCol).as("valid_from"), col("valid_to"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap) in batch: a session
     * starts where the gap from the previous event of the same user exceeds
     * the gap; session count per user = sum of starts. One shuffle on

@@ -177,6 +177,40 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.rollingDailyCounts(df, 0))
   }
 
+  test("statusIntervals collapses runs and leaves the last interval open") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 60000L)
+    // user 1: A A B A — runs collapse to A[0,2) B[2,3) A[3,∞);
+    // user 2: single X stays open; same-ts rows order by event_id
+    val df = Seq(
+      (1L, 1L, "A", ts(0)), (2L, 1L, "A", ts(1)), (3L, 1L, "B", ts(2)),
+      (4L, 1L, "A", ts(3)), (5L, 2L, "X", ts(0))
+    ).toDF("event_id", "user_id", "status", "ts")
+    val got = EventOps.statusIntervals(df, "user_id", "status", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime)))
+      .toSet
+    def t0(i: Long) = 1700000000000L + i * 60000L
+    assert(got == Set(
+      (1L, "A", t0(0), Some(t0(2))),
+      (1L, "B", t0(2), Some(t0(3))),
+      (1L, "A", t0(3), None),
+      (2L, "X", t0(0), None)))
+  }
+
+  test("statusIntervals: null statuses open, close and collapse like values") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 60000L)
+    val df = Seq(
+      (1L, 1L, None, ts(0)), (2L, 1L, None, ts(1)), (3L, 1L, Some("A"), ts(2))
+    ).toDF("event_id", "user_id", "status", "ts")
+    val got = EventOps.statusIntervals(df, "user_id", "status", "ts", "event_id")
+      .collect()
+      .map(r => (Option(r.getString(1)), Option(r.getTimestamp(3)).map(_.getTime)))
+      .toSet
+    assert(got == Set(
+      (None, Some(1700000000000L + 2 * 60000L)), (Some("A"), None)))
+  }
+
   test("anomalousHours flags the burst hour and only it") {
     def ts(hour: Long, i: Long) = new Timestamp(1700000000000L + hour * 3600000L + i * 1000L)
     // 9 calm hours at 2 events, one 40-event burst: mean 5.8, sd 11.4,
