@@ -893,6 +893,11 @@ object SparkEntry {
     // fan-out), never a per-document quadratic explosion
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiTopPairs(t(s, dir, "documents"), "text")),
+    // inverted-index postings: df/total_tf + top-3 docs per token via the
+    // bounded-heap aggregate — a stopword's posting list crosses the
+    // exchange as k rows per partition, never a per-token window sort
+    "text_postings" -> ((s, dir) =>
+      TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text")),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
     // character-distribution entropy (gibberish/boilerplate signal) — one
@@ -1615,6 +1620,22 @@ object SparkEntry {
     // positional self-join mirror of the n-gram endpoint fan-out: tokens
     // at distance 1..3 within a doc co-occur; identical operand order in
     // the PMI ratio keeps float parity with the Spark side
+    // row_number mirror of the bounded-heap order: (tf DESC, doc_id)
+    "text_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |          CAST(sum(tf) AS BIGINT) AS total_tf
+        |        FROM tf GROUP BY tok),
+        |rk AS (SELECT tok, doc_id, tf,
+        |         row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rank
+        |       FROM tf)
+        |SELECT a.tok, a.df, a.total_tf, CAST(r.rank AS BIGINT) AS rank,
+        |  r.doc_id, r.tf
+        |FROM agg a JOIN rk r ON a.tok = r.tok
+        |WHERE a.df >= 10 AND r.rank <= 3""".stripMargin,
     "text_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok

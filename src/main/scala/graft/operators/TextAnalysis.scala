@@ -374,6 +374,46 @@ object TextAnalysis {
         sum(col("c")).cast("long").as("n_tokens"))
   }
 
+  /** Inverted-index postings summary: per token, document frequency, total
+    * term frequency, and the top-`k` documents by within-doc term frequency
+    * — the build step of a keyword-search / retrieval index, and the
+    * "where does this token concentrate" diagnostic for corpus audits.
+    * Tokens below `minDf` documents are dropped (hapax noise).
+    *
+    * 100 TB shape: the token stream reduces to (token, doc) term
+    * frequencies in one partial-aggregated exchange, then ONE per-token
+    * aggregation computes df, total_tf AND the top-k docs together — the
+    * top-k rides the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate, so k docs per token per partition cross the exchange, never
+    * a `row_number()` window sorting every posting of corpus-frequent
+    * tokens (a stopword's posting list is corpus-sized; its heap is k).
+    * Ties break toward the smaller doc id, the row_number-oracle order.
+    *
+    * Returns (tok, df, total_tf, rank, doc_id, tf), k rows per kept token. */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 10, k: Int = 3): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.GraftFunctions.topKByScore
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        topKByScore(col("tf").cast("double"), col("doc_id"), k).as("tk"))
+      .filter(col("df") >= minDf)
+      .select(col("tok"), col("df"), col("total_tf"), posexplode(col("tk")))
+      .select(col("tok"), col("df"), col("total_tf").cast("long").as("total_tf"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("doc_id"),
+        // integer-valued by construction — the heap carries scores as double
+        col("col.sim").cast("long").as("tf"))
+  }
+
   /** Top-k word associations by pointwise mutual information over
     * WINDOW-BOUNDED co-occurrence: two tokens co-occur when they sit at
     * most `window` positions apart in a document, so the pair stream is

@@ -229,6 +229,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d1.values.exists(v => math.abs(v) == 2L))
   }
 
+  test("postings: df, total_tf and tie-broken top-k docs per token") {
+    val df = Seq(
+      (1L, "x x x y"), (2L, "x y"), (3L, "x x y"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.postings(df, "doc_id", "text", minDf = 2, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    // x: df 3, total 6, top2 = doc1(tf3), doc3(tf2); y: df 3, total 3,
+    // tf all 1 → tie breaks toward smaller doc id: doc1, doc2; z: df 1 cut
+    assert(got == Set(
+      ("x", 3L, 6L, 1L, 1L, 3L), ("x", 3L, 6L, 2L, 3L, 2L),
+      ("y", 3L, 3L, 1L, 1L, 1L), ("y", 3L, 3L, 2L, 2L, 1L)))
+    intercept[IllegalArgumentException](TextAnalysis.postings(df, "doc_id", "text", minDf = 0))
+    intercept[IllegalArgumentException](TextAnalysis.postings(df, "doc_id", "text", k = 0))
+  }
+
+  test("postings plan: top-k is an aggregate heap, not a window sort") {
+    val df = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.postings(df, "doc_id", "text", minDf = 1, k = 1)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("topk_by_score"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
   test("pmiTopPairs: hand-computed window co-occurrence") {
     val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
     val out = TextAnalysis.pmiTopPairs(df, "text", window = 2, minCount = 2, k = 10)
