@@ -936,6 +936,10 @@ object SparkEntry {
     // int8 embedding quantization (the memory-compression step before ANN at
     // 10⁹ vectors); the oracle checks the exact integer codes via their
     // sum/sum-of-squares — floor-based codes are engine-portable
+    // per-label mean embedding, flat (label, dim) rows: map-side combine
+    // reduces each partition to labels×dims cells before the one exchange
+    "embed_centroids" -> ((s, dir) =>
+      Similarity.meanEmbeddings(t(s, dir, "embeddings"), "label", "embedding")),
     "embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(
@@ -2015,6 +2019,16 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // generate_subscripts is 1-based; −1 matches posexplode's 0-based dim
+    "embed_centroids" ->
+      """SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n, round(avg(v), 4) AS mean_v
+        |FROM (
+        |  SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |GROUP BY label, dim""".stripMargin,
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),

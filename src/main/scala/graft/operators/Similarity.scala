@@ -115,6 +115,26 @@ object Similarity {
     cents
   }
 
+  /** Per-group MEAN EMBEDDING (centroid), one output row per (group,
+    * dimension) — the class-prototype / topic-centroid summary that feeds
+    * nearest-centroid classification, drift monitoring, and cluster
+    * labeling. Elements are widened float→double BEFORE averaging (exact)
+    * and the mean is rounded to 4 dp for cross-engine float parity.
+    *
+    * 100 TB shape: posexplode + partial/final aggregate — each partition
+    * map-side combines to at most (#groups × dims) cells before the ONE
+    * exchange, so the shuffle carries groups×dims×partitions rows, never
+    * the corpus. The flat (group, dim) layout keeps the result joinable
+    * and oracle-comparable without array-equality semantics.
+    *
+    * Returns (groupCol, dim, n, mean_v), dims 0-based. */
+  def meanEmbeddings(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(avg(col("v").cast("double")), 4).as("mean_v"))
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * `max|x|/127`, codes `floor(x·127/max|x|)`. The 4× memory cut (and the
     * SIMD-friendly integer dot product) is the standard compression step

@@ -185,4 +185,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tight == Set((1L, 2L)))
   }
 
+  test("meanEmbeddings averages per (group, dim) with exact widening") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)), ("b", Seq(5.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = Similarity.meanEmbeddings(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("a", 0L, 2L, 2.0), ("a", 1L, 2L, 4.0),
+      ("b", 0L, 1L, 5.0), ("b", 1L, 1L, 0.5)))
+  }
+
 }
