@@ -502,6 +502,15 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // winsorization: clip per-type values at exact [p05, p95] (bounds
+    // rounded to a shared grid before comparing), report clipped mass and
+    // robust mean — two exchanges of the raw stream, bounds joined unhinted
+    "events_winsorize" -> ((s, dir) =>
+      EventOps.winsorizeValues(t(s, dir, "events"))),
+    // OLS slope of the daily mean value per type over an epoch-anchored
+    // day index — aggregate first, regress over the tiny series
+    "events_trend" -> ((s, dir) =>
+      EventOps.dailyTrend(t(s, dir, "events"))),
     // SCD2 dimension build: day-1 changelog → per-user status intervals,
     // consecutive same-status runs collapsed, latest row open-ended. Two
     // per-key window passes, the second over change rows only (see
@@ -1387,6 +1396,28 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type AS w_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_lo,
+        |  CAST(count(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_hi,
+        |  round(avg(greatest(least(value, hi), lo)), 4) AS avg_clipped
+        |FROM events JOIN b ON event_type IS NOT DISTINCT FROM w_type
+        |GROUP BY event_type""".stripMargin,
+    "events_trend" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
+        |    avg(value) AS mv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(covar_pop(x, mv) / var_pop(x), 6) AS slope
+        |FROM d GROUP BY event_type
+        |HAVING count(*) >= 2""".stripMargin,
     // lag marks change points (IS DISTINCT FROM = the null-safe <=>
     // mirror), lead over the change rows closes intervals; both windows
     // order by (ts, event_id) exactly like the Spark side

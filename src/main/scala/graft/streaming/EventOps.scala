@@ -64,6 +64,67 @@ object EventOps {
       round(avg(col("n")).over(w), 4).as("avg_n"))
   }
 
+  /** Winsorization summary: clip each type's values at its own exact
+    * [`pLo`, `pHi`] percentiles and report how much mass moved — the
+    * robust-statistics pre-clean run before any mean-based metric on
+    * heavy-tailed telemetry. Bounds are ROUNDED to 4 dp before comparing,
+    * which pins the clip boundary to a grid both engines agree on (raw
+    * interpolated percentiles can differ in the last ulp across engines;
+    * a data point landing between the two reads would flip sides).
+    *
+    * 100 TB shape: one grouped percentile pass builds a #types-row bounds
+    * table (exact `percentile` holds each group's values in the aggregate
+    * buffer — fine at telemetry-type cardinality; swap in the KLL sketch
+    * cells ([[graft.operators.Sketches]]) when a single group outgrows
+    * executor memory), joined back UNHINTED (AQE broadcasts the tiny
+    * side), then one re-aggregation. The raw stream crosses the exchange
+    * twice, never more.
+    *
+    * Returns (event_type, n, n_lo, n_hi, avg_clipped). */
+  def winsorizeValues(
+      events: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
+    val bounds = events.groupBy(col("event_type").as("__w_type"))
+      .agg(
+        round(expr(s"percentile(value, $pLo)"), 4).as("lo"),
+        round(expr(s"percentile(value, $pHi)"), 4).as("hi"))
+    events.join(bounds, col("event_type") <=> col("__w_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_lo"),
+        count(when(col("value") > col("hi"), 1)).as("n_hi"),
+        round(avg(greatest(least(col("value"), col("hi")), col("lo"))), 4)
+          .as("avg_clipped"))
+  }
+
+  /** Per-type linear trend of the DAILY MEAN value: ordinary-least-squares
+    * slope over the day index, the drift detector behind "is this metric
+    * creeping". Types observed on fewer than two days are dropped (a
+    * one-point series has no slope — and an unguarded var_pop = 0 would
+    * emit NaN, the [[anomalousHours]] zero-variance lesson).
+    *
+    * 100 TB shape: the raw stream reduces FIRST to (type, day) means — the
+    * only corpus-sized exchange — and the OLS runs as covar_pop/var_pop
+    * aggregates over that tiny series, never a per-type sort or window.
+    * The day index is anchored at a fixed epoch so the regressor stays
+    * small-magnitude (no catastrophic cancellation in n·Σxy − ΣxΣy).
+    *
+    * Returns (event_type, n_days, slope) with slope rounded to 6 dp. */
+  def dailyTrend(events: DataFrame, epoch: String = "2024-01-01"): DataFrame = {
+    val daily = events.groupBy(
+        col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit(epoch).cast("date"))
+          .cast("double").as("x"))
+      .agg(avg(col("value")).as("mv"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(covar_pop(col("x"), col("mv")) /
+          var_pop(col("x")), 6).as("slope"))
+      .filter(col("n_days") >= 2)
+  }
+
   /** SCD2-style status history: compact a per-key changelog into validity
     * intervals, collapsing CONSECUTIVE RUNS of the same status — the
     * dimension-build that turns an event stream into point-in-time joinable

@@ -177,6 +177,34 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.rollingDailyCounts(df, 0))
   }
 
+  test("winsorizeValues clips at the rounded percentile band") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    // values 1..10: p05 = 1.45, p95 = 9.55 (linear interpolation at
+    // 0.05·9 / 0.95·9) → one clip each side, clipped mean exactly 5.5
+    val df = (1 to 10).map(i => (i.toLong, ts(i), "a", i.toDouble))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.winsorizeValues(df).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      ((10L, 1L, 1L, 5.5)))
+    intercept[IllegalArgumentException](EventOps.winsorizeValues(df, 0.9, 0.1))
+  }
+
+  test("dailyTrend regresses daily means, drops one-day types") {
+    def ts(d: Int, i: Long) =
+      Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:${i}%02.0f")
+    val df = Seq(
+      (1L, ts(0, 0), "a", 1.0), (2L, ts(0, 1), "a", 3.0), // day 0 mean 2
+      (3L, ts(1, 0), "a", 4.0), // day 1 mean 4
+      (4L, ts(2, 0), "a", 6.0), // day 2 mean 6 → slope 2
+      (5L, ts(0, 0), "b", 9.0) // single day → dropped
+    ).toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.dailyTrend(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 3L, 2.0)))
+  }
+
   test("statusIntervals collapses runs and leaves the last interval open") {
     def ts(i: Long) = new Timestamp(1700000000000L + i * 60000L)
     // user 1: A A B A — runs collapse to A[0,2) B[2,3) A[3,∞);
