@@ -171,11 +171,12 @@ object Graph {
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .dropDuplicates("u", "v")
-    // each round reads the current edge set twice (degree agg + semi-join
-    // probe side) — materialize it once per round, release the previous
-    var cur = canon.persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var live = cur
+    // each round reads the current edge set in THREE plan branches (degree
+    // agg + both semi-join survivor sets) — a plain persist would nest the
+    // full prior plan 3× per round (3^rounds analysis blowup; observed as
+    // a driver OOM at 5 rounds over the sf0.1 graph), so every round is
+    // materialized AND plan-truncated via OpUtils.roundCheckpoint
+    var cur = OpUtils.roundCheckpoint(canon)
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -188,18 +189,11 @@ object Graph {
           s"k-core peeling did not converge within $maxRounds rounds " +
             s"($nBad under-degree nodes remain) — raise maxRounds or check the graph")
         val keep = deg.filter(col("d") >= k).select(col("id"))
-        val next = cur
+        cur = OpUtils.roundCheckpoint(cur
           .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        live.unpersist(blocking = false)
-        live = next
-        cur = next
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi"))
       }
     }
-    // the converged frame backs the returned degrees — registry, not leak
-    OpUtils.track(live)
     degrees(cur).select(col("id").as("node_id"), col("d").cast("long").as("core_deg"))
   }
 
@@ -227,34 +221,30 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = OpUtils.shared(
       edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
-    var dist = seeds.select(col("id")).distinct()
-      .select(col("id"), lit(0).cast("long").as("hops"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dist.count()
+    // every round reads BOTH the frontier and the accumulated visited set,
+    // and the accumulator unions the prior round — plan-truncate each
+    // round (see kCore: persist alone leaves an exponentially nesting
+    // analysis tree across rounds)
+    var dist = OpUtils.roundCheckpoint(
+      seeds.select(col("id")).distinct()
+        .select(col("id"), lit(0).cast("long").as("hops")))
     var frontier = dist
-    var live = List(dist) // frontier + visited both read the round's frames
     var hop = 0L
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val next = frontier
+      val next = OpUtils.roundCheckpoint(frontier
         .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"))
         .distinct()
         .join(dist, Seq("id"), "left_anti")
-        .select(col("id"), lit(hop).as("hops"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
+        .select(col("id"), lit(hop).as("hops")))
+      if (next.isEmpty) exhausted = true
       else {
-        val acc = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        acc.count()
-        live.foreach(_.unpersist(blocking = false))
-        live = List(next, acc)
+        dist = OpUtils.roundCheckpoint(dist.unionAll(next))
         frontier = next
-        dist = acc
       }
     }
-    live.foreach(OpUtils.track)
     dist.select(col("id").as("node_id"), col("hops"))
   }
 

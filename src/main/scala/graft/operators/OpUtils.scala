@@ -139,6 +139,25 @@ private[graft] object OpUtils {
       p
     }
 
+  /** Materialize one round of an ITERATIVE operator and TRUNCATE its
+    * logical plan (eager `localCheckpoint` → the round becomes a
+    * LogicalRDD leaf). Chained rounds that merely `persist` keep nesting
+    * the full prior plan in 2-3 branches per round — persisted data
+    * short-circuits EXECUTION but not ANALYSIS, so Catalyst re-walks an
+    * exponentially growing tree (3^rounds copies of the base plan for a
+    * round shaped like `cur ⋈ f(cur) ⋈ f(cur)`) and planning, not the
+    * data, OOMs the driver. This is the GraphX-Pregel checkpoint
+    * discipline applied to DataFrame rounds.
+    *
+    * Local (not reliable) checkpoint: executor loss mid-job forces a
+    * recompute-from-source failure rather than silent corruption — the
+    * [[groupedRank]] caveat, acceptable for bounded-round analytics jobs;
+    * use `sc.setCheckpointDir` + `Dataset.checkpoint` where rounds must
+    * survive preemption. Round RDDs are freed by the ContextCleaner once
+    * the next round drops the last reference. */
+  private[operators] def roundCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   /** Register an externally-persisted frame for [[PipelineCache.clear]]
     * release — for operators that manage persist lifetimes themselves
     * (e.g. the CC round loop) but whose FINAL frame outlives the call and
