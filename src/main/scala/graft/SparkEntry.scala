@@ -502,6 +502,24 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // inter-arrival gaps: per-user lag over (ts, event_id), gaps grouped
+    // by the LATER event's type — the window key is the high-cardinality
+    // user id, never the handful of types; µs integers until the one
+    // rounded average
+    "events_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_us")) / 1e6, 4).as("avg_gap_s"),
+          (max(col("gap_us")) / lit(1000000L)).cast("long").as("max_gap_floor_s"))
+    }),
     // winsorization: clip per-type values at exact [p05, p95] (bounds
     // rounded to a shared grid before comparing), report clipped mass and
     // robust mean — two exchanges of the raw stream, bounds joined unhinted
@@ -571,6 +589,34 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // CUBE: all four aggregation lattices of (returnflag, linestatus) in
+    // one Expand pass — completes the ROLLUP/GROUPING SETS family
+    "q28_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+    // ranking/distribution window battery (ntile, percent_rank, cume_dist,
+    // first_value, running sum) — run over the AGGREGATED (type, day)
+    // series, never the raw stream, with explicit ROWS frames so both
+    // engines bind identical windows
+    "q29_window_funcs" -> ((s, dir) => {
+      val daily = t(s, dir, "events").groupBy(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val wRun = w.rowsBetween(Long.MinValue, 0)
+      daily.select(
+        col("event_type"), col("day"), col("n"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("n")).over(wRun).as("first_n"),
+        sum(col("n")).over(wRun).cast("long").as("cum_n"))
+    }),
     // lead/lag window: inter-event gap + next event type per user — one
     // window shuffle on user_id serves both offset functions
     "q21_lead_lag" -> ((s, dir) => {
@@ -1484,6 +1530,37 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // explicit ROWS frames mirror the Spark windows; day strings order
+    // chronologically, (type, day) unique so every rank is deterministic
+    "q29_window_funcs" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_n,
+        |  CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin,
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
+        |  CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_floor_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     "q21_lead_lag" ->
       """SELECT user_id, event_id, event_type,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
