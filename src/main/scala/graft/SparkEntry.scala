@@ -250,6 +250,25 @@ object SparkEntry {
         fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))),
         seeds, maxHops = 3)
     }),
+    // 3-round deterministic label propagation over the Q1-1995 co-purchase
+    // graph: per round one edges⋈labels join + vote count + aggregate-only
+    // argmax (min of (-count, label) struct — no per-node window), rounds
+    // plan-truncated (see Graph.labelPropagation)
+    "graph_communities" -> ((s, dir) => {
+      val ordersQ1 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-04-01").cast("date"))
+        .select(col("o_orderkey"))
+      val pairs = t(s, dir, "lineitem")
+        .join(ordersQ1, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.labelPropagation(pairs, rounds = 3)
+    }),
     // 4-core of the Q1-1995 part co-purchase graph: iterative peeling to
     // the unique maximal subgraph of min-degree >= 4 (converges in 3
     // rounds at sf0.01; the oracle unrolls 6 — post-convergence rounds are
@@ -1288,6 +1307,35 @@ object SparkEntry {
     // a round applied to an already-converged edge set keeps it unchanged,
     // so over-unrolling is safe and proves the fixpoint; the k-core is
     // peel-order-unique, so both engines land on identical membership
+    // 3 unrolled vote rounds; the row_number-over-counts argmax is the
+    // declarative mirror of min(struct(-count, label)), tie → smaller label
+    "graph_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |v$i AS MATERIALIZED (
+           |  SELECT e.src AS id, l.lbl FROM e JOIN l${i - 1} l ON e.dst = l.id
+           |  UNION ALL SELECT id, lbl FROM l${i - 1}),
+           |c$i AS MATERIALIZED (
+           |  SELECT id, lbl, count(*) AS c FROM v$i GROUP BY id, lbl),
+           |l$i AS MATERIALIZED (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl,
+           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString
+      s"""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-04-01'),
+         |c0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0
+         |  UNION ALL SELECT v AS src, u AS dst FROM c0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM e)$rounds
+         |SELECT id AS node_id, lbl AS community FROM l3""".stripMargin
+    },
     // frontier expansion unrolled to the operator's exact 3-hop bound:
     // round i joins only the hops=i-1 frontier, NOT-IN keeps the minimum
     // distance — the declarative mirror of the per-round anti-join

@@ -248,6 +248,54 @@ object Graph {
     dist.select(col("id").as("node_id"), col("hops"))
   }
 
+  /** Community detection by LABEL PROPAGATION, the deterministic
+    * fixed-round variant: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors PLUS its own
+    * current label (one self-vote — stabilizes oscillating bipartite-ish
+    * neighborhoods), ties broken toward the SMALLEST label. Fixed
+    * `rounds` is the engine-parity contract (same rows from any engine
+    * running the same rounds — asynchronous/randomized LPA variants are
+    * not reproducible across engines by construction).
+    *
+    * 100 TB shape: per round ONE equi-join (edges ⋈ labels on dst) and
+    * TWO aggregations — vote counts per (node, label), then the argmax as
+    * `min(struct(-count, label))`, an AGGREGATE-ONLY idiom: no
+    * row_number window funnels a hub's full vote list through one task,
+    * and only one (count, label) pair per node survives the partial
+    * aggregation. The label vector is never collected or hint-broadcast;
+    * every round is plan-truncated ([[OpUtils.roundCheckpoint]] — labels
+    * feed both the neighbor join and the self-vote union).
+    *
+    * Returns (node_id, community) over every node with at least one edge. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .dropDuplicates("u", "v")
+    val e = OpUtils.shared(
+      canon.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(canon.select(col("v").as("src"), col("u").as("dst"))))
+    var labels = OpUtils.roundCheckpoint(
+      e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val neighborVotes = e
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      labels = OpUtils.roundCheckpoint(
+        neighborVotes.unionAll(labels)
+          .groupBy(col("id"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("id"), col("m.l").as("lbl")))
+    }
+    labels.select(col("id").as("node_id"), col("lbl").as("community"))
+  }
+
   /** Undirected degree table (id, d) of a canonical u<v edge list. */
   private[graft] def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))

@@ -197,6 +197,43 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int = 3): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two cliques joined by a bridge keep their labels") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))
+    val got = lpa(edges)
+    // each clique floods to its min id; the bridge endpoints' neighbor
+    // majorities stay inside their own cliques
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), got.toString)
+  }
+
+  test("labelPropagation matches a reference synchronous LPA") {
+    val rnd = new scala.util.Random(3)
+    val raw = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val rounds = 3
+    val got = lpa(raw, rounds)
+    // reference: same semantics on the driver — undirected dedup'd edges,
+    // neighbor votes + one self-vote, argmax by (count desc, label asc)
+    val und = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, g) => n -> g.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (n, ns) =>
+        val votes = (ns.map(lbl) :+ lbl(n)).groupBy(identity)
+          .map { case (l, v) => l -> v.size }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl, s"got $got want $lbl")
+  }
+
   test("rejects bad parameters") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))
@@ -205,5 +242,6 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.kCore(df, k = 2, maxRounds = 0))
     intercept[IllegalArgumentException](
       Graph.hopDistances(df, Seq(1L).toDF("id"), maxHops = 0))
+    intercept[IllegalArgumentException](Graph.labelPropagation(df, rounds = 0))
   }
 }
