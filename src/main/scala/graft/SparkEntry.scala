@@ -521,6 +521,20 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // LOCF gap repair on a synthetic-missing day-1 slice (values < 0.2
+    // nullified — the driver data has no NULLs): one per-user window pass,
+    // values pass through bit-exact (see fillForward)
+    "events_locf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+        .withColumn("v", when(col("value") < 0.2, lit(null)).otherwise(col("value")))
+      EventOps.fillForward(ev, "user_id", "v", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("v_filled"), col("was_missing"))
+    }),
+    // per-type equi-depth histogram between rounded exact quartiles —
+    // boundary table joined back unhinted, one re-aggregation
+    "events_histogram_eqdepth" -> ((s, dir) =>
+      EventOps.equiDepthHistogram(t(s, dir, "events"))),
     // inter-arrival gaps: per-user lag over (ts, event_id), gaps grouped
     // by the LATER event's type — the window key is the high-cardinality
     // user id, never the handful of types; µs integers until the one
@@ -608,6 +622,21 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // FULL OUTER surface: nation<10 customers vs per-customer order
+    // aggregates — left-only rows (customers with no orders) AND
+    // right-only rows (orders of nation>=10 customers) both real
+    "q30_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") < 10)
+        .select(col("c_custkey"), col("c_name"))
+      val ordAgg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      cust.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).cast("long").as("custkey"),
+          col("c_name"), col("n_orders"), col("revenue"))
+    }),
     // CUBE: all four aggregation lattices of (returnflag, linestatus) in
     // one Expand pass — completes the ROLLUP/GROUPING SETS family
     "q28_cube" -> ((s, dir) =>
@@ -1578,6 +1607,34 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q30_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 10),
+        |o AS (SELECT o_custkey, count(*) AS n_orders,
+        |        round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY o_custkey)
+        |SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey,
+        |  c_name, n_orders, revenue
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "events_locf" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN value < 0.2 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  value < 0.2 AS was_missing
+        |FROM events WHERE ts < TIMESTAMP '2024-01-02'""".stripMargin,
+    "events_histogram_eqdepth" ->
+      """WITH b AS (
+        |  SELECT event_type AS h_type,
+        |    round(quantile_cont(value, 0.25), 4) AS q1,
+        |    round(quantile_cont(value, 0.5), 4) AS q2,
+        |    round(quantile_cont(value, 0.75), 4) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+        |       WHEN value <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events JOIN b ON event_type IS NOT DISTINCT FROM h_type
+        |GROUP BY 1, 2""".stripMargin,
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_extendedprice), 2) AS revenue, count(*) AS n

@@ -64,6 +64,57 @@ object EventOps {
       round(avg(col("n")).over(w), 4).as("avg_n"))
   }
 
+  /** Last-observation-carried-forward imputation: fill NULL readings with
+    * the key's most recent non-null value in (tsCol, idCol) order — the
+    * standard gap repair for sensor/metric streams before any windowed
+    * math. Leading nulls (no prior observation) stay null; `was_missing`
+    * records which rows were imputed.
+    *
+    * 100 TB shape: ONE window pass partitioned by the high-cardinality
+    * entity key with an explicit ROWS frame — `last(_, ignoreNulls)` scans
+    * the frame incrementally, no join, no sort beyond the window's own
+    * per-key order. Values pass through untransformed, so engine parity is
+    * bit-exact (no float arithmetic at all).
+    *
+    * Returns (keyCol, idCol, tsCol, v_filled, was_missing). */
+  def fillForward(
+      df: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("v_filled", last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("was_missing", col(valueCol).isNull)
+      .drop(valueCol)
+  }
+
+  /** Equi-depth histogram: per type, bucket counts between the type's own
+    * exact quartile boundaries — the distribution sketch that stays
+    * readable under heavy tails where equi-WIDTH bins put everything in
+    * bin 0. Boundaries are rounded to 4 dp before bucketing (the
+    * [[winsorizeValues]] grid trick: kills cross-engine last-ulp
+    * percentile drift at bucket edges); bucket b holds values in
+    * (q_b, q_{b+1}], b=0 open below.
+    *
+    * 100 TB shape: one grouped percentile pass to a #types-row boundary
+    * table (KLL-cells swap documented there too), joined back unhinted,
+    * one re-aggregation. Returns (event_type, bucket, n). */
+  def equiDepthHistogram(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy(col("event_type").as("__h_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("q1"),
+        round(expr("percentile(value, 0.5)"), 4).as("q2"),
+        round(expr("percentile(value, 0.75)"), 4).as("q3"))
+    events.join(bounds, col("event_type") <=> col("__h_type"))
+      .withColumn("bucket",
+        when(col("value") <= col("q1"), 0L)
+          .when(col("value") <= col("q2"), 1L)
+          .when(col("value") <= col("q3"), 2L)
+          .otherwise(3L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Winsorization summary: clip each type's values at its own exact
     * [`pLo`, `pHi`] percentiles and report how much mass moved — the
     * robust-statistics pre-clean run before any mean-based metric on

@@ -177,6 +177,33 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.rollingDailyCounts(df, 0))
   }
 
+  test("fillForward carries the last observation, leaves leading nulls") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    val df = Seq(
+      (1L, 1L, None, ts(0)), (2L, 1L, Some(5.0), ts(1)),
+      (3L, 1L, None, ts(2)), (4L, 1L, Some(7.0), ts(3)), (5L, 1L, None, ts(4)),
+      (6L, 2L, None, ts(0))
+    ).toDF("event_id", "user_id", "v", "ts")
+    val got = EventOps.fillForward(df, "user_id", "v", "ts", "event_id")
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getBoolean(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((None, true)), 2L -> ((Some(5.0), false)), 3L -> ((Some(5.0), true)),
+      4L -> ((Some(7.0), false)), 5L -> ((Some(7.0), true)), 6L -> ((None, true))))
+  }
+
+  test("equiDepthHistogram buckets between its own quartiles") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    // values 1..8: q1=2.75, q2=4.5, q3=6.25 → exactly 2 per bucket
+    val df = (1 to 8).map(i => (i.toLong, ts(i), "a", i.toDouble))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.equiDepthHistogram(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("winsorizeValues clips at the rounded percentile band") {
     def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
     // values 1..10: p05 = 1.45, p95 = 9.55 (linear interpolation at
