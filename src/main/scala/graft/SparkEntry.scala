@@ -521,6 +521,19 @@ object SparkEntry {
 
     // ---- event streams ----
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(t(s, dir, "events"))),
+    // robust scale: per-type MAD around the rounded exact median — two
+    // percentile passes, median table joined back unhinted
+    "events_mad" -> ((s, dir) => EventOps.madScale(t(s, dir, "events"))),
+    // dense hourly calendar with zero-filled gaps: generated spine ×
+    // types, left-joined against the aggregated hourly cells
+    "events_calendar" -> ((s, dir) => EventOps.calendarHourly(t(s, dir, "events"))),
+    // one-pass pairwise Pearson correlations over lineitem measures —
+    // fixed-size moment state per pair, single scan (Profiler discipline)
+    "profile_correlations" -> ((s, dir) =>
+      graft.operators.Profiler.correlations(
+        t(s, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"),
+          ("l_discount", "l_tax"), ("l_quantity", "l_tax")))),
     // LOCF gap repair on a synthetic-missing day-1 slice (values < 0.2
     // nullified — the driver data has no NULLs): one per-user window pass,
     // values pass through bit-exact (see fillForward)
@@ -1615,6 +1628,39 @@ object SparkEntry {
         |SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey,
         |  c_name, n_orders, revenue
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "events_mad" ->
+      """WITH m AS (
+        |  SELECT event_type AS t, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n, min(med) AS med,
+        |  round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |FROM events JOIN m ON event_type IS NOT DISTINCT FROM t
+        |GROUP BY event_type""".stripMargin,
+    "events_calendar" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(
+        |        (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+        |        INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM h)
+        |SELECT t.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n
+        |FROM t CROSS JOIN s
+        |LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr""".stripMargin,
+    // one UNION ALL block per pair — the declarative mirror of the
+    // single-pass moment aggregation
+    "profile_correlations" -> {
+      val pairs = Seq(("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"), ("l_discount", "l_tax"),
+        ("l_quantity", "l_tax"))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  CAST(count(*) AS BIGINT) AS n, round(corr($a, $b), 6) AS corr
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "events_locf" ->
       """SELECT user_id, event_id,
         |  last_value(CASE WHEN value < 0.2 THEN NULL ELSE value END IGNORE NULLS)

@@ -51,4 +51,43 @@ object Profiler {
     }
     agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Pairwise Pearson correlations for the given numeric column pairs —
+    * the redundancy screen run before feature selection or schema slimming
+    * ("these two columns are the same signal"). ALL pairs compute in ONE
+    * aggregation over ONE scan (the [[profile]] discipline): each `corr`
+    * is a fixed-size moment accumulator, so the map-side state is a few
+    * doubles per pair regardless of row count. Correlations rounded to
+    * 6 dp for cross-engine float parity; a zero-variance column yields a
+    * NULL correlation — under ANSI semantics Spark's `corr` THROWS on the
+    * zero divisor inside its own aggregate finalization (no projection can
+    * guard it), so Pearson is assembled from the raw moments instead:
+    * covar_pop / (stddev_pop · stddev_pop), with the division guarded in
+    * the post-aggregation projection. Same single-pass moment state,
+    * DuckDB-NULL-compatible.
+    *
+    * Returns one row per pair: (col_a, col_b, n, corr). */
+  def correlations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "correlations requires at least one column pair")
+    val missing = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).cast("long").as("__n") +: pairs.zipWithIndex.flatMap {
+      case ((a, b), i) =>
+        val (ca, cb) = (col(a).cast("double"), col(b).cast("double"))
+        Seq(
+          covar_pop(ca, cb).as(s"__cv_$i"),
+          stddev_pop(ca).as(s"__sa_$i"),
+          stddev_pop(cb).as(s"__sb_$i"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        round(when(col(s"__sa_$i") > 0 && col(s"__sb_$i") > 0,
+          col(s"__cv_$i") / (col(s"__sa_$i") * col(s"__sb_$i"))), 6).as("corr"))
+    }
+    agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
 }

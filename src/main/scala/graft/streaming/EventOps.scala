@@ -64,6 +64,53 @@ object EventOps {
       round(avg(col("n")).over(w), 4).as("avg_n"))
   }
 
+  /** Median absolute deviation per type — the robust scale estimate that
+    * survives the outliers which wreck stddev (MAD breaks down at 50%
+    * contamination, stddev at one bad row). Median rounded to 4 dp BEFORE
+    * the deviation pass so both engines subtract the identical pivot;
+    * deviations then hit a second exact-percentile aggregation.
+    *
+    * 100 TB shape: two grouped percentile passes with the #types-row
+    * median table joined back unhinted in between — the same
+    * exact-at-type-cardinality / KLL-cells-past-it contract as
+    * [[winsorizeValues]]. Returns (event_type, n, med, mad). */
+  def madScale(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type").as("__m_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    events.join(med, col("event_type") <=> col("__m_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"), // constant within the group
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+  }
+
+  /** Dense hourly calendar: every (type, hour) cell across the corpus
+    * span, ZERO-FILLED where no events landed — the complement of
+    * [[rollingDailyCounts]]'s present-rows-only semantics, and what a
+    * downstream forecaster actually wants (gaps are data, not absence of
+    * rows). The spine is generated, never scanned.
+    *
+    * 100 TB shape: the raw stream reduces to hourly cells first (the one
+    * corpus-sized exchange); the spine (hours × types) is a generated
+    * few-thousand-row relation cross-joined broadcast-small and
+    * left-joined against the cells. Returns (event_type, hour, n). */
+  def calendarHourly(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(
+        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hr"))
+    hourly.select(col("event_type")).distinct()
+      .crossJoin(spine)
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n"))
+  }
+
   /** Last-observation-carried-forward imputation: fill NULL readings with
     * the key's most recent non-null value in (tsCol, idCol) order — the
     * standard gap repair for sensor/metric streams before any windowed

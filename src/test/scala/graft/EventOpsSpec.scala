@@ -177,6 +177,32 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.rollingDailyCounts(df, 0))
   }
 
+  test("madScale: robust to an outlier that wrecks stddev") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    // values 1..9 plus outlier 1000: median 5.5, deviations |v-5.5| have
+    // median 2.5 (outlier contributes one huge deviation, MAD unmoved)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, ts(i), "a", v) }
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventOps.madScale(df).collect()(0)
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((10L, 5.5, 2.5)))
+  }
+
+  test("calendarHourly zero-fills missing cells across the full span") {
+    def ts(h: Long) = new Timestamp(1700000000000L / 3600000L * 3600000L + h * 3600000L)
+    // type a active hours 0 and 2 (hour 1 missing); type b only hour 1 —
+    // spine is hours 0..2 × both types = 6 cells, three of them zero
+    val df = Seq((1L, ts(0), "a"), (2L, ts(2), "a"), (3L, ts(1), "b"))
+      .toDF("event_id", "ts", "event_type")
+    val got = EventOps.calendarHourly(df).collect()
+      .map(r => (r.getString(0), r.getString(1).takeRight(8), r.getLong(2))).toSet
+    val hrs = (0 to 2).map(h =>
+      new java.text.SimpleDateFormat("HH:mm:ss").format(ts(h)))
+    assert(got == Set(
+      ("a", hrs(0), 1L), ("a", hrs(1), 0L), ("a", hrs(2), 1L),
+      ("b", hrs(0), 0L), ("b", hrs(1), 1L), ("b", hrs(2), 0L)))
+  }
+
   test("fillForward carries the last observation, leaves leading nulls") {
     def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
     val df = Seq(

@@ -54,5 +54,22 @@ class ProfilerSpec extends AnyFunSuite {
   test("rejects unknown and empty column lists") {
     intercept[IllegalArgumentException](Profiler.profile(df, Seq.empty))
     intercept[IllegalArgumentException](Profiler.profile(df, Seq("nope")))
+    intercept[IllegalArgumentException](Profiler.correlations(df, Seq.empty))
+    intercept[IllegalArgumentException](Profiler.correlations(df, Seq(("id", "nope"))))
+  }
+
+  test("correlations: perfect, inverse and degenerate pairs in one pass") {
+    val cdf = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+        (3.0, 6.0, -3.0, 7.0))
+      .toDF("x", "y2", "neg", "const")
+    val got = Profiler.correlations(cdf,
+        Seq(("x", "y2"), ("x", "neg"), ("x", "const")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(("x", "y2")) == ((3L, Some(1.0))))
+    assert(got(("x", "neg")) == ((3L, Some(-1.0))))
+    assert(got(("x", "const")) == ((3L, None))) // zero variance → NULL
   }
 }
