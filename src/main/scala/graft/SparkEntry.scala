@@ -527,6 +527,15 @@ object SparkEntry {
     // dense hourly calendar with zero-filled gaps: generated spine ×
     // types, left-joined against the aggregated hourly cells
     "events_calendar" -> ((s, dir) => EventOps.calendarHourly(t(s, dir, "events"))),
+    // seasonality screen: lag-1..3 autocorrelation per type over the
+    // ZERO-FILLED dense hourly series (all lags share one window sort)
+    "events_autocorr" -> ((s, dir) => EventOps.autocorrelation(t(s, dir, "events"), maxLag = 3)),
+    // length-proportional doc sample: sequential Poisson priorities
+    // (hash-uniform / token count), global k-smallest via TakeOrdered
+    "curate_weighted_sample" -> ((s, dir) =>
+      graft.operators.Curation.sampleWeightedPriority(
+        t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")).cast("double"), k = 100)),
     // one-pass pairwise Pearson correlations over lineitem measures —
     // fixed-size moment state per pair, single scan (Profiler discipline)
     "profile_correlations" -> ((s, dir) =>
@@ -1649,6 +1658,38 @@ object SparkEntry {
         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n
         |FROM t CROSS JOIN s
         |LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr""".stripMargin,
+    "events_autocorr" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(
+        |        (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+        |        INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |d AS (SELECT t.event_type, s.hr, CAST(coalesce(h.n, 0) AS DOUBLE) AS cur
+        |      FROM t CROSS JOIN s
+        |      LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr),
+        |l AS (SELECT event_type, k AS lag_h, cur,
+        |        lag(cur, CAST(k AS INT)) OVER (PARTITION BY event_type, k ORDER BY hr) AS prev
+        |      FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS k))
+        |SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CASE WHEN stddev_pop(cur) > 0 AND stddev_pop(prev) > 0
+        |       THEN round(covar_pop(cur, prev) / (stddev_pop(cur) * stddev_pop(prev)), 6)
+        |  END AS acf
+        |FROM l WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "curate_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)::DOUBLE
+        |      / 4294967296.0) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS pri
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0)
+        |SELECT doc_id, weight, round(pri, 8) AS pri
+        |FROM w ORDER BY pri, doc_id LIMIT 100""".stripMargin,
     // one UNION ALL block per pair — the declarative mirror of the
     // single-pass moment aggregation
     "profile_correlations" -> {

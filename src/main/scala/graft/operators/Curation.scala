@@ -431,6 +431,44 @@ object Curation {
     df.filter(idHashBucket(idCol, buckets) === keepBucket)
   }
 
+  /** Weighted sampling without replacement via sequential Poisson
+    * (priority) sampling [Ohlsson 1998]: each row draws the deterministic
+    * hash-uniform u ∈ (0,1] from its id and ranks by priority u/w; the k
+    * SMALLEST priorities are the sample, so inclusion probability is
+    * ≈ proportional to the weight (the πps design used for
+    * length-proportional document sampling — long docs carry more tokens,
+    * so sample them proportionally). The key is one IEEE division — no
+    * ln/pow, so the selection is bit-identical across engines and across
+    * reruns (the Efraimidis–Spirakis u^(1/w) key ranks identically but
+    * drags libm into the comparison). Rows with weight <= 0 or NULL are
+    * excluded (zero weight = zero inclusion probability; a NULL weight is
+    * a data error, not a sampleable row).
+    *
+    * 100 TB shape: the priority is a narrow map-side expression and the
+    * global k-smallest runs as TakeOrderedAndProject — every partition
+    * keeps a k-bounded heap, the driver merges #partitions × k rows, no
+    * full sort and no single-task funnel. Ties (same hash AND same
+    * weight) break on the id in both engines.
+    *
+    * Returns the selected rows as (idCol, weight, pri) with pri rounded
+    * to 8 dp for output parity — selection itself uses the exact key. */
+  def sampleWeightedPriority(
+      df: DataFrame, idCol: String, weightExpr: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    Seq("__wp_w", "__wp_pri").foreach(c =>
+      require(!df.columns.contains(c), s"sampleWeightedPriority reserves '$c'; rename it first"))
+    // same 32-hex-digit prefix as idHashBucket; +1 keeps u strictly > 0
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    df.withColumn("__wp_w", weightExpr.cast("double"))
+      .filter(col("__wp_w") > 0)
+      .withColumn("__wp_pri", u / col("__wp_w"))
+      .orderBy(col("__wp_pri"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__wp_w").as("weight"),
+        round(col("__wp_pri"), 8).as("pri"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates expressed as
     * `keepBuckets` of [[sampleDeterministic]]'s `buckets` hash buckets
     * (stratum → how many buckets to keep; absent strata use `defaultKeep`).

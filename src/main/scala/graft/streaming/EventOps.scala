@@ -95,7 +95,17 @@ object EventOps {
     * corpus-sized exchange); the spine (hours × types) is a generated
     * few-thousand-row relation cross-joined broadcast-small and
     * left-joined against the cells. Returns (event_type, hour, n). */
-  def calendarHourly(events: DataFrame): DataFrame = {
+  def calendarHourly(events: DataFrame): DataFrame =
+    denseHourly(events).select(
+      col("event_type"),
+      date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      col("n"))
+
+  /** Shared dense (type, hr, n) series behind [[calendarHourly]] and
+    * [[autocorrelation]]: hourly cells left-joined onto the generated
+    * min..max hour spine × distinct types, zeros filled. `hr` stays a
+    * native timestamp for downstream window math. */
+  private def denseHourly(events: DataFrame): DataFrame = {
     val hourly = events.groupBy(
         col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
@@ -106,9 +116,49 @@ object EventOps {
       .crossJoin(spine)
       .join(hourly, Seq("event_type", "hr"), "left")
       .select(
-        col("event_type"),
-        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("hr"),
         coalesce(col("n"), lit(0L)).cast("long").as("n"))
+  }
+
+  /** Per-type autocorrelation of the hourly count series at lags
+    * 1..`maxLag` — the seasonality detector ("is there a daily cycle in
+    * this event type"). Runs over the ZERO-FILLED dense series from
+    * [[denseHourly]]: autocorrelation over a gappy observation series is
+    * wrong (a missing hour is a zero count, and skipping it shifts every
+    * subsequent lag pair). Pearson is assembled from raw moments with the
+    * zero-variance guard ([[anomalousHours]] lesson — a constant series
+    * has no autocorrelation, and ANSI `corr` would throw on the zero
+    * divisor); NULL acf marks those types.
+    *
+    * 100 TB shape: the raw stream reduces FIRST to hourly cells (the one
+    * corpus-sized exchange); the lag windows and the final moment
+    * aggregation run over the (#types × #hours) dense series, and ALL
+    * lags share one window sort (same partitionBy/orderBy spec → Spark
+    * plans a single WindowExec). Never a window over the raw stream.
+    *
+    * Returns (event_type, lag_h, n_pairs, acf) with acf rounded to 6 dp. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val dense = denseHourly(events).withColumn("__cur", col("n").cast("double"))
+    val lagged = (1 to maxLag).foldLeft(dense) { (d, k) =>
+      d.withColumn(s"__prev_$k", lag(col("__cur"), k).over(w))
+    }
+    val pairs = lagged.select(col("event_type"), col("__cur"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag_h"),
+          col(s"__prev_$k").as("prev"))): _*)).as("p"))
+      .select(col("event_type"), col("p.lag_h"), col("__cur"), col("p.prev"))
+      .filter(col("prev").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag_h"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        covar_pop(col("__cur"), col("prev")).as("__cv"),
+        stddev_pop(col("__cur")).as("__sa"),
+        stddev_pop(col("prev")).as("__sb"))
+      .select(col("event_type"), col("lag_h"), col("n_pairs"),
+        round(when(col("__sa") > 0 && col("__sb") > 0,
+          col("__cv") / (col("__sa") * col("__sb"))), 6).as("acf"))
   }
 
   /** Last-observation-carried-forward imputation: fill NULL readings with

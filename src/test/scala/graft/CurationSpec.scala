@@ -38,6 +38,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == (0L, "no pii here just words 1234"))
   }
 
+  test("sampleWeightedPriority selects the exact k-smallest u/w keys") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 40 ids with weights cycling 1,2,5,10; weight-0 and NULL-weight rows
+    // must be excluded regardless of how small their hash draw is
+    val rows = (1L to 40L).map(i => (i, (Seq(1, 2, 5, 10)((i % 4).toInt)): java.lang.Integer)) ++
+      Seq((100L, (0: java.lang.Integer)), (101L, (null: java.lang.Integer)))
+    val df = rows.toDF("doc_id", "w")
+    val got = Curation.sampleWeightedPriority(df, "doc_id", col("w"), k = 7)
+      .collect().map(_.getLong(0))
+    // independent reference: the same hash-uniform / weight priority
+    // computed with java MessageDigest, sorted, first 7
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = rows.filter(r => r._2 != null && r._2 > 0).map { case (id, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      (u / w.toDouble, id)
+    }.sorted.take(7).map(_._2)
+    assert(got.toSeq == expect.toSeq)
+    // reruns agree (pure function of id + weight)
+    val again = Curation.sampleWeightedPriority(df, "doc_id", col("w"), k = 7)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == expect.toSeq)
+    intercept[IllegalArgumentException](
+      Curation.sampleWeightedPriority(df, "doc_id", lit(1), k = 0))
+  }
+
   test("sampleDeterministic is a pure function of the id") {
     val df = (0L until 1000L).toDF("doc_id")
     val a = Curation.sampleDeterministic(df, "doc_id").collect().map(_.getLong(0)).toSet

@@ -203,6 +203,25 @@ class EventOpsSpec extends AnyFunSuite {
       ("b", hrs(0), 0L), ("b", hrs(1), 1L), ("b", hrs(2), 0L)))
   }
 
+  test("autocorrelation: alternating series oscillates, constant series is NULL") {
+    def ts(h: Long) = new Timestamp(1700000000000L / 3600000L * 3600000L + h * 3600000L)
+    // type a: hourly counts 1,2,1,2,1,2 → acf(1) = -1, acf(2) = +1,
+    // acf(3) = -1; type c: one event every hour → zero variance → NULL
+    val aRows = (0 to 5).flatMap(h => (0 until (1 + h % 2)).map(_ => (ts(h), "a")))
+    val cRows = (0 to 5).map(h => (ts(h), "c"))
+    val df = (aRows ++ cRows).zipWithIndex
+      .map { case ((t0, ty), i) => (i.toLong, t0, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = EventOps.autocorrelation(df, maxLag = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(("a", 1L)) == ((5L, Some(-1.0))))
+    assert(got(("a", 2L)) == ((4L, Some(1.0))))
+    assert(got(("a", 3L)) == ((3L, Some(-1.0))))
+    (1L to 3L).foreach(k => assert(got(("c", k))._2.isEmpty))
+    intercept[IllegalArgumentException](EventOps.autocorrelation(df, maxLag = 0))
+  }
+
   test("fillForward carries the last observation, leaves leading nulls") {
     def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
     val df = Seq(

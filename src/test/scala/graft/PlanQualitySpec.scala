@@ -138,6 +138,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k must keep only k rows per partition:\n${plan.take(600)}")
   }
 
+  test("weighted sample is a TakeOrdered bounded heap, not a global sort") {
+    val df = SparkEntry.queries("curate_weighted_sample")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-smallest priorities must fold into per-partition heaps:\n${plan.take(600)}")
+    assert(!plan.contains("Sort "),
+      s"no full sort of the corpus:\n${plan.take(600)}")
+  }
+
+  test("autocorrelation: one window sort serves every lag, over the dense series only") {
+    val df = SparkEntry.queries("events_autocorr")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // all lag columns share one WindowExec (same partition/order spec)
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"lags must share a single window pass:\n${plan.take(900)}")
+  }
+
   test("cleanCorpus filters are semi-joins — the doc payload is never duplicated") {
     val df = SparkEntry.queries("curate_clean")(spark, TestSpark.sf)
     val plan = df.queryExecution.optimizedPlan.toString()
