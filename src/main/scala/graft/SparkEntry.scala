@@ -530,6 +530,13 @@ object SparkEntry {
     // seasonality screen: lag-1..3 autocorrelation per type over the
     // ZERO-FILLED dense hourly series (all lags share one window sort)
     "events_autocorr" -> ((s, dir) => EventOps.autocorrelation(t(s, dir, "events"), maxLag = 3)),
+    // first-order Markov matrix: per-user lag pairs (one high-cardinality
+    // window), row-normalized over the #types² count table
+    "events_transitions" -> ((s, dir) => EventOps.typeTransitions(t(s, dir, "events"))),
+    // categorical skew screen: distinct counts, top-value share, Shannon
+    // entropy for (lang, source) in ONE unpivot scan
+    "profile_value_skew" -> ((s, dir) =>
+      graft.operators.Profiler.valueSkew(t(s, dir, "documents"), Seq("lang", "source"))),
     // length-proportional doc sample: sequential Poisson priorities
     // (hash-uniform / token count), global k-smallest via TakeOrdered
     "curate_weighted_sample" -> ((s, dir) =>
@@ -1680,6 +1687,34 @@ object SparkEntry {
         |  END AS acf
         |FROM l WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "events_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
+    "profile_value_skew" ->
+      """WITH p AS (
+        |  SELECT 'lang' AS col_name, lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS col_name, source AS value FROM documents),
+        |c AS (
+        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share,
+        |  round((ln(CAST(sum(n) AS DOUBLE))
+        |    - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
+        |    / ln(2.0), 6) AS entropy
+        |FROM c GROUP BY 1""".stripMargin,
     "curate_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -52,6 +52,42 @@ object Profiler {
     agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Categorical value-distribution profile per column: distinct-value
+    * count, top-value share, and Shannon entropy (bits) — the skew screen
+    * that catches a "language" column that is 99% one value or an
+    * exploded-cardinality "source" before they bite a training run. NULL
+    * is profiled as a category (a 40%-NULL column is exactly what this
+    * exists to surface). Entropy is assembled as
+    * log2(N) − Σ n·log2(n) / N from the per-value counts, so the whole
+    * profile is ONE unpivot scan + one (column, value) aggregation + one
+    * #columns-row reduce.
+    *
+    * 100 TB shape: the unpivot is a narrow map-side explode (#cols rows
+    * per input row, all profiled columns read in the SAME scan); the only
+    * corpus-sized exchange carries (column, value) pairs, which partial
+    * aggregation collapses to distinct-value cardinality before the wire.
+    *
+    * Returns (col_name, n_values, n_rows, top_share, entropy). */
+  def valueSkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "valueSkew requires at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.value"))
+    val counts = pairs.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        sum(col("n")).as("n_rows"),
+        round(max(col("n")) / sum(col("n")).cast("double"), 6).as("top_share"),
+        round(
+          (log(sum(col("n")).cast("double")) -
+            sum(col("n") * log(col("n").cast("double"))) / sum(col("n")).cast("double"))
+            / log(lit(2.0)), 6).as("entropy"))
+  }
+
   /** Pairwise Pearson correlations for the given numeric column pairs —
     * the redundancy screen run before feature selection or schema slimming
     * ("these two columns are the same signal"). ALL pairs compute in ONE

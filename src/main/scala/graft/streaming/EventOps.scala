@@ -312,6 +312,33 @@ object EventOps {
         col(tsCol).as("valid_from"), col("valid_to"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts and row-normalized probabilities of each (prev_type →
+    * next_type) step, ordering within a user by (ts, event_id) so
+    * same-timestamp events resolve deterministically. The product-analytics
+    * "what do users do next" matrix, and the input to sequence-model
+    * sanity checks (does generated traffic match observed dynamics).
+    *
+    * 100 TB shape: ONE window pass partitioned by the high-cardinality
+    * user id produces the step pairs; the matrix aggregation and the
+    * row-normalizing window both run over the #types² count table — the
+    * same raw-stream-reduces-first discipline as [[rollingDailyCounts]].
+    *
+    * Returns (prev_type, next_type, n, p) with p rounded to 6 dp. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("__prev_type").as("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("prev_type"))
+    counts.select(col("prev_type"), col("next_type"), col("n"),
+      round(col("n") / sum(col("n")).over(rowTotal), 6).as("p"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap) in batch: a session
     * starts where the gap from the previous event of the same user exceeds
     * the gap; session count per user = sum of starts. One shuffle on
@@ -556,6 +583,40 @@ object EventOps {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("z"))
+
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks within the preceding `windowMinutes` — the canonical
+    * watermarked stream-stream join (clicks arrive on one stream,
+    * purchases on another; neither side is static). The time-range
+    * predicate plus BOTH watermarks is what bounds the join state: Spark
+    * evicts a buffered click once the purchase-side watermark passes
+    * click_ts + window, so state is (watermark + interval)-sized per key,
+    * never the full history. The batch analog is the bin±1 equi-join of
+    * [[rangeJoinCounts]]; this is its liveness twin (results emit as the
+    * watermark closes, no batch boundary).
+    *
+    * Returns (user_id, purchase_id, click_id, purchase_ts, click_ts). */
+  def attributionStreaming(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1, got $windowMinutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+        s"""c_user = p_user AND
+           |click_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES AND
+           |click_ts <= purchase_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
 
   def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

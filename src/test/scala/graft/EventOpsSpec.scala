@@ -222,6 +222,25 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.autocorrelation(df, maxLag = 0))
   }
 
+  test("typeTransitions counts per-user steps and row-normalizes") {
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    // user 1: a,b,a,b → a→b ×2, b→a ×1; user 2: lone event (no pairs);
+    // user 3: a,c → a→c ×1. Row a: p(b)=2/3, p(c)=1/3; row b: p(a)=1
+    val df = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"),
+      (3L, ts(2), 1L, "a"), (4L, ts(3), 1L, "b"),
+      (5L, ts(0), 2L, "a"),
+      (6L, ts(0), 3L, "a"), (7L, ts(1), 3L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.typeTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.666667)),
+      ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("fillForward carries the last observation, leaves leading nulls") {
     def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
     val df = Seq(
@@ -324,6 +343,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getAs[Long]("n") == 40L)
     assert(out(0).getAs[Double]("z") == 3.0)
+  }
+
+  test("stream-stream attribution joins purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    // user 1: clicks at t0 and t50, purchase at t60 → both attribute
+    // (window 60 min, inclusive); user 2: click at t0, purchase at t90 →
+    // out of window; user 3: purchase with no click at all
+    clicks.addData(Seq((10L, ts(0), 1L), (11L, ts(50), 1L), (20L, ts(0), 2L)))
+    purchases.addData(Seq((100L, ts(60), 1L), (200L, ts(90), 2L), (300L, ts(30), 3L)))
+    val q = EventOps.attributionStreaming(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attr_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 10L), (1L, 100L, 11L)))
+    } finally q.stop()
   }
 
   test("streaming anomaly twin flags the burst window against precomputed stats") {

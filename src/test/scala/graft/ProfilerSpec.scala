@@ -58,6 +58,22 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.correlations(df, Seq(("id", "nope"))))
   }
 
+  test("valueSkew: distinct counts, top share, entropy; NULL is a category") {
+    val sdf = Seq(
+      (Some("en"), Some("s1")), (Some("en"), Some("s1")),
+      (Some("en"), None), (Some("de"), None))
+      .toDF("lang", "source")
+    val got = Profiler.valueSkew(sdf, Seq("lang", "source")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // lang: {en:3, de:1} → H(3/4, 1/4) = 0.811278 bits
+    assert(got("lang") == ((2L, 4L, 0.75, 0.811278)))
+    // source: {s1:2, NULL:2} → the nulls COUNT as a value; H = 1 bit
+    assert(got("source") == ((2L, 4L, 0.5, 1.0)))
+    intercept[IllegalArgumentException](Profiler.valueSkew(sdf, Seq.empty))
+    intercept[IllegalArgumentException](Profiler.valueSkew(sdf, Seq("nope")))
+  }
+
   test("correlations: perfect, inverse and degenerate pairs in one pass") {
     val cdf = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
         (3.0, 6.0, -3.0, 7.0))
