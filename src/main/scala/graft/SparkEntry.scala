@@ -537,6 +537,14 @@ object SparkEntry {
     // entropy for (lang, source) in ONE unpivot scan
     "profile_value_skew" -> ((s, dir) =>
       graft.operators.Profiler.valueSkew(t(s, dir, "documents"), Seq("lang", "source"))),
+    // lang ⊥ source? chi-square over the full R×C marginal lattice
+    // (zero-observed cells included) + Cramér's V effect size
+    "profile_chi2" -> ((s, dir) =>
+      graft.operators.Profiler.chiSquare(t(s, dir, "documents"), "lang", "source")),
+    // most frequent values per column, ranked via groupedRank (never a
+    // per-column window funnel), NULLS FIRST tie order pinned
+    "profile_top_values" -> ((s, dir) =>
+      graft.operators.Profiler.topValues(t(s, dir, "documents"), Seq("lang", "source"), k = 5)),
     // length-proportional doc sample: sequential Poisson priorities
     // (hash-uniform / token count), global k-smallest via TakeOrdered
     "curate_weighted_sample" -> ((s, dir) =>
@@ -1715,6 +1723,46 @@ object SparkEntry {
         |    - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
         |    / ln(2.0), 6) AS entropy
         |FROM c GROUP BY 1""".stripMargin,
+    "profile_chi2" ->
+      """WITH c AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cl AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM r),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM cl),
+        |d AS (
+        |  SELECT ra, cb, CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+        |    CAST(nn AS DOUBLE) AS nnd
+        |  FROM r CROSS JOIN cl CROSS JOIN t
+        |  LEFT JOIN c ON c.a IS NOT DISTINCT FROM r.a
+        |             AND c.b IS NOT DISTINCT FROM cl.b),
+        |agg AS (
+        |  SELECT CAST(max(nnd) AS BIGINT) AS n,
+        |    sum(pow(obs - ra * cb / nnd, 2) / (ra * cb / nnd)) AS chi2
+        |  FROM d)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |  round(chi2, 6) AS chi2,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |    round(sqrt(chi2 / (n * least(n_a - 1, n_b - 1))), 6)
+        |  END AS cramers_v
+        |FROM agg CROSS JOIN ct CROSS JOIN cc""".stripMargin,
+    "profile_top_values" ->
+      """WITH p AS (
+        |  SELECT 'lang' AS col_name, lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS col_name, source AS value FROM documents),
+        |c AS (
+        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |r AS (
+        |  SELECT col_name, value, n,
+        |    row_number() OVER (
+        |      PARTITION BY col_name ORDER BY n DESC, value ASC NULLS FIRST) AS rank
+        |  FROM c)
+        |SELECT col_name, CAST(rank AS BIGINT) AS rank, value, n
+        |FROM r WHERE rank <= 5""".stripMargin,
     "curate_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -88,6 +88,85 @@ object Profiler {
             / log(lit(2.0)), 6).as("entropy"))
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * "is quality stratified by source", "does language depend on crawl" —
+    * with Cramér's V as the effect size (chi2 alone grows with N; V is
+    * the [0,1]-normalized association strength). NULL is a category on
+    * both axes (null-safe joins throughout). Expected counts come from
+    * the R×C marginal lattice so ZERO-OBSERVED cells contribute — summing
+    * observed cells only understates chi2. V is NULL when either axis is
+    * constant (dof = 0: independence is vacuous).
+    *
+    * 100 TB shape: one grouped count of the corpus (the only corpus-sized
+    * exchange, partial-agg collapsed to R×C cells), then marginals,
+    * lattice and the final reduce all run at category cardinality; the
+    * scalar totals ride along as broadcast single-row frames, never a
+    * driver collect.
+    *
+    * Returns one row: (n, n_a, n_b, dof, chi2, cramers_v), rounded 6 dp. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val missing = Seq(colA, colB).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val counts = df
+      .groupBy(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowm = counts.groupBy(col("__a").as("__ra_a")).agg(sum(col("__n")).as("__ra"))
+    val colm = counts.groupBy(col("__b").as("__cb_b")).agg(sum(col("__n")).as("__cb"))
+    val total = counts.agg(sum(col("__n")).as("__nn"))
+    val nA = rowm.agg(count(lit(1)).as("__n_a"))
+    val nB = colm.agg(count(lit(1)).as("__n_b"))
+    val lattice = rowm.crossJoin(colm)
+      .join(counts,
+        col("__ra_a") <=> col("__a") && col("__cb_b") <=> col("__b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__ra"), col("__cb"),
+        coalesce(col("__n"), lit(0L)).cast("double").as("__obs"),
+        col("__nn").cast("double").as("__nnd"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") / col("__nnd")
+    lattice
+      .agg(
+        max(col("__nnd")).cast("long").as("n"),
+        sum(pow(col("__obs") - e, 2) / e).as("__chi2"))
+      .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .select(
+        col("n"), col("__n_a").as("n_a"), col("__n_b").as("n_b"),
+        ((col("__n_a") - 1) * (col("__n_b") - 1)).cast("long").as("dof"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(when((col("__n_a") > 1) && (col("__n_b") > 1),
+          sqrt(col("__chi2") / (col("n") *
+            least(col("__n_a") - 1, col("__n_b") - 1)))), 6).as("cramers_v"))
+  }
+
+  /** Top-`k` most frequent values per profiled column — the "what is
+    * actually in this column" companion to [[valueSkew]]'s summary stats.
+    * NULL is a value; ties break on the value itself (NULLS FIRST, pinned
+    * on both engines).
+    *
+    * 100 TB shape: same one-scan unpivot + (column, value) partial-agg
+    * count as [[valueSkew]]; the per-column ranking then goes through
+    * [[OpUtils.groupedRank]] — range partition on (column, count desc,
+    * value), per-partition row_numbers + a broadcast offset table — so a
+    * high-cardinality column's count table never funnels through one
+    * task the way `Window.partitionBy(column)` would.
+    *
+    * Returns (col_name, rank, value, n). */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "topValues requires at least one column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val counts = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.value"))
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    OpUtils.groupedRank(counts, "col_name",
+        Seq(col("n").desc, col("value").asc_nulls_first), "rank")
+      .filter(col("rank") <= k)
+      .select(col("col_name"), col("rank").cast("long").as("rank"),
+        col("value"), col("n"))
+  }
+
   /** Pairwise Pearson correlations for the given numeric column pairs —
     * the redundancy screen run before feature selection or schema slimming
     * ("these two columns are the same signal"). ALL pairs compute in ONE

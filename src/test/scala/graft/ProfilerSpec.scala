@@ -74,6 +74,36 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.valueSkew(sdf, Seq("nope")))
   }
 
+  test("chiSquare: perfect association, independence, degenerate axis, NULL category") {
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "v")
+    val r1 = Profiler.chiSquare(dep, "u", "v").collect()(0)
+    // 2×2 perfect association: chi2 = N = 4, dof = 1, V = 1
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getDouble(4), r1.getDouble(5)) == ((4L, 2L, 2L, 1L, 4.0, 1.0)))
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val r2 = Profiler.chiSquare(ind, "u", "v").collect()(0)
+    assert(r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+    // constant second axis: dof 0, V undefined
+    val const = Seq(("a", "x"), ("b", "x")).toDF("u", "v")
+    val r3 = Profiler.chiSquare(const, "u", "v").collect()(0)
+    assert(r3.getLong(3) == 0L && r3.isNullAt(5))
+    // NULL is a category: {NULL→x, a→y} is perfect association with n_a = 2
+    val nul = Seq((None: Option[String], "x"), (Some("a"), "y")).toDF("u", "v")
+    val r4 = Profiler.chiSquare(nul, "u", "v").collect()(0)
+    assert(r4.getLong(1) == 2L && r4.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException](Profiler.chiSquare(dep, "u", "nope"))
+  }
+
+  test("topValues ranks by count desc with NULLS FIRST value ties") {
+    val vdf = Seq(Some("b"), Some("b"), Some("a"), None).map(Tuple1(_)).toDF("lang")
+    val got = Profiler.topValues(vdf, Seq("lang"), k = 3).collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getLong(3))).toSet
+    // b ×2 leads; the count-1 tie between NULL and "a" resolves NULL first
+    assert(got == Set((1L, Some("b"), 2L), (2L, None, 1L), (3L, Some("a"), 1L)))
+    intercept[IllegalArgumentException](Profiler.topValues(vdf, Seq("lang"), k = 0))
+    intercept[IllegalArgumentException](Profiler.topValues(vdf, Seq.empty))
+  }
+
   test("correlations: perfect, inverse and degenerate pairs in one pass") {
     val cdf = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
         (3.0, 6.0, -3.0, 7.0))
