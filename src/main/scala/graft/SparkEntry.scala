@@ -1038,6 +1038,16 @@ object SparkEntry {
     // exchange as k rows per partition, never a per-token window sort
     "text_postings" -> ((s, dir) =>
       TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text")),
+    // BM25 top-10 for a fixed 3-term query: the tf table is filtered to
+    // the query's terms BEFORE its grouped exchange, the top-k is a
+    // TakeOrdered over 4-dp-rounded scores
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "hash", "stream"))),
+    // Flesch reading ease, map-only (vowel-group syllables, run-collapse
+    // counting — zero exchanges, all codegen'd regexps)
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
     // character-distribution entropy (gibberish/boilerplate signal) — one
@@ -2023,6 +2033,55 @@ object SparkEntry {
         |  r.doc_id, r.tf
         |FROM agg a JOIN rk r ON a.tok = r.tok
         |WHERE a.df >= 10 AND r.rank <= 3""".stripMargin,
+    // op-for-op BM25 mirror: same idf form, same evaluation order inside
+    // the weight, scores rounded to 4 dp BEFORE the top-k boundary
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE tok IN ('vector', 'hash', 'stream')
+        |       GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1)
+        |SELECT tf.doc_id AS doc_id,
+        |  round(sum(
+        |    ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM tf
+        |JOIN dft ON tf.tok = dft.tok
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |CROSS JOIN sc
+        |GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    // run-collapse counting, mirrored: one '#' per maximal vowel /
+    // terminator run, counts as length diffs of two regexp_replaces
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  greatest(CAST(
+        |    length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+        |    - length(regexp_replace(lower(text), '[.!?]+', '', 'g'))
+        |    AS BIGINT), 1) AS n_sentences,
+        |  CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |    - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |    AS BIGINT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |        / CAST(greatest(
+        |            length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+        |            - length(regexp_replace(lower(text), '[.!?]+', '', 'g')),
+        |            1) AS DOUBLE))
+        |    - 84.6 * (CAST(
+        |          length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |          - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |        AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+        |FROM documents""".stripMargin,
     "text_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok

@@ -466,4 +466,90 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("u"), col("v"))
       .limit(k)
   }
+
+  /** BM25 retrieval: top-`k` documents for ONE query (a fixed bag of
+    * `queryTerms`) under the standard Robertson/Sparck-Jones weighting —
+    * the lexical half of every RAG retrieval stack, and the scoring the
+    * [[postings]] inverted index exists to serve. Uses the BM25+-free
+    * original form: idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene
+    * non-negative variant), tf saturation `k1`, length normalization `b`.
+    *
+    * 100 TB shape: the corpus-sized work is exactly two passes over ONE
+    * shared token stream — the per-doc length table (one partial-aggregated
+    * exchange) and the query-term tf table, whose `isin` filter runs
+    * BEFORE its grouped exchange so only tokens matching the query's
+    * handful of terms ever cross it (the tf table is |terms| × matching
+    * docs, not corpus-sized). The df table is |terms| rows, the (N, avgdl)
+    * scalars ride a 1-row broadcast, the dl join is left to AQE (tf side
+    * small → broadcast), and the final top-k is a TakeOrdered bounded
+    * heap, never a global sort. Scores are rounded to 4 dp BEFORE the
+    * top-k so the k-boundary is engine-stable; ties break toward the
+    * smaller doc id.
+    *
+    * Returns (idCol, score), k rows, score desc. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import OpUtils.{shared, widen}
+    val toks = shared(widen(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok")))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val scalars = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .filter(col("tok").isin(queryTerms.map(x => x: Any): _*))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+    tf.join(dft, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__bm_w",
+        log((col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__bm_w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id").as(idCol), col("score"))
+  }
+
+  /** Flesch reading-ease readability: the classic
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) score, the
+    * cheap fluency signal used alongside the Gopher structural rules when
+    * tiering web text. Syllables use the standard vowel-group heuristic
+    * (each maximal `[aeiouy]+` run in the lowercased text is one
+    * syllable); sentences are maximal `[.!?]+` runs, floored at 1 so
+    * unterminated fragments still score. Both counts are "collapse the
+    * run to one char, diff the lengths" — two codegen'd regexp_replace
+    * calls each, the same trick on both engines, so the score is
+    * engine-portable with no per-word UDF logic. A totals-based syllable
+    * count (a vowelless token contributes 0, not the per-word floor of 1)
+    * is the documented simplification — at corpus scale the two variants
+    * rank documents identically.
+    *
+    * 100 TB shape: map-only — ZERO exchanges, one projection, all
+    * expressions inside whole-stage codegen.
+    *
+    * Returns (idCol, n_words, n_sentences, n_syllables, flesch). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    def runs(c: Column, pat: String): Column =
+      length(regexp_replace(c, pat, "#")) - length(regexp_replace(c, pat, ""))
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val nSyll = runs(low, "[aeiouy]+").cast("long")
+    val nSent = greatest(runs(low, "[.!?]+").cast("long"), lit(1L))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      nSent.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+        - lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 4)
+        .as("flesch"))
+  }
 }

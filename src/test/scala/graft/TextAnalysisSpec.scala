@@ -313,4 +313,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.pmiTopPairs(df, "text", k = 0))
   }
 
+  test("bm25TopK matches a hand-computed reference on a tiny corpus") {
+    // 3 docs, query {cat}: df(cat)=2, N=3, avgdl = (2+3+1)/3 = 2.0
+    val df = Seq((1L, "cat dog"), (2L, "cat cat dog"), (3L, "fish"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def w(tf: Long, dl: Long): Double = {
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.0))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 2 (tf=2) outscores doc 1 (tf=1, shorter); doc 3 has no hit
+    assert(got == Seq((2L, w(2, 3)), (1L, w(1, 2))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(df, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("cat"), k = 0))
+  }
+
+  test("bm25TopK: top-k is a TakeOrdered, tf filter precedes its exchange") {
+    val df = Seq((1L, "cat dog")).toDF("doc_id", "text")
+    val qe = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("cat"))
+      .queryExecution
+    assert(qe.executedPlan.toString().contains("TakeOrderedAndProject"))
+    // the isin filter must sit below the (tok, doc_id) aggregate in the
+    // optimized plan — only query-term tokens cross that exchange
+    val opt = qe.optimizedPlan.toString()
+    val aggIdx = opt.indexOf("Aggregate [tok")
+    val filtIdx = opt.indexOf("tok#", opt.indexOf("Filter"))
+    assert(aggIdx >= 0 && opt.indexOf("Filter", aggIdx) > aggIdx,
+      s"tf filter not below the grouped exchange:\n${opt.take(900)}")
+    assert(filtIdx >= 0)
+  }
+
+  test("readability: vowel-group syllables, sentence floor, exact formula") {
+    val df = Seq(
+      (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, syllables: e,a,a,i,a = 5
+      (2L, "xyz qrs")                 // no vowels (y counts!): "xyz" has y → 1 run
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    def flesch(w: Long, s: Long, sy: Long): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 5L, 2L, 5L, flesch(5, 2, 5))))
+    // "xyz qrs": y is a vowel-run; no terminators → sentence floor 1
+    assert(got(1) == ((2L, 2L, 1L, 1L, flesch(2, 1, 1))))
+  }
+
+  test("readability is map-only: zero exchanges") {
+    val df = Seq((1L, "a b c.")).toDF("doc_id", "text")
+    val plan = TextAnalysis.readability(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
 }
