@@ -545,6 +545,10 @@ object SparkEntry {
     // per-column window funnel), NULLS FIRST tie order pinned
     "profile_top_values" -> ((s, dir) =>
       graft.operators.Profiler.topValues(t(s, dir, "documents"), Seq("lang", "source"), k = 5)),
+    // per-dimension embedding health check: one posexplode + ONE
+    // partial-aggregated exchange, nothing downstream above dim cardinality
+    "profile_embedding_stats" -> ((s, dir) =>
+      graft.operators.Profiler.embeddingStats(t(s, dir, "embeddings"), "embedding")),
     // length-proportional doc sample: sequential Poisson priorities
     // (hash-uniform / token count), global k-smallest via TakeOrdered
     "curate_weighted_sample" -> ((s, dir) =>
@@ -923,6 +927,20 @@ object SparkEntry {
       Similarity.bruteForceTopK(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+    // metadata-filtered ANN: top-5 among label-0/3/6/9 vectors only, the
+    // predicate applied BEFORE any distance work (pre-filter semantics) on
+    // a full-corpus shared index; exhaustive probes make the result the
+    // exact brute force over the filtered subset — that equivalence is the
+    // oracle for the filtered bucketing path
+    "ann_filtered" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKFiltered(
+          emb, "vec_id", "embedding", col("label") % 3 === 0,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCentroids = 0, nProbe = 1 << 20)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
     "ann_ivf" -> ((s, dir) => {
@@ -1758,6 +1776,18 @@ object SparkEntry {
         |    round(sqrt(chi2 / (n * least(n_a - 1, n_b - 1))), 6)
         |  END AS cramers_v
         |FROM agg CROSS JOIN ct CROSS JOIN cc""".stripMargin,
+    "profile_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(avg(v), 4) AS mean,
+        |  round(stddev_pop(v), 4) AS sd,
+        |  round(min(v), 4) AS min_v,
+        |  round(max(v), 4) AS max_v
+        |FROM e GROUP BY 1""".stripMargin,
     "profile_top_values" ->
       """WITH p AS (
         |  SELECT 'lang' AS col_name, lang AS value FROM documents
@@ -2419,6 +2449,19 @@ object SparkEntry {
         |             c.vec_id) AS BIGINT) AS rank,
         |  c.vec_id AS neighbor_id
         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
+    // brute force restricted to the filtered subset — the filtered-IVF
+    // path with exhaustive probes must reproduce it exactly
+    "ann_filtered" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c,
+        |     (SELECT * FROM embeddings WHERE vec_id < 10) q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 5""".stripMargin,
     "ann_knn_join" ->

@@ -205,4 +205,33 @@ object Profiler {
     }
     agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Per-dimension health check over an `Array[Float]` embedding column:
+    * count, zero count, mean, population stddev, min, max for each
+    * coordinate — the screen that catches collapsed dimensions (sd ≈ 0),
+    * dead ReLU coordinates (all zeros), and scale drift between model
+    * versions before any of them poison a similarity index.
+    *
+    * 100 TB shape: one posexplode fans each vector into (dim, value) rows
+    * — a narrow ×dim row multiply with no payload amplification (the
+    * vector itself already held those floats) — then ONE partial-aggregated
+    * exchange collapses to #dims cells per partition before the shuffle.
+    * Nothing downstream exceeds dim-cardinality. Floats widen to double
+    * BEFORE aggregation (exact), stats round to 4 dp for engine parity.
+    *
+    * Returns (dim 1-based, n, n_zero, mean, sd, min_v, max_v). */
+  def embeddingStats(df: DataFrame, vecCol: String): DataFrame = {
+    require(df.columns.contains(vecCol), s"column not in frame: $vecCol")
+    df.select(posexplode(col(vecCol)).as(Seq("__es_d", "__es_f")))
+      .select((col("__es_d") + 1).cast("long").as("dim"),
+        col("__es_f").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("v") === 0.0, 1)).as("n_zero"),
+        round(avg(col("v")), 4).as("mean"),
+        round(stddev_pop(col("v")), 4).as("sd"),
+        round(min(col("v")), 4).as("min_v"),
+        round(max(col("v")), 4).as("max_v"))
+  }
 }

@@ -515,6 +515,51 @@ object Similarity {
     }
   }
 
+  /** Metadata-filtered ANN: exact-or-IVF top-k among only the corpus
+    * vectors satisfying `pred` — "nearest English docs", "nearest vectors
+    * from this crawl snapshot". PRE-filter semantics: the predicate is
+    * applied BEFORE any distance work, so the result is the true top-k of
+    * the passing subset. (Post-filtering a plain top-k silently
+    * under-returns whenever a query's unfiltered neighborhood is dominated
+    * by non-matching vectors — the classic filtered-search bug.)
+    *
+    * 100 TB shape: the centroid index is trained ONCE on the FULL corpus
+    * (memoized across calls) and shared by every filter; the per-filter
+    * work is a map-only bucket assignment riding the FILTERED scan — the
+    * predicate pushes down into the parquet read (plan-asserted), and no
+    * id semi-join or per-filter training happens. Probing, bucket join and
+    * the bounded-heap top-k reduce are identical to [[ivfTopK]].
+    * `nProbe >= nlist` probes every bucket, making the result exactly the
+    * brute force over the filtered subset (the oracle configuration);
+    * `nProbe == Int.MaxValue` requests the brute-force plan outright. */
+  def ivfTopKFiltered(
+      corpus: DataFrame, idCol: String, vecCol: String, pred: Column,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int = 0, nProbe: Int = 0,
+      kmeansIters: Int = 2, corpusSizeHint: Option[Long] = None): DataFrame = {
+    if (bruteForceRequested(nProbe))
+      bruteForceTopK(corpus.filter(pred), idCol, vecCol, queries, qIdCol, qVecCol, k)
+    else {
+      val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+      val (_, cents, _, _) =
+        buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+      // per-filter bucketing: narrow map over the filtered scan against the
+      // broadcast centroid literals — the shared index's training cost is
+      // NOT re-paid per filter
+      val bucketedF = corpus.filter(pred).select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCentroids(col(vecCol), cents, 1).getItem(0).as("bucket"))
+      val probed = queries.select(
+        col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        explode(nearestCentroids(col(qVecCol), cents, resolveProbe(nProbe, nlist)))
+          .as("bucket"))
+      val scored = bucketedF.join(broadcast(probed), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineSim(col("cv"), col("qv")))
+      rankTopK(scored, k)
+    }
+  }
+
   /** Radius (range) search: every corpus vector within cosine `threshold`
     * of each query vector — the retrieval primitive for "all sufficiently
     * similar" questions (near-duplicate audit around a probe set, recall

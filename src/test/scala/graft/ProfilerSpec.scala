@@ -104,6 +104,20 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.topValues(vdf, Seq.empty))
   }
 
+  test("embeddingStats: exact per-dim stats, float widening, zero counting") {
+    val edf = Seq(
+      Seq(1.0f, 0.0f, 2.5f),
+      Seq(3.0f, 0.0f, 2.5f)).map(Tuple1(_)).toDF("embedding")
+    val got = Profiler.embeddingStats(edf, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    // dim 1: mean 2, sd 1; dim 2: all-zero (dead coordinate); dim 3: collapsed
+    assert(got(0) == ((1L, 2L, 0L, 2.0, 1.0, 1.0, 3.0)))
+    assert(got(1) == ((2L, 2L, 2L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(2) == ((3L, 2L, 0L, 2.5, 0.0, 2.5, 2.5)))
+    intercept[IllegalArgumentException](Profiler.embeddingStats(edf, "nope"))
+  }
+
   test("correlations: perfect, inverse and degenerate pairs in one pass") {
     val cdf = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
         (3.0, 6.0, -3.0, 7.0))

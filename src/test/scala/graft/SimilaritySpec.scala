@@ -185,6 +185,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tight == Set((1L, 2L)))
   }
 
+  test("ivfTopKFiltered == brute force over the filtered subset; pre-filter semantics") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val pred = col("label") % 3 === 0
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val filteredIvf = rows(Similarity.ivfTopKFiltered(
+      emb, "vec_id", "embedding", pred, q, "vec_id", "embedding",
+      k = 5, nCentroids = 0, nProbe = 1 << 20))
+    val bruteFiltered = rows(Similarity.bruteForceTopK(
+      emb.filter(pred), "vec_id", "embedding", q, "vec_id", "embedding", k = 5))
+    assert(filteredIvf == bruteFiltered)
+    // pre-filter, not post-filter: filtering an UNfiltered top-5 afterwards
+    // must lose neighbors for at least one query (else the test is vacuous)
+    val postFiltered = rows(Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .join(emb.filter(pred).select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi"))
+    assert(postFiltered != bruteFiltered && postFiltered.size < bruteFiltered.size,
+      "post-filter lost nothing — pick a sparser predicate for a non-vacuous check")
+    // every returned neighbor satisfies the predicate
+    val passing = emb.filter(pred).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(filteredIvf.forall { case (_, _, n) => passing.contains(n) })
+  }
+
+  test("ivfTopKFiltered pushes the metadata predicate into the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val plan = Similarity.ivfTopKFiltered(
+        emb, "vec_id", "embedding", col("label") % 3 === 0,
+        emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+      .queryExecution.executedPlan.toString()
+    // the filtered corpus branch's scan carries label in PushedFilters
+    // (IsNotNull at minimum — the modulo itself isn't a parquet predicate)
+    assert(plan.contains("PushedFilters: [IsNotNull(label)"),
+      plan.take(1200))
+  }
+
   test("meanEmbeddings averages per (group, dim) with exact widening") {
     import spark.implicits._
     val df = Seq(
