@@ -146,6 +146,11 @@ object SparkEntry {
     // cross join
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // entity resolution end to end: fuzzy pairs → connected components →
+    // golden record per multi-member entity (canonical id = component
+    // label, so the name lookup is a plain id equi-join)
+    "er_resolve" -> ((s, dir) =>
+      graft.operators.Joins.resolveEntities(t(s, dir, "customer"), "c_custkey", "c_name")),
     // per-column profile of orders in ONE scan/ONE aggregation (plan-
     // asserted: single FileScan + Expand for the exact distincts). Floats
     // are rounded and timestamps formatted BEFORE profiling so the
@@ -231,6 +236,23 @@ object SparkEntry {
           .pairCombinations(array_sort(col("ps")))).as("pr"))
         .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
       graft.operators.Graph.triangleCount(pairs)
+    }),
+    // Jaccard link prediction over the same co-purchase graph: top-20
+    // non-edge pairs by common-neighbor Jaccard (in-kernel wedge fan-out,
+    // minCommon prune before any join, TakeOrdered top-k)
+    "graph_jaccard" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val edges = t(s, dir, "lineitem")
+        .join(orders95, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.jaccardLinks(edges)
     }),
     // multi-source BFS: hop distance from nation-1 customers over the
     // symmetrized trade graph, bounded at 3 hops (contamination-radius /
@@ -1385,6 +1407,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+    // entity resolution: fuzzy pairs → recursive-CTE components → golden
+    // record; canonical name joins on the component label (= min member id)
+    "er_resolve" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        |    CAST(b.c_custkey AS BIGINT) AS id_b
+        |  FROM customer a, customer b
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |cl AS (
+        |  SELECT comp AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    array_to_string(list_sort(list(id)), ',') AS member_ids
+        |  FROM comp GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT cl.entity_id, cl.n_members, cl.member_ids,
+        |  c.c_name AS canonical_name
+        |FROM cl JOIN customer c ON cl.entity_id = CAST(c.c_custkey AS BIGINT)"""
+        .stripMargin,
+    // wedge-count Jaccard over the co-purchase graph: adjacency self-join
+    // mirrors the in-kernel pair fan-out; NOT EXISTS drops existing edges
+    "graph_jaccard" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE year(o_orderdate) = 1995),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS ia, b.v AS ib, CAST(count(*) AS BIGINT) AS c
+        |        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT ia AS id_a, ib AS id_b, c AS n_common,
+        |  round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+        |FROM wed
+        |JOIN deg da ON wed.ia = da.id
+        |JOIN deg db ON wed.ib = db.id
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.ia AND e.v = wed.ib)
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
     // a<b<c three-way join counts each triangle once — the declarative
     // mirror of the oriented wedge count
     "graph_triangles" ->

@@ -301,6 +301,63 @@ object Graph {
     e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
 
+  /** Jaccard-coefficient link prediction: for every NON-edge pair with at
+    * least `minCommon` shared neighbors, score
+    * |N(u)∩N(v)| / |N(u)∪N(v)| and return the top `k` — the classic
+    * "products bought together with the same neighbors but never together"
+    * recommender signal over a co-occurrence graph.
+    *
+    * Shape: common-neighbor counts come from per-center wedge fan-out —
+    * each node's sorted neighbor set expands through the in-kernel
+    * [[graft.functions.GraftFunctions.pairCombinations]] (ordered pairs
+    * emitted inside the expression, no positional self-join) and ONE
+    * grouped count collapses wedges to (pair, n_common). The `minCommon`
+    * filter prunes before any join; degrees attach by id equi-join (AQE
+    * broadcasts the degree table while it fits); existing edges drop via
+    * one more equi-join (pairs and edges share the u<v canonical order, so
+    * one direction suffices); the top-k is a TakeOrdered over
+    * 6-dp-rounded scores with (id_a, id_b) tie order. Per-center wedge
+    * cost is deg(v)² — the irreducible price of EXACT common-neighbor
+    * counting; at web scale cap or sample hub neighborhoods upstream (the
+    * same mitigation [[triangleCount]]'s orientation gives structurally,
+    * which an approximate variant of this operator would reuse via minhash
+    * over neighbor sets — see [[Dedup.minhashPairs]]).
+    *
+    * `edges` must be (src, dst); direction and duplicates are normalized
+    * here. Returns (id_a, id_b, n_common, jaccard), jaccard desc. */
+  def jaccardLinks(
+      edges: DataFrame, k: Int = 20, minCommon: Long = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    import graft.functions.GraftFunctions.pairCombinations
+    val e = OpUtils.shared(edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct())
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = degrees(e)
+    val wedges = adj
+      .groupBy(col("u"))
+      .agg(collect_set(col("v")).as("__jl_ns"))
+      .select(explode(pairCombinations(array_sort(col("__jl_ns")))).as("p"))
+      .select(col("p.id_a").as("a"), col("p.id_b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    wedges
+      .join(deg.select(col("id").as("a"), col("d").as("__jl_da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("__jl_db")), "b")
+      .join(e.select(col("u").as("a"), col("v").as("b"), lit(true).as("__jl_e")),
+        Seq("a", "b"), "left")
+      .filter(col("__jl_e").isNull)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__jl_da") + col("__jl_db") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** One power-iteration round, unexecuted — split out so plan tests can
     * assert its shape (contribution join + aggregate; the only cross join
     * ever present is the 1-row dangling-mass scalar broadcast). */

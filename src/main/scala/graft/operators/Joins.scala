@@ -82,4 +82,37 @@ object Joins {
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Entity resolution end to end: [[fuzzyPairs]] candidates → connected
+    * components → one golden record per multi-record entity. The canonical
+    * id is the cluster's minimum member id — which is exactly the
+    * component label [[graft.operators.Dedup.connectedComponents]]
+    * produces, so the canonical attribute lookup is a plain id equi-join,
+    * no argmin aggregation. Singleton records (no fuzzy match) resolve to
+    * themselves and are omitted: the output is the merge-candidate list a
+    * steward reviews, not a full re-keying.
+    *
+    * 100 TB shape: pair generation is the deletion-variant-bounded
+    * [[fuzzyPairs]] (no cross join), clustering is one join + one agg per
+    * CC round (round count = cluster diameter, probe-asserted flat), and
+    * the golden-record assembly is ONE grouped aggregation over the
+    * (id, comp) label table plus ONE id equi-join for the canonical name
+    * (AQE picks broadcast while the cluster list is small). Member lists
+    * live inside their row (`sort_array`, cluster-sized) — never a
+    * per-cluster window. Returns
+    * (entity_id, n_members, member_ids comma-joined asc, canonical_name). */
+  def resolveEntities(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val names = df.select(col(idCol).cast("long").as("id"), col(strCol).as("__er_nm"))
+    val comp = Dedup.connectedComponents(fuzzyPairs(df, idCol, strCol))
+    val clusters = comp
+      .groupBy(col("comp").as("entity_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("member_ids"))
+      .filter(col("n_members") >= 2)
+    clusters
+      .join(names.select(col("id").as("entity_id"), col("__er_nm")), "entity_id")
+      .select(col("entity_id"), col("n_members"), col("member_ids"),
+        col("__er_nm").as("canonical_name"))
+  }
 }

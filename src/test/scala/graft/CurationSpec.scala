@@ -300,6 +300,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.contains((1L, 6L)) && !got.contains((1L, 7L)))
   }
 
+  test("resolveEntities: golden record per multi-member cluster, singletons omitted") {
+    import graft.operators.Joins
+    val recs = Seq(
+      (3L, "acme korp"),   // clusters with 1,5 through "acme corp"
+      (1L, "acme corp"),
+      (5L, "acme cor"),
+      (9L, "beta inc"),    // exact-duplicate pair
+      (8L, "beta inc"),
+      (7L, "zenith ltd"))  // singleton → omitted
+      .toDF("rid", "name")
+    val got = Joins.resolveEntities(recs, "rid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, "1,3,5", "acme corp"),   // canonical = min id's name
+      (8L, 2L, "8,9", "beta inc")))
+  }
+
   test("NB quality classifier ranks reference-like docs above off-vocabulary docs") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // reference class (ids 0,7): a distinctive "clean" vocabulary; the

@@ -244,4 +244,35 @@ class GraphSpec extends AnyFunSuite {
       Graph.hopDistances(df, Seq(1L).toDF("id"), maxHops = 0))
     intercept[IllegalArgumentException](Graph.labelPropagation(df, rounds = 0))
   }
+
+  test("jaccardLinks: square graph diagonals, path graph, edge exclusion") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals are the only 2-common-neighbor
+    // non-edges, each with jaccard 2/(2+2-2) = 1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.jaccardLinks(square, k = 10, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // path 1-2-3: (1,3) shares only node 2 — below minCommon=2, but found
+    // at minCommon=1 with jaccard 1/(1+1-1) = 1.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.jaccardLinks(path, k = 10, minCommon = 2).count() == 0)
+    val p1 = Graph.jaccardLinks(path, k = 10, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(p1.toSeq == Seq((1L, 3L, 1.0)))
+    // triangle 1-2-3: every 2-path closes — no candidate survives the
+    // existing-edge exclusion
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.jaccardLinks(tri, k = 10, minCommon = 1).count() == 0)
+    intercept[IllegalArgumentException](Graph.jaccardLinks(square, k = 0))
+    intercept[IllegalArgumentException](Graph.jaccardLinks(square, minCommon = 0))
+  }
+
+  test("jaccardLinks top-k is a TakeOrdered, never a global sort") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val plan = Graph.jaccardLinks(df).queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
 }
