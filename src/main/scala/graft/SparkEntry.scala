@@ -1103,6 +1103,37 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // Z-order layout sink: Morton-interleaved (price, quantity) codes,
+    // range-partitioned + sorted write; the oracled result is the
+    // per-Z-block bounding-box audit over the read-back files
+    "sink_zorder" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        fixtureKey(dir, "lineitem")
+      Sinks.zorderWrite(
+        t(s, dir, "lineitem").select(col("l_extendedprice"), col("l_quantity")),
+        out, "l_extendedprice", "l_quantity")
+    }),
+
+    // SCD1 MERGE/upsert sink: latest change per key (by change-log
+    // sequence number) applied onto the customer base — keys 1450-1499
+    // update, 1500-1599 insert, the rest keep; NULL change cells fall
+    // back to base values (partial-update contract)
+    "sink_merge" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+        fixtureKey(dir, "customer", "events")
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = t(s, dir, "events")
+        .groupBy((col("user_id") + 1450).cast("long").as("c_custkey"))
+        .agg(max(struct(col("event_id"), col("value")))
+          .getField("value").as("c_acctbal"))
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          col("c_acctbal"))
+      Sinks.mergeUpsert(base, changes, "c_custkey", out)
+    }),
+
     // bucketed-table loop: both sides written hash-bucketed on the join key,
     // then joined WITHOUT an exchange (the 100 TB co-located-join layout;
     // bucket alignment asserted in PlanQualitySpec)
@@ -2491,6 +2522,48 @@ object SparkEntry {
         |FROM t LEFT JOIN top USING (doc_id)""".stripMargin,
     "sink_partitioned" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
+    // op-for-op Morton-code mirror: same bin scaling, same 8-bit
+    // interleave unrolled as shift/mask terms, same block grouping
+    "sink_zorder" -> {
+      def bin(c: String, mn: String, mx: String): String =
+        s"CASE WHEN $mx = $mn THEN 0 ELSE " +
+          s"CAST(least(greatest(floor(($c - $mn) / ($mx - $mn) * 256.0), 0), 255) AS INT) END"
+      val terms = (0 until 8).map(i =>
+        s"(((bxc >> $i) & 1) << ${2 * i}) + (((byc >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH st AS (
+         |  SELECT min(l_extendedprice) AS mnx, max(l_extendedprice) AS mxx,
+         |    min(l_quantity) AS mny, max(l_quantity) AS mxy
+         |  FROM lineitem),
+         |codes AS (
+         |  SELECT l_extendedprice AS x, l_quantity AS y,
+         |    ${bin("l_extendedprice", "mnx", "mxx")} AS bxc,
+         |    ${bin("l_quantity", "mny", "mxy")} AS byc
+         |  FROM lineitem CROSS JOIN st),
+         |zz AS (SELECT x, y, $terms AS z FROM codes)
+         |SELECT CAST(z >> 10 AS BIGINT) AS block, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM zz GROUP BY 1""".stripMargin
+    },
+    // latest change per key by sequence number, COALESCE-merged onto the
+    // base; NULL change cells keep base values
+    "sink_merge" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id + 1450 AS BIGINT) AS c_custkey,
+        |    CAST(NULL AS VARCHAR) AS c_name, value AS c_acctbal
+        |  FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        |SELECT coalesce(ch.c_custkey, CAST(b.c_custkey AS BIGINT)) AS c_custkey,
+        |  coalesce(ch.c_name, b.c_name) AS c_name,
+        |  coalesce(ch.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |  CASE WHEN ch.c_custkey IS NULL THEN 'kept'
+        |       WHEN b.c_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS merge_op
+        |FROM customer b
+        |FULL OUTER JOIN ch ON CAST(b.c_custkey AS BIGINT) = ch.c_custkey"""
+        .stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Write paths for pipeline outputs. The reference engine has NO sink —
@@ -48,5 +48,99 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
     spark.table(table)
+  }
+
+  /** The interleaved Z-value of two `bits`-wide bin codes as a Column —
+    * bit i of the x code lands at position 2i, of the y code at 2i+1. */
+  private def zInterleave(bx: Column, by: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Fixed-width bin code of `c` in [0, 2^bits): global min/max scaling,
+    * clamped, constant-column guard (mn = mx → bin 0). */
+  private def binCode(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val n = (1 << bits).toDouble
+    when(mx === mn, lit(0)).otherwise(
+      least(greatest(floor((c - mn) / (mx - mn) * lit(n)), lit(0L)),
+        lit((1L << bits) - 1)).cast("int"))
+  }
+
+  /** Z-order (Morton-curve) layout sink: quantize `colX` and `colY` into
+    * 2^`bits` global-min/max bins, interleave the bin codes into a Z-value,
+    * range-partition + sort the data on it, and write parquet — the
+    * data-clustering layout that makes selective scans on EITHER dimension
+    * (or both) touch few files, where a single-column sort only serves its
+    * own column. This is the Delta/Iceberg `OPTIMIZE ZORDER BY` layout
+    * primitive, re-expressed as a plain Spark write.
+    *
+    * 100 TB shape: the bin stats are ONE tiny aggregate broadcast back;
+    * the Z-value is a narrow integer projection; the only corpus-sized
+    * movement is the range exchange the layout IS (you cannot cluster
+    * without moving data once) — `repartitionByRange` samples boundaries
+    * so output files are even-sized regardless of value skew, and
+    * `sortWithinPartitions` keeps each file internally Z-ordered so
+    * per-file min/max stats are tight for both dimensions.
+    *
+    * Returns the per-Z-block bounding-box audit over the READ-BACK files:
+    * (block = z >> blockShift, n, min_x, max_x, min_y, max_y) — tight
+    * per-block boxes in both dims are exactly what file skipping needs. */
+  def zorderWrite(
+      df: DataFrame, path: String, colX: String, colY: String,
+      bits: Int = 8, blockShift: Int = 10): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(blockShift >= 0 && blockShift < 2 * bits,
+      s"blockShift must be in [0, ${2 * bits}), got $blockShift")
+    val spark = df.sparkSession
+    val stats = df.agg(
+      min(col(colX)).as("__zx_mn"), max(col(colX)).as("__zx_mx"),
+      min(col(colY)).as("__zy_mn"), max(col(colY)).as("__zy_mx"))
+    val coded = df.crossJoin(broadcast(stats))
+      .withColumn("__z", zInterleave(
+        binCode(col(colX), col("__zx_mn"), col("__zx_mx"), bits),
+        binCode(col(colY), col("__zy_mn"), col("__zy_mx"), bits), bits))
+      .drop("__zx_mn", "__zx_mx", "__zy_mn", "__zy_mx")
+    coded
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(shiftright(col("__z"), blockShift).cast("long").as("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col(colX)).as("min_x"), max(col(colX)).as("max_x"),
+        min(col(colY)).as("min_y"), max(col(colY)).as("max_y"))
+  }
+
+  /** SCD1 MERGE/upsert: apply a keyed change set to a base snapshot and
+    * write the merged result — `MERGE INTO base USING changes` with
+    * update-and-insert semantics, the nightly-snapshot refresh every
+    * lakehouse table lives on. Non-key change columns win per key via
+    * COALESCE, so a NULL change cell means "keep the base value" (the
+    * standard partial-update contract — "set to NULL" needs a sentinel,
+    * documented limitation). Rows tag `merge_op` ∈ kept / updated /
+    * inserted for downstream audit.
+    *
+    * 100 TB shape: ONE full-outer shuffle join on the key — full-outer
+    * cannot broadcast, so the exchange is irreducible, but a base written
+    * bucketed on the key ([[writeBucketed]]) joins without re-exchanging
+    * its side, which is how a nightly merge over a 100 TB base avoids
+    * moving the base at all. The change set is typically ≪ base and
+    * shuffles cheap. `changes` must share `base`'s schema. */
+  def mergeUpsert(
+      base: DataFrame, changes: DataFrame, keyCol: String, path: String): DataFrame = {
+    require(base.columns.sameElements(changes.columns),
+      s"schema mismatch: base ${base.columns.mkString(",")} vs changes ${changes.columns.mkString(",")}")
+    val spark = base.sparkSession
+    val b = base.as("b")
+    val c = changes.as("c")
+    val merged = b.join(c, col(s"b.$keyCol") <=> col(s"c.$keyCol"), "full_outer")
+      .select(base.columns.map(n =>
+        coalesce(col(s"c.$n"), col(s"b.$n")).as(n)) :+
+        when(col(s"c.$keyCol").isNull, lit("kept"))
+          .when(col(s"b.$keyCol").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("merge_op"): _*)
+    merged.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
 }

@@ -430,6 +430,57 @@ class CurationSpec extends AnyFunSuite {
     assert(back.count() == manifest.values.sum)
   }
 
+  test("zorderWrite: files carry disjoint z-ranges; block boxes tighter than global") {
+    import graft.operators.Sinks
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    // a 32×32 grid: every (x, y) cell once — locality is then measurable
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_test"
+    val blocks = Sinks.zorderWrite(grid, out, "x", "y", bits = 5, blockShift = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // 10-bit z, blockShift 4 → 64 blocks of 16 cells each
+    assert(blocks.length == 64 && blocks.forall(_._2 == 16L))
+    // each 16-cell Morton block is a 4×4 tile: span 3 in BOTH dims — the
+    // two-dimensional locality a single-column sort cannot give
+    assert(blocks.forall(b => b._4 - b._3 == 3.0 && b._6 - b._5 == 3.0),
+      blocks.take(5).mkString(";"))
+    // written files cover disjoint z-ranges (range partition + sort)
+    val spans = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin(col("__z")).as("lo"), fmax(col("__z")).as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, spans.mkString(","))
+      case _ =>
+    }
+    intercept[IllegalArgumentException](
+      Sinks.zorderWrite(grid, out, "x", "y", bits = 0))
+    intercept[IllegalArgumentException](
+      Sinks.zorderWrite(grid, out, "x", "y", bits = 5, blockShift = 10))
+  }
+
+  test("mergeUpsert: update/insert/keep semantics, NULL change cells keep base") {
+    import graft.operators.Sinks
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq((2L, None: Option[String], 99.0), (4L, Some("d"), 40.0))
+      .toDF("k", "name", "bal")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_merge_test"
+    val got = Sinks.mergeUpsert(base, changes, "k", out)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), 10.0, "kept"),
+      (2L, Some("b"), 99.0, "updated"),   // NULL name change → base name kept
+      (3L, Some("c"), 30.0, "kept"),
+      (4L, Some("d"), 40.0, "inserted")))
+    // schema drift fails loudly
+    intercept[IllegalArgumentException](Sinks.mergeUpsert(
+      base, changes.select("k", "bal", "name"), "k", out))
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics
