@@ -571,6 +571,17 @@ object SparkEntry {
     // partial-aggregated exchange, nothing downstream above dim cardinality
     "profile_embedding_stats" -> ((s, dir) =>
       graft.operators.Profiler.embeddingStats(t(s, dir, "embeddings"), "embedding")),
+    // PSI drift of the lang mix between the src0 slice and the rest: one
+    // scan, one exchange, add-half smoothing keeps one-sided cats finite
+    "profile_psi" -> ((s, dir) =>
+      graft.operators.Profiler.psi(
+        t(s, dir, "documents"), "lang", col("source") === "src0")),
+    // two-sample KS over event values (purchase vs rest): distinct-value
+    // table + DISTRIBUTED prefix-sum CDFs (range partition + offset
+    // table), never a single-reducer ORDER BY window
+    "profile_ks" -> ((s, dir) =>
+      graft.operators.Profiler.ksStatistic(
+        t(s, dir, "events"), "value", col("event_type") === "purchase")),
     // length-proportional doc sample: sequential Poisson priorities
     // (hash-uniform / token count), global k-smallest via TakeOrdered
     "curate_weighted_sample" -> ((s, dir) =>
@@ -1877,6 +1888,37 @@ object SparkEntry {
         |    round(sqrt(chi2 / (n * least(n_a - 1, n_b - 1))), 6)
         |  END AS cramers_v
         |FROM agg CROSS JOIN ct CROSS JOIN cc""".stripMargin,
+    "profile_psi" ->
+      """WITH c AS (
+        |  SELECT lang AS value,
+        |    CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN NOT (source = 'src0') THEN 1 END) AS BIGINT) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+        |        CAST(sum(n_b) AS DOUBLE) AS nb,
+        |        CAST(count(*) AS DOUBLE) AS k
+        |      FROM c)
+        |SELECT value, n_a, n_b,
+        |  round(((n_a + 0.5) / (na + 0.5 * k) - (n_b + 0.5) / (nb + 0.5 * k))
+        |    * ln(((n_a + 0.5) / (na + 0.5 * k))
+        |        / ((n_b + 0.5) / (nb + 0.5 * k))), 6) AS psi_term
+        |FROM c CROSS JOIN t""".stripMargin,
+    "profile_ks" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN NOT (event_type = 'purchase') THEN 1 END) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |cum AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / n_a
+        |    - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks
+        |FROM cum CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     "profile_embedding_stats" ->
       """WITH e AS (
         |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the per-column data-quality summary (row count, null
@@ -204,6 +205,98 @@ object Profiler {
           col(s"__cv_$i") / (col(s"__sa_$i") * col(s"__sb_$i"))), 6).as("corr"))
     }
     agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Population-stability-index drift report between the two slices of
+    * `df` split by boolean `condA`: per category of `colName`,
+    * (p_A − p_B)·ln(p_A/p_B) with add-half smoothing — the standard
+    * "did the lang/source/topic mix shift between snapshots" monitor run
+    * before a new crawl joins the training mix (rule of thumb: Σ > 0.2 =
+    * investigate). Smoothing ((c + 0.5)/(n + 0.5·k), k = distinct
+    * categories over BOTH slices) keeps one-sided categories finite, so
+    * brand-new and vanished categories contribute large-but-bounded terms
+    * instead of ±∞. NULL is a category.
+    *
+    * 100 TB shape: ONE scan, ONE partial-aggregated exchange (both
+    * slices' counts come from the same groupBy via conditional counts);
+    * the scalar totals and category count ride a 1-row broadcast.
+    * Category-cardinality everywhere downstream.
+    *
+    * Returns (value, n_a, n_b, psi_term) — Σ(psi_term) is the PSI. */
+  def psi(df: DataFrame, colName: String, condA: Column): DataFrame = {
+    require(df.columns.contains(colName), s"column not in frame: $colName")
+    val counts = df
+      .groupBy(col(colName).cast("string").as("value"))
+      .agg(
+        count(when(condA, 1)).as("n_a"),
+        count(when(!condA, 1)).as("n_b"))
+    val scalars = counts.agg(
+      sum(col("n_a")).cast("double").as("__na"),
+      sum(col("n_b")).cast("double").as("__nb"),
+      count(lit(1)).cast("double").as("__k"))
+    counts.crossJoin(broadcast(scalars))
+      .select(col("value"), col("n_a"), col("n_b"),
+        round(
+          ((col("n_a") + 0.5) / (col("__na") + lit(0.5) * col("__k")) -
+            (col("n_b") + 0.5) / (col("__nb") + lit(0.5) * col("__k"))) *
+            log(((col("n_a") + 0.5) / (col("__na") + lit(0.5) * col("__k"))) /
+              ((col("n_b") + 0.5) / (col("__nb") + lit(0.5) * col("__k")))),
+          6).as("psi_term"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic for numeric `valueCol`
+    * between the `condA` slice and the rest: D = max over observed values
+    * of |CDF_A − CDF_B| — the continuous-distribution companion to [[psi]]
+    * ("did latency/price/score values drift", not just category mix).
+    * NULL values are excluded (a CDF has no place for them); rows where
+    * `condA` is NULL count toward neither slice.
+    *
+    * 100 TB shape: one grouped count collapses the corpus to the distinct
+    * value table (the only corpus-sized exchange); both CDFs are then ONE
+    * DISTRIBUTED prefix sum over that table in value order — range
+    * partition, per-partition running windows, partition start offsets
+    * from a #partitions-row broadcast table — never a single-reducer
+    * `Window.orderBy(value)` funnel over the whole domain (plan-asserted).
+    * The ranged frame is materialized once so the offset and window
+    * branches agree on partition ids (the [[Curation]] prefix-sum
+    * discipline).
+    *
+    * Returns one row: (n_a, n_b, ks) with ks rounded to 6 dp. */
+  def ksStatistic(df: DataFrame, valueCol: String, condA: Column): DataFrame = {
+    require(df.columns.contains(valueCol), s"column not in frame: $valueCol")
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__ks_v"))
+      .agg(
+        count(when(condA, 1)).as("__ks_ca"),
+        count(when(!condA, 1)).as("__ks_cb"))
+    val totals = counts.agg(
+      sum(col("__ks_ca")).as("n_a"), sum(col("__ks_cb")).as("n_b"))
+    val ranged = OpUtils.shared(counts
+      .repartitionByRange(parts, col("__ks_v"))
+      .withColumn("__ks_pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__ks_pid"))
+      .agg(sum(col("__ks_ca")).as("__ks_na"), sum(col("__ks_cb")).as("__ks_nb"))
+      .select(col("__ks_pid"),
+        coalesce(sum(col("__ks_na")).over(
+          Window.orderBy(col("__ks_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__ks_offa"),
+        coalesce(sum(col("__ks_nb")).over(
+          Window.orderBy(col("__ks_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__ks_offb"))
+    val w = Window.partitionBy(col("__ks_pid")).orderBy(col("__ks_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__ks_ra", sum(col("__ks_ca")).over(w))
+      .withColumn("__ks_rb", sum(col("__ks_cb")).over(w))
+      .join(broadcast(offsets), "__ks_pid")
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs((col("__ks_ra") + col("__ks_offa")).cast("double") / col("n_a") -
+          (col("__ks_rb") + col("__ks_offb")).cast("double") / col("n_b")).as("__ks_d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(max(col("__ks_d")), 6).as("ks"))
   }
 
   /** Per-dimension health check over an `Array[Float]` embedding column:

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Profiler
 
 /** The single-pass profiler must report exact per-column stats (including
@@ -116,6 +118,59 @@ class ProfilerSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, 2L, 0.0, 0.0, 0.0, 0.0)))
     assert(got(2) == ((3L, 2L, 0L, 2.5, 0.0, 2.5, 2.5)))
     intercept[IllegalArgumentException](Profiler.embeddingStats(edf, "nope"))
+  }
+
+  test("psi: identical slices score ~0, disjoint categories bounded, NULL is a category") {
+    val sdf2 = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("c", "a")
+    val same = Profiler.psi(sdf2, "c", col("a"))
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0)) // p_A = p_B per category exactly
+    // category only in slice A: finite, positive contribution
+    val dis = Seq(("only_a", true), ("both", true), ("both", false))
+      .toDF("c", "a")
+    val terms = Profiler.psi(dis, "c", col("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(terms("only_a") > 0.0 && !terms("only_a").isInfinite)
+    // hand-check: k=2, na=2, nb=1; only_a: pa=(1+.5)/3, pb=(0+.5)/2
+    val (pa, pb) = (1.5 / 3.0, 0.5 / 2.0)
+    val want = BigDecimal((pa - pb) * math.log(pa / pb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(terms("only_a") == want)
+    val nul = Seq((None: Option[String], true), (Some("v"), false)).toDF("c", "a")
+    assert(Profiler.psi(nul, "c", col("a")).count() == 2) // NULL category kept
+    intercept[IllegalArgumentException](Profiler.psi(sdf2, "nope", col("a")))
+  }
+
+  test("ksStatistic: known two-sample D, identical samples D=0, NULLs excluded") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = max|F_A - F_B| = 0.5 (at v=2)
+    val kdf = (Seq(1, 2, 3, 4).map(v => (v.toDouble, true)) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, false))).toDF("v", "a")
+    val r = Profiler.ksStatistic(kdf, "v", col("a")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 4L, 0.5)))
+    val same = (1 to 5).flatMap(v => Seq((v.toDouble, true), (v.toDouble, false)))
+      .toDF("v", "a")
+    assert(Profiler.ksStatistic(same, "v", col("a")).collect()(0).getDouble(2) == 0.0)
+    // NULL values drop from both CDFs
+    val withNull = Seq((Some(1.0), true), (None, true), (Some(1.0), false))
+      .toDF("v", "a")
+    val r2 = Profiler.ksStatistic(withNull, "v", col("a")).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((1L, 1L, 0.0)))
+    intercept[IllegalArgumentException](Profiler.ksStatistic(kdf, "nope", col("a")))
+  }
+
+  test("ksStatistic CDFs never funnel through a global orderBy window") {
+    val kdf = Seq((1.0, true), (2.0, false)).toDF("v", "a")
+    val plan = Profiler.ksStatistic(kdf, "v", col("a"))
+      .queryExecution.executedPlan.toString()
+    // every window spec must involve the range partition id — either as
+    // the partition key (the per-partition running sums) or as the order
+    // key of the #partitions-row offsets table; a value-ordered window
+    // with no pid would be the single-reducer CDF funnel
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty, s"expected window operators:\n${plan.take(800)}")
+    assert(specs.forall(_.contains("__ks_pid")),
+      s"found a window not keyed by the range pid:\n${specs.mkString("\n")}")
   }
 
   test("correlations: perfect, inverse and degenerate pairs in one pass") {
