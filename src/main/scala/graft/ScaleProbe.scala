@@ -232,6 +232,16 @@ object ScaleProbe {
       }
       report("kcore_nodes", scale, nCore, coreSecs)
 
+      // jaccard link prediction: k disconnected co-purchase copies — the
+      // candidate top-k per copy is identical, so the GLOBAL top-k set
+      // size stays k (scores tie across copies; the probe measures wedge
+      // volume growth through wall time, which must track edges ~linearly
+      // since per-center fan-out is a per-copy property, not a corpus one)
+      val (jlRows, jlSecs) = timed {
+        graft.operators.Graph.jaccardLinks(triK, k = 20).count()
+      }
+      report("jaccard_links_rows", scale, jlRows, jlSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }
