@@ -42,6 +42,14 @@ trait SplittableCatalog {
     * columns — instead of relying on column pruning to hide them. */
   def nanosColumns: Seq[String] = Nil
 
+  /** Columns stored as parquet TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC =
+    * false), which Spark reads as TIMESTAMP_NTZ: declared TimestampType in
+    * [[schema]], read as NTZ, cast to session timestamps inside [[read]].
+    * All entrypoints pin the session time zone to UTC, so the cast is
+    * value-preserving. Same rationale as [[nanosColumns]]: the catalog owns
+    * the normalization so every map SQL sees one timestamp type. */
+  def ntzColumns: Seq[String] = Nil
+
   def files: Seq[SizedFile]
 
   /** Full table schema including partition columns, as workers see it. */
@@ -112,7 +120,9 @@ trait SplittableCatalog {
     // epoch-nanos long, truncated to µs (integer DIV — double division loses
     // precision above 2^53 ns; DuckDB's ns→µs cast truncates identically)
     val readSchema = StructType(schema.fields.map(f =>
-      if (nanosColumns.contains(f.name)) f.copy(dataType = LongType) else f))
+      if (nanosColumns.contains(f.name)) f.copy(dataType = LongType)
+      else if (ntzColumns.contains(f.name)) f.copy(dataType = TimestampNTZType)
+      else f))
     if (nanosColumns.nonEmpty) {
       // DELIBERATE session-conf set, not scoped: the flag is consulted at
       // EXECUTION time by the parquet reader, so restoring it after building
@@ -142,8 +152,11 @@ trait SplittableCatalog {
           }
         }.reduce(_.unionAll(_))
     }
-    val converted = nanosColumns.foldLeft(scanned) { (df, c) =>
+    val nanosConverted = nanosColumns.foldLeft(scanned) { (df, c) =>
       df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
+    }
+    val converted = ntzColumns.foldLeft(nanosConverted) { (df, c) =>
+      df.withColumn(c, col(c).cast(TimestampType))
     }
     // enforce the catalog's declared column order (data cols, then
     // partition cols) independent of the datasource's placement
@@ -190,7 +203,8 @@ final class StaticCatalog(
     val schema: StructType,
     val partitionColumns: Seq[String],
     val files: Seq[SizedFile],
-    override val nanosColumns: Seq[String] = Nil)
+    override val nanosColumns: Seq[String] = Nil,
+    override val ntzColumns: Seq[String] = Nil)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
@@ -206,7 +220,7 @@ object StaticCatalog {
     * vs a direct Spark query. Parquet files are immutable in this model, so
     * path-keyed caching is sound. */
   private val inferenceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Seq[String], Seq[String])]()
 
   /** Parquet columns physically stored as TIMESTAMP(NANOS) in the first
     * file's footer — Spark's reader only surfaces these as longs, so the
@@ -216,7 +230,8 @@ object StaticCatalog {
     * widens every field to nullable, which would make an inferred catalog
     * over a REQUIRED column unverifiable under the strict (reference-
     * parity) nullability check — the footer's repetition is the truth. */
-  private def footerMeta(spark: SparkSession, path: String): (Seq[String], Set[String]) = {
+  private def footerMeta(
+      spark: SparkSession, path: String): (Seq[String], Seq[String], Set[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -236,10 +251,19 @@ object StaticCatalog {
           case _ => false
         }) => f.getName
     }.toSeq
+    // local (unadjusted) MICROS/MILLIS timestamps — Spark reads TIMESTAMP_NTZ
+    val ntz = fields.collect {
+      case f if f.isPrimitive &&
+        (f.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            !t.isAdjustedToUTC && t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }) => f.getName
+    }.toSeq
     val required = fields.collect {
       case f if f.getRepetition == Type.Repetition.REQUIRED => f.getName
     }.toSet
-    (nanos, required)
+    (nanos, ntz, required)
   }
 
   /** Catalog over explicit parquet paths, inferring the schema from the
@@ -251,24 +275,26 @@ object StaticCatalog {
       paths: Seq[String],
       partitionColumns: Seq[String] = Nil,
       partitionValues: Map[String, Seq[String]] = Map.empty): StaticCatalog = {
-    val (schema, nanosCols) = inferenceCache.computeIfAbsent(paths.head, { p =>
+    val (schema, nanosCols, ntzCols) = inferenceCache.computeIfAbsent(paths.head, { p =>
       // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
       // then re-declare them TimestampType backed by the catalog's conversion
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val (nanos, required) = footerMeta(spark, p)
+      val (nanos, ntz, required) = footerMeta(spark, p)
       val inferred = spark.read.parquet(p).schema
       (StructType(inferred.fields.map { f0 =>
         // Spark widens every inferred field to nullable; restore the
         // footer's repetition so the inferred declaration round-trips
         // through the strict nullability check (reference parity)
         val f = f0.copy(nullable = !required.contains(f0.name))
-        if (nanos.contains(f.name)) f.copy(dataType = TimestampType) else f
-      }), nanos)
+        if (nanos.contains(f.name) || ntz.contains(f.name))
+          f.copy(dataType = TimestampType)
+        else f
+      }), nanos, ntz)
     })
     val files = paths.map { p =>
       SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))
     }
-    new StaticCatalog(name, schema, partitionColumns, files, nanosCols)
+    new StaticCatalog(name, schema, partitionColumns, files, nanosCols, ntzCols)
   }
 
   /** Catalog over a parquet file or a directory of parquet files (the shape

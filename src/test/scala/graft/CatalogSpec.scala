@@ -363,13 +363,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(out == Map("x" -> 2L, "y" -> 1L))
   }
 
-  test("StaticCatalog.overPath declares TIMESTAMP(NANOS) columns as usable timestamps") {
+  test("StaticCatalog.overPath declares non-session timestamp columns as usable timestamps") {
+    // the driver-generated events.ts has shipped both as TIMESTAMP(NANOS)
+    // and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (NTZ); either way the
+    // catalog must declare a plain session TimestampType and normalize on
+    // read, so operators see exactly one timestamp type
     val events = s"${TestSpark.sf}/events.parquet"
     val cat = StaticCatalog.overPath(spark, "evt", events)
     assert(cat.schema("ts").dataType == TimestampType)
-    assert(cat.nanosColumns == Seq("ts"))
-    // a query touching ts through the catalog read path must work
-    val mx = cat.read(spark, cat.files).selectExpr("max(ts)").collect()(0)
+    assert((cat.nanosColumns ++ cat.ntzColumns) == Seq("ts"),
+      s"ts must be declared for normalization: nanos=${cat.nanosColumns} ntz=${cat.ntzColumns}")
+    // a query touching ts through the catalog read path must work, and the
+    // surfaced type must be the session timestamp (unix_micros requires it)
+    val read = cat.read(spark, cat.files)
+    assert(read.schema("ts").dataType == TimestampType)
+    val mx = read.selectExpr("max(unix_micros(ts))").collect()(0)
     assert(!mx.isNullAt(0))
   }
 }
