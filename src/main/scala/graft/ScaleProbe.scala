@@ -95,6 +95,23 @@ object ScaleProbe {
       }
       report("clusters_seconds", scale, n, clSecs)
 
+      // planted chain graph (worst-case CC diameter): a path of
+      // 1000×scale nodes. Star-contraction CC must converge in
+      // ~log2(diameter) rounds — min-LABEL propagation would need
+      // diameter rounds, which is exactly the er_resolve scale-killer.
+      // Healthy: rounds(10×) − rounds(1×) ≈ log2(10) ≈ 3, never ~9000.
+      val chainLen = 1000L * scale
+      val (chRounds, chSecs) = timed {
+        val chain = spark.range(1L, chainLen)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+          chain, maxIterations = 64)
+        // one component labeled by the chain head
+        require(labels.agg(countDistinct(col("comp"))).collect()(0).getLong(0) == 1L)
+        rounds
+      }
+      report("chain_cc_rounds", scale, chRounds.toLong, chSecs)
+
       // asymmetric containment within hash blocks: replicas are mutually
       // dissimilar, so verified pairs must scale ~linearly with the corpus
       // (each replica contributes its own within-replica structure) and

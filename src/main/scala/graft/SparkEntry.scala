@@ -148,9 +148,14 @@ object SparkEntry {
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
     // entity resolution end to end: fuzzy pairs → connected components →
     // golden record per multi-member entity (canonical id = component
-    // label, so the name lookup is a plain id equi-join)
+    // label, so the name lookup is a plain id equi-join). Blocking on
+    // (nation, segment) encodes "true duplicates share stable attributes":
+    // without it, sequential TPC-H names chain transitively into ONE
+    // all-of-table entity — resolveEntities' maxClusterSize guard exists
+    // for exactly that failure and would (correctly) refuse to answer
     "er_resolve" -> ((s, dir) =>
-      graft.operators.Joins.resolveEntities(t(s, dir, "customer"), "c_custkey", "c_name")),
+      graft.operators.Joins.resolveEntities(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"))),
     // per-column profile of orders in ONE scan/ONE aggregation (plan-
     // asserted: single FileScan + Expand for the exact distincts). Floats
     // are rounded and timestamps formatted BEFORE profiling so the
@@ -1450,7 +1455,8 @@ object SparkEntry {
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
     // entity resolution: fuzzy pairs → recursive-CTE components → golden
-    // record; canonical name joins on the component label (= min member id)
+    // record; canonical name joins on the component label (= min member id);
+    // pairs are blocked on (nation, segment) exactly as the Spark side
     "er_resolve" ->
       """WITH RECURSIVE
         |pairs AS (
@@ -1458,6 +1464,8 @@ object SparkEntry {
         |    CAST(b.c_custkey AS BIGINT) AS id_b
         |  FROM customer a, customer b
         |  WHERE a.c_custkey < b.c_custkey
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
         |    AND levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs

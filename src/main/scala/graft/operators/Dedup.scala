@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -554,78 +555,105 @@ object Dedup {
     * duplicate cluster — the step that turns pairwise near-dup hits into a
     * deduplicated corpus. Returns (id, component).
     *
-    * Implementation is iterative min-label propagation: each round every
-    * node adopts the smallest label among itself and its neighbors,
-    * converging in O(diameter) rounds (duplicate clusters are near-cliques,
-    * so usually 2–3). Each round is one shuffle on node id over the edge
-    * list — the standard large-scale CC shape (GraphX/connected-components
-    * papers); no driver-side graph state beyond the convergence counter. */
+    * Implementation is the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires every node's strictly-larger neighbors
+    * (large-star) and then its smaller neighbors (small-star) to the local
+    * minimum, contracting the graph toward one star per component whose
+    * center is the component minimum. Convergence is O(log diameter)
+    * rounds — min-LABEL propagation is O(diameter), which on
+    * chained-similarity graphs (entity resolution over near-keys, long
+    * drift chains) makes round count unbounded in corpus size. Each round
+    * is two window passes + dedup over the edge list only (ids, no
+    * payloads); no driver-side graph state beyond the convergence stats. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIterations)._1
 
-  /** [[connectedComponents]] plus the number of propagation rounds run —
-    * the scale probe asserts round count stays flat as the corpus grows
-    * (cluster diameter, not corpus size, drives it). */
+  /** [[connectedComponents]] plus the number of rounds run — the scale
+    * probe asserts round count grows ~log(diameter) on a planted chain
+    * graph and stays flat on clique-shaped duplicate clusters. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIterations: Int = 20): (DataFrame, Int) = {
-    // undirected edge list, both directions, plus self-loops so isolated
-    // endpoints keep their own label
-    // persist the PAIR LIST, not just the edge union: edges reference the
-    // pairs lineage twice (both directions), so an un-persisted candidate
-    // pipeline would run end-to-end once per union branch
+    // persist the PAIR LIST, not just derived frames: the node list and the
+    // initial edge orientation both reference the pairs lineage, so an
+    // un-persisted candidate pipeline would run end-to-end per branch
     val p = shared(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
-    // init fuses the first propagation round into the node-list aggregation:
-    // label(v) = min(v, neighbors(v)) — the same shuffle a plain `distinct`
-    // would cost, but cliques (the common dup-cluster shape) are already
-    // converged after it, so the loop below only pays the detection round
-    var labels = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("src"), col("src").as("dst")))
-      .groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("comp"))
-    var prevPersisted: Option[DataFrame] = None
+    // every endpoint keeps a label even if its only pair is a self-pair
+    val nodes = p.select(col("src").as("id"))
+      .unionAll(p.select(col("dst").as("id"))).distinct()
+    // canonical orientation big→small; self-pairs carry no connectivity
+    var edges = p.filter(col("src") =!= col("dst"))
+      .select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    // large-star(u): rewire every neighbor v > u to min(N(u) ∪ {u}). The
+    // min is a partition-wide window over the symmetric edge list — one
+    // exchange on the center id, no join back. Orientation (src > dst) is
+    // preserved: the emitted (v, m) has m ≤ u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      sym.withColumn("m",
+          least(min(col("dst")).over(W.partitionBy(col("src"))), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star(u): over the oriented list every dst < src, so the local
+    // min is min(dst); relink the center and every non-min neighbor to it
+    def smallStar(e: DataFrame): DataFrame = {
+      val withMin = e.withColumn("m", min(col("dst")).over(W.partitionBy(col("src"))))
+      withMin.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(withMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // fixed-point detection: the edge SET is stable under both stars at
+    // convergence (the paper's star-graph invariant), so compare per-round
+    // (count, hash-sum) fingerprints — one cheap aggregate over the frame
+    // the round already materialized, no exceptAll anti-join
+    def fingerprint(e: DataFrame): (Long, String, String) = {
+      // hash sums accumulate in decimal(38,0) — a long sum overflows under
+      // ANSI mode after a handful of large 64-bit hashes
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")), lit(0L)),
+        coalesce(sum(xxhash64(col("dst"), col("src")).cast("decimal(38,0)")), lit(0L))).collect()(0)
+      (r.getLong(0), r.get(1).toString, r.get(2).toString)
+    }
+    // each round references the prior round's frame in FOUR branches (the
+    // symmetric union + the two star rewires), so a persist-only loop grows
+    // the LOGICAL plan ~4^rounds — persisted data short-circuits execution
+    // but not analysis, and at log-round depth the tree alone OOMs the
+    // driver. roundCheckpoint (eager localCheckpoint) truncates each round
+    // to a LogicalRDD leaf — the same GraphX-Pregel discipline pageRank and
+    // kCore already use.
+    edges = OpUtils.roundCheckpoint(edges)
+    var prevFp = fingerprint(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // one round = ONE shuffle join + ONE aggregation: neighbor labels
-      // (edges ⋈ labels) union'd with each node's own label, min per node.
-      // The own row is tagged so the same aggregation also recovers the
-      // previous label — the convergence check is then a filter over the
-      // persisted frame, with no second join against the old labels.
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("comp"), lit(false).as("own"))
-      val next = labels.select(col("id"), col("comp"), lit(true).as("own"))
-        .unionAll(neighborLabels)
-        .groupBy(col("id"))
-        .agg(
-          min(col("comp")).as("comp"),
-          min(when(col("own"), col("comp"))).as("prev"))
-      // an equal round plan may already be cached by another query over the
-      // same pair lineage (e.g. cluster resolution + corpus-level removal
-      // in one session) — reuse it WITHOUT taking ownership, so this run
-      // never unpersists a relation the other query still serves from
-      val alreadyCached = next.storageLevel != StorageLevel.NONE
-      if (!alreadyCached) next.persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("comp") < col("prev")).count()
-      prevPersisted.foreach(_.unpersist(blocking = false)) // next is materialized
-      prevPersisted = if (alreadyCached) None else Some(next)
-      labels = next.select(col("id"), col("comp"))
-      converged = changed == 0
+      val next = OpUtils.roundCheckpoint(smallStar(largeStar(edges)))
+      val fp = fingerprint(next)
+      edges = next
+      converged = fp == prevFp
+      prevFp = fp
       iter += 1
     }
     // a partial result would silently keep multiple "keepers" per cluster —
-    // fail loudly instead (duplicate clusters converge in 2-3 rounds;
-    // hitting the cap means a pathological chain or a far-too-low setting)
+    // fail loudly instead (clique-shaped dup clusters converge in 2-3
+    // rounds and even diameter-d chains in O(log d); hitting the cap means
+    // a far-too-low setting)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations — " +
           "labels are partial; raise maxIterations for long drift chains")
-    // the FINAL round's frame outlives this call (it backs the returned
-    // labels, and equal-plan queries reuse it through the cache manager) —
-    // register it so PipelineCache.clear() can release it instead of
-    // leaking one cached relation per distinct pair lineage
-    prevPersisted.foreach(OpUtils.track)
+    // at the fixed point the graph is a disjoint union of stars centered on
+    // each component's minimum: non-centers read their label off their star
+    // edge; centers and isolated nodes label themselves
+    val labels = nodes
+      .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
     (labels, iter)
   }
 

@@ -63,18 +63,31 @@ object Joins {
     * position (not the corpus), so pair explosion is structurally capped
     * the way LSH bands are. Identical strings (dist 0) are included —
     * that IS the exact-duplicate signal. Returns (id_a, id_b, dist),
-    * id_a < id_b. */
-  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    * id_a < id_b.
+    *
+    * `blockCols`: optional hard blocking keys — only records agreeing on
+    * every block column can pair. Encodes the domain knowledge that true
+    * duplicates share stable attributes (region, segment, account type);
+    * without it, systematically near-keyed corpora (sequential ids, SKU
+    * families) produce edit-distance-1 pairs between RECORDS THAT ARE NOT
+    * THE SAME ENTITY, and transitive clustering then chains them into one
+    * mega-merge. The block key rides the variant equi-join, so blocking
+    * costs nothing extra. */
+  def fuzzyPairs(
+      df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String] = Nil): DataFrame = {
     val rows = OpUtils.shared(OpUtils.widen(df)
-      .select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
+      .select((col(idCol).cast("long").as("id") +: col(strCol).as("s") +:
+        blockCols.map(c => col(c).as(s"__bk_$c"))): _*))
+    val bk = blockCols.map(c => s"__bk_$c")
     val variants = rows
-      .select(col("id"), explode(concat(
+      .select((col("id") +: explode(concat(
         array(col("s")),
         expr("transform(sequence(0, length(s) - 1), " +
           "i -> concat(substring(s, 1, i), substring(s, i + 2, length(s))))")))
-        .as("v"))
+        .as("v") +: bk.map(col)): _*)
       .distinct() // "aa" deletes to "a" twice — one bucket entry per (id, variant)
-    val cands = Dedup.bucketPairs(variants, Seq("v"))
+    val cands = Dedup.bucketPairs(variants, "v" +: bk)
     val a = rows.select(col("id").as("id_a"), col("s").as("__fz_sa"))
     val b = rows.select(col("id").as("id_b"), col("s").as("__fz_sb"))
     cands.join(a, "id_a").join(b, "id_b")
@@ -93,23 +106,41 @@ object Joins {
     * steward reviews, not a full re-keying.
     *
     * 100 TB shape: pair generation is the deletion-variant-bounded
-    * [[fuzzyPairs]] (no cross join), clustering is one join + one agg per
-    * CC round (round count = cluster diameter, probe-asserted flat), and
+    * [[fuzzyPairs]] (no cross join), clustering is the log-round
+    * star-contraction CC (round count ~log(diameter), probe-asserted), and
     * the golden-record assembly is ONE grouped aggregation over the
     * (id, comp) label table plus ONE id equi-join for the canonical name
     * (AQE picks broadcast while the cluster list is small). Member lists
     * live inside their row (`sort_array`, cluster-sized) — never a
     * per-cluster window. Returns
-    * (entity_id, n_members, member_ids comma-joined asc, canonical_name). */
-  def resolveEntities(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    * (entity_id, n_members, member_ids comma-joined asc, canonical_name).
+    *
+    * `maxClusterSize` guards against degenerate mega-merges: transitive
+    * closure over a weak match key (edit distance on near-sequential
+    * identifiers) can chain an entire table into ONE entity — an answer
+    * that is formally a connected component but semantically useless, and
+    * whose member list is a table-sized row. Resolution fails loudly past
+    * the cap with the sizes it saw; the fix is stronger blocking
+    * (`blockCols`) or a stricter match predicate, not a bigger cap. */
+  def resolveEntities(
+      df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String] = Nil, maxClusterSize: Int = 1000): DataFrame = {
     val names = df.select(col(idCol).cast("long").as("id"), col(strCol).as("__er_nm"))
-    val comp = Dedup.connectedComponents(fuzzyPairs(df, idCol, strCol))
-    val clusters = comp
+    val comp = Dedup.connectedComponents(fuzzyPairs(df, idCol, strCol, blockCols))
+    val clusters = OpUtils.shared(comp
       .groupBy(col("comp").as("entity_id"))
       .agg(
         count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("member_ids"))
-      .filter(col("n_members") >= 2)
+      .filter(col("n_members") >= 2))
+    val biggest = clusters.agg(coalesce(max(col("n_members")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (biggest > maxClusterSize)
+      throw new IllegalStateException(
+        s"entity resolution produced a cluster of $biggest members " +
+          s"(maxClusterSize=$maxClusterSize) — the match key chains distinct " +
+          "entities transitively; add blockCols (a stable attribute true " +
+          "duplicates share) or tighten the match predicate")
     clusters
       .join(names.select(col("id").as("entity_id"), col("__er_nm")), "entity_id")
       .select(col("entity_id"), col("n_members"), col("member_ids"),

@@ -92,7 +92,7 @@ private[graft] object OpUtils {
               "spark.cleaner.referenceTracking.cleanCheckpoints is false — falling back to " +
               "persist (no executor-loss resilience); enable the cleaner flag to checkpoint " +
               "without leaking checkpoint files")
-        shared(rangedRaw)
+        sharedPinned(rangedRaw)
       }
     val offsets = ranged.groupBy(col("__gr_pid"), col(groupCol))
       .agg(count(lit(1)).as("__gr_n"))
@@ -118,8 +118,39 @@ private[graft] object OpUtils {
 
   private val checkpointDowngradeWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private val persisted = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  /** Insertion-ordered registry of operator-persisted frames, bounded by
+    * [[maxTracked]]: a long-lived session running many pipelines would
+    * otherwise accumulate MEMORY_AND_DISK relations without limit and push
+    * every later query into storage-memory pressure (measured: queries
+    * running 4–10× their isolated time late in a 137-query session). When
+    * the cap is exceeded the OLDEST tracked frame is unpersisted — its
+    * pipeline has almost always completed; if one is still running, the
+    * evicted frame recomputes from lineage (slower, never wrong). */
+  private val persisted =
+    new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
+
+  /** Eviction cap, settable via `spark.graft.pipelineCache.maxRelations`
+    * (read lazily off the evicting frame's session). Sized for "a few
+    * concurrent pipelines": the heaviest operator persists ~4 frames. */
+  private def maxTracked(df: DataFrame): Int =
+    try df.sparkSession.conf.get("spark.graft.pipelineCache.maxRelations", "32").toInt
+    catch { case _: NumberFormatException => 32 }
+
+  private def trackBounded(p: DataFrame): Unit = {
+    val evict = persisted.synchronized {
+      persisted.put(p, java.lang.Boolean.TRUE)
+      val cap = maxTracked(p)
+      val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      val it = persisted.entrySet().iterator()
+      while (persisted.size() - out.size > cap && it.hasNext) {
+        val e = it.next()
+        if (e.getKey ne p) out += e.getKey
+      }
+      out.foreach(persisted.remove)
+      out
+    }
+    evict.foreach(_.unpersist(blocking = false))
+  }
 
   /** Persist a relation that the downstream plan references several times
     * (multiple join sides / aggregation branches): one materialization
@@ -130,14 +161,29 @@ private[graft] object OpUtils {
     * (`df.storageLevel` resolves through the cache manager's plan-equality
     * lookup) — re-persisting logs a CacheManager warning per call and does
     * nothing. Frames persisted here are released by
-    * [[PipelineCache.clear]]. */
+    * [[PipelineCache.clear]] or LRU-evicted past the registry cap. */
   def shared(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      persisted.add(p)
+      trackBounded(p)
       p
     }
+
+  /** [[shared]] minus LRU eviction, for frames whose RECOMPUTE would be a
+    * correctness bug, not a slowdown — e.g. [[groupedRank]]'s
+    * range-partitioned frame, where a re-executed range exchange may sample
+    * different partition boundaries and silently corrupt ranks. Pinned
+    * frames are only released by [[PipelineCache.clear]]. */
+  private[operators] def sharedPinned(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned.synchronized { pinned.add(p) }
+      p
+    }
+
+  private val pinned = new java.util.HashSet[DataFrame]()
 
   /** Materialize one round of an ITERATIVE operator and TRUNCATE its
     * logical plan (eager `localCheckpoint` → the round becomes a
@@ -162,11 +208,21 @@ private[graft] object OpUtils {
     * release — for operators that manage persist lifetimes themselves
     * (e.g. the CC round loop) but whose FINAL frame outlives the call and
     * must not leak past the pipeline scope. */
-  private[operators] def track(df: DataFrame): Unit = persisted.add(df)
+  private[operators] def track(df: DataFrame): Unit = trackBounded(df)
 
   private[operators] def unpersistAll(): Unit = {
-    persisted.forEach(df => df.unpersist(blocking = false))
-    persisted.clear()
+    val all = persisted.synchronized {
+      val keys = new java.util.ArrayList(persisted.keySet())
+      persisted.clear()
+      keys
+    }
+    all.forEach(df => df.unpersist(blocking = false))
+    val pins = pinned.synchronized {
+      val keys = new java.util.ArrayList(pinned)
+      pinned.clear()
+      keys
+    }
+    pins.forEach(df => df.unpersist(blocking = false))
   }
 }
 

@@ -318,6 +318,35 @@ class CurationSpec extends AnyFunSuite {
       (8L, 2L, "8,9", "beta inc")))
   }
 
+  test("fuzzyPairs blockCols: only records agreeing on every block column can pair") {
+    import graft.operators.Joins
+    val recs = Seq(
+      (1L, "acme corp", "US", "auto"),
+      (2L, "acme korp", "US", "auto"),  // dist 1, same block → pair
+      (3L, "acme corp", "DE", "auto"),  // exact name, different nation → no pair
+      (4L, "acme corp", "US", "bank"))  // exact name, different segment → no pair
+      .toDF("rid", "name", "nation", "segment")
+    val got = Joins.fuzzyPairs(recs, "rid", "name", Seq("nation", "segment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // same data unblocked: every name pair within distance 1 appears
+    val unblocked = Joins.fuzzyPairs(recs, "rid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unblocked == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("resolveEntities refuses a transitive mega-merge instead of emitting it") {
+    import graft.operators.Joins
+    // near-sequential identifiers: rec-1 .. rec-9 chain pairwise at edit
+    // distance 1 even though they are distinct entities — the classic
+    // weak-key failure resolveEntities must not answer with one cluster
+    val recs = (1L to 9L).map(i => (i, s"rec-$i")).toDF("rid", "name")
+    val e = intercept[IllegalStateException] {
+      Joins.resolveEntities(recs, "rid", "name", maxClusterSize = 4).collect()
+    }
+    assert(e.getMessage.contains("maxClusterSize") && e.getMessage.contains("blockCols"))
+  }
+
   test("NB quality classifier ranks reference-like docs above off-vocabulary docs") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // reference class (ids 0,7): a distinctive "clean" vocabulary; the

@@ -201,6 +201,18 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components converge in ~log(diameter) rounds on a chain graph") {
+    // a 512-node path is the worst case for label PROPAGATION (511 rounds);
+    // star contraction must finish in O(log diameter) — the bound below is
+    // 2·log2(d) + slack, loose enough to be stable, tight enough that any
+    // regression to diameter-bound convergence trips it immediately
+    val chain = (1L to 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIterations = 64)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 512 && comps.forall(_._2 == 1L))
+    assert(rounds <= 22, s"expected ~log2(512)=9-ish rounds, got $rounds")
+  }
+
   test("connected components fail loudly instead of returning partial labels") {
     // a 6-node chain cannot converge in 1 iteration — partial labels would
     // silently keep several "keepers" in one duplicate cluster
