@@ -1484,7 +1484,9 @@ object SparkEntry {
         |FROM cl JOIN customer c ON cl.entity_id = CAST(c.c_custkey AS BIGINT)"""
         .stripMargin,
     // wedge-count Jaccard over the co-purchase graph: adjacency self-join
-    // mirrors the in-kernel pair fan-out; NOT EXISTS drops existing edges
+    // mirrors the in-kernel pair fan-out, including the hub-exclusion cap
+    // (centers of degree > 1024 contribute no wedges — non-binding at this
+    // SF, max degree 71); NOT EXISTS drops existing edges
     "graph_jaccard" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1496,6 +1498,7 @@ object SparkEntry {
         |        FROM adj GROUP BY 1),
         |wed AS (SELECT a.v AS ia, b.v AS ib, CAST(count(*) AS BIGINT) AS c
         |        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        |        JOIN deg dc ON a.u = dc.id AND dc.d <= 1024
         |        GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT ia AS id_a, ib AS id_b, c AS n_common,
         |  round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard

@@ -668,11 +668,17 @@ object Dedup {
     * Shape: explode distinct shingles → document frequency per shingle
     * (one partial-agg shuffle over the shingle stream) → join back → per-doc
     * ratio. The shingle-frequency table is vocabulary-sized; nothing is
-    * pairwise. */
+    * pairwise. The gram key is xxhash64'd BEFORE the frequency exchange —
+    * an 8-byte key instead of an ~n-word string cuts both the groupBy and
+    * the join payload ~4×, the same trick the minhash verify path uses; a
+    * 64-bit collision (odds ~|vocab|²/2⁶⁵) merges two grams' counts, which
+    * can only nudge dup_frac upward by one gram — acceptable for a
+    * coverage STATISTIC, whereas the dedup cut lists stay exact-verified. */
   def duplicatedNgramCoverage(
       df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val e = shared(widen(df)
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("g")))
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("g0"))
+      .select(col("id"), xxhash64(col("g0")).as("g")))
     val dfreq = e.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
     e.join(dfreq, "g")
       .groupBy(col("id"))

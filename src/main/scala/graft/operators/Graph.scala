@@ -316,19 +316,30 @@ object Graph {
     * broadcasts the degree table while it fits); existing edges drop via
     * one more equi-join (pairs and edges share the u<v canonical order, so
     * one direction suffices); the top-k is a TakeOrdered over
-    * 6-dp-rounded scores with (id_a, id_b) tie order. Per-center wedge
-    * cost is deg(v)² — the irreducible price of EXACT common-neighbor
-    * counting; at web scale cap or sample hub neighborhoods upstream (the
-    * same mitigation [[triangleCount]]'s orientation gives structurally,
-    * which an approximate variant of this operator would reuse via minhash
-    * over neighbor sets — see [[Dedup.minhashPairs]]).
+    * 6-dp-rounded scores with (id_a, id_b) tie order.
+    *
+    * Per-center wedge cost is deg(v)², so ONE web-scale hub would emit its
+    * full neighbor-pair square (a 10⁶-degree node ≈ 5·10¹¹ rows) before
+    * any filter could prune — `maxDegree` excludes such centers BEFORE the
+    * fan-out (the filter sits between the neighbor-set aggregation and the
+    * explode, so the bound is on emission itself, plan-asserted). The
+    * contract: common-neighbor EVIDENCE routed through nodes of degree >
+    * maxDegree is ignored. That is the standard recommender treatment of
+    * hubs — co-occurrence through a near-universal neighbor carries almost
+    * no signal (the same observation Adamic–Adar formalizes by 1/log(deg)
+    * weighting), and [[triangleCount]]'s degree orientation applies the
+    * same discipline structurally. Total wedge volume is then ≤ maxDegree
+    * × |E| by construction. Raise the cap only with a corresponding
+    * executor-memory budget.
     *
     * `edges` must be (src, dst); direction and duplicates are normalized
     * here. Returns (id_a, id_b, n_common, jaccard), jaccard desc. */
   def jaccardLinks(
-      edges: DataFrame, k: Int = 20, minCommon: Long = 2): DataFrame = {
+      edges: DataFrame, k: Int = 20, minCommon: Long = 2,
+      maxDegree: Long = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(minCommon >= 1, s"minCommon >= 1, got $minCommon")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
     import graft.functions.GraftFunctions.pairCombinations
     val e = OpUtils.shared(edges
       .filter(col("src") =!= col("dst"))
@@ -340,6 +351,7 @@ object Graph {
     val wedges = adj
       .groupBy(col("u"))
       .agg(collect_set(col("v")).as("__jl_ns"))
+      .filter(size(col("__jl_ns")) <= maxDegree) // hub exclusion pre-fan-out
       .select(explode(pairCombinations(array_sort(col("__jl_ns")))).as("p"))
       .select(col("p.id_a").as("a"), col("p.id_b").as("b"))
       .groupBy(col("a"), col("b"))

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-import graft.model.BuzzQuery
+import graft.model.{BuzzException, BuzzQuery}
 import graft.sources.{CatalogResolver, SchemaVerifier, SplittableCatalog}
 
 /** Executes a validated two-step buzz query.
@@ -46,8 +46,10 @@ final class BuzzEngine(
     * session catalog state. Concurrent `run` calls in one session that share
     * a catalog or step name would still race between register and drop;
     * use distinct step names (or sessions) for concurrent queries. */
-  def run(spark: SparkSession, query: BuzzQuery): DataFrame = {
-    val p = plan(spark, query)
+  def run(spark: SparkSession, query: BuzzQuery): DataFrame =
+    buildDf(spark, plan(spark, query))
+
+  private def buildDf(spark: SparkSession, p: DistributedPlan): DataFrame = {
     if (verifySchemas)
       SchemaVerifier.verify(
         p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
@@ -85,8 +87,11 @@ final class BuzzEngine(
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      val df = run(spark, query)
-      val rows = df.collect()
+      val p = plan(spark, query)
+      val df = buildDf(spark, p)
+      val rows =
+        try df.collect()
+        catch { case e: Throwable => throw attributeWorkerFailure(e, p.files.map(_.key)) }
       // the listener bus is async: wait until task-end events stop arriving
       var last = -1L
       var stableChecks = 0
@@ -101,6 +106,31 @@ final class BuzzEngine(
     } finally {
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  /** Map a worker (task) failure back to the FILE that caused it — parity
+    * with the reference's collector, which logs which hbee failed and why
+    * (`collector.rs:39-62`: the FAIL action carries the hbee's reason up to
+    * the fuse). Spark buries the file in a cause-chain message; this walks
+    * the chain, matches it against the query's own planned file list, and
+    * rethrows a [[BuzzException.ExecutionError]] that NAMES the file (plus
+    * the root cause), with the original exception attached. Unattributable
+    * failures (reduce-side OOM, network) still map to ExecutionError with
+    * the root message. */
+  private def attributeWorkerFailure(e: Throwable, fileKeys: Seq[String]): Throwable = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    val messages = chain.flatMap(t => Option(t.getMessage))
+    def tokens(key: String): Seq[String] = {
+      val noScheme = key.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+      Seq(key, noScheme).distinct
+    }
+    val failing = fileKeys.find(k => tokens(k).exists(t => messages.exists(_.contains(t))))
+    val root = chain.last
+    val err = new BuzzException.ExecutionError(
+      failing.fold("worker failed")(f => s"worker failed on file $f") +
+        s": ${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(300)}")
+    err.initCause(e)
+    err
   }
 
   /** Total parquet-scan wall time from the executed plan's SQL metrics —
@@ -143,8 +173,13 @@ final class QueryMetricsListener extends SparkListener {
   val shuffleFetchWaitMs = new LongAdder
   val taskTimeMs = new LongAdder
   val tasks = new LongAdder
+  val failedTasks = new LongAdder
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    // per-worker failure observability (collector.rs:39-62 parity): count
+    // tasks that ended in anything but Success — retried-then-succeeded
+    // work still shows up here as the failed attempts it cost
+    if (taskEnd.reason != org.apache.spark.Success) failedTasks.increment()
     val m = taskEnd.taskMetrics
     if (m != null) {
       bytesRead.add(m.inputMetrics.bytesRead)
@@ -168,5 +203,6 @@ final class QueryMetricsListener extends SparkListener {
     "shuffle_bytes_read" -> shuffleBytesRead.sum(),
     "shuffle_fetch_wait_ms" -> shuffleFetchWaitMs.sum(),
     "task_time_ms" -> taskTimeMs.sum(),
-    "tasks" -> tasks.sum())
+    "tasks" -> tasks.sum(),
+    "failed_tasks" -> failedTasks.sum())
 }

@@ -98,4 +98,32 @@ class EngineSpec extends AnyFunSuite {
         BuzzCapacity(1), Nil))
     }
   }
+
+  test("a corrupt-file worker failure names the failing file (collector.rs:39-62 parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val good = s"$dir/good.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tmp")
+    val part = new java.io.File(s"$dir/tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(good))
+    val bad = s"$dir/zz_corrupt.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "this is not a parquet file".getBytes)
+    // schema inference reads the FIRST file (the good one); the corrupt one
+    // fails at scan time inside a worker task
+    val cat = StaticCatalog.overLocalFiles(spark, "t", Seq(good, bad))
+    val eng = new BuzzEngine(Map("t" -> cat))
+    val e = intercept[BuzzException.ExecutionError] {
+      eng.runAndCollect(spark, BuzzQuery(
+        Seq(
+          BuzzStep("SELECT count(*) AS cnt FROM t", "m", BuzzStepType.HBee, None),
+          BuzzStep("SELECT sum(cnt) AS total FROM m", "r", BuzzStepType.HComb, None)),
+        BuzzCapacity(1), Nil))
+    }
+    assert(e.getMessage.contains("zz_corrupt.parquet"),
+      s"error must name the failing file: ${e.getMessage}")
+    assert(e.getCause != null)
+  }
 }

@@ -275,4 +275,31 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("jaccardLinks hub exclusion bounds wedge fan-out BEFORE the explode") {
+    import spark.implicits._
+    // star center 100 has degree 4; spokes 1-4 also pairwise chained so
+    // some wedges survive without the hub. maxDegree=3 must drop ONLY the
+    // wedges centered on the hub: (1,2) etc. keep their chain evidence
+    val star = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val unCapped = Graph.jaccardLinks(star, k = 100, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = Graph.jaccardLinks(star, k = 100, minCommon = 1, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,3): common {2, 100} uncapped -> {2} capped (hub evidence ignored)
+    assert(unCapped((1L, 3L)) == 2L && capped((1L, 3L)) == 1L)
+    // (1,4): only common neighbor is the hub -> disappears when capped
+    assert(unCapped.contains((1L, 4L)) && !capped.contains((1L, 4L)))
+    // the fan-out bound is structural: the degree filter must sit BETWEEN
+    // the neighbor-set aggregation and the generator, so an over-cap
+    // center's pairs are never emitted at all
+    val plan = Graph.jaccardLinks(star, maxDegree = 3)
+      .queryExecution.optimizedPlan.toString()
+    val genLine = plan.linesIterator.indexWhere(_.contains("Generate"))
+    val filtLine = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("size"))
+    assert(genLine >= 0 && filtLine > genLine,
+      s"size filter must be below Generate in the optimized plan:\n$plan")
+  }
 }
