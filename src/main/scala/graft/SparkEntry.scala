@@ -1259,6 +1259,16 @@ object SparkEntry {
       Curation.dropNearDuplicates(docs, "doc_id", pairs)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),
+    // quality-aware dedup policy: per near-dup cluster keep the member
+    // maximizing a quality score (here n_chars; ties → smaller id) — the
+    // production alternative to min-id keepers when cluster members differ
+    // in quality (clean extraction vs raw scrape of the same page)
+    "curate_keep_best" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      Curation.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
+    }),
     // canonical text normalization (NFC + lowercase + control-strip +
     // whitespace collapse) — the narrow pass in front of hashing/dedup
     "curate_normalize" -> ((s, dir) =>
@@ -2840,6 +2850,47 @@ object SparkEntry {
         |FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.comp = d.doc_id
         |GROUP BY 1""".stripMargin,
+    // same recursive-CTE clustering as curate_dedup_near, but the keeper is
+    // the quality argmax (n_chars desc, id asc) instead of min id
+    "curate_keep_best" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT CAST(d.doc_id AS BIGINT) AS id,
+        |    CAST(COALESCE(labels.comp, d.doc_id) AS BIGINT) AS comp,
+        |    CAST(d.n_chars AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN labels ON d.doc_id = labels.id),
+        |sel AS (
+        |  SELECT comp, id, score,
+        |    row_number() OVER (PARTITION BY comp ORDER BY score DESC, id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS nm
+        |  FROM lab)
+        |SELECT comp AS cluster_id, nm AS n_members, id AS keeper_id,
+        |  score AS keeper_score
+        |FROM sel WHERE rn = 1""".stripMargin,
     "curate_top_quality" ->
       """SELECT source,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rank,

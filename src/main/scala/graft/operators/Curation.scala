@@ -647,6 +647,37 @@ object Curation {
       .drop("__ndd_keeper")
   }
 
+  /** Quality-aware keeper selection per near-duplicate cluster: instead of
+    * [[dropNearDuplicates]]' minimum-id keeper, keep the member that
+    * maximizes `scoreCol` (ties → smaller id) — the production dedup
+    * policy when members of a duplicate cluster differ in quality
+    * (boilerplate-stripped vs raw scrapes of the same page): discarding by
+    * id throws away the best copy about half the time. Singleton documents
+    * form their own cluster and keep themselves.
+    *
+    * Shape: cluster labels from the log-round CC over the (endpoint-sized)
+    * pair list; the corpus attaches by ONE left join on id (labels
+    * broadcast at scale); the argmax is a plain grouped `max(struct(score,
+    * -id))` — no per-cluster window, no second pass. Returns one row per
+    * cluster: (cluster_id, n_members, keeper_id, keeper_score). */
+  def keepBestPerCluster(
+      df: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__kb_id"), col("comp").as("__kb_comp"))
+    df.select(col(idCol).cast("long").as("__kb_id"),
+        col(scoreCol).cast("long").as("__kb_score"))
+      .join(labels, Seq("__kb_id"), "left")
+      .select(col("__kb_id"),
+        coalesce(col("__kb_comp"), col("__kb_id")).as("__kb_comp"), col("__kb_score"))
+      .groupBy(col("__kb_comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__kb_score"), (-col("__kb_id")).as("__kb_nid"))).as("__kb_b"))
+      .select(col("__kb_comp").as("cluster_id"), col("n_members"),
+        (-col("__kb_b.__kb_nid")).as("keeper_id"),
+        col("__kb_b.__kb_score").as("keeper_score"))
+  }
+
   /** Data-mixing weights per corpus group (source/domain): each group's
     * sampling weight ∝ docs · avg_quality^alpha — the static quality-biased
     * mixing step of a training-data pipeline (upweight clean domains,

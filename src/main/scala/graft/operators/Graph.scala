@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 /** Iterative link analysis over edge lists — the graph-signal leg of a
   * web-corpus curation pipeline (CommonCrawl-style host ranking feeding
   * quality filters), expressed as fixed-point join/aggregate rounds the
-  * same way [[Dedup.connectedComponents]] runs label propagation.
+  * same way [[Dedup.connectedComponents]] runs star contraction.
   *
   * 100 TB shape: per iteration exactly ONE shuffle join (edges ⋈ ranks on
   * src) and ONE aggregation (contributions per dst) — the edge list, the

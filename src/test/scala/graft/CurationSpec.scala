@@ -318,6 +318,23 @@ class CurationSpec extends AnyFunSuite {
       (8L, 2L, "8,9", "beta inc")))
   }
 
+  test("keepBestPerCluster keeps the quality argmax, ties to smaller id, singletons stay") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),  // cluster {1,2,3}: best score 50, tie → id 2
+      (7L, 5L),                         // singleton keeps itself
+      (8L, 9L), (9L, 30L))              // cluster {8,9}: 9 wins on score
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Curation.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 50L),
+      (7L, 1L, 7L, 5L),
+      (8L, 2L, 9L, 30L)))
+  }
+
   test("fuzzyPairs blockCols: only records agreeing on every block column can pair") {
     import graft.operators.Joins
     val recs = Seq(
