@@ -249,13 +249,16 @@ object ScaleProbe {
       }
       report("kcore_nodes", scale, nCore, coreSecs)
 
-      // jaccard link prediction: k disconnected co-purchase copies — the
-      // candidate top-k per copy is identical, so the GLOBAL top-k set
-      // size stays k (scores tie across copies; the probe measures wedge
-      // volume growth through wall time, which must track edges ~linearly
-      // since per-center fan-out is a per-copy property, not a corpus one)
+      // jaccard link prediction: k disconnected co-purchase copies at the
+      // CAPPED production setting. The unfiltered co-purchase graph holds
+      // ~148M wedges per copy (max degree 222) — uncapped, the 10× run is
+      // ~1.5B wedge rows, which is precisely the hub fan-out failure
+      // jaccardLinks' maxDegree exists for (it OOMs an 8 GB heap). With
+      // the cap the per-copy wedge volume is bounded by maxDegree·|E|, the
+      // global top-k set stays k (scores tie across copies), and wall time
+      // must track edges ~linearly
       val (jlRows, jlSecs) = timed {
-        graft.operators.Graph.jaccardLinks(triK, k = 20).count()
+        graft.operators.Graph.jaccardLinks(triK, k = 20, maxDegree = 64).count()
       }
       report("jaccard_links_rows", scale, jlRows, jlSecs)
 

@@ -967,6 +967,21 @@ object SparkEntry {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
+    // saved-index ANN: build + persist the IVF index (bucket-partitioned
+    // corpus + centroids + pinned params), then query it through the load
+    // path with exhaustive probes — the daily-shard pattern; result must
+    // equal brute force exactly (probe-pruned recall is spec-tested)
+    "ann_saved" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+        fixtureKey(dir, "embeddings")
+      Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx)
+      Similarity.ivfTopKAgainstSavedIndex(
+          s, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          idx, k = 5, nProbe = Int.MaxValue - 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
     // metadata-filtered ANN: top-5 among label-0/3/6/9 vectors only, the
     // predicate applied BEFORE any distance work (pre-filter semantics) on
     // a full-corpus shared index; exhaustive probes make the result the
@@ -2648,6 +2663,18 @@ object SparkEntry {
         |  ('0x' || substr(md5(fr), 1, 15))::BIGINT AS frame_hash
         |FROM f""".stripMargin,
     "ann_brute" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
+    // the saved-index path with exhaustive probes reproduces brute force
+    // exactly — same oracle as ann_brute
+    "ann_saved" ->
       """SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (
         |    PARTITION BY q.vec_id

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 import graft.functions.GraftFunctions._
 
@@ -457,6 +458,74 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", cosineSim(col("cv"), col("qv")))
     rankTopK(rescored, k)
+  }
+
+  /** Persist an IVF index for cross-session / cross-shard reuse — the ANN
+    * analog of [[Dedup.saveMinhashIndex]], for the "build the index over
+    * the accumulated corpus once, query it per incoming shard" pattern.
+    *
+    * Layout: `centroids/` (centroid_id, cvec — nlist rows, driver-sized),
+    * `buckets/` — the assigned corpus written PARTITIONED BY BUCKET, so a
+    * query batch that probes `nProbe` of `nlist` buckets reads exactly
+    * those directories: with the probe relation broadcast, Spark's dynamic
+    * partition pruning pushes the probed bucket set into the file scan
+    * (plan-asserted in the spec) and the unprobed ~(1 − nProbe/nlist) of
+    * the corpus is never opened. A params file pins nlist — querying a dir
+    * with mismatched parameters is impossible by construction. */
+  def saveIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nCentroids: Int = 0, kmeansIters: Int = 2,
+      corpusSizeHint: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+    val (_, cents, bucketed, _) =
+      buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+    val centRows = cents.zipWithIndex.map { case (c, i) => Row(i, c) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows.toSeq, 1),
+        StructType(Seq(
+          StructField("centroid_id", IntegerType, nullable = false),
+          StructField("cvec", ArrayType(DoubleType), nullable = false))))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    bucketed.select(col("neighbor_id"), col("cv"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/buckets")
+    graft.sources.FsUtil.writeString(spark, s"$dir/params",
+      s"nlist=${cents.length}\nmetric=cosine\n")
+  }
+
+  /** Top-k over a [[saveIvfIndex]] dir: centroids load driver-side (nlist
+    * rows — the same footprint the in-memory cache holds), queries assign
+    * to their `nProbe` nearest buckets, and the bucket equi-join runs
+    * against the partitioned corpus with the probe side broadcast — scan
+    * pruning does the rest. `nProbe >= nlist` probes every bucket (the
+    * exhaustive configuration: results exactly match brute force). */
+  def ivfTopKAgainstSavedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      dir: String, k: Int, nProbe: Int = 0): DataFrame = {
+    val paramsPath = s"$dir/params"
+    if (!graft.sources.FsUtil.exists(spark, paramsPath))
+      throw new IllegalArgumentException(
+        s"$dir has no params file — not a saveIvfIndex dir")
+    val nlist = graft.sources.FsUtil.readString(spark, paramsPath)
+      .linesIterator.collectFirst { case l if l.startsWith("nlist=") =>
+        l.stripPrefix("nlist=").trim.toInt }
+      .getOrElse(throw new IllegalArgumentException(s"$paramsPath carries no nlist"))
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(r => r.getSeq[Double](1))
+      .toSeq
+    require(cents.length == nlist,
+      s"index dir $dir is inconsistent: params nlist=$nlist but ${cents.length} centroids")
+    val bucketed = spark.read.parquet(s"$dir/buckets")
+    val probed = queries.select(
+      col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      explode(nearestCentroids(col(qVecCol), cents, resolveProbe(nProbe, nlist))).as("bucket"))
+    val scored = bucketed.join(broadcast(probed), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineSim(col("cv"), col("qv")))
+    rankTopK(scored, k)
   }
 
   /** `nProbe <= 0` → the [[ivfProbeCount]] default; values ≥ nlist clamp to

@@ -225,6 +225,44 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(1200))
   }
 
+  test("saved IVF index round-trips: exhaustive query == brute force; probes prune partitions") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir)
+    // exhaustive probes through the bucket machinery == brute force exactly
+    val got = Similarity.ivfTopKAgainstSavedIndex(
+        spark, queries, "vec_id", "embedding", dir, k = 3, nProbe = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // default (√nlist) probing: the partitioned layout must prune — the
+    // bucket scan's partition filters carry the dynamic-pruning subquery
+    // fed by the broadcast probe relation, so unprobed directories are
+    // never opened
+    val pruned = Similarity.ivfTopKAgainstSavedIndex(
+      spark, queries, "vec_id", "embedding", dir, k = 3)
+    val planStr = pruned.queryExecution.executedPlan.toString()
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"probed bucket join should partition-prune the saved index scan:\n${planStr.take(1200)}")
+    // sanity on the pruned answer: the sf0.001 corpus is near-random (no
+    // planted clusters), so √nlist probing has structurally limited recall
+    // here — the clustered-data test above owns the recall-quality bar;
+    // this only guards against a broken probe path returning junk/empty
+    val prunedRows = pruned.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val wantPairs = want.map { case (q, _, n) => (q, n) }
+    val recall = prunedRows.intersect(wantPairs).size.toDouble / wantPairs.size
+    assert(recall >= 0.3, s"recall $recall too low for default probing")
+    // a dir without params fails loudly
+    val empty = java.nio.file.Files.createTempDirectory("graft_ivf_np").toString
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAgainstSavedIndex(spark, queries, "vec_id", "embedding", empty, 3)
+    }
+  }
+
   test("meanEmbeddings averages per (group, dim) with exact widening") {
     import spark.implicits._
     val df = Seq(
