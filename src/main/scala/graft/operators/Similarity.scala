@@ -499,10 +499,13 @@ object Similarity {
     * against the partitioned corpus with the probe side broadcast — scan
     * pruning does the rest. `nProbe >= nlist` probes every bucket (the
     * exhaustive configuration: results exactly match brute force). */
-  def ivfTopKAgainstSavedIndex(
+  /** Load a [[saveIvfIndex]] dir: (centroids, nlist, bucketed corpus).
+    * Centroids collect driver-side (nlist rows — the footprint the
+    * in-memory cache holds); the corpus stays a lazy partitioned scan.
+    * Fails loudly on a dir without the params file. */
+  def loadIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
-      queries: DataFrame, qIdCol: String, qVecCol: String,
-      dir: String, k: Int, nProbe: Int = 0): DataFrame = {
+      dir: String): (Seq[Seq[Double]], Int, DataFrame) = {
     val paramsPath = s"$dir/params"
     if (!graft.sources.FsUtil.exists(spark, paramsPath))
       throw new IllegalArgumentException(
@@ -518,7 +521,14 @@ object Similarity {
       .toSeq
     require(cents.length == nlist,
       s"index dir $dir is inconsistent: params nlist=$nlist but ${cents.length} centroids")
-    val bucketed = spark.read.parquet(s"$dir/buckets")
+    (cents, nlist, spark.read.parquet(s"$dir/buckets"))
+  }
+
+  def ivfTopKAgainstSavedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      dir: String, k: Int, nProbe: Int = 0): DataFrame = {
+    val (cents, nlist, bucketed) = loadIvfIndex(spark, dir)
     val probed = queries.select(
       col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       explode(nearestCentroids(col(qVecCol), cents, resolveProbe(nProbe, nlist))).as("bucket"))

@@ -143,6 +143,45 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** Streaming ANN radius hits of a query-vector stream against a SAVED
+    * IVF index ([[graft.operators.Similarity.saveIvfIndex]] dir): each
+    * arriving vector probes its `nProbe` nearest buckets and emits every
+    * indexed neighbor with cosine ≥ `threshold` — the online twin of
+    * [[graft.operators.Similarity.rangeSearch]], for embedding-space
+    * contamination/near-dup alerts on an ingest stream.
+    *
+    * Shape: centroids load ONCE at stream definition (driver-sized, the
+    * same footprint the batch path holds); per micro-batch the work is a
+    * stateless stream–static equi-join on the bucket key against the
+    * partitioned index — probed buckets prune the static side's file scan,
+    * and no state store is involved (append mode, trivially watermarked).
+    * Emits (idCol, tsCol, neighbor_id, sim). */
+  def annHitsStreamingIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      indexDir: String,
+      threshold: Double,
+      nProbe: Int = 0,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions.{cosineSim, nearestCentroids}
+    val spark = queries.sparkSession
+    val (cents, nlist, bucketed) =
+      graft.operators.Similarity.loadIvfIndex(spark, indexDir)
+    val probe = math.max(1, if (nProbe <= 0)
+      graft.operators.Similarity.ivfProbeCount(nlist) else math.min(nProbe, nlist))
+    queries
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol).as("__qv"),
+        explode(nearestCentroids(col(vecCol), cents, probe)).as("bucket"))
+      .join(bucketed, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col(idCol))
+      .withColumn("sim", cosineSim(col("cv"), col("__qv")))
+      .filter(col("sim") >= threshold)
+      .select(col(idCol), col(tsCol), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** End-to-end incremental curation: streaming dedup + the stateless
     * curation passes, composed exactly as the batch pipeline but runnable
     * under `readStream`/`writeStream`:

@@ -263,6 +263,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN hits against a saved IVF index flag planted near-identical vectors") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", dir)
+    // planted queries: exact copies of indexed vectors 0 and 3 (cosine 1.0
+    // with their source — found in the source's own bucket by construction);
+    // query 99 is an orthogonal-ish basis vector with no close neighbor
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val basis = Seq.tabulate(all(0L).length)(i => if (i == 0) 1.0f else 0.0f)
+    val stream = MemoryStream[(Long, Seq[Float], Timestamp)]
+    stream.addData(Seq(
+      (9000L, all(0L), ts(0)),
+      (9003L, all(3L), ts(1)),
+      (99L, basis, ts(2))))
+    val q = CorpusStream.annHitsStreamingIndexed(
+        stream.toDF().toDF("qid", "qvec", "ts"), "qid", "qvec", "ts",
+        dir, threshold = 0.999)
+      .writeStream.format("memory").queryName("ann_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ann_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      val byQ = rows.groupBy(_._1)
+      assert(byQ.keySet == Set(9000L, 9003L), s"got ${rows.mkString(",")}")
+      assert(byQ(9000L).exists(h => h._2 == 0L && h._3 >= 0.999))
+      assert(byQ(9003L).exists(h => h._2 == 3L && h._3 >= 0.999))
+    } finally q.stop()
+  }
+
   test("meanEmbeddings averages per (group, dim) with exact widening") {
     import spark.implicits._
     val df = Seq(
