@@ -1134,6 +1134,27 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // transactional Delta sink: create (v0) + append (v1) commits over the
+    // documents corpus partitioned by source, then read the table back
+    // through the engine's own Delta catalog and aggregate — exercising
+    // the full write→log→snapshot→scan loop. The dir is recreated per run
+    // (the sink would otherwise keep appending across bench reps)
+    "sink_delta" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltasink_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) =!= 0), out, Seq("source"))
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_sink")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -2600,6 +2621,12 @@ object SparkEntry {
         |FROM t LEFT JOIN top USING (doc_id)""".stripMargin,
     "sink_partitioned" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
+    // the delta write→snapshot→scan round-trip is lossless, so the oracle
+    // is the same aggregate straight off the source table
+    "sink_delta" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
     // op-for-op Morton-code mirror: same bin scaling, same 8-bit
     // interleave unrolled as shift/mask terms, same block grouping
     "sink_zorder" -> {

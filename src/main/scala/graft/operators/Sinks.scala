@@ -143,4 +143,114 @@ object Sinks {
     merged.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Transactional Delta append: write `df`'s rows as parquet under
+    * `tablePath` (Hive layout when partitioned) and publish ONE atomic
+    * JSON commit in `_delta_log` — creating the table (protocol +
+    * metaData + adds at version 0) when no log exists, appending add
+    * actions at latest+1 otherwise. Completes the Delta loop: the engine
+    * reads Delta ([[graft.sources.DeltaCatalog]]); a pipeline's curated
+    * output written here is immediately queryable by that catalog, by
+    * Spark's own Delta reader, and time-travelable per commit.
+    *
+    * Correctness model (the Delta protocol's): data files are staged
+    * invisible-until-commit — a crashed job leaves orphan parquet no
+    * reader ever sees — and the commit file is written to a temp name
+    * then RENAMED to `<version>.json`, atomic on HDFS/local semantics.
+    * Appends to an existing table verify schema and partitioning against
+    * the live metaData FIRST and fail loudly on drift. Single-writer per
+    * table, as with delta-rs on plain object stores: two concurrent
+    * committers of the same version race the rename, and the loser's
+    * rename fails (destination exists) — it must retry at the next
+    * version; stores whose rename cannot enforce this (raw S3) need an
+    * external lock, exactly the DynamoDB-LogStore caveat upstream Delta
+    * documents.
+    *
+    * Scale: the commit is metadata-sized (one JSON line per file); the
+    * data write is Spark's normal distributed parquet write. Partition
+    * values are string-typed ([[writePartitioned]]'s model, matching the
+    * reference's partition handling). Returns the committed version. */
+  def deltaAppend(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val spark = df.sparkSession
+    val logDir = s"$tablePath/_delta_log"
+    val data = partitionCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+    val tableExists = FsUtil.isDirectory(spark, logDir)
+    if (tableExists) {
+      val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_sink")
+      if (cat.partitionColumns != partitionCols)
+        throw new BuzzException.SchemaMismatch(
+          s"$tablePath is partitioned by (${cat.partitionColumns.mkString(",")}), " +
+            s"append declares (${partitionCols.mkString(",")})")
+      val incoming = data.schema.fields.filterNot(f => partitionCols.contains(f.name))
+        .map(f => f.name -> f.dataType.sql).toSeq
+      val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+      if (incoming != declared)
+        throw new BuzzException.SchemaMismatch(
+          s"append schema ${incoming.mkString(",")} does not match " +
+            s"$tablePath's metaData ${declared.mkString(",")}")
+    }
+    // stage the data files under the table, invisible until the commit
+    val fsys = FsUtil.fs(spark, tablePath)
+    val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
+    val w = data.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+    val HivePart = "([^=/]+)=([^/]*)".r
+    def walk(dir: Path, segs: Seq[(String, String)]): Seq[(Path, Seq[(String, String)])] =
+      fsys.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) st.getPath.getName match {
+          case HivePart(k, v) => walk(st.getPath, segs :+ (k -> v))
+          case _              => walk(st.getPath, segs)
+        }
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath -> segs)
+        else Nil
+      }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    val adds = walk(new Path(stage), Nil).map { case (file, segs) =>
+      val rel = (segs.map { case (k, v) => s"$k=$v" } :+ file.getName).mkString("/")
+      val dest = new Path(tablePath, rel)
+      fsys.mkdirs(dest.getParent)
+      if (!fsys.rename(file, dest))
+        throw new BuzzException.ExecutionError(s"staging rename failed for $rel")
+      val pv = segs.map { case (k, v) => k -> unescapePathName(v) }
+      (rel, fsys.getFileStatus(dest).getLen, pv)
+    }
+    fsys.delete(new Path(stage), true)
+    val version =
+      if (tableExists) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
+    val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
+      JObject("add" -> JObject(
+        "path" -> JString(rel),
+        "size" -> JLong(size),
+        "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
+        "dataChange" -> JBool(true)))
+    }
+    val actions: Seq[JValue] =
+      if (version == 0L)
+        JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
+        JObject("metaData" -> JObject(
+          "id" -> JString(java.util.UUID.randomUUID.toString),
+          "format" -> JObject("provider" -> JString("parquet")),
+          "schemaString" -> JString(data.schema.json),
+          "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList))) ::
+        addActions.toList
+      else addActions
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    if (!tableExists) fsys.mkdirs(new Path(logDir))
+    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+    FsUtil.writeString(spark, tmp.toString, body)
+    val commit = new Path(logDir, f"$version%020d.json")
+    if (!fsys.rename(tmp, commit)) {
+      fsys.delete(tmp, false)
+      throw new BuzzException.ExecutionError(
+        s"commit $version already exists under $logDir (concurrent writer?) — retry")
+    }
+    version
+  }
 }

@@ -110,6 +110,19 @@ object DeltaCatalog {
     toCatalog(spark, tablePath, name, state)
   }
 
+  /** Latest committed version visible in `logDir`: max over JSON commit
+    * files and the checkpoint; -1 for an empty/absent log. The version the
+    * NEXT commit of a writer must exceed by exactly one. */
+  private[graft] def latestVersion(spark: SparkSession, logDir: String): Long = {
+    if (!FsUtil.isDirectory(spark, logDir)) return -1L
+    val commits = FsUtil.listStatus(spark, logDir).flatMap(st =>
+      st.getPath.getName match {
+        case CommitFile(v) => Some(v.toLong)
+        case _             => None
+      })
+    (commits :+ checkpointVersion(spark, logDir)).max
+  }
+
   /** The `_last_checkpoint` version, or -1 when there is none. */
   private def checkpointVersion(spark: SparkSession, logDir: String): Long = {
     val lastCp = s"$logDir/_last_checkpoint"

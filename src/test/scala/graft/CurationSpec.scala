@@ -527,6 +527,34 @@ class CurationSpec extends AnyFunSuite {
       base, changes.select("k", "bal", "name"), "k", out))
   }
 
+  test("deltaAppend: create + append commits round-trip through DeltaCatalog and plain Spark") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_sink").toString
+    val b1 = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p")
+    val b2 = Seq((3L, "z", "p1"), (4L, "w", "p3")).toDF("id", "v", "p")
+    assert(Sinks.deltaAppend(b1, out, Seq("p")) == 0L)
+    assert(Sinks.deltaAppend(b2, out, Seq("p")) == 1L)
+    // the engine's own Delta reader sees both commits
+    val cat = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    val got = cat.read(spark, cat.files)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1"), (4L, "w", "p3")))
+    // time travel: version 0 holds only the first batch
+    val v0 = DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(0L))
+    assert(v0.read(spark, v0.files).count() == 2)
+    // a plain partitioned-parquet reader over the data dirs agrees (the
+    // staged-then-committed files are the only ones under p=*/)
+    val plain = spark.read.parquet(out).count()
+    assert(plain == 4)
+    // schema drift and partitioning drift fail loudly before any write
+    intercept[BuzzException.SchemaMismatch](
+      Sinks.deltaAppend(Seq((9L, 1.0, "p1")).toDF("id", "v", "p"), out, Seq("p")))
+    intercept[BuzzException.SchemaMismatch](
+      Sinks.deltaAppend(b1, out, Nil))
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics
