@@ -68,22 +68,37 @@ object Graph {
     val nDanglers = danglers.count()
 
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-    var prevPersisted: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      val withDangling = roundUpdate(
-        nodes, weighted, ranks, danglers, nDanglers, n, damping, iterDp)
-      // materialize each round once: the next round's join and (with
-      // danglers) its mass aggregate both read it, and an unpersisted
-      // round would re-run the whole chain back to the edge scan
-      val next = withDangling.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prevPersisted.foreach(_.unpersist(blocking = false))
-      prevPersisted = Some(next)
-      ranks = next
+    if (nDanglers == 0) {
+      // no danglers → each round reads the previous ranks EXACTLY ONCE
+      // (the contribution join; no mass aggregate), so the rounds compose
+      // into one lazy chain: a single job runs all iterations' shuffles
+      // back-to-back instead of paying one action + persist per round
+      // (measured ~2× on the symmetrized bench graph). Lineage is
+      // truncated every few rounds so a large iteration count cannot
+      // inflate analysis; the common 3-iteration call never truncates.
+      for (i <- 1 to iterations) {
+        ranks = roundUpdate(
+          nodes, weighted, ranks, danglers, nDanglers, n, damping, iterDp)
+        if (i % 4 == 0 && i < iterations) ranks = OpUtils.roundCheckpoint(ranks)
+      }
+    } else {
+      var prevPersisted: Option[DataFrame] = None
+      for (_ <- 1 to iterations) {
+        val withDangling = roundUpdate(
+          nodes, weighted, ranks, danglers, nDanglers, n, damping, iterDp)
+        // materialize each round once: the next round's join and its
+        // dangling-mass aggregate both read it, and an unpersisted round
+        // would re-run the whole chain back to the edge scan
+        val next = withDangling.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        prevPersisted.foreach(_.unpersist(blocking = false))
+        prevPersisted = Some(next)
+        ranks = next
+      }
+      // the final round's frame backs the returned ranks — hand it to the
+      // pipeline cache registry instead of leaking it (CC does the same)
+      prevPersisted.foreach(OpUtils.track)
     }
-    // the final round's frame backs the returned ranks — hand it to the
-    // pipeline cache registry instead of leaking it (CC does the same)
-    prevPersisted.foreach(OpUtils.track)
     ranks.select(col("id").as("node_id"), round(col("r"), 6).as("pr"))
   }
 
