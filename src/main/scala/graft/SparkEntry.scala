@@ -600,6 +600,14 @@ object SparkEntry {
         t(s, dir, "lineitem"),
         Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"),
           ("l_discount", "l_tax"), ("l_quantity", "l_tax")))),
+    // functional-dependency audit over orders: is o_orderkey a key, does
+    // custkey determine status, does priority determine status — one
+    // minimal exchange per candidate, each collapsing to a summary row
+    "profile_fd" -> ((s, dir) =>
+      graft.operators.Profiler.functionalDeps(
+        t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus")))),
     // LOCF gap repair on a synthetic-missing day-1 slice (values < 0.2
     // nullified — the driver data has no NULLs): one per-user window pass,
     // values pass through bit-exact (see fillForward)
@@ -641,6 +649,20 @@ object SparkEntry {
     // day index — aggregate first, regress over the tiny series
     "events_trend" -> ((s, dir) =>
       EventOps.dailyTrend(t(s, dir, "events"))),
+    // linear gap interpolation over the dense hourly grid: per-type hourly
+    // means with missing hours filled between nearest present anchors —
+    // aggregate first, two ignore-nulls window passes over the spine
+    "events_interpolate" -> ((s, dir) =>
+      EventOps.interpolateLinear(t(s, dir, "events"))),
+    // offline CUSUM changepoint: peak |cumsum(v - mean)| over the hourly
+    // mean series per type, earliest-hour tie-break — aggregate first,
+    // running sum + argmax over the tiny series
+    "events_changepoint" -> ((s, dir) =>
+      EventOps.cusumChangepoint(t(s, dir, "events"))),
+    // top length-3 event-type paths across users: one per-user window pass
+    // (two leads share the sort), grouped count, TakeOrdered top-k
+    "events_paths" -> ((s, dir) =>
+      EventOps.topEventPaths(t(s, dir, "events"), k = 20)),
     // SCD2 dimension build: day-1 changelog → per-user status intervals,
     // consecutive same-status runs collapsed, latest row open-ended. Two
     // per-key window passes, the second over change rows only (see
@@ -1134,6 +1156,21 @@ object SparkEntry {
       Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
     }),
 
+    // small-file compaction: fragment documents into 64 splinter files,
+    // then compact to ceil(sum(n_chars)/30k) evenly-filled files; the
+    // one-row manifest is read back from the compacted layout (n_files
+    // via input_file_name) so the file-count contract is verified
+    "sink_compaction" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val frag = s"$tmp/graft_frag_$key"
+      val out = s"$tmp/graft_compact_$key"
+      t(s, dir, "documents").repartition(64).write.mode("overwrite").parquet(frag)
+      Sinks.compactFiles(
+        s.read.parquet(frag), out, "n_chars", targetChunk = 30000L)
+    }),
+
     // transactional Delta sink: create (v0) + append (v1) commits over the
     // documents corpus partitioned by source, then read the table back
     // through the engine's own Delta catalog and aggregate — exercising
@@ -1286,6 +1323,10 @@ object SparkEntry {
     // quality-biased data-mixing weights per source domain
     "curate_mix" -> ((s, dir) =>
       Curation.mixingWeights(t(s, dir, "documents"), "doc_id", "text", "source")),
+    // temperature-scaled language rebalancing: target share ∝ p^(1/T),
+    // per-doc sample_weight = q/p — group-cardinality arithmetic only
+    "curate_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMix(t(s, dir, "documents"), "lang", temperature = 3.0)),
     // pairwise near-dup hits → clusters → deduplicated corpus: keep each
     // cluster's canonical keeper plus all unpaired docs
     "curate_dedup_near" -> ((s, dir) => {
@@ -1905,6 +1946,123 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
         |FROM c""".stripMargin,
+    // integer-exact mirror of interpolateLinear: ×10⁴ integer anchors,
+    // integer-rational interpolation with (2·num+dn)//(2·dn) half-up,
+    // one final /10⁴ display division — no computed double is rounded
+    // (engines tie-break round(double) differently one ulp off a tie)
+    "events_interpolate" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100.0
+        |               / count(*), 0) AS BIGINT) AS vi
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(
+        |        (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+        |        INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |d AS (SELECT t.event_type, s.hr, h.vi
+        |      FROM t CROSS JOIN s
+        |      LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr),
+        |a AS (SELECT event_type, hr, vi,
+        |  last_value(vi IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN vi IS NOT NULL THEN epoch_us(hr) END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  first_value(vi IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN vi IS NOT NULL THEN epoch_us(hr) END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY hr
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM d),
+        |g AS (SELECT event_type, hr, vi, pv, nv,
+        |        (epoch_us(hr) - pt) // 3600000000 AS dt,
+        |        (nt - pt) // 3600000000 AS dn
+        |      FROM a)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  (CASE WHEN vi IS NOT NULL THEN vi
+        |        WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |        THEN (2 * (pv * (dn - dt) + nv * dt) + dn) // (2 * dn)
+        |   END) / 10000.0 AS v,
+        |  vi IS NULL AS was_gap
+        |FROM g""".stripMargin,
+    // all-integer CUSUM mirror: hourly mean ×10⁴ as BIGINT, deviation
+    // cusum rescaled to s_k·n = n·cum_k − k·Σv (pure integers, engine-
+    // exact argmax), one float division for the reported score only
+    "events_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100.0
+        |               / count(*), 0) AS BIGINT) AS vi
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type AS c_type, CAST(sum(vi) AS BIGINT) AS mnum,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY 1),
+        |r AS (SELECT h.event_type, h.hr, m.n,
+        |        round(abs(m.n * (sum(h.vi) OVER w) -
+        |                  (count(*) OVER w) * m.mnum)
+        |              / (m.n * 10000.0), 4) AS score
+        |      FROM h JOIN m ON h.event_type = m.c_type
+        |      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY score DESC, hr ASC) AS rk
+        |      FROM r)
+        |SELECT event_type, n AS n_hours,
+        |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour, score
+        |FROM k WHERE rk = 1""".stripMargin,
+    "events_paths" ->
+      """WITH p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |           || '>' || lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 1) OVER w AS n1,
+        |    lead(event_type, 2) OVER w AS n2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+    // per-candidate distinct-rhs tally (NULL counted as a value via the
+    // has-null flag), mirroring functionalDeps' null contract
+    "profile_fd" -> {
+      def cand(l: String, r: String): String =
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(count(CASE WHEN d > 1 THEN 1 END) AS BIGINT) AS n_violations,
+           |  count(CASE WHEN d > 1 THEN 1 END) = 0 AS holds
+           |FROM (SELECT $l,
+           |        count(DISTINCT $r) +
+           |        max(CASE WHEN $r IS NULL THEN 1 ELSE 0 END) AS d
+           |      FROM orders GROUP BY 1)""".stripMargin
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"))
+        .map { case (l, r) => cand(l, r) }.mkString("\nUNION ALL\n")
+    },
+    // natural share rounded to 6 dp BEFORE the 1/T power, same division
+    // chain q/z/p — the temperatureMix float contract
+    "curate_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(docs) AS tt FROM g),
+        |p AS (SELECT lang, docs,
+        |        round(docs / CAST(tt AS DOUBLE), 6) AS p,
+        |        pow(round(docs / CAST(tt AS DOUBLE), 6), 1.0 / 3.0) AS qr
+        |      FROM g CROSS JOIN t),
+        |z AS (SELECT sum(qr) AS zz FROM p)
+        |SELECT lang, docs, p, round(qr / zz, 6) AS q,
+        |  round(qr / zz / p, 6) AS sample_weight
+        |FROM p CROSS JOIN z""".stripMargin,
+    // the compaction round-trip is lossless and the file count is a pure
+    // function of the content-size column, so the oracle predicts all
+    // three manifest cells straight off the source table
+    "sink_compaction" ->
+      """SELECT CAST(ceil(sum(n_chars) / 30000.0) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS content_bytes
+        |FROM documents""".stripMargin,
     "profile_value_skew" ->
       """WITH p AS (
         |  SELECT 'lang' AS col_name, lang AS value FROM documents

@@ -711,6 +711,40 @@ object Curation {
         round(col("raw") / col("t"), 6).as("weight"))
   }
 
+  /** Temperature-scaled sampling distribution over a categorical corpus
+    * axis (language, domain): target share q_g ∝ p_g^(1/T) where p_g is
+    * the natural share — the multilingual rebalancing step (mBERT/XLM-R
+    * exponential smoothing) that lifts tail languages without flattening
+    * the mix entirely. T=1 keeps natural proportions, T→∞ approaches
+    * uniform. `sample_weight` = q/p is the per-document acceptance or
+    * repetition factor a sampler applies downstream (>1 = upsample).
+    *
+    * The complement of [[mixingWeights]]: that op biases BY quality,
+    * this one unbiases BY volume. Natural shares are rounded to 6 dp
+    * before the power so both engines exponentiate identical doubles.
+    *
+    * Scale shape: one grouped count to #groups rows, a single-row total
+    * cross-joined twice (count total, then power-sum total) — all
+    * group-cardinality arithmetic; the corpus crosses one exchange.
+    * Returns (groupCol, docs, p, q, sample_weight). */
+  def temperatureMix(
+      df: DataFrame,
+      groupCol: String,
+      temperature: Double = 3.0): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("docs"))
+    val total = counts.agg(sum(col("docs")).as("__t"))
+    val p = counts.crossJoin(broadcast(total))
+      .withColumn("p", round(col("docs") / col("__t"), 6))
+      .withColumn("__q_raw", pow(col("p"), 1.0 / temperature))
+    val z = p.agg(sum(col("__q_raw")).as("__z"))
+    p.crossJoin(broadcast(z))
+      .select(
+        col(groupCol), col("docs"), col("p"),
+        round(col("__q_raw") / col("__z"), 6).as("q"),
+        round(col("__q_raw") / col("__z") / col("p"), 6).as("sample_weight"))
+  }
+
   /** Model-based quality scoring — the fasttext/CCNet "quality classifier"
     * pass: a multinomial Naive Bayes over hashed token features is trained
     * IN-QUERY to separate a reference class (`refPredicate` rows — a

@@ -327,4 +327,45 @@ object Profiler {
         round(min(col("v")), 4).as("min_v"),
         round(max(col("v")), 4).as("max_v"))
   }
+
+  /** Functional-dependency audit: for each candidate `lhs → rhs`, count the
+    * lhs groups whose rhs is NOT single-valued — the data-quality check
+    * behind "is this column a key" / "did denormalization drift" that a
+    * schema can't answer (constraints aren't enforced in a lake). A
+    * candidate HOLDS when zero groups violate; the violation COUNT (not
+    * just the boolean) grades how broken a near-dependency is.
+    *
+    * 100 TB shape: one partial-aggregated exchange per candidate keyed on
+    * its lhs (distinct-rhs is computed per group, map-side combined), each
+    * collapsing to a single summary row — candidates shuffle on different
+    * keys by definition, so they cannot share an exchange, but each is the
+    * minimal one for its key and the scan is the only repeated cost
+    * (amortize by caching the projected input upstream if the candidate
+    * list is long). Nulls: rhs NULLs count as a value (a group with
+    * {x, NULL} is a violation); lhs NULL is a group like any other.
+    *
+    * Returns one row per candidate: (lhs, rhs, n_groups, n_violations,
+    * holds). */
+  def functionalDeps(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "no FD candidates given")
+    candidates.foreach { case (l, r) =>
+      require(df.columns.contains(l) && df.columns.contains(r),
+        s"FD candidate columns not in frame: $l -> $r")
+    }
+    candidates.map { case (l, r) =>
+      df.select(col(l).as("__fd_l"), col(r).as("__fd_r"))
+        .groupBy(col("__fd_l"))
+        // count NULL as a distinct rhs value: countDistinct ignores nulls,
+        // so add a has-null flag to the per-group distinct tally
+        .agg((countDistinct(col("__fd_r")) +
+          max(when(col("__fd_r").isNull, 1).otherwise(0))).as("__d"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          count(when(col("__d") > 1, 1)).as("n_violations"))
+        .select(
+          lit(l).as("lhs"), lit(r).as("rhs"),
+          col("n_groups"), col("n_violations"),
+          (col("n_violations") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
 }

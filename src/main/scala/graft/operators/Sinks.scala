@@ -28,6 +28,41 @@ object Sinks {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Small-file compaction: rewrite a fragmented table into
+    * `ceil(sum(sizeCol) / targetChunk)` evenly-filled files — the
+    * maintenance pass every long-lived lake table needs (streaming sinks
+    * and per-partition writers strand thousands of KB-sized files whose
+    * open/footer overhead dominates scans long before data volume does).
+    * Sizing is driven by a CONTENT column (bytes of payload), not
+    * file-system bytes, so the target count is a pure function of the
+    * data — deterministic across compression codecs and engine versions.
+    *
+    * The returned one-row manifest is computed by READING BACK the
+    * compacted files — `n_files` counts distinct actual files via
+    * input_file_name(), so the layout contract is verified, not assumed.
+    *
+    * 100 TB shape: one size aggregate (map-side combined) picks the file
+    * count, one round-robin repartition spreads rows evenly across
+    * exactly that many writers — the only full-data exchange, and the
+    * unavoidable one (merging files IS data movement). At cluster scale
+    * run per partition-directory so each compaction unit is independent
+    * and restartable. */
+  def compactFiles(
+      fragmented: DataFrame, path: String,
+      sizeCol: String, targetChunk: Long): DataFrame = {
+    require(targetChunk > 0, s"targetChunk must be > 0, got $targetChunk")
+    val nOut = fragmented
+      .agg(ceil(sum(col(sizeCol)) / targetChunk.toDouble).cast("int").as("n"))
+      .head().getInt(0).max(1)
+    fragmented.repartition(nOut).write.mode("overwrite").parquet(path)
+    fragmented.sparkSession.read.parquet(path)
+      .select(input_file_name().as("__f"), col(sizeCol))
+      .agg(
+        countDistinct(col("__f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col(sizeCol)).as("content_bytes"))
+  }
+
   /** Write `df` as a BUCKETED parquet table (external, at `path`): rows are
     * hash-distributed into `numBuckets` files per partition by `bucketCol`,
     * and the layout is recorded in the session catalog. Joins and

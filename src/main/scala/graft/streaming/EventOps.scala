@@ -339,6 +339,154 @@ object EventOps {
       round(col("n") / sum(col("n")).over(rowTotal), 6).as("p"))
   }
 
+  /** Linear interpolation over the dense hourly grid: per type, the hourly
+    * MEAN value series with missing hours filled by linear interpolation
+    * between the nearest present neighbors — the gap repair one step up
+    * from [[fillForward]]'s LOCF (which biases a trending series; a ramp
+    * metric LOCF-filled flatlines inside every gap). Hours before the
+    * first or after the last observation stay null — extrapolation is a
+    * model choice, not a fill. Present-hour means are rounded to 4 dp
+    * BEFORE interpolating so both engines interpolate between identical
+    * anchors; the interpolated value is rounded again on output.
+    *
+    * 100 TB shape: the raw stream reduces FIRST to hourly cells (the one
+    * corpus-sized exchange); the generated spine × types table is
+    * (#types × #hours) rows and the two ignore-nulls window passes
+    * (carry-last-anchor forward, carry-next-anchor backward via one
+    * forward pass + one mirrored frame) run over that series, never the
+    * raw stream — the [[denseHourly]] discipline.
+    *
+    * Returns (event_type, hour, v, was_gap) for every spine cell. */
+  def interpolateLinear(events: DataFrame): DataFrame = {
+    // Engine-exact float contract: round(double, 4) TIE-BREAKS DIFFERENTLY
+    // across engines when the computed double sits one ulp off a 5th-
+    // decimal tie (a half-gap midpoint does exactly that — Spark's
+    // BigDecimal sees ...849999...96 and rounds down, an engine keying off
+    // the shortest decimal repr "…85" rounds up). So NOTHING here rounds a
+    // computed double: anchors are exact integer ×10⁴ means (one
+    // deterministic division off exact integer cents), the interpolation
+    // is integer-rational pv·(dn−dt) + nv·dt over hour deltas, half-up is
+    // integer (2·num + dn) DIV (2·dn), and the ONE float op is the final
+    // exact-integer / 10⁴ display division — identical in any engine.
+    val hourly = events.groupBy(
+        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        sum(round(col("value") * 100, 0).cast("long")).as("__c"),
+        count(lit(1)).as("__hn"))
+      .select(col("event_type"), col("hr"),
+        round(col("__c") * 100.0 / col("__hn"), 0).cast("long").as("__vi"))
+    val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hr"))
+    val dense = hourly.select(col("event_type")).distinct()
+      .crossJoin(spine)
+      .join(hourly, Seq("event_type", "hr"), "left")
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("hr"))
+    val anchored = dense
+      .withColumn("__pv", last(col("__vi"), ignoreNulls = true).over(back))
+      .withColumn("__pt",
+        last(when(col("__vi").isNotNull, us), ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__vi"), ignoreNulls = true).over(fwd))
+      .withColumn("__nt",
+        first(when(col("__vi").isNotNull, us), ignoreNulls = true).over(fwd))
+      // hour-grid deltas (exact integer division — stamps are hour-aligned)
+      .withColumn("__dt", expr("(unix_micros(hr) - __pt) DIV 3600000000"))
+      .withColumn("__dn", expr("(__nt - __pt) DIV 3600000000"))
+      // ANSI-safe: the DIV runs only on gap rows (dn >= 1 by construction
+      // there); present rows have dn = 0 and must not evaluate it
+      .withColumn("__e4", expr(
+        """CASE WHEN __vi IS NULL AND __pv IS NOT NULL AND __nv IS NOT NULL
+          |THEN (2 * (__pv * (__dn - __dt) + __nv * __dt) + __dn)
+          |     DIV (2 * __dn) END""".stripMargin))
+    anchored.select(
+      col("event_type"),
+      date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      (when(col("__vi").isNotNull, col("__vi"))
+        .otherwise(col("__e4")) / 10000.0).as("v"),
+      col("__vi").isNull.as("was_gap"))
+  }
+
+  /** CUSUM mean-shift changepoint per type: over the hourly-mean series,
+    * the cumulative sum of deviations from the series mean peaks (in
+    * absolute value) at the most likely single change point — the
+    * classical offline CUSUM estimator, and the monitoring question "WHEN
+    * did this metric move" that [[dailyTrend]]'s global slope can't
+    * answer. Hourly means are rounded to 4 dp before the deviation pass
+    * (identical anchors in both engines); the peak |CUSUM| is tie-broken
+    * to the EARLIEST hour so the answer is deterministic.
+    *
+    * 100 TB shape: raw stream → hourly cells (one corpus-sized exchange);
+    * the series mean joins back as a #types-row broadcast; the running
+    * sum + argmax run per type over the tiny hourly series. Only present
+    * hours enter the series (a silent-hour gap is absence of observation,
+    * not a zero sample — zero-filling would manufacture a level shift at
+    * every quiet night).
+    *
+    * Returns (event_type, n_hours, cp_hour, score) — score = max |CUSUM|
+    * rounded to 4 dp. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    // the whole CUSUM runs in INTEGERS so the argmax is engine-exact:
+    // hourly mean ×10⁴ as a long (one deterministic division off exact
+    // integer cents), and s_k·n = n·Σ_{i≤k} vᵢ − k·Σvᵢ — a pure-integer
+    // rescaling of the deviation cusum (n > 0 is constant per type, so
+    // the argmax is unchanged). Floats appear only in the one reported
+    // score division at the very end.
+    val hourly = events.groupBy(
+        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        sum(round(col("value") * 100, 0).cast("long")).as("__c"),
+        count(lit(1)).as("__hn"))
+      .select(col("event_type"), col("hr"),
+        round(col("__c") * 100.0 / col("__hn"), 0).cast("long").as("__vi"))
+    val m = hourly.groupBy(col("event_type").as("__c_type"))
+      .agg(sum(col("__vi")).as("__mnum"), count(lit(1)).as("__n"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly.join(m, col("event_type") <=> col("__c_type"))
+      .withColumn("__cum", sum(col("__vi")).over(run))
+      .withColumn("__k", count(lit(1)).over(run))
+      .withColumn("score", round(
+        abs(col("__n") * col("__cum") - col("__k") * col("__mnum")) /
+          (col("__n") * 10000.0), 4))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("hr").asc)
+    scored.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(
+        col("event_type"), col("__n").as("n_hours"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("cp_hour"),
+        col("score"))
+  }
+
+  /** Top event-type paths: the k most frequent length-3 event sequences
+    * across users (ordered by time within user) — the navigation-flow /
+    * sankey feed one step up from [[typeTransitions]]'s first-order
+    * matrix, which by construction cannot see that A→B→C outnumbers
+    * A→B→D. Windows shorter than the path length contribute nothing;
+    * ties rank path-ascending so the cut is deterministic.
+    *
+    * 100 TB shape: ONE window pass partitioned by the high-cardinality
+    * user key (two leads share the single per-user sort), then a grouped
+    * count over the ≤#types³-cardinality path table and a TakeOrdered
+    * top-k — no per-path window, no global sort. Returns (path, n). */
+  def topEventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__n1", lead(col("event_type"), 1).over(w))
+      .withColumn("__n2", lead(col("event_type"), 2).over(w))
+      .filter(col("__n1").isNotNull && col("__n2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__n1"), col("__n2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap) in batch: a session
     * starts where the gap from the previous event of the same user exceeds
     * the gap; session count per user = sum of starts. One shuffle on

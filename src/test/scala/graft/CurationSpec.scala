@@ -476,6 +476,40 @@ class CurationSpec extends AnyFunSuite {
     assert(back.count() == manifest.values.sum)
   }
 
+  test("temperatureMix lifts tail groups toward uniform, shares sum to 1") {
+    import graft.operators.Curation
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val out = Curation.temperatureMix(df, "g", temperature = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (_, pBig, qBig, wBig) = out("big")
+    val (_, pSmall, qSmall, wSmall) = out("small")
+    assert(pBig == 0.9 && pSmall == 0.1)
+    // temperature pulls toward uniform without crossing it
+    assert(qBig < pBig && qBig > 0.5, s"big share shrinks: $qBig")
+    assert(qSmall > pSmall && qSmall < 0.5, s"small share grows: $qSmall")
+    assert(math.abs(qBig + qSmall - 1.0) < 1e-4, "target shares normalize")
+    assert(wSmall > 1.0 && wBig < 1.0, "sample_weight up-samples the tail")
+  }
+
+  test("compactFiles merges splinters into the content-sized file count") {
+    import graft.operators.Sinks
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_test_frag"
+    val out = s"$tmp/graft_test_compact"
+    // 100 rows x 1000 bytes over 50 splinter files → ceil(100000/30000)=4
+    (0L until 100L).map(i => (i, 1000L)).toDF("id", "nbytes")
+      .repartition(50).write.mode("overwrite").parquet(frag)
+    assert(spark.read.parquet(frag)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() == 50)
+    val m = Sinks.compactFiles(spark.read.parquet(frag), out, "nbytes", 30000L)
+      .collect()(0)
+    assert(m.getLong(0) == 4L, s"4 compacted files, got ${m.getLong(0)}")
+    assert(m.getLong(1) == 100L && m.getLong(2) == 100000L, "content survives")
+  }
+
   test("zorderWrite: files carry disjoint z-ranges; block boxes tighter than global") {
     import graft.operators.Sinks
     import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}

@@ -403,4 +403,72 @@ class EventOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interpolateLinear fills gaps linearly, leaves edges null") {
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L) // 2024-01-01 00:00 UTC
+    // type a: hours 0, 3 observed (10.0, 40.0) → hours 1,2 interpolate 20, 30
+    // type b: hour 1 only → its hour-0 and hour-2..3 cells stay null
+    val df = Seq(
+      (1L, ts(0), "a", 10.0), (2L, ts(3), "a", 40.0),
+      (3L, ts(1), "b", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.interpolateLinear(df).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(out.size == 8, "2 types x 4 spine hours")
+    assert(out(("a", "00")) == ((Some(10.0), false)))
+    assert(out(("a", "01")) == ((Some(20.0), true)))
+    assert(out(("a", "02")) == ((Some(30.0), true)))
+    assert(out(("a", "03")) == ((Some(40.0), false)))
+    assert(out(("b", "01")) == ((Some(7.0), false)))
+    assert(out(("b", "00"))._1.isEmpty && out(("b", "02"))._1.isEmpty &&
+      out(("b", "03"))._1.isEmpty, "no extrapolation past the anchors")
+  }
+
+  test("interpolateLinear half-gap midpoint is exact (no float-tie drift)") {
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L) // 2024-01-01 00:00 UTC
+    // anchors 29.3067 and 80.0150 → midpoint 54.66085 must half-up to
+    // 54.6609 via the integer path (the double-rounding tie that split
+    // engines before the integer rewrite)
+    val df = Seq(
+      (1L, ts(0), "a", 29.3067), (2L, ts(2), "a", 80.015))
+      .toDF("event_id", "ts", "event_type", "value")
+    val mid = EventOps.interpolateLinear(df).collect()
+      .find(r => r.getString(1).endsWith("01:00:00")).get
+    // value*100 cents: 2930.67 rounds to 2931 → anchor 29.31; 8001.5 → 8002
+    // → 80.02; midpoint (293100+800200+2)/2 DIV 2 = 546650 → 54.665
+    assert(mid.getDouble(2) == 54.665)
+    assert(mid.getBoolean(3))
+  }
+
+  test("cusumChangepoint pins the level shift at its first shifted hour") {
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L) // 2024-01-01 00:00 UTC
+    // 6 hours at 10, then 6 hours at 50: |cusum| peaks at the LAST low
+    // hour (h=5); score = 6*20/12... verify position, magnitude > 0
+    val rows = (0 until 6).map(h => (h.toLong, ts(h), "a", 10.0)) ++
+      (6 until 12).map(h => (h.toLong, ts(h), "a", 50.0))
+    val out = EventOps.cusumChangepoint(rows.toDF("event_id", "ts", "event_type", "value"))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 12L)
+    assert(r.getString(2).endsWith("05:00:00"),
+      s"peak |cusum| at the last pre-shift hour, got ${r.getString(2)}")
+    // mean=30, cusum at h5 = 6*(10-30) = -120 → score 120.0
+    assert(r.getDouble(3) == 120.0)
+  }
+
+  test("topEventPaths counts ordered length-3 sequences per user") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: a b c d → paths a>b>c, b>c>d; user 2: a b c → a>b>c
+    val df = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"), (3L, ts(2), 1L, "c"),
+      (4L, ts(3), 1L, "d"),
+      (5L, ts(0), 2L, "a"), (6L, ts(1), 2L, "b"), (7L, ts(2), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.topEventPaths(df, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("a>b>c" -> 2L, "b>c>d" -> 1L),
+      s"ranked n desc then path asc: ${out.mkString(",")}")
+  }
+
 }

@@ -187,4 +187,21 @@ class ProfilerSpec extends AnyFunSuite {
     assert(got(("x", "neg")) == ((3L, Some(-1.0))))
     assert(got(("x", "const")) == ((3L, None))) // zero variance → NULL
   }
+
+  test("functionalDeps: key holds, drifted dependency counts violations, NULL is a value") {
+    import spark.implicits._
+    val df = Seq(
+      // k → v holds (each k single-valued); k → w violated by k=1 {a, b}
+      // and by k=3 {c, NULL} (null counts as a distinct rhs value)
+      (1L, "x", "a"), (1L, "x", "b"),
+      (2L, "y", "c"), (2L, "y", "c"),
+      (3L, "z", "c"), (3L, "z", null))
+      .toDF("k", "v", "w")
+    val out = graft.operators.Profiler.functionalDeps(
+        df, Seq(("k", "v"), ("k", "w")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("k", "v")) == ((3L, 0L, true)))
+    assert(out(("k", "w")) == ((3L, 2L, false)))
+  }
 }
