@@ -699,6 +699,36 @@ object SparkEntry {
           col("prior_event_id"),
           date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_ts_s"))
     }),
+    // forward as-of: every click joined to the user's NEXT purchase (time-
+    // to-convert) — the mirrored tagged-union window pass, wait in µs ints
+    "events_asof_next" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+      EventOps.asofJoinForward(clicks, purchases, "user_id", "ts")
+        .select(
+          col("event_id"), col("user_id"), col("next_p_event_id"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("wait_us"))
+    }),
+    // time-RANGE window frame: trailing-1-hour event count + mean value
+    // per user at every event — both aggs share ONE per-user range-frame
+    // sort; the mean is an exact integer-cent sum with a single division
+    "q31_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3599999999L, 0)
+      t(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+        .select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100, 0).cast("long").as("__c"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("avg_1h",
+          round(sum(col("__c")).over(w) / (col("n_1h") * 100.0), 4))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
+    }),
 
     // pivot: monthly revenue spread across order-status columns — the
     // wide-table reshaping surface (Spark pivot with an EXPLICIT value list,
@@ -1106,6 +1136,12 @@ object SparkEntry {
     "text_dsir" -> ((s, dir) =>
       TextAnalysis.dsirWeights(
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")),
+    // vocabulary drift: Jensen–Shannon divergence between the English
+    // slice's token distribution and the rest — one conditional-sum token
+    // exchange, single-row totals broadcast, vocab-sized reduce
+    "text_jsd_drift" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(
+        t(s, dir, "documents"), "text", col("lang") === "en")),
     // CCNet head/middle/tail perplexity tiers per language; the per-lang
     // rank is the distributed groupedRank assembly, never a
     // Window.partitionBy(lang) funnel
@@ -1858,6 +1894,48 @@ object SparkEntry {
         |  v.event_id AS prior_event_id,
         |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_ts_s
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "events_asof_next" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.p_event_id AS next_p_event_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+    // exact integer-cent sums inside the range frame — identical frame
+    // membership (µs integer bounds) and one division in both engines
+    "q31_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w)
+        |        / ((count(*) OVER w) * 100.0), 4) AS avg_1h
+        |FROM events WHERE ts < TIMESTAMP '2024-01-02'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "text_jsd_drift" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok, lang = 'en' AS a
+        |  FROM documents),
+        |cells AS (
+        |  SELECT tok,
+        |    CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS nb
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |        CAST(sum(nb) AS BIGINT) AS tb FROM cells),
+        |k AS (SELECT na, nb, ta, tb,
+        |        na / CAST(ta AS DOUBLE) AS p,
+        |        nb / CAST(tb AS DOUBLE) AS q,
+        |        (na / CAST(ta AS DOUBLE) + nb / CAST(tb AS DOUBLE)) / 2 AS m
+        |      FROM cells CROSS JOIN t)
+        |SELECT max(ta) AS n_tokens_a, max(tb) AS n_tokens_b,
+        |  CAST(count(CASE WHEN na > 0 AND nb > 0 THEN 1 END) AS BIGINT)
+        |    AS vocab_shared,
+        |  CAST(count(*) AS BIGINT) AS vocab_total,
+        |  round(sum(
+        |    (CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0 END) +
+        |    (CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0 END)), 6) AS jsd
+        |FROM k""".stripMargin,
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -552,4 +552,41 @@ object TextAnalysis {
         - lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 4)
         .as("flesch"))
   }
+
+  /** Jensen–Shannon divergence between the token distributions of two
+    * corpus slices (`condA` rows vs the rest) — the symmetric, bounded
+    * [0, ln 2] distribution-drift metric for TEXT, completing the drift
+    * suite ([[Profiler.psi]] / [[Profiler.ksStatistic]] cover numeric
+    * columns; none of them can say "the web slice's vocabulary moved").
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2; tokens absent from a
+    * slice contribute their other-slice half-term (0·ln 0 = 0).
+    *
+    * 100 TB shape: the token stream collapses to (token, n_a, n_b) cells
+    * in ONE partial-aggregated exchange (both slices' counts as
+    * conditional sums of the same pass — never two scans or a vocab
+    * self-join); totals are a single-row broadcast; the final reduce is
+    * over vocab-sized per-token contributions. Returns one row
+    * (n_tokens_a, n_tokens_b, vocab_shared, vocab_total, jsd). */
+  def jsDivergence(df: DataFrame, textCol: String, condA: Column): DataFrame = {
+    val cells = df
+      .select(explode(split(col(textCol), " ")).as("tok"), condA.as("__a"))
+      .groupBy(col("tok"))
+      .agg(
+        count(when(col("__a"), 1)).as("na"),
+        count(when(!col("__a"), 1)).as("nb"))
+    val totals = cells.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val contrib = cells.crossJoin(broadcast(totals))
+      .withColumn("p", col("na") / col("ta"))
+      .withColumn("q", col("nb") / col("tb"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("kl",
+        when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2).otherwise(0.0) +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2).otherwise(0.0))
+    contrib.agg(
+      max(col("ta")).cast("long").as("n_tokens_a"),
+      max(col("tb")).cast("long").as("n_tokens_b"),
+      count(when(col("na") > 0 && col("nb") > 0, 1)).as("vocab_shared"),
+      count(lit(1)).as("vocab_total"),
+      round(sum(col("kl")), 6).as("jsd"))
+  }
 }

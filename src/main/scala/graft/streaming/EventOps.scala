@@ -554,6 +554,47 @@ object EventOps {
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
 
+  /** Forward as-of join — the time-mirror of [[asofJoin]]: each left row
+    * picks up the EARLIEST right row of the same key with
+    * `right.ts >= left.ts` (inclusive). The "time-to-next-event" primitive:
+    * every signup joined to its first purchase, every alert to the next
+    * deploy. Same scale shape as the backward join — one tagged-union
+    * exchange on the key, one per-key window sort, a first-ignore-nulls
+    * carry over the FOLLOWING frame; never a per-key range explosion.
+    *
+    * At equal (key, ts) the left row (side 0) sorts BEFORE the right row,
+    * so a right row at the exact left timestamp is inside the
+    * current-row..following frame → inclusive >=. Right rows sharing
+    * (key, ts) are ambiguous; pre-aggregate the right side for
+    * deterministic output. Returns all left columns plus each non-key
+    * right column as `<prefix><name>`. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      prefix: String = "next_"): DataFrame = {
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val leftType = left.select(leftStruct.as("s")).schema("s").dataType
+    val rightCols = right.columns.filterNot(_ == keyCol).toSeq
+    val rightStruct = struct(rightCols.map(col): _*)
+    val rightType = right.select(rightStruct.as("s")).schema("s").dataType
+    val l = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(0).as("__side"),
+      leftStruct.as("__l"), lit(null).cast(rightType).as("__r"))
+    val r = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(1).as("__side"),
+      lit(null).cast(leftType).as("__l"), rightStruct.as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionAll(r)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    matched.select(
+      left.columns.map(c => col(s"__l.$c").as(c)).toSeq ++
+        rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
+
   /** Ordered funnel: how many keys progressed through `stages` IN ORDER —
     * stage i counts keys with an event of type stages(i) at-or-after their
     * earliest qualifying stages(i−1) event. The product-analytics staple

@@ -48,6 +48,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(104L) == None)
   }
 
+  test("asofJoinForward picks the earliest right row at or after each left ts, per key") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq(
+      (100L, 1L, ts(10)),  // before right rows at 30 → matches 30
+      (101L, 1L, ts(30)),  // EXACTLY at right ts 30 → inclusive match
+      (102L, 1L, ts(31)),  // nothing at or after → null
+      (103L, 2L, ts(40)),  // other key: matches that key's row only
+      (104L, 3L, ts(9)))   // key with no right rows → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, ts(0)),   // BEFORE all left rows — never matched forward
+      (901L, 1L, ts(30)),
+      (903L, 2L, ts(49)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventOps.asofJoinForward(left, right, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("next_event_id"))))
+      .toMap
+    assert(out(100L) == Some(901L))
+    assert(out(101L) == Some(901L))
+    assert(out(102L) == None)
+    assert(out(103L) == Some(903L))
+    assert(out(104L) == None)
+  }
+
   test("funnelCounts requires stage order, not mere presence") {
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
     val ev = Seq(

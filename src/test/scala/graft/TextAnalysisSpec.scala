@@ -370,4 +370,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(600))
   }
 
+  test("jsDivergence: identical slices → 0, disjoint vocabularies → ln 2") {
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("id", "g", "text")
+    val r0 = TextAnalysis.jsDivergence(same, "text", org.apache.spark.sql.functions.col("g") === "a").collect()(0)
+    assert(r0.getDouble(4) == 0.0)
+    assert(r0.getLong(2) == 3L && r0.getLong(3) == 3L, "all vocab shared")
+
+    val disjoint = Seq((1L, "a", "x x y"), (2L, "b", "p q q"))
+      .toDF("id", "g", "text")
+    val r1 = TextAnalysis.jsDivergence(disjoint, "text", org.apache.spark.sql.functions.col("g") === "a").collect()(0)
+    assert(math.abs(r1.getDouble(4) - math.log(2)) < 1e-6, // output is 6 dp
+      s"disjoint slices peg the bound: ${r1.getDouble(4)}")
+    assert(r1.getLong(2) == 0L && r1.getLong(3) == 4L)
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L)
+  }
+
 }
