@@ -724,10 +724,13 @@ object SparkEntry {
         .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
         .select(col("event_id"), col("user_id"),
           col("ts"), round(col("value") * 100, 0).cast("long").as("__c"))
-        .withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("avg_1h",
-          round(sum(col("__c")).over(w) / (col("n_1h") * 100.0), 4))
-        .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
+        // both aggs as window EXPRESSIONS of the same spec in one select —
+        // referencing a materialized n_1h column instead would chain a
+        // second Window + Sort pass (plan-asserted single Window)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("__c")).over(w) /
+            (count(lit(1)).over(w) * 100.0), 4).as("avg_1h"))
     }),
 
     // pivot: monthly revenue spread across order-status columns — the
@@ -972,6 +975,18 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
       Dedup.connectedComponents(pairs)
     }),
+    // duplicate-cluster size histogram — the "how big are my dup clusters"
+    // screen an operator reads BEFORE merging (a fat tail here means the
+    // threshold is too loose / a template flood). Two group-bys above the
+    // CC output, each collapsing by orders of magnitude
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
     "dedup_embed" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1018,6 +1033,14 @@ object SparkEntry {
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+    // MMR diversified top-10 from the top-30 pool for query vector 0 —
+    // distributed candidate gen + in-cluster pairwise sims, driver-side
+    // greedy over ≤ pool² scalars (vectors never leave executors)
+    "ann_mmr" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Similarity.mmrDiversifiedTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L)
     }),
     // saved-index ANN: build + persist the IVF index (bucket-partitioned
     // corpus + centroids + pinned params), then query it through the load
@@ -2673,6 +2696,36 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
         |)
         |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+        |          FROM comp GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sizes GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
@@ -2935,6 +2988,37 @@ object SparkEntry {
         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+    // the greedy is UNROLLED as k chained CTEs (recursive terms can't
+    // aggregate): step i excludes s1..s{i-1} and argmaxes the identical
+    // λ·rel − (1−λ)·max-sim expression with the same id tie-break
+    "ann_mmr" -> {
+      val k = 10
+      val steps = (2 to k).map { i =>
+        val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS MATERIALIZED (SELECT c.id, c.rel FROM c
+           |  WHERE c.id NOT IN ($prev)
+           |  ORDER BY 0.7 * c.rel - 0.3 * (
+           |      SELECT max(p.s) FROM p
+           |      WHERE p.ia = c.id AND p.ib IN ($prev)) DESC, c.id
+           |  LIMIT 1)""".stripMargin
+      }
+      val sel = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, round(rel, 6) AS rel FROM s$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |c AS MATERIALIZED (SELECT e.vec_id AS id,
+         |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel,
+         |        CAST(e.embedding AS DOUBLE[]) AS v
+         |      FROM embeddings e, q WHERE e.vec_id <> 0
+         |      ORDER BY rel DESC, id LIMIT 30),
+         |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+         |        list_cosine_similarity(a.v, b.v) AS s
+         |      FROM c a, c b WHERE a.id <> b.id),
+         |s1 AS MATERIALIZED (SELECT id, rel FROM c ORDER BY rel DESC, id LIMIT 1),
+         |${steps.mkString(",\n")}
+         |$sel""".stripMargin
+    },
     // the saved-index path with exhaustive probes reproduces brute force
     // exactly — same oracle as ann_brute
     "ann_saved" ->

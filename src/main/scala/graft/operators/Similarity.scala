@@ -724,4 +724,68 @@ object Similarity {
       rankTopK(scored, k)
     }
   }
+
+  /** Maximal-marginal-relevance diversified top-k: from the `pool` most
+    * relevant candidates, greedily select `k` maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the retrieval-layer
+    * answer to "the top 10 are 10 copies of the same document" that pure
+    * similarity ranking (and every ANN variant above) cannot give.
+    * Ties break toward the smaller id at every step, so the selection is
+    * fully deterministic.
+    *
+    * 100 TB shape: candidate generation is the DISTRIBUTED part — one
+    * broadcast-query scan + TakeOrdered pool cut, exactly [[bruteForceTopK]]'s
+    * cost (swap in the IVF probe path for big corpora; the rerank is
+    * source-agnostic). The pool×pool similarity matrix is computed IN the
+    * cluster by the same cosine kernel and only its SCALARS (≤ pool²
+    * doubles) ever reach the driver — vectors never leave executors. The
+    * greedy itself is inherently sequential (each pick conditions on the
+    * previous), k·pool² flops on ≤1024 candidates — microseconds, and
+    * loudly capped (the [[lloydCentroids]] driver-budget discipline).
+    *
+    * Returns (rank, vec_id, rel) with rel rounded to 6 dp. */
+  def mmrDiversifiedTopK(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, pool: Int = 30, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    require(pool <= 1024,
+      s"MMR pool is a driver-side greedy: capped at 1024 candidates, got $pool")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val cands = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosineSim(col("v"), col("qv")))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(pool)
+      .select(col("id"), col("rel"), col("v"))
+    val sims = cands.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(broadcast(cands.select(col("id").as("ib"), col("v").as("vb"))))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("s"))
+    val rel = cands.select(col("id"), col("rel")).as[(Long, Double)]
+      .collect().toMap
+    val sim = sims.as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ids = rel.keys.toSeq.sorted
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    while (selected.size < math.min(k, ids.size)) {
+      val pick = ids.filterNot(selected.contains).minBy { c =>
+        val score =
+          if (selected.isEmpty) rel(c)
+          else lambda * rel(c) -
+            (1 - lambda) * selected.map(s => sim((c, s))).max
+        (-score, c)
+      }
+      selected += pick
+    }
+    selected.toSeq.zipWithIndex
+      .map { case (id, i) =>
+        (i + 1L, id, BigDecimal(rel(id))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "vec_id", "rel")
+  }
 }

@@ -568,12 +568,16 @@ object TextAnalysis {
     * over vocab-sized per-token contributions. Returns one row
     * (n_tokens_a, n_tokens_b, vocab_shared, vocab_total, jsd). */
   def jsDivergence(df: DataFrame, textCol: String, condA: Column): DataFrame = {
-    val cells = df
+    import OpUtils.shared
+    // shared: the cells table feeds both the totals row and the
+    // contribution scan — unpersisted, Spark would re-run the token
+    // exchange (the only corpus-sized shuffle) once per branch
+    val cells = shared(df
       .select(explode(split(col(textCol), " ")).as("tok"), condA.as("__a"))
       .groupBy(col("tok"))
       .agg(
         count(when(col("__a"), 1)).as("na"),
-        count(when(!col("__a"), 1)).as("nb"))
+        count(when(!col("__a"), 1)).as("nb")))
     val totals = cells.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val contrib = cells.crossJoin(broadcast(totals))
       .withColumn("p", col("na") / col("ta"))

@@ -571,4 +571,56 @@ class PlanQualitySpec extends AnyFunSuite {
       s"subquery survived de-correlation:\n${plan.take(900)}")
   }
 
+  test("range-frame rolling stats: both window aggs share ONE per-user sort") {
+    val df = SparkEntry.queries("q31_range_frame")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // count + sum must land in the same Window operator over the same
+    // (user_id) exchange — a second Window (or second hash exchange on
+    // user_id) would double the sort cost for nothing
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly one Window operator:\n${plan.take(900)}")
+    assert(
+      plan.linesIterator.count(l =>
+        l.contains("hashpartitioning(user_id")) == 1,
+      s"expected one user_id exchange:\n${plan.take(900)}")
+  }
+
+  test("JSD drift: one token-stream exchange, totals broadcast — the corpus never shuffles twice") {
+    val df = SparkEntry.queries("text_jsd_drift")(spark, TestSpark.sf)
+    val top = df.queryExecution.optimizedPlan
+    // the token-cell table is persisted and feeds both branches: OUTSIDE
+    // the cache there must be NO aggregation keyed on the token (a
+    // recompute would re-run the only corpus-sized exchange per branch) —
+    // logical collect() stops at InMemoryRelation leaves, so this sees
+    // exactly the outer plan
+    val tokAggs = top.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("tok")) => a
+    }
+    assert(tokAggs.isEmpty,
+      s"token aggregation recomputed outside the shared cells cache:\n${top.toString.take(900)}")
+    // both branches reference the SAME cached relation, whose physical
+    // plan holds the single token-keyed exchange
+    val rels = top.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(rels.size == 2, s"both branches must read the cells cache, got ${rels.size}")
+    val cached = rels.map(_.cachedPlan.toString).toSet
+    assert(cached.size == 1, "branches reference different relations")
+    assert(cached.head.linesIterator
+        .count(_.contains("Exchange hashpartitioning(tok")) == 1,
+      s"expected exactly one token exchange inside the cells plan:\n${cached.head.take(900)}")
+  }
+
+  test("top event paths: the leads share one per-user window; the cut is a TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("events_paths")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"both leads must share one window pass:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered reduce:\n${plan.take(900)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort exchange for a k-row cut:\n${plan.take(900)}")
+  }
+
 }

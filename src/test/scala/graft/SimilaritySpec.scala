@@ -313,4 +313,32 @@ class SimilaritySpec extends AnyFunSuite {
       ("b", 0L, 1L, 5.0), ("b", 1L, 1L, 0.5)))
   }
 
+  test("mmrDiversifiedTopK breaks up a redundant cluster that pure top-k keeps") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // query along +x; ids 1-3 a near-identical cluster at (2, ~1) —
+    // mutually sim ≈ 1 but only ≈ 0.89 relevant, so the diversity penalty
+    // bites; id 4 at (2, -1.05) is slightly LESS relevant but far from
+    // the cluster (sim ≈ 0.58)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(2.0f, 1.0f)),
+      (2L, Seq(2.0f, 1.01f)),
+      (3L, Seq(2.0f, 1.02f)),
+      (4L, Seq(2.0f, -1.05f)))
+      .toDF("vec_id", "embedding")
+    val pure = Similarity.bruteForceTopK(
+        df, "vec_id", "embedding", df.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(pure == Set(1L, 2L, 3L), "pure similarity returns the whole cluster")
+    val mmr = Similarity.mmrDiversifiedTopK(
+        df, "vec_id", "embedding", queryId = 0L, k = 3, pool = 4, lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(mmr(0)._2 == 1L, "first pick is the most relevant")
+    assert(mmr(1)._2 == 4L,
+      s"second pick jumps to the far candidate over the near-duplicates: $mmr")
+    assert(mmr.map(_._2).toSet == Set(1L, 2L, 4L),
+      s"third pick returns to the cluster's best remaining: $mmr")
+  }
+
 }
