@@ -608,6 +608,11 @@ object SparkEntry {
         t(s, dir, "orders"),
         Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
           ("o_orderpriority", "o_orderstatus")))),
+    // Benford first-digit screen on extended prices — integer-string digit
+    // extraction (never a log10 floor), 9-row count + broadcast total
+    "profile_benford" -> ((s, dir) =>
+      graft.operators.Profiler.benfordDigits(
+        t(s, dir, "lineitem"), "l_extendedprice")),
     // LOCF gap repair on a synthetic-missing day-1 slice (values < 0.2
     // nullified — the driver data has no NULLs): one per-user window pass,
     // values pass through bit-exact (see fillForward)
@@ -936,6 +941,36 @@ object SparkEntry {
       EventOps.funnelCounts(
         t(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
+    // windowed conversion funnel: each stage must land within 60 min of
+    // the previous stage's earliest qualifying event — the realistic
+    // "converted in-session" metric the unbounded funnel overstates
+    "events_funnel_window" -> ((s, dir) =>
+      EventOps.funnelCounts(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxLagMinutes = Some(60))),
+    // point-in-interval lookup: each event joined to the SCD2 status
+    // interval containing it — composed as as-of on valid_from + a
+    // containment check, never a per-key interval cross product.
+    // Zero-width intervals (two same-instant changes) are dropped first:
+    // they can never contain a point and would make (user, valid_from)
+    // ambiguous for the as-of pass
+    "events_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = EventOps.statusIntervals(
+          ev.filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+          "user_id", "event_type", "ts", "event_id")
+        .filter(col("valid_to").isNull || col("valid_to") =!= col("valid_from"))
+        .select(col("user_id"), col("status"),
+          col("valid_from").as("ts"), col("valid_to"))
+      val probes = ev
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventOps.asofJoin(probes, iv, "user_id", "ts", prefix = "iv_")
+        .filter(col("iv_status").isNotNull &&
+          (col("iv_valid_to").isNull || col("ts") < col("iv_valid_to")))
+        .groupBy(col("iv_status").as("status"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
     // cohort retention matrix: users by first-activity day × return offset
     "events_retention" -> ((s, dir) =>
       EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
@@ -1971,6 +2006,55 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS users FROM v
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    // the unbounded funnel chain plus the µs lag bound at every hop
+    "events_funnel_window" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |    AND epoch_us(e.ts) <= epoch_us(v.t) + 3600000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+        |    AND epoch_us(e.ts) <= epoch_us(c.t) + 3600000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    // SCD2 intervals (native timestamps) + containment join; zero-width
+    // intervals can never satisfy vf <= ts < vt so no explicit drop needed
+    "events_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS status, ts, event_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+        |m AS (
+        |  SELECT user_id, status, ts, event_id,
+        |    lag(status) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, status, ts, event_id FROM m
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        |iv AS (
+        |  SELECT user_id, status, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c),
+        |probes AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-03')
+        |SELECT iv.status, CAST(count(*) AS BIGINT) AS n_events
+        |FROM probes e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts >= iv.vf AND (iv.vt IS NULL OR e.ts < iv.vt)
+        |GROUP BY 1""".stripMargin,
+    "profile_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tt FROM g)
+        |SELECT digit, n, round(n / CAST(tt AS DOUBLE), 6) AS p_obs,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+        |FROM g CROSS JOIN t""".stripMargin,
     "q19_pivot" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,

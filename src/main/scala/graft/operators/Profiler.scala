@@ -328,6 +328,34 @@ object Profiler {
         round(max(col("v")), 4).as("max_v"))
   }
 
+  /** Benford first-digit screen over a positive 2-dp money column: the
+    * observed leading-significant-digit distribution against Benford's law
+    * p(d) = log₁₀(1 + 1/d) — the cheap anomaly flag for fabricated or
+    * truncated numeric data (organic multi-scale amounts follow the law;
+    * generated or clipped ones visibly don't).
+    *
+    * Digit extraction is ENGINE-EXACT: ×100 to exact integer cents (which
+    * preserves the leading significant digit for any value ≥ 0.01), then
+    * the first character of the INTEGER's decimal string — never
+    * floor(x/10^floor(log10 x)), whose log10 wobbles one ulp across
+    * engines exactly at the power-of-ten boundaries where the digit flips.
+    *
+    * 100 TB shape: one narrow projection + one 9-row grouped count, totals
+    * as a single-row broadcast. Returns (digit, n, p_obs, p_benford). */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0)
+      .select(substring(round(col(valueCol) * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n"),
+        round(col("n") / col("__t"), 6).as("p_obs"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
+  }
+
   /** Functional-dependency audit: for each candidate `lhs → rhs`, count the
     * lhs groups whose rhs is NOT single-valued — the data-quality check
     * behind "is this column a key" / "did denormalization drift" that a

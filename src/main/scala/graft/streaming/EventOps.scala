@@ -610,8 +610,10 @@ object EventOps {
       keyCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxLagMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty)
+    require(maxLagMinutes.forall(_ > 0), s"maxLagMinutes must be > 0: $maxLagMinutes")
     val base = events.select(
       col(keyCol).as("__k"), col(typeCol).as("__et"), col(tsCol).as("__t"))
     var prev: Option[DataFrame] = None
@@ -620,7 +622,14 @@ object EventOps {
       val qualifying = prev match {
         case None => filtered
         case Some(p) =>
-          filtered.join(p, Seq("__k")).filter(col("__t") >= col("__pt"))
+          // windowed funnel: the next stage must land within maxLag of the
+          // previous stage's earliest qualifying event — the realistic
+          // conversion metric ("purchased within the session", not "ever").
+          // µs integer comparison, same-instant events qualify (>=)
+          val inOrder = col("__t") >= col("__pt")
+          val bound = maxLagMinutes.fold(lit(true))(m =>
+            unix_micros(col("__t")) <= unix_micros(col("__pt")) + m * 60000000L)
+          filtered.join(p, Seq("__k")).filter(inOrder && bound)
       }
       val reached = qualifying.groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
       prev = Some(reached)

@@ -91,6 +91,28 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("view" -> 4L, "click" -> 3L, "purchase" -> 2L))
   }
 
+  test("funnelCounts with maxLag drops conversions outside the window") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1: click 10 min after view, purchase 10 min after click → counts
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click 90 min after view → outside the 60-min window; the
+      // later purchase is unreachable even though it is in order
+      (2L, "view", ts(0)), (2L, "click", ts(90)), (2L, "purchase", ts(95)),
+      // user 3: click in-window, purchase 61 min after the click → out
+      (3L, "view", ts(0)), (3L, "click", ts(30)), (3L, "purchase", ts(91)))
+      .toDF("user_id", "event_type", "ts")
+    val bounded = EventOps.funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxLagMinutes = Some(60))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(bounded == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    // the unbounded funnel counts all three conversions
+    val open = EventOps.funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(open == Map("view" -> 3L, "click" -> 3L, "purchase" -> 3L))
+  }
+
   test("cohortRetention groups users by first-activity day and counts returns") {
     def day(d: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
     val ev = Seq(

@@ -188,6 +188,19 @@ class ProfilerSpec extends AnyFunSuite {
     assert(got(("x", "const")) == ((3L, None))) // zero variance → NULL
   }
 
+  test("benfordDigits extracts the leading significant digit across scales") {
+    import spark.implicits._
+    // 0.05, 5.0, 523.17, 92.0, 0.0 (dropped), 1234.56
+    val df = Seq(0.05, 5.0, 523.17, 92.0, 0.0, 1234.56).toDF("v")
+    val out = graft.operators.Profiler.benfordDigits(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 3L, 9L -> 1L, 1L -> 1L),
+      s"three 5s (0.05, 5.0, 523.17), one 9, one 1; zero dropped: $out")
+    val row = graft.operators.Profiler.benfordDigits(df, "v")
+      .filter($"digit" === 1L).collect()(0)
+    assert(row.getDouble(3) == 0.30103, "Benford p(1) = log10(2)")
+  }
+
   test("functionalDeps: key holds, drifted dependency counts violations, NULL is a value") {
     import spark.implicits._
     val df = Seq(
