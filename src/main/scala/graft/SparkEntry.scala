@@ -1173,6 +1173,12 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       TextAnalysis.languages(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // detector calibration: label × detection confusion counts in one
+    // narrow projection + one #langs²-cardinality grouped count
+    "text_lang_confusion" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      TextAnalysis.langConfusion(t(s, dir, "documents"), "lang", "text")
+    }),
     "text_fingerprint" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -2883,6 +2889,34 @@ object SparkEntry {
         |       WHEN h_it = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'it'
         |       ELSE 'pt' END AS lang_pred
         |FROM h""".stripMargin,
+    // same detector mirror, grouped against the label column
+    "text_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(lower(text), '[^a-z]+') AS tk, text FROM documents
+        |),
+        |h AS (
+        |  SELECT lang, text,
+        |    len(list_filter(tk, w -> w IN ('the','and','of','to','in','is','it','that','was','for','with','are','this','not'))) AS h_en,
+        |    len(list_filter(tk, w -> w IN ('el','la','de','que','y','en','los','del','se','las','por','un','una','con','es','para'))) AS h_es,
+        |    len(list_filter(tk, w -> w IN ('der','die','und','das','ist','von','den','im','nicht','mit','ein','eine','zu','auf','sich'))) AS h_de,
+        |    len(list_filter(tk, w -> w IN ('le','la','les','et','des','est','un','une','du','dans','que','pour','qui','sur','pas','ce'))) AS h_fr,
+        |    len(list_filter(tk, w -> w IN ('il','di','che','la','per','un','una','sono','con','non','del','gli','nel'))) AS h_it,
+        |    len(list_filter(tk, w -> w IN ('o','a','de','que','e','do','da','em','um','uma','para','com','os','não'))) AS h_pt
+        |  FROM t
+        |),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN NOT regexp_matches(text, '[a-zA-Z]') THEN 'und'
+        |         WHEN greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'en'
+        |         WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'es'
+        |         WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'fr'
+        |         WHEN h_it = greatest(h_en, h_es, h_de, h_fr, h_it, h_pt) THEN 'it'
+        |         ELSE 'pt' END AS lang_pred
+        |  FROM h)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
     "text_quality_score" ->
       """SELECT doc_id,
         |  round(

@@ -341,6 +341,19 @@ object TextAnalysis {
   def languages(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), langId(col(textCol)).as("lang_pred"))
 
+  /** Detector-vs-label confusion matrix: how the n-gram language detector
+    * scores against a labeled column — the calibration readout that tells
+    * a pipeline operator WHERE the detector fails (which labels bleed into
+    * 'und', which pairs confuse) before they trust its routing. One
+    * narrow projection (label + detection off the same row — never an
+    * id-join back to [[languages]]'s output, which would shuffle two
+    * corpus-sized relations to reattach a derivable column), one grouped
+    * count at ≤ #langs² cardinality. Returns (lang, lang_pred, n). */
+  def langConfusion(df: DataFrame, labelCol: String, textCol: String): DataFrame =
+    df.select(col(labelCol).as("lang"), langId(col(textCol)).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** Character-distribution Shannon entropy per document — the classic
     * gibberish/boilerplate signal (low = repeated filler, high = random
     * noise). One narrow pass via the native [[graft.functions.CharEntropy]]

@@ -816,6 +816,63 @@ object EventOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  case class TypedEv(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(stageIdx: Int, stageTs: Long, startedTs: Long)
+  case class Conversion(user_id: Long, started: Long, converted: Long, duration_ms: Long)
+
+  /** Streaming twin of the WINDOWED funnel ([[funnelCounts]] with maxLag):
+    * per-user stage progression held in `flatMapGroupsWithState`, emitting
+    * a [[Conversion]] the moment a user completes every stage in order
+    * with each hop inside the lag window. The batch op is a census (how
+    * many users ever converted); this is its liveness twin — a conversion
+    * FEED, emitting per completion and resetting so repeat conversions
+    * count again.
+    *
+    * Semantics mirror the batch op's earliest-qualifying rule: progress
+    * never resets on a repeated earlier stage (the first 'view' anchors
+    * the window, a second one is ignored); an over-lag gap resets to
+    * stage zero, and the expiring event may itself restart the funnel.
+    * State per user is ONE (stageIdx, ts, started) triple — bytes, not
+    * history — and idle users' entries are reaped by a processing-time
+    * timeout of stages×lag. */
+  def funnelStreaming(
+      events: Dataset[TypedEv],
+      stages: Seq[String],
+      maxLagMinutes: Long = 60): Dataset[Conversion] = {
+    require(stages.nonEmpty)
+    import events.sparkSession.implicits._
+    val lagMs = maxLagMinutes * 60000L
+    val empty = FunnelState(0, 0L, 0L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.getOrElse(empty)
+            val out = Seq.newBuilder[Conversion]
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (cur.stageIdx > 0 && t - cur.stageTs > lagMs) cur = empty
+              if (e.event_type == stages(cur.stageIdx)) {
+                val started = if (cur.stageIdx == 0) t else cur.startedTs
+                cur = FunnelState(cur.stageIdx + 1, t, started)
+                if (cur.stageIdx == stages.size) {
+                  out += Conversion(user, started, t, t - started)
+                  cur = empty
+                }
+              }
+            }
+            if (cur == empty) { if (state.exists) state.remove() }
+            else {
+              state.update(cur)
+              state.setTimeoutDuration(lagMs * stages.size)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

@@ -201,6 +201,47 @@ class EventOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits conversions in-window, resets on expiry, allows repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[EventOps.TypedEv]
+    stream.addData(Seq(
+      // user 1: clean in-window conversion (10 + 10 min hops)
+      EventOps.TypedEv(1L, ts(0), "view"),
+      EventOps.TypedEv(1L, ts(10), "click"),
+      EventOps.TypedEv(1L, ts(20), "purchase"),
+      // user 2: click 90 min after view — window expired, no conversion;
+      // then a full in-window run that MUST convert (reset works)
+      EventOps.TypedEv(2L, ts(0), "view"),
+      EventOps.TypedEv(2L, ts(90), "click"),
+      EventOps.TypedEv(2L, ts(100), "view"),
+      EventOps.TypedEv(2L, ts(110), "click"),
+      EventOps.TypedEv(2L, ts(120), "purchase"),
+      // user 1 again: repeat conversion counts again
+      EventOps.TypedEv(1L, ts(200), "view"),
+      EventOps.TypedEv(1L, ts(210), "click"),
+      EventOps.TypedEv(1L, ts(215), "purchase")))
+    val q = EventOps.funnelStreaming(
+        stream.toDS(), Seq("view", "click", "purchase"), maxLagMinutes = 60)
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode("append").start()
+    try {
+      // the processing-time timeout keeps scheduling batches, so
+      // processAllAvailable never sees a quiescent stream — poll the sink
+      // (the sessionizeStreaming test's lesson)
+      val deadline = System.currentTimeMillis() + 60000
+      def rowsNow() = spark.table("funnel_stream_out").collect()
+      while (rowsNow().length < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = rowsNow().map(r => (r.getLong(0), r.getLong(3)))
+      assert(rows.length == 3, s"three conversions: ${rows.mkString(",")}")
+      assert(rows.count(_._1 == 1L) == 2, "user 1 converts twice")
+      val u2 = rows.filter(_._1 == 2L).toSeq
+      assert(u2 == Seq((2L, 20L * 60000L)),
+        s"user 2's conversion anchors at the SECOND view: $u2")
+    } finally q.stop()
+  }
+
   test("rollingDailyCounts averages over present days only, per type") {
     def day(d: Int, i: Long) =
       new Timestamp(1700000000000L + d * 86400000L + i * 1000L)
