@@ -664,6 +664,19 @@ object SparkEntry {
     // running sum + argmax over the tiny series
     "events_changepoint" -> ((s, dir) =>
       EventOps.cusumChangepoint(t(s, dir, "events"))),
+    // gaps-and-islands outage detection: maximal silent-hour runs per type
+    // (hour-index − zero-rank island key, pure integers, spine-sized work)
+    "events_gaps" -> ((s, dir) =>
+      EventOps.silenceGaps(t(s, dir, "events"))),
+    // market-basket lift over order baskets: pair fan-out bounded by
+    // basket size via the pairCombinations kernel — never an items×items
+    // self-join; marginals joined back at pair cardinality
+    "basket_lift" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      graft.operators.Joins.basketLift(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairs = 3, k = 20)
+    }),
     // top length-3 event-type paths across users: one per-user window pass
     // (two leads share the sort), grouped count, TakeOrdered top-k
     "events_paths" -> ((s, dir) =>
@@ -2204,6 +2217,48 @@ object SparkEntry {
         |SELECT event_type, n AS n_hours,
         |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour, score
         |FROM k WHERE rk = 1""".stripMargin,
+    // identical island key: hour index (µs // 3.6e9) minus zero-cell rank
+    "events_gaps" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(
+        |        (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+        |        INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |z AS (SELECT t.event_type, s.hr
+        |      FROM t CROSS JOIN s
+        |      LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr
+        |      WHERE coalesce(h.n, 0) = 0),
+        |i AS (SELECT event_type, hr,
+        |        epoch_us(hr) // 3600000000 - row_number() OVER (
+        |          PARTITION BY event_type ORDER BY hr) AS isl
+        |      FROM z)
+        |SELECT event_type,
+        |  strftime(min(hr), '%Y-%m-%d %H:%M:%S') AS gap_start,
+        |  strftime(max(hr), '%Y-%m-%d %H:%M:%S') AS gap_end,
+        |  CAST(count(*) AS BIGINT) AS n_hours
+        |FROM i GROUP BY event_type, isl""".stripMargin,
+    // self-join pair mirror of the kernel fan-out (id_a < id_b order),
+    // integer n_ab·N numerator, one double division, rounded 6
+    "basket_lift" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS itm
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM it),
+        |m AS (SELECT itm, CAST(count(*) AS BIGINT) AS mc FROM it GROUP BY 1),
+        |p AS (
+        |  SELECT a.itm AS id_a, b.itm AS id_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM it a JOIN it b ON a.bk = b.bk AND a.itm < b.itm
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT id_a, id_b, n_ab,
+        |  round(n_ab * nb / CAST(ma.mc * mb.mc AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN m ma ON ma.itm = p.id_a
+        |JOIN m mb ON mb.itm = p.id_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, id_a, id_b LIMIT 20""".stripMargin,
     "events_paths" ->
       """WITH p AS (
         |  SELECT event_type || '>' || lead(event_type, 1) OVER w

@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   * shuffled-hash, or when a deterministic layout is required across runs. */
 object Joins {
 
+  /** Market-basket co-occurrence with lift: for item pairs appearing
+    * together in at least `minPairs` baskets, support and lift
+    * = P(a,b) / (P(a)·P(b)) — the association-rule screen ("parts bought
+    * together") that a groupBy alone can't express because the unit of
+    * co-occurrence is the BASKET, not the row. Top-`k` by lift,
+    * ties (lift, id_a, id_b) so the cut is deterministic.
+    *
+    * 100 TB shape: the pair fan-out is C(basket, 2) per basket — bounded
+    * by the BASKET size (single-digit for order data), never by item
+    * popularity, because pairs are emitted from each basket's collected
+    * item set via the [[graft.functions.GraftFunctions.pairCombinations]]
+    * kernel (one grouped collect, pairs explode in-task — the LSH
+    * candidate discipline, not an items×items self-join whose hot item
+    * squares). Item marginals ride a second small aggregation of the SAME
+    * deduped (basket, item) table, joined back at pair-table cardinality;
+    * the basket total is a one-row broadcast. Oversized baskets would
+    * square — cap upstream if a pathological source emits thousand-item
+    * baskets (the jaccardLinks maxDegree lesson).
+    *
+    * Returns (id_a, id_b, n_ab, lift) with lift rounded to 6 dp. */
+  def basketLift(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long = 5, k: Int = 20): DataFrame = {
+    import graft.functions.GraftFunctions.pairCombinations
+    val items = OpUtils.shared(
+      df.select(col(basketCol).as("__bk"), col(itemCol).cast("long").as("__it"))
+        .dropDuplicates("__bk", "__it"))
+    val nBaskets = items.agg(countDistinct(col("__bk")).as("__n"))
+    val marginals = items.groupBy(col("__it")).agg(count(lit(1)).as("__m"))
+    val pairs = items
+      .groupBy(col("__bk"))
+      .agg(sort_array(collect_list(col("__it"))).as("__is"))
+      .select(explode(pairCombinations(col("__is"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(marginals.select(col("__it").as("id_a"), col("__m").as("__ma")), "id_a")
+      .join(marginals.select(col("__it").as("id_b"), col("__m").as("__mb")), "id_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("id_a"), col("id_b"), col("n_ab"),
+        round(col("n_ab") * col("__n") /
+          (col("__ma") * col("__mb")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Skew-safe equi-join on `key`: the big (skewed) side fans its rows out
     * across `salts` sub-keys, the small side is replicated `salts`× — a hot
     * key's rows then land on `salts` reducers instead of one. Replication

@@ -410,6 +410,33 @@ object EventOps {
       col("__vi").isNull.as("was_gap"))
   }
 
+  /** Outage/gap detection — maximal runs of consecutive silent hours per
+    * type over the dense hourly calendar (the gaps-and-islands problem):
+    * where [[calendarHourly]] shows the zeros, this names the INTERVALS,
+    * which is what an on-call actually files ("no clicks 02:00–05:00",
+    * not 4 disconnected zero cells). Island key = hour index minus the
+    * zero-cell rank — constant exactly within a consecutive zero run, and
+    * pure integer arithmetic (engine-exact).
+    *
+    * 100 TB shape: the raw stream reduces to hourly cells first (the one
+    * corpus-sized exchange — [[denseHourly]]); the zero-run window + the
+    * island aggregation run over the (#types × #hours) spine only.
+    * Returns (event_type, gap_start, gap_end, n_hours). */
+  def silenceGaps(events: DataFrame): DataFrame = {
+    val zeros = denseHourly(events).filter(col("n") === 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    zeros
+      .withColumn("__isl",
+        (unix_micros(col("hr")) / 3600000000L).cast("long") -
+          row_number().over(w))
+      .groupBy(col("event_type"), col("__isl"))
+      .agg(
+        date_format(min(col("hr")), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+        date_format(max(col("hr")), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+        count(lit(1)).as("n_hours"))
+      .drop("__isl")
+  }
+
   /** CUSUM mean-shift changepoint per type: over the hourly-mean series,
     * the cumulative sum of deviations from the series mean peaks (in
     * absolute value) at the most likely single change point — the

@@ -180,6 +180,24 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("basketLift: planted always-together pair tops the ranking; lift arithmetic exact") {
+    import graft.operators.Joins
+    graft.functions.GraftFunctions.registerAll(spark)
+    // items 1,2 co-occur in all 4 of their baskets; item 3 is everywhere
+    // (lift vs 3 ≈ 1); repeated (basket, item) rows must dedupe
+    val rows = (1 to 4).flatMap(b =>
+      Seq((b.toLong, 1L), (b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L))) ++
+      (5 to 8).map(b => (b.toLong, 3L))
+    val out = Joins.basketLift(rows.toDF("bk", "itm"), "bk", "itm",
+        minPairs = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // lift(1,2) = 4·8/(4·4) = 2.0 — the exclusive pair beats the
+    // with-the-staple pairs, lift(1,3) = 4·8/(4·8) = 1.0
+    assert(out.head == ((1L, 2L, 4L, 2.0)), s"got ${out.mkString(",")}")
+    assert(out.toSeq.drop(1).map(t => (t._1, t._2, t._4)).toSet ==
+      Set((1L, 3L, 1.0), (2L, 3L, 1.0)))
+  }
+
   test("salted join equals the plain join; left rows survive unmatched; bad types rejected") {
     import graft.operators.Joins
     import org.apache.spark.sql.functions.col

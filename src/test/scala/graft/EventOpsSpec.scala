@@ -528,6 +528,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(mid.getBoolean(3))
   }
 
+  test("silenceGaps merges consecutive silent hours into maximal intervals") {
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L) // 2024-01-01 00:00 UTC
+    // type a: events at hours 0, 3, 4, 7 → gaps [1..2] and [5..6]
+    // type b: events at 0 and 7 only → one gap [1..6]
+    val df = (Seq(0L, 3L, 4L, 7L).map(h => (h, ts(h), "a", 1.0)) ++
+      Seq(0L, 7L).map(h => (100L + h, ts(h), "b", 1.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.silenceGaps(df).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13),
+        r.getString(2).substring(11, 13), r.getLong(3))).toSet
+    assert(out == Set(
+      ("a", "01", "02", 2L), ("a", "05", "06", 2L), ("b", "01", "06", 6L)),
+      s"got $out")
+  }
+
   test("cusumChangepoint pins the level shift at its first shifted hour") {
     def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L) // 2024-01-01 00:00 UTC
     // 6 hours at 10, then 6 hours at 50: |cusum| peaks at the LAST low
