@@ -1305,6 +1305,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
 
+    // Delta OPTIMIZE: three appends fragment every partition, one
+    // optimize commit (remove+add, dataChange=false) compacts each to a
+    // single file; the result reads the POST-optimize snapshot and proves
+    // the layout via countDistinct(input_file_name) = 1 per partition
+    "sink_delta_optimize" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltaopt_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
+      Sinks.deltaOptimize(s, out, targetBytes = 512L * 1024 * 1024)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_opt")
+      cat.read(s, cat.files)
+        // project the file name BEFORE aggregating: Spark (correctly)
+        // rejects nondeterministic expressions as aggregate arguments
+        .select(col("source"), col("n_chars"), input_file_name().as("__f"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("__f")).as("n_files"))
+    }),
+
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -3085,6 +3111,12 @@ object SparkEntry {
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     // the delta write→snapshot→scan round-trip is lossless, so the oracle
     // is the same aggregate straight off the source table
+    // optimize is lossless and leaves exactly one file per partition
+    "sink_delta_optimize" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY source""".stripMargin,
     "sink_delta" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars

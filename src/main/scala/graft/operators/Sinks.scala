@@ -205,6 +205,103 @@ object Sinks {
     * data write is Spark's normal distributed parquet write. Partition
     * values are string-typed ([[writePartitioned]]'s model, matching the
     * reference's partition handling). Returns the committed version. */
+  /** Delta OPTIMIZE: compact each partition's small files into
+    * `ceil(bytes/targetBytes)` files and commit the rewrite as one
+    * transaction of remove+add actions with `dataChange=false` — the
+    * protocol's marker that the commit moves bytes, not facts (an
+    * incremental consumer skips it). Old data files stay on disk, so TIME
+    * TRAVEL to any pre-optimize version still works — deleting them is
+    * VACUUM's job, a separate retention decision. Completes the table
+    * maintenance loop: [[deltaAppend]] grows the table,
+    * [[compactFiles]]-style sizing heals its layout.
+    *
+    * Partitions already at-or-below their target file count are left
+    * untouched; if nothing qualifies, NO commit is written and the
+    * current version is returned (an empty OPTIMIZE must not advance the
+    * log). Remove paths are derived by prefix-stripping the catalog's
+    * absolute keys — exact for this engine's own writers, which record
+    * unencoded relative paths.
+    *
+    * 100 TB shape: each partition group rewrites independently (restart =
+    * rerun remaining groups; an aborted run leaves only invisible staged
+    * files), reads only its own files, and the commit is one small JSON
+    * append — the data plane never touches the log. Returns the committed
+    * (or unchanged) version. */
+  def deltaOptimize(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_optimize")
+    val version0 = DeltaCatalog.latestVersion(spark, logDir)
+    val fsys = FsUtil.fs(spark, tablePath)
+    val qualified = fsys.makeQualified(new Path(tablePath)).toString
+    def rel(abs: String): String = {
+      val s = Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
+        if (a.startsWith(p)) a.stripPrefix(p) else a)
+      s.stripPrefix("/")
+    }
+    val work = cat.files.groupBy(_.partitionValues).filter { case (_, fs) =>
+      val nOut = math.max(1L,
+        math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong)
+      fs.size > nOut
+    }
+    if (work.isEmpty) return version0
+    val now = System.currentTimeMillis()
+    val actions = scala.collection.mutable.ListBuffer[JValue]()
+    work.toSeq.sortBy(_._1.mkString("/")).foreach { case (pv, fs) =>
+      val nOut = math.max(1L,
+        math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
+      // new files carry only the DATA columns — partition values live in
+      // the log (and the k=v path), exactly like the original writers
+      val data = cat.read(spark, fs)
+        .select(cat.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val stage = s"$tablePath/.graft-optimize-${java.util.UUID.randomUUID}"
+      data.repartition(nOut).write.mode("overwrite").parquet(stage)
+      val destDir = cat.partitionColumns.zip(pv)
+        .map { case (k, v) => s"$k=${escapePathName(v)}" }.mkString("/")
+      FsUtil.listStatus(spark, stage)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+          val name = s"optimized-${java.util.UUID.randomUUID}.parquet"
+          val relPath = if (destDir.isEmpty) name else s"$destDir/$name"
+          val dest = new Path(tablePath, relPath)
+          fsys.mkdirs(dest.getParent)
+          if (!fsys.rename(st.getPath, dest))
+            throw new BuzzException.ExecutionError(
+              s"optimize staging rename failed for $relPath")
+          actions += JObject("add" -> JObject(
+            "path" -> JString(relPath),
+            "size" -> JLong(fsys.getFileStatus(dest).getLen),
+            "partitionValues" -> JObject(cat.partitionColumns.zip(pv)
+              .map { case (k, v) => k -> (JString(v): JValue) }.toList),
+            "dataChange" -> JBool(false)))
+        }
+      fsys.delete(new Path(stage), true)
+      fs.foreach(f => actions += JObject("remove" -> JObject(
+        "path" -> JString(rel(f.key)),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(false))))
+    }
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    val version = version0 + 1
+    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+    FsUtil.writeString(spark, tmp.toString, body)
+    val commit = new Path(logDir, f"$version%020d.json")
+    if (!fsys.rename(tmp, commit)) {
+      fsys.delete(tmp, false)
+      throw new BuzzException.ExecutionError(
+        s"commit $version already exists under $logDir (concurrent writer?) — retry")
+    }
+    version
+  }
+
   def deltaAppend(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._

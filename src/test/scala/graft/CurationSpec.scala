@@ -607,6 +607,35 @@ class CurationSpec extends AnyFunSuite {
       Sinks.deltaAppend(b1, out, Nil))
   }
 
+  test("deltaOptimize compacts per partition, preserves time travel, no-ops when compact") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_opt").toString
+    // three appends → ≥3 files in partition p1
+    (0 until 3).foreach { i =>
+      Sinks.deltaAppend(
+        Seq((i.toLong, s"v$i", "p1"), (100L + i, s"w$i", "p2")).toDF("id", "v", "p"),
+        out, Seq("p"))
+    }
+    val before = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(before.files.count(_.partitionValues == Seq("p1")) == 3)
+    val v = Sinks.deltaOptimize(spark, out)
+    assert(v == 3L, "optimize is its own commit after appends 0,1,2")
+    // post-optimize snapshot: one file per partition, identical rows
+    val after = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(after.files.size == 2 &&
+      after.files.map(_.partitionValues).toSet == Set(Seq("p1"), Seq("p2")))
+    val got = after.read(spark, after.files)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == (0 until 3).flatMap(i =>
+      Seq((i.toLong, s"v$i", "p1"), (100L + i, s"w$i", "p2"))).toSet)
+    // time travel PRE-optimize still reads: old data files were not deleted
+    val v1 = DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(1L))
+    assert(v1.read(spark, v1.files).count() == 4)
+    // a second optimize finds nothing to do: same version, no new commit
+    assert(Sinks.deltaOptimize(spark, out) == 3L)
+  }
+
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
     val eval = Seq((100L, "nothing shared with anybody")).toDF("doc_id", "text")
     // minQuality 0: isolate the dedup + decontamination semantics
