@@ -1331,6 +1331,33 @@ object SparkEntry {
           countDistinct(col("__f")).as("n_files"))
     }),
 
+    // full Delta maintenance loop: fragment (3 appends) → OPTIMIZE →
+    // CHECKPOINT (+ log clean: pre-checkpoint commits deleted, so the
+    // read MUST seed from the checkpoint) → VACUUM (tombstoned splinters
+    // deleted from disk) → read the final snapshot. The aggregate proves
+    // losslessness; n_files proves the compacted layout survived vacuum
+    "sink_delta_maintenance" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltamaint_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
+      Sinks.deltaOptimize(s, out, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaCheckpoint(s, out, cleanCommits = true)
+      Sinks.deltaVacuum(s, out)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_maint")
+      cat.read(s, cat.files)
+        .select(col("source"), col("n_chars"), input_file_name().as("__f"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("__f")).as("n_files"))
+    }),
+
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -3111,6 +3138,12 @@ object SparkEntry {
       "SELECT source, count(*) AS n FROM documents GROUP BY source",
     // the delta write→snapshot→scan round-trip is lossless, so the oracle
     // is the same aggregate straight off the source table
+    // the full maintenance loop is lossless and leaves one file/partition
+    "sink_delta_maintenance" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY source""".stripMargin,
     // optimize is lossless and leaves exactly one file per partition
     "sink_delta_optimize" ->
       """SELECT source, count(*) AS n_docs,

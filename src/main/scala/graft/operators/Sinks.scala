@@ -302,6 +302,108 @@ object Sinks {
     version
   }
 
+  /** Write a single-part checkpoint of the CURRENT snapshot at the latest
+    * version and advertise it via `_last_checkpoint` — the log-compaction
+    * step that keeps a long-lived table's open cost O(checkpoint + tail)
+    * instead of O(every commit since v0). With `cleanCommits` the
+    * pre-checkpoint JSON commits are deleted (delta log retention);
+    * readers then MUST seed from the checkpoint — which
+    * [[graft.sources.DeltaCatalog]] does, failing loudly if a reader
+    * ignores it. Returns the checkpointed version. */
+  def deltaCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      cleanCommits: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{DeltaCatalog, FsUtil}
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_cp")
+    val version = DeltaCatalog.latestVersion(spark, logDir)
+    val fsys = FsUtil.fs(spark, tablePath)
+    val qualified = fsys.makeQualified(new Path(tablePath)).toString
+    def rel(abs: String): String =
+      Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
+        if (a.startsWith(p)) a.stripPrefix(p) else a).stripPrefix("/")
+    // full table schema = data schema + partition columns (this engine's
+    // writers declare partition columns as strings in schemaString)
+    val fullSchema = StructType(cat.schema.fields.toSeq ++
+      cat.partitionColumns.map(c => StructField(c, StringType, nullable = true)))
+    val cpSchema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))), nullable = true),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("partitionValues", MapType(StringType, StringType)))), nullable = true)))
+    val rows: Seq[Row] =
+      Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
+        cat.partitionColumns), null) +:
+        cat.files.map(f => Row(null,
+          Row(rel(f.key), f.length,
+            cat.partitionColumns.zip(f.partitionValues).toMap)))
+    val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = FsUtil.listStatus(spark, stage)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    fsys.delete(dest, false)
+    if (!fsys.rename(part, dest))
+      throw new graft.model.BuzzException.ExecutionError(
+        s"checkpoint rename failed for $dest")
+    fsys.delete(new Path(stage), true)
+    FsUtil.writeString(spark, s"$logDir/_last_checkpoint",
+      s"""{"version":$version,"size":${cat.files.size + 1}}""")
+    if (cleanCommits) {
+      val CommitName = raw"(\d{20})\.json".r
+      FsUtil.listStatus(spark, logDir).foreach { st =>
+        st.getPath.getName match {
+          case CommitName(v) if v.toLong <= version => fsys.delete(st.getPath, false)
+          case _ =>
+        }
+      }
+    }
+    version
+  }
+
+  /** VACUUM: delete data files under the table that the CURRENT snapshot
+    * no longer references (the tombstones OPTIMIZE and rewrites leave
+    * behind). This is the retention decision that TRADES time travel for
+    * space — versions whose files are vacuumed fail at read time — so it
+    * is a separate call, never bundled into optimize. Staged (dot-prefix)
+    * directories are reaped too. Returns the number of files deleted. */
+  def deltaVacuum(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, FsUtil}
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
+    val fsys = FsUtil.fs(spark, tablePath)
+    val qualified = fsys.makeQualified(new Path(tablePath)).toString
+    def rel(abs: String): String =
+      Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
+        if (a.startsWith(p)) a.stripPrefix(p) else a).stripPrefix("/")
+    val live = cat.files.map(f => rel(f.key)).toSet
+    var deleted = 0L
+    def walk(dir: Path): Unit =
+      fsys.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name == "_delta_log") ()
+          else if (name.startsWith(".")) { fsys.delete(st.getPath, true); deleted += 1 }
+          else walk(st.getPath)
+        } else if (name.endsWith(".parquet") &&
+            !live.contains(rel(st.getPath.toString))) {
+          fsys.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    walk(new Path(tablePath))
+    deleted
+  }
+
   def deltaAppend(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._

@@ -634,6 +634,24 @@ class CurationSpec extends AnyFunSuite {
     assert(v1.read(spark, v1.files).count() == 4)
     // a second optimize finds nothing to do: same version, no new commit
     assert(Sinks.deltaOptimize(spark, out) == 3L)
+
+    // checkpoint + clean: pre-checkpoint commits are gone, the reader
+    // seeds from the engine's OWN checkpoint and sees identical rows
+    assert(Sinks.deltaCheckpoint(spark, out, cleanCommits = true) == 3L)
+    val fromCp = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(fromCp.read(spark, fromCp.files)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet == got)
+    // time travel to cleaned history now fails loudly
+    intercept[graft.model.BuzzException.BadRequest](
+      DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(1L)))
+
+    // vacuum deletes the tombstoned splinter files; current snapshot intact
+    val removed = Sinks.deltaVacuum(spark, out)
+    assert(removed >= 6, s"the six pre-optimize files are reaped, got $removed")
+    val afterVac = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(afterVac.read(spark, afterVac.files).count() == 6)
+    // nothing left to vacuum
+    assert(Sinks.deltaVacuum(spark, out) == 0L)
   }
 
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
