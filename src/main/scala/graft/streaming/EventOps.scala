@@ -843,6 +843,32 @@ object EventOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-static dimension enrichment: each streaming event picks up the
+    * SCD2 status interval containing it — the live twin of
+    * the batch point-in-interval lookup (events_interval_join). The
+    * interval table is a slowly-changing STATIC side (rebuilt out of band
+    * by [[statusIntervals]], like the saved-index dedup twins); Spark
+    * re-broadcasts it per micro-batch, so the join is stateless — no
+    * watermark, no state store, append mode. At most one interval
+    * contains a given (key, ts) by SCD2 construction, so the left join
+    * preserves stream cardinality. Unmatched events keep NULL status
+    * (probe before the key's first interval). */
+  def enrichWithIntervalsStreaming(
+      events: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val iv = broadcast(intervals.select(
+      col(keyCol).as("__iv_k"), col("status"),
+      col("valid_from").as("__vf"), col("valid_to").as("__vt")))
+    events.join(iv,
+      col(keyCol) === col("__iv_k") &&
+        col(tsCol) >= col("__vf") &&
+        (col("__vt").isNull || col(tsCol) < col("__vt")),
+      "left")
+      .drop("__iv_k", "__vf", "__vt")
+  }
+
   case class TypedEv(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(stageIdx: Int, stageTs: Long, startedTs: Long)
   case class Conversion(user_id: Long, started: Long, converted: Long, duration_ms: Long)

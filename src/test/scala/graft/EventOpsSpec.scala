@@ -201,6 +201,35 @@ class EventOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static interval enrichment stamps each event with its containing status") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // static SCD2 history for user 1: status a [0, 30), status b [30, open)
+    val changelog = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(30), "b", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val intervals = EventOps.statusIntervals(
+      changelog, "user_id", "event_type", "ts", "event_id")
+    val stream = MemoryStream[EventOps.TypedEv]
+    stream.addData(Seq(
+      EventOps.TypedEv(1L, ts(10), "x"),  // inside [0,30) → a
+      EventOps.TypedEv(1L, ts(30), "y"),  // exactly at the boundary → b
+      EventOps.TypedEv(1L, ts(99), "z"),  // open interval → b
+      EventOps.TypedEv(2L, ts(5), "q"))) // no history → NULL
+    val q = EventOps.enrichWithIntervalsStreaming(
+        stream.toDF(), intervals, "user_id", "ts")
+      .select(col("event_type"), col("status"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(
+        "x" -> Some("a"), "y" -> Some("b"), "z" -> Some("b"), "q" -> None))
+    } finally q.stop()
+  }
+
   test("streaming funnel emits conversions in-window, resets on expiry, allows repeats") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)

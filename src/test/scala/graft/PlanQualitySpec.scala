@@ -612,6 +612,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one token exchange inside the cells plan:\n${cached.head.take(900)}")
   }
 
+  test("basket lift: pairs explode from collected baskets, never an items×items self-join") {
+    val df = SparkEntry.queries("basket_lift")(spark, TestSpark.sf)
+    // the (basket, item) table is persisted; unwrap cached subtrees so the
+    // candidate pipeline is visible (the dedup-LSH test's technique)
+    val top = df.queryExecution.optimizedPlan
+    val sb = new StringBuilder(top.toString)
+    top.foreach {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        sb.append(r.cachedPlan.toString)
+      case _ =>
+    }
+    val plan = sb.toString
+    assert(plan.contains("pair_combinations"),
+      s"pair fan-out must ride the kernel:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross product anywhere:\n${plan.take(900)}")
+    // co-occurrence must NOT be a self-join of items on the basket key —
+    // that squares on hot items; the only basket-keyed operation allowed
+    // is the collect_list aggregation
+    val basketJoins = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("__bk")).toSeq
+    assert(basketJoins.isEmpty,
+      s"items self-joined on the basket key:\n${basketJoins.mkString("\n")}")
+    assert(plan.contains("collect_list"),
+      s"baskets must collapse to item lists:\n${plan.take(900)}")
+  }
+
   test("top event paths: the leads share one per-user window; the cut is a TakeOrdered, not a global sort") {
     val df = SparkEntry.queries("events_paths")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
