@@ -668,6 +668,29 @@ object SparkEntry {
     // (hour-index − zero-rank island key, pure integers, spine-sized work)
     "events_gaps" -> ((s, dir) =>
       EventOps.silenceGaps(t(s, dir, "events"))),
+    // hour-of-day seasonal baseline over the ZERO-FILLED calendar —
+    // #types × 24 cells, exact integer sums, one division
+    "events_seasonality" -> ((s, dir) =>
+      EventOps.seasonalProfile(t(s, dir, "events"))),
+    // degree histogram of the trade graph — the readout that motivates
+    // the degree-cap discipline in jaccard/triangles
+    "graph_degree_dist" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      graft.operators.Graph.degreeDistribution(
+        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+    // graded contamination: per-doc distinct-n-gram overlap fraction vs
+    // the eval slice — broadcast grams, map-side join, one per-doc agg
+    "curate_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationFraction(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
     // market-basket lift over order baskets: pair fan-out bounded by
     // basket size via the pairCombinations kernel — never an items×items
     // self-join; marginals joined back at pair cardinality
@@ -2293,6 +2316,52 @@ object SparkEntry {
         |  strftime(max(hr), '%Y-%m-%d %H:%M:%S') AS gap_end,
         |  CAST(count(*) AS BIGINT) AS n_hours
         |FROM i GROUP BY event_type, isl""".stripMargin,
+    // zero-filled spine mean by hour-of-day — exact integer sums
+    "events_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(
+        |        (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+        |        INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |d AS (SELECT t.event_type, s.hr,
+        |        CAST(coalesce(h.n, 0) AS BIGINT) AS n
+        |      FROM t CROSS JOIN s
+        |      LEFT JOIN h ON h.event_type = t.event_type AND h.hr = s.hr)
+        |SELECT event_type, CAST(hour(hr) AS BIGINT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  round(CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS mean_n
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "graph_degree_dist" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM fwd
+        |      UNION SELECT dst AS src, src AS dst FROM fwd),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |        FROM e GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1""".stripMargin,
+    "curate_contamination_frac" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM tok WHERE len(tk) >= 3
+        |),
+        |e AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+        |per AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(e.sh) AS BIGINT) AS n_hits
+        |  FROM s LEFT JOIN e ON s.sh = e.sh GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(per.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(per.n_hits / CAST(per.n_grams AS DOUBLE), 6) AS overlap_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     // self-join pair mirror of the kernel fan-out (id_a < id_b order),
     // integer n_ab·N numerator, one double division, rounded 6
     "basket_lift" ->

@@ -163,6 +163,41 @@ object Curation {
     * viable when the eval corpus is itself too large for a broadcast gram
     * set. The corpus payload is filtered with one LEFT ANTI join on id
     * against the (tiny) verified hit list. */
+  /** Contamination FRACTION per document: what share of a doc's distinct
+    * n-grams appear in the eval set — the graded signal behind
+    * [[decontaminate]]'s boolean (pipelines drop at high overlap but only
+    * FLAG at a stray shared idiom; a 0/1 answer can't draw that line).
+    * Same scale shape: eval grams broadcast once, corpus gram stream
+    * joined map-side, one per-doc aggregation. Docs too short to shingle
+    * surface with n_grams = 0 and NULL fraction (undefined, not 0 — they
+    * cannot be contaminated or clean by this measure).
+    * Returns (idCol, n_grams, n_hits, overlap_frac rounded 6). */
+  def contaminationFraction(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val perDoc = corpus
+      .select(col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .join(broadcast(evalGrams), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(col("n_hits") / col("n_grams").cast("double"), 6).as("overlap_frac"))
+  }
+
   def decontaminateNearDup(
       corpus: DataFrame,
       evalDf: DataFrame,

@@ -419,4 +419,16 @@ object Graph {
             (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)), iterDp).as("r"))
     }
   }
+
+  /** Degree distribution: (degree, n_nodes) over the deduped edge list —
+    * the first graph-health readout (a heavy tail here is what makes the
+    * [[jaccardLinks]] maxDegree cap and [[triangleCount]]'s orientation
+    * discipline NECESSARY; this op is how an operator sees that before
+    * running them). Two grouped counts, the second at ≤ max-degree
+    * cardinality; nothing above node cardinality ever shuffles. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -410,6 +410,25 @@ object EventOps {
       col("__vi").isNull.as("was_gap"))
   }
 
+  /** Hour-of-day seasonal profile per type over the ZERO-FILLED dense
+    * calendar: mean hourly count by (type, hour-of-day) — the baseline a
+    * forecaster or anomaly detector subtracts before looking at residuals
+    * (a "quiet 3 AM" is seasonality, not an outage; [[silenceGaps]] and
+    * this op are the two halves of that distinction). Zeros must be data
+    * here: a present-rows-only mean would report a type's dead hours as
+    * its busy ones' average.
+    *
+    * 100 TB shape: the raw stream reduces to hourly cells first; the
+    * profile is a second aggregation of the (#types × #hours) spine down
+    * to #types × 24 cells. Exact integer sums, one division, rounded 4.
+    * Returns (event_type, hod, n_hours, mean_n). */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    denseHourly(events)
+      .groupBy(col("event_type"), hour(col("hr")).cast("long").as("hod"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        round(sum(col("n")) / count(lit(1)).cast("double"), 4).as("mean_n"))
+
   /** Outage/gap detection — maximal runs of consecutive silent hours per
     * type over the dense hourly calendar (the gaps-and-islands problem):
     * where [[calendarHourly]] shows the zeros, this names the INTERVALS,
