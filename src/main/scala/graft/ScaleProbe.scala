@@ -262,6 +262,24 @@ object ScaleProbe {
       }
       report("jaccard_links_rows", scale, jlRows, jlSecs)
 
+      // market-basket lift: k disjoint basket-id copies — pair volume is
+      // C(basket,2) per basket by construction (the kernel fan-out, never
+      // an items×items self-join), so pair counts and wall both track
+      // baskets ~linearly; item ids are NOT offset, so per-item
+      // frequencies grow k× and the ranked lifts are scale-invariant
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val basketsK = (0 until scale).map { i =>
+        if (i == 0) li
+        else li.select((col("l_orderkey") + lit(i * idStride)).as("l_orderkey"),
+          col("l_partkey"))
+      }.reduce(_.unionAll(_))
+      val (blRows, blSecs) = timed {
+        graft.operators.Joins.basketLift(
+          basketsK, "l_orderkey", "l_partkey", minPairs = 3L * scale, k = 20).count()
+      }
+      report("basket_lift_rows", scale, blRows, blSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }
