@@ -135,6 +135,70 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 12)
   }
 
+  test("asofJoinForward == per-left-row argmin over at-or-after right rows (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val genSide = Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    check(Prop.forAll(genSide, genSide) { (ls: List[(Long, Long)], rs: List[(Long, Long)]) =>
+      if (ls.isEmpty) true else {
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        val right = rs.distinct.map { case (k, t) => (1000L + k * 100 + t, k, ts(t)) }
+        val out = EventOps.asofJoinForward(
+            left.toDF("event_id", "user_id", "ts"),
+            right.toDF("event_id", "user_id", "ts"), "user_id", "ts")
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("next_event_id"))))
+          .toMap
+        val ref = left.map { case (id, k, t) =>
+          val after = rs.distinct.filter { case (rk, rt) => rk == k && ts(rt).compareTo(t) >= 0 }
+          id -> after.sortBy(_._2).headOption.map { case (rk, rt) => 1000L + rk * 100 + rt }
+        }.toMap
+        out == ref
+      }
+    }, minTests = 12)
+  }
+
+  test("interpolateLinear invariants: anchors exact, gaps bounded by neighbors, edges null (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600000L)
+    val genCells = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 10000)))
+    check(Prop.forAll(genCells) { (cells: List[(Long, Int)]) =>
+      // one value per present hour (cents grid keeps anchors exact)
+      val present = cells.toMap
+      val rows = present.toSeq.zipWithIndex.map { case ((h, c), i) =>
+        (i.toLong, ts(h), "t", c / 100.0)
+      }
+      val out = EventOps.interpolateLinear(
+          rows.toDF("event_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => r.getString(1).substring(11, 13).toLong ->
+          Option(r.get(2)).map(_.asInstanceOf[Double]))
+        .toMap
+      val lo = present.keys.min
+      val hi = present.keys.max
+      (lo to hi).forall { h =>
+        out(h) match {
+          case Some(v) if present.contains(h) =>
+            v == present(h) / 100.0 // anchor passes through exactly
+          case Some(v) =>
+            val pv = (h - 1 to lo by -1).collectFirst {
+              case p if present.contains(p) => present(p) / 100.0 }.get
+            val nv = (h + 1 to hi).collectFirst {
+              case p if present.contains(p) => present(p) / 100.0 }.get
+            v >= math.min(pv, nv) - 1e-4 && v <= math.max(pv, nv) + 1e-4
+          case None => false // inside [lo, hi] both anchors exist
+        }
+      }
+    }, minTests = 12)
+  }
+
   test("rangeJoinCount == brute-force window count (randomized)") {
     import java.sql.Timestamp
     import graft.streaming.EventOps
