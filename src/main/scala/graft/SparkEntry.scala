@@ -2144,7 +2144,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
         |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        |  FROM lineitem WHERE l_extendedprice > 0),
+        |  FROM lineitem WHERE l_extendedprice >= 0.01),
         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
         |t AS (SELECT sum(n) AS tt FROM g)
         |SELECT digit, n, round(n / CAST(tt AS DOUBLE), 6) AS p_obs,
@@ -2281,17 +2281,17 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM h GROUP BY 1),
         |r AS (SELECT h.event_type, h.hr, m.n,
-        |        round(abs(m.n * (sum(h.vi) OVER w) -
-        |                  (count(*) OVER w) * m.mnum)
-        |              / (m.n * 10000.0), 4) AS score
+        |        abs(m.n * (sum(h.vi) OVER w) -
+        |            (count(*) OVER w) * m.mnum) AS iscore
         |      FROM h JOIN m ON h.event_type = m.c_type
         |      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |k AS (SELECT *, row_number() OVER (
-        |        PARTITION BY event_type ORDER BY score DESC, hr ASC) AS rk
+        |        PARTITION BY event_type ORDER BY iscore DESC, hr ASC) AS rk
         |      FROM r)
         |SELECT event_type, n AS n_hours,
-        |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour, score
+        |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+        |  round(iscore / (n * 10000.0), 4) AS score
         |FROM k WHERE rk = 1""".stripMargin,
     // identical island key: hour index (µs // 3.6e9) minus zero-cell rank
     "events_gaps" ->
@@ -2380,7 +2380,8 @@ object SparkEntry {
         |JOIN m ma ON ma.itm = p.id_a
         |JOIN m mb ON mb.itm = p.id_b
         |CROSS JOIN n
-        |ORDER BY lift DESC, id_a, id_b LIMIT 20""".stripMargin,
+        |ORDER BY n_ab * nb / CAST(ma.mc * mb.mc AS DOUBLE) DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
     "events_paths" ->
       """WITH p AS (
         |  SELECT event_type || '>' || lead(event_type, 1) OVER w
@@ -2408,20 +2409,20 @@ object SparkEntry {
         ("o_orderpriority", "o_orderstatus"))
         .map { case (l, r) => cand(l, r) }.mkString("\nUNION ALL\n")
     },
-    // natural share rounded to 6 dp BEFORE the 1/T power, same division
-    // chain q/z/p — the temperatureMix float contract
+    // the 1/T power runs on the RAW share (one long/long division —
+    // already engine-identical); only displayed columns round
     "curate_temperature_mix" ->
       """WITH g AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS docs
         |  FROM documents GROUP BY 1),
-        |t AS (SELECT sum(docs) AS tt FROM g),
+        |t AS (SELECT CAST(sum(docs) AS BIGINT) AS tt FROM g),
         |p AS (SELECT lang, docs,
-        |        round(docs / CAST(tt AS DOUBLE), 6) AS p,
-        |        pow(round(docs / CAST(tt AS DOUBLE), 6), 1.0 / 3.0) AS qr
+        |        docs / CAST(tt AS DOUBLE) AS pr,
+        |        pow(docs / CAST(tt AS DOUBLE), 1.0 / 3.0) AS qr
         |      FROM g CROSS JOIN t),
         |z AS (SELECT sum(qr) AS zz FROM p)
-        |SELECT lang, docs, p, round(qr / zz, 6) AS q,
-        |  round(qr / zz / p, 6) AS sample_weight
+        |SELECT lang, docs, round(pr, 6) AS p, round(qr / zz, 6) AS q,
+        |  round(qr / zz / pr, 6) AS sample_weight
         |FROM p CROSS JOIN z""".stripMargin,
     // the compaction round-trip is lossless and the file count is a pure
     // function of the content-size column, so the oracle predicts all

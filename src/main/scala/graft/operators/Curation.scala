@@ -755,8 +755,12 @@ object Curation {
     * repetition factor a sampler applies downstream (>1 = upsample).
     *
     * The complement of [[mixingWeights]]: that op biases BY quality,
-    * this one unbiases BY volume. Natural shares are rounded to 6 dp
-    * before the power so both engines exponentiate identical doubles.
+    * this one unbiases BY volume. The power runs on the RAW share
+    * docs/total — one deterministic long/long division, already identical
+    * in any engine — never a pre-rounded p: rounding first would collapse
+    * a genuinely tiny share (100 docs in 10⁹, p = 1e-7) to 0, zeroing q
+    * and NULLing the weight for exactly the tail group the op exists to
+    * lift. Only the DISPLAYED columns round.
     *
     * Scale shape: one grouped count to #groups rows, a single-row total
     * cross-joined twice (count total, then power-sum total) — all
@@ -770,14 +774,14 @@ object Curation {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("docs"))
     val total = counts.agg(sum(col("docs")).as("__t"))
     val p = counts.crossJoin(broadcast(total))
-      .withColumn("p", round(col("docs") / col("__t"), 6))
-      .withColumn("__q_raw", pow(col("p"), 1.0 / temperature))
+      .withColumn("__p", col("docs") / col("__t"))
+      .withColumn("__q_raw", pow(col("__p"), 1.0 / temperature))
     val z = p.agg(sum(col("__q_raw")).as("__z"))
     p.crossJoin(broadcast(z))
       .select(
-        col(groupCol), col("docs"), col("p"),
+        col(groupCol), col("docs"), round(col("__p"), 6).as("p"),
         round(col("__q_raw") / col("__z"), 6).as("q"),
-        round(col("__q_raw") / col("__z") / col("p"), 6).as("sample_weight"))
+        round(col("__q_raw") / col("__z") / col("__p"), 6).as("sample_weight"))
   }
 
   /** Model-based quality scoring — the fasttext/CCNet "quality classifier"

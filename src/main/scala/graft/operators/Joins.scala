@@ -52,11 +52,16 @@ object Joins {
       .join(marginals.select(col("__it").as("id_a"), col("__m").as("__ma")), "id_a")
       .join(marginals.select(col("__it").as("id_b"), col("__m").as("__mb")), "id_b")
       .crossJoin(broadcast(nBaskets))
-      .select(col("id_a"), col("id_b"), col("n_ab"),
-        round(col("n_ab") * col("__n") /
-          (col("__ma") * col("__mb")).cast("double"), 6).as("lift"))
-      .orderBy(col("lift").desc, col("id_a"), col("id_b"))
+      // rank on the RAW lift (integer numerator over integer product, one
+      // division — identical double in any engine); ranking on the rounded
+      // value would let a one-ulp cross-engine round() tie-break reorder
+      // the top-k boundary. Round for display only.
+      .withColumn("__lift",
+        col("n_ab") * col("__n") / (col("__ma") * col("__mb")).cast("double"))
+      .orderBy(col("__lift").desc, col("id_a"), col("id_b"))
       .limit(k)
+      .select(col("id_a"), col("id_b"), col("n_ab"),
+        round(col("__lift"), 6).as("lift"))
   }
 
   /** Skew-safe equi-join on `key`: the big (skewed) side fans its rows out

@@ -343,8 +343,11 @@ object Profiler {
     * 100 TB shape: one narrow projection + one 9-row grouped count, totals
     * as a single-row broadcast. Returns (digit, n, p_obs, p_benford). */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // enforce the documented >= 0.01 domain: below it the cents grid
+    // rounds to 0 (a bogus digit-0 row with NULL p_benford) or shifts the
+    // leading digit (0.006 → cents 1)
     val digits = df
-      .filter(col(valueCol) > 0)
+      .filter(col(valueCol) >= 0.01)
       .select(substring(round(col(valueCol) * 100, 0).cast("long")
         .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))

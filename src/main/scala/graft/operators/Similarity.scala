@@ -754,13 +754,16 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
-    val cands = emb.filter(col(idCol) =!= queryId)
+    // shared: the pool feeds the pair matrix (both sides) and the rel
+    // collect — unpersisted, the distributed candidate scan (the expensive
+    // part) would re-run once per reference
+    val cands = OpUtils.shared(emb.filter(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(q))
       .withColumn("rel", cosineSim(col("v"), col("qv")))
       .orderBy(col("rel").desc, col("id"))
       .limit(pool)
-      .select(col("id"), col("rel"), col("v"))
+      .select(col("id"), col("rel"), col("v")))
     val sims = cands.select(col("id").as("ia"), col("v").as("va"))
       .crossJoin(broadcast(cands.select(col("id").as("ib"), col("v").as("vb"))))
       .filter(col("ia") =!= col("ib"))

@@ -51,9 +51,11 @@ object Sinks {
       fragmented: DataFrame, path: String,
       sizeCol: String, targetChunk: Long): DataFrame = {
     require(targetChunk > 0, s"targetChunk must be > 0, got $targetChunk")
-    val nOut = fragmented
+    // empty input (or all-NULL sizes) sums to NULL — one file, not an NPE
+    val nRow = fragmented
       .agg(ceil(sum(col(sizeCol)) / targetChunk.toDouble).cast("int").as("n"))
-      .head().getInt(0).max(1)
+      .head()
+    val nOut = (if (nRow.isNullAt(0)) 1 else nRow.getInt(0)).max(1)
     fragmented.repartition(nOut).write.mode("overwrite").parquet(path)
     fragmented.sparkSession.read.parquet(path)
       .select(input_file_name().as("__f"), col(sizeCol))
@@ -239,14 +241,14 @@ object Sinks {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val logDir = s"$tablePath/_delta_log"
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_optimize")
+    // remove actions must carry the RAW log path strings — the replay's
+    // live map matches removes by exact string, and a path re-derived
+    // from the decoded absolute key desyncs it for any escaped partition
+    // value (splinters would stay live: doubled rows, and vacuum would
+    // then reap the wrong side)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
     val version0 = DeltaCatalog.latestVersion(spark, logDir)
     val fsys = FsUtil.fs(spark, tablePath)
-    val qualified = fsys.makeQualified(new Path(tablePath)).toString
-    def rel(abs: String): String = {
-      val s = Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
-        if (a.startsWith(p)) a.stripPrefix(p) else a)
-      s.stripPrefix("/")
-    }
     val work = cat.files.groupBy(_.partitionValues).filter { case (_, fs) =>
       val nOut = math.max(1L,
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong)
@@ -276,17 +278,21 @@ object Sinks {
             throw new BuzzException.ExecutionError(
               s"optimize staging rename failed for $relPath")
           actions += JObject("add" -> JObject(
-            "path" -> JString(relPath),
+            "path" -> JString(graft.sources.DeltaCatalog.encodePath(relPath)),
             "size" -> JLong(fsys.getFileStatus(dest).getLen),
             "partitionValues" -> JObject(cat.partitionColumns.zip(pv)
               .map { case (k, v) => k -> (JString(v): JValue) }.toList),
             "dataChange" -> JBool(false)))
         }
       fsys.delete(new Path(stage), true)
-      fs.foreach(f => actions += JObject("remove" -> JObject(
-        "path" -> JString(rel(f.key)),
-        "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(false))))
+      fs.foreach { f =>
+        val raw = rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
+          s"optimize: no raw log path for live file ${f.key} — snapshot drifted"))
+        actions += JObject("remove" -> JObject(
+          "path" -> JString(raw),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(false)))
+      }
     }
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
@@ -319,12 +325,11 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     val logDir = s"$tablePath/_delta_log"
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_cp")
+    // the checkpoint must persist the RAW log paths — the seed decodes
+    // them exactly once on re-read, like commit replay does
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
     val version = DeltaCatalog.latestVersion(spark, logDir)
     val fsys = FsUtil.fs(spark, tablePath)
-    val qualified = fsys.makeQualified(new Path(tablePath)).toString
-    def rel(abs: String): String =
-      Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
-        if (a.startsWith(p)) a.stripPrefix(p) else a).stripPrefix("/")
     // full table schema = data schema + partition columns (this engine's
     // writers declare partition columns as strings in schemaString)
     val fullSchema = StructType(cat.schema.fields.toSeq ++
@@ -342,7 +347,10 @@ object Sinks {
       Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
         cat.partitionColumns), null) +:
         cat.files.map(f => Row(null,
-          Row(rel(f.key), f.length,
+          Row(rawByKey.getOrElse(f.key,
+              throw new graft.model.BuzzException.ExecutionError(
+                s"checkpoint: no raw log path for live file ${f.key}")),
+            f.length,
             cat.partitionColumns.zip(f.partitionValues).toMap)))
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
@@ -381,11 +389,21 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
-    val qualified = fsys.makeQualified(new Path(tablePath)).toString
-    def rel(abs: String): String =
-      Seq(qualified, tablePath).foldLeft(abs)((a, p) =>
-        if (a.startsWith(p)) a.stripPrefix(p) else a).stripPrefix("/")
-    val live = cat.files.map(f => rel(f.key)).toSet
+    // membership is decided on fully-QUALIFIED absolute paths — the same
+    // derivation reads use — never on re-derived relative strings, whose
+    // escape/decode round-trip desyncs for escaped partition values (and
+    // would then delete the CURRENT snapshot's files)
+    def qual(p: String): String = fsys.makeQualified(new Path(p)).toString
+    val live = cat.files.map(f => qual(f.key)).toSet
+    // abort if any live file is not where the snapshot says it is: the
+    // log↔disk mapping is broken (encoding drift, partial copy) and any
+    // "unreferenced" verdict below would be meaningless — deleting on a
+    // broken mapping is how a vacuum eats live data
+    val missing = live.filterNot(p => fsys.exists(new Path(p)))
+    if (missing.nonEmpty)
+      throw new graft.model.BuzzException.ExecutionError(
+        s"vacuum aborted: ${missing.size} live file(s) missing on disk " +
+          s"(first: ${missing.head}) — snapshot and layout disagree")
     var deleted = 0L
     def walk(dir: Path): Unit =
       fsys.listStatus(dir).foreach { st =>
@@ -395,7 +413,7 @@ object Sinks {
           else if (name.startsWith(".")) { fsys.delete(st.getPath, true); deleted += 1 }
           else walk(st.getPath)
         } else if (name.endsWith(".parquet") &&
-            !live.contains(rel(st.getPath.toString))) {
+            !live.contains(qual(st.getPath.toString))) {
           fsys.delete(st.getPath, false)
           deleted += 1
         }
@@ -458,7 +476,10 @@ object Sinks {
       if (tableExists) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
     val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
       JObject("add" -> JObject(
-        "path" -> JString(rel),
+        // URI-encode the on-disk rel path per the protocol — the reader
+        // URI-decodes add.path, so a raw name containing '%' (Hive-escaped
+        // partition values) would otherwise decode to a nonexistent path
+        "path" -> JString(DeltaCatalog.encodePath(rel)),
         "size" -> JLong(size),
         "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
         "dataChange" -> JBool(true)))

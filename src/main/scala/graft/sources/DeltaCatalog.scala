@@ -50,7 +50,26 @@ object DeltaCatalog {
       spark: SparkSession,
       tablePath: String,
       name: String,
-      versionAsOf: Option[Long] = None): StaticCatalog = {
+      versionAsOf: Option[Long] = None): StaticCatalog =
+    toCatalog(spark, tablePath, name, replay(spark, tablePath, versionAsOf))
+
+  /** The RAW `add.path` log string for each live file, keyed by the
+    * ABSOLUTE catalog key [[toCatalog]] surfaces. Maintenance writers
+    * (optimize/checkpoint) MUST round-trip these raw strings into their
+    * remove/checkpoint actions: re-deriving a path from the decoded
+    * absolute key desyncs the log for any escaped partition value (the
+    * replay's `live` map matches remove paths by exact string). */
+  private[graft] def liveRawByKey(
+      spark: SparkSession, tablePath: String): Map[String, String] = {
+    val state = replay(spark, tablePath, None)
+    state.live.keys.map(raw =>
+      new Path(tablePath, decodePath(raw)).toString -> raw).toMap
+  }
+
+  private def replay(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long]): State = {
     val logDir = s"$tablePath/_delta_log"
     if (!FsUtil.isDirectory(spark, logDir))
       throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
@@ -107,7 +126,7 @@ object DeltaCatalog {
         .foreach(line => applyAction(JsonMethods.parse(line), state))
     }
 
-    toCatalog(spark, tablePath, name, state)
+    state
   }
 
   /** Latest committed version visible in `logDir`: max over JSON commit
@@ -252,4 +271,15 @@ object DeltaCatalog {
       case d    => d
     }
     catch { case _: java.net.URISyntaxException => p }
+
+  /** Inverse of [[decodePath]] for WRITERS: percent-encode an on-disk
+    * relative path into the URI form `add.path` requires. Spark's Hive
+    * layout escapes special partition values into dir names containing
+    * literal `%` (value `a=b` → dir `p=a%3Db`); recording that name RAW
+    * would make the reader's URI-decode mangle it (`%3D` → `=` → a path
+    * that does not exist on disk). The multi-arg URI constructor quotes
+    * `%`, spaces and other illegal characters; plain names round-trip
+    * unchanged, keeping old unencoded logs readable. */
+  private[graft] def encodePath(rel: String): String =
+    new java.net.URI(null, null, "/" + rel, null).getRawPath.stripPrefix("/")
 }

@@ -368,13 +368,7 @@ object EventOps {
     // is integer-rational pv·(dn−dt) + nv·dt over hour deltas, half-up is
     // integer (2·num + dn) DIV (2·dn), and the ONE float op is the final
     // exact-integer / 10⁴ display division — identical in any engine.
-    val hourly = events.groupBy(
-        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(
-        sum(round(col("value") * 100, 0).cast("long")).as("__c"),
-        count(lit(1)).as("__hn"))
-      .select(col("event_type"), col("hr"),
-        round(col("__c") * 100.0 / col("__hn"), 0).cast("long").as("__vi"))
+    val hourly = hourlyMeansE4(events)
     val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 hour"))).as("hr"))
@@ -481,13 +475,7 @@ object EventOps {
     // rescaling of the deviation cusum (n > 0 is constant per type, so
     // the argmax is unchanged). Floats appear only in the one reported
     // score division at the very end.
-    val hourly = events.groupBy(
-        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(
-        sum(round(col("value") * 100, 0).cast("long")).as("__c"),
-        count(lit(1)).as("__hn"))
-      .select(col("event_type"), col("hr"),
-        round(col("__c") * 100.0 / col("__hn"), 0).cast("long").as("__vi"))
+    val hourly = hourlyMeansE4(events)
     val m = hourly.groupBy(col("event_type").as("__c_type"))
       .agg(sum(col("__vi")).as("__mnum"), count(lit(1)).as("__n"))
     val run = Window.partitionBy(col("event_type")).orderBy(col("hr"))
@@ -495,18 +483,35 @@ object EventOps {
     val scored = hourly.join(m, col("event_type") <=> col("__c_type"))
       .withColumn("__cum", sum(col("__vi")).over(run))
       .withColumn("__k", count(lit(1)).over(run))
-      .withColumn("score", round(
-        abs(col("__n") * col("__cum") - col("__k") * col("__mnum")) /
-          (col("__n") * 10000.0), 4))
+      // the argmax key stays INTEGER — ranking by the rounded float score
+      // would both collide distinct peaks onto one 4-dp value (wrong
+      // earliest-hour pick) and reopen the cross-engine round() tie-break
+      // divergence this operator exists to avoid
+      .withColumn("__int",
+        abs(col("__n") * col("__cum") - col("__k") * col("__mnum")))
     val pick = Window.partitionBy(col("event_type"))
-      .orderBy(col("score").desc, col("hr").asc)
+      .orderBy(col("__int").desc, col("hr").asc)
     scored.withColumn("__rk", row_number().over(pick))
       .filter(col("__rk") === 1)
       .select(
         col("event_type"), col("__n").as("n_hours"),
         date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("cp_hour"),
-        col("score"))
+        round(col("__int") / (col("__n") * 10000.0), 4).as("score"))
   }
+
+  /** Shared engine-exact hourly-mean anchors ×10⁴ as integers: exact
+    * integer-cent sums (order-free), ONE deterministic division, one
+    * half-up to the 10⁻⁴ grid — the block [[interpolateLinear]] and
+    * [[cusumChangepoint]] both build on (and whose DuckDB mirrors must
+    * stay bit-in-sync with). Returns (event_type, hr, __vi). */
+  private def hourlyMeansE4(events: DataFrame): DataFrame =
+    events.groupBy(
+        col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        sum(round(col("value") * 100, 0).cast("long")).as("__c"),
+        count(lit(1)).as("__hn"))
+      .select(col("event_type"), col("hr"),
+        round(col("__c") * 100.0 / col("__hn"), 0).cast("long").as("__vi"))
 
   /** Top event-type paths: the k most frequent length-3 event sequences
     * across users (ordered by time within user) — the navigation-flow /

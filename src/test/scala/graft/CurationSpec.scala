@@ -509,6 +509,19 @@ class CurationSpec extends AnyFunSuite {
     assert(qSmall > pSmall && qSmall < 0.5, s"small share grows: $qSmall")
     assert(math.abs(qBig + qSmall - 1.0) < 1e-4, "target shares normalize")
     assert(wSmall > 1.0 && wBig < 1.0, "sample_weight up-samples the tail")
+
+    // extreme tail: a share below the 6-dp display grid (p ≈ 3e-7) must
+    // STILL get a real positive up-weight — the power runs on the raw
+    // share, not a pre-rounded one that would collapse to 0 and NULL the
+    // weight for exactly the group this op exists to lift
+    val extreme = spark.range(3000000L).selectExpr("id", "'big' AS g")
+      .unionAll(spark.range(1L).selectExpr("id + 9000000 AS id", "'tiny' AS g"))
+    val tiny = Curation.temperatureMix(extreme, "g", temperature = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(tiny("tiny")._1 == 0.0, "displayed p rounds to 0 at 6 dp")
+    assert(tiny("tiny")._2.exists(_ > 1.0),
+      s"the sub-grid tail still gets a real up-weight: ${tiny("tiny")}")
   }
 
   test("compactFiles merges splinters into the content-sized file count") {
@@ -652,6 +665,40 @@ class CurationSpec extends AnyFunSuite {
     assert(afterVac.read(spark, afterVac.files).count() == 6)
     // nothing left to vacuum
     assert(Sinks.deltaVacuum(spark, out) == 0L)
+  }
+
+  test("delta maintenance round-trips Hive-ESCAPED partition values (the %3D path)") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    // values that Hive-escape into dir names containing literal '%' —
+    // the add.path must URI-encode them or the reader's decode mangles
+    // the path; removes/checkpoints must round-trip the RAW log strings
+    val vals = Seq("a=b", "sp ace", "pct%20v")
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_esc").toString
+    (0 until 2).foreach { i =>
+      Sinks.deltaAppend(
+        vals.zipWithIndex.map { case (v, j) => (i * 10L + j, v) }.toDF("id", "p"),
+        out, Seq("p"))
+    }
+    def readAll() = {
+      val c = DeltaCatalog.fromDeltaLog(spark, out, "t")
+      c.read(spark, c.files).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+    }
+    val expected = (0 until 2).flatMap(i =>
+      vals.zipWithIndex.map { case (v, j) => (i * 10L + j) -> v }).toSet
+    assert(readAll() == expected, "escaped values survive the append+read loop")
+    // optimize: removes must match the log's raw paths exactly — a desync
+    // leaves splinters live and doubles rows
+    Sinks.deltaOptimize(spark, out)
+    assert(readAll() == expected, "no doubled rows after optimize")
+    // checkpoint + clean, then read seeds from the checkpoint's raw paths
+    Sinks.deltaCheckpoint(spark, out, cleanCommits = true)
+    assert(readAll() == expected, "checkpoint round-trips escaped paths")
+    // vacuum must reap ONLY the tombstoned splinters, never live files
+    val reaped = Sinks.deltaVacuum(spark, out)
+    assert(reaped >= vals.size, s"pre-optimize splinters reaped, got $reaped")
+    assert(readAll() == expected, "live data intact after vacuum")
   }
 
   test("cleanCorpus keeps only unique, quality, uncontaminated docs") {
