@@ -1010,6 +1010,17 @@ object SparkEntry {
     // cohort retention matrix: users by first-activity day × return offset
     "events_retention" -> ((s, dir) =>
       EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+    // hourly OHLC bars: one partial-aggregable min_by/max_by pass, ties on
+    // ts broken by event_id identically in both engines
+    "events_ohlc" -> ((s, dir) =>
+      EventOps.ohlcDownsample(t(s, dir, "events"))),
+    // RFM segmentation: per-user aggregate + broadcast quartile grading
+    "events_rfm" -> ((s, dir) =>
+      EventOps.rfmSegments(t(s, dir, "events"))),
+    // Kaplan-Meier survival over user lifetimes, right-censored at the
+    // corpus end; the ordered window runs over the bounded lifetime table
+    "events_survival" -> ((s, dir) =>
+      EventOps.survivalCurve(t(s, dir, "events"), censorDays = 7)),
     // bounded range join: errors counted against same-user clicks within
     // ±5 minutes, via window-width binning (bin ±1 equi-join), never a
     // per-key cross product
@@ -2741,6 +2752,80 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(split(text, '')) AS c
         |      FROM documents WHERE length(text) > 0) x
         |GROUP BY doc_id""".stripMargin,
+    "events_ohlc" ->
+      """WITH ranked AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  round(max(CASE WHEN rf = 1 THEN value END), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(max(CASE WHEN rl = 1 THEN value END), 4) AS close,
+        |  count(*) AS n
+        |FROM ranked GROUP BY hr, event_type""".stripMargin,
+    "events_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+        |    round(sum(value), 4) AS monetary
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(CAST(last_ts AS DATE)) AS anchor FROM u),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(anchor - CAST(last_ts AS DATE) AS BIGINT) AS recency_days,
+        |    frequency, monetary
+        |  FROM u, a),
+        |q AS (
+        |  SELECT
+        |    round(quantile_cont(recency_days, 0.25), 4) AS r1,
+        |    round(quantile_cont(recency_days, 0.50), 4) AS r2,
+        |    round(quantile_cont(recency_days, 0.75), 4) AS r3,
+        |    round(quantile_cont(frequency, 0.25), 4) AS f1,
+        |    round(quantile_cont(frequency, 0.50), 4) AS f2,
+        |    round(quantile_cont(frequency, 0.75), 4) AS f3,
+        |    round(quantile_cont(monetary, 0.25), 4) AS m1,
+        |    round(quantile_cont(monetary, 0.50), 4) AS m2,
+        |    round(quantile_cont(monetary, 0.75), 4) AS m3
+        |  FROM m)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+        |       + CAST(recency_days > r3 AS INT)) AS r_score,
+        |  1 + (CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+        |       + CAST(frequency > f3 AS INT)) AS f_score,
+        |  1 + (CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+        |       + CAST(monetary > m3 AS INT)) AS m_score
+        |FROM m, q""".stripMargin,
+    "events_survival" ->
+      """WITH life AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+        |    CAST(max(ts) AS DATE) AS last_day
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM life),
+        |m AS (
+        |  SELECT CAST(last_day - first_day AS BIGINT) AS t,
+        |    CASE WHEN anchor - last_day >= 7 THEN 1 ELSE 0 END AS churned
+        |  FROM life, a),
+        |byt AS (
+        |  SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+        |    CAST(count(*) - sum(churned) AS BIGINT) AS c
+        |  FROM m GROUP BY 1),
+        |r AS (
+        |  SELECT t, d, c,
+        |    CAST((SELECT count(*) FROM m)
+        |      - coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS at_risk
+        |  FROM byt)
+        |SELECT t AS lifetime_days, d AS n_churned, c AS n_censored, at_risk,
+        |  CASE WHEN sum(CASE WHEN d >= at_risk THEN 1 ELSE 0 END) OVER w > 0
+        |       THEN 0.0
+        |       ELSE round(exp(sum(ln(1 - d / CAST(at_risk AS DOUBLE))) OVER w), 6)
+        |  END AS survival
+        |FROM r
+        |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)

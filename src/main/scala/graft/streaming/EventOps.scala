@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -757,6 +757,127 @@ object EventOps {
     left.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+  }
+
+  /** Hourly OHLC downsample per event type: open/high/low/close of `value`
+    * within each (hour, type) bar, ties on ts broken by event_id so both
+    * engines pick the same open/close row. The resample that turns a raw
+    * tick stream into a bounded bar table a dashboard can hold whole.
+    *
+    * 100 TB shape: ONE grouped aggregation — min_by/max_by are ordinary
+    * partial-aggregable Catalyst aggregates, so every map task reduces its
+    * splits to at most one candidate bar per (hour, type) before the
+    * exchange, and the result is (#hours × #types) rows regardless of
+    * input size. Returns (hour, event_type, open, high, low, close, n). */
+  def ohlcDownsample(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(
+        round(expr("min_by(value, struct(ts, event_id))"), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(expr("max_by(value, struct(ts, event_id))"), 4).as("close"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+
+  /** RFM segmentation: per-user Recency (days since last activity, against
+    * the corpus max day as the anchor), Frequency (event count) and
+    * Monetary (summed value), each graded 1–4 against the population
+    * quartiles. r_score counts DOWN with staleness (4 = most recent) so
+    * all three scores read "higher is better"; boundary ties grade
+    * identically in both engines because the quartiles are rounded to 4 dp
+    * before comparison and the comparison is strict `>`.
+    *
+    * 100 TB shape: one per-user aggregation (the only corpus-sized
+    * exchange — users ≪ events), then a 1-row anchor and a 1-row quartile
+    * frame cross-joined broadcast-small onto the per-user table. The
+    * quartiles are exact percentiles of the PER-USER table; at extreme
+    * user cardinality swap `percentile` for `approx_percentile` — the
+    * grading logic is unchanged. Returns (user_id, recency_days,
+    * frequency, monetary, r_score, f_score, m_score). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 4).as("monetary"))
+    val anchor = perUser.agg(max(to_date(col("last_ts"))).as("anchor"))
+    val m = perUser.crossJoin(broadcast(anchor))
+      .select(
+        col("user_id"),
+        datediff(col("anchor"), to_date(col("last_ts"))).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    val qs = m.agg(
+        expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mq"))
+      .select(
+        round(col("rq")(0), 4).as("r1"), round(col("rq")(1), 4).as("r2"),
+        round(col("rq")(2), 4).as("r3"),
+        round(col("fq")(0), 4).as("f1"), round(col("fq")(1), 4).as("f2"),
+        round(col("fq")(2), 4).as("f3"),
+        round(col("mq")(0), 4).as("m1"), round(col("mq")(1), 4).as("m2"),
+        round(col("mq")(2), 4).as("m3"))
+    def grade(c: Column, q1: Column, q2: Column, q3: Column): Column =
+      lit(1) + (c > q1).cast("int") + (c > q2).cast("int") + (c > q3).cast("int")
+    m.crossJoin(broadcast(qs)).select(
+      col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+      (lit(5) - grade(col("recency_days"), col("r1"), col("r2"), col("r3")))
+        .as("r_score"),
+      grade(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_score"),
+      grade(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"))
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes. A user's lifetime is
+    * last-day − first-day; users still active within `censorDays` of the
+    * corpus end are right-CENSORED (we never saw them churn), everyone
+    * else's lifetime ends in an observed churn. S(t) multiplies the
+    * per-time survival fractions (1 − d/n) over event times ≤ t, computed
+    * as exp of a running sum of logs so it prefix-sums in both engines;
+    * once the at-risk set empties the curve pins to exactly 0 (ln(0)
+    * diverges and Spark's log returns null there — the CASE guard keeps
+    * the engines identical).
+    *
+    * 100 TB shape: one per-user aggregation (the only corpus-sized
+    * exchange), then everything runs on the (lifetime → counts) table,
+    * whose size is bounded by the calendar span in days — the global
+    * ordered window is over THAT bounded table, never the raw stream.
+    * Returns (lifetime_days, n_churned, n_censored, at_risk, survival). */
+  def survivalCurve(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 1, s"censorDays must be >= 1, got $censorDays")
+    val life = events.groupBy(col("user_id"))
+      .agg(
+        to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    val anchor = life.agg(max(col("last_day")).as("anchor"))
+    val marked = life.crossJoin(broadcast(anchor))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+        (datediff(col("anchor"), col("last_day")) >= censorDays)
+          .cast("int").as("churned"))
+    val byT = marked.groupBy(col("t")).agg(
+      sum(col("churned")).cast("long").as("d"),
+      (count(lit(1)) - sum(col("churned"))).cast("long").as("c"))
+    val tot = byT.agg(sum(col("d") + col("c")).as("n_total"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("at_risk",
+        (col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .cast("long"))
+      .select(
+        col("t").as("lifetime_days"), col("d").as("n_churned"),
+        col("c").as("n_censored"), col("at_risk"),
+        when(sum(when(col("d") >= col("at_risk"), 1).otherwise(0)).over(wCum) > 0,
+            lit(0.0))
+          .otherwise(round(exp(sum(
+            log(lit(1.0) - col("d").cast("double") / col("at_risk"))).over(wCum)), 6))
+          .as("survival"))
   }
 
   /** Streaming sessionization with explicit state: flatMapGroupsWithState

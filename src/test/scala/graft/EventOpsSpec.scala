@@ -603,4 +603,77 @@ class EventOpsSpec extends AnyFunSuite {
       s"ranked n desc then path asc: ${out.mkString(",")}")
   }
 
+  test("ohlcDownsample picks first/last by (ts, event_id) within each hour bar") {
+    // hour-ALIGNED base so minutes 0..59 land in one bar
+    def ts(min: Long) = new Timestamp(1699999200000L + min * 60000L)
+    // hour 0 for type a: open at min 1 (value 5), close decided by the
+    // event_id tie-break between the two rows at min 50 (higher id wins)
+    val df = Seq(
+      (3L, ts(1), "a", 5.0), (1L, ts(20), "a", 9.0),
+      (4L, ts(50), "a", 2.0), (5L, ts(50), "a", 7.0),
+      (6L, ts(61), "a", 3.0), // next hour, own bar
+      (7L, ts(5), "b", 1.0))  // other type, own bar
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.ohlcDownsample(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(out.size == 3)
+    val hourA = out.keys.filter(_._2 == "a").minBy(_._1)
+    assert(out(hourA) == (5.0, 9.0, 2.0, 7.0, 4L),
+      s"open=first by ts, close=ts tie broken by event_id: ${out(hourA)}")
+    val hourA2 = out.keys.filter(_._2 == "a").maxBy(_._1)
+    assert(out(hourA2) == (3.0, 3.0, 3.0, 3.0, 1L))
+    assert(out.find(_._1._2 == "b").get._2 == (1.0, 1.0, 1.0, 1.0, 1L))
+  }
+
+  test("rfmSegments grades each axis 1-4 against population quartiles") {
+    def ts(day: Long) = new Timestamp(1700000000000L + day * 86400000L)
+    // 4 users; user 4 is best on every axis (most recent, most events,
+    // most value), user 1 worst on every axis
+    val rows =
+      Seq((1L, ts(0), 1L, 1.0)) ++
+      (0 until 2).map(i => (10L + i, ts(2), 2L, 2.0)) ++
+      (0 until 3).map(i => (20L + i, ts(4), 3L, 3.0)) ++
+      (0 until 4).map(i => (30L + i, ts(6), 4L, 4.0))
+    val out = EventOps.rfmSegments(
+        rows.toDF("event_id", "ts", "user_id", "value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+         r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    assert(out(1L) == ((6L, 1L, 1.0, 1, 1, 1)))
+    assert(out(4L) == ((0L, 4L, 16.0, 4, 4, 4)))
+    // middle users: strictly between on every score axis
+    val (_, _, _, r2, f2, m2) = out(2L)
+    val (_, _, _, r3, f3, m3) = out(3L)
+    assert(r2 < r3 && f2 < f3 && m2 < m3,
+      s"scores must be monotone in the underlying metric: ${out(2L)} vs ${out(3L)}")
+  }
+
+  test("survivalCurve computes the Kaplan-Meier estimator with right censoring") {
+    def ts(day: Long) = new Timestamp(1700000000000L + day * 86400000L)
+    // anchor = day 20 (user 4's last). censorDays=7:
+    //   u1: t=0  churned   u2: t=10 churned
+    //   u3: t=13 censored (last=day18, 2 days before anchor)
+    //   u4: t=20 censored (defines the anchor)
+    // KM: S(0)=3/4, S(10)=3/4 * 2/3 = 1/2, flat afterwards
+    val df = Seq(
+      (1L, ts(0), 1L, 0.0),
+      (2L, ts(0), 2L, 0.0), (3L, ts(10), 2L, 0.0),
+      (4L, ts(5), 3L, 0.0), (5L, ts(18), 3L, 0.0),
+      (6L, ts(0), 4L, 0.0), (7L, ts(20), 4L, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = EventOps.survivalCurve(df, censorDays = 7).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(0L, 10L, 13L, 20L))
+    assert(out(0L) == ((1L, 0L, 4L, 0.75)))
+    assert(out(10L) == ((1L, 0L, 3L, 0.5)))
+    assert(out(13L) == ((0L, 1L, 2L, 0.5)))
+    assert(out(20L) == ((0L, 1L, 1L, 0.5)))
+  }
+
 }
