@@ -568,6 +568,11 @@ object SparkEntry {
     // (zero-observed cells included) + Cramér's V effect size
     "profile_chi2" -> ((s, dir) =>
       graft.operators.Profiler.chiSquare(t(s, dir, "documents"), "lang", "source")),
+    // mutual information + entropies + normalized MI over the same pair of
+    // axes as chi2: observed (a,b) cells only, marginals re-aggregated
+    // from the count table — nothing above |A|x|B| after the first agg
+    "profile_mutual_info" -> ((s, dir) =>
+      graft.operators.Profiler.mutualInformation(t(s, dir, "documents"), "lang", "source")),
     // most frequent values per column, ranked via groupedRank (never a
     // per-column window funnel), NULLS FIRST tie order pinned
     "profile_top_values" -> ((s, dir) =>
@@ -2458,6 +2463,27 @@ object SparkEntry {
         |    - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
         |    / ln(2.0), 6) AS entropy
         |FROM c GROUP BY 1""".stripMargin,
+    "profile_mutual_info" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(cn) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(cn) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(cn) AS DOUBLE) AS nn FROM c),
+        |ha AS (SELECT -sum((ra / nn) * ln(ra / nn)) AS h_a FROM ra, t),
+        |hb AS (SELECT -sum((cb / nn) * ln(cb / nn)) AS h_b FROM cb, t),
+        |mi AS (
+        |  SELECT CAST(max(nn) AS BIGINT) AS n,
+        |    sum((cn / nn) * ln(cn * nn / (ra * CAST(cb AS DOUBLE)))) AS mi
+        |  FROM c
+        |  JOIN ra ON c.a IS NOT DISTINCT FROM ra.a
+        |  JOIN cb ON c.b IS NOT DISTINCT FROM cb.b, t)
+        |SELECT n, round(mi, 6) AS mi, round(h_a, 6) AS h_a,
+        |  round(h_b, 6) AS h_b,
+        |  round(CASE WHEN h_a > 0 AND h_b > 0
+        |        THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
+        |FROM mi, ha, hb""".stripMargin,
     "profile_chi2" ->
       """WITH c AS (
         |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n

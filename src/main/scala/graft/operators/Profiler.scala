@@ -138,6 +138,60 @@ object Profiler {
             least(col("__n_a") - 1, col("__n_b") - 1)))), 6).as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns, with the axis
+    * entropies and the normalized MI (MI / √(H(A)·H(B))) — the
+    * "how much does knowing A tell you about B" companion to
+    * [[chiSquare]]: chi2 tests independence, MI measures it in nats, and
+    * NMI puts it on 0..1 so thresholds transfer across column pairs.
+    * Only observed cells contribute (0·ln 0 = 0 by convention, so the
+    * empty lattice cells drop out and no dense cross join is needed —
+    * unlike chi2, whose expected-count sum genuinely spans the lattice).
+    * nmi is NULL when either axis is constant (its entropy is 0).
+    *
+    * 100 TB shape: the raw scan reduces through ONE (a, b) partial-agg
+    * count; marginals and the total are re-aggregations of that
+    * axis-bounded count table, joined back onto it — nothing downstream
+    * exceeds |A|×|B| observed cells. NULL is a category: the marginal
+    * join-back is null-safe (<=>), mirroring the oracle's IS NOT
+    * DISTINCT FROM.
+    *
+    * Returns one row: (n, mi, h_a, h_b, nmi), rounded 6 dp. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val missing = Seq(colA, colB).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val counts = df
+      .groupBy(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowm = counts.groupBy(col("__a").as("__ra_a")).agg(sum(col("__n")).as("__ra"))
+    val colm = counts.groupBy(col("__b").as("__cb_b")).agg(sum(col("__n")).as("__cb"))
+    val total = counts.agg(sum(col("__n")).cast("double").as("__nn"))
+    def entropy(cnt: Column): Column = {
+      val p = cnt.cast("double") / col("__nn")
+      (-sum(p * log(p))).as("__h")
+    }
+    val ha = rowm.crossJoin(broadcast(total)).agg(entropy(col("__ra")))
+      .select(col("__h").as("__ha"))
+    val hb = colm.crossJoin(broadcast(total)).agg(entropy(col("__cb")))
+      .select(col("__h").as("__hb"))
+    val pab = col("__n").cast("double") / col("__nn")
+    counts
+      .join(rowm, col("__a") <=> col("__ra_a"))
+      .join(colm, col("__b") <=> col("__cb_b"))
+      .crossJoin(broadcast(total))
+      .agg(
+        max(col("__nn")).cast("long").as("n"),
+        sum(pab * log(col("__n").cast("double") * col("__nn") /
+          (col("__ra").cast("double") * col("__cb").cast("double")))).as("__mi"))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(
+        col("n"),
+        round(col("__mi"), 6).as("mi"),
+        round(col("__ha"), 6).as("h_a"),
+        round(col("__hb"), 6).as("h_b"),
+        round(when((col("__ha") > 0) && (col("__hb") > 0),
+          col("__mi") / sqrt(col("__ha") * col("__hb"))), 6).as("nmi"))
+  }
+
   /** Top-`k` most frequent values per profiled column — the "what is
     * actually in this column" companion to [[valueSkew]]'s summary stats.
     * NULL is a value; ties break on the value itself (NULLS FIRST, pinned

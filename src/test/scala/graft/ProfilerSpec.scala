@@ -96,6 +96,28 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.chiSquare(dep, "u", "nope"))
   }
 
+  test("mutualInformation: perfect association, independence, degenerate axis, NULL category") {
+    // 2×2 perfect association: MI = H(A) = H(B) = ln 2, NMI = 1
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "v")
+    val r1 = Profiler.mutualInformation(dep, "u", "v").collect()(0)
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3),
+      r1.getDouble(4)) == ((4L, ln2, ln2, ln2, 1.0)))
+    // independent uniform axes: MI = 0, NMI = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val r2 = Profiler.mutualInformation(ind, "u", "v").collect()(0)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(4) == 0.0)
+    // constant second axis: H(B) = 0 → NMI undefined
+    val const = Seq(("a", "x"), ("b", "x")).toDF("u", "v")
+    val r3 = Profiler.mutualInformation(const, "u", "v").collect()(0)
+    assert(r3.getDouble(1) == 0.0 && r3.getDouble(3) == 0.0 && r3.isNullAt(4))
+    // NULL is a category: {NULL→x, a→y} is perfect 2×2 association
+    val nul = Seq((None: Option[String], "x"), (Some("a"), "y")).toDF("u", "v")
+    val r4 = Profiler.mutualInformation(nul, "u", "v").collect()(0)
+    assert(r4.getDouble(4) == 1.0)
+    intercept[IllegalArgumentException](Profiler.mutualInformation(dep, "u", "nope"))
+  }
+
   test("topValues ranks by count desc with NULLS FIRST value ties") {
     val vdf = Seq(Some("b"), Some("b"), Some("a"), None).map(Tuple1(_)).toDF("lang")
     val got = Profiler.topValues(vdf, Seq("lang"), k = 3).collect()
