@@ -259,6 +259,39 @@ object SparkEntry {
         .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
       graft.operators.Graph.jaccardLinks(edges)
     }),
+    // Adamic-Adar over the same co-purchase graph: wedge evidence weighted
+    // 1/ln(deg(center)) — hub-discounted link prediction, same bounded
+    // fan-out discipline as graph_jaccard
+    "graph_adamic_adar" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val edges = t(s, dir, "lineitem")
+        .join(orders95, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.adamicAdarLinks(edges)
+    }),
+    // per-node clustering coefficient: triangle credit via the oriented
+    // wedge join, one 3-way explode, one node-sized count
+    "graph_clustering" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val edges = t(s, dir, "lineitem")
+        .join(orders95, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.clusteringCoefficient(edges)
+    }),
     // multi-source BFS: hop distance from nation-1 customers over the
     // symmetrized trade graph, bounded at 3 hops (contamination-radius /
     // crawl-frontier shape). Per round ONE frontier⋈edges equi-join + one
@@ -1800,6 +1833,53 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.ia AND e.v = wed.ib)
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+    // same wedge lattice as graph_jaccard, summed 1/ln(center degree)
+    // instead of counted; degree-1 centers never appear (a.v < b.v needs
+    // two neighbors), so ln never sees 1
+    "graph_adamic_adar" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE year(o_orderdate) = 1995),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS ia, b.v AS ib, CAST(count(*) AS BIGINT) AS c,
+        |               sum(1.0 / ln(dc.d)) AS s
+        |        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        |        JOIN deg dc ON a.u = dc.id AND dc.d <= 1024
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT ia AS id_a, ib AS id_b, c AS n_common, round(s, 6) AS aa_score
+        |FROM wed
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.ia AND e.v = wed.ib)
+        |ORDER BY aa_score DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+    // per-node triangle credit: the a<b<c triple stream unioned 3 ways,
+    // left-joined onto the degree table; deg<2 nodes coefficient 0
+    "graph_clustering" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE year(o_orderdate) = 1995),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pern AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |           SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |           UNION ALL SELECT c FROM tri) x
+        |         GROUP BY 1)
+        |SELECT deg.id AS node_id, deg.d AS degree,
+        |  coalesce(pern.n_tri, 0) AS n_tri,
+        |  round(CASE WHEN deg.d >= 2
+        |        THEN 2.0 * coalesce(pern.n_tri, 0) / (deg.d * (deg.d - 1))
+        |        ELSE 0.0 END, 6) AS coeff
+        |FROM deg LEFT JOIN pern ON deg.id = pern.id""".stripMargin,
     // a<b<c three-way join counts each triangle once — the declarative
     // mirror of the oriented wedge count
     "graph_triangles" ->

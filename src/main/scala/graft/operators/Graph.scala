@@ -117,16 +117,25 @@ object Graph {
     * the oriented source, and the closing edge equi-join.
     *
     * Returns one row: (n_triangles). */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val canon = edges
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleTriples(canonical(edges)).agg(count(lit(1)).as("n_triangles"))
+
+  /** Canonical undirected edge list: self-loops dropped, both orientations
+    * and multi-edges collapsed to one u<v pair. */
+  private[graft] def canonical(edges: DataFrame): DataFrame =
+    edges
       .filter(col("src") =!= col("dst"))
       .select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .dropDuplicates("u", "v")
-    val deg = canon.select(col("u").as("id"))
-      .unionAll(canon.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
+  /** Every triangle of a canonical u<v edge list, exactly once, as a
+    * (src, y, z) vertex triple — the degree-oriented wedge join behind
+    * [[triangleCount]] (which counts the triples) and
+    * [[clusteringCoefficient]] (which credits each vertex). */
+  private[graft] def triangleTriples(canon: DataFrame): DataFrame = {
+    val deg = degrees(canon)
     // orient low → high in (degree, id) order; both endpoint degrees ride
     // the edge so the wedge ordering below never re-joins degrees
     val oriented = OpUtils.shared(canon
@@ -142,14 +151,45 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd")))
     // wedges (y, z) centered on src, emitted once in orientation order;
     // a triangle exists iff the oriented closing edge y→z does
-    val l = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
-    val r = oriented.select(col("src"), col("dst").as("z"), col("dd").as("dz"))
-    val wedges = l.join(r, l("src") === r("src") &&
+    val l = oriented.select(col("src").as("__tt_ls"), col("dst").as("y"), col("dd").as("dy"))
+    val r = oriented.select(col("src").as("__tt_rs"), col("dst").as("z"), col("dd").as("dz"))
+    val wedges = l.join(r, col("__tt_ls") === col("__tt_rs") &&
       (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
-      .select(col("y"), col("z"))
-    wedges.join(oriented.select(col("src"), col("dst")),
-        col("y") === col("src") && col("z") === col("dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("__tt_ls").as("src"), col("y"), col("z"))
+    wedges.join(
+        oriented.select(col("src").as("__tt_cs"), col("dst").as("__tt_cd")),
+        col("y") === col("__tt_cs") && col("z") === col("__tt_cd"), "left_semi")
+  }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (deg(v)·(deg(v)−1))
+    * — what fraction of a node's neighbor pairs are themselves connected,
+    * the per-node texture behind [[triangleCount]]'s single global number
+    * (a co-purchase graph with high coefficients is cliquey product
+    * families; low ones are hub-and-spoke). Degree-1 and isolated-pair
+    * nodes have no neighbor pairs; their coefficient is 0 by convention.
+    *
+    * 100 TB shape: the triangle triples come from the same degree-oriented
+    * wedge join as [[triangleCount]] (Σ C(outdeg,2) ≤ O(m^1.5) candidates,
+    * hub-safe by orientation); crediting vertices is one 3-way explode of
+    * the triple stream plus a node-cardinality grouped count, left-joined
+    * onto the degree table. Nothing exceeds the triple stream.
+    *
+    * Returns (node_id, degree, n_tri, coeff) over every non-isolated node,
+    * coeff rounded 6 dp. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = OpUtils.shared(canonical(edges))
+    val perNode = triangleTriples(canon)
+      .select(explode(array(col("src"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__cc_t"))
+    degrees(canon).join(perNode, Seq("id"), "left")
+      .select(
+        col("id").as("node_id"),
+        col("d").cast("long").as("degree"),
+        coalesce(col("__cc_t"), lit(0L)).as("n_tri"),
+        round(when(col("d") >= 2,
+            lit(2.0) * coalesce(col("__cc_t"), lit(0L)) /
+              (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)), 6).as("coeff"))
   }
 
   /** Fixed-k CORE of an undirected graph — the unique maximal subgraph in
@@ -382,6 +422,58 @@ object Graph {
         round(col("n_common").cast("double") /
           (col("__jl_da") + col("__jl_db") - col("n_common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Adamic–Adar link prediction: for every NON-edge pair with at least
+    * `minCommon` shared neighbors, score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))
+    * and return the top `k`. The same wedge machinery as [[jaccardLinks]]
+    * but each wedge is WEIGHTED by how selective its center is — evidence
+    * through a near-universal neighbor counts for almost nothing, which is
+    * the formal version of the hub skepticism jaccardLinks enforces with
+    * its cap. A degree-1 center emits no pairs, so 1/ln(1) never divides
+    * by zero.
+    *
+    * 100 TB shape: identical to jaccardLinks — per-center neighbor sets
+    * expand through the in-kernel pairCombinations AFTER the `maxDegree`
+    * hub exclusion (bounding emission at ≤ maxDegree × |E| wedges), the
+    * center's weight rides each emitted pair (its degree IS the neighbor-
+    * set size, no join needed), and ONE grouped aggregation collapses
+    * wedges to (pair, count, score). No degree join at all on this path;
+    * the existing-edge anti filter and TakeOrdered top-k close it out.
+    *
+    * Returns (id_a, id_b, n_common, aa_score), score desc, 6 dp. */
+  def adamicAdarLinks(
+      edges: DataFrame, k: Int = 20, minCommon: Long = 2,
+      maxDegree: Long = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCommon >= 1, s"minCommon >= 1, got $minCommon")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    import graft.functions.GraftFunctions.pairCombinations
+    val e = OpUtils.shared(edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct())
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val wedges = adj
+      .groupBy(col("u"))
+      .agg(collect_set(col("v")).as("__aa_ns"))
+      .filter(size(col("__aa_ns")) <= maxDegree) // hub exclusion pre-fan-out
+      .select(
+        explode(pairCombinations(array_sort(col("__aa_ns")))).as("p"),
+        (lit(1.0) / log(size(col("__aa_ns")).cast("double"))).as("__aa_w"))
+      .select(col("p.id_a").as("a"), col("p.id_b").as("b"), col("__aa_w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__aa_w")).as("__aa_s"))
+      .filter(col("n_common") >= minCommon)
+    wedges
+      .join(e.select(col("u").as("a"), col("v").as("b"), lit(true).as("__aa_e")),
+        Seq("a", "b"), "left")
+      .filter(col("__aa_e").isNull)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("n_common"),
+        round(col("__aa_s"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
 

@@ -302,4 +302,55 @@ class GraphSpec extends AnyFunSuite {
     assert(genLine >= 0 && filtLine > genLine,
       s"size filter must be below Generate in the optimized plan:\n$plan")
   }
+
+  test("adamicAdarLinks weights wedges 1/ln(center degree), hub cap drops hub evidence") {
+    import spark.implicits._
+    // square 1-2-3-4-1: each diagonal's two common neighbors have degree 2
+    // → score = 2/ln(2)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val exp = BigDecimal(2.0 / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Graph.adamicAdarLinks(square, k = 10, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == Set((1L, 3L, 2L, exp), (2L, 4L, 2L, exp)))
+    // star hub 100 (degree 4) + chain 1-2-3-4: pair (1,3) sees the hub and
+    // node 2 (degree 3). maxDegree=3 drops ONLY the hub's wedge: the score
+    // collapses to 1/ln(3) with one common neighbor left
+    val star = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val full = Graph.adamicAdarLinks(star, k = 100, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expFull = BigDecimal(1.0 / math.log(4) + 1.0 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(full((1L, 3L)) == ((2L, expFull)))
+    val capped = Graph.adamicAdarLinks(star, k = 100, minCommon = 1, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exp3 = BigDecimal(1.0 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(capped((1L, 3L)) == ((1L, exp3)),
+      s"hub-routed evidence must vanish under the cap: ${capped.get((1L, 3L))}")
+    intercept[IllegalArgumentException](Graph.adamicAdarLinks(square, k = 0))
+  }
+
+  test("clusteringCoefficient credits all three triangle vertices") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 3-4 (edges deliberately duplicated and
+    // reversed — canonicalization must collapse them)
+    val df = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // bowtie: triangles 1-2-3 and 3-4-5 meet at node 3 (degree 4, 2
+    // triangles → 2*2/(4*3))
+    val bow = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val b = Graph.clusteringCoefficient(bow).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(b(3L) == 0.333333 && b(1L) == 1.0 && b(5L) == 1.0)
+  }
 }
