@@ -1488,6 +1488,23 @@ object SparkEntry {
     // reduces each partition to labels×dims cells before the one exchange
     "embed_centroids" -> ((s, dir) =>
       Similarity.meanEmbeddings(t(s, dir, "embeddings"), "label", "embedding")),
+    // upper-triangle covariance cells: per-vector triangle expansion
+    // inside one codegen'd lambda, partial-aggregated map-side
+    "embed_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding")),
+    // distributed covariance + driver-side power-iteration eigensolve; no
+    // SQL oracle (eigensolve) — driver records the rows-only check
+    "embed_pca" -> ((s, dir) =>
+      Similarity.pcaEigen(t(s, dir, "embeddings"), "embedding", k = 3)),
+    // recall@5 of a deliberately under-probed IVF (nProbe=1) vs the exact
+    // answer — the quality/cost dial eval; centroids are engine-trained,
+    // so no SQL oracle (rows-only check)
+    "ann_recall_eval" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallEval(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 1)
+    }),
     "embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(
@@ -3630,6 +3647,22 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\b\d{3}-\d{3}-\d{4}\b',
         |    '<PII>', 'g') AS redacted
         |FROM p""".stripMargin,
+    // float->double widening matches Spark's element_at cast, so the
+    // products are bit-identical; only the avg's summation order differs,
+    // absorbed by the 6 dp round
+    "embed_covariance" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS i,
+        |        unnest(e) AS xi
+        |      FROM v),
+        |m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS exy
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  CASE WHEN round(exy - ma.mi * mb.mi, 6) = 0 THEN 0.0
+        |       ELSE round(exy - ma.mi * mb.mi, 6) END AS cov
+        |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""".stripMargin,
     "curate_sample" ->
       """SELECT source, doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0""".stripMargin,

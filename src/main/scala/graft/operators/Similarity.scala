@@ -791,4 +791,120 @@ object Similarity {
       }
       .toDF("rank", "vec_id", "rel")
   }
+
+  /** Population covariance matrix of the embedding column, upper triangle
+    * as (i, j, cov) cells with 0-based dimension indices — the input to
+    * PCA/whitening and the first thing to look at when an embedding
+    * column's dimensions collapse (a near-zero diagonal cell is a dead
+    * dimension; a large off-diagonal block is redundancy PQ would exploit).
+    *
+    * 100 TB shape: each vector expands to its d(d+1)/2 upper-triangle
+    * products INSIDE one codegen'd lambda (no self-join of an exploded
+    * (row, dim) table — that join would shuffle |rows|·d), and the partial
+    * aggregation folds them map-side, so only the d(d+1)/2 cell partials
+    * cross the exchange per task. Per-vector CPU is O(d²) — inherent to
+    * covariance; for d in the thousands, batch the triangle into a custom
+    * block Aggregator, same exchange shape. Cells rounded 6 dp. */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val pairs = df.select(explode(expr(
+        s"""flatten(transform(sequence(0, size($vecCol) - 1), i ->
+           |  transform(sequence(i, size($vecCol) - 1), j -> struct(
+           |    i AS i, j AS j,
+           |    CAST(element_at($vecCol, i + 1) AS DOUBLE) *
+           |    CAST(element_at($vecCol, j + 1) AS DOUBLE) AS xy))))""".stripMargin)).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        col("p.xy"))
+      .groupBy(col("i"), col("j")).agg(avg(col("xy")).as("__cm_exy"))
+    val means = df
+      .select(posexplode(col(vecCol)).as(Seq("__cm_d", "__cm_x")))
+      .groupBy(col("__cm_d").cast("long").as("__cm_d"))
+      .agg(avg(col("__cm_x").cast("double")).as("__cm_m"))
+    val cov = round(col("__cm_exy") - col("__cm_mi") * col("__cm_mj"), 6)
+    pairs
+      .join(means.select(col("__cm_d").as("i"), col("__cm_m").as("__cm_mi")), "i")
+      .join(means.select(col("__cm_d").as("j"), col("__cm_m").as("__cm_mj")), "j")
+      // a cell rounding to -0.0 must not hash differently from 0.0 across
+      // engines; pin the zero sign (−0.0 == 0.0, so the CASE catches both)
+      .select(col("i"), col("j"),
+        when(cov === 0.0, lit(0.0)).otherwise(cov).as("cov"))
+  }
+
+  /** Top-`k` PCA eigenpairs of the embedding covariance: (component,
+    * eigenvalue, explained_var). The heavy lifting — the covariance — is
+    * the distributed [[covarianceMatrix]] aggregation; the eigensolve runs
+    * driver-side on the collected d×d matrix (d ≤ 1024 enforced: ~8 MB of
+    * doubles — the same deliberate driver-scalar budget as the IVF Lloyd
+    * trainer) by power iteration with deflation, deterministic from an
+    * all-ones start vector. Covariance cells are pre-rounded to 6 dp, so
+    * the eigensolve consumes engine-stable inputs. Eigenvalues of a PSD
+    * matrix, rounded 6 dp; explained_var = λ / trace. */
+  def pcaEigen(df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cells = covarianceMatrix(df, vecCol).collect()
+    require(cells.nonEmpty, "pcaEigen requires a non-empty embedding column")
+    val d = (cells.map(_.getLong(0)).max + 1).toInt
+    require(d <= 1024,
+      s"pcaEigen collects the d x d covariance to the driver; d=$d exceeds 1024")
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    val comps = (0 until math.min(k, d)).map { c =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val av = Array.tabulate(d)(i =>
+          (0 until d).map(j => a(i)(j) * v(j)).sum)
+        val norm = math.sqrt(av.map(x => x * x).sum)
+        if (norm > 0) v = av.map(_ / norm)
+        lambda = (0 until d).map(i => v(i) *
+          (0 until d).map(j => a(i)(j) * v(j)).sum).sum
+      }
+      // deflate: remove the found component so the next iteration
+      // converges to the next eigenpair
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      val r6 = (x: Double) =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (c.toLong, r6(lambda), r6(if (trace > 0) lambda / trace else 0.0))
+    }
+    import df.sparkSession.implicits._
+    comps.toDF("component", "eigenvalue", "explained_var")
+  }
+
+  /** Recall@k of the IVF index against the exact brute-force answer, over
+    * a query batch — the eval harness that tells you what an `nProbe`
+    * setting actually costs in answer quality before you dial it down in
+    * production. Per query: |approx ∩ exact| / |exact| (|exact| < k when
+    * the corpus is small); one summary row (n_queries, k, mean_recall).
+    *
+    * 100 TB shape: both arms are the library's own scale paths (brute =
+    * one streamed corpus scan with bounded-heap top-k; IVF = bucket-join);
+    * the intersection is an equi-join of two (queries × k)-row frames —
+    * noise next to the searches. Run it on a SAMPLED query batch, not the
+    * corpus. */
+  def recallEval(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val exact = bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
+        nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__re_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("__re_n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__re_hit"), lit(0L)).cast("double") / col("__re_n"))
+          .as("__re_r"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(k).cast("long").as("k"),
+        round(avg(col("__re_r")), 4).as("mean_recall"))
+  }
 }

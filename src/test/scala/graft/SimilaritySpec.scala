@@ -341,4 +341,49 @@ class SimilaritySpec extends AnyFunSuite {
       s"third pick returns to the cluster's best remaining: $mmr")
   }
 
+  test("covarianceMatrix computes the population upper triangle") {
+    // zero-mean axes: var(x)=0.5, var(y)=2, cov(x,y)=0
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 2f)), (4L, Array(0f, -2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(df, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0L, 0L) -> 0.5, (0L, 1L) -> 0.0, (1L, 1L) -> 2.0))
+    // nonzero means: x in {1,3} → var 1, E[x]=2; y constant → all-zero row
+    val shifted = Seq((1L, Array(1f, 5f)), (2L, Array(3f, 5f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.covarianceMatrix(shifted, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g2 == Map((0L, 0L) -> 1.0, (0L, 1L) -> 0.0, (1L, 1L) -> 0.0))
+  }
+
+  test("pcaEigen recovers ordered eigenvalues with deflation") {
+    // cov = diag(2, 0.5, 0): eigenvalues 2, 0.5 with explained 0.8, 0.2
+    val df = Seq(
+      (1L, Array(2f, 0f, 0f)), (2L, Array(-2f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, -1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaEigen(df, "embedding", k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 2.0, 0.8), (1L, 0.5, 0.2)),
+      s"power iteration + deflation must order the spectrum: ${got.mkString(",")}")
+    intercept[IllegalArgumentException](Similarity.pcaEigen(df, "embedding", k = 0))
+  }
+
+  test("recallEval is 1.0 under full probing and bounded in [0,1] when starved") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val full = Similarity.recallEval(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, nProbe = Int.MaxValue)
+      .collect()(0)
+    assert((full.getLong(0), full.getLong(1), full.getDouble(2)) == ((5L, 3L, 1.0)))
+    val starved = Similarity.recallEval(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, nProbe = 1)
+      .collect()(0)
+    val r = starved.getDouble(2)
+    assert(r >= 0.0 && r <= 1.0, s"recall out of range: $r")
+  }
+
 }
