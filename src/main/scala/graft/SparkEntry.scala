@@ -1268,6 +1268,14 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // RAKE keyphrases: stopword-free phrase runs scored deg/freq, corpus
+    // top-20; distinct-phrase table is the only corpus-sized exchange
+    "text_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "text")),
+    // first-occurrence 5-gram novelty per doc (contribution scoring):
+    // min-owner per hashed gram + join back, the coverage op's complement
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.gramNovelty(t(s, dir, "documents"), "doc_id", "text")),
     "text_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
     "text_repetition" -> ((s, dir) =>
@@ -3399,6 +3407,41 @@ object SparkEntry {
         |SELECT e.doc_id AS doc_id, count(*) AS n_grams,
         |  round(CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM e JOIN d USING (g)
+        |GROUP BY e.doc_id""".stripMargin,
+    "text_rake" ->
+      """WITH p0 AS (
+        |  SELECT unnest(string_split_regex(
+        |    regexp_replace(lower(text), '\b(?:the|a|an|and|of|to|in|is|it)\b', '|', 'g'),
+        |    '\|')) AS ph
+        |  FROM documents),
+        |p1 AS (SELECT trim(ph) AS phrase FROM p0 WHERE trim(ph) <> ''),
+        |pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+        |         string_split_regex(phrase, ' +') AS ws
+        |       FROM p1 GROUP BY 1),
+        |p2 AS (SELECT phrase, n, ws, CAST(len(ws) AS BIGINT) AS plen
+        |       FROM pc WHERE len(ws) <= 4),
+        |wo AS (SELECT unnest(ws) AS w, n, plen FROM p2),
+        |wstat AS (SELECT w, CAST(sum(n) AS BIGINT) AS freq,
+        |            CAST(sum(n * plen) AS BIGINT) AS deg
+        |          FROM wo GROUP BY 1),
+        |px AS (SELECT phrase, n, unnest(ws) AS w FROM p2),
+        |ps AS (SELECT phrase, n, round(sum(CAST(deg AS DOUBLE) / freq), 6) AS score
+        |       FROM px JOIN wstat USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n, score FROM ps
+        |ORDER BY score DESC, n DESC, phrase LIMIT 20""".stripMargin,
+    "text_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 5),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |o AS (SELECT g, min(doc_id) AS owner FROM e GROUP BY 1)
+        |SELECT e.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN e.doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN e.doc_id = owner THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM e JOIN o USING (g)
         |GROUP BY e.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

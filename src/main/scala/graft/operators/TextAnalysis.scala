@@ -361,6 +361,82 @@ object TextAnalysis {
     * the text length. Rounded to 4 dp for cross-engine float parity.
     * Empty documents are excluded (their entropy is undefined — an external
     * aggregate over zero characters yields NULL, not 0). */
+  /** RAKE keyphrase extraction (Rose et al. 2010) over the whole corpus:
+    * candidate phrases are maximal stopword-free token runs (≤ `maxLen`
+    * words); each word scores deg/freq where freq counts its phrase
+    * occurrences and deg additionally weights by the length of each
+    * hosting phrase (so words living in longer collocations outrank
+    * equally-frequent loners); a phrase scores the sum of its member
+    * words. Returns the top `k` (phrase, n, score), score desc, ties by
+    * occurrence count then phrase text.
+    *
+    * 100 TB shape: the phrase stream collapses immediately to the DISTINCT
+    * phrase table (vocabulary-sized, Heaps' law) carrying its occurrence
+    * count; word stats re-aggregate THAT table occurrence-weighted, so the
+    * corpus-sized exchange is exactly one grouped count of phrases. The
+    * word-score join fans out only distinct-phrase × phrase-length rows,
+    * and the top-k is a TakeOrdered, never a global sort. */
+  def rakeKeyphrases(df: DataFrame, textCol: String, k: Int = 20, maxLen: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    import OpUtils.{shared, widen}
+    val stopPat = s"\\b(?:${StopWords.mkString("|")})\\b"
+    val phrases = widen(df)
+      .select(explode(split(
+        regexp_replace(lower(col(textCol)), stopPat, "|"), "\\|")).as("__rk_p0"))
+      .select(trim(col("__rk_p0")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val ws = split(col("phrase"), " +")
+    val pc = shared(phrases
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      .select(col("phrase"), col("n"), ws.as("__rk_ws"), size(ws).as("__rk_len"))
+      .filter(col("__rk_len") <= maxLen))
+    val wstat = pc
+      .select(explode(col("__rk_ws")).as("w"), col("n"), col("__rk_len"))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("__rk_freq"),
+        sum(col("n") * col("__rk_len")).as("__rk_deg"))
+    pc.select(col("phrase"), col("n"), explode(col("__rk_ws")).as("w"))
+      .join(wstat, "w")
+      .groupBy(col("phrase"), col("n"))
+      .agg(round(sum(col("__rk_deg").cast("double") / col("__rk_freq")), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("n").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** First-occurrence n-gram novelty per document: the fraction of a doc's
+    * distinct word `n`-grams whose FIRST owner (minimum doc id over the
+    * corpus) is the doc itself — the contribution-scoring complement of
+    * [[Dedup.duplicatedNgramCoverage]]: coverage asks "how much of this
+    * doc exists elsewhere", novelty asks "what did this doc add, reading
+    * the corpus in id order". Sort curation keeps high-novelty docs first
+    * and drops trailing near-echoes. Docs shorter than `n` tokens have no
+    * grams and no row.
+    *
+    * 100 TB shape: identical to coverage — one shingle-stream partial-agg
+    * exchange (xxhash64'd 8-byte gram keys; a 64-bit collision can steal
+    * one gram's novelty, acceptable for a statistic) to find min-owner per
+    * gram, one join back, one per-doc aggregation. Nothing pairwise,
+    * nothing above vocabulary size after the first exchange.
+    *
+    * Returns (id, n_grams, n_novel, novelty), novelty 6 dp. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    import OpUtils.{shared, widen}
+    val e = shared(widen(df)
+      .select(col(idCol).as("id"),
+        explode(wordShinglesExpr(col(textCol), n)).as("g0"))
+      .select(col("id"), xxhash64(col("g0")).as("g")))
+    val owner = e.groupBy(col("g")).agg(min(col("id")).as("__gn_owner"))
+    e.join(owner, "g")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("__gn_owner"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   def characterEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(length(col(textCol)) > 0)
       .select(col(idCol), round(charEntropy(col(textCol)), 4).as("char_entropy"))

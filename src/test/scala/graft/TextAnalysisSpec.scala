@@ -386,4 +386,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L)
   }
 
+  test("rakeKeyphrases scores phrases by summed deg/freq of member words") {
+    // stopword 'and' splits phrases; 'apples' appears in 3 phrases
+    // (freq 3, deg 2+2+1=5), 'red'/'green' in one 2-word phrase each
+    // (score 2). "red apples" = 2 + 5/3; bare "apples" = 5/3.
+    val df = Seq(
+      (1L, "red apples and green apples"),
+      (2L, "apples"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(df, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("green apples", 1L, r6(2 + 5.0 / 3)),
+      ("red apples", 1L, r6(2 + 5.0 / 3)),
+      ("apples", 1L, r6(5.0 / 3))),
+      s"got ${got.mkString(",")}")
+    // phrases longer than maxLen are dropped from candidates entirely
+    val long = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    assert(TextAnalysis.rakeKeyphrases(long, "text", k = 10, maxLen = 4).count() == 0)
+    intercept[IllegalArgumentException](TextAnalysis.rakeKeyphrases(df, "text", k = 0))
+  }
+
+  test("gramNovelty credits grams to their minimum-id first owner") {
+    val df = Seq(
+      (1L, "a b c"),   // grams {a b, b c}: both first-owned → 1.0
+      (2L, "a b x"),   // {a b (owned by 1), b x} → 0.5
+      (3L, "z"))       // shorter than n → no grams, no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(df, "doc_id", "text", n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5))))
+  }
+
 }
