@@ -606,6 +606,11 @@ object SparkEntry {
     // from the count table — nothing above |A|x|B| after the first agg
     "profile_mutual_info" -> ((s, dir) =>
       graft.operators.Profiler.mutualInformation(t(s, dir, "documents"), "lang", "source")),
+    // Tukey-fence outlier screen: per-column quartiles + 1.5 IQR fences
+    // (rounded before counting), one unpivot scan + one fence join-back
+    "profile_outliers" -> ((s, dir) =>
+      graft.operators.Profiler.outliers(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // most frequent values per column, ranked via groupedRank (never a
     // per-column window funnel), NULLS FIRST tie order pinned
     "profile_top_values" -> ((s, dir) =>
@@ -1052,6 +1057,11 @@ object SparkEntry {
     // ts broken by event_id identically in both engines
     "events_ohlc" -> ((s, dir) =>
       EventOps.ohlcDownsample(t(s, dir, "events"))),
+    // last-touch attribution: purchases credited to the most recent prior
+    // touch via the as-of carry, 'direct' when none; batch twin of the
+    // stream-stream attribution join
+    "events_attribution" -> ((s, dir) =>
+      EventOps.lastTouchAttribution(t(s, dir, "events"))),
     // RFM segmentation: per-user aggregate + broadcast quartile grading
     "events_rfm" -> ((s, dir) =>
       EventOps.rfmSegments(t(s, dir, "events"))),
@@ -2568,6 +2578,31 @@ object SparkEntry {
         |    - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
         |    / ln(2.0), 6) AS entropy
         |FROM c GROUP BY 1""".stripMargin,
+    "profile_outliers" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem),
+        |f AS (
+        |  SELECT col_name, round(quantile_cont(v, 0.25), 4) AS q1,
+        |    round(quantile_cont(v, 0.75), 4) AS q3
+        |  FROM u WHERE v IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT col_name, q1, q3,
+        |    round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+        |    round(q3 + 1.5 * (q3 - q1), 4) AS hi
+        |  FROM f)
+        |SELECT u.col_name, count(*) AS n, min(q1) AS q1, min(q3) AS q3,
+        |  min(lo) AS lo_fence, min(hi) AS hi_fence,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM u JOIN g USING (col_name)
+        |WHERE v IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "profile_mutual_info" ->
       """WITH c AS (
         |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
@@ -2883,6 +2918,25 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(split(text, '')) AS c
         |      FROM documents WHERE length(text) > 0) x
         |GROUP BY doc_id""".stripMargin,
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS side, value, NULL AS tch
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS side, NULL AS value, channel AS tch FROM t),
+        |m AS (
+        |  SELECT side, value,
+        |    last_value(tch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM u)
+        |SELECT coalesce(ch, 'direct') AS channel, count(*) AS n_purchases,
+        |  round(sum(value), 4) AS revenue
+        |FROM m WHERE side = 1 GROUP BY 1""".stripMargin,
     "events_ohlc" ->
       """WITH ranked AS (
         |  SELECT date_trunc('hour', ts) AS hr, event_type, value,

@@ -192,6 +192,48 @@ object Profiler {
           col("__mi") / sqrt(col("__ha") * col("__hb"))), 6).as("nmi"))
   }
 
+  /** Tukey-fence outlier counts per numeric column: quartiles, the
+    * 1.5·IQR fences, and how many values fall outside each — the standard
+    * first answer to "is this column's tail real or corrupt". Quartiles
+    * and fences are rounded to 4 dp BEFORE counting so both engines
+    * compare against the identical pivot (the [[madScale]] discipline);
+    * NULLs are excluded from both the quartiles and the counts.
+    *
+    * 100 TB shape: one unpivot scan feeds a per-column exact-percentile
+    * aggregation (exact at column-count cardinality; swap in
+    * approx_percentile past ~10⁹ rows per column, the fences logic
+    * unchanged), and the column-cardinality fence table joins back
+    * unhinted for one counting pass. Two exchanges of the unpivoted
+    * stream, nothing wider.
+    *
+    * Returns (col_name, n, q1, q3, lo_fence, hi_fence, n_low, n_high). */
+  def outliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "outliers requires at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val unp = OpUtils.shared(df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.v"))
+      .filter(col("v").isNotNull))
+    val iqr = col("q3") - col("q1")
+    val fences = unp.groupBy(col("col_name").as("__o_c"))
+      .agg(
+        round(expr("percentile(v, 0.25)"), 4).as("q1"),
+        round(expr("percentile(v, 0.75)"), 4).as("q3"))
+      .select(col("__o_c"), col("q1"), col("q3"),
+        round(col("q1") - lit(1.5) * iqr, 4).as("__o_lo"),
+        round(col("q3") + lit(1.5) * iqr, 4).as("__o_hi"))
+    unp.join(fences, col("col_name") <=> col("__o_c"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+        min(col("__o_lo")).as("lo_fence"), min(col("__o_hi")).as("hi_fence"),
+        sum(when(col("v") < col("__o_lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("__o_hi"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Top-`k` most frequent values per profiled column — the "what is
     * actually in this column" companion to [[valueSkew]]'s summary stats.
     * NULL is a value; ties break on the value itself (NULLS FIRST, pinned

@@ -759,6 +759,37 @@ object EventOps {
       .select(col(idCol), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
   }
 
+  /** Last-touch marketing attribution, batch form (the streaming twin is
+    * [[attributionStreaming]]): each purchase's value is credited to the
+    * user's most recent prior touch event (inclusive at equal ts — a touch
+    * logged at the purchase timestamp still gets credit), purchases with
+    * no prior touch fall into the 'direct' channel. Touches sharing a
+    * (user, ts) cell are pre-collapsed to the max-event-id one, so the
+    * as-of carry is deterministic.
+    *
+    * 100 TB shape: rides [[asofJoin]] — one tagged-union exchange on
+    * user_id, one per-user window carry (per-user event counts bound the
+    * partition, never the corpus), then a channel-cardinality aggregate.
+    * Returns (channel, n_purchases, revenue), revenue 4 dp. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      purchaseType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view", "signup")): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution requires touch types")
+    val purchases = events.filter(col("event_type") === purchaseType)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("__lt_m"))
+      .select(col("user_id"), col("ts"),
+        col("__lt_m.event_type").as("channel"))
+    asofJoin(purchases, touches, "user_id", "ts", prefix = "touch_")
+      .groupBy(coalesce(col("touch_channel"), lit("direct")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("revenue"))
+  }
+
   /** Hourly OHLC downsample per event type: open/high/low/close of `value`
     * within each (hour, type) bar, ties on ts broken by event_id so both
     * engines pick the same open/close row. The resample that turns a raw

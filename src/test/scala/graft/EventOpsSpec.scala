@@ -603,6 +603,29 @@ class EventOpsSpec extends AnyFunSuite {
       s"ranked n desc then path asc: ${out.mkString(",")}")
   }
 
+  test("lastTouchAttribution credits the most recent prior touch, inclusive at equal ts") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      // user 1: click then purchase; later a view AT the purchase ts
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(10), 1L, "purchase", 5.0),
+      (3L, ts(20), 1L, "view", 0.0), (4L, ts(20), 1L, "purchase", 3.0),
+      // user 2: purchase with no touch → direct
+      (5L, ts(5), 2L, "purchase", 2.0),
+      // user 3: click then signup then purchase → signup (most recent)
+      (6L, ts(0), 3L, "click", 0.0), (7L, ts(1), 3L, "signup", 0.0),
+      (8L, ts(2), 3L, "purchase", 1.0),
+      // errors never count as touches
+      (9L, ts(1), 2L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.lastTouchAttribution(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "click" -> ((1L, 5.0)),
+      "view" -> ((1L, 3.0)),
+      "signup" -> ((1L, 1.0)),
+      "direct" -> ((1L, 2.0))), s"got $got")
+  }
+
   test("ohlcDownsample picks first/last by (ts, event_id) within each hour bar") {
     // hour-ALIGNED base so minutes 0..59 land in one bar
     def ts(min: Long) = new Timestamp(1699999200000L + min * 60000L)

@@ -118,6 +118,22 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.mutualInformation(dep, "u", "nope"))
   }
 
+  test("outliers counts values beyond the rounded 1.5 IQR Tukey fences") {
+    // 1..8 plus one spike: q1=3, q3=7 (exact interpolation on 9 values),
+    // fences [-3, 13] → only the spike is high; NULL excluded from n
+    val df = (1 to 8).map(i => (Some(i.toDouble), 1.0)) ++
+      Seq((Some(100.0), 1.0), (None, 1.0))
+    val got = Profiler.outliers(df.toDF("x", "c"), Seq("x", "c")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(got("x") == ((9L, 3.0, 7.0, -3.0, 13.0, 0L, 1L)), s"got ${got("x")}")
+    // constant column: zero-width IQR, fences collapse to the value
+    assert(got("c") == ((10L, 1.0, 1.0, 1.0, 1.0, 0L, 0L)))
+    intercept[IllegalArgumentException](Profiler.outliers(df.toDF("x", "c"), Seq()))
+  }
+
   test("topValues ranks by count desc with NULLS FIRST value ties") {
     val vdf = Seq(Some("b"), Some("b"), Some("a"), None).map(Tuple1(_)).toDF("lang")
     val got = Profiler.topValues(vdf, Seq("lang"), k = 3).collect()
