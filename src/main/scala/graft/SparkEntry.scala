@@ -1478,6 +1478,27 @@ object SparkEntry {
           col("c_acctbal"))
       Sinks.mergeUpsert(base, changes, "c_custkey", out)
     }),
+    // SCD2 merge: same change feed as sink_merge but HISTORY-KEEPING —
+    // differing balances close the open version at the change day and
+    // insert a successor; one full-outer join of the open slice, in-plan
+    // row fan-out, written state read back
+    "sink_scd2" -> ((s, dir) => {
+      import graft.operators.Sinks
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_" +
+        fixtureKey(dir, "customer", "events")
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        lit("2023-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"))
+      val changes = t(s, dir, "events")
+        .groupBy((col("user_id") + 1450).cast("long").as("c_custkey"))
+        .agg(
+          round(max(struct(col("event_id"), col("value")))
+            .getField("value"), 2).as("bal"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("change_ts"))
+      Sinks.scd2Merge(base, changes, "c_custkey", "change_ts", out)
+    }),
 
     // bucketed-table loop: both sides written hash-bucketed on the join key,
     // then joined WITHOUT an exchange (the 100 TB co-located-join layout;
@@ -3571,6 +3592,38 @@ object SparkEntry {
         |FROM customer b
         |FULL OUTER JOIN ch ON CAST(b.c_custkey AS BIGINT) = ch.c_custkey"""
         .stripMargin,
+    // five-way branch union over one full-outer join — the declarative
+    // mirror of the merge's in-plan row fan-out (changed keys emit both a
+    // 'closed' and an 'inserted' row)
+    "sink_scd2" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    round(c_acctbal, 2) AS bal,
+        |    '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM customer),
+        |ch AS (
+        |  SELECT CAST(user_id + 1450 AS BIGINT) AS c_custkey,
+        |    round(arg_max(value, event_id), 2) AS bal,
+        |    strftime(max(ts), '%Y-%m-%d') AS change_ts
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT b.c_custkey AS bk, b.bal AS bb, b.valid_from AS bf,
+        |    c.c_custkey AS ck, c.bal AS cb, c.change_ts AS ct
+        |  FROM base b FULL OUTER JOIN ch c ON b.c_custkey = c.c_custkey)
+        |SELECT bk AS c_custkey, bb AS bal, bf AS valid_from,
+        |  CAST(NULL AS VARCHAR) AS valid_to, 'kept' AS scd_op
+        |FROM m WHERE ck IS NULL
+        |UNION ALL
+        |SELECT ck, cb, ct, NULL, 'inserted' FROM m WHERE bk IS NULL
+        |UNION ALL
+        |SELECT bk, bb, bf, NULL, 'unchanged' FROM m
+        |WHERE bk IS NOT NULL AND ck IS NOT NULL AND bb IS NOT DISTINCT FROM cb
+        |UNION ALL
+        |SELECT bk, bb, bf, ct, 'closed' FROM m
+        |WHERE bk IS NOT NULL AND ck IS NOT NULL AND bb IS DISTINCT FROM cb
+        |UNION ALL
+        |SELECT ck, cb, ct, NULL, 'inserted' FROM m
+        |WHERE bk IS NOT NULL AND ck IS NOT NULL AND bb IS DISTINCT FROM cb""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

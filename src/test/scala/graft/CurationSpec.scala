@@ -592,6 +592,40 @@ class CurationSpec extends AnyFunSuite {
       base, changes.select("k", "bal", "name"), "k", out))
   }
 
+  test("scd2Merge versions changed keys, keeps history, no-ops identical changes") {
+    import graft.operators.Sinks
+    val base = Seq(
+      (1L, 10.0, "2023-01-01", None: Option[String]),        // will change
+      (2L, 20.0, "2023-01-01", None: Option[String]),        // no change row
+      (3L, 30.0, "2023-01-01", None: Option[String]),        // identical change
+      (5L, 5.0, "2022-01-01", Some("2023-01-01")),           // closed history
+      (5L, 6.0, "2023-01-01", None: Option[String]))         // open successor
+      .toDF("k", "bal", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, 11.0, "2024-06-01"),
+      (3L, 30.0, "2024-06-01"),
+      (4L, 40.0, "2024-06-01"))
+      .toDF("k", "bal", "change_ts")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_test"
+    val got = Sinks.scd2Merge(base, changes, "k", "change_ts", out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        Option(r.getString(3)), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 10.0, "2023-01-01", Some("2024-06-01"), "closed"),
+      (1L, 11.0, "2024-06-01", None, "inserted"),
+      (2L, 20.0, "2023-01-01", None, "kept"),
+      (3L, 30.0, "2023-01-01", None, "unchanged"),
+      (4L, 40.0, "2024-06-01", None, "inserted"),
+      (5L, 5.0, "2022-01-01", Some("2023-01-01"), "history"),
+      (5L, 6.0, "2023-01-01", None, "kept")), s"got $got")
+    // schema drift fails loudly: changes missing the attr column
+    intercept[IllegalArgumentException](Sinks.scd2Merge(
+      base, changes.select("k", "change_ts"), "k", "change_ts", out))
+    // base without validity columns fails loudly
+    intercept[IllegalArgumentException](Sinks.scd2Merge(
+      base.drop("valid_to"), changes, "k", "change_ts", out))
+  }
+
   test("deltaAppend: create + append commits round-trip through DeltaCatalog and plain Spark") {
     import graft.operators.Sinks
     import graft.sources.DeltaCatalog
