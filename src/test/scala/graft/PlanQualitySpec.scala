@@ -650,4 +650,51 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no global sort exchange for a k-row cut:\n${plan.take(900)}")
   }
 
+  test("OHLC bars are one partial/final aggregate — no window over the raw stream") {
+    val df = SparkEntry.queries("events_ohlc")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window ["),
+      s"min_by/max_by must aggregate, not rank:\n${plan.take(900)}")
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"one grouped exchange only:\n${plan.take(900)}")
+  }
+
+  test("attribution window partitions per user; channels aggregate after the carry") {
+    val df = SparkEntry.queries("events_attribution")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window ["), "as-of carry is a window pass")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"tagged union, never a per-key range join:\n${plan.take(900)}")
+  }
+
+  test("RAKE top-k is a TakeOrdered; word stats re-aggregate the distinct-phrase table") {
+    val df = SparkEntry.queries("text_rake")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"phrase cut must be a bounded reduce:\n${plan.take(900)}")
+    assert(!plan.contains("Window ["),
+      s"no ranking window anywhere in RAKE:\n${plan.take(900)}")
+  }
+
+  test("adamic-adar shares jaccard's discipline: hub cap below the explode, TakeOrdered cut") {
+    val df = SparkEntry.queries("graph_adamic_adar")(spark, TestSpark.sf)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    val genLine = opt.linesIterator.indexWhere(_.contains("Generate"))
+    val filtLine = opt.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("size"))
+    assert(genLine >= 0 && filtLine > genLine,
+      s"size filter must sit below Generate:\n$opt")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("covariance pairs expand in-plan (Generate), never via a per-row self-join") {
+    val df = SparkEntry.queries("embed_covariance")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Generate"), s"lambda explode expected:\n${plan.take(900)}")
+    // the only joins are the two dim-cardinality mean join-backs
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross join in the covariance path:\n${plan.take(900)}")
+  }
+
 }
