@@ -280,6 +280,33 @@ object ScaleProbe {
       }
       report("basket_lift_rows", scale, blRows, blSecs)
 
+      // adamic-adar: same disconnected co-purchase copies at the capped
+      // setting — wedge volume is bounded by maxDegree·|E| exactly like
+      // jaccard (shared discipline, plan-asserted), the weighting adds no
+      // exchange, and the top-k stays k rows; wall tracks edges ~linearly
+      val (aaRows, aaSecs) = timed {
+        graft.operators.Graph.adamicAdarLinks(triK, k = 20, maxDegree = 64).count()
+      }
+      report("adamic_adar_rows", scale, aaRows, aaSecs)
+
+      // covariance: k rotated-replica embeddings — the cell count is a
+      // function of DIMENSION alone (d(d+1)/2 = 2080 at d=64), so output
+      // must stay FLAT while the vector count grows k×; wall tracks the
+      // per-vector triangle expansion ~linearly
+      val (cvCells, cvSecs) = timed {
+        graft.operators.Similarity.covarianceMatrix(embX(scale), "embedding").count()
+      }
+      report("covariance_cells", scale, cvCells, cvSecs)
+
+      // gram novelty: perturbed-token replicas — every replica's shingles
+      // are corpus-new, so the gram table grows ~k×, output rows exactly
+      // k× docs, and the min-owner aggregation stays one partial-agg
+      // exchange; wall tracks the shingle stream ~linearly
+      val (nvRows, nvSecs) = timed {
+        graft.operators.TextAnalysis.gramNovelty(docsX(scale), "doc_id", "text").count()
+      }
+      report("novelty_docs", scale, nvRows, nvSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }
