@@ -817,6 +817,25 @@ object SparkEntry {
             (count(lit(1)).over(w) * 100.0), 4).as("avg_1h"))
     }),
 
+    // TPC-H Q15 shape: suppliers tied for the MAX quarterly revenue —
+    // aggregate once, compare against a 1-row scalar re-aggregate
+    // (broadcast nested loop), join supplier names last; revenue rounded
+    // BEFORE the equality so both engines tie identically
+    "q32_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").cast("long").as("s_key"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("__ts_max"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("__ts_max"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_key"), col("s_name")), "s_key")
+        .select(col("s_key").as("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
     // pivot: monthly revenue spread across order-status columns — the
     // wide-table reshaping surface (Spark pivot with an EXPLICIT value list,
     // so no extra distinct-values job runs and the schema is plannable)
@@ -1062,6 +1081,10 @@ object SparkEntry {
     // stream-stream attribution join
     "events_attribution" -> ((s, dir) =>
       EventOps.lastTouchAttribution(t(s, dir, "events"))),
+    // at-least-once hygiene: collapse (user, type, minute) replays to one
+    // delivery via grouped counting — never a per-key ranking window
+    "events_dedupe" -> ((s, dir) =>
+      EventOps.dedupeEvents(t(s, dir, "events"))),
     // RFM segmentation: per-user aggregate + broadcast quartile grading
     "events_rfm" -> ((s, dir) =>
       EventOps.rfmSegments(t(s, dir, "events"))),
@@ -2939,6 +2962,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(split(text, '')) AS c
         |      FROM documents WHERE length(text) > 0) x
         |GROUP BY doc_id""".stripMargin,
+    "events_dedupe" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, date_trunc('minute', ts) AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  count(*) AS n_kept,
+        |  round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_frac
+        |FROM c GROUP BY 1""".stripMargin,
+    "q32_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS s_key,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT rev.s_key AS s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON rev.s_key = CAST(supplier.s_suppkey AS BIGINT)
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     "events_attribution" ->
       """WITH t AS (
         |  SELECT user_id, ts, arg_max(event_type, event_id) AS channel

@@ -813,6 +813,48 @@ object EventOps {
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("n"))
 
+  /** Streaming twin of [[ohlcDownsample]]: the same min_by/max_by bar
+    * aggregation under an event-time window + watermark — bars finalize
+    * one watermark delay after their hour closes. Same alignment contract
+    * as [[hourlyAggStreaming]]. */
+  def ohlcStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        round(expr("min_by(value, struct(ts, event_id))"), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(expr("max_by(value, struct(ts, event_id))"), 4).as("close"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+
+  /** Idempotency pass over an event stream: collapse duplicate deliveries
+    * — rows sharing (user, type, minute) — to the FIRST by (ts, event_id),
+    * and report per type how much of the stream was replay. At-least-once
+    * ingestion (Kafka redeliveries, SDK retries, backfill overlap) makes
+    * this the first transform of every event pipeline; running it as a
+    * grouped min_by aggregation (never a per-key ranking window) keeps it
+    * one partial-aggregated exchange — each map task forwards at most one
+    * candidate per (user, type, minute) cell.
+    *
+    * Returns (event_type, n_total, n_kept, dup_frac), dup_frac 6 dp. */
+  def dedupeEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("__de_m"))
+      .agg(count(lit(1)).as("__de_n"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("__de_n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("__de_n")), 6)
+          .as("dup_frac"))
+
   /** RFM segmentation: per-user Recency (days since last activity, against
     * the corpus max day as the anchor), Frequency (event count) and
     * Monetary (summed value), each graded 1–4 against the population

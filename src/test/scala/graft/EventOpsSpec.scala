@@ -603,6 +603,50 @@ class EventOpsSpec extends AnyFunSuite {
       s"ranked n desc then path asc: ${out.mkString(",")}")
   }
 
+  test("dedupeEvents collapses same-minute replays and reports the replay fraction") {
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val df = Seq(
+      // user 1 click: 3 deliveries inside one minute + 1 in the next
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(10), 1L, "click", 0.0),
+      (3L, ts(59), 1L, "click", 0.0), (4L, ts(61), 1L, "click", 0.0),
+      // different users never collapse
+      (5L, ts(0), 2L, "click", 0.0),
+      // view: clean single delivery
+      (6L, ts(0), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.dedupeEvents(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("click") == ((5L, 3L, 0.4)), s"got ${got("click")}")
+    assert(got("view") == ((1L, 1L, 0.0)))
+  }
+
+  test("streaming OHLC over MemoryStream matches the batch bars") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val rows = events.as[(Long, Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventOps.ohlcStreaming(sdf)
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toMap
+      val batch = EventOps.ohlcDownsample(events).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) => assert(batch(k) == v, s"bar $k") }
+    } finally q.stop()
+  }
+
   test("lastTouchAttribution credits the most recent prior touch, inclusive at equal ts") {
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
