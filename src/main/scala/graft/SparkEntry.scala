@@ -276,6 +276,22 @@ object SparkEntry {
         .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
       graft.operators.Graph.adamicAdarLinks(edges)
     }),
+    // component-size histogram via log-round alternating-star CC — the
+    // macro structure readout (one giant component = the mega-merge smell)
+    "graph_components" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val edges = t(s, dir, "lineitem")
+        .join(orders95, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .groupBy(col("o"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(explode(graft.functions.GraftFunctions
+          .pairCombinations(array_sort(col("ps")))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      graft.operators.Graph.componentSizes(edges)
+    }),
     // per-node clustering coefficient: triangle credit via the oriented
     // wedge join, one 3-way explode, one node-sized count
     "graph_clustering" -> ((s, dir) => {
@@ -1685,6 +1701,12 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       Curation.topQualityPerGroup(t(s, dir, "documents"), "doc_id", "text", "source", k = 3)
     }),
+    // first-tier toxicity screen: blocklist fraction per doc, map-only
+    // (the demo blocklist reuses corpus vocabulary so the path is
+    // exercised; real lists are a policy input)
+    "curate_toxicity" -> ((s, dir) =>
+      Curation.toxicityScore(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "big", "merge"), maxFrac = 0.1)),
     // near-dup-level decontamination: drop training docs that are MinHash
     // near-duplicates of any eval doc (eval = doc_id % 5 == 0 here) —
     // catches reworded benchmark contamination that exact-gram overlap
@@ -1912,6 +1934,35 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wed.ia AND e.v = wed.ib)
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+    // reachability-closure CC (the declarative mirror of alternating-star:
+    // min reachable id = component), then two grouped counts
+    "graph_components" ->
+      """WITH RECURSIVE
+        |lp AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       WHERE year(o_orderdate) = 1995),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src
+        |),
+        |lbl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS size FROM lbl GROUP BY 1)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+        |FROM cs GROUP BY 1""".stripMargin,
+    "curate_toxicity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> list_contains(['slow','big','merge'], x)))
+        |    AS BIGINT) AS n_flagged,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(['slow','big','merge'], x)))
+        |    AS DOUBLE) / len(tk), 6) AS tox_frac,
+        |  CAST(len(list_filter(tk, x -> list_contains(['slow','big','merge'], x)))
+        |    AS DOUBLE) / len(tk) > 0.1 AS flagged
+        |FROM t""".stripMargin,
     // same wedge lattice as graph_jaccard, summed 1/ln(center degree)
     // instead of counted; degree-1 centers never appear (a.v < b.v needs
     // two neighbors), so ln never sees 1

@@ -433,6 +433,34 @@ object Curation {
       "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
       "|\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+  /** Blocklist toxicity screen: per-document count and fraction of tokens
+    * on a caller-supplied blocklist (case-insensitive whole-token match,
+    * never substring — "class" must not trip an "ass" entry), plus the
+    * keep/drop flag at `maxFrac`. The wordlist pass is the cheap first
+    * tier of toxicity filtering (a learned classifier is tier two —
+    * [[qualityClassifier]]'s shape); lists are corpus-policy inputs, so
+    * they are parameters, not constants.
+    *
+    * 100 TB shape: map-only — the blocklist rides the plan as a literal
+    * array (policy lists are KBs; past ~10⁵ entries switch to a broadcast
+    * join against the token explode, same result). No exchange at all.
+    * Returns (idCol, n_tokens, n_flagged, tox_frac, flagged). */
+  def toxicityScore(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxFrac: Double = 0.1): DataFrame = {
+    require(blocklist.nonEmpty, "toxicityScore requires a non-empty blocklist")
+    require(maxFrac >= 0 && maxFrac <= 1, s"maxFrac must be in [0,1], got $maxFrac")
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = split(lower(col(textCol)), " ")
+    val nFlag = size(filter(toks, t => array_contains(bl, t))).cast("long")
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      nFlag.as("n_flagged"),
+      round(nFlag.cast("double") / size(toks), 6).as("tox_frac"),
+      (nFlag.cast("double") / size(toks) > maxFrac).as("flagged"))
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses and phone
     * numbers. Purely narrow, codegen'd `regexp_*` built-ins — scales as a
     * map-only pass. Returns (idCol, n_pii, redacted). */

@@ -512,6 +512,26 @@ object Graph {
     }
   }
 
+  /** Connected-component size histogram: (size, n_components) over the
+    * undirected graph — the macro-structure readout ([[degreeDistribution]]
+    * is the micro one): a healthy similarity graph is many small
+    * components; one giant component is the mega-merge smell
+    * [[Joins.resolveEntities]] guards against, visible here BEFORE any
+    * entity-level damage.
+    *
+    * 100 TB shape: labels come from [[Dedup.connectedComponents]] — the
+    * alternating-star algorithm, O(log diameter) rounds of id-only edge
+    * rewiring — then two grouped counts, the second at component-count
+    * cardinality. Isolated nodes (no edges) are out of scope; the input
+    * is an edge list. */
+  def componentSizes(edges: DataFrame): DataFrame = {
+    val canon = canonical(edges)
+    Dedup.connectedComponents(
+        canon.select(col("u").as("id_a"), col("v").as("id_b")))
+      .groupBy(col("comp")).agg(count(lit(1)).as("__cs_n"))
+      .groupBy(col("__cs_n").as("size")).agg(count(lit(1)).as("n_components"))
+  }
+
   /** Degree distribution: (degree, n_nodes) over the deduped edge list —
     * the first graph-health readout (a heavy tail here is what makes the
     * [[jaccardLinks]] maxDegree cap and [[triangleCount]]'s orientation

@@ -592,6 +592,25 @@ class CurationSpec extends AnyFunSuite {
       base, changes.select("k", "bal", "name"), "k", out))
   }
 
+  test("toxicityScore matches whole tokens case-insensitively and flags at maxFrac") {
+    import graft.operators.Curation
+    val df = Seq(
+      (1L, "BAD word bad ok"),  // 2/4 flagged, case-insensitive
+      (2L, "badge ok ok ok"),   // whole-token: 'badge' never trips 'bad'
+      (3L, "clean text here"))
+      .toDF("doc_id", "text")
+    val got = Curation.toxicityScore(df, "doc_id", "text", Seq("bad"), maxFrac = 0.25)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 0.5, true)))
+    assert(got(2L) == ((4L, 0L, 0.0, false)))
+    assert(got(3L) == ((3L, 0L, 0.0, false)))
+    intercept[IllegalArgumentException](
+      Curation.toxicityScore(df, "doc_id", "text", Seq()))
+  }
+
   test("scd2Merge versions changed keys, keeps history, no-ops identical changes") {
     import graft.operators.Sinks
     val base = Seq(

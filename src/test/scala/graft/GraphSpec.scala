@@ -332,6 +332,16 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.adamicAdarLinks(square, k = 0))
   }
 
+  test("componentSizes histograms components, collapsing duplicate/reversed edges") {
+    import spark.implicits._
+    // path of 3 + isolated pair + a triangle → sizes {3:2, 2:1}
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val got = Graph.componentSizes(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2L, 2L -> 1L), s"got $got")
+  }
+
   test("clusteringCoefficient credits all three triangle vertices") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 3-4 (edges deliberately duplicated and
