@@ -1156,6 +1156,30 @@ object SparkEntry {
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
     }),
+    // two-tier dedup: embedding-LSH candidates confirmed by exact text
+    // Jaccard — semantic recall, lexical precision; the same planted
+    // duplicates carry BOTH modalities
+    "dedup_two_tier" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pe = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val pd = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.twoTierPairs(emb.unionAll(pe), "vec_id", "embedding", dim = 64,
+        docs.unionAll(pd), "doc_id", "text")
+    }),
+    // threshold calibration: pair counts at 0.95/0.97/0.99 from ONE
+    // LSH candidate pass sized for the loosest cut
+    "embed_threshold_sweep" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pe = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.embeddingThresholdSweep(emb.unionAll(pe), "vec_id", "embedding",
+        dim = 64, thresholds = Seq(0.95, 0.97, 0.99))
+    }),
     "dedup_embed" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -3290,6 +3314,47 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id <> b.doc_id
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.8""".stripMargin,
+    "dedup_two_tier" ->
+      """WITH augE AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+        |augD AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM augD) x
+        |  WHERE len(tk) >= 3),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM augE a, augE b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.95)
+        |SELECT id_a, id_b,
+        |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON cand.id_a = sa.doc_id
+        |JOIN sh sb ON cand.id_b = sb.doc_id
+        |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5""".stripMargin,
+    "embed_threshold_sweep" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+        |pr AS (
+        |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM aug a, aug b WHERE a.vec_id < b.vec_id),
+        |t AS (SELECT unnest([0.95::DOUBLE, 0.97::DOUBLE, 0.99::DOUBLE]) AS threshold)
+        |SELECT threshold,
+        |  CAST(sum(CASE WHEN c >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        |FROM t, pr GROUP BY 1""".stripMargin,
     "dedup_embed" ->
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -86,6 +86,30 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Two-tier near-dup pairs: embedding LSH proposes (semantic recall —
+    * catches paraphrases lexical shingles miss), exact text Jaccard
+    * confirms (lexical precision — kills the "same topic, different
+    * document" false positives a pure-cosine cut ships). The composition
+    * is the production multimodal dedup shape: tier 1 never scans pairs
+    * (sign-LSH buckets), tier 2 pays the sorted-merge intersection only on
+    * tier-1 survivors. `vecs` and `docs` must share an id space (the
+    * embedding of doc k carries id k).
+    *
+    * Returns (id_a, id_b, jaccard) for pairs passing BOTH thresholds. */
+  def twoTierPairs(
+      vecs: DataFrame, vecIdCol: String, vecCol: String, dim: Int,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      cosThreshold: Double = 0.95, jaccardThreshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = embeddingPairs(vecs, vecIdCol, vecCol, dim, cosThreshold)
+    val sets = widen(docs)
+      .select(col(docIdCol).as("id"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    verifyJaccard(cands, sets, jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** 64-bit hash image of a shingle SET, sorted — what the verification
     * joins carry and merge instead of the string arrays: hashing is one
     * narrow pass per DOCUMENT (not per pair), the per-pair payload drops
@@ -716,7 +740,21 @@ object Dedup {
       threshold: Double = 0.95,
       tables: Int = 32,
       bitsPerTable: Int = 8,
-      corpusSizeHint: Option[Long] = None): DataFrame = {
+      corpusSizeHint: Option[Long] = None): DataFrame =
+    scoredEmbeddingPairs(df, idCol, vecCol, dim, threshold, tables,
+      bitsPerTable, corpusSizeHint).select("id_a", "id_b")
+
+  /** [[embeddingPairs]] keeping the verified cosine — shared by the plain
+    * pair cut and [[embeddingThresholdSweep]]. Returns (id_a, id_b, cos). */
+  private def scoredEmbeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      tables: Int,
+      bitsPerTable: Int,
+      corpusSizeHint: Option[Long]): DataFrame = {
     val vecs = shared(widen(df).select(col(idCol).as("id"), col(vecCol).as("v")))
     val n = corpusSizeHint.getOrElse(vecs.count())
     val (bits, tbls) = embedSketchSize(n, threshold, tables, bitsPerTable)
@@ -724,8 +762,36 @@ object Dedup {
     bucketPairs(sk, Seq("tbl", "bucket"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)
-      .select("id_a", "id_b")
+      .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Threshold calibration sweep: pair counts at each candidate cosine
+    * threshold, from ONE LSH candidate pass sized for the LOOSEST
+    * threshold — the eval an operator runs before committing a dedup cut
+    * ("how many more pairs does 0.95 pull in than 0.99?"). Every
+    * threshold's count reads the same verified (pair, cos) stream; tighter
+    * thresholds are conditional sums, not re-searches. The recall
+    * guarantee is the one [[embeddingPairs]] gives at min(thresholds);
+    * tighter bins inherit it (sign-LSH collision probability rises with
+    * cosine). Returns (threshold, n_pairs). */
+  def embeddingThresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      thresholds: Seq[Double],
+      tables: Int = 32,
+      bitsPerTable: Int = 8,
+      corpusSizeHint: Option[Long] = None): DataFrame = {
+    require(thresholds.nonEmpty, "embeddingThresholdSweep requires thresholds")
+    val scored = scoredEmbeddingPairs(df, idCol, vecCol, dim, thresholds.min,
+      tables, bitsPerTable, corpusSizeHint)
+    scored
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"), col("cos"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
   }
 
   /** Corpus-sized sign-sketch shape: widen the per-table bit count to

@@ -144,6 +144,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("twoTierPairs confirms embedding candidates with text Jaccard") {
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v2 = v1.clone(); v2(0) = v1(0) + 0.01f
+    val v3 = v1.clone(); v3(1) = v1(1) + 0.01f // ALSO near v1, but text differs
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq), (4L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog now"), // near-dup of 1
+      (3L, "completely different words about streaming state stores"),
+      (4L, "another unrelated document about checkpoints"))
+      .toDF("doc_id", "text")
+    val got = Dedup.twoTierPairs(vecs, "vec_id", "embedding", dim = 64,
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,3) and (2,3) pass the cosine tier but FAIL the text tier
+    assert(got.toSet == Set((1L, 2L)), s"got ${got.mkString(",")}")
+  }
+
+  test("embeddingThresholdSweep bins one candidate pass, zero-count bins included") {
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v2 = v1.clone(); v2(0) = v1(0) + 0.01f     // cos ~0.9999
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingThresholdSweep(df, "vec_id", "embedding", dim = 64,
+        thresholds = Seq(0.95, 0.9999999))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got(0.95) == 1L, s"got $got")
+    assert(got(0.9999999) == 0L, "a too-tight bin still reports its zero")
+    intercept[IllegalArgumentException](
+      Dedup.embeddingThresholdSweep(df, "vec_id", "embedding", 64, Seq()))
+  }
+
   test("saved minhash index round-trips; shard dedup against it finds the planted hit") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
