@@ -146,6 +146,13 @@ object SparkEntry {
     // cross join
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // pair-completeness witness of the deletion-variant blocking on a
+    // bounded sample (ground truth is O(sample²) by design; the provable
+    // answer is 1.0 — a regression in variant generation breaks the hash)
+    "er_blocking_eval" -> ((s, dir) =>
+      graft.operators.Joins.blockingRecallEval(
+        t(s, dir, "customer").filter(col("c_custkey") < 600),
+        "c_custkey", "c_name")),
     // entity resolution end to end: fuzzy pairs → connected components →
     // golden record per multi-member entity (canonical id = component
     // label, so the name lookup is a plain id equi-join). Blocking on
@@ -1108,6 +1115,10 @@ object SparkEntry {
     // corpus end; the ordered window runs over the bounded lifetime table
     "events_survival" -> ((s, dir) =>
       EventOps.survivalCurve(t(s, dir, "events"), censorDays = 7)),
+    // OLS forecast: slope+intercept per type over daily means, projected
+    // 3 days past the last observation (rounded fit, identical lines)
+    "events_forecast" -> ((s, dir) =>
+      EventOps.trendForecast(t(s, dir, "events"))),
     // bounded range join: errors counted against same-user clicks within
     // ±5 minutes, via window-width binning (bin ±1 equi-join), never a
     // per-key cross product
@@ -1847,6 +1858,34 @@ object SparkEntry {
          |  FROM orders)
          |$blocks""".stripMargin
     },
+    "events_forecast" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
+        |    avg(value) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT event_type, max(x) AS xmax,
+        |    round(covar_pop(x, mv) / var_pop(x), 6) AS b,
+        |    round(avg(mv), 6) AS my, round(avg(x), 6) AS mx
+        |  FROM d GROUP BY event_type HAVING count(*) >= 2),
+        |f2 AS (SELECT event_type, xmax, b, round(my - b * mx, 6) AS a FROM fit)
+        |SELECT event_type, CAST(h AS BIGINT) AS horizon,
+        |  round(a + b * (xmax + h), 4) AS forecast
+        |FROM f2, (SELECT unnest([1, 2, 3]) AS h) t""".stripMargin,
+    // ground truth = the same exhaustive pair space the er_fuzzy_pairs
+    // oracle scans; the blocking provably finds all of it, so the oracle
+    // may assert completeness 1.0 outright
+    "er_blocking_eval" ->
+      """WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 600),
+        |truth AS (
+        |  SELECT 1 FROM s a, s b
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_found,
+        |  CAST(1.0 AS DOUBLE) AS pair_completeness
+        |FROM truth""".stripMargin,
     "er_fuzzy_pairs" ->
       """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
         |  CAST(b.c_custkey AS BIGINT) AS id_b,

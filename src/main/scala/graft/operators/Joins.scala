@@ -148,6 +148,40 @@ object Joins {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Pair-completeness eval of [[fuzzyPairs]]' deletion-variant blocking
+    * against exhaustive ground truth — the ER counterpart of
+    * [[Similarity.recallEval]]: before trusting a blocking scheme at
+    * corpus scale, measure what it misses on a sample. Ground truth is
+    * the full levenshtein ≤ 1 pair space of the SAMPLE (O(n²) by
+    * construction — run this on thousands of records, never the corpus;
+    * the blocking under test is the thing that scales). For the deletion
+    * neighborhood the answer is provably 1.0 — this eval is the runtime
+    * witness of that proof, and a regression in the variant generation
+    * shows up here as completeness < 1 before it silently under-merges
+    * entities in production.
+    *
+    * Returns one row: (n_true_pairs, n_found, pair_completeness). */
+  def blockingRecallEval(
+      df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val rows = OpUtils.widen(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    val a = rows.select(col("id").as("id_a"), col("s").as("__br_sa"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("__br_sb"))
+    val truth = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("__br_sa"), col("__br_sb")) <= 1)
+      .select(col("id_a"), col("id_b"))
+    val blocked = fuzzyPairs(df, idCol, strCol, blockCols)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__br_hit"))
+    truth.join(blocked, Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("__br_hit"), lit(0L))).cast("long").as("n_found"),
+        round(sum(coalesce(col("__br_hit"), lit(0L))).cast("double") /
+          count(lit(1)), 6).as("pair_completeness"))
+  }
+
   /** Entity resolution end to end: [[fuzzyPairs]] candidates → connected
     * components → one golden record per multi-record entity. The canonical
     * id is the cluster's minimum member id — which is exactly the

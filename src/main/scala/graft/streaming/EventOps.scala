@@ -759,6 +759,44 @@ object EventOps {
       .select(col(idCol), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
   }
 
+  /** OLS forecast extending [[dailyTrend]]: fit slope AND intercept per
+    * type over the daily-mean series, then project `horizonDays` values
+    * past the last observed day — the capacity-planning readout ("where
+    * is this metric in three days if the drift holds"). Slope and
+    * intercept are rounded to 6 dp BEFORE projection so both engines
+    * extrapolate the identical line.
+    *
+    * 100 TB shape: same as dailyTrend — one corpus-sized reduction to
+    * (type, day) means, OLS as covar/var aggregates over that tiny
+    * series, horizons exploded from a literal sequence (#types ×
+    * horizon rows). Returns (event_type, horizon, forecast). */
+  def trendForecast(
+      events: DataFrame, horizonDays: Int = 3,
+      epoch: String = "2024-01-01"): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val daily = events.groupBy(
+        col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit(epoch).cast("date"))
+          .cast("double").as("x"))
+      .agg(avg(col("value")).as("mv"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("__tf_n"),
+        max(col("x")).as("__tf_xmax"),
+        round(covar_pop(col("x"), col("mv")) / var_pop(col("x")), 6).as("__tf_b"),
+        round(avg(col("mv")), 6).as("__tf_my"),
+        round(avg(col("x")), 6).as("__tf_mx"))
+      .filter(col("__tf_n") >= 2)
+      .select(col("event_type"), col("__tf_xmax"), col("__tf_b"),
+        // intercept from the ROUNDED slope, itself rounded — the engines
+        // then share the projection inputs bit-for-bit
+        round(col("__tf_my") - col("__tf_b") * col("__tf_mx"), 6).as("__tf_a"),
+        explode(sequence(lit(1), lit(horizonDays))).as("horizon"))
+      .select(col("event_type"), col("horizon").cast("long").as("horizon"),
+        round(col("__tf_a") + col("__tf_b") * (col("__tf_xmax") + col("horizon")), 4)
+          .as("forecast"))
+  }
+
   /** Last-touch marketing attribution, batch form (the streaming twin is
     * [[attributionStreaming]]): each purchase's value is credited to the
     * user's most recent prior touch event (inclusive at equal ts — a touch

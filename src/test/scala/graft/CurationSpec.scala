@@ -353,6 +353,16 @@ class CurationSpec extends AnyFunSuite {
       (8L, 2L, 9L, 30L)))
   }
 
+  test("blockingRecallEval witnesses the deletion-neighborhood completeness proof") {
+    import graft.operators.Joins
+    // truth: (1,2) substitution, (3,4) deletion; (5) isolated
+    val recs = Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "xy"), (5L, "qqqqq"))
+      .toDF("rid", "name")
+    val r = Joins.blockingRecallEval(recs, "rid", "name").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 1.0)))
+  }
+
   test("fuzzyPairs blockCols: only records agreeing on every block column can pair") {
     import graft.operators.Joins
     val recs = Seq(

@@ -603,6 +603,22 @@ class EventOpsSpec extends AnyFunSuite {
       s"ranked n desc then path asc: ${out.mkString(",")}")
   }
 
+  test("trendForecast projects the fitted line past the last observed day") {
+    def ts(day: Long) = new Timestamp(1704067200000L + day * 86400000L) // 2024-01-01 UTC
+    // type a: exact line value = day + 1 → slope 1, intercept 1,
+    // forecasts for days 3/4/5 are 4/5/6; type b: single day → dropped
+    val df = Seq(
+      (1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "a", 2.0),
+      (3L, ts(2), 1L, "a", 3.0),
+      (4L, ts(0), 1L, "b", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.trendForecast(df, horizonDays = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      ("a", 1L) -> 4.0, ("a", 2L) -> 5.0, ("a", 3L) -> 6.0), s"got $got")
+    intercept[IllegalArgumentException](EventOps.trendForecast(df, horizonDays = 0))
+  }
+
   test("dedupeEvents collapses same-minute replays and reports the replay fraction") {
     def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
     val df = Seq(
