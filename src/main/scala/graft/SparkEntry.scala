@@ -634,6 +634,12 @@ object SparkEntry {
     "profile_outliers" -> ((s, dir) =>
       graft.operators.Profiler.outliers(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // full-row duplicate census over the content columns (doc_id excluded:
+    // ids are unique by construction; the doubled-load signal lives in
+    // the payload)
+    "profile_duplicates" -> ((s, dir) =>
+      graft.operators.Profiler.duplicateRows(
+        t(s, dir, "documents").select(col("text"), col("lang"), col("source")))),
     // most frequent values per column, ranked via groupedRank (never a
     // per-column window funnel), NULLS FIRST tie order pinned
     "profile_top_values" -> ((s, dir) =>
@@ -2736,6 +2742,14 @@ object SparkEntry {
         |    - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
         |    / ln(2.0), 6) AS entropy
         |FROM c GROUP BY 1""".stripMargin,
+    "profile_duplicates" ->
+      """WITH c AS (
+        |  SELECT text, lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+        |  round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 6) AS dup_frac
+        |FROM c""".stripMargin,
     "profile_outliers" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem

@@ -192,6 +192,23 @@ object Profiler {
           col("__mi") / sqrt(col("__ha") * col("__hb"))), 6).as("nmi"))
   }
 
+  /** Full-row duplicate census: total rows, distinct rows, and the
+    * duplicated surplus — the ingest-health check that catches doubled
+    * loads and replayed partitions before any per-column profile would
+    * (column stats barely move when 3% of rows are exact copies; this
+    * number is exactly that 3%). One grouped count over all columns (one
+    * exchange, partial-aggregated) re-aggregated to a single row.
+    * Returns (n_rows, n_distinct, n_dup_rows, dup_frac). */
+  def duplicateRows(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__d_n"))
+      .agg(
+        sum(col("__d_n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__d_n")) - count(lit(1))).cast("long").as("n_dup_rows"),
+        round((sum(col("__d_n")) - count(lit(1))).cast("double") /
+          sum(col("__d_n")), 6).as("dup_frac"))
+
   /** Tukey-fence outlier counts per numeric column: quartiles, the
     * 1.5·IQR fences, and how many values fall outside each — the standard
     * first answer to "is this column's tail real or corrupt". Quartiles

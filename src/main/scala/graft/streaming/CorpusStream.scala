@@ -195,6 +195,36 @@ object CorpusStream {
     * sink wants. Decontamination stays batch-side: its eval-set join is a
     * broadcast of STATIC data and belongs in the downstream batch pass, not
     * in per-microbatch state. */
+  /** Streaming Delta producer: every micro-batch lands as ONE transactional
+    * [[graft.operators.Sinks.deltaAppend]] commit — the continuous-ingest
+    * end of the Delta loop (deltaAppend grows it, OPTIMIZE compacts it,
+    * the DeltaCatalog and plain Spark read it, each micro-batch is a
+    * time-travel point). foreachBatch + the append's staged-then-rename
+    * commit gives per-batch atomicity: a crashed batch leaves invisible
+    * orphan parquet, and on restart Structured Streaming replays the batch
+    * from the checkpoint — the standard idempotence caveat applies (an
+    * append replayed AFTER its commit but before checkpointing doubles the
+    * batch; carry a batch-id column and deduplicate downstream, or use the
+    * checkpoint's batch id as the commit's idempotence key when the
+    * table's writers are exclusively this query).
+    *
+    * Returns the started query; caller owns its lifecycle. */
+  def deltaSinkStreaming(
+      stream: org.apache.spark.sql.DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // skip empty micro-batches: a zero-row commit would still bump the
+        // Delta version and pollute time travel with no-op snapshots
+        if (!batch.isEmpty)
+          graft.operators.Sinks.deltaAppend(batch, tablePath, partitionCols)
+        ()
+      }
+      .start()
+
   def curateStreaming(
       docs: DataFrame,
       idCol: String,

@@ -683,6 +683,32 @@ class CurationSpec extends AnyFunSuite {
       Sinks.deltaAppend(b1, out, Nil))
   }
 
+  test("deltaSinkStreaming lands each micro-batch as one transactional Delta commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStream
+    import graft.sources.DeltaCatalog
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_delta_ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = CorpusStream.deltaSinkStreaming(
+      stream.toDF().toDF("id", "v"), s"$out/t", ckpt)
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((3L, "c"))
+      q.processAllAvailable()
+      // two micro-batches → two commits; both visible to the engine reader
+      val cat = DeltaCatalog.fromDeltaLog(spark, s"$out/t", "t")
+      val got = cat.read(spark, cat.files)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // each micro-batch is its own time-travel point
+      val v0 = DeltaCatalog.fromDeltaLog(spark, s"$out/t", "t", versionAsOf = Some(0L))
+      assert(v0.read(spark, v0.files).count() == 2)
+    } finally q.stop()
+  }
+
   test("deltaOptimize compacts per partition, preserves time travel, no-ops when compact") {
     import graft.operators.Sinks
     import graft.sources.DeltaCatalog

@@ -118,6 +118,16 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.mutualInformation(dep, "u", "nope"))
   }
 
+  test("duplicateRows counts the exact-copy surplus, NULL-safe") {
+    val df = Seq(
+      (Some("a"), 1), (Some("a"), 1), (Some("a"), 2),
+      (None: Option[String], 3), (None: Option[String], 3))
+      .toDF("s", "k")
+    val r = Profiler.duplicateRows(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((5L, 3L, 2L, 0.4)))
+  }
+
   test("outliers counts values beyond the rounded 1.5 IQR Tukey fences") {
     // 1..8 plus one spike: q1=3, q3=7 (exact interpolation on 9 values),
     // fences [-3, 13] → only the spike is high; NULL excluded from n
