@@ -404,16 +404,23 @@ object Sinks {
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("size", LongType),
-        StructField("partitionValues", MapType(StringType, StringType)))), nullable = true)))
+        StructField("partitionValues", MapType(StringType, StringType)))), nullable = true),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))), nullable = true)))
     val rows: Seq[Row] =
-      Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
-        cat.partitionColumns), null) +:
+      (Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
+        cat.partitionColumns), null, null) +:
         cat.files.map(f => Row(null,
           Row(rawByKey.getOrElse(f.key,
               throw new graft.model.BuzzException.ExecutionError(
                 s"checkpoint: no raw log path for live file ${f.key}")),
             f.length,
-            cat.partitionColumns.zip(f.partitionValues).toMap)))
+            cat.partitionColumns.zip(f.partitionValues).toMap), null))) ++
+        // txn state must survive into the checkpoint, or commit cleaning
+        // would amnesia every writer's idempotence watermark
+        DeltaCatalog.allTxns(spark, tablePath).toSeq.sortBy(_._1)
+          .map { case (app, ver) => Row(null, null, Row(app, ver)) }
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(stage)
@@ -426,7 +433,7 @@ object Sinks {
         s"checkpoint rename failed for $dest")
     fsys.delete(new Path(stage), true)
     FsUtil.writeString(spark, s"$logDir/_last_checkpoint",
-      s"""{"version":$version,"size":${cat.files.size + 1}}""")
+      s"""{"version":$version,"size":${rows.size}}""")
     if (cleanCommits) {
       val CommitName = raw"(\d{20})\.json".r
       FsUtil.listStatus(spark, logDir).foreach { st =>
@@ -484,7 +491,9 @@ object Sinks {
     deleted
   }
 
-  def deltaAppend(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil): Long = {
+  def deltaAppend(
+      df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -494,6 +503,15 @@ object Sinks {
     val logDir = s"$tablePath/_delta_log"
     val data = partitionCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
     val tableExists = FsUtil.isDirectory(spark, logDir)
+    // SetTransaction idempotence (the protocol's `txn` action): a commit
+    // stamped (appId, version) that the log already carries at >= version
+    // is a REPLAY — skip it instead of doubling the batch. This is what
+    // makes foreachBatch restart semantics exactly-once end to end.
+    txn.foreach { case (appId, txnVer) =>
+      if (tableExists &&
+          DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
+        return DeltaCatalog.latestVersion(spark, logDir)
+    }
     if (tableExists) {
       val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_sink")
       if (cat.partitionColumns != partitionCols)
@@ -546,6 +564,10 @@ object Sinks {
         "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
         "dataChange" -> JBool(true)))
     }
+    val txnActions: Seq[JValue] = txn.toSeq.map { case (appId, txnVer) =>
+      JObject("txn" -> JObject(
+        "appId" -> JString(appId), "version" -> JLong(txnVer)))
+    }
     val actions: Seq[JValue] =
       if (version == 0L)
         JObject("protocol" -> JObject(
@@ -555,8 +577,8 @@ object Sinks {
           "format" -> JObject("provider" -> JString("parquet")),
           "schemaString" -> JString(data.schema.json),
           "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList))) ::
-        addActions.toList
-      else addActions
+        (txnActions ++ addActions).toList
+      else (txnActions ++ addActions).toList
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     if (!tableExists) fsys.mkdirs(new Path(logDir))

@@ -37,7 +37,22 @@ object DeltaCatalog {
     var partitionCols: Seq[String] = Nil
     // path -> (size, partitionValues); replay order means removes win
     val live = scala.collection.mutable.LinkedHashMap[String, (Long, Map[String, String])]()
+    // appId -> highest committed txn version (SetTransaction actions)
+    val txns = scala.collection.mutable.HashMap[String, Long]()
   }
+
+  /** Highest committed SetTransaction version for `appId`, or None if the
+    * app has never committed to this table — the Delta protocol's
+    * idempotence handshake: a writer that stamps each commit with a
+    * monotonically increasing (appId, version) can detect its own replays
+    * by asking this before committing. */
+  def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] =
+    replay(spark, tablePath, None).txns.get(appId)
+
+  /** Every app's highest committed txn version — what a checkpoint writer
+    * must persist so idempotence survives commit cleaning. */
+  private[graft] def allTxns(spark: SparkSession, tablePath: String): Map[String, Long] =
+    replay(spark, tablePath, None).txns.toMap
 
   /** Build the catalog for the table's LATEST snapshot, or — time travel —
     * for `versionAsOf`: the snapshot exactly as of that commit version.
@@ -190,6 +205,14 @@ object DeltaCatalog {
           .getOrElse(Map.empty[String, String])
         if (path != null && path.nonEmpty) state.live(path) = (size, pv)
       }
+      if (cols("txn") && !row.isNullAt(row.fieldIndex("txn"))) {
+        val t = row.getStruct(row.fieldIndex("txn"))
+        val app = t.getAs[String]("appId")
+        if (app != null) {
+          val ver = t.getAs[Long]("version")
+          state.txns(app) = math.max(state.txns.getOrElse(app, Long.MinValue), ver)
+        }
+      }
       // `remove` entries in a checkpoint are expired tombstones — ignored
     }
   }
@@ -235,6 +258,17 @@ object DeltaCatalog {
       case rm =>
         rm \ "path" match {
           case JString(p) => state.live.remove(p)
+          case _ =>
+        }
+    }
+    v \ "txn" match {
+      case JNothing =>
+      case txn =>
+        (txn \ "appId", txn \ "version") match {
+          case (JString(app), JInt(ver)) =>
+            state.txns(app) = math.max(state.txns.getOrElse(app, Long.MinValue), ver.toLong)
+          case (JString(app), JLong(ver)) =>
+            state.txns(app) = math.max(state.txns.getOrElse(app, Long.MinValue), ver)
           case _ =>
         }
     }

@@ -202,28 +202,33 @@ object CorpusStream {
     * time-travel point). foreachBatch + the append's staged-then-rename
     * commit gives per-batch atomicity: a crashed batch leaves invisible
     * orphan parquet, and on restart Structured Streaming replays the batch
-    * from the checkpoint — the standard idempotence caveat applies (an
-    * append replayed AFTER its commit but before checkpointing doubles the
-    * batch; carry a batch-id column and deduplicate downstream, or use the
-    * checkpoint's batch id as the commit's idempotence key when the
-    * table's writers are exclusively this query).
+    * from the checkpoint — and the append stamps every commit with the
+    * protocol's `txn` action (appId, batchId), so a batch replayed AFTER
+    * its commit landed is recognized by its watermark and SKIPPED:
+    * exactly-once end to end, the same SetTransaction handshake upstream
+    * Delta writers use. `appId` defaults to a per-table sink identity;
+    * set it explicitly when several independent streams feed one table.
     *
     * Returns the started query; caller owns its lifecycle. */
   def deltaSinkStreaming(
       stream: org.apache.spark.sql.DataFrame,
       tablePath: String,
       checkpointDir: String,
-      partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      partitionCols: Seq[String] = Nil,
+      appId: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = if (appId.nonEmpty) appId else s"graft-stream:$tablePath"
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // skip empty micro-batches: a zero-row commit would still bump the
         // Delta version and pollute time travel with no-op snapshots
         if (!batch.isEmpty)
-          graft.operators.Sinks.deltaAppend(batch, tablePath, partitionCols)
+          graft.operators.Sinks.deltaAppend(
+            batch, tablePath, partitionCols, Some((app, batchId)))
         ()
       }
       .start()
+  }
 
   def curateStreaming(
       docs: DataFrame,

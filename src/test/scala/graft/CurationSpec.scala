@@ -709,6 +709,32 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deltaAppend txn stamps make replays no-ops, surviving checkpoint commit-cleaning") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_txn").toString
+    val b1 = Seq((1L, "a")).toDF("id", "v")
+    val b2 = Seq((2L, "b")).toDF("id", "v")
+    assert(Sinks.deltaAppend(b1, out, Nil, Some(("app", 0L))) == 0L)
+    assert(Sinks.deltaAppend(b2, out, Nil, Some(("app", 1L))) == 1L)
+    // replaying batch 1 is a skip, not a new commit
+    assert(Sinks.deltaAppend(b2, out, Nil, Some(("app", 1L))) == 1L)
+    assert(DeltaCatalog.latestVersion(spark, s"$out/_delta_log") == 1L)
+    assert(DeltaCatalog.lastTxnVersion(spark, out, "app") == Some(1L))
+    assert(DeltaCatalog.lastTxnVersion(spark, out, "other") == None)
+    // a DIFFERENT app's version counter is independent
+    assert(Sinks.deltaAppend(b1, out, Nil, Some(("app2", 0L))) == 2L)
+    // checkpoint with commit cleaning must preserve the watermarks
+    Sinks.deltaCheckpoint(spark, out, cleanCommits = true)
+    assert(DeltaCatalog.lastTxnVersion(spark, out, "app") == Some(1L))
+    assert(Sinks.deltaAppend(b2, out, Nil, Some(("app", 1L))) == 2L,
+      "post-checkpoint replay must still be recognized (returns latest, no commit)")
+    assert(DeltaCatalog.latestVersion(spark, s"$out/_delta_log") == 2L)
+    // rows: exactly one copy of each batch
+    val cat = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(cat.read(spark, cat.files).count() == 3L)
+  }
+
   test("deltaOptimize compacts per partition, preserves time travel, no-ops when compact") {
     import graft.operators.Sinks
     import graft.sources.DeltaCatalog
