@@ -772,6 +772,36 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairs = 3, k = 20)
     }),
+    // CDC-style snapshot reconciliation: the "new" snapshot is a
+    // deterministic SQL-expressible mutation of orders (keys %97 deleted,
+    // %89 repriced, %101 re-inserted under offset keys), so the diff has a
+    // closed-form oracle. Both sides shrink to (key, content-hash) before
+    // the one full-outer exchange (see Joins.snapshotDiff)
+    "reconcile_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus"))
+      val mutated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 89 === 0, round(col("price") * 1.1, 2))
+            .otherwise(col("price")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L)))
+      graft.operators.Joins.snapshotDiff(
+        o, mutated, Seq("o_orderkey"), Seq("price", "o_orderstatus"))
+    }),
+    // Pareto frontier over (size, price, name length), maximizing all
+    // three: two-phase local/global dominance filter, no shuffle until the
+    // frontier-sized candidate set (see Selection.skyline)
+    "q33_skyline" -> ((s, dir) =>
+      graft.operators.Selection.skyline(
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          round(col("p_retailprice"), 2).as("price"),
+          length(col("p_name")).cast("double").as("name_len")),
+        "p_partkey", Seq("size", "price", "name_len"))),
     // top length-3 event-type paths across users: one per-user window pass
     // (two leads share the sort), grouped count, TakeOrdered top-k
     "events_paths" -> ((s, dir) =>
@@ -794,6 +824,11 @@ object SparkEntry {
     "events_rolling" -> ((s, dir) =>
       EventOps.rollingDailyCounts(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(t(s, dir, "events"))),
+    // peak simultaneous users per day via an aggregate-first sweep line:
+    // raw events collapse to 2 delta rows per (user, day) before the
+    // per-day running sum (see EventOps.peakConcurrency)
+    "events_concurrency" -> ((s, dir) =>
+      EventOps.peakConcurrency(t(s, dir, "events"))),
     // as-of join: every click is enriched with the user's most recent prior
     // (or simultaneous) view — one tagged-union window pass, no range join.
     // The right side is pre-aggregated to one row per (user, ts) because
@@ -3229,6 +3264,65 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+    // same closed-interval sweep: starts (dd DESC) before ends at a tied
+    // instant; the per-day max lands on a tie-group boundary, so the
+    // intra-group prefix ambiguity cannot reach it
+    "events_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    min(ts) AS s, max(ts) AS e
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, s AS t, 1 AS dd FROM iv
+        |  UNION ALL SELECT day, e, -1 FROM iv),
+        |r AS (
+        |  SELECT day, sum(dd) OVER (
+        |    PARTITION BY day ORDER BY t, dd DESC ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY day""".stripMargin,
+    // declarative mirror of the snapshot diff: the same mutation CTE, a
+    // full outer join, CASE status; unchanged keys drop out via IS NOT NULL
+    "reconcile_diff" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    ROUND(o_totalprice, 2) AS price, o_orderstatus
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN ROUND(price * 1.1, 2)
+        |         ELSE price END AS price,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000000, price, o_orderstatus
+        |  FROM o WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.price <> n.price
+        |           OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+        |    END AS status
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL""".stripMargin,
+    // strict-dominance NOT EXISTS — the definitional skyline; duplicates
+    // of a frontier point all survive (no strict dim)
+    "q33_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |    CAST(p_size AS DOUBLE) AS size,
+        |    ROUND(p_retailprice, 2) AS price,
+        |    CAST(length(p_name) AS DOUBLE) AS name_len
+        |  FROM part)
+        |SELECT p_partkey, size, price, name_len FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.size >= a.size AND b.price >= a.price
+        |    AND b.name_len >= a.name_len
+        |    AND (b.size > a.size OR b.price > a.price
+        |         OR b.name_len > a.name_len))""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n FROM documents GROUP BY 1",
     "multimodal_dedup" ->

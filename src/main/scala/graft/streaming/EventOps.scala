@@ -542,6 +542,39 @@ object EventOps {
     * starts where the gap from the previous event of the same user exceeds
     * the gap; session count per user = sum of starts. One shuffle on
     * user_id; the window sort is per-user and spills if a user is huge. */
+  /** Peak concurrency per day: the maximum number of users simultaneously
+    * "active" at any instant of the day, where a user's activity interval
+    * is the CLOSED span [first event, last event] of their day. The
+    * capacity-planning question ("how many concurrent sessions must we
+    * serve?") that per-hour counts systematically understate, because
+    * concurrency peaks between bucket boundaries.
+    *
+    * Sweep line, aggregate-first: events collapse to one interval per
+    * (user, day) — two delta rows (+1 at start, −1 at end) — so the
+    * exchange carries two rows per active user-day, never raw events. The
+    * running sum is a window PARTITIONED BY day (per-day sweep; the
+    * all-days sweep would be a single-reducer global sort): ordering is
+    * (t, delta DESC) so a start at instant t is processed before an end at
+    * t — closed intervals; two users touching at one instant count as 2,
+    * and a single-event user counts as 1 at their moment. Ties among equal
+    * (t, delta) rows leave the cumulative sum order-ambiguous only at
+    * prefixes STRICTLY INSIDE the tie group; the per-day max is attained
+    * at a group boundary, so the result is deterministic. */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val iv = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val deltas = iv.select(col("day"), col("s").as("t"), lit(1).as("d"))
+      .unionAll(iv.select(col("day"), col("e").as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("run")).cast("long").as("peak_concurrency"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("peak_concurrency"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // compare gaps in epoch microseconds (not a seconds cast, which truncates

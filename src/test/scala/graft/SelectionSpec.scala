@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Joins, Selection}
+import graft.streaming.EventOps
+
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("skyline keeps exactly the non-dominated rows, duplicates included") {
+    val df = Seq(
+      (1L, 5.0, 1.0), // frontier (best x)
+      (2L, 3.0, 3.0), // frontier (middle)
+      (3L, 1.0, 5.0), // frontier (best y)
+      (4L, 3.0, 3.0), // duplicate of 2 — equal vectors don't dominate
+      (5L, 2.0, 2.0), // dominated by 2
+      (6L, 3.0, 1.0), // dominated by 2 (ties x, loses y)
+      (7L, 5.0, 1.0)) // duplicate of 1
+      .toDF("id", "x", "y")
+    val got = Selection.skyline(df, "id", Seq("x", "y"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 7L))
+  }
+
+  test("skyline is partition-invariant (two-phase pass is exact)") {
+    val df = (1L to 500L).map(i => (i, (i % 37).toDouble, (i % 11).toDouble))
+      .toDF("id", "x", "y")
+    val a = Selection.skyline(df.repartition(1), "id", Seq("x", "y"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Selection.skyline(df.repartition(13), "id", Seq("x", "y"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // closed form: only rows with x=36 AND y=10 are undominated
+    // (both dims cycle independently, so (36,10) exists in 1..500)
+    val expect = (1L to 500L).filter(i => i % 37 == 36 && i % 11 == 10).toSeq
+    assert(a == expect)
+  }
+
+  test("skyline fails loudly past maxCandidates instead of a mega final task") {
+    // anti-correlated dims: every point is on the frontier
+    val df = (1L to 100L).map(i => (i, i.toDouble, -i.toDouble)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Selection.skyline(df, "id", Seq("x", "y"), maxCandidates = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val oldDf = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val newDf = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Joins.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("peakConcurrency counts closed-interval overlap, single events count 1") {
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val df = Seq(
+      // day 1: u1 spans 0-60, u2 spans 30-90, u3 fires once at 45 → peak 3
+      (1L, ts(0), 1L), (2L, ts(60), 1L),
+      (3L, ts(30), 2L), (4L, ts(90), 2L),
+      (5L, ts(45), 3L),
+      // day 2 (offset 1440): disjoint users → peak 1
+      (6L, ts(1440), 1L), (7L, ts(1441), 1L),
+      (8L, ts(1500), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventOps.peakConcurrency(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted == Seq(1L, 3L))
+    assert(got.size == 2)
+  }
+
+  test("peakConcurrency: touching endpoints count as concurrent (closed)") {
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1L), (2L, ts(30), 1L), // u1 ends at 30
+      (3L, ts(30), 2L), (4L, ts(60), 2L)) // u2 starts at 30
+      .toDF("event_id", "ts", "user_id")
+    val got = EventOps.peakConcurrency(df).collect()
+    assert(got.head.getLong(1) == 2L)
+  }
+
+  test("skyline emits no shuffle before the candidate set") {
+    val df = (1L to 200L).map(i => (i, (i % 7).toDouble, (i % 5).toDouble))
+      .toDF("id", "x", "y")
+    val plan = Selection.skyline(df, "id", Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the repartition(1) drawing frontier candidates
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}
