@@ -146,6 +146,34 @@ object SparkEntry {
     // cross join
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Joins.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // set-similarity self-join on character trigrams with PPJoin-style
+    // prefix filtering: only each record's rarest grams block, so the
+    // all-corpus "Cus"/"ust" stop-gram buckets never form; exact Jaccard
+    // verified once per candidate via the sorted-merge intersect kernel
+    "er_trigram_join" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      graft.operators.Joins.trigramSimilarityJoin(
+        t(s, dir, "customer"), "c_custkey", "c_name", tau = 0.8)
+    }),
+    // hybrid retrieval: BM25 lexical top-50 + cosine vector top-50 for
+    // one query doc, fused by reciprocal-rank (RRF consumes only ranks,
+    // so the incomparable score scales never need calibration)
+    "ann_rrf_hybrid" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "hash", "stream"), k = 50)
+        // rank re-derives the topK's own (score desc, id) order; the
+        // window is over the already-limited 50-row list, not the corpus
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 10)
+    }),
     // pair-completeness witness of the deletion-variant blocking on a
     // bounded sample (ground truth is O(sample²) by design; the provable
     // answer is 1.0 — a regression in variant generation breaks the hash)
@@ -1927,6 +1955,66 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_found,
         |  CAST(1.0 AS DOUBLE) AS pair_completeness
         |FROM truth""".stripMargin,
+    // exhaustive gram-equi-join mirror of the prefix-filtered join: the
+    // oracle may brute-force the gram buckets the Spark side provably
+    // prunes; jaccard compared on the raw double, rounded for display
+    "er_trigram_join" ->
+      """WITH pos AS (
+        |  SELECT c_custkey AS id, c_name,
+        |    unnest(range(1, length(c_name) - 1)) AS i
+        |  FROM customer),
+        |g AS (SELECT DISTINCT id, substr(c_name, CAST(i AS INT), 3) AS g FROM pos),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY id),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |       FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+        |SELECT CAST(pr.id_a AS BIGINT) AS id_a, CAST(pr.id_b AS BIGINT) AS id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pr JOIN sz sa ON pr.id_a = sa.id JOIN sz sb ON pr.id_b = sb.id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // both retrieval lists re-derived declaratively (bm25 CTE = the
+    // text_bm25 oracle at k=50; cosine ranks = the ann_brute oracle for
+    // query 0); CAST(1 AS DOUBLE) keeps the RRF terms IEEE doubles, not
+    // DuckDB decimals
+    "ann_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE tok IN ('vector', 'hash', 'stream') GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT tf.doc_id AS doc_id,
+        |    round(sum(
+        |      ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+        |        * (tf * 2.2)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf
+        |  JOIN dft ON tf.tok = dft.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN sc
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+        |  FROM bm),
+        |vec AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(
+        |        CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS BIGINT) AS r
+        |  FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE c.vec_id <> 0
+        |  QUALIFY r <= 50),
+        |u AS (
+        |  SELECT id, sum(s) AS score FROM (
+        |    SELECT doc_id AS id, CAST(1 AS DOUBLE) / (60 + r) AS s FROM lex
+        |    UNION ALL
+        |    SELECT doc_id, CAST(1 AS DOUBLE) / (60 + r) FROM vec) x
+        |  GROUP BY id)
+        |SELECT CAST(id AS BIGINT) AS id, round(score, 6) AS rrf_score
+        |FROM u ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "er_fuzzy_pairs" ->
       """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
         |  CAST(b.c_custkey AS BIGINT) AS id_b,

@@ -148,6 +148,75 @@ object Joins {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Set-similarity self-join on character trigrams: all pairs with
+    * Jaccard(grams(a), grams(b)) >= `tau`, exactly. Catches the fuzzy
+    * matches [[fuzzyPairs]]' edit-distance-1 net misses — transposed
+    * words, multi-char typos, re-ordered name parts — at the cost of a
+    * coarser similarity notion.
+    *
+    * Candidate generation is PREFIX FILTERING (the SSJoin/PPJoin
+    * discipline): order every record's distinct grams by global rarity
+    * (document frequency, gram-hash tiebreak — one vocab-sized count
+    * table, re-joined at gram cardinality) and emit only each record's
+    * `n - ceil(tau*n) + 1` RAREST grams as block keys. Any pair at
+    * Jaccard >= tau provably shares a key within both prefixes (overlap
+    * >= ceil(tau*max(na,nb)) cannot hide entirely in the dropped
+    * suffixes), so recall is exact; bucket occupancy follows gram RARITY,
+    * not corpus size — the stop-gram buckets that square a naive
+    * gram-equi-join never form because ubiquitous grams sit at every
+    * record's suffix end and are filtered from blocking. A size-ratio
+    * guard (tau*na <= nb <= na/tau) prunes length-incompatible pairs in
+    * the same join. Each surviving candidate is verified ONCE: grams
+    * travel as xxhash64 longs (value-sorted arrays, the 64-bit
+    * sorted-merge discipline) through two id equi-joins, intersection by
+    * the O(|a|+|b|) `sorted_intersect_count` kernel.
+    *
+    * Returns (id_a, id_b, jaccard rounded to 6 dp), id_a < id_b; rows
+    * shorter than 3 chars have no trigram and drop out. */
+  def trigramSimilarityJoin(
+      df: DataFrame, idCol: String, strCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    val rows = OpUtils.widen(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 3)
+    val grams = OpUtils.shared(rows
+      .select(col("id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(s) - 2), " +
+          "i -> substring(s, i, 3)))")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("g")))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val sets = OpUtils.shared(grams.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(__df, g))), x -> x.g)")
+        .as("__rare"))
+      .select(
+        col("id"),
+        array_sort(col("__rare")).as("__gsort"),
+        size(col("__rare")).as("__n"),
+        slice(col("__rare"), lit(1),
+          (size(col("__rare")) - ceil(lit(tau) * size(col("__rare"))) + 1)
+            .cast("int")).as("__prefix")))
+    val pref = sets.select(col("id"), col("__n"), explode(col("__prefix")).as("g"))
+    val cands = pref.select(col("g"), col("id").as("id_a"), col("__n").as("__na"))
+      .join(pref.select(col("g"), col("id").as("id_b"), col("__n").as("__nb")), "g")
+      .filter(col("id_a") < col("id_b") &&
+        col("__nb") * lit(tau) <= col("__na") &&
+        col("__na") * lit(tau) <= col("__nb"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("__gsort").as("__ga"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__gsort").as("__gb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("__i",
+        sortedIntersectCount(col("__ga"), col("__gb")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Pair-completeness eval of [[fuzzyPairs]]' deletion-variant blocking
     * against exhaustive ground truth — the ER counterpart of
     * [[Similarity.recallEval]]: before trusting a blocking scheme at

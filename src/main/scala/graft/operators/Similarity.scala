@@ -907,4 +907,33 @@ object Similarity {
         lit(k).cast("long").as("k"),
         round(avg(col("__re_r")), 4).as("mean_recall"))
   }
+
+  /** Reciprocal-rank fusion: merge N independent rankings of the same id
+    * space into one list ordered by `sum over lists of 1/(c + rank)` —
+    * the standard way to combine lexical (BM25) and vector retrieval
+    * without score calibration, since RRF consumes only RANKS and is
+    * immune to the lists' incomparable score scales. An id absent from a
+    * list contributes 0 for it; `c = 60` is the canonical damping
+    * constant.
+    *
+    * Each input is (id, rank) with rank 1-based and ids unique per list.
+    * The fuse is a union + one grouped sum over (sum of list lengths)
+    * rows — retrieval lists are top-k-sized, so this is driver-trivial
+    * math kept distributed only to stay in-plan with upstream retrieval;
+    * ordering ties break by id. Returns top `k` (id, rrf_score rounded
+    * to 6 dp). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val parts = rankings.map(r => r.select(
+      col(r.columns.head).cast("long").as("id"),
+      (lit(1.0) / (lit(c.toDouble) + col(r.columns(1)).cast("double")))
+        .as("__rrf")))
+    parts.reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(sum(col("__rrf")).as("__score"))
+      .orderBy(col("__score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), round(col("__score"), 6).as("rrf_score"))
+  }
 }

@@ -85,6 +85,63 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 2L)
   }
 
+  test("trigramSimilarityJoin matches exhaustive jaccard on a crafted corpus") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val names = Seq(
+      1L -> "alpha beta gamma", 2L -> "alpha beta gamma!", // near-identical
+      3L -> "beta alpha gamma", // transposed words — edit distance >> 1
+      4L -> "delta epsilon zeta", 5L -> "totally different",
+      6L -> "alpha beta gamma", // exact duplicate of 1
+      7L -> "xy") // too short for a trigram — must drop out
+    val tau = 0.5
+    def grams(s: String) = s.sliding(3).toSet
+    val expect = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib && sa.length >= 3 && sb.length >= 3
+      ga = grams(sa); gb = grams(sb)
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= tau
+    } yield (ia, ib)).toSet
+    val got = graft.operators.Joins
+      .trigramSimilarityJoin(names.toDF("id", "s"), "id", "s", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    assert(expect.contains((1L, 3L))) // the transposition fuzzyPairs misses
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("trigramSimilarityJoin prefix filter is exact under permutation stress") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // randomized-ish corpus from a fixed seed: words drawn from a tiny
+    // vocab so similar and dissimilar pairs both occur
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "widget", "gadget", "spring")
+    val names = (1L to 60L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val tau = 0.7
+    def grams(s: String) = s.sliding(3).toSet
+    val expect = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib
+      j = (grams(sa) & grams(sb)).size.toDouble / (grams(sa) | grams(sb)).size
+      if j >= tau
+    } yield (ia, ib)).toSet
+    val got = graft.operators.Joins
+      .trigramSimilarityJoin(names.toDF("id", "s").repartition(5), "id", "s", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("rrfFuse sums 1/(c+rank) across lists, absent ids contribute 0") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = graft.operators.Similarity.rrfFuse(Seq(lex, vec), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // 20 is in both lists → highest; 10 (rank 1 in one list) beats 40 (rank 2)
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(math.abs(got.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
   test("skyline emits no shuffle before the candidate set") {
     val df = (1L to 200L).map(i => (i, (i % 7).toDouble, (i % 5).toDouble))
       .toDF("id", "x", "y")
