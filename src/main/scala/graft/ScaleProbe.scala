@@ -307,6 +307,44 @@ object ScaleProbe {
       }
       report("novelty_docs", scale, nvRows, nvSecs)
 
+      // trigram similarity join: k customer-name replicas, each suffixed
+      // with its copy index (different grams, mutually dissimilar) — the
+      // prefix-filter candidates and verified pairs must both track the
+      // per-replica structure ~k×, never the cross-replica square (the
+      // corpus-wide "Customer#" stop-grams sit at every suffix end and
+      // never block, which is the whole point of rarity-ordered prefixes)
+      val cust = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val custK = (0 until scale).map { i =>
+        if (i == 0) cust
+        else cust.select((col("c_custkey") + lit(i * idStride)).as("c_custkey"),
+          concat(col("c_name"), lit(s"_$i")).as("c_name"))
+      }.reduce(_.unionAll(_))
+      val (tgPairs, tgSecs) = timed {
+        graft.operators.Joins.trigramSimilarityJoin(
+          custK, "c_custkey", "c_name", tau = 0.8).count()
+      }
+      report("trigram_join_pairs", scale, tgPairs, tgSecs)
+
+      // skyline: k exact replicas of the part dims — every copy of a
+      // frontier point survives (no strict dim), so rows must be exactly
+      // scale× the 1× frontier while the local-prune candidate set stays
+      // frontier-sized per partition; wall tracks the scan ~linearly
+      val part = Tables.load(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          round(col("p_retailprice"), 2).as("price"),
+          length(col("p_name")).cast("double").as("name_len"))
+      val partK = (0 until scale).map { i =>
+        if (i == 0) part
+        else part.select((col("p_partkey") + lit(i * idStride)).as("p_partkey"),
+          col("size"), col("price"), col("name_len"))
+      }.reduce(_.unionAll(_))
+      val (skRows, skSecs) = timed {
+        graft.operators.Selection.skyline(
+          partK, "p_partkey", Seq("size", "price", "name_len")).count()
+      }
+      report("skyline_rows", scale, skRows, skSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

@@ -1670,6 +1670,18 @@ object SparkEntry {
     // reduces each partition to labels×dims cells before the one exchange
     "embed_centroids" -> ((s, dir) =>
       Similarity.meanEmbeddings(t(s, dir, "embeddings"), "label", "embedding")),
+    // mislabeled-example screen: per label, the 10 vectors farthest from
+    // their own label centroid (rounded-centroid broadcast + map-only
+    // cosine + bounded-heap bottom-k — see Similarity.centroidOutliers)
+    "embed_outliers" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Similarity.centroidOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 10)
+    }),
+    // A/B mean comparison: Welch t over every event-type pair, computed
+    // from rounded group moments so the statistics are engine-portable
+    "profile_welch" -> ((s, dir) =>
+      graft.operators.Profiler.welchPairs(t(s, dir, "events"), "event_type", "value")),
     // upper-triangle covariance cells: per-vector triangle expansion
     // inside one codegen'd lambda, partial-aggregated map-side
     "embed_covariance" -> ((s, dir) =>
@@ -4145,6 +4157,39 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     // generate_subscripts is 1-based; −1 matches posexplode's 0-based dim
+    // rank mirror: centroids re-derived per label (rounded 4 dp like the
+    // Spark side), bottom-k by raw cosine with vec_id ties — values never
+    // compared, only the ordering (the ann_brute discipline)
+    "embed_outliers" ->
+      """WITH cell AS (
+        |  SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, round(avg(v), 4) AS c FROM cell GROUP BY 1, 2),
+        |carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+        |r AS (
+        |  SELECT e.label, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY e.label
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), carr.cv) ASC,
+        |               e.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings e JOIN carr ON e.label = carr.label)
+        |SELECT label, rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
+    // identical rounded-moment arithmetic on both sides: t and the Welch
+    // dof derive from (n, mean, var) rounded to 6 dp, so every division
+    // and pow sees bit-identical inputs
+    "profile_welch" ->
+      """WITH s AS (
+        |  SELECT event_type AS g, CAST(count(value) AS BIGINT) AS n,
+        |    round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+        |  FROM events GROUP BY 1 HAVING count(value) >= 2)
+        |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+        |  a.m AS mean_a, b.m AS mean_b,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |  round(pow(a.v / a.n + b.v / b.n, 2) /
+        |    (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2)
+        |    AS welch_df
+        |FROM s a JOIN s b ON a.g < b.g""".stripMargin,
     "embed_centroids" ->
       """SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
         |  CAST(count(*) AS BIGINT) AS n, round(avg(v), 4) AS mean_v

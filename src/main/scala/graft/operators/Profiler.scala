@@ -490,6 +490,44 @@ object Profiler {
     *
     * Returns one row per candidate: (lhs, rhs, n_groups, n_violations,
     * holds). */
+  /** Welch two-sample t-test over every group pair: are the groups' value
+    * means distinguishable given unequal variances and sizes? The A/B
+    * screen ("did variant B move the metric?") and the drift alarm
+    * ("does this source's quality score differ from the rest?") in one
+    * table. t and the Welch–Satterthwaite degrees of freedom are computed
+    * from per-group (n, mean, variance) ROUNDED to 6 dp first, so the
+    * derived statistics are bit-identical across engines and across runs
+    * regardless of partial-aggregation addition order.
+    *
+    * 100 TB shape: one partial/final aggregation collapses the corpus to
+    * group-cardinality rows; the pair expansion is a self-join of that
+    * tiny table (broadcast by AQE), so the quadratic factor is in GROUP
+    * COUNT only — never rows. Returns (group_a, group_b, n_a, n_b,
+    * mean_a, mean_b, t_stat rounded 4 dp, welch_df rounded 2 dp),
+    * group_a < group_b. */
+  def welchPairs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol).as("g"))
+      .agg(
+        count(col(valueCol)).as("n"),
+        round(avg(col(valueCol)), 6).as("m"),
+        round(var_samp(col(valueCol)), 6).as("v"))
+      .filter(col("n") >= 2)
+    val a = stats.select(col("g").as("group_a"), col("n").as("n_a"),
+      col("m").as("mean_a"), col("v").as("v_a"))
+    val b = stats.select(col("g").as("group_b"), col("n").as("n_b"),
+      col("m").as("mean_b"), col("v").as("v_b"))
+    val sa = col("v_a") / col("n_a")
+    val sb = col("v_b") / col("n_b")
+    a.join(b, col("group_a") < col("group_b"))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 4).as("t_stat"),
+        round(pow(sa + sb, 2) /
+          (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1)), 2)
+          .as("welch_df"))
+  }
+
   def functionalDeps(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "no FD candidates given")
     candidates.foreach { case (l, r) =>

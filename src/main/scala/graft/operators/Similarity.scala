@@ -908,6 +908,44 @@ object Similarity {
         round(avg(col("__re_r")), 4).as("mean_recall"))
   }
 
+  /** Per-label centroid-distance outliers: for every label, the `k`
+    * vectors FARTHEST (lowest cosine) from their own label's mean vector —
+    * the mislabeled/contaminated-example screen run before training on a
+    * labeled embedding corpus. Centroid cells are rounded to 4 dp before
+    * the similarity pass so both engines (and any two runs, regardless of
+    * partial-agg addition order) score against identical centroids.
+    *
+    * 100 TB shape: centroids are one (label, dim)-cell partial aggregation
+    * (the embed_centroids plan) re-assembled into label-cardinality rows
+    * and BROADCAST back onto the corpus; scoring is map-only; the cut is
+    * the bounded-heap top-k aggregate — k rows per label per partition
+    * cross the exchange, never a per-label window over the corpus.
+    * Returns (label, rank, vec_id), rank 1 = farthest; ties by vec_id. */
+  def centroidOutliers(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = df.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cells = vecs
+      .select(col("label"), posexplode(col("__v")).as(Seq("dim", "v")))
+    val centroids = cells
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 4).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+        .as("__cv"))
+    vecs.join(broadcast(centroids), "label")
+      .withColumn("__sim", cosineSim(col("__v"), col("__cv")))
+      .groupBy(col("label"))
+      .agg(topKByScore(negate(col("__sim")), col("vec_id"), k).as("tk"))
+      .select(col("label"), posexplode(col("tk")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("vec_id"))
+  }
+
   /** Reciprocal-rank fusion: merge N independent rankings of the same id
     * space into one list ordered by `sum over lists of 1/(c + rank)` —
     * the standard way to combine lexical (BM25) and vector retrieval

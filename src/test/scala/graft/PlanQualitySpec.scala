@@ -697,4 +697,54 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cross join in the covariance path:\n${plan.take(900)}")
   }
 
+  test("snapshot diff: both sides project to (key, hash) before the one full-outer exchange") {
+    val df = SparkEntry.queries("reconcile_diff")(spark, TestSpark.sf)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("FullOuter"), s"diff must be a full outer join:\n${opt.take(900)}")
+    assert(opt.contains("xxhash64"), s"content compare must be hashed:\n${opt.take(900)}")
+    // no wide payload columns may reach the join: the joined relations
+    // carry only the key and the two hash columns
+    val joinLine = opt.linesIterator.find(_.contains("FullOuter")).get
+    assert(!joinLine.contains("o_totalprice") && !joinLine.contains("o_orderstatus"),
+      s"compare columns leaked past the hash projection:\n$joinLine")
+  }
+
+  test("trigram join: candidates from the prefix-gram equi-join, verified by the sorted-merge kernel") {
+    val df = SparkEntry.queries("er_trigram_join")(spark, TestSpark.sf)
+    val top = df.queryExecution.optimizedPlan
+    val sb = new StringBuilder(top.toString)
+    top.foreach {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        sb.append(r.cachedPlan.toString)
+      case _ =>
+    }
+    val plan = sb.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross product anywhere:\n${plan.take(900)}")
+    assert(plan.contains("sorted_intersect_count"),
+      s"verification must ride the merge kernel:\n${plan.take(900)}")
+    assert(!plan.contains("levenshtein"),
+      s"no quadratic string compare in the trigram path:\n${plan.take(900)}")
+  }
+
+  test("RRF fusion: both retrieval lists cut before the union; fuse output is a TakeOrdered") {
+    val df = SparkEntry.queries("ann_rrf_hybrid")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-k must be a bounded reduce:\n${plan.take(900)}")
+    assert(plan.contains("Union"), s"rank lists must union, not join:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"only the broadcast query-vector product is allowed:\n${plan.take(900)}")
+  }
+
+  test("peak concurrency: per-day window over user-day deltas, never the raw event stream") {
+    val df = SparkEntry.queries("events_concurrency")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    val winLine = plan.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(winLine.contains("day"), s"sweep must partition by day:\n$winLine")
+    // aggregate-first: the min/max interval aggregation sits below the window
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      s"intervals must pre-aggregate below the sweep:\n${plan.take(900)}")
+  }
+
 }

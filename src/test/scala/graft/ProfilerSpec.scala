@@ -265,4 +265,26 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "v")) == ((3L, 0L, true)))
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
+
+  test("welchPairs computes t and dof from rounded group moments") {
+    val df = Seq(
+      "a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0,   // n=4 m=2.5 v=5/3
+      "b" -> 10.0, "b" -> 12.0, "b" -> 14.0,            // n=3 m=12 v=4
+      "c" -> 7.0)                                       // n=1 → filtered out
+      .toDF("g", "v")
+    val rows = graft.operators.Profiler.welchPairs(df, "g", "v").collect()
+    assert(rows.length == 1) // only (a, b); c has n < 2
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      (("a", "b", 4L, 3L)))
+    val va = BigDecimal(5.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sa = va / 4; val sb = 4.0 / 3
+    val t = (2.5 - 12.0) / math.sqrt(sa + sb)
+    val dof = math.pow(sa + sb, 2) /
+      (math.pow(sa, 2) / 3 + math.pow(sb, 2) / 2)
+    assert(math.abs(r.getDouble(6) - BigDecimal(t).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(7) - BigDecimal(dof).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }

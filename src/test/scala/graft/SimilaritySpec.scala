@@ -386,4 +386,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.0 && r <= 1.0, s"recall out of range: $r")
   }
 
+  test("centroidOutliers ranks each label's farthest-from-centroid vectors first") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // label 0 clusters near (1,0); vec 3 points the other way entirely
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(-1.0f, 0.05f), 0), // farthest in label 0
+      (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0, 1L)) == 3L) // rank 1 of label 0 = the flipped vector
+    assert(out.size == 4)      // 2 per label
+  }
+
+  test("centroidOutliers keeps the corpus out of any window: bounded-heap cut") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val plan = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window ["),
+      s"per-label cut must be the heap aggregate, not a window:\n${plan.take(900)}")
+    assert(plan.contains("topk_by_score"), plan.take(600))
+  }
 }
