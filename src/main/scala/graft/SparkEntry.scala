@@ -1810,6 +1810,20 @@ object SparkEntry {
           col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
         "doc_id", "text")),
+    // boilerplate inspection report: the 3-token-fold lines (same trick as
+    // curate_line_dedup) most widespread across documents — one explode +
+    // one grouped agg + TakeOrdered, fully deterministic ties
+    "curate_boilerplate" -> ((s, dir) =>
+      Curation.boilerplateReport(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
+        "doc_id", "text", minDocs = 5, k = 20)),
+    // funnel conversion speed: exact p50/p90 seconds between consecutive
+    // earliest-qualifying stage hits (see EventOps.timeToConvert)
+    "events_time_to_convert" -> ((s, dir) =>
+      EventOps.timeToConvert(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
     // per-source k best docs by the shared quality score, ranked with the
     // bounded-heap aggregate (k ids/group/partition cross the exchange,
     // never a full window sort)
@@ -4406,6 +4420,40 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    "curate_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+        |a AS (SELECT line,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_total
+        |  FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT line, n_docs, n_total FROM a
+        |ORDER BY n_docs DESC, n_total DESC, line LIMIT 20""".stripMargin,
+    // the funnel oracle's reach CTEs, then µs deltas through the exact
+    // continuous quantile (the q17 percentile↔quantile_cont parity)
+    "events_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |d1 AS (SELECT (epoch_us(c.t) - epoch_us(v.t)) / 1e6 AS dt
+        |  FROM v JOIN c ON v.user_id = c.user_id),
+        |d2 AS (SELECT (epoch_us(p.t) - epoch_us(c.t)) / 1e6 AS dt
+        |  FROM c JOIN p ON c.user_id = p.user_id)
+        |SELECT CAST(1 AS BIGINT) AS hop, 'view' AS from_stage,
+        |  'click' AS to_stage, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(quantile_cont(dt, 0.5), 2) AS p50_s,
+        |  round(quantile_cont(dt, 0.9), 2) AS p90_s FROM d1
+        |UNION ALL
+        |SELECT 2, 'click', 'purchase', count(*),
+        |  round(quantile_cont(dt, 0.5), 2), round(quantile_cont(dt, 0.9), 2)
+        |FROM d2""".stripMargin,
     "curate_line_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t

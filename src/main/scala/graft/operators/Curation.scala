@@ -872,4 +872,33 @@ object Curation {
       .agg(round(sum(col("__nb_w")) + first(col("__nb_prior")), 4).as("nb_score"))
       .select(col("__nb_id").as(idCol), col("nb_score"))
   }
+
+  /** Boilerplate-line report: the corpus's most widespread repeated lines
+    * — (line, n_docs, n_total), lines present in at least `minDocs`
+    * DISTINCT documents, top `k` by spread. The inspection companion to
+    * [[dedupLines]]: before a crawl-wide line-dedup pass mutates the
+    * corpus, this is the table a curator reads to see WHAT would be
+    * stripped (cookie banners, nav menus, license footers).
+    *
+    * Shape: one line explosion into one grouped aggregation (the distinct
+    * doc count plans as an Expand over the same exchange — no second
+    * scan), then a TakeOrdered top-k; deterministic ties
+    * (n_docs, n_total, line). Never a collect: the report is k rows by
+    * construction. */
+  def boilerplateReport(
+      df: DataFrame, idCol: String, textCol: String, sep: String = "\n",
+      minDocs: Int = 2, k: Int = 20): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would report every line")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol).as("__bp_id"),
+      explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as("line"))
+      .groupBy(col("line"))
+      .agg(
+        countDistinct(col("__bp_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("line"))
+      .limit(k)
+  }
 }

@@ -728,6 +728,52 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Time-to-convert percentiles for each consecutive funnel hop: among
+    * users who reached both stages (earliest-qualifying times, the exact
+    * [[funnelCounts]] semantics), the count and the exact p50/p90 of the
+    * conversion delay in seconds — the "HOW FAST do they convert"
+    * companion to the funnel's "how many".
+    *
+    * Shape: the per-stage reach tables are user-cardinality aggregates of
+    * stage-filtered events (each a filtered scan + one grouped min); a hop's
+    * delays join two of those small tables on the user id, and the exact
+    * percentile aggregates a (reached-users)-sized double column — the raw
+    * stream never feeds a percentile. Delays are µs integers scaled by
+    * 1e-6, so both engines interpolate identical doubles. */
+  def timeToConvert(
+      events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "timeToConvert needs at least two stages")
+    val base = events.select(
+      col(keyCol).as("__k"), col(typeCol).as("__et"), col(tsCol).as("__t"))
+    var prev: Option[DataFrame] = None
+    val reached = stages.map { s =>
+      val filtered = base.filter(col("__et") === s)
+      val qualifying = prev match {
+        case None => filtered
+        case Some(p) => filtered.join(p, Seq("__k")).filter(col("__t") >= col("__pt"))
+      }
+      val r = qualifying.groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+      prev = Some(r)
+      r
+    }
+    stages.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
+      val delays = reached(i).select(col("__k"), col("__pt").as("__t1"))
+        .join(reached(i + 1).select(col("__k"), col("__pt").as("__t2")), "__k")
+        .select(((unix_micros(col("__t2")) - unix_micros(col("__t1"))) / lit(1e6))
+          .as("__dt"))
+      delays.agg(
+        count(lit(1)).as("n_users"),
+        round(expr("percentile(__dt, 0.5)"), 2).as("p50_s"),
+        round(expr("percentile(__dt, 0.9)"), 2).as("p90_s"))
+        .select(
+          lit(i + 1).cast("long").as("hop"),
+          lit(pair.head).as("from_stage"),
+          lit(pair(1)).as("to_stage"),
+          col("n_users"), col("p50_s"), col("p90_s"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Cohort retention: users grouped by their first-activity day (the
     * cohort), counted on each later day-offset they return — the classic
     * engagement matrix behind "day-N retention".

@@ -926,4 +926,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("boilerplateReport ranks lines by distinct-doc spread with full tiebreaks") {
+    val df = Seq(
+      (1L, "nav\nbody one\nfooter"),
+      (2L, "nav\nbody two\nfooter\nfooter"), // footer twice in one doc
+      (3L, "nav\nunique text"),
+      (4L, "solo line"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateReport(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // nav: 3 docs; footer: 2 docs but 3 occurrences; nothing else repeats
+    assert(out.toSeq == Seq(("nav", 3L, 3L), ("footer", 2L, 3L)))
+  }
+
+  test("boilerplateReport cut is a TakeOrdered over one aggregation") {
+    val df = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = Curation.boilerplateReport(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    // distinct-doc counting plans as the staged (line, doc) pre-aggregate —
+    // two grouped exchanges, never a window or a global sort
+    assert(!plan.contains("Window ["), plan.take(600))
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(900))
+  }
 }

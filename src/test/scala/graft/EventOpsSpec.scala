@@ -759,4 +759,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(20L) == ((0L, 1L, 1L, 0.5)))
   }
 
+  test("timeToConvert measures earliest-qualifying hop delays, exact percentiles") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      // u1: view@0 → click@10 (600 s), click@10 → buy@70 (3600 s)
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "click"), (3L, ts(70), 1L, "buy"),
+      // u2: view@0 → click@20 (1200 s); no buy
+      (4L, ts(0), 2L, "view"), (5L, ts(20), 2L, "click"),
+      // u3: click before any view — click must NOT qualify
+      (6L, ts(5), 3L, "click"), (7L, ts(8), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.timeToConvert(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((2L, 900.0, 1140.0))) // median of {600,1200}, p90 interp
+    assert(out(2L) == ((1L, 3600.0, 3600.0)))
+  }
 }
