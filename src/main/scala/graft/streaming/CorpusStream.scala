@@ -28,6 +28,38 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h") // internal dedup key — the output schema is the input's
 
+  /** Streaming CDC classification at ingest: label each arriving row of a
+    * "new snapshot" stream against a STATIC prior snapshot as `added`
+    * (key unseen before) or `changed` (key present, compared columns
+    * differ); unchanged rows are dropped. The streaming twin of
+    * [[graft.operators.Joins.snapshotDiff]] — with the twin's inherent
+    * asymmetry: `removed` is UNDECIDABLE on a stream (absence of a key is
+    * only known when the snapshot closes), so deletions remain the batch
+    * diff's job — documented here rather than silently half-answered.
+    *
+    * Per micro-batch this is stateless: the prior snapshot is projected
+    * ONCE to (key, xxhash64 of compared columns) — the id-only-exchange
+    * discipline — and each batch left-joins that static side. Returns
+    * append-mode rows: all stream columns plus `status`. */
+  def snapshotDiffStreaming(
+      stream: DataFrame,
+      priorSnapshot: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiffStreaming needs compare columns")
+    val prior = priorSnapshot.select(
+      col(keyCol),
+      xxhash64(compareCols.map(col): _*).as("__prior_h"))
+    stream
+      .withColumn("__new_h", xxhash64(compareCols.map(col): _*))
+      .join(prior, Seq(keyCol), "left")
+      .withColumn("status",
+        when(col("__prior_h").isNull, lit("added"))
+          .when(col("__prior_h") =!= col("__new_h"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .drop("__prior_h", "__new_h")
+  }
+
   /** Streaming near-duplicate detection at ingest: flag stream documents
     * that are MinHash-near-duplicates (Jaccard ≥ `threshold` on word
     * shingles) of a STATIC reference corpus — an already-curated training

@@ -180,6 +180,28 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming snapshot diff labels added/changed, drops unchanged, never 'removed'") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val prior = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val stream = MemoryStream[(Long, String, Double)]
+    stream.addData(Seq(
+      (1L, "a", 10.0),  // unchanged → dropped
+      (2L, "b", 21.0),  // changed
+      (3L, "c", 30.0))) // added
+    val q = CorpusStream.snapshotDiffStreaming(
+        stream.toDF().toDF("k", "s", "v"), prior, "k", Seq("s", "v"))
+      .writeStream.format("memory").queryName("cdc_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cdc_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(out == Map(2L -> "changed", 3L -> "added"))
+    } finally q.stop()
+  }
+
   test("basketLift: planted always-together pair tops the ranking; lift arithmetic exact") {
     import graft.operators.Joins
     graft.functions.GraftFunctions.registerAll(spark)
