@@ -307,18 +307,25 @@ object ScaleProbe {
       }
       report("novelty_docs", scale, nvRows, nvSecs)
 
-      // trigram similarity join: k customer-name replicas, each suffixed
-      // with its copy index (different grams, mutually dissimilar) — the
-      // prefix-filter candidates and verified pairs must both track the
-      // per-replica structure ~k×, never the cross-replica square (the
-      // corpus-wide "Customer#" stop-grams sit at every suffix end and
-      // never block, which is the whole point of rarity-ordered prefixes)
+      // trigram similarity join: k customer-name replicas, each with its
+      // DIGITS rotated by the copy index — every digit-bearing gram
+      // changes, so replicas share only the "Customer#" stop-grams
+      // (Jaccard ≈ 0.4 across replicas, far under τ; a mere suffix would
+      // leave cross-replica Jaccard ≈ 0.82 and plant the quadratic
+      // structure the probe exists to rule out). Verified pairs must
+      // track within-replica structure ~k×; candidate buckets stay
+      // replica-local because rotation renames the rare digit grams while
+      // the shared prefix grams sit at the rarity order's stop end and
+      // never block
       val cust = Tables.load(spark, sfDir, "customer")
         .select(col("c_custkey"), col("c_name"))
       val custK = (0 until scale).map { i =>
         if (i == 0) cust
-        else cust.select((col("c_custkey") + lit(i * idStride)).as("c_custkey"),
-          concat(col("c_name"), lit(s"_$i")).as("c_name"))
+        else {
+          val rot = "0123456789".map(c => ('0' + (c - '0' + i) % 10).toChar)
+          cust.select((col("c_custkey") + lit(i * idStride)).as("c_custkey"),
+            translate(col("c_name"), "0123456789", rot).as("c_name"))
+        }
       }.reduce(_.unionAll(_))
       val (tgPairs, tgSecs) = timed {
         graft.operators.Joins.trigramSimilarityJoin(

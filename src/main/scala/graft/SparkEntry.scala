@@ -1591,6 +1591,26 @@ object SparkEntry {
           countDistinct(col("__f")).as("n_files"))
     }),
 
+    // RESTORE: three appends, then roll back the "bad load" (v2) by
+    // committing v1's snapshot as v3 — a pure log diff, no data IO; the
+    // read-back must equal the table as of v1
+    "sink_delta_restore" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltarestore_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
+      Sinks.deltaRestore(s, out, 1L)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_restored")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -3960,6 +3980,11 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  CAST(1 AS BIGINT) AS n_files
         |FROM documents GROUP BY source""".stripMargin,
+    // restored table = everything except the rolled-back third append
+    "sink_delta_restore" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 3 <> 2 GROUP BY source""".stripMargin,
     // optimize is lossless and leaves exactly one file per partition
     "sink_delta_optimize" ->
       """SELECT source, count(*) AS n_docs,

@@ -49,15 +49,31 @@ object Selection {
       }
       ge && gt
     }
+    // the buffer holds distinct frontier VECTORS, each with every row id
+    // carrying it: per-row work is bounded by the frontier's
+    // distinct-vector count even when frontier points repeat heavily
+    // (exact duplicates never dominate each other, so a per-row buffer
+    // would grow with the duplicate count and square the pass)
     def skyFilter(it: Iterator[(Long, Seq[Double])]): Iterator[(Long, Seq[Double])] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
-      it.foreach { case p @ (_, v) =>
-        if (!buf.exists { case (_, q) => dominates(q, v) }) {
-          buf.filterInPlace { case (_, q) => !dominates(v, q) }
-          buf += p
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Double], scala.collection.mutable.ArrayBuffer[Long])]
+      it.foreach { case (id, v) =>
+        var dominated = false
+        var dup: scala.collection.mutable.ArrayBuffer[Long] = null
+        var i = 0
+        while (!dominated && (dup eq null) && i < buf.length) {
+          val (q, ids) = buf(i)
+          if (q == v) dup = ids
+          else if (dominates(q, v)) dominated = true
+          i += 1
+        }
+        if (dup ne null) dup += id
+        else if (!dominated) {
+          buf.filterInPlace { case (q, _) => !dominates(v, q) }
+          buf += ((v, scala.collection.mutable.ArrayBuffer(id)))
         }
       }
-      buf.iterator
+      buf.iterator.flatMap { case (v, ids) => ids.iterator.map(id => (id, v)) }
     }
 
     val pts = df.select(

@@ -370,6 +370,75 @@ object Sinks {
     version
   }
 
+  /** RESTORE: commit a rollback of the live-file set to exactly
+    * `version`'s snapshot — time travel turned into a WRITE, so history
+    * keeps moving forward (the restore is itself a new commit; nothing is
+    * rewritten or deleted). The "undo the bad load" tool: a botched append
+    * or compaction is reverted by re-pointing the log at the old files.
+    *
+    * The commit is a pure log diff — files in the current snapshot but
+    * not the target become `remove` actions, files in the target but not
+    * the current are re-`add`ed with their logged size/partition values
+    * (both `dataChange=true`: downstream incremental consumers must see
+    * the data move). No data file is read, written, or moved, so restore
+    * cost is O(|log|) regardless of table size. Fails loudly when a
+    * target file no longer exists on disk (vacuum reaped it — the restore
+    * horizon is the vacuum horizon) and when `version` is out of range;
+    * restoring to the current state is a no-op that commits nothing.
+    * Returns the new (or unchanged) latest version. */
+  def deltaRestore(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      version: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val head = DeltaCatalog.latestVersion(spark, logDir)
+    if (version < 0 || version > head)
+      throw new BuzzException.BadRequest(
+        s"restore target $version out of range: table is at version $head")
+    val target = DeltaCatalog.liveRawAt(spark, tablePath, Some(version))
+    val current = DeltaCatalog.liveRawAt(spark, tablePath, None)
+    if (target == current) return head
+    val fsys = FsUtil.fs(spark, tablePath)
+    val missing = (target.keySet -- current.keySet).filterNot(raw =>
+      fsys.exists(new Path(tablePath, DeltaCatalog.decodePath(raw))))
+    if (missing.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"cannot restore $tablePath to version $version: ${missing.size} " +
+          s"target file(s) no longer exist (vacuumed), e.g. ${missing.head}")
+    val now = System.currentTimeMillis()
+    val actions: Seq[JValue] =
+      (current.keySet -- target.keySet).toSeq.sorted.map(raw =>
+        JObject("remove" -> JObject(
+          "path" -> JString(raw),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true))): JValue) ++
+      (target.keySet -- current.keySet).toSeq.sorted.map { raw =>
+        val (size, pv) = target(raw)
+        JObject("add" -> JObject(
+          "path" -> JString(raw),
+          "size" -> JLong(size),
+          "partitionValues" -> JObject(pv.map { case (k, v) =>
+            k -> (JString(v): JValue) }.toList),
+          "dataChange" -> JBool(true))): JValue
+      }
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    val newVersion = head + 1
+    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+    FsUtil.writeString(spark, tmp.toString, body)
+    val commit = new Path(logDir, f"$newVersion%020d.json")
+    if (!fsys.rename(tmp, commit)) {
+      fsys.delete(tmp, false)
+      throw new BuzzException.ExecutionError(
+        s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
+    }
+    newVersion
+  }
+
   /** Write a single-part checkpoint of the CURRENT snapshot at the latest
     * version and advertise it via `_last_checkpoint` — the log-compaction
     * step that keeps a long-lived table's open cost O(checkpoint + tail)

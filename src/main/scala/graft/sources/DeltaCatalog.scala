@@ -81,6 +81,16 @@ object DeltaCatalog {
       new Path(tablePath, decodePath(raw)).toString -> raw).toMap
   }
 
+  /** Raw-path live map (`add.path` log string -> (size, partitionValues))
+    * at `versionAsOf` (None = head) — the snapshot representation a
+    * restore writer diffs. Raw strings, not decoded keys: the actions the
+    * caller authors must round-trip exactly (the [[liveRawByKey]]
+    * contract). */
+  private[graft] def liveRawAt(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Map[String, (Long, Map[String, String])] =
+    replay(spark, tablePath, versionAsOf).live.toMap
+
   private def replay(
       spark: SparkSession,
       tablePath: String,

@@ -731,6 +731,41 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deltaRestore rolls the snapshot back as a forward commit; vacuumed horizon fails loudly") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_restore").toString
+    def batch(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    assert(Sinks.deltaAppend(batch(1L, 2L), out) == 0L)
+    assert(Sinks.deltaAppend(batch(3L), out) == 1L)
+    assert(Sinks.deltaAppend(batch(4L, 5L), out) == 2L)
+    // restore to v1 commits v3; history keeps moving forward
+    assert(Sinks.deltaRestore(spark, out, 1L) == 3L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(cat.read(spark, cat.files).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // v2 is still time-travelable (restore deleted nothing)
+    val v2 = DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(2L))
+    assert(v2.read(spark, v2.files).count() == 5)
+    // restore forward to v2 works too (the removed files still exist)
+    assert(Sinks.deltaRestore(spark, out, 2L) == 4L)
+    val cat2 = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(cat2.read(spark, cat2.files).count() == 5)
+    // no-op restore (already at v2's state) commits nothing
+    assert(Sinks.deltaRestore(spark, out, 2L) == 4L)
+    // out-of-range target is loud
+    intercept[BuzzException.BadRequest](Sinks.deltaRestore(spark, out, 99L))
+    // optimize + vacuum reaps v0's originals → restore past the vacuum
+    // horizon must refuse, naming the missing file
+    assert(Sinks.deltaRestore(spark, out, 0L) == 5L) // v0 files still live here
+    assert(Sinks.deltaRestore(spark, out, 4L) == 6L) // back to all 5 rows
+    Sinks.deltaOptimize(spark, out)                  // compacts, removes originals
+    Sinks.deltaVacuum(spark, out)                    // deletes unreferenced files
+    val e = intercept[BuzzException.BadRequest](Sinks.deltaRestore(spark, out, 0L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("deltaAppend txn stamps make replays no-ops, surviving checkpoint commit-cleaning") {
     import graft.operators.Sinks
     import graft.sources.DeltaCatalog
