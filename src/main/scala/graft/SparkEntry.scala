@@ -42,6 +42,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Shared rule set for profile_expectations: (id, Spark predicate,
+    * DuckDB predicate) — semantically identical, dialect-adjusted (RLIKE
+    * vs regexp_matches, bare vs DATE literals). status_closed_f is
+    * deliberately NULL for open orders: unknown must count as violation. */
+  private val expectationRules: Seq[(String, String, String)] = Seq(
+    ("price_positive", "o_totalprice > 0", "o_totalprice > 0"),
+    ("status_enum", "o_orderstatus IN ('O','F','P')",
+      "o_orderstatus IN ('O','F','P')"),
+    ("date_in_range",
+      "o_orderdate >= '1992-01-01' AND o_orderdate < '2000-01-01'",
+      "o_orderdate >= DATE '1992-01-01' AND o_orderdate < DATE '2000-01-01'"),
+    ("priority_format", "o_orderpriority RLIKE '^[1-5]-'",
+      "regexp_matches(o_orderpriority, '^[1-5]-')"),
+    ("status_closed_f", "nullif(o_orderstatus, 'O') = 'F'",
+      "nullif(o_orderstatus, 'O') = 'F'"),
+    ("price_cap_300k", "o_totalprice < 300000", "o_totalprice < 300000"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2b relational surface (buzz delegates these to DataFusion) ----
     "q1_agg" -> ((s, dir) => {
@@ -1702,6 +1719,15 @@ object SparkEntry {
     // from rounded group moments so the statistics are engine-portable
     "profile_welch" -> ((s, dir) =>
       graft.operators.Profiler.welchPairs(t(s, dir, "events"), "event_type", "value")),
+    // declarative data-quality contract: every rule counted in ONE
+    // aggregation over ONE scan; false OR NULL both violate
+    "profile_expectations" -> ((s, dir) =>
+      graft.operators.Profiler.expectations(t(s, dir, "orders"),
+        expectationRules.map { case (id, sparkPred, _) => (id, sparkPred) })),
+    // time-weighted daily average: each reading weighted by how long it
+    // was in force (see EventOps.timeWeightedAverage)
+    "events_twap" -> ((s, dir) =>
+      EventOps.timeWeightedAverage(t(s, dir, "events"))),
     // upper-triangle covariance cells: per-vector triangle expansion
     // inside one codegen'd lambda, partial-aggregated map-side
     "embed_covariance" -> ((s, dir) =>
@@ -4214,6 +4240,37 @@ object SparkEntry {
         |               e.vec_id) AS BIGINT) AS rank
         |  FROM embeddings e JOIN carr ON e.label = carr.label)
         |SELECT label, rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
+    // one UNION ALL block per rule over the shared dialect-adjusted
+    // predicates; NOT coalesce(pred, FALSE) is the same conservative
+    // null-is-violation reading the Spark aggregation applies
+    "profile_expectations" -> {
+      val blocks = expectationRules.map { case (id, _, duckPred) =>
+        s"""SELECT '$id' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) FILTER (WHERE NOT coalesce($duckPred, FALSE)) AS BIGINT)
+           |    AS n_violations,
+           |  round(CAST(count(*) FILTER (WHERE NOT coalesce($duckPred, FALSE)) AS DOUBLE)
+           |    / count(*), 6) AS violation_rate,
+           |  count(*) FILTER (WHERE NOT coalesce($duckPred, FALSE)) = 0 AS pass
+           |FROM orders""".stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n")
+    },
+    // lead-per-(type,day) window then Σ v·dur / Σ dur from µs integers —
+    // identical doubles on both engines, ratio rounded 4 dp
+    "events_twap" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |    epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |d AS (SELECT event_type, day, value, CAST(nxt - us AS DOUBLE) AS dur
+        |      FROM x WHERE nxt IS NOT NULL)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  round(sum(value * dur) / sum(dur), 4) AS twap
+        |FROM d GROUP BY event_type, day""".stripMargin,
     // identical rounded-moment arithmetic on both sides: t and the Welch
     // dof derive from (n, mean, var) rounded to 6 dp, so every division
     // and pow sees bit-identical inputs

@@ -490,6 +490,39 @@ object Profiler {
     *
     * Returns one row per candidate: (lhs, rhs, n_groups, n_violations,
     * holds). */
+  /** Data-quality expectations: evaluate every (ruleId, SQL predicate)
+    * over the table in ONE aggregation and report per rule how many rows
+    * violate it — the ingestion contract check ("prices positive, status
+    * in the enum, dates in range") run before a drop of data is trusted,
+    * with rules as declarative predicates so the same strings document
+    * the contract. A row violates a rule when the predicate is false OR
+    * null (an unknown is not a pass — the conservative reading).
+    *
+    * 100 TB shape: all rules ride one partial/final aggregate over one
+    * scan (the profiler's discipline — never a scan per rule); the
+    * row-per-rule output explodes from that single aggregated row.
+    * Returns (rule, n_rows, n_violations, violation_rate rounded 6 dp,
+    * pass). */
+  def expectations(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule ids must be unique")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L)).as(s"__xp_$i")
+    }
+    val one = df.agg(count(lit(1)).as("__xp_n"), aggs: _*)
+    one.select(explode(array(rules.zipWithIndex.map { case ((id, _), i) =>
+        struct(lit(id).as("rule"), col("__xp_n").as("n_rows"),
+          col(s"__xp_$i").as("n_violations"))
+      }: _*)).as("__xp"))
+      .select(
+        col("__xp.rule").as("rule"),
+        col("__xp.n_rows").as("n_rows"),
+        col("__xp.n_violations").as("n_violations"),
+        round(col("__xp.n_violations").cast("double") / col("__xp.n_rows"), 6)
+          .as("violation_rate"),
+        (col("__xp.n_violations") === 0L).as("pass"))
+  }
+
   /** Welch two-sample t-test over every group pair: are the groups' value
     * means distinguishable given unequal variances and sizes? The A/B
     * screen ("did variant B move the metric?") and the drift alarm

@@ -728,6 +728,35 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Time-weighted average value per (type, day): each reading is held
+    * until the next one of the same series, and the mean weights each
+    * value by how long it was in force — the correct daily average for
+    * irregularly-sampled state series (prices, gauges, queue depths),
+    * where the arithmetic mean over-counts bursts of rapid updates. The
+    * day's LAST reading carries no intra-day duration and contributes no
+    * weight (documented boundary; a day with one event yields no row).
+    *
+    * Shape: one window pass per (type, day) partition computes the lead
+    * timestamp (parallelism = series × days, the partitioned-window
+    * discipline), then one grouped aggregation forms
+    * Σ value·duration / Σ duration from µs-integer durations — identical
+    * doubles on any engine. Returns (event_type, day, n_intervals,
+    * twap rounded 4 dp). */
+  def timeWeightedAverage(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("__next_us").isNotNull)
+      .withColumn("__dur", (col("__next_us") - unix_micros(col("ts"))).cast("double"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("__dur")) / sum(col("__dur")), 4).as("twap"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_intervals"), col("twap"))
+  }
+
   /** Time-to-convert percentiles for each consecutive funnel hop: among
     * users who reached both stages (earliest-qualifying times, the exact
     * [[funnelCounts]] semantics), the count and the exact p50/p90 of the

@@ -759,6 +759,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(20L) == ((0L, 1L, 1L, 0.5)))
   }
 
+  test("timeWeightedAverage weights each value by its holding duration") {
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val df = Seq(
+      // value 10 held 10 min, value 20 held 30 min, final 99 carries no dur:
+      // twap = (10*10 + 20*30) / 40 = 17.5 — arithmetic mean would say 43
+      (1L, ts(0), "a", 10.0), (2L, ts(10), "a", 20.0), (3L, ts(40), "a", 99.0),
+      // single event on the series → no interval → no row
+      (4L, ts(0), "b", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventOps.timeWeightedAverage(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("a" -> ((2L, 17.5))))
+  }
+
   test("timeToConvert measures earliest-qualifying hop delays, exact percentiles") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(

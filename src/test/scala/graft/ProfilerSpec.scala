@@ -266,6 +266,30 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
 
+  test("expectations count false AND null as violations, one row per rule") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, "ok"), (null, "bad"), (4L, null))
+      .toDF("k", "s")
+    val out = graft.operators.Profiler.expectations(df, Seq(
+        "k_nonnull" -> "k IS NOT NULL",       // 1 violation (null k)
+        "s_is_ok" -> "s = 'ok'",              // 2: 'bad' is false, null s is null
+        "always" -> "1 = 1"))                 // 0
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out("k_nonnull") == ((4L, 1L, false)))
+    assert(out("s_is_ok") == ((4L, 2L, false)))
+    assert(out("always") == ((4L, 0L, true)))
+  }
+
+  test("expectations evaluate every rule in one scan/aggregate") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val plan = graft.operators.Profiler.expectations(df, Seq(
+        "r1" -> "k > 0", "r2" -> "s IS NOT NULL", "r3" -> "k < 10"))
+      .queryExecution.executedPlan.toString()
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 1,
+      s"rules must share one scan:\n${plan.take(900)}")
+  }
+
   test("welchPairs computes t and dof from rounded group moments") {
     val df = Seq(
       "a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0,   // n=4 m=2.5 v=5/3
