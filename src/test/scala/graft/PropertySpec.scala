@@ -315,6 +315,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff reconstructs the new snapshot from old + diff (randomized)") {
+    import graft.operators.Joins
+    val sp = spark
+    import sp.implicits._
+    // keys overlap across snapshots; values collide often to exercise all
+    // of unchanged / changed / added / removed
+    val genSnap = Gen.mapOf(Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 3)))
+    check(Prop.forAll(genSnap, genSnap) { (o: Map[Long, Int], n: Map[Long, Int]) =>
+      val oldDf = o.toSeq.toDF("k", "v")
+      val newDf = n.toSeq.toDF("k", "v")
+      val diff = Joins.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // statuses are exactly the set-theoretic classification…
+      val expect =
+        (n.keySet -- o.keySet).map(_ -> "added") ++
+        (o.keySet -- n.keySet).map(_ -> "removed") ++
+        (o.keySet & n.keySet).filter(k => o(k) != n(k)).map(_ -> "changed")
+      // …and applying the diff to the old state reproduces the new state
+      val rebuilt = (o -- diff.collect { case (k, "removed") => k }
+        -- diff.collect { case (k, "changed") => k }) ++
+        diff.collect { case (k, s) if s != "removed" => k -> n(k) }
+      diff == expect.toMap && rebuilt == n
+    }, minTests = 20)
+  }
+
+  test("skyline == brute-force dominance filter (randomized, any partitioning)") {
+    import graft.operators.Selection
+    val sp = spark
+    import sp.implicits._
+    val genPts = Gen.listOf(Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6)))
+    check(Prop.forAll(genPts, Gen.choose(1, 7)) { (ps: List[(Int, Int)], parts: Int) =>
+      if (ps.isEmpty) true else {
+        val rows = ps.zipWithIndex.map { case ((x, y), i) =>
+          (i.toLong, x.toDouble, y.toDouble) }
+        val got = Selection.skyline(
+            rows.toDF("id", "x", "y").repartition(parts), "id", Seq("x", "y"))
+          .collect().map(_.getLong(0)).toSet
+        val dominates = (a: (Double, Double), b: (Double, Double)) =>
+          a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+        val expect = rows.filter { case (_, x, y) =>
+          !rows.exists { case (_, qx, qy) => dominates((qx, qy), (x, y)) }
+        }.map(_._1).toSet
+        got == expect
+      }
+    }, minTests = 15)
+  }
+
+  test("peakConcurrency == brute-force closed-interval sweep (randomized)") {
+    import java.sql.Timestamp
+    import graft.streaming.EventOps
+    val sp = spark
+    import sp.implicits._
+    def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+    val genEvents = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 120L)))
+    check(Prop.forAll(genEvents) { (es: List[(Long, Long)]) =>
+      val rows = es.zipWithIndex.map { case ((u, m), i) => (i.toLong, ts(m), u) }
+      val got = EventOps.peakConcurrency(rows.toDF("event_id", "ts", "user_id"))
+        .collect().map(r => r.getLong(1)).max
+      // brute force: evaluate concurrency at every interval endpoint
+      // (all events land on one day by construction)
+      val iv = es.groupBy(_._1).values.map(g =>
+        (g.map(_._2).min, g.map(_._2).max)).toSeq
+      val expect = iv.flatMap(i => Seq(i._1, i._2)).distinct.map(t =>
+        iv.count { case (s, e) => s <= t && t <= e }).max.toLong
+      got == expect
+    }, minTests = 20)
+  }
+
   test("partition pruning == filtering the file list directly") {
     val genN = Gen.choose(0, 12)
     val genCut = Gen.choose(0, 12)
