@@ -1483,6 +1483,15 @@ object SparkEntry {
     // duplicated-substring coverage (exact-substring dedup signal)
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedNgramCoverage(t(s, dir, "documents"), "doc_id", "text")),
+    // the TRANSFORM twin of dedup_substring: tokens covered by any
+    // cross-doc duplicated 5-gram are stripped from the rewritten text
+    // (per-doc window spreads coverage from flagged gram starts)
+    "dedup_substring_strip" -> ((s, dir) =>
+      Dedup.stripDuplicatedNgrams(t(s, dir, "documents"), "doc_id", "text")),
+    // tokenizer-coverage screen: per-doc OOV rate against the corpus's
+    // own deterministic top-100 vocabulary
+    "text_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text")),
     // corpus-health Zipf slope (ln freq ~ ln rank over the vocabulary)
     // top-50 word associations by PMI over window-3 co-occurrence — the
     // pair stream is O(tokens · window) by construction (n-gram endpoint
@@ -3937,6 +3946,44 @@ object SparkEntry {
         |  term, score
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
+    // positional mirror: gram starts flagged when the gram appears in ≥2
+    // DISTINCT docs, coverage spread by the same 4-PRECEDING window max,
+    // kept tokens reassembled in position order
+    "dedup_substring_strip" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+        |        unnest(tk) AS tok FROM a),
+        |gr AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] AS gram
+        |  FROM (SELECT doc_id, tk, CAST(unnest(range(1, len(tk) - 3)) AS INT) AS i
+        |        FROM a WHERE len(tk) >= 5) x),
+        |dup AS (SELECT gram FROM gr GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (SELECT gr.doc_id, gr.gpos FROM gr JOIN dup USING (gram)),
+        |fl AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    max(CASE WHEN st.gpos IS NOT NULL THEN 1 END) OVER (
+        |      PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM t LEFT JOIN st ON t.doc_id = st.doc_id AND t.pos = st.gpos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE cov IS NULL) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cov IS NULL),
+        |    '') AS text_stripped
+        |FROM fl GROUP BY doc_id""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token, 1 AS inv FROM (
+        |  SELECT token, count(*) AS n FROM tk GROUP BY 1
+        |  ORDER BY n DESC, token LIMIT 100) x)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE inv IS NULL) AS BIGINT) AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE inv IS NULL) AS DOUBLE) / count(*), 6)
+        |    AS oov_rate
+        |FROM tk LEFT JOIN v USING (token) GROUP BY doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),

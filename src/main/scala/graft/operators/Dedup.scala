@@ -713,6 +713,59 @@ object Dedup {
       .select(col("id").as(idCol), col("n_grams"), col("dup_frac"))
   }
 
+  /** Substring-level dedup TRANSFORM: rewrite each document with every
+    * token covered by a cross-document duplicated `n`-gram removed — the
+    * Lee-et-al-style "deduplicate the substring, keep the document" pass
+    * at n-gram granularity, where [[duplicatedNgramCoverage]] only
+    * REPORTS the overlap. A token is covered when ANY n-gram containing
+    * it (the ones starting up to n−1 positions before it) occurs in ≥ 2
+    * distinct documents.
+    *
+    * Shape: the gram stream travels as xxhash64 longs; the duplicated
+    * set is one grouped distinct-doc count filtered to df ≥ 2 and joined
+    * back at dup-gram cardinality; coverage spreads from the flagged
+    * START positions by one per-document window max over ROWS n−1
+    * PRECEDING (partitioned by doc — never a global sort); the rewrite
+    * is one per-doc aggregation that reassembles surviving tokens in
+    * position order. Returns (idCol, n_tokens, n_kept, text_stripped —
+    * '' when everything was duplicated). */
+  def stripDuplicatedNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = shared(widen(df).select(
+      col(idCol).as("__sd_id"), split(col(textCol), " ").as("__sd_tk")))
+    // sequence(0, size-n) DESCENDS when size < n — short docs must be
+    // filtered before the expansion, not papered over inside it
+    val grams = base.filter(size(col("__sd_tk")) >= n)
+      .select(col("__sd_id"),
+        posexplode(expr(s"transform(sequence(0, size(__sd_tk) - $n), " +
+          s"i -> concat_ws(' ', slice(__sd_tk, i + 1, $n)))"))
+          .as(Seq("gpos", "g0")))
+      .select(col("__sd_id"), col("gpos"), xxhash64(col("g0")).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("__sd_id")).as("__sd_d"))
+      .filter(col("__sd_d") >= 2)
+      .select(col("g"))
+    val dupStarts = grams.join(dup, "g")
+      .select(col("__sd_id"), col("gpos"), lit(1).as("__sd_f"))
+    val toks = base.select(col("__sd_id"),
+      posexplode(col("__sd_tk")).as(Seq("pos", "tok")))
+    val w = W.partitionBy(col("__sd_id")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), W.currentRow)
+    toks
+      .join(dupStarts.withColumnRenamed("gpos", "pos"), Seq("__sd_id", "pos"), "left")
+      .withColumn("__sd_cov", max(col("__sd_f")).over(w))
+      .groupBy(col("__sd_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__sd_cov").isNull, 1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN __sd_cov IS NULL THEN struct(pos, tok) END)), x -> x.tok)"),
+          " ").as("text_stripped"))
+      .select(col("__sd_id").as(idCol), col("n_tokens"), col("n_kept"),
+        col("text_stripped"))
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (sign) LSH:
     * `tables` independent `bitsPerTable`-bit sign sketches; bucket-join on
     * each sketch (ids only); exact cosine verification at `threshold`.

@@ -682,4 +682,35 @@ object TextAnalysis {
       count(lit(1)).as("vocab_total"),
       round(sum(col("kl")), 6).as("jsd"))
   }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage screen run
+    * before committing to a vocab: documents dense in OOV tokens will
+    * fragment into byte-fallback pieces and waste context length. The
+    * vocabulary cut is deterministic ((count DESC, token) ties, the
+    * [[graft.operators.Curation.vocabulary]] ordering).
+    *
+    * Shape: one token explosion feeds both the vocabulary aggregation
+    * (vocab-sized, TakeOrdered cut) and the per-doc OOV count; the tiny
+    * vocab list joins back by broadcast, so the corpus shuffles once on
+    * the doc id. Returns (idCol, n_tokens, n_oov, oov_rate rounded 6). */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = OpUtils.shared(OpUtils.widen(df)
+      .select(col(idCol).as("__ov_id"),
+        explode(split(col(textCol), " ")).as("token")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__ov_n"))
+      .orderBy(col("__ov_n").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__ov_in"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("__ov_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__ov_in").isNull, 1)).as("n_oov"))
+      .select(col("__ov_id").as(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
 }

@@ -250,6 +250,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 22, s"expected ~log2(512)=9-ish rounds, got $rounds")
   }
 
+  test("stripDuplicatedNgrams removes exactly the cross-doc-covered tokens") {
+    // docs 1 and 2 share the 5-gram "q w e r t" (positions 2-6 in doc 1,
+    // 0-4 in doc 2); doc 1's in-doc repetition of "a a a a a" must NOT
+    // flag (distinct-doc df = 1); doc 3 is too short for any gram
+    val df = Seq(
+      (1L, "x y q w e r t z a a a a a a a a a a"),
+      (2L, "q w e r t only here"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedNgrams(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((18L, 13L, "x y z a a a a a a a a a a")))
+    assert(out(2L) == ((7L, 2L, "only here")))
+    assert(out(3L) == ((2L, 2L, "tiny doc")))
+  }
+
   test("connected components fail loudly instead of returning partial labels") {
     // a 6-node chain cannot converge in 1 iteration — partial labels would
     // silently keep several "keepers" in one duplicate cluster

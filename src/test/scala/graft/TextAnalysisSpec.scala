@@ -423,4 +423,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       2L -> ((2L, 1L, 0.5))))
   }
 
+  test("oovRate counts tokens outside the deterministic top-k vocabulary") {
+    // vocab k=2: 'a' (4 uses) and 'b' (2) — 'c' (2) loses the tie to 'b'
+    // on the token tiebreak, so every 'c' and 'z' is OOV
+    val df = Seq(
+      (1L, "a a b c"),
+      (2L, "a a b c z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(1L -> ((4L, 1L, 0.25)), 2L -> ((5L, 2L, 0.4))))
+  }
 }
