@@ -238,6 +238,18 @@ object SparkEntry {
       graft.operators.Graph.pageRank(
         fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     }),
+    // HITS hubs/authorities over the DIRECTED customer→supplier trade
+    // graph, two exact integer power-iteration rounds (see
+    // Graph.hitsPathCounts — no float normalization to disagree on)
+    "graph_hits" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      graft.operators.Graph.hitsPathCounts(fwd)
+    }),
     // mergeable-sketch summary tables: per-(type, day) HLL cells rolled up
     // per type by unioning CELLS (the raw events are scanned once, ever).
     // At this cardinality the sketches sit in their exact sparse regime, so
@@ -2103,6 +2115,35 @@ object SparkEntry {
         |FROM customer a, customer b
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // two unrolled integer half-round pairs; every sum is over BIGINTs so
+    // both engines count the same alternating-walk paths exactly
+    "graph_hits" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS id FROM fwd UNION SELECT dst FROM fwd),
+        |h1 AS (
+        |  SELECT n.id, coalesce(x.s, 0) AS h FROM nodes n LEFT JOIN (
+        |    SELECT src, CAST(count(*) AS BIGINT) AS s FROM fwd GROUP BY 1) x
+        |  ON n.id = x.src),
+        |a1 AS (
+        |  SELECT n.id, coalesce(y.s, 0) AS a FROM nodes n LEFT JOIN (
+        |    SELECT dst, CAST(sum(h1.h) AS BIGINT) AS s
+        |    FROM fwd JOIN h1 ON fwd.src = h1.id GROUP BY dst) y
+        |  ON n.id = y.dst),
+        |h2 AS (
+        |  SELECT n.id, coalesce(z.s, 0) AS h FROM nodes n LEFT JOIN (
+        |    SELECT src, CAST(sum(a1.a) AS BIGINT) AS s
+        |    FROM fwd JOIN a1 ON fwd.dst = a1.id GROUP BY src) z
+        |  ON n.id = z.src),
+        |a2 AS (
+        |  SELECT n.id, coalesce(w.s, 0) AS a FROM nodes n LEFT JOIN (
+        |    SELECT dst, CAST(sum(h2.h) AS BIGINT) AS s
+        |    FROM fwd JOIN h2 ON fwd.src = h2.id GROUP BY dst) w
+        |  ON n.id = w.dst)
+        |SELECT h2.id AS node_id, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 ON h2.id = a2.id""".stripMargin,
     // 3 unrolled power-iteration rounds; every float expression mirrors the
     // Spark side op-for-op (1/outd precomputed as an edge weight, teleport
     // = (1-d)/n, per-round ROUND to 10 dp) so both engines walk the same

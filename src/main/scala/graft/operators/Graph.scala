@@ -122,6 +122,52 @@ object Graph {
 
   /** Canonical undirected edge list: self-loops dropped, both orientations
     * and multi-edges collapsed to one u<v pair. */
+  /** HITS hubs/authorities as EXACT integer path counts: with the classic
+    * all-ones start and NO per-round normalization, round r's scores are
+    * h_r(u) = #(paths u→·→·… of the alternating walk) — integers, so the
+    * two engines' float-sum ordering can never disagree (normalization
+    * only rescales a round; rankings are identical to textbook HITS).
+    * Round r: h_r(src) = Σ_dst a_{r-1}(dst); a_r(dst) = Σ_src h_r(src).
+    * Iterations are capped small (counts grow ~(max degree)² per round;
+    * 5 rounds on a 10⁶-degree graph would overflow 64 bits — loudly
+    * rejected here, use normalized float HITS beyond that).
+    *
+    * Shape: pageRank's discipline — one equi-join + one grouped sum per
+    * half-round over the persisted edge list, score vectors never
+    * broadcast or collected, lineage truncated between rounds. Returns
+    * (node_id, hub, auth) as longs. */
+  def hitsPathCounts(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      s"iterations must be in [1,4] (integer counts overflow past that), got $iterations")
+    val e = OpUtils.shared(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).dropDuplicates("src", "dst"))
+    val nodes = OpUtils.shared(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct())
+    var auth = nodes.select(col("id"), lit(1L).as("a"))
+    var hub: DataFrame = null
+    for (i <- 1 to iterations) {
+      hub = nodes.join(
+          e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("__hs")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__hs"), lit(0L)).as("h"))
+      auth = nodes.join(
+          e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__as")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__as"), lit(0L)).as("a"))
+      if (i < iterations) {
+        hub = OpUtils.roundCheckpoint(hub)
+        auth = OpUtils.roundCheckpoint(auth)
+      }
+    }
+    hub.join(auth, "id")
+      .select(col("id").as("node_id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   private[graft] def canonical(edges: DataFrame): DataFrame =
     edges
       .filter(col("src") =!= col("dst"))

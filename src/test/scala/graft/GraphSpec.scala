@@ -363,4 +363,21 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(b(3L) == 0.333333 && b(1L) == 1.0 && b(5L) == 1.0)
   }
+
+  test("hitsPathCounts: exact alternating-walk counts on a directed star+chain") {
+    // 1→3, 2→3, 3→4: h1 = out-degree (1,1,1,0); a1(3) = h1(1)+h1(2) = 2,
+    // a1(4) = h1(3) = 1; h2(1) = a1(3) = 2, h2(2) = 2, h2(3) = a1(4) = 1;
+    // a2(3) = h2(1)+h2(2) = 4, a2(4) = h2(3) = 1
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.hitsPathCounts(e, iterations = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0L)), 2L -> ((2L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+    // duplicate edges collapse; out-of-range iteration count is loud
+    val dup = Seq((1L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.hitsPathCounts(dup, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 3L -> 0L))
+    intercept[IllegalArgumentException](Graph.hitsPathCounts(e, 9))
+  }
 }
