@@ -1736,6 +1736,13 @@ object SparkEntry {
       Similarity.centroidOutliers(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 10)
     }),
+    // embedding drift monitor: per-label cosine between the even- and
+    // odd-id slices' rounded centroids, assembled cell-wise (see
+    // Similarity.centroidDrift)
+    "embed_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(
+        t(s, dir, "embeddings"), "embedding", "label",
+        pmod(col("vec_id"), lit(2L)) === 0)),
     // A/B mean comparison: Welch t over every event-type pair, computed
     // from rounded group moments so the statistics are engine-portable
     "profile_welch" -> ((s, dir) =>
@@ -4310,6 +4317,31 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     // generate_subscripts is 1-based; −1 matches posexplode's 0-based dim
+    // cell-join cosine from the same rounded centroids — Σ ca·cb over 64
+    // dims, magnitudes uniform, so round 6 is far above any sum-order ulp
+    "embed_drift" ->
+      """WITH cell AS (
+        |  SELECT label, vec_id % 2 = 0 AS in_a,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, in_a, dim, round(avg(v), 4) AS c
+        |         FROM cell GROUP BY 1, 2, 3),
+        |cnt AS (
+        |  SELECT label,
+        |    CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label),
+        |j AS (
+        |  SELECT a.label,
+        |    sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+        |  FROM (SELECT * FROM cent WHERE in_a) a
+        |  JOIN (SELECT * FROM cent WHERE NOT in_a) b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |  GROUP BY a.label)
+        |SELECT j.label, cnt.n_a, cnt.n_b,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS drift_cos
+        |FROM j JOIN cnt ON j.label = cnt.label""".stripMargin,
     // rank mirror: centroids re-derived per label (rounded 4 dp like the
     // Spark side), bottom-k by raw cosine with vec_id ties — values never
     // compared, only the ordering (the ann_brute discipline)

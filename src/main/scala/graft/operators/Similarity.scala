@@ -946,6 +946,47 @@ object Similarity {
         col("col.neighbor_id").as("vec_id"))
   }
 
+  /** Embedding drift between two corpus slices: per label, the cosine
+    * between the slice-A and slice-B mean vectors — the "did this week's
+    * embeddings move?" monitor run between ingestion snapshots (a drop
+    * below ~0.99 on a stable class flags an encoder change, a data-mix
+    * shift, or a poisoned slice). `sliceA` is a boolean column splitting
+    * the rows; both slices' centroids are rounded to 4 dp cell-wise, and
+    * the cosine is assembled from a (label, dim) cell join — explicit
+    * Σ ca·cb / (√Σca² · √Σcb²), no vector kernel — so the reported value
+    * is reproducible across engines and runs.
+    *
+    * Shape: one cell expansion → (label, slice, dim) partial aggregate →
+    * label-cardinality cell join + one grouped reduction. Returns
+    * (label, n_a, n_b, drift_cos rounded 6); labels present in only one
+    * slice drop out (no centroid to compare). */
+  def centroidDrift(
+      df: DataFrame, vecCol: String, labelCol: String,
+      sliceA: Column): DataFrame = {
+    val vecs = df.select(col(labelCol).as("label"), sliceA.as("__in_a"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val counts = vecs.groupBy(col("label"))
+      .agg(
+        count(when(col("__in_a"), 1)).as("n_a"),
+        count(when(!col("__in_a"), 1)).as("n_b"))
+    val cent = vecs
+      .select(col("label"), col("__in_a"), posexplode(col("__v")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("__in_a"), col("dim"))
+      .agg(round(avg(col("v")), 4).as("c"))
+    val a = cent.filter(col("__in_a")).select(col("label"), col("dim"), col("c").as("ca"))
+    val b = cent.filter(!col("__in_a")).select(col("label"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(col("ca") * col("cb")).as("__dot"),
+        sum(col("ca") * col("ca")).as("__na"),
+        sum(col("cb") * col("cb")).as("__nb"))
+      .join(counts, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6)
+          .as("drift_cos"))
+  }
+
   /** Reciprocal-rank fusion: merge N independent rankings of the same id
     * space into one list ordered by `sum over lists of 1/(c + rank)` —
     * the standard way to combine lexical (BM25) and vector retrieval

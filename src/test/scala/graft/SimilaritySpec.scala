@@ -402,6 +402,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.size == 4)      // 2 per label
   }
 
+  test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
+    val df = Seq(
+      // label 0: both slices centered on (1,0) → drift_cos = 1
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0), (3L, Seq(1.0f, 0.0f), 0),
+      // label 1: even slice on (1,0), odd slice on (0,1) → 0
+      (4L, Seq(1.0f, 0.0f), 1), (5L, Seq(0.0f, 1.0f), 1),
+      // label 2: only even-slice members → dropped
+      (6L, Seq(1.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.centroidDrift(
+        df, "embedding", "label",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.lit(2L)) === 0)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(0 -> ((2L, 2L, 1.0)), 1 -> ((1L, 1L, 0.0))))
+  }
+
   test("centroidOutliers keeps the corpus out of any window: bounded-heap cut") {
     graft.functions.GraftFunctions.registerAll(spark)
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
