@@ -1756,6 +1756,10 @@ object SparkEntry {
     // was in force (see EventOps.timeWeightedAverage)
     "events_twap" -> ((s, dir) =>
       EventOps.timeWeightedAverage(t(s, dir, "events"))),
+    // recency-weighted level: closed-form (adjust=true) EWM over each
+    // type's daily means — no sequential recursion to distribute
+    "events_ewma" -> ((s, dir) =>
+      EventOps.ewmaLevel(t(s, dir, "events"))),
     // upper-triangle covariance cells: per-vector triangle expansion
     // inside one codegen'd lambda, partial-aggregated map-side
     "embed_covariance" -> ((s, dir) =>
@@ -4375,6 +4379,20 @@ object SparkEntry {
       }
       blocks.mkString("\nUNION ALL\n")
     },
+    // the same closed form over the same 6-dp-rounded daily means; weights
+    // are exact powers of 0.7 on calendar distance
+    "events_ewma" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
+        |    round(avg(value), 6) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(x) AS xmax FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(sum(pow(0.7, xmax - x) * mv) / sum(pow(0.7, xmax - x)), 4)
+        |    AS ewma_level
+        |FROM d JOIN m ON d.event_type = m.event_type
+        |GROUP BY d.event_type""".stripMargin,
     // lead-per-(type,day) window then Σ v·dur / Σ dur from µs integers —
     // identical doubles on both engines, ratio rounded 4 dp
     "events_twap" ->

@@ -728,6 +728,38 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Exponentially weighted level of each type's daily-mean series — the
+    * recency-biased "where is the metric NOW" companion to the OLS trend's
+    * "where is it heading" ([[trendForecast]]). The recursive SES update
+    * is unrolled to its closed form: level = Σ (1−α)^(last−day)·mean /
+    * Σ (1−α)^(last−day) over observed days (the adjust=true EWM), so no
+    * sequential scan exists to distribute — one grouped aggregation
+    * computes every term. Daily means are rounded to 6 dp first so both
+    * engines weight identical inputs; absent days simply age the earlier
+    * observations (weights follow CALENDAR distance).
+    *
+    * Shape: events collapse to (type, day) means, join back the
+    * type-cardinality max-day row, one more grouped sum — nothing beyond
+    * series × days ever shuffles. Returns (event_type, n_days,
+    * ewma_level rounded 4 dp). */
+  def ewmaLevel(
+      events: DataFrame, alpha: Double = 0.3,
+      epoch: String = "2024-01-01"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val d = events.groupBy(
+        col("event_type"),
+        datediff(to_date(col("ts")), lit(epoch).cast("date"))
+          .cast("double").as("x"))
+      .agg(round(avg(col("value")), 6).as("mv"))
+    val m = d.groupBy(col("event_type")).agg(max(col("x")).as("xmax"))
+    d.join(m, "event_type")
+      .withColumn("__w", pow(lit(1.0 - alpha), col("xmax") - col("x")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(sum(col("__w") * col("mv")) / sum(col("__w")), 4).as("ewma_level"))
+  }
+
   /** Time-weighted average value per (type, day): each reading is held
     * until the next one of the same series, and the mean weights each
     * value by how long it was in force — the correct daily average for

@@ -773,6 +773,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((2L, 17.5))))
   }
 
+  test("ewmaLevel: closed form equals the recursive adjust=true EWM") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // series a: days 0,1,2 with means 10, 20, 40 (α=0.3):
+    // level = (0.49*10 + 0.7*20 + 1*40) / (0.49 + 0.7 + 1) = 58.9/2.19
+    val df = Seq(
+      (1L, ts(0), "a", 10.0), (2L, ts(1), "a", 20.0), (3L, ts(2), "a", 40.0),
+      (4L, ts(0), "b", 5.0)) // single day → level = that mean
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.ewmaLevel(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expA = BigDecimal(58.9 / 2.19)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((3L, expA)))
+    assert(got("b") == ((1L, 5.0)))
+  }
+
   test("timeToConvert measures earliest-qualifying hop delays, exact percentiles") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
