@@ -159,7 +159,10 @@ object Graph {
             .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__as")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__as"), lit(0L)).as("a"))
-      if (i < iterations) {
+      // the default 2 rounds compose into ONE lazy chain (the pageRank
+      // no-dangler trick — each half-round reads its predecessor exactly
+      // once); truncation only pays for itself past that
+      if (i < iterations && iterations > 2) {
         hub = OpUtils.roundCheckpoint(hub)
         auth = OpUtils.roundCheckpoint(auth)
       }
