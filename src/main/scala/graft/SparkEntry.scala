@@ -208,6 +208,22 @@ object SparkEntry {
     "er_resolve" -> ((s, dir) =>
       graft.operators.Joins.resolveEntities(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"))),
+    // golden-record field survivorship on nation-only blocking (so the
+    // segment actually VARIES within an entity): mode segment with
+    // smallest-value ties, max balance (see Joins.goldenFields)
+    "er_golden_fields" -> ((s, dir) =>
+      graft.operators.Joins.goldenFields(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq("c_nationkey"),
+        "c_mktsegment", "c_acctbal")),
+    // information-density profile: per-column Shannon entropy in one
+    // unpivot pass (see Profiler.columnEntropy); o_status_closed carries
+    // the NULL-exclusion path
+    "profile_entropy" -> ((s, dir) =>
+      graft.operators.Profiler.columnEntropy(
+        t(s, dir, "orders").withColumn("o_status_closed",
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus"))),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_status_closed"))),
     // per-column profile of orders in ONE scan/ONE aggregation (plan-
     // asserted: single FileScan + Expand for the exact distincts). Floats
     // are rounded and timestamps formatted BEFORE profiling so the
@@ -2234,6 +2250,59 @@ object SparkEntry {
         |  c.c_name AS canonical_name
         |FROM cl JOIN customer c ON cl.entity_id = CAST(c.c_custkey AS BIGINT)"""
         .stripMargin,
+    // the er_resolve recursive-CTE components on nation-only blocking,
+    // then mode-with-min-tie and rounded max per entity
+    "er_golden_fields" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        |    CAST(b.c_custkey AS BIGINT) AS id_b
+        |  FROM customer a, customer b
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT comp.comp AS entity_id, c.c_mktsegment AS m, c.c_acctbal AS x
+        |  FROM comp JOIN customer c ON comp.id = CAST(c.c_custkey AS BIGINT)),
+        |base AS (
+        |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    round(max(x), 2) AS max_c_acctbal
+        |  FROM mem GROUP BY 1 HAVING count(*) >= 2),
+        |cnt AS (SELECT entity_id, m, count(*) AS c FROM mem GROUP BY 1, 2),
+        |mx AS (SELECT entity_id, max(c) AS mc FROM cnt GROUP BY 1),
+        |md AS (
+        |  SELECT cnt.entity_id, min(m) AS mode_c_mktsegment
+        |  FROM cnt JOIN mx ON cnt.entity_id = mx.entity_id AND c = mc
+        |  GROUP BY 1)
+        |SELECT base.entity_id, n_members, max_c_acctbal, mode_c_mktsegment
+        |FROM base JOIN md ON base.entity_id = md.entity_id""".stripMargin,
+    // H = ln n − (Σ c·ln c)/n assembled identically from the same count
+    // cells; norm by ln(n_distinct), single-valued columns pinned to 0
+    "profile_entropy" ->
+      """WITH c AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_status_closed',
+        |    CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+        |  FROM orders),
+        |f AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c WHERE v IS NOT NULL GROUP BY 1, 2)
+        |SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_values,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy,
+        |  round(CASE WHEN count(*) > 1
+        |    THEN (ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) / ln(count(*))
+        |    ELSE 0.0 END, 6) AS norm_entropy
+        |FROM f GROUP BY col_name""".stripMargin,
     // wedge-count Jaccard over the co-purchase graph: adjacency self-join
     // mirrors the in-kernel pair fan-out, including the hub-exclusion cap
     // (centers of degree > 1024 contribute no wedges — non-binding at this

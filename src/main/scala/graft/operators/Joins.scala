@@ -302,6 +302,41 @@ object Joins {
         col("__er_nm").as("canonical_name"))
   }
 
+  /** Per-field survivorship for resolved entities: after
+    * [[fuzzyPairs]] → connected components, each multi-member entity gets
+    * a golden value per field by rule — the MODE of a categorical field
+    * (most frequent member value, ties to the smallest — the "majority
+    * vote" survivorship stewards default to) and the MAX of a numeric
+    * field ("best known" balance/limit). Complements [[resolveEntities]],
+    * which only picks a canonical NAME.
+    *
+    * Shape: the member table (labels joined back to the source rows) is
+    * aggregated three ways at entity/entity-value cardinality — base
+    * stats, per-(entity, value) counts, max-count pick — all grouped
+    * aggregations + entity-keyed joins; no window over members, no
+    * collect. Returns (entity_id, n_members, max_<maxCol> rounded 2,
+    * mode_<modeCol>) for entities of ≥ 2 members. */
+  def goldenFields(
+      df: DataFrame, idCol: String, strCol: String, blockCols: Seq[String],
+      modeCol: String, maxCol: String): DataFrame = {
+    val comp = Dedup.connectedComponents(fuzzyPairs(df, idCol, strCol, blockCols))
+    val members = OpUtils.shared(comp.join(
+      df.select(col(idCol).cast("long").as("id"),
+        col(modeCol).as("__gf_m"), col(maxCol).as("__gf_x")), "id"))
+    val base = members.groupBy(col("comp").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(max(col("__gf_x")), 2).as(s"max_$maxCol"))
+      .filter(col("n_members") >= 2)
+    val cnts = members.groupBy(col("comp").as("entity_id"), col("__gf_m"))
+      .agg(count(lit(1)).as("__gf_c"))
+    val mode = cnts
+      .join(cnts.groupBy(col("entity_id")).agg(max(col("__gf_c")).as("__gf_mc")),
+        "entity_id")
+      .filter(col("__gf_c") === col("__gf_mc"))
+      .groupBy(col("entity_id")).agg(min(col("__gf_m")).as(s"mode_$modeCol"))
+    base.join(mode, "entity_id")
+  }
+
   /** Snapshot reconciliation (CDC-style table diff): classify every key
     * present in either snapshot as `added` (new only), `removed` (old
     * only) or `changed` (both, but some compared column differs);

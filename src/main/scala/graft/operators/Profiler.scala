@@ -490,6 +490,46 @@ object Profiler {
     *
     * Returns one row per candidate: (lhs, rhs, n_groups, n_violations,
     * holds). */
+  /** Per-column Shannon entropy over the value distribution — the
+    * information-density readout that flags near-constant columns
+    * (entropy ≈ 0: dead feature, leaked default) and key-like columns
+    * (normalized entropy ≈ 1: every value distinct) in one table. NULLs
+    * are excluded (entropy of the OBSERVED distribution; the null share
+    * is [[profile]]'s row). `norm_entropy` divides by ln(n_distinct) —
+    * 0 for single-valued columns by convention.
+    *
+    * Shape: one unpivot explode feeds one (col, value) grouped count,
+    * re-aggregated at column cardinality — the corpus crosses one
+    * exchange, values travel as strings exactly like the single-pass
+    * profiler. Returns (col_name, n_values, n_distinct, entropy,
+    * norm_entropy), entropies rounded 6 dp. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnEntropy needs at least one column")
+    val cells = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("x"))
+      .select(col("x.col_name").as("col_name"), col("x.v").as("v"))
+      .filter(col("v").isNotNull)
+    cells.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("__ce_c"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("__ce_c")).as("n_values"),
+        count(lit(1)).as("n_distinct"),
+        (-sum(col("__ce_c").cast("double") * log(col("__ce_c"))) /* staged below */)
+          .as("__ce_part"))
+      .select(
+        col("col_name"), col("n_values"), col("n_distinct"),
+        // H = ln n − (Σ c·ln c)/n: one pass over the count cells, no
+        // per-cell division — identical arithmetic on the oracle side
+        round(log(col("n_values")) + col("__ce_part") / col("n_values"), 6)
+          .as("entropy"),
+        round(
+          when(col("n_distinct") > 1,
+            (log(col("n_values")) + col("__ce_part") / col("n_values")) /
+              log(col("n_distinct")))
+            .otherwise(lit(0.0)), 6).as("norm_entropy"))
+  }
+
   /** Data-quality expectations: evaluate every (ruleId, SQL predicate)
     * over the table in ONE aggregation and report per rule how many rows
     * violate it — the ingestion contract check ("prices positive, status

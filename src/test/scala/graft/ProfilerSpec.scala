@@ -266,6 +266,23 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
 
+  test("columnEntropy: uniform → ln k, constant → 0, nulls excluded") {
+    val df = Seq(
+      ("a", "x", null.asInstanceOf[String]),
+      ("b", "x", "only"),
+      ("c", "x", null.asInstanceOf[String]),
+      ("d", "x", "only"))
+      .toDF("u", "k", "n")
+    val out = graft.operators.Profiler.columnEntropy(df, Seq("u", "k", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ln4 = BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("u") == ((4L, 4L, ln4, 1.0))) // uniform over 4 → H = ln 4, norm 1
+    assert(out("k") == ((4L, 1L, 0.0, 0.0))) // constant column
+    assert(out("n") == ((2L, 1L, 0.0, 0.0))) // nulls excluded from n_values
+  }
+
   test("expectations count false AND null as violations, one row per rule") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "ok"), (2L, "ok"), (null, "bad"), (4L, null))

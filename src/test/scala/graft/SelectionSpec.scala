@@ -132,6 +132,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("goldenFields: mode with min-tie and rounded max per resolved entity") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // names 'aa1'/'aa2'/'aa3' chain at edit distance 1 (one entity);
+    // 'zz9' is a singleton and must not appear
+    val df = Seq(
+      (1L, "aa1", "B", 10.005),
+      (2L, "aa2", "A", 30.0),
+      (3L, "aa3", "B", 20.0),
+      (9L, "zz9", "C", 99.0))
+      .toDF("id", "name", "seg", "bal")
+    val out = Joins.goldenFields(df, "id", "name", Nil, "seg", "bal").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 30.0)      // max balance
+    assert(r.getString(3) == "B")       // mode: B twice beats A once
+    // tie case: two values with equal counts → smallest wins
+    val tie = Seq((1L, "aa1", "Z", 1.0), (2L, "aa2", "A", 2.0))
+      .toDF("id", "name", "seg", "bal")
+    assert(Joins.goldenFields(tie, "id", "name", Nil, "seg", "bal")
+      .collect().head.getString(3) == "A")
+  }
+
   test("rrfFuse sums 1/(c+rank) across lists, absent ids contribute 0") {
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
     val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
