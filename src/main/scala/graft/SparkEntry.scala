@@ -215,6 +215,11 @@ object SparkEntry {
       graft.operators.Joins.goldenFields(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq("c_nationkey"),
         "c_mktsegment", "c_acctbal")),
+    // activity concentration: Gini + "keys for 80%" over per-user event
+    // counts, exact integer arithmetic on the count-of-counts table with
+    // the KS-style distributed prefix (see Profiler.giniConcentration)
+    "profile_gini" -> ((s, dir) =>
+      graft.operators.Profiler.giniConcentration(t(s, dir, "events"), "user_id")),
     // information-density profile: per-column Shannon entropy in one
     // unpivot pass (see Profiler.columnEntropy); o_status_closed carries
     // the NULL-exclusion path
@@ -2284,6 +2289,31 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT base.entity_id, n_members, max_c_acctbal, mode_c_mktsegment
         |FROM base JOIN md ON base.entity_id = md.entity_id""".stripMargin,
+    // same integer run algebra over a plain global window (oracle side may
+    // single-thread); float enters only at the final Gini division
+    "profile_gini" ->
+      """WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM pk GROUP BY 1),
+        |tt AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+        |              CAST(sum(c * m) AS BIGINT) AS t FROM cc),
+        |pre AS (
+        |  SELECT c, m,
+        |    CAST(sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS um,
+        |    CAST(sum(c * m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ue
+        |  FROM cc),
+        |s AS (SELECT CAST(sum(c * (m * (um - m) + (m * (m + 1)) // 2)) AS BIGINT)
+        |        AS s FROM pre),
+        |cut AS (
+        |  SELECT CAST(n - um
+        |    + (4 * t - 5 * (t - ue) + 5 * c - 1) // (5 * c) AS BIGINT) AS k
+        |  FROM pre, tt
+        |  WHERE 5 * (t - ue) < 4 * t AND 5 * (t - ue + m * c) >= 4 * t)
+        |SELECT n AS n_keys, t AS total,
+        |  round(CAST(2 AS DOUBLE) * s / (CAST(n AS DOUBLE) * t)
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini,
+        |  (SELECT k FROM cut) AS keys_for_80pct
+        |FROM tt, s""".stripMargin,
     // H = ln n − (Σ c·ln c)/n assembled identically from the same count
     // cells; norm by ln(n_distinct), single-valued columns pinned to 0
     "profile_entropy" ->

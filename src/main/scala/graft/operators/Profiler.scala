@@ -563,6 +563,68 @@ object Profiler {
         (col("__xp.n_violations") === 0L).as("pass"))
   }
 
+  /** Activity concentration: the Gini coefficient of per-key event counts
+    * plus the Pareto cut "how many keys produce 80% of the volume" — the
+    * imbalance readout behind sampling, capping and skew decisions (a
+    * corpus where 1% of sources carry 80% of documents needs
+    * [[graft.operators.Curation]] caps; a join key with that profile
+    * needs [[graft.operators.Joins.saltedJoin]]).
+    *
+    * Everything derives from the count-of-counts table (distinct count
+    * value c, multiplicity m) with INTEGER arithmetic: users with count c
+    * occupy a contiguous ascending-rank run, so Σ rank·count =
+    * Σ c·(m·below + m(m+1)/2) exactly, and the 80% cut compares 5·cum
+    * against 4·total — no float enters until the final Gini division, so
+    * the result is bit-identical across engines and partitionings.
+    *
+    * Shape: per-key counts → count-of-counts (two grouped aggregations),
+    * then the KS discipline for the global ascending prefix: range
+    * partition by c, per-partition window sums, partition offsets
+    * broadcast back — never a single-reducer global window. Returns one
+    * row (n_keys, total, gini rounded 6, keys_for_80pct). */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__gc_c"))
+      .groupBy(col("__gc_c").as("c")).agg(count(lit(1)).as("m"))
+    val totals = counts.agg(
+      sum(col("m")).as("n"), sum(col("c") * col("m")).as("t"))
+    val ranged = OpUtils.shared(counts
+      .repartitionByRange(parts, col("c"))
+      .withColumn("__gc_pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__gc_pid"))
+      .agg(sum(col("m")).as("__gc_pm"),
+        sum(col("c") * col("m")).as("__gc_pe"))
+      .select(col("__gc_pid"),
+        coalesce(sum(col("__gc_pm")).over(
+          Window.orderBy(col("__gc_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__gc_om"),
+        coalesce(sum(col("__gc_pe")).over(
+          Window.orderBy(col("__gc_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__gc_oe"))
+    val w = Window.partitionBy(col("__gc_pid")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = ranged
+      .withColumn("__gc_cm", sum(col("m")).over(w))
+      .withColumn("__gc_ce", sum(col("c") * col("m")).over(w))
+      .join(broadcast(offsets), "__gc_pid")
+      .select(col("c"), col("m"),
+        (col("__gc_cm") + col("__gc_om")).as("um"),
+        (col("__gc_ce") + col("__gc_oe")).as("ue"))
+      .crossJoin(broadcast(totals))
+    val s = pre.agg(sum(
+      expr("c * (m * (um - m) + (m * (m + 1)) div 2)")).as("s"))
+    val cut = pre
+      .filter(expr("5 * (t - ue) < 4 * t AND 5 * (t - ue + m * c) >= 4 * t"))
+      .select(expr(
+        "n - um + (4 * t - 5 * (t - ue) + 5 * c - 1) div (5 * c)").as("k"))
+    totals.crossJoin(broadcast(s)).crossJoin(broadcast(cut))
+      .select(
+        col("n").as("n_keys"), col("t").as("total"),
+        round(lit(2.0) * col("s") / (col("n").cast("double") * col("t")) -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini"),
+        col("k").as("keys_for_80pct"))
+  }
+
   /** Welch two-sample t-test over every group pair: are the groups' value
     * means distinguishable given unequal variances and sizes? The A/B
     * screen ("did variant B move the metric?") and the drift alarm

@@ -266,6 +266,26 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
 
+  test("giniConcentration: hand-computed gini and 80% cut, partition-invariant") {
+    // counts per key: a→4, b→2, c→1, d→1 (8 events total).
+    // ascending ranks (1,1,2,4): S = 1·1 + 2·1 + 3·2 + 4·4 = 25
+    // gini = 2·25/(4·8) − 5/4 = 0.3125
+    // 80% of 8 = 6.4 events: a(4) + b(2) = 6 < 6.4 → need c too → 3 keys
+    val rows = Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("e", "k")
+    for (parts <- Seq(1, 5)) {
+      val r = graft.operators.Profiler
+        .giniConcentration(df.repartition(parts), "k").collect().head
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)) ==
+        ((4L, 8L, 0.3125, 3L)), s"parts=$parts got $r")
+    }
+    // exact boundary: counts 4,1 → 80% of 5 = 4.0, met by the top key alone
+    val b = (Seq.fill(4)("a") ++ Seq("b")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("e", "k")
+    assert(graft.operators.Profiler.giniConcentration(b, "k")
+      .collect().head.getLong(3) == 1L)
+  }
+
   test("columnEntropy: uniform → ln k, constant → 0, nulls excluded") {
     val df = Seq(
       ("a", "x", null.asInstanceOf[String]),
