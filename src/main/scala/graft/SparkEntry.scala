@@ -215,6 +215,12 @@ object SparkEntry {
       graft.operators.Joins.goldenFields(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq("c_nationkey"),
         "c_mktsegment", "c_acctbal")),
+    // join-cardinality forecast from the two count tables — the
+    // "will orders⋈lineitem explode" check, without running the join
+    "profile_join_cardinality" -> ((s, dir) =>
+      graft.operators.Profiler.joinCardinality(
+        t(s, dir, "orders").select(col("o_orderkey").as("k")),
+        t(s, dir, "lineitem").select(col("l_orderkey").as("k")), "k")),
     // activity concentration: Gini + "keys for 80%" over per-user event
     // counts, exact integer arithmetic on the count-of-counts table with
     // the KS-style distributed prefix (see Profiler.giniConcentration)
@@ -2289,6 +2295,17 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT base.entity_id, n_members, max_c_acctbal, mode_c_mktsegment
         |FROM base JOIN md ON base.entity_id = md.entity_id""".stripMargin,
+    "profile_join_cardinality" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |      FROM lineitem GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+        |  CAST(count(*) AS BIGINT) AS n_join_keys,
+        |  CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS join_rows,
+        |  CAST(coalesce(max(ca * cb), 0) AS BIGINT) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
     // same integer run algebra over a plain global window (oracle side may
     // single-thread); float enters only at the final Gini division
     "profile_gini" ->

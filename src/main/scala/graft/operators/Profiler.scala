@@ -563,6 +563,32 @@ object Profiler {
         (col("__xp.n_violations") === 0L).as("pass"))
   }
 
+  /** Exact join-cardinality forecast WITHOUT running the join: for an
+    * equi-join on `keyCol`, |A ⋈ B| = Σ_k cntA(k)·cntB(k) — computable
+    * from the two per-key count tables, whose join is key-cardinality
+    * sized instead of output-sized. The "is this join about to explode"
+    * check run before committing a 100 TB shuffle (a predicted 10¹²-row
+    * output means a missing predicate or a needed pre-aggregation), plus
+    * the hot-key maximum that decides whether [[graft.operators.Joins
+    * .saltedJoin]] is warranted. Returns one row (n_left, n_right,
+    * n_join_keys, join_rows, max_key_rows). */
+  def joinCardinality(
+      left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
+    val la = left.groupBy(col(keyCol).as("__jc_k")).agg(count(lit(1)).as("__jc_a"))
+    val rb = right.groupBy(col(keyCol).as("__jc_k")).agg(count(lit(1)).as("__jc_b"))
+    val nl = left.agg(count(lit(1)).as("n_left"))
+    val nr = right.agg(count(lit(1)).as("n_right"))
+    la.join(rb, "__jc_k")
+      .select((col("__jc_a") * col("__jc_b")).as("__jc_p"))
+      .agg(
+        count(lit(1)).as("n_join_keys"),
+        coalesce(sum(col("__jc_p")), lit(0L)).as("join_rows"),
+        coalesce(max(col("__jc_p")), lit(0L)).as("max_key_rows"))
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(nr))
+      .select(col("n_left"), col("n_right"), col("n_join_keys"),
+        col("join_rows"), col("max_key_rows"))
+  }
+
   /** Activity concentration: the Gini coefficient of per-key event counts
     * plus the Pareto cut "how many keys produce 80% of the volume" — the
     * imbalance readout behind sampling, capping and skew decisions (a

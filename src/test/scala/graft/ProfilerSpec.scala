@@ -266,6 +266,16 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
 
+  test("joinCardinality predicts the exact equi-join output size") {
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 1L, 3L, 4L).toDF("k")
+    val row = graft.operators.Profiler.joinCardinality(l, r, "k").collect().head
+    // actual join: key 1 → 2·3 = 6 rows, key 3 → 1 → total 7, hot key 6
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) == ((4L, 5L, 2L, 7L, 6L)))
+    assert(l.join(r, "k").count() == 7L)
+  }
+
   test("giniConcentration: hand-computed gini and 80% cut, partition-invariant") {
     // counts per key: a→4, b→2, c→1, d→1 (8 events total).
     // ascending ranks (1,1,2,4): S = 1·1 + 2·1 + 3·2 + 4·4 = 25
