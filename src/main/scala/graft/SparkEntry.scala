@@ -1915,6 +1915,11 @@ object SparkEntry {
           col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
         "doc_id", "text")),
+    // distribution-free rank normalization of event values — exact
+    // percent_rank without a single-reducer global window (see
+    // Curation.rankNormalize)
+    "curate_rank_normalize" -> ((s, dir) =>
+      Curation.rankNormalize(t(s, dir, "events"), "event_id", "value")),
     // boilerplate inspection report: the 3-token-fold lines (same trick as
     // curate_line_dedup) most widespread across documents — one explode +
     // one grouped agg + TakeOrdered, fully deterministic ties
@@ -4756,6 +4761,11 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    // the definitional window — integer rank ratio, identical division
+    "curate_rank_normalize" ->
+      """SELECT event_id,
+        |  round(percent_rank() OVER (ORDER BY value), 6) AS q
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
     "curate_boilerplate" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t

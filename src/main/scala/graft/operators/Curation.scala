@@ -873,6 +873,49 @@ object Curation {
       .select(col("__nb_id").as(idCol), col("nb_score"))
   }
 
+  /** Global rank (quantile) normalization of a numeric column: each row
+    * gets `q = (rank − 1)/(n − 1)` with RANK semantics (ties share their
+    * group's first rank) — the distribution-free feature transform that
+    * makes heavy-tailed signals comparable across sources before mixing
+    * or thresholding. Pure integer counting until one exact division, so
+    * the output is bit-identical to SQL `percent_rank()` on any engine.
+    *
+    * Shape: the classic single-reducer `Window.orderBy(value)` is
+    * replaced by the KS discipline — values collapse to a count-per-value
+    * table, range-partitioned prefix sums with broadcast partition
+    * offsets produce each value's below-count, and the corpus joins that
+    * value-keyed table back once. Returns the `idCol` and `q` rounded to
+    * 6 dp (a single-row input maps to 0). */
+  def rankNormalize(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val rows = df.select(col(idCol), col(valueCol).cast("double").as("__rn_v"))
+      .filter(col("__rn_v").isNotNull)
+    val counts = rows.groupBy(col("__rn_v")).agg(count(lit(1)).as("__rn_c"))
+    val total = counts.agg(sum(col("__rn_c")).as("__rn_n"))
+    val ranged = OpUtils.shared(counts
+      .repartitionByRange(parts, col("__rn_v"))
+      .withColumn("__rn_pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__rn_pid"))
+      .agg(sum(col("__rn_c")).as("__rn_pc"))
+      .select(col("__rn_pid"),
+        coalesce(sum(col("__rn_pc")).over(
+          Window.orderBy(col("__rn_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__rn_off"))
+    val w = Window.partitionBy(col("__rn_pid")).orderBy(col("__rn_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = ranged
+      .withColumn("__rn_cum", sum(col("__rn_c")).over(w))
+      .join(broadcast(offsets), "__rn_pid")
+      .select(col("__rn_v"),
+        (col("__rn_cum") + col("__rn_off") - col("__rn_c")).as("__rn_below"))
+    rows.join(below, "__rn_v")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(when(col("__rn_n") > 1,
+          col("__rn_below").cast("double") / (col("__rn_n") - 1))
+          .otherwise(lit(0.0)), 6).as("q"))
+  }
+
   /** Boilerplate-line report: the corpus's most widespread repeated lines
     * — (line, n_docs, n_total), lines present in at least `minDocs`
     * DISTINCT documents, top `k` by spread. The inspection companion to

@@ -983,6 +983,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("rankNormalize == percent_rank semantics: ties share first rank, nulls drop") {
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 10.0), (2L, 10.0), (3L, 20.0), (4L, 30.0), (5L, null))
+      .toDF("id", "v")
+    val got = Curation.rankNormalize(df.repartition(3), "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // n=4: ranks 1,1,3,4 → q = 0, 0, 2/3, 1
+    assert(got == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.666667, 4L -> 1.0))
+    // single row → q pinned to 0, not 0/0
+    assert(Curation.rankNormalize(Seq((9L, 5.0)).toDF("id", "v"), "id", "v")
+      .collect().head.getDouble(1) == 0.0)
+  }
+
   test("boilerplateReport ranks lines by distinct-doc spread with full tiebreaks") {
     val df = Seq(
       (1L, "nav\nbody one\nfooter"),
