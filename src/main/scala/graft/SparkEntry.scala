@@ -277,6 +277,24 @@ object SparkEntry {
           (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
       graft.operators.Graph.hitsPathCounts(fwd)
     }),
+    // hub-mixing readout: endpoint-degree Pearson r from exact integer
+    // moments over the trade graph (see Graph.degreeAssortativity)
+    "graph_assortativity" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
+      graft.operators.Graph.degreeAssortativity(fwd)
+    }),
+    // rolling 7-day distinct users from immutable per-day HLL cells —
+    // each output day merges ≤7 cells, the raw stream is scanned once
+    "sketch_rolling_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllRollingDistinct(
+        t(s, dir, "events"), "ts", "user_id")
+        .select(col("day"), col("est_distinct_window").as("est_users_7d"),
+          col("n_days_merged"))),
     // mergeable-sketch summary tables: per-(type, day) HLL cells rolled up
     // per type by unioning CELLS (the raw events are scanned once, ever).
     // At this cardinality the sketches sit in their exact sparse regime, so
@@ -2230,6 +2248,45 @@ object SparkEntry {
         |    FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c
         |  ON nodes.id = c.id)
         |SELECT id AS node_id, ROUND(r, 6) AS pr FROM r3""".stripMargin,
+    // integer endpoint-degree moments over both orientations; with the
+    // symmetric pair set r needs no sqrt — one exact ratio
+    "graph_assortativity" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM fwd WHERE src <> dst),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v FROM e) x GROUP BY id),
+        |p AS (
+        |  SELECT du.d AS x, dv.d AS y
+        |  FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id
+        |  UNION ALL
+        |  SELECT dv.d, du.d
+        |  FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  m // 2 AS n_edges,
+        |  round(CAST(m * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+        |FROM mo""".stripMargin,
+    // exact COUNT DISTINCT per trailing window — the regime the sparse
+    // sketches reproduce exactly at this cardinality
+    "sketch_rolling_distinct" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |      FROM events)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users_7d,
+        |  CAST(count(DISTINCT e.day) AS BIGINT) AS n_days_merged
+        |FROM days JOIN e ON e.day BETWEEN d - 6 AND d
+        |GROUP BY d""".stripMargin,
     // the sketches are in their exact regimes at sf0.01 (verified locally),
     // so the oracle is the exact computation the sketches approximate
     "sketch_distinct_rollup" ->

@@ -122,6 +122,52 @@ object Graph {
 
   /** Canonical undirected edge list: self-loops dropped, both orientations
     * and multi-edges collapsed to one u<v pair. */
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the undirected edge list — positive means hubs link to hubs
+    * (social cores), negative means hub-and-spoke (the structure that
+    * makes [[jaccardLinks]]' degree caps necessary; this number says
+    * WHICH regime the graph is in before those ops run). Each undirected
+    * edge contributes both ordered pairs, so the moment sums are
+    * symmetric; degrees are integers, every moment is an exact integer
+    * sum, and floats enter only at the final r division — bit-identical
+    * across engines and partitionings.
+    *
+    * Shape: degree table (one grouped count) joined onto each edge
+    * endpoint, one 5-moment aggregation — two id equi-joins and two
+    * exchanges total, nothing quadratic. Returns one row
+    * (n_nodes, n_edges, assortativity rounded 6; NULL when degenerate —
+    * fewer than 2 distinct degrees). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val canon = canonical(edges)
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__da_d"))
+    val pairs = canon
+      .join(deg.select(col("id").as("u"), col("__da_d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("__da_d").as("dv")), "v")
+    // both orientations: Σx = Σy and Σx² = Σy² by construction
+    val m = pairs.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(pairs.select(col("dv").as("x"), col("du").as("y")))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    // ANSI sessions fault ANY zero divisor (doubles included), so the
+    // all-degrees-equal degenerate case is pinned to NaN explicitly
+    val den = col("m") * col("sxx") - col("sx") * col("sx")
+    m.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(
+        col("n_nodes"),
+        expr("m div 2").as("n_edges"),
+        round(
+          when(den =!= 0,
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              den.cast("double"))
+            .otherwise(lit(Double.NaN)), 6)
+          .as("assortativity"))
+  }
+
   /** HITS hubs/authorities as EXACT integer path counts: with the classic
     * all-ones start and NO per-round normalization, round r's scores are
     * h_r(u) = #(paths u→·→·… of the alternating walk) — integers, so the

@@ -66,6 +66,39 @@ object Sketches {
         hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_distinct"),
         count(lit(1)).as("n_cells"))
 
+  /** Trailing-window distinct counts from DAILY CELLS: for every observed
+    * day, the distinct `valueCol` estimate over the trailing `windowDays`
+    * — the "rolling 7-day active users" series, answered by merging a
+    * handful of immutable per-day sketches instead of re-scanning (and
+    * re-shuffling the keys of) up to `windowDays`× the raw stream per
+    * output row. Each cell EXPLODES to the ≤ `windowDays` output days it
+    * contributes to (aggregate-first: `windowDays` rows per cell, never a
+    * range join), then one union-merge per day; a trailing semi-join
+    * keeps only days that actually occur. At sketch-sparse cardinalities
+    * the estimates are exact (the oracle regime); at 100 TB the same
+    * plan answers within HLL's ±1.04/√2^lgK. Returns (day string,
+    * est_distinct_window, n_days_merged). */
+  def hllRollingDistinct(
+      events: DataFrame, tsCol: String, valueCol: String,
+      windowDays: Int = 7, lgK: Int = 14): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val cells = hllCells(
+      events.select(to_date(col(tsCol)).as("__rd_day"), col(valueCol)),
+      Seq("__rd_day"), valueCol, lgK)
+    val spine = cells.select(col("__rd_day").as("__rd_d"))
+    cells
+      .select(explode(expr(
+        s"sequence(__rd_day, date_add(__rd_day, ${windowDays - 1}))"))
+        .as("__rd_d"), col("hll"))
+      .join(spine, Seq("__rd_d"), "left_semi")
+      .groupBy(col("__rd_d"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_distinct_window"),
+        count(lit(1)).as("n_days_merged"))
+      .select(date_format(col("__rd_d"), "yyyy-MM-dd").as("day"),
+        col("est_distinct_window"), col("n_days_merged"))
+  }
+
   /** Per-cell KLL quantile sketches over `valueCol` — the quantile analog
     * of [[hllCells]], via the custom [[graft.functions.KllSketchAgg]]
     * (Spark ships no mergeable quantile sketch). Size `k` above the

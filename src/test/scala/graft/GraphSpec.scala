@@ -364,6 +364,16 @@ class GraphSpec extends AnyFunSuite {
     assert(b(3L) == 0.333333 && b(1L) == 1.0 && b(5L) == 1.0)
   }
 
+  test("degreeAssortativity: star is maximally disassortative (r = -1)") {
+    // star K1,3: every edge pairs degree 3 with degree 1 → r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 3L, -1.0)))
+    // two disjoint edges: all degrees equal → 0/0 → NaN (degenerate, documented)
+    val pair = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(pair).collect().head.getDouble(2).isNaN)
+  }
+
   test("hitsPathCounts: exact alternating-walk counts on a directed star+chain") {
     // 1→3, 2→3, 3→4: h1 = out-degree (1,1,1,0); a1(3) = h1(1)+h1(2) = 2,
     // a1(4) = h1(3) = 1; h2(1) = a1(3) = 2, h2(2) = 2, h2(3) = a1(4) = 1;

@@ -200,4 +200,19 @@ class SketchSpec extends AnyFunSuite {
       hll_sketch_estimate(hll_sketch_agg(col("k"), 12))).collect()(0).getLong(0)
     assert(once() == once())
   }
+
+  test("hllRollingDistinct merges exactly the trailing cells per observed day") {
+    def ts(day: Int, u: Long) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), u)
+    // day 0: users {1,2}; day 2: {2,3}; day 9: {9} (gap > window)
+    val df = Seq(ts(0, 1L), ts(0, 2L), ts(2, 2L), ts(2, 3L), ts(9, 9L))
+      .toDF("ts", "user_id")
+    val got = graft.operators.Sketches
+      .hllRollingDistinct(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 1L)),  // {1,2}, one cell
+      "2024-01-03" -> ((3L, 2L)),  // {1,2,3}, days 0+2
+      "2024-01-10" -> ((1L, 1L)))) // the gap excludes older cells
+  }
 }
