@@ -288,6 +288,14 @@ object SparkEntry {
           (lit(1000000L) + col("l_suppkey").cast("long")).as("dst"))
       graft.operators.Graph.degreeAssortativity(fwd)
     }),
+    // rolling 7-day value quantiles from per-day KLL cells (exact
+    // inclusive-rank regime at this SF; ±ε beyond the sketch capacity)
+    "sketch_rolling_quantiles" -> ((s, dir) =>
+      graft.operators.Sketches.kllRollingQuantiles(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "ts", "value", probs = Seq(0.5, 0.9), k = 4096)
+        .select(col("day"), col("qs")(0).as("p50"), col("qs")(1).as("p90"),
+          col("n_days_merged"))),
     // rolling 7-day distinct users from immutable per-day HLL cells —
     // each output day merges ≤7 cells, the raw stream is scanned once
     "sketch_rolling_distinct" -> ((s, dir) =>
@@ -2275,6 +2283,21 @@ object SparkEntry {
         |  round(CAST(m * sxy - sx * sx AS DOUBLE)
         |    / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
         |FROM mo""".stripMargin,
+    // inclusive-rank order statistics per trailing window, the
+    // sketch_value_quantiles cume_dist convention per output day
+    "sketch_rolling_quantiles" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+        |      FROM events WHERE value IS NOT NULL),
+        |j AS (SELECT d, e.day, value FROM days JOIN e ON e.day BETWEEN d - 6 AND d),
+        |c AS (SELECT d, day, value,
+        |        cume_dist() OVER (PARTITION BY d ORDER BY value) AS cd FROM j)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  min(value) FILTER (WHERE cd >= 0.5) AS p50,
+        |  min(value) FILTER (WHERE cd >= 0.9) AS p90,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days_merged
+        |FROM c GROUP BY d""".stripMargin,
     // exact COUNT DISTINCT per trailing window — the regime the sparse
     // sketches reproduce exactly at this cardinality
     "sketch_rolling_distinct" ->

@@ -126,6 +126,31 @@ object Sketches {
         graft.functions.GraftFunctions.kllQuantiles(col("merged"), probs).as("qs"),
         col("n_cells")): _*)
 
+  /** Trailing-window quantiles from daily KLL cells — the quantile twin
+    * of [[hllRollingDistinct]], same aggregate-first shape: per-day cells
+    * explode to the ≤ `windowDays` output days they serve, one merge +
+    * quantile evaluation per day, the raw values never re-shuffled. With
+    * `k` above the merged-window row count the quantiles are the exact
+    * inclusive-rank order statistics (the oracle regime); past it, KLL's
+    * ±ε. Returns (day string, qs array over `probs`, n_days_merged). */
+  def kllRollingQuantiles(
+      events: DataFrame, tsCol: String, valueCol: String, probs: Seq[Double],
+      windowDays: Int = 7, k: Int = 200): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val cells = kllCells(
+      events.select(to_date(col(tsCol)).as("__rq_day"), col(valueCol)),
+      Seq("__rq_day"), valueCol, k)
+    val spine = cells.select(col("__rq_day").as("__rq_d"))
+    val exploded = cells
+      .select(explode(expr(
+        s"sequence(__rq_day, date_add(__rq_day, ${windowDays - 1}))"))
+        .as("__rq_d"), col("kll"))
+      .join(spine, Seq("__rq_d"), "left_semi")
+    kllRollup(exploded, Seq("__rq_d"), probs, k)
+      .select(date_format(col("__rq_d"), "yyyy-MM-dd").as("day"),
+        col("qs"), col("n_cells").as("n_days_merged"))
+  }
+
   /** Set-algebra estimate between two keyed relations via theta sketches:
     * |A|, |B|, |A∩B|, |A∪B|, |A∖B| from ONE aggregation per side and a
     * 1-row × 1-row combine — no join of the underlying keys. With lgK

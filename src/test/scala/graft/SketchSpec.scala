@@ -201,6 +201,21 @@ class SketchSpec extends AnyFunSuite {
     assert(once() == once())
   }
 
+  test("kllRollingQuantiles: exact trailing-window order statistics in-regime") {
+    def row(day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), v)
+    // day 0: {10, 20}; day 2: {30, 40}; window 7 → day 2 sees all four
+    val df = Seq(row(0, 10.0), row(0, 20.0), row(2, 30.0), row(2, 40.0))
+      .toDF("ts", "value")
+    val got = graft.operators.Sketches
+      .kllRollingQuantiles(df, "ts", "value", Seq(0.5, 1.0), windowDays = 7, k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(got("2024-01-01") == ((Seq(10.0, 20.0), 1L)))
+    // inclusive rank: p50 of {10,20,30,40} = 20 (cume_dist 0.5), max = 40
+    assert(got("2024-01-03") == ((Seq(20.0, 40.0), 2L)))
+  }
+
   test("hllRollingDistinct merges exactly the trailing cells per observed day") {
     def ts(day: Int, u: Long) =
       (java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), u)
