@@ -737,6 +737,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"only the broadcast query-vector product is allowed:\n${plan.take(900)}")
   }
 
+  test("rank normalize: prefix sums over the range-partitioned COUNT table, not a corpus window") {
+    val df = SparkEntry.queries("curate_rank_normalize")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("rangepartitioning"),
+      s"count table must range-partition:\n${plan.take(900)}")
+    // the only unpartitioned window may run over partition ids (offsets,
+    // #partitions rows) — never over the value or row stream
+    val globalWins = plan.linesIterator.filter(l =>
+      l.contains("Window [") && !l.contains("__rn_pid,")).toSeq
+    assert(globalWins.forall(_.contains("__rn_pid")),
+      s"window over more than the offset table:\n${globalWins.mkString("\n")}")
+  }
+
+  test("gini: integer moments from the count-of-counts table; one row out") {
+    val df = SparkEntry.queries("profile_gini")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("rangepartitioning"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(df.count() == 1)
+  }
+
+  test("rolling sketch series: cells explode to trailing days — no range join, no BNLJ") {
+    for (name <- Seq("sketch_rolling_distinct", "sketch_rolling_quantiles")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name must not pay a range join:\n${plan.take(900)}")
+      assert(plan.contains("Generate"),
+        s"$name should fan cells out via explode:\n${plan.take(900)}")
+    }
+  }
+
   test("peak concurrency: per-day window over user-day deltas, never the raw event stream") {
     val df = SparkEntry.queries("events_concurrency")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString()
