@@ -172,6 +172,17 @@ object SparkEntry {
       graft.operators.Joins.trigramSimilarityJoin(
         t(s, dir, "customer"), "c_custkey", "c_name", tau = 0.8)
     }),
+    // contrastive hard negatives: top-3 semantic neighbors per query doc
+    // that are NOT lexical near-dups (the dedup verify kernel inverted —
+    // see Similarity.hardNegatives)
+    "ann_hard_negatives" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb, "vec_id", "embedding",
+        t(s, dir, "documents"), "doc_id", "text",
+        emb.filter(col("vec_id") < 5))
+    }),
     // hybrid retrieval: BM25 lexical top-50 + cosine vector top-50 for
     // one query doc, fused by reciprocal-rank (RRF consumes only ranks,
     // so the incomparable score scales never need calibration)
@@ -2133,6 +2144,36 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM pr JOIN sz sa ON pr.id_a = sa.id JOIN sz sb ON pr.id_b = sb.id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // cosine pool ranks (the ann_brute convention) filtered by exact
+    // 3-gram shingle Jaccard; integer intersection ratios, rounded 6
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |r AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(
+        |        CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS r0
+        |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+        |  QUALIFY r0 <= 10),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x
+        |  WHERE len(tk) >= 3),
+        |j AS (
+        |  SELECT r.query_id, r.neighbor_id, r.r0,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM r JOIN s a ON r.query_id = a.doc_id
+        |         JOIN s b ON r.neighbor_id = b.doc_id),
+        |f AS (
+        |  SELECT query_id, neighbor_id, round(jac, 6) AS jaccard,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY r0)
+        |      AS BIGINT) AS rank
+        |  FROM j WHERE jac < 0.5)
+        |SELECT query_id, rank, neighbor_id, jaccard FROM f WHERE rank <= 3"""
+        .stripMargin,
     // both retrieval lists re-derived declaratively (bm25 CTE = the
     // text_bm25 oracle at k=50; cosine ranks = the ann_brute oracle for
     // query 0); CAST(1 AS DOUBLE) keeps the RRF terms IEEE doubles, not

@@ -946,6 +946,53 @@ object Similarity {
         col("col.neighbor_id").as("vec_id"))
   }
 
+  /** Contrastive hard-negative mining: for each query document, the top
+    * `k` embedding neighbors that are NOT lexical near-duplicates
+    * (word-shingle Jaccard < `maxJaccard`) — semantically close, textually
+    * distinct, exactly the negatives a contrastive encoder trains on
+    * (near-dups would be false negatives and poison the loss). The
+    * composition is ANN candidate generation at `pool` depth followed by
+    * the dedup verify kernel as a FILTER, inverted: dedup keeps high
+    * Jaccard, mining keeps low.
+    *
+    * Shape: the cosine pool comes from [[bruteForceTopK]]'s bounded-heap
+    * reduce (swap in the IVF path for corpus scale); shingle sets join
+    * back once per side as sorted 64-bit hashes; the final per-query
+    * re-rank windows over ≤ `pool` rows per query, never the corpus.
+    * `docs` must share the embedding id space. Returns
+    * (query_id, rank, neighbor_id, jaccard rounded 6). */
+  def hardNegatives(
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      queries: DataFrame, k: Int = 3, pool: Int = 10,
+      maxJaccard: Double = 0.5): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val cands = bruteForceTopK(emb, embIdCol, vecCol,
+      queries, embIdCol, vecCol, pool)
+    val sets = OpUtils.shared(OpUtils.widen(docs)
+      .select(col(docIdCol).cast("long").as("id"),
+        Dedup.wordShingles(col(textCol), 3).as("__hn_sh"))
+      .filter(size(col("__hn_sh")) > 0)
+      .select(col("id"), Dedup.hashedSet(col("__hn_sh")).as("__hn_h"),
+        size(col("__hn_sh")).as("__hn_n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    cands
+      .join(sets.select(col("id").as("query_id"), col("__hn_h").as("__hn_ha"),
+        col("__hn_n").as("__hn_na")), "query_id")
+      .join(sets.select(col("id").as("neighbor_id"), col("__hn_h").as("__hn_hb"),
+        col("__hn_n").as("__hn_nb")), "neighbor_id")
+      .withColumn("__hn_i",
+        sortedIntersectCount(col("__hn_ha"), col("__hn_hb")).cast("double"))
+      .withColumn("jaccard",
+        col("__hn_i") / (col("__hn_na") + col("__hn_nb") - col("__hn_i")))
+      .filter(col("jaccard") < maxJaccard)
+      .withColumn("__hn_r", row_number().over(w))
+      .filter(col("__hn_r") <= k)
+      .select(col("query_id"), col("__hn_r").cast("long").as("rank"),
+        col("neighbor_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Embedding drift between two corpus slices: per label, the cosine
     * between the slice-A and slice-B mean vectors — the "did this week's
     * embeddings move?" monitor run between ingestion snapshots (a drop

@@ -402,6 +402,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.size == 4)      // 2 per label
   }
 
+  test("hardNegatives drops lexical near-dups from the semantic pool") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // doc 0's closest vector is doc 1, but their texts are near-identical
+    // (jaccard ≥ 0.5) → doc 1 must be skipped; doc 2 (distinct text,
+    // similar-ish vector) becomes the rank-1 hard negative
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.05f)),  // nearest, but a near-dup text
+      (2L, Seq(0.9f, 0.2f)),    // next nearest, distinct text
+      (3L, Seq(0.0f, 1.0f)))    // far
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dogs"),
+      (1L, "the quick brown fox jumps over cats"), // shares most shingles with 0
+      (2L, "completely different words appear here now"),
+      (3L, "unrelated content entirely elsewhere found"))
+      .toDF("doc_id", "text")
+    val out = Similarity.hardNegatives(
+        emb, "vec_id", "embedding", docs, "doc_id", "text",
+        emb.filter($"vec_id" === 0), k = 2, pool = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.head == ((1L, 2L)), s"got ${out.mkString(",")}")
+    assert(!out.map(_._2).contains(1L))
+  }
+
   test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
     val df = Seq(
       // label 0: both slices centered on (1,0) → drift_cos = 1
