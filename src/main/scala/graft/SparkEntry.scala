@@ -1952,6 +1952,15 @@ object SparkEntry {
           col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
         "doc_id", "text")),
+    // strict source balancing: every source keeps min-source-size docs,
+    // winners chosen by the deterministic md5-of-id order. The synthetic
+    // corpus ships balanced, so the query plants skew first (one source
+    // loses its doc_id % 3 == 0 rows) — the floor then genuinely cuts
+    "curate_balance" -> ((s, dir) =>
+      Curation.balanceGroups(
+        t(s, dir, "documents").filter(
+          !(col("source") === "src0" && pmod(col("doc_id"), lit(3L)) === 0)),
+        "doc_id", "source")),
     // distribution-free rank normalization of event values — exact
     // percent_rank without a single-reducer global window (see
     // Curation.rankNormalize)
@@ -4882,6 +4891,20 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    // identical md5-hex ordering over the same planted-skew input; the
+    // floor is a scalar subquery
+    "curate_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE NOT (source = 'src0' AND doc_id % 3 = 0)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d),
+        |f AS (SELECT min(n) AS fl FROM (
+        |  SELECT count(*) AS n FROM d GROUP BY source) x)
+        |SELECT doc_id, source FROM r WHERE rk <= (SELECT fl FROM f)""".stripMargin,
     // the definitional window — integer rank ratio, identical division
     "curate_rank_normalize" ->
       """SELECT event_id,

@@ -873,6 +873,30 @@ object Curation {
       .select(col("__nb_id").as(idCol), col("nb_score"))
   }
 
+  /** Group balancing by deterministic downsampling: every group keeps
+    * exactly min-group-size rows (each group's winners under a content-
+    * hash order), flattening a skewed source/label mix into a uniform one
+    * — the strict-equalization counterpart of [[temperatureMix]]'s
+    * partial flattening. The md5-of-id order makes the kept set a pure
+    * function of the data: re-runs, retries and both engines agree on
+    * it (the shuffleDeterministic discipline; never a `rand()` sample).
+    *
+    * Shape: the floor is one group-cardinality aggregate reduced to a
+    * scalar; per-group ranks come from [[OpUtils.groupedRank]]'s range-
+    * partitioned assembly — parallelism is partitions × groups, never a
+    * task per group ([[TextAnalysis]]' perplexity-tier lesson). Returns
+    * the `idCol`/`groupCol` pairs that survive. */
+  def balanceGroups(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val rows = df.select(col(idCol).as("__bg_id"), col(groupCol).as("__bg_g"))
+      .withColumn("__bg_h", md5(col("__bg_id").cast("string")))
+    val floor = rows.groupBy(col("__bg_g")).agg(count(lit(1)).as("__bg_n"))
+      .agg(min(col("__bg_n")).as("__bg_floor"))
+    OpUtils.groupedRank(rows, "__bg_g", Seq(col("__bg_h"), col("__bg_id")), "__bg_r")
+      .crossJoin(broadcast(floor))
+      .filter(col("__bg_r") <= col("__bg_floor"))
+      .select(col("__bg_id").as(idCol), col("__bg_g").as(groupCol))
+  }
+
   /** Global rank (quantile) normalization of a numeric column: each row
     * gets `q = (rank − 1)/(n − 1)` with RANK semantics (ties share their
     * group's first rank) — the distribution-free feature transform that

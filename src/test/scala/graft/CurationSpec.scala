@@ -983,6 +983,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("balanceGroups keeps exactly min-group-size rows per group, deterministically") {
+    val df = ((1L to 10L).map(i => (i, "big")) ++ Seq((11L, "small"), (12L, "small")))
+      .toDF("id", "g")
+    val a = Curation.balanceGroups(df, "id", "g").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.count(_._2 == "big") == 2 && a.count(_._2 == "small") == 2)
+    // deterministic: a reshuffled re-run keeps the identical set
+    val b = Curation.balanceGroups(df.repartition(7), "id", "g").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
   test("rankNormalize == percent_rank semantics: ties share first rank, nulls drop") {
     val df = Seq[(Long, java.lang.Double)](
       (1L, 10.0), (2L, 10.0), (3L, 20.0), (4L, 30.0), (5L, null))
