@@ -1952,6 +1952,13 @@ object SparkEntry {
           col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
         "doc_id", "text")),
+    // content-hash train/val/test split — stable under reshuffles and
+    // appends, never a rand(); map-only
+    "curate_split" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents"), "doc_id")),
+    // worst peak-to-trough drop of each type's daily-mean series
+    "events_drawdown" -> ((s, dir) =>
+      EventOps.maxDrawdown(t(s, dir, "events"))),
     // strict source balancing: every source keeps min-source-size docs,
     // winners chosen by the deterministic md5-of-id order. The synthetic
     // corpus ships balanced, so the query plants skew first (one source
@@ -4891,6 +4898,28 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    // identical md5-nibble bucketing
+    "curate_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    // running peak via the same per-type ordered window over rounded
+    // daily means; drawdown differences compare identical doubles
+    "events_drawdown" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(avg(value), 6) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, mv,
+        |    max(mv) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(max(peak - mv), 6) AS max_drawdown
+        |FROM p GROUP BY event_type""".stripMargin,
     // identical md5-hex ordering over the same planted-skew input; the
     // floor is a scalar subquery
     "curate_balance" ->

@@ -873,6 +873,22 @@ object Curation {
       .select(col("__nb_id").as(idCol), col("nb_score"))
   }
 
+  /** Deterministic train/val/test assignment by CONTENT-HASH buckets:
+    * each row's split is a pure function of its id's md5 — stable under
+    * re-partitioning, re-ordering, incremental appends and id-range
+    * growth (the properties a `rand()` or modulo-on-id split loses the
+    * moment data moves), so a document can never silently migrate from
+    * train to test between pipeline runs. The first hex nibble buckets
+    * 16 ways: 12 train / 2 val / 2 test (75/12.5/12.5).
+    *
+    * Map-only — zero exchanges; the split column is codegen'd string
+    * comparison. Returns the id column plus `split`. */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      when(substring(md5(col(idCol).cast("string")), 1, 1) <= "b", "train")
+        .when(substring(md5(col(idCol).cast("string")), 1, 1) <= "d", "val")
+        .otherwise("test").as("split"))
+
   /** Group balancing by deterministic downsampling: every group keeps
     * exactly min-group-size rows (each group's winners under a content-
     * hash order), flattening a skewed source/label mix into a uniform one

@@ -728,6 +728,31 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Maximum drawdown of each type's daily-mean series: the deepest drop
+    * from any running peak to a later trough — the worst-case "how far
+    * did this metric fall before recovering" readout that a min/max pair
+    * understates (min may precede max). Daily means are rounded to 6 dp
+    * first, so the running max and the differences are engine-portable.
+    *
+    * Shape: the raw stream collapses to (type, day) means; the running
+    * peak is a per-type ordered window over that tiny series (parallelism
+    * = types, the aggregated-series-window discipline); one grouped max
+    * finishes. Returns (event_type, peak_day of the max-drawdown trough's
+    * preceding peak value, max_drawdown rounded 6). */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(
+        col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("mv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__dd_peak", max(col("mv")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(max(col("__dd_peak") - col("mv")), 6).as("max_drawdown"))
+  }
+
   /** Exponentially weighted level of each type's daily-mean series — the
     * recency-biased "where is the metric NOW" companion to the OLS trend's
     * "where is it heading" ([[trendForecast]]). The recursive SES update

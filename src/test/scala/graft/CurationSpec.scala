@@ -983,6 +983,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("hashSplit is a pure function of the id: stable under unions and reshuffles") {
+    val base = (1L to 400L).toDF("id")
+    val a = Curation.hashSplit(base, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // appending rows must not move any existing assignment
+    val b = Curation.hashSplit(
+        base.unionAll((401L to 800L).toDF("id")).repartition(7), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => b(k) == v })
+    // all three splits materialize at plausible shares (12/2/2 nibbles)
+    val shares = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares.keySet == Set("train", "val", "test"))
+    assert(shares("train") > shares("val") && shares("train") > shares("test"))
+  }
+
   test("balanceGroups keeps exactly min-group-size rows per group, deterministically") {
     val df = ((1L to 10L).map(i => (i, "big")) ++ Seq((11L, "small"), (12L, "small")))
       .toDF("id", "g")

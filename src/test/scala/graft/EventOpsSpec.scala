@@ -773,6 +773,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((2L, 17.5))))
   }
 
+  test("maxDrawdown finds the deepest peak-to-trough drop, not max-minus-min") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // series: 10, 50, 20, 40, 5 → drawdown peaks at 50−5 = 45;
+    // naive max−min = 50−5 happens to agree, so add a series where the
+    // min PRECEDES the max: 5, 50, 40 → drawdown 10, max−min would say 45
+    val df = Seq(
+      (1L, ts(0), "a", 10.0), (2L, ts(1), "a", 50.0), (3L, ts(2), "a", 20.0),
+      (4L, ts(3), "a", 40.0), (5L, ts(4), "a", 5.0),
+      (6L, ts(0), "b", 5.0), (7L, ts(1), "b", 50.0), (8L, ts(2), "b", 40.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.maxDrawdown(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> ((5L, 45.0)), "b" -> ((3L, 10.0))))
+  }
+
   test("ewmaLevel: closed form equals the recursive adjust=true EWM") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
     // series a: days 0,1,2 with means 10, 20, 40 (α=0.3):
