@@ -1952,6 +1952,18 @@ object SparkEntry {
           col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
         "doc_id", "text")),
+    // per-session size/duration scoreboard — same single window pass as
+    // sessionize, reduced through exact percentiles
+    "events_session_stats" -> ((s, dir) =>
+      EventOps.sessionStats(t(s, dir, "events"))),
+    // benchmark-integrity mirror of contamination: per EVAL doc, how much
+    // of it already leaks into the train split (see Curation.evalLeakage)
+    "curate_eval_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.evalLeakage(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
     // content-hash train/val/test split — stable under reshuffles and
     // appends, never a rand(); map-only
     "curate_split" -> ((s, dir) =>
@@ -4898,6 +4910,53 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    // the sessionize window's running sum as the session id, then
+    // session-level stats through the exact quantile_cont
+    "events_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM g),
+        |ses AS (
+        |  SELECT user_id, s, CAST(count(*) AS BIGINT) AS n,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS dur
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(avg(n), 4) AS mean_events,
+        |  round(avg(dur), 2) AS mean_duration_s,
+        |  round(quantile_cont(dur, 0.5), 2) AS p50_duration_s,
+        |  round(quantile_cont(dur, 0.95), 2) AS p95_duration_s
+        |FROM ses""".stripMargin,
+    // train grams deduped once; eval grams LEFT JOIN them per gram
+    "curate_eval_leakage" ->
+      """WITH tr AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS sh
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 <> 0) x
+        |  WHERE len(tk) >= 3),
+        |tr1 AS (SELECT sh, 1 AS lk FROM tr),
+        |ev AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 = 0) y
+        |  WHERE len(tk) >= 3)
+        |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(tr1.lk) AS BIGINT) AS n_leaked,
+        |  round(CAST(count(tr1.lk) AS DOUBLE) / count(*), 6) AS leak_frac
+        |FROM ev LEFT JOIN tr1 ON ev.sh = tr1.sh
+        |GROUP BY ev.doc_id""".stripMargin,
     // identical md5-nibble bucketing
     "curate_split" ->
       """SELECT doc_id,

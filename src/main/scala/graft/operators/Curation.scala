@@ -873,6 +873,36 @@ object Curation {
       .select(col("__nb_id").as(idCol), col("nb_score"))
   }
 
+  /** Eval-side leakage depth: for every EVAL document, the fraction of
+    * ITS n-grams that occur anywhere in the training corpus — the mirror
+    * of [[contaminationFraction]] (which scores TRAIN docs). This is the
+    * benchmark-integrity readout: a heavily-leaked eval item measures
+    * memorization, not capability, and should be rotated out.
+    *
+    * Shape: the train side reduces to its distinct gram set (one grouped
+    * exchange — the big side, deliberately UNHINTED so AQE broadcasts
+    * the small EVAL gram stream instead); one per-eval-doc aggregation
+    * finishes. Returns (idCol, n_grams, n_leaked, leak_frac rounded 6)
+    * for eval docs with at least one gram. */
+  def evalLeakage(
+      corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val trainGrams = corpus
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__lk", lit(1L))
+    evalDocs
+      .select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .join(trainGrams, Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__lk"), lit(0L))).as("n_leaked"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_leaked"),
+        round(col("n_leaked") / col("n_grams").cast("double"), 6).as("leak_frac"))
+  }
+
   /** Deterministic train/val/test assignment by CONTENT-HASH buckets:
     * each row's split is a pure function of its id's md5 — stable under
     * re-partitioning, re-ordering, incremental appends and id-range

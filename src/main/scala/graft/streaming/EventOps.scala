@@ -575,6 +575,42 @@ object EventOps {
         col("peak_concurrency"))
   }
 
+  /** Session duration/size statistics: the per-session table behind
+    * [[sessionize]]'s per-user counts — each (user, session) with its
+    * event count and wall duration, reduced to one corpus row (sessions,
+    * mean/p50/p95 duration seconds, mean events). The "how long is a
+    * session really" readout that sizes streaming state timeouts and
+    * sessionization gap parameters.
+    *
+    * Shape: the same single per-user window pass as [[sessionize]] (the
+    * gap flag's running sum IS the session id — no second sort), one
+    * grouped aggregation to session cardinality, then a one-row exact-
+    * percentile reduce over the session-sized frame. Durations are µs
+    * integers scaled once, so both engines interpolate identical
+    * doubles. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("__ss_new",
+        when(lag(tsUs, 1).over(w).isNull, 1)
+          .when(tsUs - lag(tsUs, 1).over(w) > gapMinutes * 60000000L, 1)
+          .otherwise(0))
+      .withColumn("__ss_sid", sum(col("__ss_new")).over(run))
+      .groupBy(col("user_id"), col("__ss_sid"))
+      .agg(count(lit(1)).as("__ss_n"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
+          .as("__ss_dur"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      round(avg(col("__ss_n")), 4).as("mean_events"),
+      round(avg(col("__ss_dur")), 2).as("mean_duration_s"),
+      round(expr("percentile(__ss_dur, 0.5)"), 2).as("p50_duration_s"),
+      round(expr("percentile(__ss_dur, 0.95)"), 2).as("p95_duration_s"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // compare gaps in epoch microseconds (not a seconds cast, which truncates

@@ -983,6 +983,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("ellipsis_frac") == 1.0 && !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("evalLeakage scores each eval doc's gram exposure against train") {
+    val train = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c q"),   // grams {a b c, b c q}: 1 of 2 leaked
+      (11L, "p q r s"),   // none leaked
+      (12L, "a b c d"))   // fully leaked
+      .toDF("doc_id", "text")
+    val got = Curation.evalLeakage(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      10L -> ((2L, 1L, 0.5)),
+      11L -> ((2L, 0L, 0.0)),
+      12L -> ((2L, 2L, 1.0))))
+  }
+
   test("hashSplit is a pure function of the id: stable under unions and reshuffles") {
     val base = (1L to 400L).toDF("id")
     val a = Curation.hashSplit(base, "id").collect()

@@ -773,6 +773,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((2L, 17.5))))
   }
 
+  test("sessionStats: durations and sizes per gap-split session") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      // u1: session A = events at 0, 10 (600 s, 2 events); session B = 70 (0 s)
+      (1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(70), 1L),
+      // u2: one session, 0..20 (1200 s, 3 events)
+      (4L, ts(0), 2L), (5L, ts(5), 2L), (6L, ts(20), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val r = EventOps.sessionStats(df).collect().head
+    assert(r.getLong(0) == 3L)                       // three sessions
+    assert(r.getDouble(1) == 2.0)                    // mean events (2+1+3)/3
+    assert(r.getDouble(2) == 600.0)                  // mean dur (600+0+1200)/3
+    assert(r.getDouble(3) == 600.0)                  // p50 of {0,600,1200}
+  }
+
   test("maxDrawdown finds the deepest peak-to-trough drop, not max-minus-min") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
     // series: 10, 50, 20, 40, 5 → drawdown peaks at 50−5 = 45;
