@@ -1956,6 +1956,29 @@ object SparkEntry {
     // sessionize, reduced through exact percentiles
     "events_session_stats" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"))),
+    // weekly-rhythm heatmap: one grouped aggregation to (day-name, hour)
+    // cells — the capacity/rollout-window staple
+    "events_heatmap" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "EEEE").as("dow"),
+          hour(col("ts")).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("mean_value"))),
+    // feature table for a learned ER matcher: every prefix-filtered
+    // trigram candidate pair with its similarity features side by side
+    "er_pair_features" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val cust = t(s, dir, "customer")
+      graft.operators.Joins.trigramSimilarityJoin(cust, "c_custkey", "c_name", tau = 0.8)
+        .join(cust.select(col("c_custkey").as("id_a"), col("c_name").as("__na"),
+          col("c_nationkey").as("__ka"), col("c_mktsegment").as("__sa")), "id_a")
+        .join(cust.select(col("c_custkey").as("id_b"), col("c_name").as("__nb"),
+          col("c_nationkey").as("__kb"), col("c_mktsegment").as("__sb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          levenshtein(col("__na"), col("__nb")).cast("long").as("lev_dist"),
+          (col("__ka") === col("__kb")).as("same_nation"),
+          (col("__sa") === col("__sb")).as("same_segment"))
+    }),
     // benchmark-integrity mirror of contamination: per EVAL doc, how much
     // of it already leaks into the train split (see Curation.evalLeakage)
     "curate_eval_leakage" -> ((s, dir) => {
@@ -4910,6 +4933,33 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    "events_heatmap" ->
+      """SELECT dayname(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events, round(avg(value), 4) AS mean_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the trigram-join oracle's pair space re-joined to both records for
+    // the feature columns
+    "er_pair_features" ->
+      """WITH pos AS (
+        |  SELECT c_custkey AS id, c_name,
+        |    unnest(range(1, length(c_name) - 1)) AS i
+        |  FROM customer),
+        |g AS (SELECT DISTINCT id, substr(c_name, CAST(i AS INT), 3) AS g FROM pos),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY id),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |       FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+        |e AS (
+        |  SELECT CAST(pr.id_a AS BIGINT) AS id_a, CAST(pr.id_b AS BIGINT) AS id_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |  FROM pr JOIN sz sa ON pr.id_a = sa.id JOIN sz sb ON pr.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+        |SELECT e.id_a, e.id_b, e.jaccard,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist,
+        |  a.c_nationkey = b.c_nationkey AS same_nation,
+        |  a.c_mktsegment = b.c_mktsegment AS same_segment
+        |FROM e JOIN customer a ON e.id_a = CAST(a.c_custkey AS BIGINT)
+        |       JOIN customer b ON e.id_b = CAST(b.c_custkey AS BIGINT)"""
+        .stripMargin,
     // the sessionize window's running sum as the session id, then
     // session-level stats through the exact quantile_cont
     "events_session_stats" ->
