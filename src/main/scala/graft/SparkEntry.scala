@@ -1956,6 +1956,21 @@ object SparkEntry {
     // sessionize, reduced through exact percentiles
     "events_session_stats" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"))),
+    // unique-key discovery across candidate columns in ONE scan (the
+    // pre-flight check before any keyed merge/diff trusts a column)
+    "profile_keys" -> ((s, dir) =>
+      graft.operators.Profiler.keyCandidates(
+        t(s, dir, "orders").withColumn("o_status_closed",
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_status_closed"))),
+    // longest consecutive-day streak per user (gaps-and-islands over the
+    // distinct user-day relation), deterministic top-20
+    "events_streaks" -> ((s, dir) =>
+      EventOps.longestStreaks(t(s, dir, "events"))),
+    // day-over-day change volatility of the daily-mean series
+    "events_volatility" -> ((s, dir) =>
+      EventOps.changeVolatility(t(s, dir, "events"))),
     // weekly-rhythm heatmap: one grouped aggregation to (day-name, hour)
     // cells — the capacity/rollout-window staple
     "events_heatmap" -> ((s, dir) =>
@@ -4933,6 +4948,50 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |      '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |  FROM documents) x""".stripMargin,
+    "profile_keys" -> {
+      val cs = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_status_closed")
+      val blocks = cs.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) = count(*) AND count(*) = count($c) AS is_unique
+           |FROM o""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'O' THEN NULL
+         |         ELSE o_orderstatus END AS o_status_closed
+         |  FROM orders)
+         |$blocks""".stripMargin
+    },
+    "events_streaks" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM a),
+        |s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+        |      FROM i GROUP BY 1, 2),
+        |u AS (SELECT user_id, max(len) AS streak_days,
+        |        CAST(sum(len) AS BIGINT) AS n_active_days
+        |      FROM s GROUP BY 1)
+        |SELECT user_id, streak_days, n_active_days FROM u
+        |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin,
+    "events_volatility" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(avg(value), 6) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    mv - lag(mv) OVER (PARTITION BY event_type ORDER BY day) AS ch
+        |  FROM d)
+        |SELECT event_type, CAST(count(ch) AS BIGINT) AS n_changes,
+        |  round(avg(ch), 6) AS mean_change,
+        |  round(stddev_samp(ch), 6) AS volatility
+        |FROM r WHERE ch IS NOT NULL GROUP BY event_type""".stripMargin,
     "events_heatmap" ->
       """SELECT dayname(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
         |  count(*) AS n_events, round(avg(value), 4) AS mean_value

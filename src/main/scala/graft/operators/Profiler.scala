@@ -490,6 +490,30 @@ object Profiler {
     *
     * Returns one row per candidate: (lhs, rhs, n_groups, n_violations,
     * holds). */
+  /** Unique-key discovery: which candidate columns actually key the table
+    * — (col, n_rows, n_distinct, n_nulls, is_unique), where a unique key
+    * must be null-free AND collision-free. The schema-inference step
+    * before a merge/SCD sink or a [[graft.operators.Joins.snapshotDiff]]
+    * trusts a "key" that silently duplicates.
+    *
+    * One aggregation over one scan for ALL candidates (exact distincts
+    * via the profiler's Expand plan), exploded to a row per column. */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keyCandidates needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"__kc_d_$c"),
+      count(when(col(c).isNull, 1)).as(s"__kc_n_$c")))
+    df.agg(count(lit(1)).as("__kc_rows"), aggs: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("__kc_rows").as("n_rows"),
+          col(s"__kc_d_$c").as("n_distinct"),
+          col(s"__kc_n_$c").as("n_nulls"))): _*)).as("x"))
+      .select(col("x.col_name").as("col_name"), col("x.n_rows").as("n_rows"),
+        col("x.n_distinct").as("n_distinct"), col("x.n_nulls").as("n_nulls"),
+        (col("x.n_distinct") === col("x.n_rows") && col("x.n_nulls") === 0)
+          .as("is_unique"))
+  }
+
   /** Per-column Shannon entropy over the value distribution — the
     * information-density readout that flags near-constant columns
     * (entropy ≈ 0: dead feature, leaked default) and key-like columns

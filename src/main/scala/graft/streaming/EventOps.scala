@@ -764,6 +764,59 @@ object EventOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Longest consecutive-day activity streak per user, top `k` — the
+    * gaps-and-islands engagement metric ("longest daily streak"). Island
+    * id = day − row_number over the user's DISTINCT active days: constant
+    * within a consecutive run, so one grouped count per island and one
+    * max per user finish it.
+    *
+    * Shape: the raw stream collapses to distinct (user, day) FIRST (the
+    * cohortRetention discipline — windows only ever see ≤ users × days
+    * rows), per-user windows carry the island arithmetic, TakeOrdered
+    * cuts the deterministic top-k (streak DESC, user ASC). Returns
+    * (user_id, streak_days, n_active_days). */
+  def longestStreaks(events: DataFrame, k: Int = 20): DataFrame = {
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    active
+      .withColumn("__st_isl",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("__st_isl"))
+      .agg(count(lit(1)).as("__st_len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__st_len")).as("streak_days"),
+        sum(col("__st_len")).as("n_active_days"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Day-over-day change volatility per type: mean and sample stddev of
+    * the consecutive differences of the daily-mean series — the stability
+    * readout next to [[maxDrawdown]]'s worst case (differences, not
+    * ratios: the series may cross zero, where returns are undefined and
+    * an ANSI session faults the division). Daily means round to 6 dp
+    * before differencing, so every diff is engine-identical.
+    *
+    * Shape: stream → (type, day) means, one per-type window lag over the
+    * tiny series, one grouped moment aggregation. Returns (event_type,
+    * n_changes, mean_change, volatility), stats rounded 6. */
+  def changeVolatility(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("mv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("__cv_ch", col("mv") - lag(col("mv"), 1).over(w))
+      .filter(col("__cv_ch").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_changes"),
+        round(avg(col("__cv_ch")), 6).as("mean_change"),
+        round(stddev_samp(col("__cv_ch")), 6).as("volatility"))
+  }
+
   /** Maximum drawdown of each type's daily-mean series: the deepest drop
     * from any running peak to a later trough — the worst-case "how far
     * did this metric fall before recovering" readout that a min/max pair

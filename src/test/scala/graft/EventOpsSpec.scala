@@ -773,6 +773,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((2L, 17.5))))
   }
 
+  test("longestStreaks: gaps split islands, repeats within a day collapse") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 09:00:00")
+    val df = Seq(
+      // u1: days 0,1,2 then 5,6 → longest 3, active 5 (day 1 has 2 events)
+      (1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(1), 1L), (4L, ts(2), 1L),
+      (5L, ts(5), 1L), (6L, ts(6), 1L),
+      // u2: single day
+      (7L, ts(3), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventOps.longestStreaks(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((3L, 5L)), 2L -> ((1L, 1L))))
+  }
+
+  test("changeVolatility: exact moments of the day-over-day differences") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // daily means 10, 20, 40 → changes {10, 20}: mean 15, stddev √50
+    val df = Seq((1L, ts(0), "a", 10.0), (2L, ts(1), "a", 20.0), (3L, ts(2), "a", 40.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventOps.changeVolatility(df).collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 15.0)
+    assert(math.abs(r.getDouble(3) - BigDecimal(math.sqrt(50))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("sessionStats: durations and sizes per gap-split session") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(

@@ -266,6 +266,18 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out(("k", "w")) == ((3L, 2L, false)))
   }
 
+  test("keyCandidates: unique needs distinct == rows AND zero nulls") {
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("y")), (3L, "b", None))
+      .toDF("k", "dup", "nul")
+    val out = graft.operators.Profiler.keyCandidates(df, Seq("k", "dup", "nul"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out("k") == ((3L, 0L, true)))
+    assert(out("dup") == ((2L, 0L, false)))   // collides
+    assert(out("nul") == ((2L, 1L, false)))   // distinct-but-null: NOT a key
+  }
+
   test("joinCardinality predicts the exact equi-join output size") {
     val l = Seq(1L, 1L, 2L, 3L).toDF("k")
     val r = Seq(1L, 1L, 1L, 3L, 4L).toDF("k")
