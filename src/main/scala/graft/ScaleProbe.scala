@@ -307,6 +307,16 @@ object ScaleProbe {
       }
       report("novelty_docs", scale, nvRows, nvSecs)
 
+      // zipf: suffixed-token replicas grow the vocabulary exactly scale×;
+      // the rank assembly is groupedRank's range-partitioned one (no
+      // single-reducer vocabulary window), so wall must track the token
+      // stream ~linearly
+      val (zipfVocab, zipfSecs) = timed {
+        graft.operators.TextAnalysis.zipfSlope(d, "text")
+          .select(col("vocab")).collect()(0).getLong(0)
+      }
+      report("zipf_vocab", scale, zipfVocab, zipfSecs)
+
       // trigram similarity join: k customer-name replicas, each with its
       // DIGITS rotated by the copy index — every digit-bearing gram
       // changes, so replicas share only the "Customer#" stop-grams
@@ -351,6 +361,37 @@ object ScaleProbe {
           partK, "p_partkey", Seq("size", "price", "name_len")).count()
       }
       report("skyline_rows", scale, skRows, skSecs)
+
+      // ER family END-TO-END (the heaviest bench family): deletion-variant
+      // fuzzy pairs → star-contraction CC → golden-record assembly over k×
+      // digit-rotated customer replicas. The rotation is a bijection on
+      // digits, so within-replica pair structure is exactly the original's
+      // (pair count must grow ~scale×, never quadratically) while replicas
+      // stay ≥9 edits apart; the (nation, segment) blocks DO absorb all k
+      // replicas — the honest blocking stress. Entities must grow ~scale×
+      // with CC rounds flat.
+      val custEr = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val custErK = (0 until scale).map { i =>
+        if (i == 0) custEr
+        else {
+          val rot = "0123456789".map(c => ('0' + (c - '0' + i) % 10).toChar)
+          custEr.select((col("c_custkey") + lit(i * idStride)).as("c_custkey"),
+            translate(col("c_name"), "0123456789", rot).as("c_name"),
+            col("c_nationkey"), col("c_mktsegment"))
+        }
+      }.reduce(_.unionAll(_))
+      val (erPairs, erPairSecs) = timed {
+        graft.operators.Joins.fuzzyPairs(custErK, "c_custkey", "c_name",
+          Seq("c_nationkey", "c_mktsegment")).count()
+      }
+      report("er_fuzzy_pairs", scale, erPairs, erPairSecs)
+      val (erEntities, erSecs) = timed {
+        graft.operators.Joins.resolveEntities(custErK, "c_custkey", "c_name",
+          Seq("c_nationkey", "c_mktsegment")).count()
+      }
+      report("er_entities", scale, erEntities, erSecs)
 
       PipelineCache.clear()
       spark.catalog.clearCache()

@@ -24,6 +24,43 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Part co-purchase edge list over a filtered order set — the shared
+    * edge builder of the graph suite: parts sharing an order are linked,
+    * each order's part set expanding to C(|basket|, 2) undirected pairs
+    * via the in-kernel PairCombinations.
+    *
+    * `maxBasket` is a LOUD fan-out cap (the basket_lift contract): TPC-H
+    * baskets carry ≤ 7 lineitems so the cap never binds on this data, but
+    * a real cart/playlist/page is unbounded and ONE 10⁵-item basket would
+    * emit 5·10⁹ pairs from a single row — the sorted part set is sliced
+    * to its `maxBasket` smallest keys BEFORE pair expansion, bounding any
+    * group at C(maxBasket, 2) pairs with deterministic (lowest-ids)
+    * truncation. */
+  private def coPurchaseEdges(
+      s: SparkSession, dir: String, orderKeys: DataFrame,
+      maxBasket: Int = 256): DataFrame =
+    t(s, dir, "lineitem")
+      .join(orderKeys, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .groupBy(col("o"))
+      .agg(collect_set(col("p")).as("ps"))
+      .select(explode(graft.functions.GraftFunctions
+        .pairCombinations(slice(array_sort(col("ps")), 1, maxBasket))).as("pr"))
+      .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+
+  /** The graph suite's 1995 order filter (full year). */
+  private def orders1995(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"))
+
+  /** The graph suite's Q1-1995 order filter. */
+  private def ordersQ1995(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1995-04-01").cast("date"))
+      .select(col("o_orderkey"))
+
   /** Key for an on-disk fixture derived from a testdata table: a digest of
     * the table file's identity AND content signature (length + mtime), so a
     * regenerated testdata directory gets a fresh fixture instead of silently
@@ -356,86 +393,31 @@ object SparkEntry {
     // PairCombinations, then degree-oriented wedge counting — oriented
     // out-degree is O(√m), so hub neighborhoods never explode (see
     // Graph.triangleCount)
-    "graph_triangles" -> ((s, dir) => {
-      val orders95 = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"))
-      val pairs = t(s, dir, "lineitem")
-        .join(orders95, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.triangleCount(pairs)
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(
+        coPurchaseEdges(s, dir, orders1995(s, dir)))),
     // Jaccard link prediction over the same co-purchase graph: top-20
     // non-edge pairs by common-neighbor Jaccard (in-kernel wedge fan-out,
     // minCommon prune before any join, TakeOrdered top-k)
-    "graph_jaccard" -> ((s, dir) => {
-      val orders95 = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"))
-      val edges = t(s, dir, "lineitem")
-        .join(orders95, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.jaccardLinks(edges)
-    }),
+    "graph_jaccard" -> ((s, dir) =>
+      graft.operators.Graph.jaccardLinks(
+        coPurchaseEdges(s, dir, orders1995(s, dir)))),
     // Adamic-Adar over the same co-purchase graph: wedge evidence weighted
     // 1/ln(deg(center)) — hub-discounted link prediction, same bounded
     // fan-out discipline as graph_jaccard
-    "graph_adamic_adar" -> ((s, dir) => {
-      val orders95 = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"))
-      val edges = t(s, dir, "lineitem")
-        .join(orders95, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.adamicAdarLinks(edges)
-    }),
+    "graph_adamic_adar" -> ((s, dir) =>
+      graft.operators.Graph.adamicAdarLinks(
+        coPurchaseEdges(s, dir, orders1995(s, dir)))),
     // component-size histogram via log-round alternating-star CC — the
     // macro structure readout (one giant component = the mega-merge smell)
-    "graph_components" -> ((s, dir) => {
-      val orders95 = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"))
-      val edges = t(s, dir, "lineitem")
-        .join(orders95, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.componentSizes(edges)
-    }),
+    "graph_components" -> ((s, dir) =>
+      graft.operators.Graph.componentSizes(
+        coPurchaseEdges(s, dir, orders1995(s, dir)))),
     // per-node clustering coefficient: triangle credit via the oriented
     // wedge join, one 3-way explode, one node-sized count
-    "graph_clustering" -> ((s, dir) => {
-      val orders95 = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"))
-      val edges = t(s, dir, "lineitem")
-        .join(orders95, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.clusteringCoefficient(edges)
-    }),
+    "graph_clustering" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoefficient(
+        coPurchaseEdges(s, dir, orders1995(s, dir)))),
     // multi-source BFS: hop distance from nation-1 customers over the
     // symmetrized trade graph, bounded at 3 hops (contamination-radius /
     // crawl-frontier shape). Per round ONE frontier⋈edges equi-join + one
@@ -458,41 +440,17 @@ object SparkEntry {
     // graph: per round one edges⋈labels join + vote count + aggregate-only
     // argmax (min of (-count, label) struct — no per-node window), rounds
     // plan-truncated (see Graph.labelPropagation)
-    "graph_communities" -> ((s, dir) => {
-      val ordersQ1 = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
-          col("o_orderdate") < lit("1995-04-01").cast("date"))
-        .select(col("o_orderkey"))
-      val pairs = t(s, dir, "lineitem")
-        .join(ordersQ1, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.labelPropagation(pairs, rounds = 3)
-    }),
+    "graph_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        coPurchaseEdges(s, dir, ordersQ1995(s, dir)), rounds = 3)),
     // 4-core of the Q1-1995 part co-purchase graph: iterative peeling to
     // the unique maximal subgraph of min-degree >= 4 (converges in 3
     // rounds at sf0.01; the oracle unrolls 6 — post-convergence rounds are
     // no-ops). Per round: one degree agg + two unhinted semi joins of the
     // edge list against the survivor set (see Graph.kCore)
-    "graph_kcore" -> ((s, dir) => {
-      val ordersQ1 = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
-          col("o_orderdate") < lit("1995-04-01").cast("date"))
-        .select(col("o_orderkey"))
-      val pairs = t(s, dir, "lineitem")
-        .join(ordersQ1, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .groupBy(col("o"))
-        .agg(collect_set(col("p")).as("ps"))
-        .select(explode(graft.functions.GraftFunctions
-          .pairCombinations(array_sort(col("ps")))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      graft.operators.Graph.kCore(pairs, k = 4)
-    }),
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(
+        coPurchaseEdges(s, dir, ordersQ1995(s, dir)), k = 4)),
     // one-pass heavy hitters (custom frequent-items aggregate): part keys
     // with ≥45 lineitems, found in fixed sketch memory per partition —
     // never a full distinct-key shuffle. maxMapSize 4096 > 2000 distinct
@@ -1828,18 +1786,27 @@ object SparkEntry {
     // inside one codegen'd lambda, partial-aggregated map-side
     "embed_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding")),
-    // distributed covariance + driver-side power-iteration eigensolve; no
-    // SQL oracle (eigensolve) — driver records the rows-only check
+    // distributed covariance + driver-side power-iteration eigensolve,
+    // verified IN-QUERY: the output rows are the decomposition's defining
+    // invariants (eigen-residual, orthogonality, Rayleigh quotient, PSD
+    // ordering) as booleans plus trace/Frobenius of the rounded covariance
+    // cells — the two scalars DuckDB recomputes independently from the
+    // same cells (which embed_covariance hash-matches on their own)
     "embed_pca" -> ((s, dir) =>
-      Similarity.pcaEigen(t(s, dir, "embeddings"), "embedding", k = 3)),
+      Similarity.pcaEigenChecked(t(s, dir, "embeddings"), "embedding", k = 3)),
     // recall@5 of a deliberately under-probed IVF (nProbe=1) vs the exact
-    // answer — the quality/cost dial eval; centroids are engine-trained,
-    // so no SQL oracle (rows-only check)
+    // answer — the quality/cost dial eval. Centroids are PINNED to the
+    // per-label rounded mean embeddings (the hash-matched embed_centroids
+    // cells), so assignment, probing, both search arms and the recall
+    // number are deterministic functions of the table that DuckDB
+    // reproduces exactly; the engine-trained-centroid variant
+    // (Similarity.recallEval) stays spec-tested
     "ann_recall_eval" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings")
-      Similarity.recallEval(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 1)
+      Similarity.recallEvalPinned(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        Similarity.labelCentroids(emb, "label", "embedding"), k = 5, nProbe = 1)
     }),
     "embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -2086,6 +2053,43 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+    }),
+    // REAL WAV decode: deterministic 16-bit PCM fixtures (integer sample
+    // formulas), RIFF chunk-walk parse on executors, stats declarative
+    // (explode + grouped agg). Header fields in the output come from the
+    // PARSED bytes — a mis-read fmt chunk or skipped-chunk bug breaks the
+    // hash against the oracle's direct formula recomputation
+    "multimodal_decode_wav" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavTable(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeWav(media)
+        .select(col("media_id"), col("n_channels"), col("sample_rate"),
+          col("bits_per_sample"), explode(col("samples")).as("x"))
+        .groupBy("media_id", "n_channels", "sample_rate", "bits_per_sample")
+        .agg(
+          count(lit(1)).as("n_samples"),
+          max(abs(col("x"))).cast("long").as("peak"),
+          round(avg(abs(col("x"))), 6).as("mean_abs"),
+          round(sqrt(avg(col("x").cast("double") * col("x"))), 6).as("rms"))
+        .withColumn("duration_ms", expr("n_samples * 1000 div sample_rate"))
+    }),
+    // REAL BMP decode: 24-bit fixtures at widths 16-24 (rows genuinely
+    // padded), parser undoes bottom-up rows / BGR bytes / padding; the
+    // position-weighted red sum (wsum_r) catches a row-order flip that
+    // plain channel means cannot see, and the distinct per-channel
+    // formulas catch an RGB/BGR swap
+    "multimodal_decode_bmp" -> ((s, dir) => {
+      val media = Multimodal.syntheticBmpTable(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeBmp(media)
+        .select(col("media_id"), col("width"), col("height"),
+          posexplode(col("pixels")).as(Seq("pos", "px")))
+        .groupBy("media_id", "width", "height")
+        .agg(
+          round(avg(expr("px div 65536")), 6).as("mean_r"),
+          round(avg(expr("(px div 256) % 256")), 6).as("mean_g"),
+          round(avg(expr("px % 256")), 6).as("mean_b"),
+          sum(col("pos") * expr("px div 65536")).cast("long").as("wsum_r"))
     }),
   )
 
@@ -2394,7 +2398,8 @@ object SparkEntry {
     // sketch_value_quantiles cume_dist convention per output day
     "sketch_rolling_quantiles" ->
       """WITH days AS (
-        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE value IS NOT NULL),
         |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
         |      FROM events WHERE value IS NOT NULL),
         |j AS (SELECT d, e.day, value FROM days JOIN e ON e.day BETWEEN d - 6 AND d),
@@ -4522,6 +4527,44 @@ object SparkEntry {
         |  CAST(octet_length(encode(fr)) AS BIGINT) AS frame_bytes,
         |  ('0x' || substr(md5(fr), 1, 15))::BIGINT AS frame_hash
         |FROM f""".stripMargin,
+    // the decode arm is engine-private (a real RIFF parse); the oracle
+    // recomputes every emitted stat — INCLUDING the parsed header fields —
+    // straight from the integer sample formulas the fixture was built
+    // with, so any parse defect (chunk walk, endianness, sample width)
+    // breaks the hash. avg/sqrt on exact integer sums: identical doubles,
+    // 6 dp rounds are formality
+    "multimodal_decode_wav" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, (doc_id * 31 + i * 17) % 2003 - 1001 AS x FROM s)
+        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(x)) AS BIGINT) AS peak,
+        |  round(avg(abs(x)), 6) AS mean_abs,
+        |  round(sqrt(avg(CAST(x AS DOUBLE) * x)), 6) AS rms,
+        |  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM v GROUP BY doc_id""".stripMargin,
+    // pixel formulas recomputed per (x, y) in TOP-DOWN coordinates — the
+    // Spark side must have undone the BMP's bottom-up rows (wsum_r is
+    // position-weighted: a flipped parse changes it), BGR order (distinct
+    // channel formulas), and 4-byte row padding (widths 16-24)
+    "multimodal_decode_bmp" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 9 AS w, 8 AS h FROM documents),
+        |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS pos FROM d),
+        |c AS (SELECT doc_id, w, h, pos, pos % w AS x, pos // w AS y FROM p),
+        |px AS (SELECT doc_id, w, h, pos,
+        |        (doc_id + 3 * x + 7 * y) % 256 AS r,
+        |        (2 * doc_id + x + 5 * y) % 256 AS g,
+        |        (5 * doc_id + 11 * x + y) % 256 AS b
+        |       FROM c)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+        |  round(avg(b), 6) AS mean_b,
+        |  CAST(sum(pos * r) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "ann_brute" ->
       """SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (
@@ -4575,6 +4618,59 @@ object SparkEntry {
         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+    // full mirror of the pinned-centroid recall eval: centroids re-derived
+    // as per-label 4dp-rounded means (the embed_centroids cells), corpus +
+    // queries assigned to their nearest centroid (ties → lowest label =
+    // lowest centroid index, the NearestCentroids kernel's order), approx
+    // top-5 within the probed bucket vs exact top-5, per-query recall
+    // averaged — every arm recomputed from the table, nothing pinned as a
+    // constant
+    "ann_recall_eval" ->
+      """WITH cell AS (
+        |  SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, round(avg(v), 4) AS c FROM cell GROUP BY 1, 2),
+        |carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+        |ac AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT e.vec_id, carr.label AS bucket,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), carr.cv) DESC,
+        |                 carr.label) AS rn
+        |    FROM embeddings e CROSS JOIN carr) x WHERE rn = 1),
+        |ap AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])) DESC,
+        |                 c.vec_id) AS rnk
+        |    FROM (SELECT e.*, ac.bucket FROM embeddings e
+        |          JOIN ac ON ac.vec_id = e.vec_id WHERE e.vec_id < 10) q
+        |    JOIN ac ca ON ca.bucket = q.bucket
+        |    JOIN embeddings c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id) y
+        |  WHERE rnk <= 5),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])) DESC,
+        |                 c.vec_id) AS rnk
+        |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |    WHERE c.vec_id <> q.vec_id) z
+        |  WHERE rnk <= 5),
+        |r AS (
+        |  SELECT ex.query_id,
+        |    CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS rec
+        |  FROM ex LEFT JOIN ap
+        |    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        |  GROUP BY ex.query_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |  round(avg(rec), 4) AS mean_recall
+        |FROM r""".stripMargin,
     // brute force restricted to the filtered subset — the filtered-IVF
     // path with exhaustive probes must reproduce it exactly
     "ann_filtered" ->
@@ -4727,10 +4823,12 @@ object SparkEntry {
         |  FROM events GROUP BY 1 HAVING count(value) >= 2)
         |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
         |  a.m AS mean_a, b.m AS mean_b,
-        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
-        |  round(pow(a.v / a.n + b.v / b.n, 2) /
-        |    (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2)
-        |    AS welch_df
+        |  CASE WHEN a.v / a.n + b.v / b.n = 0 THEN NULL
+        |    ELSE round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) END AS t_stat,
+        |  CASE WHEN a.v / a.n + b.v / b.n = 0 THEN NULL
+        |    ELSE round(pow(a.v / a.n + b.v / b.n, 2) /
+        |      (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2)
+        |    END AS welch_df
         |FROM s a JOIN s b ON a.g < b.g""".stripMargin,
     "embed_centroids" ->
       """SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
@@ -4794,6 +4892,37 @@ object SparkEntry {
         |  CASE WHEN round(exy - ma.mi * mb.mi, 6) = 0 THEN 0.0
         |       ELSE round(exy - ma.mi * mb.mi, 6) END AS cov
         |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""".stripMargin,
+    // the eigensolve is engine-private; the oracle pins (a) the in-query
+    // eigen invariants (residual/orthogonality/Rayleigh/PSD-order booleans
+    // the Spark side genuinely computes against the undeflated matrix — a
+    // broken solve flips one and fails the hash) and (b) trace + Frobenius
+    // of the SAME rounded covariance cells, recomputed here independently
+    // (upper-triangle cells: off-diagonals count twice). 6 dp rounds on
+    // cells and on the two scalars absorb sum-order ulps, the
+    // embed_covariance discipline.
+    "embed_pca" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS i,
+        |        unnest(e) AS xi
+        |      FROM v),
+        |m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS exy
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT p.i, p.j,
+        |    CASE WHEN round(exy - ma.mi * mb.mi, 6) = 0 THEN 0.0
+        |         ELSE round(exy - ma.mi * mb.mi, 6) END AS cov
+        |  FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i),
+        |t AS (
+        |  SELECT round(sum(CASE WHEN i = j THEN cov ELSE 0 END), 6) AS trace,
+        |    round(sqrt(sum(CASE WHEN i = j THEN cov * cov
+        |                        ELSE 2 * cov * cov END)), 6) AS frob_norm
+        |  FROM cov)
+        |SELECT CAST(c.c AS BIGINT) AS component,
+        |  true AS residual_ok, true AS orth_ok, true AS rayleigh_ok,
+        |  true AS ordered_ok, t.trace, t.frob_norm
+        |FROM t, (VALUES (0), (1), (2)) c(c)""".stripMargin,
     "curate_sample" ->
       """SELECT source, doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0""".stripMargin,

@@ -249,7 +249,10 @@ object Curation {
       require(!df.columns.contains(c),
         s"deterministic ordering reserves the '$c' column; rename it first"))
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val ranged = OpUtils.shared(df
+    // sharedPinned, not shared: the pid-keyed frame feeds both the offset
+    // branch and the windowed branch — an LRU-evicted recompute may
+    // resample range boundaries and silently corrupt the prefix sums
+    val ranged = OpUtils.sharedPinned(df
       .withColumn("__w", weight.cast("long"))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .repartitionByRange(parts, col("__h"), col(idCol))
@@ -962,7 +965,11 @@ object Curation {
       .filter(col("__rn_v").isNotNull)
     val counts = rows.groupBy(col("__rn_v")).agg(count(lit(1)).as("__rn_c"))
     val total = counts.agg(sum(col("__rn_c")).as("__rn_n"))
-    val ranged = OpUtils.shared(counts
+    // sharedPinned, not shared: the pid-keyed frame feeds BOTH the offset
+    // branch and the below-count branch — an LRU-evicted recompute may
+    // resample range boundaries and silently corrupt the prefix sums
+    // (the groupedRank hazard)
+    val ranged = OpUtils.sharedPinned(counts
       .repartitionByRange(parts, col("__rn_v"))
       .withColumn("__rn_pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__rn_pid"))

@@ -135,8 +135,8 @@ object Graph {
     * Shape: degree table (one grouped count) joined onto each edge
     * endpoint, one 5-moment aggregation — two id equi-joins and two
     * exchanges total, nothing quadratic. Returns one row
-    * (n_nodes, n_edges, assortativity rounded 6; NULL when degenerate —
-    * fewer than 2 distinct degrees). */
+    * (n_nodes, n_edges, assortativity rounded 6; pinned to NaN when
+    * degenerate — fewer than 2 distinct degrees). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val canon = canonical(edges)
     val deg = canon.select(col("u").as("id"))

@@ -353,15 +353,21 @@ object Joins {
     * colliding changed row (p ≈ n²/2⁶⁴ across matched keys) would
     * misreport as unchanged — acceptable for a diff feed; re-verify
     * `changed` rows against full columns downstream if the consumer needs
-    * certainty. Keys must be unique per snapshot (it is a diff of
-    * keyed states, not a multiset compare — see Dedup for those). */
+    * certainty. Spark's hash functions SKIP null inputs (the fold leaves
+    * the seed untouched), so a bare `xxhash64(cols)` would collide
+    * DETERMINISTICALLY on null-shifted rows — ("a", NULL) vs (NULL, "a")
+    * hash identically; the signature therefore interleaves a per-column
+    * isnull flag with each value, which pins every column's position in
+    * the fold and confines collisions to the random 2⁻⁶⁴ class. Keys must
+    * be unique per snapshot (it is a diff of keyed states, not a multiset
+    * compare — see Dedup for those). */
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "snapshotDiff needs key and compare columns")
     def sig(df: DataFrame, h: String) = df.select(
-      keyCols.map(col) :+ xxhash64(compareCols.map(col): _*).as(h): _*)
+      keyCols.map(col) :+ OpUtils.nullSafeContentHash(compareCols).as(h): _*)
     sig(oldDf, "__ho").join(sig(newDf, "__hn"), keyCols, "full_outer")
       .withColumn("status",
         when(col("__ho").isNull, lit("added"))

@@ -36,6 +36,17 @@ private[graft] object OpUtils {
     }
   }
 
+  /** 64-bit content signature over `cols` that cannot collide on
+    * null-shifted rows. Spark's hash functions SKIP null inputs (a null
+    * argument leaves the running seed untouched), so a bare
+    * `xxhash64(cols)` hashes ("a", NULL) and (NULL, "a") identically —
+    * a deterministic collision class, not the random 2⁻⁶⁴ one.
+    * Interleaving an `isnull` flag after every value pins each column's
+    * position in the fold: any value/null shift changes the flag sequence
+    * and therefore the hash. */
+  def nullSafeContentHash(cols: Seq[String]): Column =
+    xxhash64(cols.flatMap(c => Seq(col(c), isnull(col(c)).cast("int"))): _*)
+
   /** Distributed PER-GROUP rank under `orderCols` — the grouped analog of
     * Curation's hash-order prefix sum, for when
     * `row_number().over(Window.partitionBy(group).orderBy(...))` would

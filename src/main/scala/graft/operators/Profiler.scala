@@ -386,7 +386,8 @@ object Profiler {
         count(when(!condA, 1)).as("__ks_cb"))
     val totals = counts.agg(
       sum(col("__ks_ca")).as("n_a"), sum(col("__ks_cb")).as("n_b"))
-    val ranged = OpUtils.shared(counts
+    // sharedPinned: pid-keyed two-branch frame — see giniConcentration
+    val ranged = OpUtils.sharedPinned(counts
       .repartitionByRange(parts, col("__ks_v"))
       .withColumn("__ks_pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__ks_pid"))
@@ -638,7 +639,10 @@ object Profiler {
       .groupBy(col("__gc_c").as("c")).agg(count(lit(1)).as("m"))
     val totals = counts.agg(
       sum(col("m")).as("n"), sum(col("c") * col("m")).as("t"))
-    val ranged = OpUtils.shared(counts
+    // sharedPinned, not shared: the pid-keyed frame feeds both the offset
+    // and the prefix branch — an LRU-evicted recompute may resample range
+    // boundaries and silently corrupt the prefix sums (groupedRank hazard)
+    val ranged = OpUtils.sharedPinned(counts
       .repartitionByRange(parts, col("c"))
       .withColumn("__gc_pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__gc_pid"))
@@ -703,13 +707,21 @@ object Profiler {
       col("m").as("mean_b"), col("v").as("v_b"))
     val sa = col("v_a") / col("n_a")
     val sb = col("v_b") / col("n_b")
+    // zero-variance guard: two constant-valued groups (sample variance
+    // rounds to 0 at 6 dp) make sa + sb a zero divisor, which an ANSI
+    // session faults — pin the degenerate pair to NULL t/df explicitly
+    // (the degreeAssortativity discipline), mirrored in the DuckDB oracle
+    val degenerate = sa + sb === 0.0
     a.join(b, col("group_a") < col("group_b"))
       .select(
         col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("mean_a"), col("mean_b"),
-        round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 4).as("t_stat"),
-        round(pow(sa + sb, 2) /
-          (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1)), 2)
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 4))
+          .as("t_stat"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(pow(sa + sb, 2) /
+            (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1)), 2))
           .as("welch_df"))
   }
 

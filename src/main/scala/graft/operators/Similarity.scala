@@ -829,6 +829,59 @@ object Similarity {
         when(cov === 0.0, lit(0.0)).otherwise(cov).as("cov"))
   }
 
+  /** Collect the [[covarianceMatrix]] cells into a symmetric driver-side
+    * d×d array, cells SORTED by (i, j) before assembly so every derived
+    * scalar (trace, Frobenius, the eigensolve itself) sums in a fixed
+    * order — deterministic run to run regardless of collect order. */
+  private def covToMatrix(df: DataFrame, vecCol: String): Array[Array[Double]] = {
+    val cells = covarianceMatrix(df, vecCol).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      .sortBy(c => (c._1, c._2))
+    require(cells.nonEmpty, "PCA requires a non-empty embedding column")
+    val d = cells.map(_._1).max + 1
+    require(d <= 1024,
+      s"PCA collects the d x d covariance to the driver; d=$d exceeds 1024")
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    a
+  }
+
+  /** Power iteration with deflation on a (mutated) symmetric matrix:
+    * top-`k` (λ, v) pairs, deterministic from an all-ones start vector.
+    * `iters` must be sized for the spectral gap — near-isotropic spectra
+    * (random embeddings: λ₂/λ₁ ≈ 0.99) need thousands of iterations, and
+    * each costs only O(d²) driver flops, so the default errs high; the
+    * loop exits early once the residual ‖Av − λv‖∞ hits machine noise
+    * (an exact, deterministic test on deterministic arithmetic). */
+  private def eigenSolve(
+      a: Array[Array[Double]], k: Int, iters: Int): Seq[(Double, Array[Double])] = {
+    val d = a.length
+    (0 until math.min(k, d)).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val av = Array.tabulate(d)(i =>
+          (0 until d).map(j => a(i)(j) * v(j)).sum)
+        val norm = math.sqrt(av.map(x => x * x).sum)
+        if (norm > 0) v = av.map(_ / norm)
+        val av2 = Array.tabulate(d)(i =>
+          (0 until d).map(j => a(i)(j) * v(j)).sum)
+        lambda = (0 until d).map(i => v(i) * av2(i)).sum
+        converged = (0 until d).forall(i => math.abs(av2(i) - lambda * v(i)) <= 1e-14)
+        it += 1
+      }
+      // deflate: remove the found component so the next iteration
+      // converges to the next eigenpair
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      (lambda, v)
+    }
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Top-`k` PCA eigenpairs of the embedding covariance: (component,
     * eigenvalue, explained_var). The heavy lifting — the covariance — is
     * the distributed [[covarianceMatrix]] aggregation; the eigensolve runs
@@ -838,40 +891,74 @@ object Similarity {
     * all-ones start vector. Covariance cells are pre-rounded to 6 dp, so
     * the eigensolve consumes engine-stable inputs. Eigenvalues of a PSD
     * matrix, rounded 6 dp; explained_var = λ / trace. */
-  def pcaEigen(df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 100): DataFrame = {
+  def pcaEigen(df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 5000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val cells = covarianceMatrix(df, vecCol).collect()
-    require(cells.nonEmpty, "pcaEigen requires a non-empty embedding column")
-    val d = (cells.map(_.getLong(0)).max + 1).toInt
-    require(d <= 1024,
-      s"pcaEigen collects the d x d covariance to the driver; d=$d exceeds 1024")
-    val a = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
-      a(i)(j) = c; a(j)(i) = c
-    }
+    val a = covToMatrix(df, vecCol)
+    val d = a.length
     val trace = (0 until d).map(i => a(i)(i)).sum
-    val comps = (0 until math.min(k, d)).map { c =>
-      var v = Array.fill(d)(1.0 / math.sqrt(d))
-      var lambda = 0.0
-      for (_ <- 1 to iters) {
-        val av = Array.tabulate(d)(i =>
-          (0 until d).map(j => a(i)(j) * v(j)).sum)
-        val norm = math.sqrt(av.map(x => x * x).sum)
-        if (norm > 0) v = av.map(_ / norm)
-        lambda = (0 until d).map(i => v(i) *
-          (0 until d).map(j => a(i)(j) * v(j)).sum).sum
-      }
-      // deflate: remove the found component so the next iteration
-      // converges to the next eigenpair
-      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
-      val r6 = (x: Double) =>
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val comps = eigenSolve(a, k, iters).zipWithIndex.map { case ((lambda, _), c) =>
       (c.toLong, r6(lambda), r6(if (trace > 0) lambda / trace else 0.0))
     }
     import df.sparkSession.implicits._
     comps.toDF("component", "eigenvalue", "explained_var")
+  }
+
+  /** [[pcaEigen]] with its correctness surfaced as SQL-CHECKABLE
+    * invariants — the eigensolve is driver-side and engine-private, so a
+    * SQL oracle cannot reproduce λ directly; what it CAN do is (a)
+    * recompute the two matrix scalars that pin the input — trace and
+    * Frobenius norm of the 6dp-rounded covariance cells (the cells
+    * themselves are independently hash-matched by embed_covariance) — and
+    * (b) assert the decomposition's defining properties, which this query
+    * verifies IN-QUERY against the UNdeflated matrix and emits as
+    * booleans:
+    *   residual_ok — ‖A·v − λ·v‖∞ ≤ tol (v is an eigenvector of A)
+    *   orth_ok     — max |v·v_prev| ≤ tol (deflated components stay
+    *                 orthogonal)
+    *   rayleigh_ok — |vᵀAv − λ| ≤ tol on the ORIGINAL matrix (λ really is
+    *                 this vector's Rayleigh quotient of A, not of some
+    *                 deflation artifact)
+    *   ordered_ok  — λ_c ≤ λ_{c−1} and 0 ≤ Σλ ≤ trace + tol (a PSD
+    *                 spectrum, in order, not exceeding total variance)
+    * A broken eigensolve (wrong deflation, unconverged iteration, sign
+    * bug) flips a boolean and fails the hash gate. Default tol 1e-6:
+    * converged power iteration leaves residuals at ~1e-14 (measured across
+    * SFs — see SimilaritySpec), so the margin is ~10⁸ while any real
+    * defect lands orders of magnitude above it. Returns one row per
+    * component: (component, residual_ok, orth_ok, rayleigh_ok,
+    * ordered_ok, trace r6, frob_norm r6). */
+  def pcaEigenChecked(
+      df: DataFrame, vecCol: String, k: Int = 2, iters: Int = 5000,
+      tol: Double = 1e-6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val a0 = covToMatrix(df, vecCol)
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val trace = (0 until d).map(i => a0(i)(i)).sum
+    val frob = math.sqrt(
+      (0 until d).flatMap(i => (0 until d).map(j => a0(i)(j) * a0(i)(j))).sum)
+    val comps = eigenSolve(a, k, iters)
+    val rows = comps.zipWithIndex.map { case ((lambda, v), c) =>
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a0(i)(j) * v(j)).sum)
+      val residual = (0 until d).map(i => math.abs(av(i) - lambda * v(i))).max
+      val rayleigh = (0 until d).map(i => v(i) * av(i)).sum
+      val orth = (0 until c).map(p =>
+        math.abs((0 until d).map(i => v(i) * comps(p)._2(i)).sum))
+        .foldLeft(0.0)(math.max)
+      val cum = comps.take(c + 1).map(_._1).sum
+      (c.toLong,
+        residual <= tol,
+        orth <= tol,
+        math.abs(rayleigh - lambda) <= tol,
+        (c == 0 || lambda <= comps(c - 1)._1 + tol) &&
+          lambda >= -tol && cum <= trace + tol,
+        r6(trace), r6(frob))
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("component", "residual_ok", "orth_ok", "rayleigh_ok",
+      "ordered_ok", "trace", "frob_norm")
   }
 
   /** Recall@k of the IVF index against the exact brute-force answer, over
@@ -895,6 +982,13 @@ object Similarity {
     val approx = ivfTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
         nProbe = nProbe)
       .select(col("query_id"), col("neighbor_id"))
+    recallSummary(exact, approx, k)
+  }
+
+  /** Mean recall@k of `approx` against `exact` (both (query_id,
+    * neighbor_id) frames): |approx ∩ exact| / |exact| per query, averaged.
+    * One row (n_queries, k, mean_recall rounded 4). */
+  private def recallSummary(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("__re_hit"))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("__re_n"))
@@ -906,6 +1000,57 @@ object Similarity {
         count(lit(1)).as("n_queries"),
         lit(k).cast("long").as("k"),
         round(avg(col("__re_r")), 4).as("mean_recall"))
+  }
+
+  /** Per-group mean-embedding centroids, rounded 4 dp and ordered by
+    * group key — DETERMINISTIC, engine-portable pinned centroids (the
+    * [[meanEmbeddings]] cells, which the correctness gate hash-matches on
+    * their own, assembled driver-side: #groups × dim scalars). The pinning
+    * input for [[recallEvalPinned]]: any engine reading the same table
+    * derives the identical centroid set. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): Seq[Seq[Double]] = {
+    val cells = meanEmbeddings(df, labelCol, vecCol)
+      .select(col(labelCol).cast("long"), col("dim"), col("mean_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    require(cells.nonEmpty, "labelCentroids requires a non-empty embedding column")
+    cells.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  /** [[recallEval]] with CALLER-PINNED centroids instead of the
+    * engine-trained ones: the quality eval for a FIXED index (the saved /
+    * shared-index deployment pattern), and — because the pinned centroids
+    * can be derived from the data by any engine (see [[labelCentroids]])
+    * — the configuration whose recall number is externally reproducible:
+    * assignment (nearest centroid, ties to the lowest centroid index),
+    * probing, both search arms, and the recall arithmetic are all
+    * deterministic functions of the input tables. Same scale shape as
+    * [[recallEval]]: brute arm streams the corpus once with bounded-heap
+    * top-k, IVF arm is a map-only assignment + broadcast-probe bucket
+    * join. Returns one row (n_queries, k, mean_recall rounded 4). */
+  def recallEvalPinned(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(centroids.nonEmpty, "recallEvalPinned requires centroids")
+    val exact = bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val bucketed = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("bucket"))
+    val probed = queries.select(
+      col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      explode(nearestCentroids(col(qVecCol), centroids,
+        math.min(nProbe, centroids.length))).as("bucket"))
+    val approx = rankTopK(
+        bucketed.join(broadcast(probed), Seq("bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", cosineSim(col("cv"), col("qv"))), k)
+      .select(col("query_id"), col("neighbor_id"))
+    recallSummary(exact, approx, k)
   }
 
   /** Per-label centroid-distance outliers: for every label, the `k`

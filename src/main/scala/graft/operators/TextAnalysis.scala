@@ -448,15 +448,19 @@ object TextAnalysis {
   /** Corpus-health Zipf check: the slope of ln(frequency) against ln(rank)
     * over the token vocabulary. Natural corpora run near −1; synthetic,
     * template-heavy, or truncated-vocabulary data drifts visibly — a cheap
-    * one-number drift detector for an ingestion pipeline. The rank window
-    * sorts only the VOCABULARY-sized count relation (the corpus itself
-    * crosses one count-aggregate exchange); the regression is a single
-    * scalar aggregate. Returns one row (zipf_slope, vocab, n_tokens). */
+    * one-number drift detector for an ingestion pipeline. Ranking the
+    * count relation with a global `Window.orderBy` would funnel the WHOLE
+    * vocabulary — 10⁸–10⁹ distinct tokens on a web corpus — through one
+    * reducer, so ranks come from [[OpUtils.groupedRank]]'s range-
+    * partitioned assembly instead (the text_ppl_bucket discipline; one
+    * constant group, parallelism = partitions); the regression is then a
+    * single scalar aggregate. Returns one row (zipf_slope, vocab,
+    * n_tokens). */
   def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
     val counts = df.select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val byFreq = Window.orderBy(col("c").desc, col("tok"))
-    counts.withColumn("rank", row_number().over(byFreq))
+      .withColumn("__zs_g", lit(0))
+    OpUtils.groupedRank(counts, "__zs_g", Seq(col("c").desc, col("tok")), "rank")
       .agg(
         round(regr_slope(log(col("c")), log(col("rank"))), 4).as("zipf_slope"),
         count(lit(1)).cast("long").as("vocab"),

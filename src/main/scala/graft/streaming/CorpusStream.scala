@@ -38,9 +38,11 @@ object CorpusStream {
     * diff's job — documented here rather than silently half-answered.
     *
     * Per micro-batch this is stateless: the prior snapshot is projected
-    * ONCE to (key, xxhash64 of compared columns) — the id-only-exchange
-    * discipline — and each batch left-joins that static side. Returns
-    * append-mode rows: all stream columns plus `status`. */
+    * ONCE to (key, null-safe xxhash64 of compared columns — see
+    * [[graft.operators.OpUtils.nullSafeContentHash]] for why a bare
+    * xxhash64 collides deterministically on null-shifted rows) — the
+    * id-only-exchange discipline — and each batch left-joins that static
+    * side. Returns append-mode rows: all stream columns plus `status`. */
   def snapshotDiffStreaming(
       stream: DataFrame,
       priorSnapshot: DataFrame,
@@ -49,9 +51,9 @@ object CorpusStream {
     require(compareCols.nonEmpty, "snapshotDiffStreaming needs compare columns")
     val prior = priorSnapshot.select(
       col(keyCol),
-      xxhash64(compareCols.map(col): _*).as("__prior_h"))
+      graft.operators.OpUtils.nullSafeContentHash(compareCols).as("__prior_h"))
     stream
-      .withColumn("__new_h", xxhash64(compareCols.map(col): _*))
+      .withColumn("__new_h", graft.operators.OpUtils.nullSafeContentHash(compareCols))
       .join(prior, Seq(keyCol), "left")
       .withColumn("status",
         when(col("__prior_h").isNull, lit("added"))

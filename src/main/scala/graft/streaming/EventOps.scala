@@ -826,8 +826,8 @@ object EventOps {
     * Shape: the raw stream collapses to (type, day) means; the running
     * peak is a per-type ordered window over that tiny series (parallelism
     * = types, the aggregated-series-window discipline); one grouped max
-    * finishes. Returns (event_type, peak_day of the max-drawdown trough's
-    * preceding peak value, max_drawdown rounded 6). */
+    * finishes. Returns (event_type, n_days of the daily series,
+    * max_drawdown rounded 6). */
   def maxDrawdown(events: DataFrame): DataFrame = {
     val daily = events.groupBy(
         col("event_type"), to_date(col("ts")).as("day"))
