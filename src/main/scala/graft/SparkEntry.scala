@@ -1553,6 +1553,16 @@ object SparkEntry {
     // narrow pass with the native kernel, no per-char row explosion
     "text_entropy" -> ((s, dir) =>
       TextAnalysis.characterEntropy(t(s, dir, "documents"), "doc_id", "text")),
+    // distributed BPE tokenizer training: 8 merge rounds over the word-
+    // frequency table (corpus-sized exchange once, vocab-sized per round,
+    // 1-row driver argmax); oracle replays the identical loop as chained
+    // materialized CTEs
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", rounds = 8)),
+    // the trained tokenizer's corpus compression: encode with the 8
+    // learned merges, report freq-weighted symbols-per-char
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeStats(t(s, dir, "documents"), "text", rounds = 8)),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -2093,10 +2103,60 @@ object SparkEntry {
     }),
   )
 
+  /** Generated DuckDB oracle for the BPE trainer: replays the identical
+    * merge loop as chained MATERIALIZED CTEs (one pair-count + argmax +
+    * replace triple per round — materialization is load-bearing: each
+    * round references the previous one five times, and inlined CTEs would
+    * re-expand the chain exponentially). Same double-marker symbol
+    * encoding, same (count desc, pair asc) tie order, same left-to-right
+    * `replace` application as [[graft.operators.TextAnalysis.bpeTrain]]. */
+  private def bpeOracleSql(rounds: Int, encode: Boolean): String = {
+    val m = "·" // the boundary marker; doubled between symbols
+    val sb = new StringBuilder
+    sb.append(s"""WITH w0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |    '$m$m' || regexp_replace(w, '(.)', '\\1$m$m', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$')
+      |  GROUP BY w)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS c
+        |  FROM (SELECT freq, list_filter(string_split(s, '$m$m'), x -> x <> '') AS syms
+        |        FROM w${i - 1}),
+        |       UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+        |  WHERE len(syms) >= 2
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT w, freq, replace(s,
+        |    '$m' || (SELECT a FROM b$i) || '$m$m' || (SELECT b FROM b$i) || '$m',
+        |    '$m' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$m') AS s
+        |  FROM w${i - 1})""".stripMargin)
+    }
+    if (encode)
+      sb.append(s"""
+        |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+        |  CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(freq * len(list_filter(string_split(s, '$m$m'), x -> x <> ''))) AS BIGINT) AS n_symbols,
+        |  round(sum(freq * len(list_filter(string_split(s, '$m$m'), x -> x <> ''))) * 1.0
+        |    / sum(freq * length(w)), 6) AS compression
+        |FROM w$rounds""".stripMargin)
+    else
+      sb.append((1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM b$i")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY round"))
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] =
     // the bloom-prefiltered path promises bit-identical output to the exact
     // operator, so it shares that operator's oracle verbatim
-    oracleSqlBase + ("curate_bloom_decontaminate" -> oracleSqlBase("curate_decontaminate"))
+    oracleSqlBase ++ Map(
+      "curate_bloom_decontaminate" -> oracleSqlBase("curate_decontaminate"),
+      "text_bpe_train" -> bpeOracleSql(8, encode = false),
+      "text_bpe_encode" -> bpeOracleSql(8, encode = true))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

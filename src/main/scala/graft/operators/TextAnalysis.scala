@@ -717,4 +717,111 @@ object TextAnalysis {
       .select(col("__ov_id").as(idCol), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** Boundary marker for the BPE symbol encoding: every inter-symbol (and
+    * edge) boundary carries TWO markers, and a merge pattern consumes one
+    * from each side — so Java/SQL `replace`'s left-to-right resume-after-
+    * replacement scan can never eat a neighbor pair's boundary ("a b a b"
+    * merges to "ab ab", not "ab a b"), and a pattern can never false-match
+    * across a symbol boundary (every symbol in the pattern is fully
+    * marker-delimited). Symbols themselves are [a-z]+ by the word filter,
+    * so they never contain the marker. */
+  private val BpeSep = "·"
+  private val BpeSep2 = BpeSep + BpeSep
+
+  /** Word-frequency table in BPE symbol encoding: the corpus collapses to
+    * vocab-sized (word, freq, symbol-string) rows BEFORE any merge
+    * iteration — the standard trainer representation (pair counts are
+    * freq-weighted), which is what makes BPE training tractable at
+    * 100 TB: iterations touch Heaps-law vocabulary rows, never the
+    * corpus. Non-[a-z]+ tokens are excluded so symbols can never collide
+    * with the boundary marker. */
+  private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .withColumn("s",
+        concat(lit(BpeSep2), regexp_replace(col("w"), "(.)", "$1" + BpeSep2)))
+
+  /** Freq-weighted adjacent-symbol-pair counts of one BPE round — the
+    * trainer's per-iteration aggregate, vocab-sized on both sides. */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        expr(s"filter(split(s, '$BpeSep2'), x -> x != '')").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("freq")).as("c"))
+
+  /** Run `rounds` BPE merge iterations; returns the learned merges and the
+    * final symbolized word table. Each round is one vocab-sized pair-count
+    * aggregation plus a 1-row driver argmax (count desc, pair asc — the
+    * deterministic tie order); the merge applies as a single `replace`
+    * projection over the persisted base table (symbols are [a-z]+ by
+    * construction, safe to inline in the expression). Plan depth grows by
+    * one cheap projection per round — no checkpoint needed at tokenizer
+    * round counts. Stops early if the vocabulary runs out of pairs. */
+  private def bpeLoop(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var words = OpUtils.shared(bpeWordTable(df, textCol))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1L
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = bpePairCounts(words)
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        words = words.withColumn("s", expr(
+          s"replace(s, '$BpeSep$a$BpeSep2$b$BpeSep', '$BpeSep$a$b$BpeSep')"))
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Byte-pair-encoding tokenizer TRAINING, distributed: learn the top
+    * `rounds` merges over the corpus — each round counts freq-weighted
+    * adjacent symbol pairs on the word-frequency table and merges the most
+    * frequent pair (ties to the lexicographically smallest), exactly the
+    * HuggingFace-tokenizers trainer loop re-expressed as Spark aggregates.
+    *
+    * 100 TB shape: ONE corpus-sized exchange builds the word-frequency
+    * table; every iteration after that is vocab-sized (Heaps' law: ~10⁷
+    * rows where the corpus has 10¹² tokens) with a 1-row driver argmax —
+    * the driver never holds more than one merge. Returns
+    * (round, sym_a, sym_b, pair_count), one row per learned merge. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (merges, _) = bpeLoop(df, textCol, rounds)
+    merges.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** Corpus compression readout of a freshly-trained BPE tokenizer: train
+    * `rounds` merges, encode the corpus with them, and report corpus-level
+    * (n_words, n_chars, n_symbols, compression = symbols per char) — the
+    * "is this tokenizer budget worth it" number a tokenization pipeline
+    * tracks as vocabulary size grows. Same scale shape as [[bpeTrain]];
+    * the encode is the final word table's symbol count, freq-weighted,
+    * aggregated in one job. */
+  def bpeEncodeStats(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+    val (_, words) = bpeLoop(df, textCol, rounds)
+    words
+      .withColumn("n_syms",
+        size(expr(s"filter(split(s, '$BpeSep2'), x -> x != '')")).cast("long"))
+      .agg(
+        sum(col("freq")).cast("long").as("n_words"),
+        sum(col("freq") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("freq") * col("n_syms")).cast("long").as("n_symbols"),
+        round(sum(col("freq") * col("n_syms")).cast("double") /
+          sum(col("freq") * length(col("w"))), 6).as("compression"))
+  }
 }

@@ -435,4 +435,34 @@ class TextAnalysisSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got == Map(1L -> ((4L, 1L, 0.25)), 2L -> ((5L, 2L, 0.4))))
   }
+
+  test("bpe trainer learns merges in frequency order with lexicographic ties") {
+    // "abab" ×3 + "ab" ×2: round 1 pairs (freq-weighted): (a,b) 3·2+2·1 = 8,
+    // (b,a) 3. Merge (a,b) → "ab". Round 2: (ab,ab) 3. Merge. Round 3:
+    // no pairs left → trainer stops early with 2 merges.
+    val df = Seq((1L, "abab abab ab"), (2L, "abab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+  }
+
+  test("bpe merge application is boundary-safe under adjacent repeats") {
+    // "a b a b" must merge to "ab ab" (the resume-after-replace scan must
+    // not consume the second pair's shared boundary), and a (b,a) pattern
+    // must never false-match across the ab|ab symbol boundary
+    val df = Seq((1L, "abab abab abab ba")).toDF("doc_id", "text")
+    val stats = TextAnalysis.bpeEncodeStats(df, "text", rounds = 2)
+      .collect()(0)
+    // 4 words, chars = 3·4 + 2 = 14; after (a,b)→ab and (ab,ab)→abab:
+    // "abab"→1 symbol ×3, "ba"→2 symbols → 5 symbols
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((4L, 14L, 5L)))
+    assert(math.abs(stats.getDouble(3) - 5.0 / 14.0) < 1e-6)
+  }
+
+  test("bpe non-alphabetic tokens are excluded from training") {
+    val df = Seq((1L, "xy xy 12 x!y")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", rounds = 1).collect()
+    assert(got.length == 1)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("x", "y", 2L)))
+  }
 }
