@@ -1681,6 +1681,32 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // change-data-feed derivation between Delta versions: v0 write, an
+    // insert commit, a metadata-only partition DELETE (src3), and a
+    // partition rewrite (src5, n_chars+1) — then the CDC feed is the
+    // null-safe hash diff of the version-0 snapshot against head, the
+    // same id-only-exchange snapshotDiff the reconcile operator uses
+    "sink_delta_cdf" -> ((s, dir) => {
+      import graft.operators.{Joins, Sinks}
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdf_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
+      Sinks.deltaDeletePartition(s, out, "source", "src3")
+      Sinks.deltaDeletePartition(s, out, "source", "src5")
+      Sinks.deltaAppend(docs.filter(col("source") === "src5")
+        .withColumn("n_chars", col("n_chars") + 1), out, Seq("source"))
+      val v0 = DeltaCatalog.fromDeltaLog(s, out, "cdf_v0", versionAsOf = Some(0L))
+      val head = DeltaCatalog.fromDeltaLog(s, out, "cdf_head")
+      Joins.snapshotDiff(v0.read(s, v0.files), head.read(s, head.files),
+        Seq("doc_id", "source"), Seq("n_chars"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -4483,6 +4509,20 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 3 <> 2 GROUP BY source""".stripMargin,
+    // the CDF classes re-derived from the construction: v0 = doc_id%3<>2,
+    // head = everything except src3, with src5 rewritten (+1 n_chars) —
+    // so %3=2 outside src3 is added, src3's v0 slice is removed, and
+    // src5's v0 slice is changed
+    "sink_delta_cdf" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 2 AND source <> 'src3' THEN 'added'
+        |         WHEN doc_id % 3 <> 2 AND source = 'src3' THEN 'removed'
+        |         WHEN doc_id % 3 <> 2 AND source = 'src5' THEN 'changed'
+        |    END AS status
+        |  FROM documents)
+        |SELECT source, status, count(*) AS n
+        |FROM c WHERE status IS NOT NULL GROUP BY source, status""".stripMargin,
     // optimize is lossless and leaves exactly one file per partition
     "sink_delta_optimize" ->
       """SELECT source, count(*) AS n_docs,

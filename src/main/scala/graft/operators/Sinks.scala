@@ -439,6 +439,52 @@ object Sinks {
     newVersion
   }
 
+  /** Partition-level DELETE: one remove-actions commit dropping every
+    * live file whose `partitionCol` equals `value` — the metadata-only
+    * retention/right-to-erasure primitive (drop a day, a tenant, a
+    * source) that Delta makes O(#files-in-partition) with ZERO data IO:
+    * no rows are read or rewritten, and the files stay on disk for time
+    * travel until [[deltaVacuum]] reclaims them.
+    *
+    * Deleting a partition that has no live files is a no-op (returns the
+    * current head without committing) — idempotent replays and
+    * already-empty partitions don't burn versions. Returns the new (or
+    * unchanged) table version. */
+  def deltaDeletePartition(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      partitionCol: String, value: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val head = DeltaCatalog.latestVersion(spark, logDir)
+    val doomed = DeltaCatalog.liveRawAt(spark, tablePath, None)
+      .collect { case (raw, (_, pv)) if pv.get(partitionCol).contains(value) => raw }
+      .toSeq.sorted
+    if (doomed.isEmpty) return head
+    val now = System.currentTimeMillis()
+    val actions: Seq[JValue] = doomed.map(raw =>
+      JObject("remove" -> JObject(
+        "path" -> JString(raw),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(true))): JValue)
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    val newVersion = head + 1
+    val fsys = FsUtil.fs(spark, tablePath)
+    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+    FsUtil.writeString(spark, tmp.toString, body)
+    val commit = new Path(logDir, f"$newVersion%020d.json")
+    if (!fsys.rename(tmp, commit)) {
+      fsys.delete(tmp, false)
+      throw new BuzzException.ExecutionError(
+        s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
+    }
+    newVersion
+  }
+
   /** Write a single-part checkpoint of the CURRENT snapshot at the latest
     * version and advertise it via `_last_checkpoint` — the log-compaction
     * step that keeps a long-lived table's open cost O(checkpoint + tail)

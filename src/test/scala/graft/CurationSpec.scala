@@ -766,6 +766,24 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  test("deltaDeletePartition drops only the named partition, keeps time travel, no-ops when empty") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_del").toString
+    val b1 = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1")).toDF("id", "v", "p")
+    assert(Sinks.deltaAppend(b1, out, Seq("p")) == 0L)
+    assert(Sinks.deltaDeletePartition(spark, out, "p", "p1") == 1L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    assert(cat.read(spark, cat.files).select("id").collect().map(_.getLong(0)).toSet
+      == Set(2L))
+    // metadata-only: v0 still time-travels to the full table
+    val v0 = DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(0L))
+    assert(v0.read(spark, v0.files).count() == 3)
+    // deleting an empty/unknown partition burns no version
+    assert(Sinks.deltaDeletePartition(spark, out, "p", "p1") == 1L)
+    assert(Sinks.deltaDeletePartition(spark, out, "p", "nope") == 1L)
+  }
+
   test("deltaAppend txn stamps make replays no-ops, surviving checkpoint commit-cleaning") {
     import graft.operators.Sinks
     import graft.sources.DeltaCatalog
