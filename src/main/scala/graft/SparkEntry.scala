@@ -1707,6 +1707,29 @@ object SparkEntry {
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // dynamic partition pruning: the Hive-partitioned fixture joined to a
+    // dim whose filter (zh docs at doc_id%7=0) is invisible to static
+    // pruning — Spark injects a dynamicpruning subquery into the fact
+    // scan's partition filters at runtime, reusing the dim broadcast, so
+    // only the surviving sources' files are read (plan-asserted in
+    // PlanQualitySpec). At 100 TB this is the difference between scanning
+    // every date/tenant partition and scanning the joined handful.
+    "q_dpp" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
+        fixtureKey(dir, "documents")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
+        Sinks.writePartitioned(t(s, dir, "documents"), out, "source")
+      }
+      val fact = s.read.parquet(out)
+      val dim = t(s, dir, "documents")
+        .filter(col("lang") === "zh" && pmod(col("doc_id"), lit(7L)) === 0)
+        .select(col("source")).distinct()
+      fact.join(dim, "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
     // Z-order layout sink: Morton-interleaved (price, quantity) codes,
     // range-partitioned + sorted write; the oracled result is the
     // per-Z-block bounding-box audit over the read-back files
@@ -2929,6 +2952,13 @@ object SparkEntry {
     "q14_hive_catalog" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source >= 'src14' GROUP BY source""".stripMargin,
+    "q_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT source FROM documents
+        |  WHERE lang = 'zh' AND doc_id % 7 = 0)
+        |SELECT d.source, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dim USING (source)
+        |GROUP BY d.source""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value

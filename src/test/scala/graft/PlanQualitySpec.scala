@@ -17,6 +17,15 @@ class PlanQualitySpec extends AnyFunSuite {
       df.queryExecution.toString()
   }
 
+  test("q_dpp fact scan carries a dynamicpruning partition filter from the dim join") {
+    val plan = formatted("q_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"the partitioned fact scan must be runtime-pruned by the dim join:\n${plan.take(1200)}")
+    // and the dim side rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dim should broadcast:\n${plan.take(1200)}")
+  }
+
   test("q2 filter reaches the parquet scan (PushedFilters)") {
     val plan = formatted("q2_filter_project")
     assert(plan.contains("PushedFilters"))
