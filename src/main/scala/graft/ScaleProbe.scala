@@ -393,6 +393,23 @@ object ScaleProbe {
       }
       report("er_entities", scale, erEntities, erSecs)
 
+      // BPE training: EXACT replicas — the vocabulary is identical at
+      // every scale, so the learned merges must be identical with
+      // pair_count exactly scale× (sum of counts = scale × the 1× sum),
+      // and wall must stay near-flat: after the one corpus-sized
+      // word-count exchange, every iteration is vocab-bound. This is the
+      // property that makes tokenizer training viable at 100 TB.
+      val docsExactK = (0 until scale).map { i =>
+        if (i == 0) docs
+        else docs.select((col("doc_id") + lit(i * idStride)).as("doc_id"),
+          col("text"))
+      }.reduce(_.unionAll(_))
+      val (bpeWeight, bpeSecs) = timed {
+        graft.operators.TextAnalysis.bpeTrain(docsExactK, "text", rounds = 8)
+          .agg(sum(col("pair_count"))).collect()(0).getLong(0)
+      }
+      report("bpe_merge_weight", scale, bpeWeight, bpeSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }

@@ -1707,6 +1707,34 @@ object SparkEntry {
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // zone-map data skipping: a range-clustered lineitem layout, a
+    // footer-stats manifest built distributed (no data pages read), and a
+    // BETWEEN predicate answered by reading ONLY the files whose zones
+    // intersect — the Delta/Iceberg file-skipping primitive over the
+    // reference's split-only catalog model (pruning power is asserted in
+    // CatalogSpec; the oracled result is the data answer)
+    "q_zonemap_prune" -> ((s, dir) => {
+      import graft.sources.{FsUtil, ZoneMap}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+        fixtureKey(dir, "lineitem")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(out)
+      }
+      val paths = FsUtil.listStatus(s, out).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      val stats = ZoneMap.fileStats(s, paths, "l_orderkey")
+      val keep = ZoneMap.prunePaths(stats, 100d, 999d)
+      s.read.parquet(keep: _*)
+        .filter(col("l_orderkey").between(100L, 999L))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
     // dynamic partition pruning: the Hive-partitioned fixture joined to a
     // dim whose filter (zh docs at doc_id%7=0) is invisible to static
     // pruning — Spark injects a dynamicpruning subquery into the fact
@@ -2952,6 +2980,10 @@ object SparkEntry {
     "q14_hive_catalog" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source >= 'src14' GROUP BY source""".stripMargin,
+    "q_zonemap_prune" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,
     "q_dpp" ->
       """WITH dim AS (
         |  SELECT DISTINCT source FROM documents

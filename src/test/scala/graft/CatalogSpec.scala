@@ -380,4 +380,39 @@ class CatalogSpec extends AnyFunSuite {
     val mx = read.selectExpr("max(unix_micros(ts))").collect()(0)
     assert(!mx.isNullAt(0))
   }
+
+  test("zone maps: footer manifest skips disjoint files, keeps stat-less ones, answers exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_zonemap").toString
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 range-clustered files over ids 0..399: zones [0,99] [100,199] ...
+    (0L until 400L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val paths = FsUtil.listStatus(spark, dir).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(paths.size == 4)
+    val stats = ZoneMap.fileStats(spark, paths, "id")
+    // manifest covers every row, zones are tight and disjoint
+    assert(stats.agg(sum("rows")).collect()(0).getLong(0) == 400L)
+    val zones = stats.select("min", "max").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(zones.head._1 == 0d && zones.last._2 == 399d)
+    assert(zones.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+    // a predicate inside one zone prunes to exactly the covering file(s)
+    val keep = ZoneMap.prunePaths(stats, 120d, 150d)
+    assert(keep.size < paths.size && keep.nonEmpty,
+      s"expected real pruning, kept ${keep.size}/${paths.size}")
+    val pruned = spark.read.parquet(keep: _*)
+      .filter(col("id").between(120L, 150L)).agg(sum("v")).collect()(0).getLong(0)
+    val full = spark.read.parquet(dir)
+      .filter(col("id").between(120L, 150L)).agg(sum("v")).collect()(0).getLong(0)
+    assert(pruned == full)
+    // conservatism: a NULL-stats row is never pruned
+    val withUnknown = stats.unionByName(
+      Seq(("mystery.parquet", 1L, Option.empty[Double], Option.empty[Double], 0L))
+        .toDF("file", "rows", "min", "max", "null_count"))
+    assert(ZoneMap.prunePaths(withUnknown, 5000d, 6000d) == Seq("mystery.parquet"))
+  }
 }
