@@ -48,6 +48,27 @@ object Bench {
     spark.catalog.clearCache()
     graft.operators.PipelineCache.clear()
 
+    // fixed-size calibration job (SF-independent): the same work runs
+    // before and after the measured pass, so host-load contamination is
+    // visible INSIDE the artifact — if calib seconds swing, the per-query
+    // numbers ran on a loaded host and say so (r7's committed bench read
+    // 238 s where a quiet host read 206 s, with no way to tell from the
+    // artifact; this closes that).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(50000000L)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(1000)).as("b"))
+        .agg(count(lit(1)))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val calibBefore = calibrate()
+    val loadBefore = loadAvg()
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failBest = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -93,10 +114,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}""")
+    val calibAfter = calibrate()
+    val loadAfter = loadAvg()
+    val calib = f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
+      f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calib,"sf":${q(sfDir)}}""")
     // compact headline LAST: carries the total even if the line above was
     // truncated by a tail capture
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"reps":$reps,$calib,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -56,8 +56,15 @@ object ScaleProbe {
             slice(col("embedding"), 1, i)).as("embedding"))
       }.reduce(_.unionAll(_))
 
+    // every line carries the 1-minute load average AT MEASUREMENT TIME:
+    // a wall ratio read off two lines is only meaningful when both ran on
+    // a comparably loaded host, and r7 proved the artifact can't say so
+    // after the fact (committed walls up to 29.7x re-measured at 1.43x on
+    // a quiet host)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     def report(probe: String, scale: Int, value: Long, secs: Double): Unit =
-      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f}""")
+      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f,"loadavg":${loadAvg()}%.2f}""")
 
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -66,6 +73,17 @@ object ScaleProbe {
     }
 
     for (scale <- Seq(1, 10)) {
+      // fixed-size calibration: IDENTICAL work in both scale passes, so a
+      // probe ratio can be divided by the calibration ratio to separate
+      // real scaling from host-load contamination inside the artifact
+      val (_, calSecs) = timed {
+        spark.range(50000000L)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(pmod(col("h"), lit(1000)).as("b"))
+          .agg(count(lit(1)))
+          .count()
+      }
+      report("calibration_fixed", scale, 50000000L, calSecs)
       val d = docsX(scale)
       val e = embX(scale)
       val n = d.count()
