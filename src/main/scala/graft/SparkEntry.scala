@@ -2207,9 +2207,11 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
         |w$i AS MATERIALIZED (
-        |  SELECT w, freq, replace(s,
-        |    '$m' || (SELECT a FROM b$i) || '$m$m' || (SELECT b FROM b$i) || '$m',
-        |    '$m' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$m') AS s
+        |  SELECT w, freq,
+        |    CASE WHEN EXISTS (SELECT 1 FROM b$i) THEN replace(s,
+        |      '$m' || (SELECT a FROM b$i) || '$m$m' || (SELECT b FROM b$i) || '$m',
+        |      '$m' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$m')
+        |    ELSE s END AS s
         |  FROM w${i - 1})""".stripMargin)
     }
     if (encode)

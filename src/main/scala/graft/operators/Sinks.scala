@@ -459,6 +459,17 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    // a misspelled or non-partition column would otherwise silently no-op
+    // (every file's partitionValues lookup misses) and return the current
+    // head — indistinguishable from deleting a genuinely empty partition,
+    // i.e. a retention delete the caller believes succeeded. Validate
+    // against the table's declared partition columns and fail loudly.
+    val declared = DeltaCatalog
+      .fromDeltaLog(spark, tablePath, "__delta_delete").partitionColumns
+    require(declared.contains(partitionCol),
+      s"$partitionCol is not a partition column of $tablePath " +
+        s"(partitioned by ${declared.mkString("(", ",", ")")}) — " +
+        "partition DELETE only targets declared partition columns")
     val head = DeltaCatalog.latestVersion(spark, logDir)
     val doomed = DeltaCatalog.liveRawAt(spark, tablePath, None)
       .collect { case (raw, (_, pv)) if pv.get(partitionCol).contains(value) => raw }

@@ -738,7 +738,11 @@ object TextAnalysis {
     * with the boundary marker. */
   private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // \A..\z (end-of-INPUT anchors): Java's $ matches before a trailing
+      // line terminator, so "abc\n" would train here while the DuckDB
+      // oracle (RE2, $ = end-of-text) excludes it — a latent cross-engine
+      // divergence on newline-bearing tokens
+      .filter(col("w").rlike("\\A[a-z]+\\z"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
       .withColumn("s",
         concat(lit(BpeSep2), regexp_replace(col("w"), "(.)", "$1" + BpeSep2)))

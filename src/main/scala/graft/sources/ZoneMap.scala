@@ -25,7 +25,8 @@ object ZoneMap {
   /** Distributed footer-stats manifest for `column` over `paths`: one row
     * per file — (file, rows, min, max, null_count), min/max as doubles
     * (exact for integer values < 2⁵³; a file whose chunk statistics are
-    * absent yields NULL min/max and is never pruned). Supports INT32 /
+    * absent yields NULL min/max and is never pruned; null_count is NULL
+    * when any chunk leaves its null count unset). Supports INT32 /
     * INT64 / FLOAT / DOUBLE physical chunks — the numeric-range predicates
     * zone maps serve. */
   def fileStats(spark: SparkSession, paths: Seq[String], column: String): DataFrame = {
@@ -45,6 +46,10 @@ object ZoneMap {
             new org.apache.hadoop.fs.Path(p), conf))
         val footer = try reader.getFooter finally reader.close()
         var rows = 0L; var nulls = 0L
+        // parquet-mr Statistics.getNumNulls returns -1 when unset —
+        // accumulating that would drive the manifest's null_count negative,
+        // so an unset chunk makes the FILE's null_count unknown (NULL)
+        var nullsKnown = true
         var mn = Option.empty[Double]; var mx = Option.empty[Double]
         var statsComplete = true
         footer.getBlocks.asScala.foreach { block =>
@@ -55,7 +60,8 @@ object ZoneMap {
               val st = chunk.getStatistics
               if (st == null || st.isEmpty) statsComplete = false
               else {
-                nulls += st.getNumNulls
+                if (st.isNumNullsSet) nulls += st.getNumNulls
+                else nullsKnown = false
                 if (st.hasNonNullValue) {
                   def num(v: AnyRef): Double = v match {
                     case i: java.lang.Integer => i.toDouble
@@ -76,7 +82,7 @@ object ZoneMap {
         }
         val (fmn, fmx) =
           if (statsComplete) (mn, mx) else (None, None) // conservative: unknown range
-        (p, rows, fmn, fmx, nulls)
+        (p, rows, fmn, fmx, if (nullsKnown) Some(nulls) else None)
       }
     spark.createDataFrame(rows)
       .toDF("file", "rows", "min", "max", "null_count")

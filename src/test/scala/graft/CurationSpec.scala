@@ -782,6 +782,13 @@ class CurationSpec extends AnyFunSuite {
     // deleting an empty/unknown partition burns no version
     assert(Sinks.deltaDeletePartition(spark, out, "p", "p1") == 1L)
     assert(Sinks.deltaDeletePartition(spark, out, "p", "nope") == 1L)
+    // a misspelled/non-partition COLUMN must fail loudly, not no-op — a
+    // silent head return is indistinguishable from a successful retention
+    // delete of an empty partition
+    val e = intercept[IllegalArgumentException] {
+      Sinks.deltaDeletePartition(spark, out, "v", "x")
+    }
+    assert(e.getMessage.contains("not a partition column"))
   }
 
   test("deltaAppend txn stamps make replays no-ops, surviving checkpoint commit-cleaning") {

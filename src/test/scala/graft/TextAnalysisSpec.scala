@@ -465,4 +465,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("x", "y", 2L)))
   }
+
+  test("bpe excludes newline-bearing tokens (Java $ vs RE2 end-of-text anchor parity)") {
+    // Java's $ matches before a trailing line terminator, so "ab\n" would
+    // slip through a ^[a-z]+$ filter (and its \n would leak into the symbol
+    // stream) while the RE2-based oracle excludes it — the \A..\z anchors
+    // must keep both engines agreeing
+    val df = Seq((1L, "ab\n ab xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", rounds = 1).collect()
+    assert(got.length == 1)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("a", "b", 1L)))
+  }
 }
