@@ -75,6 +75,26 @@ object SparkEntry {
       .take(6).map("%02x".format(_)).mkString
   }
 
+  /** Range-clustered 16-file lineitem layout shared by the zone-map
+    * queries: (sorted parquet paths, fixture dir). Built once per testdata
+    * signature; clustering on l_orderkey is what gives the footer ranges
+    * their pruning power. */
+  private def zonemapFixture(s: SparkSession, dir: String): (Seq[String], String) = {
+    import graft.sources.FsUtil
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+      fixtureKey(dir, "lineitem")
+    if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(out)
+    }
+    val paths = FsUtil.listStatus(s, out).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    (paths, out)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1714,18 +1734,8 @@ object SparkEntry {
     // reference's split-only catalog model (pruning power is asserted in
     // CatalogSpec; the oracled result is the data answer)
     "q_zonemap_prune" -> ((s, dir) => {
-      import graft.sources.{FsUtil, ZoneMap}
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
-        fixtureKey(dir, "lineitem")
-      if (!FsUtil.exists(s, s"$out/_SUCCESS")) {
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-          .repartitionByRange(16, col("l_orderkey"))
-          .sortWithinPartitions("l_orderkey")
-          .write.mode("overwrite").parquet(out)
-      }
-      val paths = FsUtil.listStatus(s, out).toSeq.map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).sorted
+      import graft.sources.ZoneMap
+      val (paths, _) = zonemapFixture(s, dir)
       val stats = ZoneMap.fileStats(s, paths, "l_orderkey")
       val keep = ZoneMap.prunePaths(stats, 100d, 999d)
       s.read.parquet(keep: _*)
@@ -1734,6 +1744,26 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("qty"),
           round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+    // zone maps INSIDE the two-stage engine: the map SQL's BETWEEN is
+    // harvested at plan time and pruned through the footer-stats manifest
+    // — range predicates skip FILES the way partition_filter skips
+    // directories (the planner's file list shrinks before any worker
+    // runs; plan-asserted in PlanQualitySpec, data answer oracled)
+    "q_zonemap_2stage" -> ((s, dir) => {
+      val (_, out) = zonemapFixture(s, dir)
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |  "steps": [
+           |    {"sql": "SELECT count(*) AS n, sum(l_quantity) AS qty, sum(l_extendedprice) AS rev FROM li_zones WHERE l_orderkey BETWEEN 100 AND 999",
+           |     "name": "zm_map", "step_type": "HBee"},
+           |    {"sql": "SELECT sum(n) AS n, CAST(sum(qty) AS BIGINT) AS qty, round(sum(rev), 2) AS revenue FROM zm_map",
+           |     "name": "zm_reduce", "step_type": "HComb"}
+           |  ],
+           |  "capacity": {"zones": 1},
+           |  "catalogs": [{"name": "li_zones", "type": "Static", "uri": "$out"}]
+           |}""".stripMargin)
     }),
     // dynamic partition pruning: the Hive-partitioned fixture joined to a
     // dim whose filter (zh docs at doc_id%7=0) is invisible to static
@@ -2983,6 +3013,10 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source >= 'src14' GROUP BY source""".stripMargin,
     "q_zonemap_prune" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,
+    "q_zonemap_2stage" ->
       """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,

@@ -80,7 +80,15 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     val mapSchema = analyzeAgainstEmpty(spark, mapStep.sql, mapSource, catalog.fullSchema)
     analyzeAgainstEmpty(spark, reduceStep.sql, mapStep.name, mapSchema)
 
-    val files = catalog.prune(spark, mapStep.partitionFilter)
+    // zone-map file skipping after partition pruning: a range predicate in
+    // the map SQL's WHERE prunes FILES through the footer-stats manifest
+    // the way partition_filter prunes directories (beyond-reference — the
+    // reference's catalog is split-only; same pruning-as-metadata-query
+    // idea as catalog/mod.rs:52-69, extended to column ranges). Purely an
+    // optimization: the map SQL still applies the full predicate to the
+    // surviving files, so a conservative manifest can never change results.
+    val files = graft.sources.ZoneMap.pruneForQuery(
+      spark, catalog.schema, catalog.prune(spark, mapStep.partitionFilter), mapStep.sql)
     DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema)
   }
 

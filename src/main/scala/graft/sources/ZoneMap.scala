@@ -98,4 +98,154 @@ object ZoneMap {
         !(col("max") < lit(lo) || col("min") > lit(hi)))
       .select(col("file"))
       .collect().map(_.getString(0)).toSeq
+
+  // ---------------------------------------------------------------------
+  // Catalog/two-stage integration: harvest range predicates from a map
+  // statement's WHERE clause and prune the planned file list through a
+  // cached footer-stats manifest — range predicates then skip FILES the
+  // way partition_filter skips directories (the reference's catalog prunes
+  // by querying the file table, catalog/mod.rs:52-69; zone maps are the
+  // same idea over column ranges).
+  // ---------------------------------------------------------------------
+
+  /** Driver-side (path, column) → (min, max) cache. Parquet files are
+    * immutable in this model (the same assumption StaticCatalog's
+    * inference cache makes), so footer ranges never go stale; repeated
+    * queries against a catalog pay the footer reads once. */
+  private val zoneCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Option[Double], Option[Double])]()
+
+  private[graft] def clearZoneCache(): Unit = zoneCache.clear()
+
+  /** (min, max) per path for `column`, consulting [[zoneCache]] and
+    * reading only the MISSING footers (distributed via [[fileStats]]). */
+  private def zonesFor(
+      spark: SparkSession, paths: Seq[String], column: String)
+      : Map[String, (Option[Double], Option[Double])] = {
+    val (hit, miss) = paths.partition(p => zoneCache.containsKey((p, column)))
+    if (miss.nonEmpty) {
+      fileStats(spark, miss, column).select("file", "min", "max").collect().foreach { r =>
+        def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        zoneCache.put((r.getString(0), column), (d(1), d(2)))
+      }
+    }
+    (hit ++ miss).map(p => p -> zoneCache.get((p, column))).toMap
+  }
+
+  /** A harvested inclusive range constraint; open bounds are relaxed to
+    * closed (a file with max == lo under `col > lo` survives — keeping a
+    * file is always sound, skipping one never is). */
+  private[graft] final case class ColumnRange(lo: Double, hi: Double) {
+    def merge(o: ColumnRange): ColumnRange =
+      ColumnRange(math.max(lo, o.lo), math.min(hi, o.hi))
+  }
+
+  /** Range constraints provably REQUIRED by `sql` on raw columns of its
+    * (single) base relation: only top-level conjuncts of Filter nodes
+    * sitting DIRECTLY on the relation (through subquery aliases) are
+    * read — a filter above a Project/Aggregate may reference an alias
+    * that shadows a data column (`SELECT a+1 AS a ... WHERE a > 5`), and
+    * harvesting it would prune files the query still needs. Shapes:
+    * `col <op> literal` / `literal <op> col` for < <= > >= =, which also
+    * covers BETWEEN (parsed as >= AND <=). `candidates` filters to the
+    * catalog's numeric DATA columns; comparison is case-insensitive to
+    * match the session's default resolution. */
+  private[graft] def harvestRanges(
+      spark: SparkSession, sql: String, candidates: Set[String]): Map[String, ColumnRange] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, SubqueryAlias}
+    val lowered = candidates.map(_.toLowerCase(java.util.Locale.ROOT))
+    val parsed: LogicalPlan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return Map.empty }
+    def onRelation(p: LogicalPlan): Boolean = p match {
+      case _: UnresolvedRelation => true
+      case s: SubqueryAlias      => onRelation(s.child)
+      case _                     => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def colName(e: Expression): Option[String] = e match {
+      // qualified references (t.col) resolve to the sole relation's column
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case _                      => None
+    }
+    def litNum(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => v match {
+        case n: Number                               => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal   => Some(d.toDouble)
+        case _                                       => None
+      }
+      case _ => None
+    }
+    val ranges = scala.collection.mutable.Map[String, ColumnRange]()
+    def add(c: String, r: ColumnRange): Unit =
+      if (lowered.contains(c)) ranges(c) = ranges.get(c).fold(r)(_.merge(r))
+    val conds = parsed.collect {
+      case LFilter(cond, child) if onRelation(child) => cond
+    }.flatMap(conjuncts)
+    conds.foreach {
+      case GreaterThan(a, b) =>
+        colName(a).zip(litNum(b)).foreach { case (c, v) => add(c, ColumnRange(v, Double.PositiveInfinity)) }
+        colName(b).zip(litNum(a)).foreach { case (c, v) => add(c, ColumnRange(Double.NegativeInfinity, v)) }
+      case GreaterThanOrEqual(a, b) =>
+        colName(a).zip(litNum(b)).foreach { case (c, v) => add(c, ColumnRange(v, Double.PositiveInfinity)) }
+        colName(b).zip(litNum(a)).foreach { case (c, v) => add(c, ColumnRange(Double.NegativeInfinity, v)) }
+      case LessThan(a, b) =>
+        colName(a).zip(litNum(b)).foreach { case (c, v) => add(c, ColumnRange(Double.NegativeInfinity, v)) }
+        colName(b).zip(litNum(a)).foreach { case (c, v) => add(c, ColumnRange(v, Double.PositiveInfinity)) }
+      case LessThanOrEqual(a, b) =>
+        colName(a).zip(litNum(b)).foreach { case (c, v) => add(c, ColumnRange(Double.NegativeInfinity, v)) }
+        colName(b).zip(litNum(a)).foreach { case (c, v) => add(c, ColumnRange(v, Double.PositiveInfinity)) }
+      case EqualTo(a, b) =>
+        colName(a).zip(litNum(b)).foreach { case (c, v) => add(c, ColumnRange(v, v)) }
+        colName(b).zip(litNum(a)).foreach { case (c, v) => add(c, ColumnRange(v, v)) }
+      // Spark 4 parses BETWEEN as an unresolved between(col, lo, hi) call
+      // rather than expanding it to >= AND <= at parse time
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") &&
+            f.arguments.size == 3 =>
+        colName(f.arguments(0))
+          .zip(litNum(f.arguments(1)).zip(litNum(f.arguments(2))))
+          .foreach { case (c, (lo, hi)) => add(c, ColumnRange(lo, hi)) }
+      case _ => ()
+    }
+    ranges.toMap
+  }
+
+  /** Zone-map file skipping for a planned two-stage query: harvest the map
+    * SQL's range predicates over the catalog's NUMERIC data columns
+    * (integral and float/double — decimals are excluded because their
+    * footer stats carry unscaled values) and drop every file whose footer
+    * range provably cannot satisfy them. No-op — and no footer is read —
+    * when the statement carries no harvestable range or the catalog has a
+    * single file. Files with unknown stats always survive. */
+  def pruneForQuery(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[SizedFile],
+      mapSql: String): Seq[SizedFile] = {
+    import org.apache.spark.sql.types._
+    if (files.size <= 1) return files
+    val numeric = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+        .contains(f.dataType) => f.name
+    }.toSet
+    val ranges = harvestRanges(spark, mapSql, numeric)
+    if (ranges.isEmpty) return files
+    // resolve harvested lowercase names back to the schema's declared case
+    val byLower = numeric.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    ranges.foldLeft(files) { case (fs, (cLower, r)) =>
+      val zones = zonesFor(spark, fs.map(_.key), byLower(cLower))
+      fs.filter { f =>
+        zones(f.key) match {
+          case (Some(mn), Some(mx)) => !(mx < r.lo || mn > r.hi)
+          case _                    => true // unknown range: never skip
+        }
+      }
+    }
+  }
 }

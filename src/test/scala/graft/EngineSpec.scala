@@ -126,4 +126,40 @@ class EngineSpec extends AnyFunSuite {
       s"error must name the failing file: ${e.getMessage}")
     assert(e.getCause != null)
   }
+
+  test("zone maps prune the two-stage plan's file list from the map SQL's WHERE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_engine").toString
+    (0L until 400L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val cat = StaticCatalog.overPath(spark, "zt", dir)
+    assert(cat.files.size == 4)
+    val eng = new BuzzEngine(Map("zt" -> cat))
+    def planFiles(mapSql: String): Int =
+      eng.plan(spark, BuzzQuery(
+        Seq(
+          BuzzStep(mapSql, "m", BuzzStepType.HBee, None),
+          BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+        BuzzCapacity(1), Nil)).files.size
+    // a range predicate on the clustering column prunes files
+    val rangeSql = "SELECT sum(v) AS s FROM zt WHERE id BETWEEN 120 AND 150"
+    assert(planFiles(rangeSql) < 4, "BETWEEN on the clustered column must prune")
+    // ... and the pruned plan still computes the exact answer
+    val got = eng.run(spark, BuzzQuery(
+      Seq(
+        BuzzStep(rangeSql, "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)).collect()(0).getLong(0)
+    assert(got == (120L to 150L).map(_ * 3).sum)
+    // an OR disjunct is not a required constraint: no pruning
+    assert(planFiles("SELECT sum(v) AS s FROM zt WHERE id < 10 OR v = 0") == 4)
+    // a filter on a SHADOWING alias in an outer block must not be harvested
+    // (pruning on it would drop files the query needs)
+    assert(planFiles(
+      "SELECT sum(id) AS s FROM (SELECT v AS id FROM zt) q WHERE id > 1000") == 4)
+    // no harvestable predicate: no footer reads, full file list
+    assert(planFiles("SELECT sum(v) AS s FROM zt") == 4)
+  }
 }

@@ -26,6 +26,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dim should broadcast:\n${plan.take(1200)}")
   }
 
+  test("q_zonemap_2stage scan reads only the files surviving manifest pruning") {
+    val df = SparkEntry.queries("q_zonemap_2stage")(spark, TestSpark.sf)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(scans.nonEmpty, "expected a parquet scan under the two-stage plan")
+    // the fixture is 16 range-clustered files; the map SQL's BETWEEN must
+    // have pruned the planner's file list through the footer manifest
+    assert(scans.forall(n => n > 0 && n < 16),
+      s"zone maps should prune the 16-file fixture, scan reads $scans files")
+  }
+
   test("q2 filter reaches the parquet scan (PushedFilters)") {
     val plan = formatted("q2_filter_project")
     assert(plan.contains("PushedFilters"))
