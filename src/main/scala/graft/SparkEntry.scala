@@ -1727,6 +1727,31 @@ object SparkEntry {
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // PER-VERSION change feed from the commit log's own actions: v1 insert
+    // (added), v2 metadata partition DELETE of src3 (removed), v3 DELETE of
+    // src5 (removed), v4 re-insert of src5 (added), v5 OPTIMIZE — a
+    // remove+add of identical rows, which must contribute NO feed rows.
+    // Each boundary reads only the files its commit touched (never a full
+    // snapshot); the oracle re-derives every boundary from the source table
+    "sink_delta_cdf_versions" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdfv_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
+      Sinks.deltaDeletePartition(s, out, "source", "src3")
+      Sinks.deltaDeletePartition(s, out, "source", "src5")
+      Sinks.deltaAppend(docs.filter(col("source") === "src5")
+        .withColumn("n_chars", col("n_chars") + 1), out, Seq("source"))
+      Sinks.deltaOptimize(s, out, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaChangesBetween(s, out, 0L, 5L, Seq("doc_id", "source"), Seq("n_chars"))
+        .groupBy(col("version"), col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // zone-map data skipping: a range-clustered lineitem layout, a
     // footer-stats manifest built distributed (no data pages read), and a
     // BETWEEN predicate answered by reading ONLY the files whose zones
@@ -4621,6 +4646,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, status, count(*) AS n
         |FROM c WHERE status IS NOT NULL GROUP BY source, status""".stripMargin,
+    // each version boundary re-derived from the source table: v1 inserts
+    // the doc_id%3=2 rows, v2/v3 delete partitions src3/src5 whole, v4
+    // re-inserts src5; the v5 compaction contributes nothing
+    "sink_delta_cdf_versions" ->
+      """WITH b AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, source, 'added' AS status,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 2 GROUP BY source
+        |  UNION ALL
+        |  SELECT 2, source, 'removed', count(*)
+        |  FROM documents WHERE source = 'src3' GROUP BY source
+        |  UNION ALL
+        |  SELECT 3, source, 'removed', count(*)
+        |  FROM documents WHERE source = 'src5' GROUP BY source
+        |  UNION ALL
+        |  SELECT 4, source, 'added', count(*)
+        |  FROM documents WHERE source = 'src5' GROUP BY source)
+        |SELECT version, source, status, n FROM b""".stripMargin,
     // optimize is lossless and leaves exactly one file per partition
     "sink_delta_optimize" ->
       """SELECT source, count(*) AS n_docs,
