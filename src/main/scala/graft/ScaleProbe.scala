@@ -213,6 +213,25 @@ object ScaleProbe {
       }
       report("index_query_hits", scale, incHits, incSecs)
 
+      // ANN saved-index APPEND: IVF index over the k×-corpus, then a FIXED
+      // 1× shard appended against the PINNED saved centroids. Append cost
+      // is shard × nlist assignment + a shard-sized bucket-partitioned
+      // write — the index is never read or rewritten — so wall must track
+      // the shard (at most × √k through nlist ≈ √(kn)), never the corpus;
+      // the reported value (appended rows) is identical at every scale
+      val annIdxDir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_annidx_$scale").toString
+      graft.operators.Similarity.saveIvfIndex(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", annIdxDir)
+      val shard = emb.select(
+        (col("vec_id") + lit(20L * idStride)).as("vec_id"), col("embedding"))
+      val (apRows, apSecs) = timed {
+        graft.operators.Similarity.appendToIvfIndex(
+          shard, "vec_id", "embedding", annIdxDir)
+        shard.count()
+      }
+      report("ann_append_rows", scale, apRows, apSecs)
+
       // pagerank: k disconnected copies of the trade graph (node ids
       // offset per replica). Rounds are FIXED (power iteration), so wall
       // must track the edge count ~linearly — each round is one equi-join

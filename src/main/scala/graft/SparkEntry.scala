@@ -1401,6 +1401,26 @@ object SparkEntry {
           idx, k = 5, nProbe = Int.MaxValue - 1)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
+    // saved-index INCREMENTAL ingest: index built over 80% of the corpus,
+    // the held-out 20% shard appended against the PINNED saved centroids
+    // (params/centroids untouched, no retraining, the index never
+    // rescanned) — exhaustive probes over the appended index must equal
+    // brute force over the FULL corpus, which is exactly ann_saved's
+    // oracle: the append provably completed the index
+    "ann_saved_append" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfappend_" +
+        fixtureKey(dir, "embeddings")
+      Similarity.saveIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0), "vec_id", "embedding", idx)
+      Similarity.appendToIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 0), "vec_id", "embedding", idx)
+      Similarity.ivfTopKAgainstSavedIndex(
+          s, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          idx, k = 5, nProbe = Int.MaxValue - 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
     // metadata-filtered ANN: top-5 among label-0/3/6/9 vectors only, the
     // predicate applied BEFORE any distance work (pre-filter semantics) on
     // a full-corpus shared index; exhaustive probes make the result the
@@ -2289,6 +2309,10 @@ object SparkEntry {
     // operator, so it shares that operator's oracle verbatim
     oracleSqlBase ++ Map(
       "curate_bloom_decontaminate" -> oracleSqlBase("curate_decontaminate"),
+      // exhaustive probes over the appended index ≡ brute force over the
+      // FULL corpus — append-completeness is the claim, so the oracle is
+      // ann_saved's verbatim
+      "ann_saved_append" -> oracleSqlBase("ann_saved"),
       "text_bpe_train" -> bpeOracleSql(8, encode = false),
       "text_bpe_encode" -> bpeOracleSql(8, encode = true))
 

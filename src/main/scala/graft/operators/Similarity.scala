@@ -524,6 +524,27 @@ object Similarity {
     (cents, nlist, spark.read.parquet(s"$dir/buckets"))
   }
 
+  /** Incremental ingest into a [[saveIvfIndex]] dir: assign the shard's
+    * vectors to the PINNED saved centroids (no retraining — params file
+    * and `centroids/` untouched, so concurrent readers keep one
+    * consistent index geometry) and append them bucket-partitioned under
+    * `buckets/`. The ANN mirror of the minhash `dedup_incremental` path:
+    * cost is shard_size × nlist assignment work plus a shard-sized
+    * partitioned write — the existing index is never read, rewritten or
+    * rescanned, so ingesting a day's vectors into a 10⁹-vector index
+    * costs the day, not the index. Recall on appended vectors holds while
+    * the corpus distribution matches the training corpus; monitor with
+    * [[embedDrift]] and rebuild when the assignment histogram skews. */
+  def appendToIvfIndex(
+      shard: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = shard.sparkSession
+    val (cents, _, _) = loadIvfIndex(spark, dir)
+    shard.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCentroids(col(vecCol), cents, 1).getItem(0).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/buckets")
+  }
+
   def ivfTopKAgainstSavedIndex(
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, qIdCol: String, qVecCol: String,
