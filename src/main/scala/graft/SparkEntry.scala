@@ -2253,6 +2253,23 @@ object SparkEntry {
           round(avg(expr("px % 256")), 6).as("mean_b"),
           sum(col("pos") * expr("px div 65536")).cast("long").as("wsum_r"))
     }),
+    // REAL PNG decode, pure JVM (java.util.zip.Inflater — the JDK ships
+    // zlib): chunk walk, IDAT inflate, full None/Sub/Up/Average/Paeth
+    // unfilter (the fixture rotates the row filter type, so every path is
+    // load-bearing); same planted-formula oracle contract as the BMP row
+    "multimodal_decode_png" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngTable(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodePng(media)
+        .select(col("media_id"), col("width"), col("height"),
+          posexplode(col("pixels")).as(Seq("pos", "px")))
+        .groupBy("media_id", "width", "height")
+        .agg(
+          round(avg(expr("px div 65536")), 6).as("mean_r"),
+          round(avg(expr("(px div 256) % 256")), 6).as("mean_g"),
+          round(avg(expr("px % 256")), 6).as("mean_b"),
+          sum(col("pos") * expr("px div 65536")).cast("long").as("wsum_r"))
+    }),
   )
 
   /** Generated DuckDB oracle for the BPE trainer: replays the identical
@@ -4823,6 +4840,21 @@ object SparkEntry {
         |        (doc_id + 3 * x + 7 * y) % 256 AS r,
         |        (2 * doc_id + x + 5 * y) % 256 AS g,
         |        (5 * doc_id + 11 * x + y) % 256 AS b
+        |       FROM c)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+        |  round(avg(b), 6) AS mean_b,
+        |  CAST(sum(pos * r) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    "multimodal_decode_png" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 9 AS w, 10 AS h FROM documents),
+        |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS pos FROM d),
+        |c AS (SELECT doc_id, w, h, pos, pos % w AS x, pos // w AS y FROM p),
+        |px AS (SELECT doc_id, w, h, pos,
+        |        (3 * doc_id + 5 * x + 2 * y) % 256 AS r,
+        |        (doc_id + 7 * x + 3 * y) % 256 AS g,
+        |        (4 * doc_id + x + 9 * y) % 256 AS b
         |       FROM c)
         |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
         |  CAST(h AS BIGINT) AS height,

@@ -243,6 +243,156 @@ object Multimodal {
     }
   }
 
+  object PngCodec {
+    private val Signature =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // PNG ints are BE
+      out.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** Non-interlaced 8-bit truecolor (RGB) PNG via the JDK's zlib.
+      * `pixel(x, y)` returns packed 0xRRGGBB top-down. Row y is encoded
+      * with filter type `y % 5` — every PNG filter (None/Sub/Up/Average/
+      * Paeth) appears in each image taller than 4 rows, so a decoder that
+      * mishandles ANY unfilter path produces wrong pixels. */
+    def encode(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val bpp = 3
+      val stride = w * bpp
+      val raw = Array.ofDim[Byte](h, stride)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = pixel(x, y)
+        raw(y)(x * 3) = ((p >> 16) & 0xFF).toByte
+        raw(y)(x * 3 + 1) = ((p >> 8) & 0xFF).toByte
+        raw(y)(x * 3 + 2) = (p & 0xFF).toByte
+      }
+      val filtered = new Array[Byte](h * (1 + stride))
+      for (y <- 0 until h) {
+        val f = y % 5
+        filtered(y * (1 + stride)) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = raw(y)(i) & 0xFF
+          val left = if (i >= bpp) raw(y)(i - bpp) & 0xFF else 0
+          val up = if (y > 0) raw(y - 1)(i) & 0xFF else 0
+          val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          filtered(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xFF).toByte
+          i += 1
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered); deflater.finish()
+      val zBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+        .array()
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Parse a non-interlaced 8-bit truecolor PNG: chunk walk (IDAT may be
+      * split), JDK Inflater, and the full 5-filter unfilter pass. Returns
+      * (width, height, pixels packed 0xRRGGBB row-major top-down). Palette,
+      * alpha, 16-bit and interlaced images are loudly rejected — this is
+      * the planted-fixture decode path, not a general image library. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length > 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+        "not a PNG")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      buf.position(8)
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawIhdr = false; var done = false
+      while (!done && buf.remaining() >= 12) {
+        val len = buf.getInt
+        val t = new Array[Byte](4); buf.get(t)
+        val typ = new String(t, java.nio.charset.StandardCharsets.US_ASCII)
+        val data = new Array[Byte](len); buf.get(data)
+        buf.getInt // CRC (not verified: planted fixtures, not hostile input)
+        typ match {
+          case "IHDR" =>
+            sawIhdr = true
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt; h = ib.getInt
+            require(ib.get() == 8, "only 8-bit PNGs supported")
+            require(ib.get() == 2, "only truecolor (RGB) PNGs supported")
+            ib.get() // compression (always 0 per spec)
+            ib.get() // filter method (always 0)
+            require(ib.get() == 0, "interlaced PNGs not supported")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _      => () // ancillary chunks skipped
+        }
+      }
+      require(sawIhdr && w > 0 && h > 0, "missing/empty IHDR")
+      val bpp = 3
+      val stride = w * bpp
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val filtered = new Array[Byte](h * (1 + stride))
+      var off = 0
+      while (off < filtered.length && !inflater.finished()) {
+        val n = inflater.inflate(filtered, off, filtered.length - off)
+        require(n > 0 || !inflater.needsInput, "truncated IDAT stream")
+        off += n
+      }
+      inflater.end()
+      require(off == filtered.length, s"IDAT inflated to $off bytes, expected ${filtered.length}")
+      val raw = Array.ofDim[Byte](h, stride)
+      for (y <- 0 until h) {
+        val f = filtered(y * (1 + stride)) & 0xFF
+        require(f <= 4, s"unknown PNG filter type $f")
+        var i = 0
+        while (i < stride) {
+          val cur = filtered(y * (1 + stride) + 1 + i) & 0xFF
+          val left = if (i >= bpp) raw(y)(i - bpp) & 0xFF else 0
+          val up = if (y > 0) raw(y - 1)(i) & 0xFF else 0
+          val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(y)(i) = ((cur + pred) & 0xFF).toByte
+          i += 1
+        }
+      }
+      val out = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        out(y * w + x) = ((raw(y)(x * 3) & 0xFF) << 16) |
+          ((raw(y)(x * 3 + 1) & 0xFF) << 8) | (raw(y)(x * 3 + 2) & 0xFF)
+      }
+      (w, h, out)
+    }
+  }
+
   /** Deterministic WAV fixture table from an id column: mono 8 kHz 16-bit
     * PCM, `64 + id % 64` samples, sample i = ((id·31 + i·17) mod 2003) −
     * 1001 — integer formulas a SQL oracle recomputes exactly, so the
@@ -281,6 +431,42 @@ object Multimodal {
           (rr << 16) | (gg << 8) | bb
         })
         Row(id, "image/bmp", payload, "bmp24", payload.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG fixture table from an id column: `16 + id % 9` ×
+    * 10 truecolor images (10 rows → every PNG filter type appears twice),
+    * channels r = (3id + 5x + 2y) mod 256, g = (id + 7x + 3y) mod 256,
+    * b = (4id + x + 9y) mod 256 top-down — distinct per-channel formulas
+    * catch an RGB swap, y-dependence catches a row flip, and the per-row
+    * filter rotation makes every unfilter path load-bearing. */
+  def syntheticPngTable(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + id % 9).toInt
+        val payload = PngCodec.encode(w, 10, (x, y) => {
+          val rr = ((3 * id + 5 * x + 2 * y) % 256).toInt
+          val gg = ((id + 7 * x + 3 * y) % 256).toInt
+          val bb = ((4 * id + x + 9 * y) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        })
+        Row(id, "image/png", payload, "png_rgb8", payload.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** REAL PNG decode over a media table: partition-parallel chunk walk +
+    * JDK-zlib inflate + full 5-filter unfilter, one pass, no shuffle.
+    * Same output shape as [[decodeBmp]]. */
+  def decodePng(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(bmpDecodedSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = PngCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w.toLong, h.toLong, px)
       }
     }(enc)
   }

@@ -109,4 +109,39 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("media_id") === 8L).collect()(0).getSeq[Int](3)
     assert(px8.head == ((8 << 16) | (16 << 8) | 40))
   }
+
+  test("PngCodec round-trips through every filter type and rejects unsupported forms") {
+    val (w, h) = (19, 10) // 10 rows → filters 0..4 each applied twice
+    def pix(x: Int, y: Int): Int =
+      (((x * 7 + y * 13) % 256) << 16) | (((x + y * y) % 256) << 8) | ((x * x + y) % 256)
+    val bytes = Multimodal.PngCodec.encode(w, h, pix)
+    // real PNG signature + IHDR chunk
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    assert(new String(bytes.slice(12, 16)) == "IHDR")
+    val (dw, dh, px) = Multimodal.PngCodec.decode(bytes)
+    assert((dw, dh) == ((w, h)))
+    assert(px.toSeq == (0 until w * h).map(i => pix(i % w, i / w)))
+    // a javax.imageio reader agrees — the hand-rolled encoder emits real
+    // PNGs, not a private format only our decoder understands
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    assert((img.getRGB(5, 7) & 0xFFFFFF) == pix(5, 7))
+    // unsupported shapes are loud, not silently wrong
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.PngCodec.decode("nope".getBytes)
+    }.getMessage.contains("not a PNG"))
+  }
+
+  test("decodePng runs partition-parallel over the synthetic table") {
+    val ids = Seq(0L, 3L, 8L).toDF("doc_id")
+    val png = Multimodal.decodePng(Multimodal.syntheticPngTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(png(0L) == ((16L, 10L)))
+    assert(png(8L) == ((24L, 10L)))
+    // pixel formula spot-check: id=3, x=2, y=4 → r=27, g=29, b=50
+    val px3 = Multimodal.decodePng(Multimodal.syntheticPngTable(ids, "doc_id"))
+      .filter(col("media_id") === 3L).collect()(0).getSeq[Int](3)
+    val w3 = 16 + 3 % 9
+    assert(px3(4 * w3 + 2) == ((27 << 16) | (29 << 8) | 50))
+  }
 }
