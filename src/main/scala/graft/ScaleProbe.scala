@@ -72,17 +72,22 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    def calibrationJob(): Unit =
+      spark.range(50000000L)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(1000)).as("b"))
+        .agg(count(lit(1)))
+        .count(): Unit
+    // untimed warm-up: the first Spark job of the session carries JIT +
+    // codegen warm-up (measured 5×), which would contaminate the scale-1
+    // calibration and make the calibration RATIO itself misleading
+    calibrationJob()
+
     for (scale <- Seq(1, 10)) {
       // fixed-size calibration: IDENTICAL work in both scale passes, so a
       // probe ratio can be divided by the calibration ratio to separate
       // real scaling from host-load contamination inside the artifact
-      val (_, calSecs) = timed {
-        spark.range(50000000L)
-          .select(xxhash64(col("id")).as("h"))
-          .groupBy(pmod(col("h"), lit(1000)).as("b"))
-          .agg(count(lit(1)))
-          .count()
-      }
+      val (_, calSecs) = timed(calibrationJob())
       report("calibration_fixed", scale, 50000000L, calSecs)
       val d = docsX(scale)
       val e = embX(scale)
