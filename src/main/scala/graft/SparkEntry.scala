@@ -1166,6 +1166,14 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", tokenBudget = 10000L)
         .select(col("doc_id"), col("n_tokens"), col("run_tokens"))),
+    // concat-and-chunk sequence packing (the pretraining batch layout):
+    // corpus token stream in doc_id order split at exact 2048-token
+    // window boundaries, per-window doc/token/spanning stats — one range
+    // exchange + distributed prefix sum, windows-sized output
+    "curate_pack_chunks" -> ((s, dir) =>
+      Curation.packChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", capacity = 2048L)),
 
     // fixed-width histogram of the event value distribution: deterministic
     // floor binning (not width_bucket — identical arithmetic in any engine),
@@ -1603,6 +1611,65 @@ object SparkEntry {
     // learned merges, report freq-weighted symbols-per-char
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeStats(t(s, dir, "documents"), "text", rounds = 8)),
+    // tokenizer train-once / apply-everywhere: vocabulary trained on the
+    // doc_id%5!=0 split and SAVED (rounds-sized parquet artifact), then a
+    // disjoint shard encoded against the PINNED merges — cost tracks the
+    // shard, training never reruns (the saved-artifact apply path the
+    // minhash and IVF indexes already have)
+    "text_bpe_saved_apply" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val vocabDir = s"${System.getProperty("java.io.tmpdir")}/graft_bpevocab_" +
+        fixtureKey(dir, "documents")
+      val docs = t(s, dir, "documents")
+      if (!FsUtil.exists(s, s"$vocabDir/_SUCCESS"))
+        TextAnalysis.bpeSaveVocab(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", 8, vocabDir)
+      TextAnalysis.bpeApplySavedStats(
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0), "text", vocabDir)
+    }),
+
+    // ---- source formats (beyond reference: its engine is parquet-only;
+    // a lakehouse ingests ORC/CSV/JSON too). Each fixture is written once
+    // from the parquet table, read back through the format's own reader
+    // with a DECLARED schema (schema inference is a second scan and a
+    // 100 TB anti-pattern), and aggregated — the oracle runs the same
+    // aggregate over the original table, so the round-trip must preserve
+    // values exactly ----
+    "source_orc" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        fixtureKey(dir, "orders")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        t(s, dir, "orders").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+    "source_csv" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        fixtureKey(dir, "customer")
+      val base = t(s, dir, "customer")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        base.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(base.schema).option("header", "true").csv(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("balance"))
+    }),
+    "source_json" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        fixtureKey(dir, "supplier")
+      val base = t(s, dir, "supplier")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        base.write.mode("overwrite").json(out)
+      s.read.schema(base.schema).json(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("balance"))
+    }),
 
     // ---- sinks (beyond reference: it has no write path) ----
     "sink_partitioned" -> ((s, dir) => {
@@ -1809,6 +1876,41 @@ object SparkEntry {
            |  "capacity": {"zones": 1},
            |  "catalogs": [{"name": "li_zones", "type": "Static", "uri": "$out"}]
            |}""".stripMargin)
+    }),
+    // layout-aware skipping: lineitem REWRITTEN Z-ordered on
+    // (l_extendedprice, l_quantity), then a 2-D range predicate pruned
+    // through the footer manifests of BOTH dimensions. Z-clustering gives
+    // every file a tight bounding box in both dims, so the second
+    // dimension prunes too — a single-column sort can only ever skip on
+    // its own column (the layout contrast is asserted in CatalogSpec;
+    // the data answer is oracled against the raw table)
+    "q_zonemap_zorder" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{FsUtil, ZoneMap}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorderzm_" +
+        fixtureKey(dir, "lineitem")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        Sinks.zorderWrite(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity")),
+          out, "l_extendedprice", "l_quantity")
+      val paths = FsUtil.listStatus(s, out).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      val keepQ = ZoneMap.prunePaths(
+        ZoneMap.fileStats(s, paths, "l_quantity"), 10d, 15d).toSet
+      val keepP = ZoneMap.prunePaths(
+        ZoneMap.fileStats(s, paths, "l_extendedprice"), 5000d, 20000d).toSet
+      val keep = keepQ.intersect(keepP).toSeq.sorted
+      val src =
+        if (keep.nonEmpty) s.read.parquet(keep: _*)
+        else s.read.parquet(paths: _*).filter(lit(false))
+      src
+        .filter(col("l_quantity").between(10d, 15d) &&
+          col("l_extendedprice").between(5000d, 20000d))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
     }),
     // dynamic partition pruning: the Hive-partitioned fixture joined to a
     // dim whose filter (zh docs at doc_id%7=0) is invisible to static
@@ -2279,13 +2381,14 @@ object SparkEntry {
     * re-expand the chain exponentially). Same double-marker symbol
     * encoding, same (count desc, pair asc) tie order, same left-to-right
     * `replace` application as [[graft.operators.TextAnalysis.bpeTrain]]. */
-  private def bpeOracleSql(rounds: Int, encode: Boolean): String = {
+  private def bpeOracleSql(rounds: Int, encode: Boolean,
+      trainWhere: String = "", applyWhere: Option[String] = None): String = {
     val m = "·" // the boundary marker; doubled between symbols
     val sb = new StringBuilder
     sb.append(s"""WITH w0 AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
       |    '$m$m' || regexp_replace(w, '(.)', '\\1$m$m', 'g') AS s
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents$trainWhere)
       |  WHERE regexp_matches(w, '^[a-z]+$$')
       |  GROUP BY w)""".stripMargin)
     for (i <- 1 to rounds) {
@@ -2306,18 +2409,43 @@ object SparkEntry {
         |    ELSE s END AS s
         |  FROM w${i - 1})""".stripMargin)
     }
-    if (encode)
-      sb.append(s"""
+    def encodeSelect(from: String): String =
+      s"""
         |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
         |  CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
         |  CAST(sum(freq * len(list_filter(string_split(s, '$m$m'), x -> x <> ''))) AS BIGINT) AS n_symbols,
         |  round(sum(freq * len(list_filter(string_split(s, '$m$m'), x -> x <> ''))) * 1.0
         |    / sum(freq * length(w)), 6) AS compression
-        |FROM w$rounds""".stripMargin)
-    else
-      sb.append((1 to rounds).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM b$i")
-        .mkString("\n", "\nUNION ALL ", "\nORDER BY round"))
+        |FROM $from""".stripMargin
+    applyWhere match {
+      case Some(aw) =>
+        // saved-vocab apply: a fresh shard word table encoded through the
+        // TRAIN chain's merges (b1..bN), training untouched by the shard
+        sb.append(s""",
+          |a0 AS MATERIALIZED (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+          |    '$m$m' || regexp_replace(w, '(.)', '\\1$m$m', 'g') AS s
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents$aw)
+          |  WHERE regexp_matches(w, '^[a-z]+$$')
+          |  GROUP BY w)""".stripMargin)
+        for (i <- 1 to rounds) {
+          sb.append(s""",
+            |a$i AS MATERIALIZED (
+            |  SELECT w, freq,
+            |    CASE WHEN EXISTS (SELECT 1 FROM b$i) THEN replace(s,
+            |      '$m' || (SELECT a FROM b$i) || '$m$m' || (SELECT b FROM b$i) || '$m',
+            |      '$m' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$m')
+            |    ELSE s END AS s
+            |  FROM a${i - 1})""".stripMargin)
+        }
+        sb.append(encodeSelect(s"a$rounds"))
+      case None if encode =>
+        sb.append(encodeSelect(s"w$rounds"))
+      case None =>
+        sb.append((1 to rounds).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM b$i")
+          .mkString("\n", "\nUNION ALL ", "\nORDER BY round"))
+    }
     sb.toString
   }
 
@@ -2331,7 +2459,12 @@ object SparkEntry {
       // ann_saved's verbatim
       "ann_saved_append" -> oracleSqlBase("ann_saved"),
       "text_bpe_train" -> bpeOracleSql(8, encode = false),
-      "text_bpe_encode" -> bpeOracleSql(8, encode = true))
+      "text_bpe_encode" -> bpeOracleSql(8, encode = true),
+      // train on doc_id%5<>0, encode the held-out shard through the
+      // pinned merges — the saved-vocab apply path's oracle
+      "text_bpe_saved_apply" -> bpeOracleSql(8, encode = true,
+        trainWhere = " WHERE doc_id % 5 <> 0",
+        applyWhere = Some(" WHERE doc_id % 5 = 0")))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -3086,6 +3219,24 @@ object SparkEntry {
       """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,
+    "q_zonemap_zorder" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 15
+        |  AND l_extendedprice BETWEEN 5000 AND 20000""".stripMargin,
+    "source_orc" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "source_csv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS balance
+        |FROM customer GROUP BY 1""".stripMargin,
+    "source_json" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS balance
+        |FROM supplier GROUP BY 1""".stripMargin,
     "q_dpp" ->
       """WITH dim AS (
         |  SELECT DISTINCT source FROM documents
@@ -3871,6 +4022,25 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_tokens
         |  FROM documents) x
         |WHERE run_tokens <= 10000""".stripMargin,
+    "curate_pack_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_end
+        |  FROM documents),
+        |s AS (SELECT doc_id, nt, run_end - nt AS run_start, run_end FROM c),
+        |e AS (
+        |  SELECT run_start, run_end,
+        |    run_start // 2048 AS w0, (run_end - 1) // 2048 AS w1,
+        |    unnest(generate_series(run_start // 2048, (run_end - 1) // 2048)) AS w
+        |  FROM s)
+        |SELECT CAST(w AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(run_end, (w + 1) * 2048) - greatest(run_start, w * 2048)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN w0 <> w1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |FROM e GROUP BY 1""".stripMargin,
     "events_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi

@@ -245,7 +245,25 @@ object Curation {
     * table and the windowed rows agree by construction. */
   private def runningTotalByHashOrder(
       df: DataFrame, idCol: String, weight: Column, outCol: String): DataFrame = {
-    Seq(outCol, "__h", "__pid", "__w", "__r", "__off").foreach(c =>
+    require(!df.columns.contains("__h"),
+      "deterministic ordering reserves the '__h' column; rename it first")
+    runningTotalOrdered(
+        df.withColumn("__h", md5(col(idCol).cast("string"))),
+        Seq("__h", idCol), weight, outCol)
+      .drop("__h")
+  }
+
+  /** The distributed-prefix-sum core itself, parameterized on the total
+    * order: range-partition `df` on `orderCols`, compute the inclusive
+    * running sum of `weight` in that order as `outCol` — per-partition
+    * running windows plus each partition's start offset from a
+    * #partitions-row broadcast table, never a corpus-sized single-reducer
+    * window. `orderCols` must be a total order (ties would make the
+    * inclusive sum order-dependent). */
+  private def runningTotalOrdered(
+      df: DataFrame, orderCols: Seq[String], weight: Column,
+      outCol: String): DataFrame = {
+    Seq(outCol, "__pid", "__w", "__r", "__off").foreach(c =>
       require(!df.columns.contains(c),
         s"deterministic ordering reserves the '$c' column; rename it first"))
     val parts = df.sparkSession.sparkContext.defaultParallelism
@@ -254,8 +272,7 @@ object Curation {
     // resample range boundaries and silently corrupt the prefix sums
     val ranged = OpUtils.sharedPinned(df
       .withColumn("__w", weight.cast("long"))
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .repartitionByRange(parts, col("__h"), col(idCol))
+      .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id()))
     // partition start offsets: a #partitions-row aggregate, window-summed
     // (tiny, single-partition window is fine) and broadcast back
@@ -266,11 +283,11 @@ object Curation {
       .select(col("__pid"), col("__off"))
     ranged
       .withColumn("__r", sum(col("__w")).over(
-        Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+        Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets), "__pid")
       .withColumn(outCol, (col("__r") + col("__off")).cast("long"))
-      .drop("__h", "__pid", "__w", "__r", "__off")
+      .drop("__pid", "__w", "__r", "__off")
   }
 
   /** Fill a TOKEN budget reproducibly: keep documents in the deterministic
@@ -290,6 +307,43 @@ object Curation {
         df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long")),
         idCol, col("n_tokens"), "run_tokens")
       .filter(col("run_tokens") <= tokenBudget)
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: the corpus token stream
+    * (documents concatenated in ascending `idCol` order, whitespace
+    * tokens) split at exact `capacity`-token boundaries — documents may
+    * span a window edge, every window except the tail is exactly full,
+    * zero padding. This is the pretraining batch layout (GPT-2/LLaMA
+    * concat-and-chunk), the step after curation that turns a document
+    * table into fixed-length training sequences. Emits one row per
+    * context window: (window_id, n_docs touching it, n_tokens in it,
+    * n_spanning = docs that cross one of its edges).
+    *
+    * 100 TB shape: ONE range exchange on `idCol` feeds the distributed
+    * prefix sum (per-partition windows + a #partitions-row broadcast
+    * offset table — never a corpus-sized single-reducer window); the
+    * window fan-out explode adds n_docs + total_tokens/capacity rows
+    * (each doc spans at most nt/capacity + 2 windows), and the final
+    * aggregate is windows-sized. Nothing is ever collected. */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val withTok = df.select(
+      col(idCol), size(split(col(textCol), " ")).cast("long").as("__nt"))
+    runningTotalOrdered(withTok, Seq(idCol), col("__nt"), "__run_end")
+      .withColumn("__run_start", col("__run_end") - col("__nt"))
+      .withColumn("__w0", expr(s"__run_start div ${capacity}L"))
+      .withColumn("__w1", expr(s"(__run_end - 1) div ${capacity}L"))
+      .withColumn("window_id", explode(sequence(col("__w0"), col("__w1"))))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(
+          least(col("__run_end"), (col("window_id") + 1) * lit(capacity)) -
+            greatest(col("__run_start"), col("window_id") * lit(capacity)))
+          .cast("long").as("n_tokens"),
+        sum(when(col("__w0") =!= col("__w1"), 1L).otherwise(0L))
+          .cast("long").as("n_spanning"))
   }
 
   /** Corpus-level duplicate-LINE removal (the CCNet / RefinedWeb /

@@ -125,11 +125,15 @@ object Sinks {
     * per-block boxes in both dims are exactly what file skipping needs. */
   def zorderWrite(
       df: DataFrame, path: String, colX: String, colY: String,
-      bits: Int = 8, blockShift: Int = 10): DataFrame = {
+      bits: Int = 8, blockShift: Int = 10, files: Int = 0): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     require(blockShift >= 0 && blockShift < 2 * bits,
       s"blockShift must be in [0, ${2 * bits}), got $blockShift")
     val spark = df.sparkSession
+    // file count bounds the zone resolution: each file's bounding box
+    // spans ~1/files of the Z range, so skipping power grows with it
+    val nFiles =
+      if (files > 0) files else spark.sparkContext.defaultParallelism
     val stats = df.agg(
       min(col(colX)).as("__zx_mn"), max(col(colX)).as("__zx_mx"),
       min(col(colY)).as("__zy_mn"), max(col(colY)).as("__zy_mx"))
@@ -139,7 +143,7 @@ object Sinks {
         binCode(col(colY), col("__zy_mn"), col("__zy_mx"), bits), bits))
       .drop("__zx_mn", "__zx_mx", "__zy_mn", "__zy_mx")
     coded
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__z"))
+      .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

@@ -818,6 +818,12 @@ object TextAnalysis {
     * aggregated in one job. */
   def bpeEncodeStats(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
     val (_, words) = bpeLoop(df, textCol, rounds)
+    bpeStats(words)
+  }
+
+  /** Corpus-level encode stats of a symbolized word table (the shared tail
+    * of [[bpeEncodeStats]] and [[bpeApplySavedStats]]). */
+  private def bpeStats(words: DataFrame): DataFrame =
     words
       .withColumn("n_syms",
         size(expr(s"filter(split(s, '$BpeSep2'), x -> x != '')")).cast("long"))
@@ -827,5 +833,46 @@ object TextAnalysis {
         sum(col("freq") * col("n_syms")).cast("long").as("n_symbols"),
         round(sum(col("freq") * col("n_syms")).cast("double") /
           sum(col("freq") * length(col("w"))), 6).as("compression"))
+
+  /** Train a BPE vocabulary on `df` and SAVE it: the learned merge table
+    * (round, sym_a, sym_b, pair_count) written as parquet at `path` — the
+    * tokenizer-artifact half of the train-once / apply-everywhere split.
+    * The table is `rounds`-sized (a real vocabulary is 10⁴–10⁵ rows), so
+    * one file holds it at any scale. Returns the saved table read back. */
+  def bpeSaveVocab(
+      df: DataFrame, textCol: String, rounds: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (merges, _) = bpeLoop(df, textCol, rounds)
+    merges.toDF("round", "sym_a", "sym_b", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Encode a NEW shard with a PINNED saved vocabulary — training never
+    * reruns: the merge table is loaded (vocab-sized, driver-held in round
+    * order), each merge applies as the same single `replace` projection the
+    * trainer used, and the result is the shard's corpus-level encode stats.
+    *
+    * 100 TB shape: the shard pays ONE word-frequency aggregation; every
+    * merge after that is a narrow vocab-sized projection with the merge
+    * pair inlined as a literal — no join, no shuffle, cost tracks the
+    * SHARD, never the training corpus. This is the tokenizer analogue of
+    * the minhash/IVF saved-index apply paths: the artifact is immutable,
+    * the new data streams against it. */
+  def bpeApplySavedStats(
+      df: DataFrame, textCol: String, vocabPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val merges = spark.read.parquet(vocabPath)
+      .orderBy(col("round"))
+      .select(col("sym_a"), col("sym_b"))
+      .collect() // rounds-sized by the bpeSaveVocab contract
+    var words = bpeWordTable(df, textCol)
+    merges.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      words = words.withColumn("s", expr(
+        s"replace(s, '$BpeSep$a$BpeSep2$b$BpeSep', '$BpeSep$a$b$BpeSep')"))
+    }
+    bpeStats(words)
   }
 }

@@ -415,4 +415,47 @@ class CatalogSpec extends AnyFunSuite {
         .toDF("file", "rows", "min", "max", "null_count"))
     assert(ZoneMap.prunePaths(withUnknown, 5000d, 6000d) == Seq("mystery.parquet"))
   }
+
+  test("Z-order layout makes the SECOND dimension zone-prunable; a single-column sort does not") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sinks
+    val spark2 = spark
+    import spark2.implicits._
+    // x sequential, y a multiplicative-hash scramble of x — deterministic
+    // but uncorrelated, so an x-sorted file spans the ENTIRE y range
+    val df = (0L until 20000L)
+      .map(i => (i, (i * 2654435761L) % 1000L)).toDF("x", "y")
+    val sortedDir = Files.createTempDirectory("graft_zm_sorted").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sortedDir)
+    val zDir = Files.createTempDirectory("graft_zm_zorder").toString
+    // 16 files ~ 4 Z-bits of resolution: enough for the y dimension to
+    // constrain to quarter-range boxes (the test session runs few cores,
+    // so the defaultParallelism file count would be too coarse to skip)
+    Sinks.zorderWrite(df, zDir, "x", "y", files = 16).collect()
+    def parquetFiles(d: String) =
+      FsUtil.listStatus(spark, d).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+    def keptOnY(d: String): (Int, Int) = {
+      val paths = parquetFiles(d)
+      (ZoneMap.prunePaths(ZoneMap.fileStats(spark, paths, "y"), 100d, 150d).size,
+        paths.size)
+    }
+    val (sortedKept, sortedAll) = keptOnY(sortedDir)
+    val (zKept, zAll) = keptOnY(zDir)
+    // the x-sorted layout cannot skip on y (every file's y zone is ~full)
+    assert(sortedKept == sortedAll,
+      s"x-sorted layout unexpectedly pruned on y: $sortedKept/$sortedAll")
+    // the Z-ordered layout skips most files on the same y predicate
+    assert(zKept < zAll / 2 && zKept > 0,
+      s"Z-order layout should prune y to under half the files: $zKept/$zAll")
+    // and the pruned read answers exactly
+    val keep = ZoneMap.prunePaths(
+      ZoneMap.fileStats(spark, parquetFiles(zDir), "y"), 100d, 150d)
+    val pruned = spark.read.parquet(keep: _*)
+      .filter(col("y").between(100L, 150L)).agg(sum("x")).collect()(0).getLong(0)
+    val full = df.filter(col("y").between(100L, 150L))
+      .agg(sum("x")).collect()(0).getLong(0)
+    assert(pruned == full)
+  }
 }

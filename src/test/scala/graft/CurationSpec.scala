@@ -275,6 +275,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out == out2)
   }
 
+  test("pack_chunks: every window but the tail is exactly full, totals and spans reconcile") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val cap = 2048L
+    val windows = Curation.packChunks(docs, "doc_id", "text", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(windows.nonEmpty)
+    // window ids are contiguous from 0
+    assert(windows.map(_._1).toSeq == windows.indices.map(_.toLong))
+    // every window except the last holds exactly `cap` tokens (zero
+    // padding is the concat-and-chunk contract); the tail holds the rest
+    windows.init.foreach { case (w, _, nt, _) =>
+      assert(nt == cap, s"window $w holds $nt tokens, expected $cap") }
+    assert(windows.last._3 >= 1 && windows.last._3 <= cap)
+    // token total reconciles with the corpus
+    val corpusTokens = docs
+      .selectExpr("sum(size(split(text, ' ')))").collect()(0).getLong(0)
+    assert(windows.map(_._3).sum == corpusTokens)
+    // docs tile the stream contiguously, so each of the W-1 internal
+    // window boundaries is crossed by AT MOST one doc (zero when a doc
+    // ends exactly on it) and every crossing adds exactly one extra
+    // window-touch: nDocs <= sum(n_docs) <= nDocs + W - 1
+    val nDocs = docs.count()
+    val touches = windows.map(_._2).sum
+    assert(touches >= nDocs && touches <= nDocs + windows.length - 1,
+      s"window touches $touches outside [$nDocs, ${nDocs + windows.length - 1}]")
+    // determinism across runs
+    graft.operators.PipelineCache.clear()
+    val again = Curation.packChunks(docs, "doc_id", "text", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(windows.toSeq == again.toSeq)
+  }
+
   test("streaming near-dup filter flags only docs near-duplicating the static reference") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
