@@ -39,6 +39,7 @@ object ZoneMap {
     val rows = spark.sparkContext
       .parallelize(paths, parallelism)
       .map { p =>
+        try {
         val conf = new org.apache.hadoop.conf.Configuration(true)
         confProps.foreach { case (k, v) => conf.set(k, v) }
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -83,6 +84,16 @@ object ZoneMap {
         val (fmn, fmx) =
           if (statsComplete) (mn, mx) else (None, None) // conservative: unknown range
         (p, rows, fmn, fmx, if (nullsKnown) Some(nulls) else None)
+        } catch {
+          // pruning is an OPTIMIZATION: a missing or unreadable footer
+          // yields an unknown-stats row (never pruned) instead of failing
+          // the manifest build — the subsequent read surfaces any real
+          // missing-file error loudly, and planner-validation catalogs
+          // with synthetic paths keep planning
+          case scala.util.control.NonFatal(_) =>
+            (p, 0L, Option.empty[Double], Option.empty[Double],
+              Option.empty[Long])
+        }
       }
     spark.createDataFrame(rows)
       .toDF("file", "rows", "min", "max", "null_count")
