@@ -30,6 +30,27 @@ object MakeScaled {
     spark.sparkContext.setLogLevel("WARN")
     val stride = 100000000L
 
+    // Dimension tables ship as single parquet FILES named table.parquet
+    // (testdata's shape — q12's strict-footer declared-schema scan reads
+    // region.parquet as an explicit file path). Fact tables stay
+    // DIRECTORIES: a scaled fact is realistically multi-file, and a
+    // single file would collapse scan parallelism to one task, measuring
+    // the layout instead of the operators.
+    def writeSingleFile(df: DataFrame, table: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val staging = s"$outDir/.staging_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val fs = new Path(outDir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(new Path(staging))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $table"))
+      val dest = new Path(s"$outDir/$table.parquet")
+      fs.delete(dest, true)
+      fs.rename(part, dest)
+      fs.delete(new Path(staging), true)
+    }
+
     def replicate(table: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables.load(spark, srcDir, table)
       val out = (0 until k).map(i => if (i == 0) base else tx(base, i))
@@ -75,8 +96,7 @@ object MakeScaled {
     // dimension tables: one copy — fact-to-dim fan-out grows k× like a
     // real corpus against fixed reference data
     Seq("region", "nation").foreach { t =>
-      Tables.load(spark, srcDir, t)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      writeSingleFile(Tables.load(spark, srcDir, t), t)
       println(s"[make-scaled] $t x1 written")
     }
     spark.stop()
