@@ -1658,6 +1658,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("c_acctbal")), 2).as("balance"))
     }),
+    // the same formats through the TWO-STAGE JSON API: a Static catalog
+    // declares "format" (and, for csv, its schema as DDL — inference
+    // would scan the data); the map/reduce split, partition pruning, and
+    // metrics all work unchanged, only the scan reader differs
+    "source_orc_2stage" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        fixtureKey(dir, "orders")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        t(s, dir, "orders").write.mode("overwrite").orc(out)
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |  "steps": [
+           |    {"sql": "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS t FROM orders_orc GROUP BY o_orderpriority",
+           |     "name": "orc_map", "step_type": "HBee"},
+           |    {"sql": "SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n, round(sum(t), 2) AS total FROM orc_map GROUP BY o_orderpriority",
+           |     "name": "orc_reduce", "step_type": "HComb"}
+           |  ],
+           |  "capacity": {"zones": 1},
+           |  "catalogs": [{"name": "orders_orc", "type": "Static", "uri": "$out", "format": "orc"}]
+           |}""".stripMargin)
+    }),
+    "source_csv_2stage" -> ((s, dir) => {
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        fixtureKey(dir, "customer")
+      val base = t(s, dir, "customer")
+      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+        base.write.mode("overwrite").option("header", "true").csv(out)
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |  "steps": [
+           |    {"sql": "SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS b FROM customer_csv GROUP BY c_mktsegment",
+           |     "name": "csv_map", "step_type": "HBee"},
+           |    {"sql": "SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n, round(sum(b), 2) AS balance FROM csv_map GROUP BY c_mktsegment",
+           |     "name": "csv_reduce", "step_type": "HComb"}
+           |  ],
+           |  "capacity": {"zones": 1},
+           |  "catalogs": [{"name": "customer_csv", "type": "Static", "uri": "$out",
+           |    "format": "csv", "schema": "${base.schema.toDDL}"}]
+           |}""".stripMargin)
+    }),
     "source_json" -> ((s, dir) => {
       import graft.sources.FsUtil
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
@@ -3230,6 +3274,14 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
     "source_csv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS balance
+        |FROM customer GROUP BY 1""".stripMargin,
+    "source_orc_2stage" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "source_csv_2stage" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS balance
         |FROM customer GROUP BY 1""".stripMargin,

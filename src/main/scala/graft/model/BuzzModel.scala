@@ -35,7 +35,15 @@ final case class BuzzCatalogRef(
     name: String,
     catalogType: String,
     uri: String,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    /** Static-catalog data format: parquet (default) | orc | csv | json.
+      * Beyond reference (its engine is parquet-only, README.md:113). */
+    format: Option[String] = None,
+    /** Declared data schema as Spark DDL ("a BIGINT, b STRING"). Required
+      * for csv/json catalogs — inferring their schema needs a data scan,
+      * which a catalog resolution must never pay; optional for orc/parquet
+      * (self-describing footers). */
+    schemaDdl: Option[String] = None)
 
 final case class BuzzCapacity(zones: Int)
 
@@ -94,7 +102,16 @@ object BuzzQuery {
           case other     => throw new BuzzException.BadRequest(
             s"version_as_of must be an integer in long range, got $other")
         }
-        BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"), versionAsOf)
+        // optional format / schema for Static catalogs; malformed values
+        // are rejected, not defaulted (same discipline as version_as_of)
+        def optStr(field: String): Option[String] = c \ field match {
+          case JString(s) => Some(s)
+          case JNothing   => None
+          case other      => throw new BuzzException.BadRequest(
+            s"'$field' must be a string, got $other")
+        }
+        BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"),
+          versionAsOf, optStr("format"), optStr("schema"))
       }
       case JNothing => Nil
       case other    => throw new BuzzException.BadRequest(

@@ -50,7 +50,10 @@ final class BuzzEngine(
     buildDf(spark, plan(spark, query))
 
   private def buildDf(spark: SparkSession, p: DistributedPlan): DataFrame = {
-    if (verifySchemas)
+    // strict schema verification is a parquet-FOOTER contract (physical
+    // type + repetition checks); non-parquet catalogs read under their
+    // declared schema, where Spark itself surfaces any mismatch
+    if (verifySchemas && p.catalog.format == "parquet")
       SchemaVerifier.verify(
         p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
     val source = p.catalog.read(spark, p.files)

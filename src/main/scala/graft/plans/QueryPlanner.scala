@@ -87,8 +87,11 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     // idea as catalog/mod.rs:52-69, extended to column ranges). Purely an
     // optimization: the map SQL still applies the full predicate to the
     // surviving files, so a conservative manifest can never change results.
-    val files = graft.sources.ZoneMap.pruneForQuery(
-      spark, catalog.schema, catalog.prune(spark, mapStep.partitionFilter), mapStep.sql)
+    val pruned = catalog.prune(spark, mapStep.partitionFilter)
+    val files =
+      if (catalog.format == "parquet")
+        graft.sources.ZoneMap.pruneForQuery(spark, catalog.schema, pruned, mapStep.sql)
+      else pruned // zone manifests are parquet-footer stats; other formats skip
     DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema)
   }
 

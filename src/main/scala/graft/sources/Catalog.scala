@@ -50,6 +50,14 @@ trait SplittableCatalog {
     * the normalization so every map SQL sees one timestamp type. */
   def ntzColumns: Seq[String] = Nil
 
+  /** Data format of the catalog's files: parquet (default) | orc | csv |
+    * json. Beyond reference (its engine is parquet-only). Non-parquet
+    * catalogs skip the parquet-specific machinery: footer schema
+    * verification, TIMESTAMP(NANOS)/NTZ normalization, and zone-map
+    * footer pruning (the manifest builder degrades them to unknown-stats
+    * rows anyway — the planner simply doesn't try). */
+  def format: String = "parquet"
+
   def files: Seq[SizedFile]
 
   /** Full table schema including partition columns, as workers see it. */
@@ -142,11 +150,14 @@ trait SplittableCatalog {
           partitionColumns.map(p => StructField(p, StringType, nullable = true)))
         spark.read.schema(withParts)
           .option("basePath", base)
-          .parquet(selected.map(_.key): _*)
+          .options(formatOptions)
+          .format(format)
+          .load(selected.map(_.key): _*)
       case None =>
         val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))
         groups.map { case (partVals, fs) =>
-          val base = spark.read.schema(readSchema).parquet(fs.map(_.key): _*)
+          val base = spark.read.schema(readSchema)
+            .options(formatOptions).format(format).load(fs.map(_.key): _*)
           partitionColumns.zip(partVals).foldLeft(base) { case (df, (p, v)) =>
             df.withColumn(p, lit(v))
           }
@@ -161,6 +172,13 @@ trait SplittableCatalog {
     // enforce the catalog's declared column order (data cols, then
     // partition cols) independent of the datasource's placement
     converted.select(fullSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Reader options the format needs: headers for CSV (the sinks write
+    * them, and a headerless read would shift every column by one row). */
+  private def formatOptions: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    case _     => Map.empty
   }
 
   /** The common root of a consistent Hive layout, if every selected file's
@@ -204,7 +222,8 @@ final class StaticCatalog(
     val partitionColumns: Seq[String],
     val files: Seq[SizedFile],
     override val nanosColumns: Seq[String] = Nil,
-    override val ntzColumns: Seq[String] = Nil)
+    override val ntzColumns: Seq[String] = Nil,
+    override val format: String = "parquet")
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
@@ -269,32 +288,60 @@ object StaticCatalog {
   /** Catalog over explicit parquet paths, inferring the schema from the
     * first file; file lengths come from the Hadoop FileSystem so `file://`,
     * `hdfs://` and `s3a://` URIs all work. */
+  /** Formats a Static catalog can declare; parquet is the default and the
+    * only one the reference's engine reads. */
+  val SupportedFormats: Set[String] = Set("parquet", "orc", "csv", "json")
+
   def overLocalFiles(
       spark: SparkSession,
       name: String,
       paths: Seq[String],
       partitionColumns: Seq[String] = Nil,
-      partitionValues: Map[String, Seq[String]] = Map.empty): StaticCatalog = {
-    val (schema, nanosCols, ntzCols) = inferenceCache.computeIfAbsent(paths.head, { p =>
-      // tolerate TIMESTAMP(NANOS) columns during inference (read as long),
-      // then re-declare them TimestampType backed by the catalog's conversion
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val (nanos, ntz, required) = footerMeta(spark, p)
-      val inferred = spark.read.parquet(p).schema
-      (StructType(inferred.fields.map { f0 =>
-        // Spark widens every inferred field to nullable; restore the
-        // footer's repetition so the inferred declaration round-trips
-        // through the strict nullability check (reference parity)
-        val f = f0.copy(nullable = !required.contains(f0.name))
-        if (nanos.contains(f.name) || ntz.contains(f.name))
-          f.copy(dataType = TimestampType)
-        else f
-      }), nanos, ntz)
-    })
+      partitionValues: Map[String, Seq[String]] = Map.empty,
+      format: String = "parquet",
+      declaredSchema: Option[StructType] = None): StaticCatalog = {
+    require(SupportedFormats.contains(format),
+      s"unsupported catalog format '$format'")
+    val (schema, nanosCols, ntzCols) = declaredSchema match {
+      case Some(s) => (s, Nil: Seq[String], Nil: Seq[String])
+      case None => format match {
+        case "parquet" =>
+          inferenceCache.computeIfAbsent(paths.head, { p =>
+            // tolerate TIMESTAMP(NANOS) columns during inference (read as
+            // long), then re-declare them TimestampType backed by the
+            // catalog's conversion
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            val (nanos, ntz, required) = footerMeta(spark, p)
+            val inferred = spark.read.parquet(p).schema
+            (StructType(inferred.fields.map { f0 =>
+              // Spark widens every inferred field to nullable; restore the
+              // footer's repetition so the inferred declaration round-trips
+              // through the strict nullability check (reference parity)
+              val f = f0.copy(nullable = !required.contains(f0.name))
+              if (nanos.contains(f.name) || ntz.contains(f.name))
+                f.copy(dataType = TimestampType)
+              else f
+            }), nanos, ntz)
+          })
+        case "orc" =>
+          // ORC is self-describing: footer-only schema read, cached like
+          // the parquet path (format-prefixed key — same path could hold
+          // either format across tests)
+          inferenceCache.computeIfAbsent(s"orc|${paths.head}", { _ =>
+            (spark.read.orc(paths.head).schema, Nil, Nil)
+          })
+        case other =>
+          // inferring csv/json schemas requires a DATA scan, which catalog
+          // resolution must never pay at any scale — require a declaration
+          throw new BuzzException.BadRequest(
+            s"$other catalog '$name' requires a declared schema " +
+              "(\"schema\": \"col TYPE, ...\") — schema inference would scan the data")
+      }
+    }
     val files = paths.map { p =>
       SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))
     }
-    new StaticCatalog(name, schema, partitionColumns, files, nanosCols, ntzCols)
+    new StaticCatalog(name, schema, partitionColumns, files, nanosCols, ntzCols, format)
   }
 
   /** Catalog over a parquet file or a directory of parquet files (the shape
@@ -309,13 +356,19 @@ object StaticCatalog {
       name: String,
       uri: String,
       partitionColumns: Seq[String] = Nil,
-      partitionValuesFor: String => Seq[String] = _ => Nil): StaticCatalog = {
+      partitionValuesFor: String => Seq[String] = _ => Nil,
+      format: String = "parquet",
+      declaredSchema: Option[StructType] = None): StaticCatalog = {
+    require(SupportedFormats.contains(format),
+      s"unsupported catalog format '$format'")
     if (!FsUtil.isDirectory(spark, uri)) {
       return overLocalFiles(spark, name, Seq(uri), partitionColumns,
-        Map(uri -> partitionValuesFor(uri)))
+        Map(uri -> partitionValuesFor(uri)), format, declaredSchema)
     }
-    // recursive listing: collect leaf parquet files plus the key=value
-    // partition path segments above them
+    // recursive listing: collect leaf data files (by the format's
+    // extension — ".snappy.orc" and friends still end with it) plus the
+    // key=value partition path segments above them
+    val ext = s".$format"
     val HivePart = "([^=/]+)=([^/]*)".r
     def walk(dir: String, parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
       FsUtil.listStatus(spark, dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
@@ -325,13 +378,13 @@ object StaticCatalog {
             case HivePart(k, v) => walk(child, parts :+ (k -> v))
             case _              => walk(child, parts)
           }
-        } else if (st.getPath.getName.endsWith(".parquet")) {
+        } else if (st.getPath.getName.endsWith(ext)) {
           Seq(child -> parts)
         } else Nil
       }
     val found = walk(uri, Nil)
     if (found.isEmpty)
-      throw new BuzzException.BadRequest(s"no parquet files under '$uri'")
+      throw new BuzzException.BadRequest(s"no $format files under '$uri'")
     val discoveredCols = found.head._2.map(_._1)
     if (found.exists(_._2.map(_._1) != discoveredCols))
       throw new BuzzException.BadRequest(
@@ -347,6 +400,6 @@ object StaticCatalog {
         p => byPath(p).map(_._2)
       } else partitionValuesFor
     overLocalFiles(spark, name, found.map(_._1), cols,
-      found.map { case (p, _) => p -> valuesFor(p) }.toMap)
+      found.map { case (p, _) => p -> valuesFor(p) }.toMap, format, declaredSchema)
   }
 }

@@ -21,8 +21,27 @@ object CatalogResolver {
           if (r.versionAsOf.isDefined)
             throw new BuzzException.BadRequest(
               s"version_as_of is only valid for DeltaLake catalogs ('${r.name}' is Static)")
-          StaticCatalog.overPath(spark, r.name, r.uri): SplittableCatalog
+          val format = r.format.getOrElse("parquet")
+          if (!StaticCatalog.SupportedFormats.contains(format))
+            throw new BuzzException.BadRequest(
+              s"unknown format '$format' for catalog '${r.name}' " +
+                s"(expected one of ${StaticCatalog.SupportedFormats.toSeq.sorted.mkString(", ")})")
+          val declared = r.schemaDdl.map { ddl =>
+            try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            catch {
+              case e: Exception => throw new BuzzException.BadRequest(
+                s"invalid schema DDL for catalog '${r.name}': ${e.getMessage}")
+            }
+          }
+          StaticCatalog.overPath(spark, r.name, r.uri,
+            format = format, declaredSchema = declared): SplittableCatalog
         case "DeltaLake" =>
+          if (r.format.exists(_ != "parquet"))
+            throw new BuzzException.BadRequest(
+              s"'format' is only valid for Static catalogs ('${r.name}' is DeltaLake)")
+          if (r.schemaDdl.isDefined)
+            throw new BuzzException.BadRequest(
+              s"'schema' is only valid for Static catalogs ('${r.name}' is DeltaLake — its log declares the schema)")
           DeltaCatalog.fromDeltaLog(spark, r.uri, r.name, r.versionAsOf): SplittableCatalog
         case other =>
           throw new BuzzException.BadRequest(

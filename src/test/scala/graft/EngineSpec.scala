@@ -162,4 +162,51 @@ class EngineSpec extends AnyFunSuite {
     // no harvestable predicate: no footer reads, full file list
     assert(planFiles("SELECT sum(v) AS s FROM zt") == 4)
   }
+
+  test("format-aware Static catalogs: json with declared schema answers exactly; misuse rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_engine").toString
+    val rows = (0L until 100L).map(i => (i, s"g${i % 4}", i * 1.5))
+    rows.toDF("id", "grp", "v").write.mode("overwrite").json(dir)
+    val eng = new BuzzEngine(Map.empty)
+    def q(catalogJson: String) =
+      s"""{
+         |  "steps": [
+         |    {"sql": "SELECT grp, count(*) AS n, sum(v) AS s FROM jt GROUP BY grp",
+         |     "name": "m", "step_type": "HBee"},
+         |    {"sql": "SELECT grp, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM m GROUP BY grp",
+         |     "name": "r", "step_type": "HComb"}
+         |  ],
+         |  "capacity": {"zones": 1},
+         |  "catalogs": [$catalogJson]
+         |}""".stripMargin
+    val good = q(s"""{"name": "jt", "type": "Static", "uri": "$dir",
+      "format": "json", "schema": "id BIGINT, grp STRING, v DOUBLE"}""")
+    val got = eng.runJson(spark, good).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> ((rs.size.toLong, rs.map(_._3).sum)) }
+    assert(got == expect)
+    // csv/json without a declared schema: rejected (inference scans data)
+    val noSchema = intercept[BuzzException.BadRequest] {
+      eng.runJson(spark, q(s"""{"name": "jt", "type": "Static", "uri": "$dir", "format": "json"}"""))
+    }
+    assert(noSchema.getMessage.contains("declared schema"))
+    // unknown format: rejected with the supported list
+    val badFmt = intercept[BuzzException.BadRequest] {
+      eng.runJson(spark, q(s"""{"name": "jt", "type": "Static", "uri": "$dir", "format": "avro"}"""))
+    }
+    assert(badFmt.getMessage.contains("unknown format"))
+    // format on a DeltaLake catalog: rejected
+    val deltaFmt = intercept[BuzzException.BadRequest] {
+      eng.runJson(spark, q(s"""{"name": "jt", "type": "DeltaLake", "uri": "$dir", "format": "json"}"""))
+    }
+    assert(deltaFmt.getMessage.contains("only valid for Static"))
+    // malformed schema DDL: rejected as a client error, not a 500
+    val badDdl = intercept[BuzzException.BadRequest] {
+      eng.runJson(spark, q(s"""{"name": "jt", "type": "Static", "uri": "$dir",
+        "format": "json", "schema": "id NOT_A_TYPE"}"""))
+    }
+    assert(badDdl.getMessage.contains("invalid schema DDL"))
+  }
 }
