@@ -261,11 +261,14 @@ object Sinks {
     * reader ever sees — and the commit file is written to a temp name
     * then RENAMED to `<version>.json`, atomic on HDFS/local semantics.
     * Appends to an existing table verify schema and partitioning against
-    * the live metaData FIRST and fail loudly on drift. Single-writer per
-    * table, as with delta-rs on plain object stores: two concurrent
-    * committers of the same version race the rename, and the loser's
-    * rename fails (destination exists) — it must retry at the next
-    * version; stores whose rename cannot enforce this (raw S3) need an
+    * the live metaData FIRST and fail loudly on drift. Concurrent
+    * writers use OPTIMISTIC concurrency: committers of the same version
+    * race the atomic rename, and the loser RETRIES at the next version —
+    * appends commute with concurrent appends/OPTIMIZE/DELETE (the new
+    * files are in no prior snapshot), so the retry revalidates the
+    * metaData (schema drift still fails loudly), re-checks txn
+    * idempotence, and re-commits the same add actions (bounded attempts).
+    * Stores whose rename cannot enforce uniqueness (raw S3) need an
     * external lock, exactly the DynamoDB-LogStore caveat upstream Delta
     * documents.
     *
@@ -729,12 +732,14 @@ object Sinks {
     // stamped (appId, version) that the log already carries at >= version
     // is a REPLAY — skip it instead of doubling the batch. This is what
     // makes foreachBatch restart semantics exactly-once end to end.
-    txn.foreach { case (appId, txnVer) =>
-      if (tableExists &&
-          DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
-        return DeltaCatalog.latestVersion(spark, logDir)
+    // txn-replay check and schema/partitioning validation run before the
+    // data write AND again on every commit retry (a concurrent writer may
+    // have replayed the txn or changed the metaData between attempts)
+    def txnAlreadyApplied(): Boolean = txn.exists { case (appId, txnVer) =>
+      FsUtil.isDirectory(spark, logDir) &&
+        DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer)
     }
-    if (tableExists) {
+    def validateAgainstLive(): Unit = {
       val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_sink")
       if (cat.partitionColumns != partitionCols)
         throw new BuzzException.SchemaMismatch(
@@ -748,6 +753,8 @@ object Sinks {
           s"append schema ${incoming.mkString(",")} does not match " +
             s"$tablePath's metaData ${declared.mkString(",")}")
     }
+    if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
+    if (tableExists) validateAgainstLive()
     // stage the data files under the table, invisible until the commit
     val fsys = FsUtil.fs(spark, tablePath)
     val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
@@ -774,8 +781,6 @@ object Sinks {
       (rel, fsys.getFileStatus(dest).getLen, pv)
     }
     fsys.delete(new Path(stage), true)
-    val version =
-      if (tableExists) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
     val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
       JObject("add" -> JObject(
         // URI-encode the on-disk rel path per the protocol — the reader
@@ -790,28 +795,52 @@ object Sinks {
       JObject("txn" -> JObject(
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
     }
-    val actions: Seq[JValue] =
-      if (version == 0L)
-        JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
-        JObject("metaData" -> JObject(
-          "id" -> JString(java.util.UUID.randomUUID.toString),
-          "format" -> JObject("provider" -> JString("parquet")),
-          "schemaString" -> JString(data.schema.json),
-          "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList))) ::
-        (txnActions ++ addActions).toList
-      else (txnActions ++ addActions).toList
-    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
-      .mkString("", "\n", "\n")
-    if (!tableExists) fsys.mkdirs(new Path(logDir))
-    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
-    FsUtil.writeString(spark, tmp.toString, body)
-    val commit = new Path(logDir, f"$version%020d.json")
-    if (!fsys.rename(tmp, commit)) {
-      fsys.delete(tmp, false)
-      throw new BuzzException.ExecutionError(
-        s"commit $version already exists under $logDir (concurrent writer?) — retry")
+    def body(version: Long): String = {
+      val actions: Seq[JValue] =
+        if (version == 0L)
+          JObject("protocol" -> JObject(
+            "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
+          JObject("metaData" -> JObject(
+            "id" -> JString(java.util.UUID.randomUUID.toString),
+            "format" -> JObject("provider" -> JString("parquet")),
+            "schemaString" -> JString(data.schema.json),
+            "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList))) ::
+          (txnActions ++ addActions).toList
+        else (txnActions ++ addActions).toList
+      actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
     }
-    version
+    // OPTIMISTIC-CONCURRENCY commit loop: losing the atomic rename race
+    // means a concurrent writer took the version — an append COMMUTES
+    // with any append/OPTIMIZE/DELETE (its files are brand new, no
+    // snapshot contains them yet), so the same add actions re-commit at
+    // the next version after REVALIDATING against the current metaData (a
+    // concurrent schema or partitioning change must still fail loudly)
+    // and re-checking txn idempotence (a concurrent replay of the same
+    // streaming batch must not double it). Bounded attempts: the loop is
+    // lock-free, so a pathological commit storm surfaces as an error
+    // rather than an unbounded spin.
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val tableNow = FsUtil.isDirectory(spark, logDir)
+      if (attempt > 0) {
+        if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
+        if (tableNow) validateAgainstLive()
+      }
+      val version =
+        if (tableNow) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
+      if (!tableNow) fsys.mkdirs(new Path(logDir))
+      val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+      FsUtil.writeString(spark, tmp.toString, body(version))
+      val commit = new Path(logDir, f"$version%020d.json")
+      if (fsys.rename(tmp, commit)) return version
+      fsys.delete(tmp, false)
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw new BuzzException.ExecutionError(
+          s"lost the commit race $maxAttempts times under $logDir — giving up")
+    }
+    -1L // unreachable
   }
 }

@@ -741,6 +741,39 @@ class CurationSpec extends AnyFunSuite {
       Sinks.deltaAppend(b1, out, Nil))
   }
 
+  test("deltaAppend: concurrent appenders all commit at distinct versions with no lost rows") {
+    import graft.operators.Sinks
+    import graft.sources.DeltaCatalog
+    val out = java.nio.file.Files.createTempDirectory("graft_delta_conc").toString
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // every writer appends its own disjoint batch at the same time —
+    // including the CREATION race: nobody pre-creates the table, so the
+    // version-0 winner lays down protocol+metaData and every loser must
+    // fall through to a validated append retry
+    val versions = Await.result(
+      Future.sequence((0 until writers).map { w =>
+        Future(Sinks.deltaAppend(
+          Seq((w.toLong, s"writer$w")).toDF("id", "v"), out, Nil))
+      }), 120.seconds)
+    // all commits landed, each at its own version, densely 0..writers-1
+    assert(versions.toSet == (0L until writers.toLong).toSet,
+      s"expected versions 0..${writers - 1}, got $versions")
+    // the final snapshot holds every writer's rows exactly once
+    val cat = DeltaCatalog.fromDeltaLog(spark, out, "t")
+    val got = cat.read(spark, cat.files)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0 until writers).map(w => (w.toLong, s"writer$w")).toSet)
+    // and each intermediate version is a consistent prefix of size v+1
+    (0L until writers.toLong).foreach { v =>
+      val snap = DeltaCatalog.fromDeltaLog(spark, out, "t", versionAsOf = Some(v))
+      assert(snap.read(spark, snap.files).count() == v + 1,
+        s"version $v should hold ${v + 1} rows")
+    }
+  }
+
   test("deltaSinkStreaming lands each micro-batch as one transactional Delta commit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.CorpusStream
