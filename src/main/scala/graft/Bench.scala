@@ -54,18 +54,8 @@ object Bench {
     // numbers ran on a loaded host and say so (r7's committed bench read
     // 238 s where a quiet host read 206 s, with no way to tell from the
     // artifact; this closes that).
-    def calibrate(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(50000000L)
-        .select(xxhash64(col("id")).as("h"))
-        .groupBy(pmod(col("h"), lit(1000)).as("b"))
-        .agg(count(lit(1)))
-        .count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def calibrate(): Double = Calibration.timed(spark)
+    def loadAvg(): Double = Calibration.loadAvg()
     val calibBefore = calibrate()
     val loadBefore = loadAvg()
 

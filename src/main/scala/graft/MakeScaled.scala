@@ -69,7 +69,11 @@ object MakeScaled {
       off("o_orderkey", i), off("o_custkey", i), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
     replicate("customer")((df, i) => {
-      val rot = "0123456789".map(c => ('0' + (c - '0' + i) % 10).toChar)
+      // rotation amount 1..9, never 0: a k>10 run must not hand replica
+      // i=10 the identity rotation (its names would exactly duplicate
+      // replica 0's and ER/dedup pair counts would go quadratic)
+      val amt = 1 + (i - 1) % 9
+      val rot = "0123456789".map(c => ('0' + (c - '0' + amt) % 10).toChar)
       df.select(
         off("c_custkey", i),
         translate(col("c_name"), "0123456789", rot).as("c_name"),
@@ -80,16 +84,28 @@ object MakeScaled {
     replicate("part")((df, i) => df.select(
       off("p_partkey", i), col("p_name"), col("p_brand"), col("p_type"),
       col("p_size"), col("p_retailprice")))
-    replicate("documents")((df, i) => df.select(
-      off("doc_id", i),
-      array_join(transform(split(col("text"), " "),
-        w => concat(w, lit(s"_$i"))), " ").as("text"),
-      col("lang"), col("source"), col("n_chars")))
-    replicate("embeddings")((df, i) => df.select(
-      off("vec_id", i),
-      concat(slice(col("embedding"), i % 63 + 1, 64 - i % 63),
-        slice(col("embedding"), 1, i % 63)).as("embedding"),
-      col("label")))
+    replicate("documents")((df, i) => {
+      // the suffix must stay [a-z]+: several text operators (BPE training
+      // among them) filter words on \A[a-z]+\z, and a "_$i"-style suffix
+      // would make every replica token invisible to them — the scaled
+      // bench would then measure a 1x vocabulary while claiming kx.
+      // Two base-26 letters keep replicas mutually distinct to k=676.
+      val code = "x" + ('a' + (i / 26) % 26).toChar + ('a' + i % 26).toChar
+      df.select(
+        off("doc_id", i),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(code))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    })
+    replicate("embeddings")((df, i) => {
+      // rotation 1..62, never 0: i=63 would hand a replica the identity
+      val s = 1 + (i - 1) % 62
+      df.select(
+        off("vec_id", i),
+        concat(slice(col("embedding"), s + 1, 64 - s),
+          slice(col("embedding"), 1, s)).as("embedding"),
+        col("label"))
+    })
     replicate("events")((df, i) => df.select(
       off("event_id", i), col("ts"), off("user_id", i),
       col("event_type"), col("value"), col("props")))

@@ -61,10 +61,8 @@ object ScaleProbe {
     // a comparably loaded host, and r7 proved the artifact can't say so
     // after the fact (committed walls up to 29.7x re-measured at 1.43x on
     // a quiet host)
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     def report(probe: String, scale: Int, value: Long, secs: Double): Unit =
-      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f,"loadavg":${loadAvg()}%.2f}""")
+      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f,"loadavg":${Calibration.loadAvg()}%.2f}""")
 
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -72,22 +70,18 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    def calibrationJob(): Unit =
-      spark.range(50000000L)
-        .select(xxhash64(col("id")).as("h"))
-        .groupBy(pmod(col("h"), lit(1000)).as("b"))
-        .agg(count(lit(1)))
-        .count(): Unit
-    // untimed warm-up: the first Spark job of the session carries JIT +
-    // codegen warm-up (measured 5×), which would contaminate the scale-1
-    // calibration and make the calibration RATIO itself misleading
-    calibrationJob()
+    // the shared fixed-size job (graft.Calibration — ONE definition keeps
+    // Bench and ScaleProbe ratios comparable); untimed warm-up first: the
+    // session's first Spark job carries JIT + codegen warm-up (measured
+    // 5×), which would contaminate the scale-1 calibration and make the
+    // calibration RATIO itself misleading
+    Calibration.job(spark)
 
     for (scale <- Seq(1, 10)) {
       // fixed-size calibration: IDENTICAL work in both scale passes, so a
       // probe ratio can be divided by the calibration ratio to separate
       // real scaling from host-load contamination inside the artifact
-      val (_, calSecs) = timed(calibrationJob())
+      val (_, calSecs) = timed(Calibration.job(spark))
       report("calibration_fixed", scale, 50000000L, calSecs)
       val d = docsX(scale)
       val e = embX(scale)

@@ -95,6 +95,31 @@ object SparkEntry {
     (paths, out)
   }
 
+  /** Shared ORC fixture of the source-format queries: orders written once
+    * per testdata signature. Both source_orc and source_orc_2stage must
+    * read the SAME directory (the helper is the only place that names it). */
+  private def orcFixture(s: SparkSession, dir: String): String = {
+    import graft.sources.FsUtil
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      fixtureKey(dir, "orders")
+    if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+      t(s, dir, "orders").write.mode("overwrite").orc(out)
+    out
+  }
+
+  /** Shared headered-CSV fixture (customer) + its schema, used by
+    * source_csv and source_csv_2stage (which ships the schema as DDL). */
+  private def csvFixture(
+      s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    import graft.sources.FsUtil
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      fixtureKey(dir, "customer")
+    val base = t(s, dir, "customer")
+    if (!FsUtil.exists(s, s"$out/_SUCCESS"))
+      base.write.mode("overwrite").option("header", "true").csv(out)
+    (out, base.schema)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1636,24 +1661,15 @@ object SparkEntry {
     // aggregate over the original table, so the round-trip must preserve
     // values exactly ----
     "source_orc" -> ((s, dir) => {
-      import graft.sources.FsUtil
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        fixtureKey(dir, "orders")
-      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
-        t(s, dir, "orders").write.mode("overwrite").orc(out)
+      val out = orcFixture(s, dir)
       s.read.orc(out)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
     "source_csv" -> ((s, dir) => {
-      import graft.sources.FsUtil
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        fixtureKey(dir, "customer")
-      val base = t(s, dir, "customer")
-      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
-        base.write.mode("overwrite").option("header", "true").csv(out)
-      s.read.schema(base.schema).option("header", "true").csv(out)
+      val (out, schema) = csvFixture(s, dir)
+      s.read.schema(schema).option("header", "true").csv(out)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("c_acctbal")), 2).as("balance"))
@@ -1663,11 +1679,7 @@ object SparkEntry {
     // would scan the data); the map/reduce split, partition pruning, and
     // metrics all work unchanged, only the scan reader differs
     "source_orc_2stage" -> ((s, dir) => {
-      import graft.sources.FsUtil
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        fixtureKey(dir, "orders")
-      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
-        t(s, dir, "orders").write.mode("overwrite").orc(out)
+      val out = orcFixture(s, dir)
       val engine = new BuzzEngine(Map.empty)
       engine.runJson(s,
         s"""{
@@ -1682,12 +1694,7 @@ object SparkEntry {
            |}""".stripMargin)
     }),
     "source_csv_2stage" -> ((s, dir) => {
-      import graft.sources.FsUtil
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        fixtureKey(dir, "customer")
-      val base = t(s, dir, "customer")
-      if (!FsUtil.exists(s, s"$out/_SUCCESS"))
-        base.write.mode("overwrite").option("header", "true").csv(out)
+      val (out, csvSchema) = csvFixture(s, dir)
       val engine = new BuzzEngine(Map.empty)
       engine.runJson(s,
         s"""{
@@ -1699,7 +1706,7 @@ object SparkEntry {
            |  ],
            |  "capacity": {"zones": 1},
            |  "catalogs": [{"name": "customer_csv", "type": "Static", "uri": "$out",
-           |    "format": "csv", "schema": "${base.schema.toDDL}"}]
+           |    "format": "csv", "schema": "${csvSchema.toDDL}"}]
            |}""".stripMargin)
     }),
     "source_json" -> ((s, dir) => {

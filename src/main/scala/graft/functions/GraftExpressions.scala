@@ -881,6 +881,66 @@ object PairCombinations {
   val DefaultMaxPairs: Long = 10_000_000L
 }
 
+/** LAZY generator form of [[PairCombinations]]: yields the strict
+  * id_a < id_b pairs of one sorted array as an ITERATOR, so per-row
+  * transient memory is the input array itself — never the C(n,2) pair
+  * set the eager form materializes before explode. No occupancy cap:
+  * this form is for call sites whose fan-out is bounded BY CONTRACT
+  * upstream (the degree-oriented wedge stream, where orientation caps
+  * out-degree and total pair WORK is O(m^1.5) regardless of
+  * representation); LSH bucket sites keep the eager capped form, whose
+  * occupancy guard is their misconfiguration detector. Same ordering
+  * and no-self-pair (equal ids skipped) contract as the eager form. */
+case class PairCombinationsGenerate(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback
+    with graftshim.GraftExpectsInputTypes {
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _                => LongType
+  }
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", elemType, nullable = false),
+    StructField("id_b", elemType, nullable = false)))
+  override def prettyName: String = "pair_combinations_stream"
+  override def graftInputTypes: Seq[Seq[DataType]] =
+    Seq(Seq(ArrayType(LongType), ArrayType(IntegerType), ArrayType(StringType)))
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val ids = v.asInstanceOf[ArrayData].toObjectArray(elemType)
+    val n = ids.length
+    if (n < 2) return Iterator.empty
+    java.util.Arrays.sort(ids, ordering.asInstanceOf[java.util.Comparator[Any]])
+    new scala.collection.AbstractIterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var nextRow: InternalRow = _
+      private def computeNext(): Unit = {
+        nextRow = null
+        while (nextRow == null && i < n - 1) {
+          if (j >= n) { i += 1; j = i + 1 }
+          else {
+            if (ordering.compare(ids(i), ids(j)) != 0)
+              nextRow = InternalRow(ids(i), ids(j))
+            j += 1
+          }
+        }
+      }
+      computeNext()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; computeNext(); r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Size-filtered pair combinations — the AllPairs/PPJoin LENGTH filter
   * applied INSIDE the bucket, before any candidate pair crosses the wire.
   * Input is a bucket's `array<struct<sz, id>>` (set size + id); output is
@@ -1539,6 +1599,9 @@ object GraftFunctions {
     GraftColumn.of(WordShingles(GraftColumn.expr(text), n, distinct = false))
   def pairCombinations(ids: Column): Column =
     GraftColumn.of(PairCombinations(GraftColumn.expr(ids)))
+  /** Generator (multi-column) form — alias with .as(Seq("a", "b")). */
+  def pairCombinationsStream(ids: Column): Column =
+    GraftColumn.of(PairCombinationsGenerate(GraftColumn.expr(ids)))
   def crossPairCombinations(leftIds: Column, rightIds: Column): Column =
     GraftColumn.of(CrossPairCombinations(GraftColumn.expr(leftIds), GraftColumn.expr(rightIds)))
   def sizeFilteredPairCombinations(entries: Column, threshold: Double): Column =

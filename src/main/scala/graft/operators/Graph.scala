@@ -283,10 +283,13 @@ object Graph {
     // orientation's job and it is done by the time the adjacency exists —
     // so the pair's own output order is free, and id order lets the
     // closing test run against the canonical u<v edge list directly.
-    import graft.functions.GraftFunctions.pairCombinations
+    // LAZY pair generator: the wedge stream is ITERATED, not materialized
+    // — a hub center's C(outdeg, 2) pairs never sit in one in-memory
+    // array (and the LSH occupancy cap does not apply here; the wedge
+    // volume is bounded by orientation, not by bucket sizing)
+    import graft.functions.GraftFunctions.pairCombinationsStream
     val wedges = adj
-      .select(col("src"), explode(pairCombinations(col("__tt_ns"))).as("p"))
-      .select(col("src"), col("p.id_a").as("y"), col("p.id_b").as("z"))
+      .select(col("src"), pairCombinationsStream(col("__tt_ns")).as(Seq("y", "z")))
     wedges.repartition(parts, col("y"), col("z"))
       .join(
         canonShared.select(col("u").as("__tt_cs"), col("v").as("__tt_cd"))

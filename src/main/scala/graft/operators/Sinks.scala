@@ -473,10 +473,13 @@ object Sinks {
     // against the table's declared partition columns and fail loudly.
     val declared = DeltaCatalog
       .fromDeltaLog(spark, tablePath, "__delta_delete").partitionColumns
-    require(declared.contains(partitionCol),
-      s"$partitionCol is not a partition column of $tablePath " +
-        s"(partitioned by ${declared.mkString("(", ",", ")")}) — " +
-        "partition DELETE only targets declared partition columns")
+    if (!declared.contains(partitionCol))
+      // BadRequest, not require: a caller's misspelled column is a CLIENT
+      // error (every sibling misuse path in the Delta sinks maps to one)
+      throw new BuzzException.BadRequest(
+        s"$partitionCol is not a partition column of $tablePath " +
+          s"(partitioned by ${declared.mkString("(", ",", ")")}) — " +
+          "partition DELETE only targets declared partition columns")
     val head = DeltaCatalog.latestVersion(spark, logDir)
     val doomed = DeltaCatalog.liveRawAt(spark, tablePath, None)
       .collect { case (raw, (_, pv)) if pv.get(partitionCol).contains(value) => raw }
@@ -522,18 +525,35 @@ object Sinks {
   def deltaChangesAt(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long,
       keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.hadoop.fs.Path
+    import graft.sources.DeltaCatalog
+    require(version >= 0, s"version must be >= 0, got $version")
+    val (adds, removes, _) = parseCommitActions(spark, tablePath, version)
+    val cat = DeltaCatalog.fromDeltaLog(
+      spark, tablePath, s"__cdf_v$version", versionAsOf = Some(version))
+    // partition values of removed files live in the PRE-commit snapshot
+    val pre =
+      if (removes.isEmpty) Map.empty[String, (Long, Map[String, String])]
+      else DeltaCatalog.liveRawAt(spark, tablePath, Some(version - 1))
+    changesFromActions(spark, tablePath, version, keyCols, compareCols, cat, adds, removes, pre)
+  }
+
+  /** One commit file's add/remove actions plus whether it carries a
+    * metaData action (schema/partitioning change). One file read; no
+    * log replay. */
+  private def parseCommitActions(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
+      : (Seq[(String, Long, Map[String, String])], Seq[String], Boolean) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
+    import graft.sources.FsUtil
     import graft.model.BuzzException
-    require(version >= 0, s"version must be >= 0, got $version")
     val commitPath = f"$tablePath/_delta_log/$version%020d.json"
     if (!FsUtil.exists(spark, commitPath))
       throw new BuzzException.BadRequest(
         s"commit $version does not exist under $tablePath/_delta_log")
     val adds = scala.collection.mutable.ListBuffer[(String, Long, Map[String, String])]()
     val removes = scala.collection.mutable.ListBuffer[String]()
+    var metaChanged = false
     FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).foreach { line =>
       val v = JsonMethods.parse(line)
       v \ "add" match {
@@ -555,43 +575,78 @@ object Sinks {
         case JObject(_) => removes += (v \ "remove" \ "path").asInstanceOf[JString].s
         case _          => ()
       }
+      v \ "metaData" match {
+        case JObject(_) => metaChanged = true
+        case _          => ()
+      }
     }
-    val cat = DeltaCatalog.fromDeltaLog(
-      spark, tablePath, s"__cdf_v$version", versionAsOf = Some(version))
+    (adds.toSeq, removes.toSeq, metaChanged)
+  }
+
+  /** The snapshot-diff feed of one commit given its parsed actions, the
+    * at-version catalog, and the PRE-commit live map (for removed files'
+    * sizes/partition values). The maps are consumed eagerly — callers may
+    * mutate their own state afterwards. */
+  private def changesFromActions(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long,
+      keyCols: Seq[String], compareCols: Seq[String],
+      cat: graft.sources.StaticCatalog,
+      adds: Seq[(String, Long, Map[String, String])],
+      removes: Seq[String],
+      pre: Map[String, (Long, Map[String, String])]): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, SizedFile}
+    import graft.model.BuzzException
     def sized(raw: String, size: Long, pv: Map[String, String]): SizedFile =
       SizedFile(
         new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
         cat.partitionColumns.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-    val addedRows = cat.read(spark, adds.toSeq.map((sized _).tupled))
+    val addedRows = cat.read(spark, adds.map((sized _).tupled))
     val removedRows =
       if (removes.isEmpty) cat.read(spark, Nil)
-      else {
-        // partition values of removed files live in the PRE-commit snapshot
-        val pre = DeltaCatalog.liveRawAt(spark, tablePath, Some(version - 1))
-        cat.read(spark, removes.toSeq.map { raw =>
-          pre.get(raw) match {
-            case Some((size, pv)) => sized(raw, size, pv)
-            case None => throw new BuzzException.ExecutionError(
-              s"commit $version removes $raw which is not live at ${version - 1}")
-          }
-        })
-      }
+      else cat.read(spark, removes.map { raw =>
+        pre.get(raw) match {
+          case Some((size, pv)) => sized(raw, size, pv)
+          case None => throw new BuzzException.ExecutionError(
+            s"commit $version removes $raw which is not live at ${version - 1}")
+        }
+      })
     Joins.snapshotDiff(removedRows, addedRows, keyCols, compareCols)
   }
 
-  /** The per-version change feed over a version span: one
-    * [[deltaChangesAt]] per commit in (vFrom, vTo], each labeled with its
-    * version — `changesBetween(v_a, v_b)` as a Delta reader exposes it.
-    * Returns (version, keyCols..., status). */
+  /** The per-version change feed over a version span: one snapshot-diff
+    * per commit in (vFrom, vTo], each labeled with its version —
+    * `changesBetween(v_a, v_b)` as a Delta reader exposes it.
+    *
+    * ONE forward replay serves the whole span: the live-file map is
+    * seeded at vFrom (one log replay) and then maintained INCREMENTALLY
+    * by applying each commit's own actions, so log IO is
+    * O(vFrom + span), not the O(span · vTo) a per-version
+    * [[deltaChangesAt]] loop pays (each call replays the log twice). A
+    * mid-span metaData action (schema/partitioning change) re-derives
+    * the at-version catalog once at that boundary — bounded by actual
+    * schema changes, not by span. Returns (version, keyCols..., status). */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
       keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import graft.sources.DeltaCatalog
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
+    var cat = DeltaCatalog.fromDeltaLog(
+      spark, tablePath, "__cdf_span", versionAsOf = Some(vFrom))
     ((vFrom + 1) to vTo).map { v =>
-      deltaChangesAt(spark, tablePath, v, keyCols, compareCols)
-        .select(org.apache.spark.sql.functions.lit(v).as("version"),
-          org.apache.spark.sql.functions.col("*"))
+      val (adds, removes, metaChanged) = parseCommitActions(spark, tablePath, v)
+      if (metaChanged)
+        cat = DeltaCatalog.fromDeltaLog(
+          spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
+      // `live` is the PRE-commit state here; changesFromActions consumes
+      // it eagerly, so advancing it afterwards is safe
+      val df = changesFromActions(
+        spark, tablePath, v, keyCols, compareCols, cat, adds, removes, live)
+      live = live -- removes ++ adds.map { case (raw, size, pv) => raw -> ((size, pv)) }
+      df.select(org.apache.spark.sql.functions.lit(v).as("version"),
+        org.apache.spark.sql.functions.col("*"))
     }.reduce(_.unionAll(_))
   }
 

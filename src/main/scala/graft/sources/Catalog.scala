@@ -174,10 +174,16 @@ trait SplittableCatalog {
     converted.select(fullSchema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Reader options the format needs: headers for CSV (the sinks write
-    * them, and a headerless read would shift every column by one row). */
+  /** Reader options the format needs. CSV catalogs are HEADERED by
+    * contract (what every sink here writes): `header=true` names the
+    * columns, and `enforceSchema=false` makes Spark CHECK the file's
+    * header names against the declared schema instead of assigning
+    * columns positionally — a misordered declaration fails loudly rather
+    * than silently mis-assigning every column. Headerless CSV is outside
+    * the contract (its first data row would be consumed as a header with
+    * no way to detect it). */
   private def formatOptions: Map[String, String] = format match {
-    case "csv" => Map("header" -> "true")
+    case "csv" => Map("header" -> "true", "enforceSchema" -> "false")
     case _     => Map.empty
   }
 

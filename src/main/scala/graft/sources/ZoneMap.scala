@@ -162,7 +162,8 @@ object ZoneMap {
     * catalog's numeric DATA columns; comparison is case-insensitive to
     * match the session's default resolution. */
   private[graft] def harvestRanges(
-      spark: SparkSession, sql: String, candidates: Set[String]): Map[String, ColumnRange] = {
+      spark: SparkSession, sql: String, candidates: Set[String],
+      allColumns: Set[String] = Set.empty): Map[String, ColumnRange] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, SubqueryAlias}
@@ -179,10 +180,20 @@ object ZoneMap {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
+    val allLowered = allColumns.map(_.toLowerCase(java.util.Locale.ROOT))
     def colName(e: Expression): Option[String] = e match {
-      // qualified references (t.col) resolve to the sole relation's column
-      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
-      case _                      => None
+      // a bare name is the sole relation's column; a two-part name is a
+      // table-qualified reference (t.col) ONLY when its head cannot be a
+      // declared column — `props.latency` where `props` is a (struct)
+      // column of the catalog is a FIELD access, and harvesting `latency`
+      // would prune by the wrong column's footer stats. Deeper paths are
+      // never harvested (conservative: lost optimization, never lost rows).
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+          !allLowered.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+        Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
     }
     def litNum(e: Expression): Option[Double] = e match {
       case Literal(v, _) => v match {
@@ -245,7 +256,8 @@ object ZoneMap {
       case f if Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
         .contains(f.dataType) => f.name
     }.toSet
-    val ranges = harvestRanges(spark, mapSql, numeric)
+    val ranges = harvestRanges(spark, mapSql, numeric,
+      allColumns = schema.fieldNames.toSet)
     if (ranges.isEmpty) return files
     // resolve harvested lowercase names back to the schema's declared case
     val byLower = numeric.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap

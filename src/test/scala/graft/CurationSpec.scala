@@ -854,7 +854,7 @@ class CurationSpec extends AnyFunSuite {
     // a misspelled/non-partition COLUMN must fail loudly, not no-op — a
     // silent head return is indistinguishable from a successful retention
     // delete of an empty partition
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.model.BuzzException.BadRequest] {
       Sinks.deltaDeletePartition(spark, out, "v", "x")
     }
     assert(e.getMessage.contains("not a partition column"))

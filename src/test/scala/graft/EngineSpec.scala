@@ -161,6 +161,31 @@ class EngineSpec extends AnyFunSuite {
       "SELECT sum(id) AS s FROM (SELECT v AS id FROM zt) q WHERE id > 1000") == 4)
     // no harvestable predicate: no footer reads, full file list
     assert(planFiles("SELECT sum(v) AS s FROM zt") == 4)
+    // a struct-FIELD reference whose head is a declared column must not
+    // be harvested as the top-level column of the same name (pruning by
+    // the wrong column's stats would silently drop needed files)
+    import graft.sources.ZoneMap
+    assert(ZoneMap.harvestRanges(spark,
+      "SELECT sum(v) AS s FROM zt WHERE props.id > 100",
+      Set("id"), allColumns = Set("id", "v", "props")).isEmpty)
+    // ...while a genuine table-qualified reference still harvests
+    assert(ZoneMap.harvestRanges(spark,
+      "SELECT sum(v) AS s FROM zt t WHERE t.id > 100",
+      Set("id"), allColumns = Set("id", "v")).nonEmpty)
+    // UNION ALL of the same table would conjoin both branches' filters
+    // into nonsense ranges — the planner's linear-statement validation
+    // rejects it BEFORE pruning can run (this is what makes the
+    // filters-directly-on-the-relation harvest safe)
+    val unionErr = intercept[BuzzException.PlanError] {
+      eng.plan(spark, BuzzQuery(
+        Seq(
+          BuzzStep(
+            "SELECT v AS s FROM zt WHERE id < 10 UNION ALL SELECT v AS s FROM zt WHERE id > 100",
+            "m", BuzzStepType.HBee, None),
+          BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+        BuzzCapacity(1), Nil))
+    }
+    assert(unionErr.getMessage.contains("single-table"))
   }
 
   test("format-aware Static catalogs: json with declared schema answers exactly; misuse rejected") {

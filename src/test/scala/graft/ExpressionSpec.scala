@@ -72,6 +72,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket occupancy"))
   }
 
+  test("pair_combinations_stream matches the eager kernel pair-for-pair, lazily and uncapped") {
+    import graft.functions.GraftFunctions.{pairCombinations, pairCombinationsStream}
+    import org.apache.spark.sql.functions.explode
+    // parity on a mixed bag: duplicates (no self-pairs), unsorted input,
+    // singleton and empty arrays (no output rows)
+    val bags: Seq[Seq[Long]] =
+      Seq(Seq(5L, 1L, 3L, 3L, 9L), Seq(2L, 2L), Seq(7L), Seq(), (0L until 200L).reverse)
+    val df = bags.map(Tuple1(_)).toDF("ids")
+    val eager = df.select(explode(pairCombinations(col("ids"))).as("p"))
+      .selectExpr("p.id_a", "p.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val lazily = df.select(pairCombinationsStream(col("ids")).as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lazily == eager)
+    assert(lazily.forall { case (a, b) => a < b }, "strict id_a < id_b, no self-pairs")
+    // the generator has no occupancy cap: a bucket the eager kernel
+    // rejects streams through (bounded-fan-out call sites rely on this)
+    val n = 4500 // C(4500,2) ≈ 10.1M > DefaultMaxPairs
+    val bigDf = Seq(Tuple1((0L until n.toLong))).toDF("ids")
+    val cnt = bigDf.select(pairCombinationsStream(col("ids")).as(Seq("a", "b"))).count()
+    assert(cnt == n.toLong * (n - 1) / 2)
+  }
+
   test("unicode_normalize canonicalizes composed/decomposed forms; NFKC folds compatibility chars") {
     import graft.functions.GraftFunctions.unicodeNormalize
     val composed = "café"            // é as one codepoint
