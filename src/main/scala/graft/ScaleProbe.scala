@@ -446,6 +446,16 @@ object ScaleProbe {
       }
       report("bpe_merge_weight", scale, bpeWeight, bpeSecs)
 
+      // concat-and-chunk packing: the window count must scale exactly
+      // with the token stream (mutually-dissimilar replicas multiply
+      // tokens ~scale×) and wall must track the ONE range exchange the
+      // distributed prefix sum pays — windows-sized output, no
+      // corpus-sized window operator anywhere
+      val (packWindows, packSecs) = timed {
+        graft.operators.Curation.packChunks(d, "doc_id", "text", 2048L).count()
+      }
+      report("pack_windows", scale, packWindows, packSecs)
+
       PipelineCache.clear()
       spark.catalog.clearCache()
     }
