@@ -24,6 +24,11 @@ import graft.plans.BuzzEngine
   *                  with the reference's Arrow results
   *                  (`flight_utils.rs:42-81`); 400 on bad/unplannable
   *                  queries; 500 otherwise.
+  *   POST /explain — same body as /query; 200 with the DRY-RUN plan
+  *                  report (catalog identity/format, file counts at each
+  *                  pruning stage, bytes to read, derived map/reduce
+  *                  schemas) WITHOUT executing — beyond reference, the
+  *                  "what will this touch" answer before a 100 TB scan.
   *   GET  /health — 200 "H" (the reference's HealthCheck action reply).
   *
   * One Spark session serves all requests (the local[n] analog of the
@@ -114,6 +119,23 @@ object Server {
             respondArrow(ex, org.apache.spark.sql.graft.ArrowBridge.toIPCStream(result))
           else
             respond(ex, 200, result.toJSON.collect().mkString("[", ",", "]"))
+        } catch {
+          case e: BuzzException.BuzzError => respond(ex, 400, jsonError(e.getMessage))
+          case e: Exception =>
+            respond(ex, 500, jsonError(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }))
+    // dry-run planning: same body as /query, returns the plan report
+    // (file counts per pruning stage, schemas) without executing
+    server.createContext("/explain", tracked((ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, jsonError("POST a buzz JSON query"))
+      } else {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        try {
+          val session = spark.newSession()
+          sessionInit(session)
+          respond(ex, 200, engine.explainJson(session, body))
         } catch {
           case e: BuzzException.BuzzError => respond(ex, 400, jsonError(e.getMessage))
           case e: Exception =>

@@ -76,6 +76,45 @@ final class BuzzEngine(
   def runJson(spark: SparkSession, json: String): DataFrame =
     run(spark, BuzzQuery.fromJson(json))
 
+  /** DRY-RUN plan introspection: validate and plan the query WITHOUT
+    * executing it, and report what execution would do — catalog identity,
+    * format, file counts at each pruning stage (partition filter, then
+    * zone-map footer pruning), bytes to read, and both derived output
+    * schemas as DDL. This is the "what will this query touch" answer an
+    * operator wants BEFORE committing a 100 TB scan, and it exercises the
+    * exact planner path `run` uses (same validation errors surface).
+    * Everything here is metadata-sized — no data file is opened except
+    * zone-map footers the planner would read anyway. */
+  def explainJson(spark: SparkSession, json: String): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val query = BuzzQuery.fromJson(json)
+    val p = plan(spark, query)
+    val filesTotal = p.catalog.files.size
+    val afterPartition = p.catalog.prune(spark, p.mapStep.partitionFilter).size
+    val obj =
+      ("catalog" ->
+        ("name" -> p.catalog.name) ~
+        ("format" -> p.catalog.format) ~
+        ("partition_columns" -> p.catalog.partitionColumns) ~
+        ("schema" -> p.catalog.schema.toDDL)) ~
+      ("files" ->
+        ("total" -> filesTotal) ~
+        ("after_partition_filter" -> afterPartition) ~
+        ("after_zone_pruning" -> p.files.size) ~
+        ("bytes_to_read" -> p.files.map(_.length).sum)) ~
+      ("map" ->
+        ("name" -> p.mapStep.name) ~
+        ("sql" -> p.mapStep.sql) ~
+        ("partition_filter" -> p.mapStep.partitionFilter) ~
+        ("output_schema" -> p.mapOutputSchema.toDDL)) ~
+      ("reduce" ->
+        ("name" -> p.reduceStep.name) ~
+        ("sql" -> p.reduceStep.sql) ~
+        ("output_schema" -> p.reduceOutputSchema.toDDL))
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
   /** Execute and collect with per-query metrics — parity with the
     * reference's per-worker observability (hbee_service.rs:45-52 logs
     * query_duration / downloaded_bytes / processed_bytes per worker; Spark

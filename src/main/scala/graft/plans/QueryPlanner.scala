@@ -18,7 +18,8 @@ final case class DistributedPlan(
     files: Seq[SizedFile],
     mapStep: BuzzStep,
     reduceStep: BuzzStep,
-    mapOutputSchema: StructType)
+    mapOutputSchema: StructType,
+    reduceOutputSchema: StructType)
 
 /** Validates a two-step buzz query and prunes the catalog, mirroring
   * `QueryPlanner.plan` (`/root/reference/code/src/services/fuse/
@@ -78,7 +79,7 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     // schema and surface analysis errors at plan time, then validate the
     // reduce SQL the same way against that schema.
     val mapSchema = analyzeAgainstEmpty(spark, mapStep.sql, mapSource, catalog.fullSchema)
-    analyzeAgainstEmpty(spark, reduceStep.sql, mapStep.name, mapSchema)
+    val reduceSchema = analyzeAgainstEmpty(spark, reduceStep.sql, mapStep.name, mapSchema)
 
     // zone-map file skipping after partition pruning: a range predicate in
     // the map SQL's WHERE prunes FILES through the footer-stats manifest
@@ -92,7 +93,7 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
       if (catalog.format == "parquet")
         graft.sources.ZoneMap.pruneForQuery(spark, catalog.schema, pruned, mapStep.sql)
       else pruned // zone manifests are parquet-footer stats; other formats skip
-    DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema)
+    DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema, reduceSchema)
   }
 
   /** The single base table a statement reads; rejects multi-source plans

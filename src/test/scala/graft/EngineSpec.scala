@@ -188,6 +188,47 @@ class EngineSpec extends AnyFunSuite {
     assert(unionErr.getMessage.contains("single-table"))
   }
 
+  test("explainJson reports pruning stages and schemas without executing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_explain").toString
+    (0L until 400L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val eng = new BuzzEngine(Map("et" -> StaticCatalog.overPath(spark, "et", dir)))
+    val out = eng.explainJson(spark,
+      """{
+        |  "steps": [
+        |    {"sql": "SELECT sum(v) AS s FROM et WHERE id BETWEEN 120 AND 150",
+        |     "name": "m", "step_type": "HBee"},
+        |    {"sql": "SELECT sum(s) AS total FROM m", "name": "r", "step_type": "HComb"}
+        |  ],
+        |  "capacity": {"zones": 1},
+        |  "catalogs": []
+        |}""".stripMargin)
+    import org.json4s.jackson.JsonMethods
+    import org.json4s._
+    val j = JsonMethods.parse(out)
+    assert((j \ "catalog" \ "name") == JString("et"))
+    assert((j \ "catalog" \ "format") == JString("parquet"))
+    val JInt(total) = (j \ "files" \ "total"): @unchecked
+    val JInt(zoned) = (j \ "files" \ "after_zone_pruning"): @unchecked
+    assert(total.toInt == 4 && zoned.toInt < 4 && zoned.toInt > 0,
+      s"expected zone pruning in the report, got $total -> $zoned")
+    val JInt(bytes) = (j \ "files" \ "bytes_to_read"): @unchecked
+    assert(bytes.toLong > 0)
+    assert((j \ "map" \ "output_schema").asInstanceOf[JString].s.toLowerCase.contains("s "))
+    assert((j \ "reduce" \ "output_schema").asInstanceOf[JString].s.toLowerCase.contains("total"))
+    // a planner error surfaces from explain exactly as from run
+    intercept[BuzzException.PlanError] {
+      eng.explainJson(spark,
+        """{"steps": [
+          |  {"sql": "SELECT 1 AS x FROM nope", "name": "m", "step_type": "HBee"},
+          |  {"sql": "SELECT x FROM m", "name": "r", "step_type": "HComb"}],
+          | "capacity": {"zones": 1}, "catalogs": []}""".stripMargin)
+    }
+  }
+
   test("format-aware Static catalogs: json with declared schema answers exactly; misuse rejected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt_engine").toString

@@ -60,6 +60,16 @@ class ServerSpec extends AnyFunSuite {
       // wrong method
       assert(request(s"$base/query", "GET", None)._1 == 405)
 
+      // /explain: the dry-run plan report for the same body, no execution
+      val (exStatus, exBody) = request(s"$base/explain", "POST", Some(query))
+      assert(exStatus == 200, s"explain body: $exBody")
+      assert(exBody.contains("\"after_zone_pruning\"") &&
+        exBody.contains("\"output_schema\"") &&
+        exBody.contains("\"format\":\"parquet\""), exBody)
+      // explain surfaces plan errors as client errors too
+      assert(request(s"$base/explain", "POST", Some("""{"steps": []}"""))._1 == 400)
+      assert(request(s"$base/explain", "GET", None)._1 == 405)
+
       // concurrent identical queries share step names — per-request session
       // cloning must keep their temp views from racing
       import scala.concurrent.{Await, Future}
