@@ -188,6 +188,37 @@ class EngineSpec extends AnyFunSuite {
     assert(unionErr.getMessage.contains("single-table"))
   }
 
+  test("Hive-partitioned ORC catalog: discovery, partition_filter pruning, exact answers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_hive").toString
+    (0L until 300L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "g")
+      .write.mode("overwrite").partitionBy("g").orc(dir)
+    val cat = StaticCatalog.overPath(spark, "ot", dir, format = "orc")
+    // partition columns discovered from the g=value layout
+    assert(cat.partitionColumns == Seq("g"))
+    assert(cat.format == "orc")
+    val eng = new BuzzEngine(Map("ot" -> cat))
+    def run(pf: Option[String]) = {
+      val p = eng.plan(spark, BuzzQuery(
+        Seq(
+          BuzzStep("SELECT count(*) AS n, sum(id) AS s FROM ot", "m", BuzzStepType.HBee, pf),
+          BuzzStep("SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM m", "r",
+            BuzzStepType.HComb, None)),
+        BuzzCapacity(1), Nil))
+      (p.files.size, eng.run(spark, BuzzQuery(p.mapStep.copy(partitionFilter = pf) ::
+        p.reduceStep :: Nil, BuzzCapacity(1), Nil)).collect()(0))
+    }
+    val (allFiles, full) = run(None)
+    assert(full.getLong(0) == 300L && full.getLong(1) == (0L until 300L).sum)
+    // the partition filter prunes ORC files exactly like parquet ones
+    val (prunedFiles, g1) = run(Some("g = 'g1'"))
+    assert(prunedFiles < allFiles && prunedFiles > 0,
+      s"expected partition pruning: $prunedFiles/$allFiles")
+    val g1Ids = (0L until 300L).filter(_ % 3 == 1)
+    assert(g1.getLong(0) == g1Ids.size.toLong && g1.getLong(1) == g1Ids.sum)
+  }
+
   test("explainJson reports pruning stages and schemas without executing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
