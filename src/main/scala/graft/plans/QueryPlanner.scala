@@ -90,9 +90,10 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
     // surviving files, so a conservative manifest can never change results.
     val pruned = catalog.prune(spark, mapStep.partitionFilter)
     val files =
-      if (catalog.format == "parquet")
-        graft.sources.ZoneMap.pruneForQuery(spark, catalog.schema, pruned, mapStep.sql)
-      else pruned // zone manifests are parquet-footer stats; other formats skip
+      if (catalog.format == "parquet" || catalog.format == "orc")
+        graft.sources.ZoneMap.pruneForQuery(
+          spark, catalog.schema, pruned, mapStep.sql, catalog.format)
+      else pruned // csv/json carry no footer stats; nothing to prune by
     DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema, reduceSchema)
   }
 

@@ -99,6 +99,57 @@ object ZoneMap {
       .toDF("file", "rows", "min", "max", "null_count")
   }
 
+  /** ORC twin of [[fileStats]]: per-file (rows, min, max, null_count) for
+    * one top-level column from ORC footer statistics — same manifest
+    * shape, same conservatism (unreadable footer / unsupported type /
+    * valueless stats ⇒ unknown range, never pruned). ORC's
+    * ColumnStatistics.getNumberOfValues counts NON-null values, so the
+    * file's null count is rows − values — always known when stats are. */
+  def orcFileStats(spark: SparkSession, paths: Seq[String], column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val confProps = spark.sessionState.newHadoopConf().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val parallelism = math.min(paths.size, spark.sparkContext.defaultParallelism).max(1)
+    val rows = spark.sparkContext
+      .parallelize(paths, parallelism)
+      .map { p =>
+        try {
+          val conf = new org.apache.hadoop.conf.Configuration(true)
+          confProps.foreach { case (k, v) => conf.set(k, v) }
+          val reader = org.apache.orc.OrcFile.createReader(
+            new org.apache.hadoop.fs.Path(p),
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try {
+            val schema = reader.getSchema
+            val names = schema.getFieldNames.asScala
+            val idx = names.indexWhere(_.equalsIgnoreCase(column))
+            val nRows = reader.getNumberOfRows
+            if (idx < 0) (p, nRows, Option.empty[Double], Option.empty[Double], Option.empty[Long])
+            else {
+              val colId = schema.getChildren.get(idx).getId
+              val st = reader.getStatistics()(colId)
+              val nulls = Some(nRows - st.getNumberOfValues)
+              val range: (Option[Double], Option[Double]) =
+                if (st.getNumberOfValues == 0L) (None, None)
+                else st match {
+                  case i: org.apache.orc.IntegerColumnStatistics =>
+                    (Some(i.getMinimum.toDouble), Some(i.getMaximum.toDouble))
+                  case d: org.apache.orc.DoubleColumnStatistics =>
+                    (Some(d.getMinimum), Some(d.getMaximum))
+                  case _ => (None, None) // strings/decimals/timestamps: not served
+                }
+              (p, nRows, range._1, range._2, nulls)
+            }
+          } finally reader.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (p, 0L, Option.empty[Double], Option.empty[Double], Option.empty[Long])
+        }
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "rows", "min", "max", "null_count")
+  }
+
   /** Paths whose zone CAN satisfy `column BETWEEN lo AND hi`: a file is
     * skipped only when its stats prove max < lo or min > hi; NULL stats
     * (absent/unsupported footers) keep the file. Collects the manifest's
@@ -129,13 +180,19 @@ object ZoneMap {
   private[graft] def clearZoneCache(): Unit = zoneCache.clear()
 
   /** (min, max) per path for `column`, consulting [[zoneCache]] and
-    * reading only the MISSING footers (distributed via [[fileStats]]). */
+    * reading only the MISSING footers (distributed via [[fileStats]] /
+    * [[orcFileStats]] per the catalog's format — a path is one format
+    * for life, so the cache key stays (path, column)). */
   private def zonesFor(
-      spark: SparkSession, paths: Seq[String], column: String)
+      spark: SparkSession, paths: Seq[String], column: String,
+      format: String)
       : Map[String, (Option[Double], Option[Double])] = {
     val (hit, miss) = paths.partition(p => zoneCache.containsKey((p, column)))
     if (miss.nonEmpty) {
-      fileStats(spark, miss, column).select("file", "min", "max").collect().foreach { r =>
+      val stats =
+        if (format == "orc") orcFileStats(spark, miss, column)
+        else fileStats(spark, miss, column)
+      stats.select("file", "min", "max").collect().foreach { r =>
         def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
         zoneCache.put((r.getString(0), column), (d(1), d(2)))
       }
@@ -249,7 +306,8 @@ object ZoneMap {
       spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[SizedFile],
-      mapSql: String): Seq[SizedFile] = {
+      mapSql: String,
+      format: String = "parquet"): Seq[SizedFile] = {
     import org.apache.spark.sql.types._
     if (files.size <= 1) return files
     val numeric = schema.fields.collect {
@@ -262,7 +320,7 @@ object ZoneMap {
     // resolve harvested lowercase names back to the schema's declared case
     val byLower = numeric.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
     ranges.foldLeft(files) { case (fs, (cLower, r)) =>
-      val zones = zonesFor(spark, fs.map(_.key), byLower(cLower))
+      val zones = zonesFor(spark, fs.map(_.key), byLower(cLower), format)
       fs.filter { f =>
         zones(f.key) match {
           case (Some(mn), Some(mx)) => !(mx < r.lo || mn > r.hi)

@@ -219,6 +219,28 @@ class EngineSpec extends AnyFunSuite {
     assert(g1.getLong(0) == g1Ids.size.toLong && g1.getLong(1) == g1Ids.sum)
   }
 
+  test("zone maps prune ORC catalogs from footer statistics like parquet ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_orc").toString
+    (0L until 400L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").orc(dir)
+    val cat = StaticCatalog.overPath(spark, "zo", dir, format = "orc")
+    assert(cat.files.size == 4)
+    val eng = new BuzzEngine(Map("zo" -> cat))
+    val q = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT sum(v) AS s FROM zo WHERE id BETWEEN 120 AND 150",
+          "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)
+    val p = eng.plan(spark, q)
+    assert(p.files.size < 4 && p.files.nonEmpty,
+      s"ORC footer stats should prune the 4-file catalog, kept ${p.files.size}")
+    assert(eng.run(spark, q).collect()(0).getLong(0) == (120L to 150L).map(_ * 3).sum)
+  }
+
   test("explainJson reports pruning stages and schemas without executing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
