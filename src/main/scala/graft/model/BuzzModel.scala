@@ -43,7 +43,11 @@ final case class BuzzCatalogRef(
       * for csv/json catalogs — inferring their schema needs a data scan,
       * which a catalog resolution must never pay; optional for orc/parquet
       * (self-describing footers). */
-    schemaDdl: Option[String] = None)
+    schemaDdl: Option[String] = None,
+    /** Reader options passed to the format's Spark datasource, overriding
+      * the engine's defaults — e.g. `{"header": "false", "sep": "\t"}`
+      * for headerless TSV. Static catalogs only. */
+    options: Map[String, String] = Map.empty)
 
 final case class BuzzCapacity(zones: Int)
 
@@ -110,8 +114,18 @@ object BuzzQuery {
           case other      => throw new BuzzException.BadRequest(
             s"'$field' must be a string, got $other")
         }
+        val options = c \ "options" match {
+          case JObject(fields) => fields.map {
+            case (k, JString(v)) => k -> v
+            case (k, other)      => throw new BuzzException.BadRequest(
+              s"catalog option '$k' must be a string, got $other")
+          }.toMap
+          case JNothing => Map.empty[String, String]
+          case other    => throw new BuzzException.BadRequest(
+            s"'options' must be an object of string values, got $other")
+        }
         BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"),
-          versionAsOf, optStr("format"), optStr("schema"))
+          versionAsOf, optStr("format"), optStr("schema"), options)
       }
       case JNothing => Nil
       case other    => throw new BuzzException.BadRequest(

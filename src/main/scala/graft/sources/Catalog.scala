@@ -174,18 +174,24 @@ trait SplittableCatalog {
     converted.select(fullSchema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Reader options the format needs. CSV catalogs are HEADERED by
-    * contract (what every sink here writes): `header=true` names the
-    * columns, and `enforceSchema=false` makes Spark CHECK the file's
-    * header names against the declared schema instead of assigning
-    * columns positionally — a misordered declaration fails loudly rather
-    * than silently mis-assigning every column. Headerless CSV is outside
-    * the contract (its first data row would be consumed as a header with
-    * no way to detect it). */
-  private def formatOptions: Map[String, String] = format match {
+  /** User-supplied reader options (a Static catalog's JSON `options`
+    * object); merged OVER the engine defaults, so `{"header": "false"}`
+    * turns off the headered-CSV contract for genuinely headerless files
+    * and `{"sep": "\t"}` reads TSV. */
+  def readerOptions: Map[String, String] = Map.empty
+
+  /** Reader options the format needs, before user overrides. CSV
+    * catalogs are HEADERED by default (what every sink here writes):
+    * `header=true` names the columns, and `enforceSchema=false` makes
+    * Spark CHECK the file's header names against the declared schema
+    * instead of assigning columns positionally — a misordered
+    * declaration fails loudly rather than silently mis-assigning every
+    * column. Headerless CSV declares `{"header": "false"}` in the
+    * catalog's `options`. */
+  private def formatOptions: Map[String, String] = (format match {
     case "csv" => Map("header" -> "true", "enforceSchema" -> "false")
-    case _     => Map.empty
-  }
+    case _     => Map.empty[String, String]
+  }) ++ readerOptions
 
   /** The common root of a consistent Hive layout, if every selected file's
     * path ends in `col=value` segments (one per partition column, in order,
@@ -229,7 +235,8 @@ final class StaticCatalog(
     val files: Seq[SizedFile],
     override val nanosColumns: Seq[String] = Nil,
     override val ntzColumns: Seq[String] = Nil,
-    override val format: String = "parquet")
+    override val format: String = "parquet",
+    override val readerOptions: Map[String, String] = Map.empty)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
@@ -305,7 +312,8 @@ object StaticCatalog {
       partitionColumns: Seq[String] = Nil,
       partitionValues: Map[String, Seq[String]] = Map.empty,
       format: String = "parquet",
-      declaredSchema: Option[StructType] = None): StaticCatalog = {
+      declaredSchema: Option[StructType] = None,
+      readerOptions: Map[String, String] = Map.empty): StaticCatalog = {
     require(SupportedFormats.contains(format),
       s"unsupported catalog format '$format'")
     val (schema, nanosCols, ntzCols) = declaredSchema match {
@@ -347,7 +355,8 @@ object StaticCatalog {
     val files = paths.map { p =>
       SizedFile(p, FsUtil.status(spark, p).getLen, partitionValues.getOrElse(p, Nil))
     }
-    new StaticCatalog(name, schema, partitionColumns, files, nanosCols, ntzCols, format)
+    new StaticCatalog(
+      name, schema, partitionColumns, files, nanosCols, ntzCols, format, readerOptions)
   }
 
   /** Catalog over a parquet file or a directory of parquet files (the shape
@@ -364,12 +373,13 @@ object StaticCatalog {
       partitionColumns: Seq[String] = Nil,
       partitionValuesFor: String => Seq[String] = _ => Nil,
       format: String = "parquet",
-      declaredSchema: Option[StructType] = None): StaticCatalog = {
+      declaredSchema: Option[StructType] = None,
+      readerOptions: Map[String, String] = Map.empty): StaticCatalog = {
     require(SupportedFormats.contains(format),
       s"unsupported catalog format '$format'")
     if (!FsUtil.isDirectory(spark, uri)) {
       return overLocalFiles(spark, name, Seq(uri), partitionColumns,
-        Map(uri -> partitionValuesFor(uri)), format, declaredSchema)
+        Map(uri -> partitionValuesFor(uri)), format, declaredSchema, readerOptions)
     }
     // recursive listing: collect leaf data files (by the format's
     // extension — ".snappy.orc" and friends still end with it) plus the
@@ -406,6 +416,7 @@ object StaticCatalog {
         p => byPath(p).map(_._2)
       } else partitionValuesFor
     overLocalFiles(spark, name, found.map(_._1), cols,
-      found.map { case (p, _) => p -> valuesFor(p) }.toMap, format, declaredSchema)
+      found.map { case (p, _) => p -> valuesFor(p) }.toMap,
+      format, declaredSchema, readerOptions)
   }
 }

@@ -34,7 +34,8 @@ object CatalogResolver {
             }
           }
           StaticCatalog.overPath(spark, r.name, r.uri,
-            format = format, declaredSchema = declared): SplittableCatalog
+            format = format, declaredSchema = declared,
+            readerOptions = r.options): SplittableCatalog
         case "DeltaLake" =>
           if (r.format.exists(_ != "parquet"))
             throw new BuzzException.BadRequest(
@@ -42,6 +43,9 @@ object CatalogResolver {
           if (r.schemaDdl.isDefined)
             throw new BuzzException.BadRequest(
               s"'schema' is only valid for Static catalogs ('${r.name}' is DeltaLake — its log declares the schema)")
+          if (r.options.nonEmpty)
+            throw new BuzzException.BadRequest(
+              s"'options' is only valid for Static catalogs ('${r.name}' is DeltaLake)")
           DeltaCatalog.fromDeltaLog(spark, r.uri, r.name, r.versionAsOf): SplittableCatalog
         case other =>
           throw new BuzzException.BadRequest(

@@ -219,6 +219,46 @@ class EngineSpec extends AnyFunSuite {
     assert(g1.getLong(0) == g1Ids.size.toLong && g1.getLong(1) == g1Ids.sum)
   }
 
+  test("reader options: a headerless TSV catalog declares its shape instead of losing row one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+    // headerless tab-separated files, written raw (no Spark CSV writer —
+    // the point is ingesting foreign files the sinks didn't produce)
+    val rows = (0 until 50).map(i => s"$i\tg${i % 2}\t${i * 1.5}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val eng = new BuzzEngine(Map.empty)
+    val out = eng.runJson(spark,
+      s"""{
+         |  "steps": [
+         |    {"sql": "SELECT grp, count(*) AS n, sum(v) AS s FROM tsv GROUP BY grp",
+         |     "name": "m", "step_type": "HBee"},
+         |    {"sql": "SELECT grp, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM m GROUP BY grp",
+         |     "name": "r", "step_type": "HComb"}
+         |  ],
+         |  "capacity": {"zones": 1},
+         |  "catalogs": [{"name": "tsv", "type": "Static", "uri": "$dir",
+         |    "format": "csv", "schema": "id BIGINT, grp STRING, v DOUBLE",
+         |    "options": {"header": "false", "sep": "\\t"}}]
+         |}""".stripMargin).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // every row counted — including the first, which the headered default
+    // would have eaten as a header
+    assert(out("g0")._1 == 25L && out("g1")._1 == 25L)
+    assert(out("g0")._2 == (0 until 50 by 2).map(_ * 1.5).sum)
+    // options on a DeltaLake catalog are rejected
+    val e = intercept[BuzzException.BadRequest] {
+      eng.runJson(spark,
+        s"""{"steps": [
+           |  {"sql": "SELECT count(*) AS n FROM d", "name": "m", "step_type": "HBee"},
+           |  {"sql": "SELECT sum(n) AS n FROM m", "name": "r", "step_type": "HComb"}],
+           | "capacity": {"zones": 1},
+           | "catalogs": [{"name": "d", "type": "DeltaLake", "uri": "$dir",
+           |   "options": {"header": "false"}}]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("only valid for Static"))
+  }
+
   test("zone maps prune ORC catalogs from footer statistics like parquet ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
