@@ -366,14 +366,9 @@ object Sinks {
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     val version = version0 + 1
-    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
-    FsUtil.writeString(spark, tmp.toString, body)
-    val commit = new Path(logDir, f"$version%020d.json")
-    if (!fsys.rename(tmp, commit)) {
-      fsys.delete(tmp, false)
+    if (!FsUtil.publishCommit(spark, logDir, version, body))
       throw new BuzzException.ExecutionError(
         s"commit $version already exists under $logDir (concurrent writer?) — retry")
-    }
     version
   }
 
@@ -435,14 +430,9 @@ object Sinks {
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     val newVersion = head + 1
-    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
-    FsUtil.writeString(spark, tmp.toString, body)
-    val commit = new Path(logDir, f"$newVersion%020d.json")
-    if (!fsys.rename(tmp, commit)) {
-      fsys.delete(tmp, false)
+    if (!FsUtil.publishCommit(spark, logDir, newVersion, body))
       throw new BuzzException.ExecutionError(
         s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
-    }
     newVersion
   }
 
@@ -494,15 +484,9 @@ object Sinks {
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     val newVersion = head + 1
-    val fsys = FsUtil.fs(spark, tablePath)
-    val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
-    FsUtil.writeString(spark, tmp.toString, body)
-    val commit = new Path(logDir, f"$newVersion%020d.json")
-    if (!fsys.rename(tmp, commit)) {
-      fsys.delete(tmp, false)
+    if (!FsUtil.publishCommit(spark, logDir, newVersion, body))
       throw new BuzzException.ExecutionError(
         s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
-    }
     newVersion
   }
 
@@ -886,15 +870,14 @@ object Sinks {
       val version =
         if (tableNow) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
       if (!tableNow) fsys.mkdirs(new Path(logDir))
-      val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
-      FsUtil.writeString(spark, tmp.toString, body(version))
-      val commit = new Path(logDir, f"$version%020d.json")
-      if (fsys.rename(tmp, commit)) return version
-      fsys.delete(tmp, false)
+      if (FsUtil.publishCommit(spark, logDir, version, body(version))) return version
       attempt += 1
       if (attempt >= maxAttempts)
         throw new BuzzException.ExecutionError(
           s"lost the commit race $maxAttempts times under $logDir — giving up")
+      // linear backoff: a loser re-plans while the winner's commit
+      // becomes visible, instead of burning attempts inside the window
+      Thread.sleep(10L * attempt)
     }
     -1L // unreachable
   }

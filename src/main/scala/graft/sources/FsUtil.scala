@@ -59,6 +59,47 @@ object FsUtil {
   def listStatus(spark: SparkSession, dir: String): Seq[FileStatus] =
     fs(spark, dir).listStatus(new Path(dir)).toSeq
 
+  /** Publish one Delta commit file ATOMICALLY with no-overwrite
+    * semantics: returns true when THIS caller owns `version`, false when
+    * the version was already taken (the caller must re-plan and retry at
+    * a later version).
+    *
+    * HDFS-like stores: tmp write + rename — the namenode's rename is
+    * atomic and fails on an existing destination. Local `file://` needs
+    * more: POSIX rename(2) OVERWRITES an existing destination (and Java
+    * exposes no RENAME_NOREPLACE), so two same-version committers racing
+    * plain renames would SILENTLY LOSE one commit. The version is
+    * therefore first CLAIMED with an O_EXCL lock file
+    * (`File.createNewFile` is atomic open(O_CREAT|O_EXCL)), the commit
+    * renamed into place under the claim, and the lock removed — readers
+    * never see partial commits (the rename stays atomic; lock files are
+    * dot-prefixed like the tmp files replay already ignores). A writer
+    * crash between claim and rename leaks the lock and blocks that one
+    * version — the same caveat class as the external-lock requirement
+    * upstream Delta documents for raw S3. */
+  def publishCommit(
+      spark: SparkSession, logDir: String, version: Long, body: String): Boolean = {
+    val fsys = fs(spark, logDir)
+    val commit = new Path(logDir, f"$version%020d.json")
+    def writeAndRename(): Boolean = {
+      val tmp = new Path(logDir, f".tmp-${java.util.UUID.randomUUID}.json")
+      writeString(spark, tmp.toString, body)
+      if (fsys.rename(tmp, commit)) true
+      else { fsys.delete(tmp, false); false }
+    }
+    if (fsys.getScheme != "file") {
+      if (fsys.exists(commit)) false else writeAndRename()
+    } else {
+      val lock = new java.io.File(
+        new Path(logDir, f".$version%020d.lock").toUri.getPath)
+      if (!lock.createNewFile()) false // version claimed by a live writer
+      else try {
+        if (fsys.exists(commit)) false // claimed after a completed commit
+        else writeAndRename()
+      } finally { lock.delete(); () }
+    }
+  }
+
   /** Write a small control file (index params), overwriting. */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val out = fs(spark, path).create(new Path(path), true)
