@@ -176,7 +176,7 @@ object Sinks {
     val b = base.as("b")
     val c = changes.as("c")
     val merged = b.join(c, col(s"b.$keyCol") <=> col(s"c.$keyCol"), "full_outer")
-      .select(base.columns.map(n =>
+      .select(base.columns.toIndexedSeq.map(n =>
         coalesce(col(s"c.$n"), col(s"b.$n")).as(n)) :+
         when(col(s"c.$keyCol").isNull, lit("kept"))
           .when(col(s"b.$keyCol").isNull, lit("inserted"))

@@ -389,12 +389,16 @@ object StaticCatalog {
     def walk(dir: String, parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
       FsUtil.listStatus(spark, dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         val child = st.getPath.toString
-        if (st.isDirectory) {
-          st.getPath.getName match {
+        val name = st.getPath.getName
+        // metadata dirs (_delta_log, _zonemap, .staging…) are not data —
+        // the same hidden-path convention Spark's own FileIndex applies
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          name match {
             case HivePart(k, v) => walk(child, parts :+ (k -> v))
             case _              => walk(child, parts)
           }
-        } else if (st.getPath.getName.endsWith(ext)) {
+        } else if (name.endsWith(ext)) {
           Seq(child -> parts)
         } else Nil
       }

@@ -179,6 +179,65 @@ object ZoneMap {
 
   private[graft] def clearZoneCache(): Unit = zoneCache.clear()
 
+  /** Number of FILES whose footers have been opened by manifest builds in
+    * this process — observability for the sidecar path (a seeded cache
+    * must answer pruning with zero new footer reads; asserted in specs). */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The sidecar directory of a table root. */
+  private def sidecarDir(tableDir: String): String = s"$tableDir/_zonemap"
+
+  /** PERSIST the footer-stats manifest as a `_zonemap/` sidecar under the
+    * table root — one parquet dataset of (file, column, rows, min, max,
+    * null_count) over every data file and each of `columns` — so a FRESH
+    * process seeds its pruning cache from files-sized metadata instead of
+    * re-opening every footer (the role `_last_checkpoint` plays for the
+    * Delta replay). Append-only tables stay correct without rewriting the
+    * sidecar: a file missing from the manifest is a cache miss and falls
+    * back to its footer. The sidecar name is `_`-prefixed, so catalog
+    * discovery never mistakes it for data. Returns the sidecar path. */
+  def saveManifest(
+      spark: SparkSession, tableDir: String, columns: Seq[String],
+      format: String = "parquet"): String = {
+    require(columns.nonEmpty, "need at least one column to manifest")
+    val ext = s".$format"
+    def walk(dir: String): Seq[String] =
+      FsUtil.listStatus(spark, dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath.toString)
+        else if (name.endsWith(ext)) Seq(st.getPath.toString)
+        else Nil
+      }
+    val paths = walk(tableDir)
+    require(paths.nonEmpty, s"no $format files under '$tableDir'")
+    val stats = columns.map { c =>
+      val s = if (format == "orc") orcFileStats(spark, paths, c)
+              else fileStats(spark, paths, c)
+      s.withColumn("column", lit(c))
+    }.reduce(_.unionByName(_))
+    val out = sidecarDir(tableDir)
+    stats.coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Seed the process-local pruning cache from a table's `_zonemap/`
+    * sidecar, if present; returns the number of (file, column) entries
+    * loaded (0 when there is no sidecar). Idempotent and cheap — the
+    * sidecar is files-sized metadata. */
+  def seedFromSidecar(spark: SparkSession, tableDir: String): Long = {
+    val dir = sidecarDir(tableDir)
+    if (!FsUtil.exists(spark, s"$dir/_SUCCESS")) return 0L
+    val rows = spark.read.parquet(dir)
+      .select(col("file"), col("column"), col("min"), col("max"))
+      .collect()
+    rows.foreach { r =>
+      def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      zoneCache.put((r.getString(0), r.getString(1)), (d(2), d(3)))
+    }
+    rows.length.toLong
+  }
+
   /** (min, max) per path for `column`, consulting [[zoneCache]] and
     * reading only the MISSING footers (distributed via [[fileStats]] /
     * [[orcFileStats]] per the catalog's format — a path is one format
@@ -187,17 +246,26 @@ object ZoneMap {
       spark: SparkSession, paths: Seq[String], column: String,
       format: String)
       : Map[String, (Option[Double], Option[Double])] = {
-    val (hit, miss) = paths.partition(p => zoneCache.containsKey((p, column)))
-    if (miss.nonEmpty) {
-      val stats =
-        if (format == "orc") orcFileStats(spark, miss, column)
-        else fileStats(spark, miss, column)
-      stats.select("file", "min", "max").collect().foreach { r =>
-        def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
-        zoneCache.put((r.getString(0), column), (d(1), d(2)))
+    val (_, miss0) = paths.partition(p => zoneCache.containsKey((p, column)))
+    if (miss0.nonEmpty) {
+      // a fresh process may have a PERSISTED manifest next to the data —
+      // seed from each missing file's parent directory's sidecar before
+      // paying any footer read (flat layouts put it at the table root)
+      miss0.map(p => new org.apache.hadoop.fs.Path(p).getParent.toString)
+        .distinct.foreach(d => seedFromSidecar(spark, d))
+      val miss = miss0.filterNot(p => zoneCache.containsKey((p, column)))
+      if (miss.nonEmpty) {
+        footerReads.addAndGet(miss.size.toLong)
+        val stats =
+          if (format == "orc") orcFileStats(spark, miss, column)
+          else fileStats(spark, miss, column)
+        stats.select("file", "min", "max").collect().foreach { r =>
+          def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          zoneCache.put((r.getString(0), column), (d(1), d(2)))
+        }
       }
     }
-    (hit ++ miss).map(p => p -> zoneCache.get((p, column))).toMap
+    paths.map(p => p -> zoneCache.get((p, column))).toMap
   }
 
   /** A harvested inclusive range constraint; open bounds are relaxed to

@@ -259,6 +259,51 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only valid for Static"))
   }
 
+  test("a persisted _zonemap sidecar seeds a fresh process: pruning with ZERO footer reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ZoneMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_sidecar").toString
+    (0L until 400L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    // persist the manifest, then simulate a fresh process (cold cache)
+    ZoneMap.saveManifest(spark, dir, Seq("id"))
+    ZoneMap.clearZoneCache()
+    // the sidecar must NOT be discovered as data by the catalog walk
+    val cat = StaticCatalog.overPath(spark, "zs", dir)
+    assert(cat.files.size == 4,
+      s"_zonemap sidecar leaked into the catalog: ${cat.files.map(_.key)}")
+    val before = ZoneMap.footerReads.get()
+    val eng = new BuzzEngine(Map("zs" -> cat))
+    val q = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT sum(v) AS s FROM zs WHERE id BETWEEN 120 AND 150",
+          "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)
+    val p = eng.plan(spark, q)
+    assert(p.files.size < 4 && p.files.nonEmpty, s"expected pruning, kept ${p.files.size}")
+    assert(ZoneMap.footerReads.get() == before,
+      "a seeded cache must answer pruning without opening any footer")
+    assert(eng.run(spark, q).collect()(0).getLong(0) == (120L to 150L).map(_ * 3).sum)
+    // a file ADDED after the manifest was saved is a cache miss that
+    // falls back to its own footer — append-only tables stay correct
+    Seq((1000L, 9L)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ZoneMap.clearZoneCache()
+    val cat2 = StaticCatalog.overPath(spark, "zs2", dir)
+    assert(cat2.files.size == 5)
+    val eng2 = new BuzzEngine(Map("zs2" -> cat2))
+    val q2 = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT sum(v) AS s FROM zs2 WHERE id BETWEEN 900 AND 1100",
+          "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(s) AS total FROM m", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)
+    assert(eng2.run(spark, q2).collect()(0).getLong(0) == 9L)
+  }
+
   test("zone maps prune ORC catalogs from footer statistics like parquet ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
