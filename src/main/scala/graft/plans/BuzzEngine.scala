@@ -50,11 +50,16 @@ final class BuzzEngine(
     buildDf(spark, plan(spark, query))
 
   private def buildDf(spark: SparkSession, p: DistributedPlan): DataFrame = {
-    // strict schema verification is a parquet-FOOTER contract (physical
-    // type + repetition checks); non-parquet catalogs read under their
-    // declared schema, where Spark itself surfaces any mismatch
+    // strict pre-flight schema verification for the self-describing
+    // formats: parquet checks physical type + repetition (the reference's
+    // exact contract), ORC checks presence + category (its footer carries
+    // no repetition). csv/json read under a DECLARED schema where Spark
+    // itself surfaces mismatches (and csv validates header names).
     if (verifySchemas && p.catalog.format == "parquet")
       SchemaVerifier.verify(
+        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
+    else if (verifySchemas && p.catalog.format == "orc")
+      SchemaVerifier.verifyOrc(
         p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
     val source = p.catalog.read(spark, p.files)
     val names = Seq(p.catalog.name, p.mapStep.name).distinct

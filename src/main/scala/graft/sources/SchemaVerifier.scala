@@ -61,6 +61,62 @@ object SchemaVerifier {
     }
   }
 
+  /** ORC twin of [[verify]]: every declared column must exist in each
+    * file's footer TypeDescription with a compatible category. ORC's
+    * schema carries no per-field repetition, so there is no nullability
+    * leg — presence + type only (the parquet check's nullability parity
+    * is a parquet-footer contract). Field lookup is case-insensitive to
+    * match the session's default resolution. */
+  def verifyOrc(
+      paths: Seq[String],
+      declared: StructType,
+      conf: Configuration = new Configuration()): Unit = {
+    import scala.jdk.CollectionConverters._
+    paths.foreach { p =>
+      val reader = org.apache.orc.OrcFile.createReader(
+        new Path(p), org.apache.orc.OrcFile.readerOptions(conf))
+      val (names, kids) =
+        try {
+          val s = reader.getSchema
+          (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
+        } finally reader.close()
+      declared.fields.foreach { f =>
+        val idx = names.indexWhere(_.equalsIgnoreCase(f.name))
+        if (idx < 0)
+          throw new BuzzException.SchemaMismatch(
+            s"file $p is missing declared column '${f.name}'")
+        val cat = kids(idx).getCategory
+        if (!orcCompatible(cat, f.dataType))
+          throw new BuzzException.SchemaMismatch(
+            s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
+      }
+    }
+  }
+
+  private def orcCompatible(
+      cat: org.apache.orc.TypeDescription.Category, dt: DataType): Boolean = {
+    import org.apache.orc.TypeDescription.Category._
+    (cat, dt) match {
+      case (STRING | VARCHAR | CHAR, StringType)            => true
+      case (BINARY, BinaryType)                             => true
+      case (LONG, LongType)                                 => true
+      case (INT, IntegerType)                               => true
+      case (SHORT, ShortType)                               => true
+      case (BYTE, ByteType)                                 => true
+      case (DOUBLE, DoubleType)                             => true
+      case (FLOAT, FloatType)                               => true
+      case (BOOLEAN, BooleanType)                           => true
+      case (DATE, DateType)                                 => true
+      case (TIMESTAMP, TimestampType | TimestampNTZType)    => true
+      case (TIMESTAMP_INSTANT, TimestampType)               => true
+      case (DECIMAL, _: DecimalType)                        => true
+      // nested/list/map/struct categories: not served by this verifier —
+      // conservative REJECT so a declared scalar never silently reads a
+      // complex column
+      case _                                                => false
+    }
+  }
+
   private def compatible(prim: PrimitiveTypeName, dt: DataType): Boolean = (prim, dt) match {
     case (PrimitiveTypeName.BINARY, StringType | BinaryType)                   => true
     case (PrimitiveTypeName.INT64, LongType | TimestampType | TimestampNTZType)=> true

@@ -259,6 +259,40 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only valid for Static"))
   }
 
+  test("verifySchemas checks ORC footers: wrong declared type fails loudly, correct one passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_verify").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("overwrite").orc(dir)
+    import org.apache.spark.sql.types._
+    def cat(schema: StructType) = StaticCatalog.overPath(
+      spark, "ov", dir, format = "orc", declaredSchema = Some(schema))
+    def q = BuzzQuery(
+      Seq(
+        BuzzStep("SELECT count(*) AS n FROM ov", "m", BuzzStepType.HBee, None),
+        BuzzStep("SELECT sum(n) AS n FROM m", "r", BuzzStepType.HComb, None)),
+      BuzzCapacity(1), Nil)
+    val good = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    assert(new BuzzEngine(Map("ov" -> cat(good)), verifySchemas = true)
+      .run(spark, q).collect()(0).getLong(0) == 2L)
+    // declared INT against an ORC LONG column: rejected up front
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val e = intercept[BuzzException.SchemaMismatch] {
+      new BuzzEngine(Map("ov" -> cat(narrow)), verifySchemas = true).run(spark, q)
+    }
+    assert(e.getMessage.contains("incompatible"))
+    // a column the files don't have: rejected by name
+    val phantom = StructType(good.fields :+ StructField("ghost", LongType))
+    val e2 = intercept[BuzzException.SchemaMismatch] {
+      new BuzzEngine(Map("ov" -> cat(phantom)), verifySchemas = true).run(spark, q)
+    }
+    assert(e2.getMessage.contains("missing declared column"))
+  }
+
   test("a persisted _zonemap sidecar seeds a fresh process: pruning with ZERO footer reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
