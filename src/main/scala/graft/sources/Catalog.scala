@@ -381,28 +381,7 @@ object StaticCatalog {
       return overLocalFiles(spark, name, Seq(uri), partitionColumns,
         Map(uri -> partitionValuesFor(uri)), format, declaredSchema, readerOptions)
     }
-    // recursive listing: collect leaf data files (by the format's
-    // extension — ".snappy.orc" and friends still end with it) plus the
-    // key=value partition path segments above them
-    val ext = s".$format"
-    val HivePart = "([^=/]+)=([^/]*)".r
-    def walk(dir: String, parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
-      FsUtil.listStatus(spark, dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-        val child = st.getPath.toString
-        val name = st.getPath.getName
-        // metadata dirs (_delta_log, _zonemap, .staging…) are not data —
-        // the same hidden-path convention Spark's own FileIndex applies
-        if (name.startsWith("_") || name.startsWith(".")) Nil
-        else if (st.isDirectory) {
-          name match {
-            case HivePart(k, v) => walk(child, parts :+ (k -> v))
-            case _              => walk(child, parts)
-          }
-        } else if (name.endsWith(ext)) {
-          Seq(child -> parts)
-        } else Nil
-      }
-    val found = walk(uri, Nil)
+    val found = FsUtil.walkDataFiles(spark, uri, s".$format")
     if (found.isEmpty)
       throw new BuzzException.BadRequest(s"no $format files under '$uri'")
     val discoveredCols = found.head._2.map(_._1)

@@ -59,6 +59,12 @@ object FsUtil {
   def listStatus(spark: SparkSession, dir: String): Seq[FileStatus] =
     fs(spark, dir).listStatus(new Path(dir)).toSeq
 
+  /** How long a claim lock may sit before it is presumed leaked by a
+    * crashed writer and broken. A live commit holds its lock for the
+    * milliseconds of one tmp write + rename; a minute of age is orders of
+    * magnitude past any live claim. */
+  private val LockTtlMs = 60000L
+
   /** Publish one Delta commit file ATOMICALLY with no-overwrite
     * semantics: returns true when THIS caller owns `version`, false when
     * the version was already taken (the caller must re-plan and retry at
@@ -74,9 +80,17 @@ object FsUtil {
     * renamed into place under the claim, and the lock removed — readers
     * never see partial commits (the rename stays atomic; lock files are
     * dot-prefixed like the tmp files replay already ignores). A writer
-    * crash between claim and rename leaks the lock and blocks that one
-    * version — the same caveat class as the external-lock requirement
-    * upstream Delta documents for raw S3. */
+    * crash between claim and rename leaks the lock; since Delta versions
+    * are DENSE (every later commit targets head+1), a leaked lock would
+    * wedge the whole table, so a claim older than [[LockTtlMs]] is
+    * presumed dead and broken — the claim is then retried once.
+    *
+    * Object stores without atomic no-overwrite rename (raw S3: COPY +
+    * DELETE, dest-exists check racy) are NOT made safe by this method —
+    * the exists-check is best-effort there. That matches upstream Delta's
+    * documented position: concurrent writes to raw S3 from multiple
+    * clusters need an external coordination service (S3A behind a
+    * consistent metadata layer, or single-writer discipline). */
   def publishCommit(
       spark: SparkSession, logDir: String, version: Long, body: String): Boolean = {
     val fsys = fs(spark, logDir)
@@ -92,12 +106,56 @@ object FsUtil {
     } else {
       val lock = new java.io.File(
         new Path(logDir, f".$version%020d.lock").toUri.getPath)
-      if (!lock.createNewFile()) false // version claimed by a live writer
+      def claim(): Boolean = {
+        if (lock.createNewFile()) true
+        else if (lock.exists() &&
+                 System.currentTimeMillis() - lock.lastModified() > LockTtlMs) {
+          // presumed leaked by a crashed writer: break it and re-claim
+          // (the delete+create race between two breakers is harmless —
+          // exactly one createNewFile wins)
+          lock.delete()
+          lock.createNewFile()
+        } else false // version claimed by a live writer
+      }
+      if (!claim()) false
       else try {
         if (fsys.exists(commit)) false // claimed after a completed commit
         else writeAndRename()
       } finally { lock.delete(); () }
     }
+  }
+
+  /** Spark FileIndex's hidden-path convention: `.`-prefixed names and
+    * `_`-prefixed names are metadata (`_delta_log`, `_zonemap`,
+    * `.staging`…) — EXCEPT an `_`-prefixed name containing '=', which is
+    * a partition directory for an underscore-named partition column
+    * (`_tag=a/`) and therefore data, exactly as Spark's own
+    * `shouldFilterOut` exempts it. */
+  def isHiddenName(name: String): Boolean =
+    name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
+
+  /** Recursively collect the leaf data files under `dir` — by the
+    * format's extension, so ".snappy.orc" and friends still match — with
+    * the Hive `col=value` directory segments above each file, in listing
+    * order. The ONE walk behind both catalog discovery and zone-map
+    * manifest building, so the two can never disagree about which files
+    * are data. */
+  def walkDataFiles(spark: SparkSession, dir: String, ext: String)
+      : Seq[(String, Seq[(String, String)])] = {
+    val HivePart = "([^=/]+)=([^/]*)".r
+    def walk(d: String, parts: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
+      listStatus(spark, d).sortBy(_.getPath.getName).flatMap { st =>
+        val child = st.getPath.toString
+        val name = st.getPath.getName
+        if (isHiddenName(name)) Nil
+        else if (st.isDirectory) name match {
+          case HivePart(k, v) => walk(child, parts :+ (k -> v))
+          case _              => walk(child, parts)
+        }
+        else if (name.endsWith(ext)) Seq(child -> parts)
+        else Nil
+      }
+    walk(dir, Nil)
   }
 
   /** Write a small control file (index params), overwriting. */

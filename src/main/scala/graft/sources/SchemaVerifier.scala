@@ -65,8 +65,10 @@ object SchemaVerifier {
     * file's footer TypeDescription with a compatible category. ORC's
     * schema carries no per-field repetition, so there is no nullability
     * leg — presence + type only (the parquet check's nullability parity
-    * is a parquet-footer contract). Field lookup is case-insensitive to
-    * match the session's default resolution. */
+    * is a parquet-footer contract). Field lookup is case-SENSITIVE, the
+    * same exact-name contract [[verify]] applies for parquet (the
+    * reference compares field names exactly) — the strict flag enforces
+    * one rule regardless of format. */
   def verifyOrc(
       paths: Seq[String],
       declared: StructType,
@@ -81,7 +83,7 @@ object SchemaVerifier {
           (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
         } finally reader.close()
       declared.fields.foreach { f =>
-        val idx = names.indexWhere(_.equalsIgnoreCase(f.name))
+        val idx = names.indexOf(f.name)
         if (idx < 0)
           throw new BuzzException.SchemaMismatch(
             s"file $p is missing declared column '${f.name}'")

@@ -122,7 +122,11 @@ object ZoneMap {
           try {
             val schema = reader.getSchema
             val names = schema.getFieldNames.asScala
-            val idx = names.indexWhere(_.equalsIgnoreCase(column))
+            // exact-name match, same as the parquet manifest's dot-string
+            // compare: two footer columns differing only by case must
+            // never alias each other into a WRONG range (a casing
+            // mismatch just yields unknown stats — never pruned)
+            val idx = names.indexOf(column)
             val nRows = reader.getNumberOfRows
             if (idx < 0) (p, nRows, Option.empty[Double], Option.empty[Double], Option.empty[Long])
             else {
@@ -177,7 +181,14 @@ object ZoneMap {
   private val zoneCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Option[Double], Option[Double])]()
 
-  private[graft] def clearZoneCache(): Unit = zoneCache.clear()
+  /** Directories whose sidecar has already been probed this process —
+    * hit or miss — so repeated miss batches (a column absent from the
+    * manifest, a sidecar-less table) never re-pay the exists() probe or
+    * re-read rows already in [[zoneCache]]. */
+  private val seededDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def clearZoneCache(): Unit = { zoneCache.clear(); seededDirs.clear() }
 
   /** Number of FILES whose footers have been opened by manifest builds in
     * this process — observability for the sidecar path (a seeded cache
@@ -200,16 +211,7 @@ object ZoneMap {
       spark: SparkSession, tableDir: String, columns: Seq[String],
       format: String = "parquet"): String = {
     require(columns.nonEmpty, "need at least one column to manifest")
-    val ext = s".$format"
-    def walk(dir: String): Seq[String] =
-      FsUtil.listStatus(spark, dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath.toString)
-        else if (name.endsWith(ext)) Seq(st.getPath.toString)
-        else Nil
-      }
-    val paths = walk(tableDir)
+    val paths = FsUtil.walkDataFiles(spark, tableDir, s".$format").map(_._1)
     require(paths.nonEmpty, s"no $format files under '$tableDir'")
     val stats = columns.map { c =>
       val s = if (format == "orc") orcFileStats(spark, paths, c)
@@ -249,10 +251,20 @@ object ZoneMap {
     val (_, miss0) = paths.partition(p => zoneCache.containsKey((p, column)))
     if (miss0.nonEmpty) {
       // a fresh process may have a PERSISTED manifest next to the data —
-      // seed from each missing file's parent directory's sidecar before
-      // paying any footer read (flat layouts put it at the table root)
-      miss0.map(p => new org.apache.hadoop.fs.Path(p).getParent.toString)
-        .distinct.foreach(d => seedFromSidecar(spark, d))
+      // seed from each missing file's TABLE ROOT sidecar before paying
+      // any footer read. saveManifest writes the sidecar at the table
+      // root; a Hive-partitioned file sits under `col=value` segments,
+      // so ascend past every '='-named directory to find that root
+      // (flat layouts ascend zero levels: parent IS the root). Each
+      // directory is probed at most once per process (seededDirs).
+      def tableRoot(p: String): String = {
+        var d = new org.apache.hadoop.fs.Path(p).getParent
+        while (d.getParent != null && d.getName.contains("=")) d = d.getParent
+        d.toString
+      }
+      miss0.map(tableRoot).distinct
+        .filter(seededDirs.add) // false ⇒ already probed this process
+        .foreach(d => seedFromSidecar(spark, d))
       val miss = miss0.filterNot(p => zoneCache.containsKey((p, column)))
       if (miss.nonEmpty) {
         footerReads.addAndGet(miss.size.toLong)

@@ -458,4 +458,68 @@ class CatalogSpec extends AnyFunSuite {
       .agg(sum("x")).collect()(0).getLong(0)
     assert(pruned == full)
   }
+
+  test("publishCommit: O_EXCL claim, live-lock deferral, stale-lock breaking") {
+    val dir = tmpDir("graft_occ")
+    val logDir = s"$dir/_delta_log"
+    FsUtil.fs(spark, logDir).mkdirs(new org.apache.hadoop.fs.Path(logDir))
+    // first claim of a version wins; a second claim of the SAME version
+    // is refused (the commit file already exists under the claim check)
+    assert(FsUtil.publishCommit(spark, logDir, 0L, "{}\n"))
+    assert(!FsUtil.publishCommit(spark, logDir, 0L, "{\"loser\":1}\n"))
+    // the winner's body survived — no silent overwrite
+    assert(FsUtil.readString(spark, s"$logDir/${f"${0L}%020d"}.json") == "{}\n")
+    // a LIVE lock (fresh mtime = a writer mid-commit) defers the claim
+    val lock = new java.io.File(s"$dir/_delta_log/" + f".${1L}%020d.lock")
+    assert(lock.createNewFile())
+    assert(!FsUtil.publishCommit(spark, logDir, 1L, "{}\n"))
+    // a STALE lock (mtime past the TTL = a crashed writer) is broken, the
+    // commit proceeds, and the lock does not linger — the table un-wedges
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    assert(FsUtil.publishCommit(spark, logDir, 1L, "{}\n"))
+    assert(!lock.exists())
+    assert(FsUtil.exists(spark, s"$logDir/${f"${1L}%020d"}.json"))
+  }
+
+  test("walkDataFiles: '_col=' partition dirs are data, metadata dirs are not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_walk")
+    Seq((1L, "a"), (2L, "b")).toDF("v", "_tag")
+      .write.partitionBy("_tag").mode("overwrite").parquet(dir)
+    // plant the metadata shapes the hidden-name rule must still skip
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    new java.io.File(s"$dir/_delta_log/00000000000000000000.json").createNewFile()
+    new java.io.File(s"$dir/.staging").mkdirs()
+    val found = FsUtil.walkDataFiles(spark, dir, ".parquet")
+    assert(found.size == 2, s"expected the two partition files, got $found")
+    assert(found.forall(_._2.map(_._1) == Seq("_tag")))
+    // full catalog resolution discovers the underscore-named layout (the
+    // same '=' exemption Spark's own FileIndex applies)
+    val cat = StaticCatalog.overPath(spark, "uw", dir)
+    assert(cat.partitionColumns == Seq("_tag"))
+    assert(cat.files.size == 2)
+  }
+
+  test("a root _zonemap sidecar seeds pruning for HIVE-PARTITIONED files") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_zm_hive")
+    (0L until 400L).map(i => (i, i % 2, i * 3)).toDF("id", "g", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.partitionBy("g").mode("overwrite").parquet(dir)
+    ZoneMap.saveManifest(spark, dir, Seq("id"))
+    ZoneMap.clearZoneCache()
+    val cat = StaticCatalog.overPath(spark, "zh", dir)
+    assert(cat.partitionColumns == Seq("g"))
+    assert(cat.files.size == 8) // 4 id-ranges × 2 partitions
+    val before = ZoneMap.footerReads.get()
+    val pruned = ZoneMap.pruneForQuery(spark, cat.schema, cat.files,
+      "SELECT sum(v) AS s FROM zh WHERE id BETWEEN 120 AND 150")
+    assert(pruned.nonEmpty && pruned.size < cat.files.size,
+      s"expected manifest pruning, kept ${pruned.size}/${cat.files.size}")
+    assert(ZoneMap.footerReads.get() == before,
+      "a partitioned layout must find the TABLE-ROOT sidecar (ascend past col= dirs), not re-read footers")
+  }
 }
