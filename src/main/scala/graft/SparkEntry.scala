@@ -1928,6 +1928,38 @@ object SparkEntry {
            |  "catalogs": [{"name": "li_zones", "type": "Static", "uri": "$out"}]
            |}""".stripMargin)
     }),
+    // Delta-NATIVE data skipping: the same range-clustered lineitem, but
+    // appended as a Delta table whose add actions carry per-file stats
+    // (numRecords/minValues/maxValues/nullCount, the protocol's `stats`
+    // field, written from the new files' footers at commit time). The
+    // planner's zone pruning is then seeded from the LOG the catalog
+    // already replays — the BETWEEN prunes files with ZERO footer reads
+    // (asserted in DeltaStatsSpec; the data answer is oracled here)
+    "q_zonemap_delta" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltazm_" +
+        fixtureKey(dir, "lineitem")
+      if (!FsUtil.isDirectory(s, s"$out/_delta_log"))
+        Sinks.deltaAppend(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+            .repartitionByRange(16, col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey"),
+          out)
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |  "steps": [
+           |    {"sql": "SELECT count(*) AS n, sum(l_quantity) AS qty, sum(l_extendedprice) AS rev FROM li_delta WHERE l_orderkey BETWEEN 100 AND 999",
+           |     "name": "dzm_map", "step_type": "HBee"},
+           |    {"sql": "SELECT sum(n) AS n, CAST(sum(qty) AS BIGINT) AS qty, round(sum(rev), 2) AS revenue FROM dzm_map",
+           |     "name": "dzm_reduce", "step_type": "HComb"}
+           |  ],
+           |  "capacity": {"zones": 1},
+           |  "catalogs": [{"name": "li_delta", "type": "DeltaLake", "uri": "$out"}]
+           |}""".stripMargin)
+    }),
     // layout-aware skipping: lineitem REWRITTEN Z-ordered on
     // (l_extendedprice, l_quantity), then a 2-D range predicate pruned
     // through the footer manifests of BOTH dimensions. Z-clustering gives
@@ -3267,6 +3299,10 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,
     "q_zonemap_2stage" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,
+    "q_zonemap_delta" ->
       """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999""".stripMargin,

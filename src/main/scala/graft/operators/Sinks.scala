@@ -325,7 +325,10 @@ object Sinks {
     }
     if (work.isEmpty) return version0
     val now = System.currentTimeMillis()
-    val actions = scala.collection.mutable.ListBuffer[JValue]()
+    // (relPath, absDest, partitionValues) of every rewritten file — adds
+    // are emitted AFTER the stats pass so the new footers are read once
+    val newFiles = scala.collection.mutable.ListBuffer[(String, Path, Seq[String])]()
+    val removeActions = scala.collection.mutable.ListBuffer[JValue]()
     work.toSeq.sortBy(_._1.mkString("/")).foreach { case (pv, fs) =>
       val nOut = math.max(1L,
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
@@ -346,24 +349,38 @@ object Sinks {
           if (!fsys.rename(st.getPath, dest))
             throw new BuzzException.ExecutionError(
               s"optimize staging rename failed for $relPath")
-          actions += JObject("add" -> JObject(
-            "path" -> JString(graft.sources.DeltaCatalog.encodePath(relPath)),
-            "size" -> JLong(fsys.getFileStatus(dest).getLen),
-            "partitionValues" -> JObject(cat.partitionColumns.zip(pv)
-              .map { case (k, v) => k -> (JString(v): JValue) }.toList),
-            "dataChange" -> JBool(false)))
+          newFiles += ((relPath, dest, pv))
         }
       fsys.delete(new Path(stage), true)
       fs.foreach { f =>
         val raw = rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
           s"optimize: no raw log path for live file ${f.key} — snapshot drifted"))
-        actions += JObject("remove" -> JObject(
+        removeActions += JObject("remove" -> JObject(
           "path" -> JString(raw),
           "deletionTimestamp" -> JLong(now),
           "dataChange" -> JBool(false)))
       }
     }
-    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+    // rewritten files get fresh data-skipping stats (the compacted layout
+    // usually has WIDER per-file ranges than what it replaced — stale
+    // ranges would be unsound, absent ones merely unprunable)
+    val statsByPath: Map[String, String] =
+      try graft.sources.ZoneMap.deltaFileStats(
+        spark, newFiles.map(_._2.toString).toSeq, cat.schema)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val addActions: Seq[JValue] = newFiles.toSeq.map { case (relPath, dest, pv) =>
+      val base: List[(String, JValue)] = List(
+        "path" -> JString(graft.sources.DeltaCatalog.encodePath(relPath)),
+        "size" -> JLong(fsys.getFileStatus(dest).getLen),
+        "partitionValues" -> JObject(cat.partitionColumns.zip(pv)
+          .map { case (k, v) => k -> (JString(v): JValue) }.toList),
+        "dataChange" -> JBool(false))
+      val fields = statsByPath.get(dest.toString)
+        .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+      JObject("add" -> JObject(fields))
+    }
+    val body = (addActions ++ removeActions)
+      .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     val version = version0 + 1
     if (!FsUtil.publishCommit(spark, logDir, version, body))
@@ -402,6 +419,7 @@ object Sinks {
       throw new BuzzException.BadRequest(
         s"restore target $version out of range: table is at version $head")
     val target = DeltaCatalog.liveRawAt(spark, tablePath, Some(version))
+    val targetStats = DeltaCatalog.statsByRaw(spark, tablePath, Some(version))
     val current = DeltaCatalog.liveRawAt(spark, tablePath, None)
     if (target == current) return head
     val fsys = FsUtil.fs(spark, tablePath)
@@ -420,12 +438,17 @@ object Sinks {
           "dataChange" -> JBool(true))): JValue) ++
       (target.keySet -- current.keySet).toSeq.sorted.map { raw =>
         val (size, pv) = target(raw)
-        JObject("add" -> JObject(
+        val base: List[(String, JValue)] = List(
           "path" -> JString(raw),
           "size" -> JLong(size),
           "partitionValues" -> JObject(pv.map { case (k, v) =>
             k -> (JString(v): JValue) }.toList),
-          "dataChange" -> JBool(true))): JValue
+          "dataChange" -> JBool(true))
+        // re-adds keep the stats they had at the target version, so a
+        // restored table prunes exactly like the original snapshot did
+        val fields = targetStats.get(raw)
+          .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+        JObject("add" -> JObject(fields)): JValue
       }
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
@@ -654,6 +677,7 @@ object Sinks {
     // the checkpoint must persist the RAW log paths — the seed decodes
     // them exactly once on re-read, like commit replay does
     val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath)
     val version = DeltaCatalog.latestVersion(spark, logDir)
     val fsys = FsUtil.fs(spark, tablePath)
     // full table schema = data schema + partition columns (this engine's
@@ -668,19 +692,25 @@ object Sinks {
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("size", LongType),
-        StructField("partitionValues", MapType(StringType, StringType)))), nullable = true),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        // data-skipping stats must survive into the checkpoint, or commit
+        // cleaning would silently degrade every read back to footer IO
+        StructField("stats", StringType))), nullable = true),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))), nullable = true)))
     val rows: Seq[Row] =
       (Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
         cat.partitionColumns), null, null) +:
-        cat.files.map(f => Row(null,
-          Row(rawByKey.getOrElse(f.key,
-              throw new graft.model.BuzzException.ExecutionError(
-                s"checkpoint: no raw log path for live file ${f.key}")),
-            f.length,
-            cat.partitionColumns.zip(f.partitionValues).toMap), null))) ++
+        cat.files.map { f =>
+          val raw = rawByKey.getOrElse(f.key,
+            throw new graft.model.BuzzException.ExecutionError(
+              s"checkpoint: no raw log path for live file ${f.key}"))
+          Row(null,
+            Row(raw, f.length,
+              cat.partitionColumns.zip(f.partitionValues).toMap,
+              statsByRaw.get(raw).orNull), null)
+        }) ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
         DeltaCatalog.allTxns(spark, tablePath).toSeq.sortBy(_._1)
@@ -820,15 +850,29 @@ object Sinks {
       (rel, fsys.getFileStatus(dest).getLen, pv)
     }
     fsys.delete(new Path(stage), true)
+    // per-file data-skipping stats (the protocol's `add.stats`), computed
+    // once from the new files' footers — bounded by the files THIS commit
+    // wrote, and carried by the log so readers prune without footer IO.
+    // Optional by contract: a stats failure never blocks the commit.
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      data.schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    val statsByPath: Map[String, String] =
+      try graft.sources.ZoneMap.deltaFileStats(
+        spark, adds.map { case (rel, _, _) => new Path(tablePath, rel).toString },
+        dataSchema)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
     val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
-      JObject("add" -> JObject(
+      val base: List[(String, JValue)] = List(
         // URI-encode the on-disk rel path per the protocol — the reader
         // URI-decodes add.path, so a raw name containing '%' (Hive-escaped
         // partition values) would otherwise decode to a nonexistent path
         "path" -> JString(DeltaCatalog.encodePath(rel)),
         "size" -> JLong(size),
         "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
-        "dataChange" -> JBool(true)))
+        "dataChange" -> JBool(true))
+      val fields = statsByPath.get(new Path(tablePath, rel).toString)
+        .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+      JObject("add" -> JObject(fields))
     }
     val txnActions: Seq[JValue] = txn.toSeq.map { case (appId, txnVer) =>
       JObject("txn" -> JObject(

@@ -37,6 +37,9 @@ object DeltaCatalog {
     var partitionCols: Seq[String] = Nil
     // path -> (size, partitionValues); replay order means removes win
     val live = scala.collection.mutable.LinkedHashMap[String, (Long, Map[String, String])]()
+    // path -> the add action's `stats` JSON (data-skipping ranges); kept in
+    // lockstep with `live` — a remove, or a re-add without stats, clears it
+    val stats = scala.collection.mutable.HashMap[String, String]()
     // appId -> highest committed txn version (SetTransaction actions)
     val txns = scala.collection.mutable.HashMap[String, Long]()
   }
@@ -53,6 +56,15 @@ object DeltaCatalog {
     * must persist so idempotence survives commit cleaning. */
   private[graft] def allTxns(spark: SparkSession, tablePath: String): Map[String, Long] =
     replay(spark, tablePath, None).txns.toMap
+
+  /** Each live file's `add.stats` JSON keyed by RAW log path, at
+    * `versionAsOf` (None = head) — what a checkpoint writer must persist
+    * so data skipping survives commit cleaning, and what a restore writer
+    * must re-attach so its re-adds stay prunable. */
+  private[graft] def statsByRaw(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, String] =
+    replay(spark, tablePath, versionAsOf).stats.toMap
 
   /** Build the catalog for the table's LATEST snapshot, or — time travel —
     * for `versionAsOf`: the snapshot exactly as of that commit version.
@@ -213,7 +225,14 @@ object DeltaCatalog {
             k -> (if (v == null) NullPartitionValue else v)
           })
           .getOrElse(Map.empty[String, String])
-        if (path != null && path.nonEmpty) state.live(path) = (size, pv)
+        if (path != null && path.nonEmpty) {
+          state.live(path) = (size, pv)
+          // pre-stats checkpoints have no `stats` column — tolerated
+          if (a.schema != null && a.schema.fieldNames.contains("stats")) {
+            val s = a.getAs[String]("stats")
+            if (s != null && s.nonEmpty) state.stats(path) = s
+          }
+        }
       }
       if (cols("txn") && !row.isNullAt(row.fieldIndex("txn"))) {
         val t = row.getStruct(row.fieldIndex("txn"))
@@ -261,13 +280,19 @@ object DeltaCatalog {
             }.toMap
           case _ => Map.empty[String, String]
         }
-        if (path.nonEmpty) state.live(path) = (size, pv)
+        if (path.nonEmpty) {
+          state.live(path) = (size, pv)
+          add \ "stats" match {
+            case JString(s) if s.nonEmpty => state.stats(path) = s
+            case _                        => state.stats.remove(path)
+          }
+        }
     }
     v \ "remove" match {
       case JNothing =>
       case rm =>
         rm \ "path" match {
-          case JString(p) => state.live.remove(p)
+          case JString(p) => state.live.remove(p); state.stats.remove(p)
           case _ =>
         }
     }
@@ -301,7 +326,53 @@ object DeltaCatalog {
         size,
         state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
+    seedZoneCache(tablePath, dataSchema, state)
     new StaticCatalog(name, dataSchema, state.partitionCols, files)
+  }
+
+  /** Data skipping from the LOG: seed the zone-map pruning cache from each
+    * live file's `add.stats` ranges, so a range predicate in a two-stage
+    * query prunes a Delta file list with ZERO footer reads — the stats
+    * already rode the replay this catalog was built from. Numeric columns
+    * only (the range shapes [[ZoneMap.pruneForQuery]] harvests); a column
+    * absent from a file's stats stays unseeded and falls back to its
+    * footer on demand. Malformed stats are ignored — skipping is an
+    * optimization, never a read blocker. */
+  private def seedZoneCache(
+      tablePath: String, dataSchema: StructType, state: State): Unit = {
+    import org.apache.spark.sql.types._
+    if (state.stats.isEmpty) return
+    val numeric = dataSchema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+        .contains(f.dataType) => f.name
+    }.toSeq
+    if (numeric.isEmpty) return
+    def num(v: JValue): Option[Double] = v match {
+      case JInt(i)     => Some(i.toDouble)
+      case JLong(l)    => Some(l.toDouble)
+      case JDouble(d)  => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
+    state.live.keys.foreach { raw =>
+      state.stats.get(raw).foreach { json =>
+        val key = new Path(tablePath, decodePath(raw)).toString
+        // one representative probe avoids re-parsing on every catalog
+        // rebuild of the same process (appends revalidate per commit)
+        if (!ZoneMap.isSeeded(key, numeric.head)) {
+          try {
+            val parsed = JsonMethods.parse(json)
+            val mins = parsed \ "minValues"
+            val maxs = parsed \ "maxValues"
+            numeric.foreach { c =>
+              num(mins \ c).zip(num(maxs \ c)).foreach { case (mn, mx) =>
+                ZoneMap.seedEntry(key, c, Some(mn), Some(mx))
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
+    }
   }
 
   /** Delta `add.path` values are percent-encoded relative URIs per the

@@ -154,6 +154,134 @@ object ZoneMap {
       .toDF("file", "rows", "min", "max", "null_count")
   }
 
+  /** Per-file Delta `add.stats` JSON for the data-schema columns whose
+    * footer statistics the skipping path can serve — the Delta protocol's
+    * data-skipping shape (`{"numRecords":N,"minValues":{..},"maxValues":
+    * {..},"nullCount":{..}}`), computed from each file's parquet FOOTER
+    * (no data pages). Stats then RIDE THE LOG: a reader prunes from
+    * metadata it already replays, zero footer reads — the property that
+    * makes skipping work when the lake's 10⁶ footers are a cold remote
+    * store but its log is one warm replay.
+    *
+    * Served column types: integral (emitted as JSON integers — exact),
+    * float/double, and strings (UTF-8 footer min/max; UTF-8 byte order
+    * equals code-point order, so the bounds are sound for any reader
+    * comparing code points; values longer than 64 chars or containing
+    * surrogate pairs — where Java's UTF-16 comparison diverges from
+    * code-point order — make the column's range unknown rather than
+    * risk an unsound bound). A column with incomplete chunk statistics
+    * is omitted from min/max; an unreadable footer yields NO stats for
+    * that file (stats are an optimization, never a commit blocker).
+    * Returns path -> stats JSON, omitting files without stats. */
+  def deltaFileStats(
+      spark: SparkSession, paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // kind: 'L' integral, 'D' floating, 'S' string
+    val wanted: Seq[(String, Char)] = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) =>
+        f.name -> 'L'
+      case f if f.dataType == FloatType || f.dataType == DoubleType => f.name -> 'D'
+      case f if f.dataType == StringType => f.name -> 'S'
+    }.toSeq
+    if (wanted.isEmpty || paths.isEmpty) return Map.empty
+    val confProps = spark.sessionState.newHadoopConf().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val parallelism = math.min(paths.size, spark.sparkContext.defaultParallelism).max(1)
+    spark.sparkContext.parallelize(paths, parallelism).map { p =>
+      p -> deltaStatsForFile(confProps, p, wanted)
+    }.collect().collect { case (p, Some(j)) => p -> j }.toMap
+  }
+
+  /** One file's stats JSON; None when the footer is unreadable. */
+  private def deltaStatsForFile(
+      confProps: Map[String, String], path: String,
+      wanted: Seq[(String, Char)]): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import scala.jdk.CollectionConverters._
+    // a string bound is only emitted when Java string comparison agrees
+    // with the footer's byte order: ASCII-to-BMP text without surrogates,
+    // bounded length (parquet truncation of long binary stats would make
+    // a recorded "max" a PREFIX — not an upper bound)
+    def safeString(s: String): Boolean =
+      s.length <= 64 && !s.exists(Character.isSurrogate)
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(true)
+      confProps.foreach { case (k, v) => conf.set(k, v) }
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+      val footer = try reader.getFooter finally reader.close()
+      var rows = 0L
+      final class Acc {
+        var complete = true
+        var nullsKnown = true
+        var nulls = 0L
+        var loL = 0L; var hiL = 0L
+        var loD = 0d; var hiD = 0d
+        var loS: String = null; var hiS: String = null
+        var saw = false
+      }
+      val accs = wanted.map { case (c, k) => (c, k, new Acc) }
+      footer.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
+        val byName = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+        accs.foreach { case (cname, kind, a) =>
+          byName.get(cname) match {
+            case None => a.complete = false // column absent from this block
+            case Some(chunk) =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                chunk.getStatistics
+              if (st == null || st.isEmpty) a.complete = false
+              else {
+                if (st.isNumNullsSet) a.nulls += st.getNumNulls else a.nullsKnown = false
+                if (st.hasNonNullValue) {
+                  (kind, st.genericGetMin.asInstanceOf[AnyRef],
+                    st.genericGetMax.asInstanceOf[AnyRef]) match {
+                    case ('L', mn: Number, mx: Number) =>
+                      val (l, h) = (mn.longValue(), mx.longValue())
+                      if (a.saw) { a.loL = math.min(a.loL, l); a.hiL = math.max(a.hiL, h) }
+                      else { a.loL = l; a.hiL = h; a.saw = true }
+                    case ('D', mn: Number, mx: Number) =>
+                      val (l, h) = (mn.doubleValue(), mx.doubleValue())
+                      if (a.saw) { a.loD = math.min(a.loD, l); a.hiD = math.max(a.hiD, h) }
+                      else { a.loD = l; a.hiD = h; a.saw = true }
+                    case ('S', mn: org.apache.parquet.io.api.Binary,
+                        mx: org.apache.parquet.io.api.Binary) =>
+                      val l = mn.toStringUsingUTF8; val h = mx.toStringUsingUTF8
+                      if (!safeString(l) || !safeString(h)) a.complete = false
+                      else if (a.saw) {
+                        if (l < a.loS) a.loS = l
+                        if (h > a.hiS) a.hiS = h
+                      } else { a.loS = l; a.hiS = h; a.saw = true }
+                    case _ => a.complete = false
+                  }
+                } // an all-null chunk contributes no range but stays complete
+              }
+          }
+        }
+      }
+      def bound(kind: Char, a: Acc, lo: Boolean): JValue = kind match {
+        case 'L' => JLong(if (lo) a.loL else a.hiL)
+        case 'D' => JDouble(if (lo) a.loD else a.hiD)
+        case _   => JString(if (lo) a.loS else a.hiS)
+      }
+      val ranged = accs.filter { case (_, _, a) => a.complete && a.saw }
+      val obj = JObject(
+        "numRecords" -> JLong(rows),
+        "minValues" -> JObject(ranged.map { case (c, k, a) => c -> bound(k, a, lo = true) }.toList),
+        "maxValues" -> JObject(ranged.map { case (c, k, a) => c -> bound(k, a, lo = false) }.toList),
+        "nullCount" -> JObject(accs.collect {
+          case (c, _, a) if a.complete && a.nullsKnown => c -> (JLong(a.nulls): JValue)
+        }.toList))
+      Some(JsonMethods.compact(JsonMethods.render(obj)))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Paths whose zone CAN satisfy `column BETWEEN lo AND hi`: a file is
     * skipped only when its stats prove max < lo or min > hi; NULL stats
     * (absent/unsupported footers) keep the file. Collects the manifest's
@@ -189,6 +317,16 @@ object ZoneMap {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[graft] def clearZoneCache(): Unit = { zoneCache.clear(); seededDirs.clear() }
+
+  /** Seed one (path, column) range directly — the hook log-carried stats
+    * (Delta `add.stats`) use to pre-warm pruning without any footer read. */
+  private[graft] def seedEntry(
+      path: String, column: String,
+      mn: Option[Double], mx: Option[Double]): Unit =
+    zoneCache.put((path, column), (mn, mx))
+
+  private[graft] def isSeeded(path: String, column: String): Boolean =
+    zoneCache.containsKey((path, column))
 
   /** Number of FILES whose footers have been opened by manifest builds in
     * this process — observability for the sidecar path (a seeded cache
