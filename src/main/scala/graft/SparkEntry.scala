@@ -1890,6 +1890,40 @@ object SparkEntry {
         .groupBy(col("version"), col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // ADDITIVE schema evolution: v0 writes (doc_id, n_chars); v1 appends
+    // with an extra `lang` column under mergeSchema=true (the commit
+    // re-declares the merged schema, same table id); v2 appends rows that
+    // OMIT the nullable n_chars entirely. Read-back must surface all three
+    // generations under the merged schema — pre-evolution files read lang
+    // as null, post-omission files read n_chars as null, and the strict
+    // footer verifier tolerates exactly those absences and nothing else
+    "sink_delta_evolve" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltaevolve_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents")
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+          .select(col("doc_id"), col("n_chars"), col("source")),
+        out, Seq("source"))
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+        out, Seq("source"), mergeSchema = true)
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .select(col("doc_id"), col("lang"), col("source")),
+        out, Seq("source"), mergeSchema = true)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_evolved")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          count(col("lang")).as("n_lang"))
+    }),
     // zone-map data skipping: a range-clustered lineitem layout, a
     // footer-stats manifest built distributed (no data pages read), and a
     // BETWEEN predicate answered by reading ONLY the files whose zones
@@ -4970,6 +5004,14 @@ object SparkEntry {
         |  SELECT 4, source, 'added', count(*)
         |  FROM documents WHERE source = 'src5' GROUP BY source)
         |SELECT version, source, status, n FROM b""".stripMargin,
+    // evolution re-derived from the construction: %3=0 rows predate the
+    // lang column (reads null), %3=2 rows were written without n_chars
+    // (reads null); only %3=1 carries both
+    "sink_delta_evolve" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 2 THEN n_chars END) AS BIGINT) AS chars,
+        |  CAST(count(CASE WHEN doc_id % 3 <> 0 THEN lang END) AS BIGINT) AS n_lang
+        |FROM documents GROUP BY source""".stripMargin,
     // optimize is lossless and leaves exactly one file per partition
     "sink_delta_optimize" ->
       """SELECT source, count(*) AS n_docs,

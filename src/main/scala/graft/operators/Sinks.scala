@@ -700,7 +700,10 @@ object Sinks {
         StructField("appId", StringType),
         StructField("version", LongType))), nullable = true)))
     val rows: Seq[Row] =
-      (Row(Row(java.util.UUID.randomUUID.toString, fullSchema.json,
+      // the table's stable id must survive the checkpoint — minting a new
+      // one would make readers see a different table after log cleaning
+      (Row(Row(DeltaCatalog.tableId(spark, tablePath)
+          .getOrElse(java.util.UUID.randomUUID.toString), fullSchema.json,
         cat.partitionColumns), null, null) +:
         cat.files.map { f =>
           val raw = rawByKey.getOrElse(f.key,
@@ -785,9 +788,19 @@ object Sinks {
     deleted
   }
 
+  /** With `mergeSchema = true`, ADDITIVE schema evolution: incoming
+    * columns unknown to the table are appended to its schema (forced
+    * nullable — pre-evolution files lack them, and absent ≡ all-null at
+    * read time), and the commit carries a metaData action re-declaring
+    * the merged schema under the table's SAME id. Incoming columns may
+    * also omit declared nullable columns (the new files simply won't
+    * store them). What evolution never allows: changing an existing
+    * column's TYPE, dropping a non-nullable column, or touching the
+    * partitioning — each still fails loudly, evolved or not. Without the
+    * flag the exact-schema contract is unchanged. */
   def deltaAppend(
       df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, mergeSchema: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -808,19 +821,54 @@ object Sinks {
       FsUtil.isDirectory(spark, logDir) &&
         DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer)
     }
+    // When evolution adds columns, holds the merged FULL schema (stored
+    // layout + new columns appended, forced nullable) the winning commit
+    // must re-declare; None when this append leaves the schema unchanged.
+    // Refreshed on every commit retry — a concurrent writer may have
+    // already evolved the table past us.
+    var evolvedSchema: Option[org.apache.spark.sql.types.StructType] = None
     def validateAgainstLive(): Unit = {
       val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_sink")
       if (cat.partitionColumns != partitionCols)
         throw new BuzzException.SchemaMismatch(
           s"$tablePath is partitioned by (${cat.partitionColumns.mkString(",")}), " +
             s"append declares (${partitionCols.mkString(",")})")
-      val incoming = data.schema.fields.filterNot(f => partitionCols.contains(f.name))
-        .map(f => f.name -> f.dataType.sql).toSeq
-      val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
-      if (incoming != declared)
-        throw new BuzzException.SchemaMismatch(
-          s"append schema ${incoming.mkString(",")} does not match " +
-            s"$tablePath's metaData ${declared.mkString(",")}")
+      val incomingFields = data.schema.fields.filterNot(f => partitionCols.contains(f.name))
+      if (!mergeSchema) {
+        val incoming = incomingFields.map(f => f.name -> f.dataType.sql).toSeq
+        val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+        if (incoming != declared)
+          throw new BuzzException.SchemaMismatch(
+            s"append schema ${incoming.mkString(",")} does not match " +
+              s"$tablePath's metaData ${declared.mkString(",")}")
+        evolvedSchema = None
+      } else {
+        val declaredByName = cat.schema.fields.map(f => f.name -> f).toMap
+        incomingFields.foreach { f =>
+          declaredByName.get(f.name).foreach { d =>
+            if (d.dataType.sql != f.dataType.sql)
+              throw new BuzzException.SchemaMismatch(
+                s"evolution cannot retype column '${f.name}': table declares " +
+                  s"${d.dataType.sql}, append carries ${f.dataType.sql}")
+          }
+        }
+        // omitting a declared NULLABLE column is fine (the new files just
+        // won't store it — absent ≡ all-null); omitting a non-nullable
+        // column would make its absence read back as null, a contract breach
+        val incomingNames = incomingFields.map(_.name).toSet
+        cat.schema.fields.filterNot(_.nullable).foreach { d =>
+          if (!incomingNames.contains(d.name))
+            throw new BuzzException.SchemaMismatch(
+              s"append omits non-nullable column '${d.name}' — its absence " +
+                "would read back as null")
+        }
+        val newCols = incomingFields.filterNot(f => declaredByName.contains(f.name))
+          .map(_.copy(nullable = true))
+        evolvedSchema =
+          if (newCols.isEmpty) None
+          else DeltaCatalog.storedSchema(spark, tablePath).map(stored =>
+            org.apache.spark.sql.types.StructType(stored.fields ++ newCols))
+      }
     }
     if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
     if (tableExists) validateAgainstLive()
@@ -889,7 +937,19 @@ object Sinks {
             "schemaString" -> JString(data.schema.json),
             "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList))) ::
           (txnActions ++ addActions).toList
-        else (txnActions ++ addActions).toList
+        else {
+          // evolution re-declares the merged schema under the table's SAME
+          // id — minting a new one would make readers see a different table
+          val meta: List[JValue] = evolvedSchema.toList.map { merged =>
+            JObject("metaData" -> JObject(
+              "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
+                .getOrElse(java.util.UUID.randomUUID.toString)),
+              "format" -> JObject("provider" -> JString("parquet")),
+              "schemaString" -> JString(merged.json),
+              "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList)))
+          }
+          (meta ++ txnActions ++ addActions).toList
+        }
       actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
     }

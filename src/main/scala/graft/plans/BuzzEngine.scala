@@ -57,10 +57,12 @@ final class BuzzEngine(
     // itself surfaces mismatches (and csv validates header names).
     if (verifySchemas && p.catalog.format == "parquet")
       SchemaVerifier.verify(
-        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
+        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf(),
+        missingNullableOk = p.catalog.missingNullableOk)
     else if (verifySchemas && p.catalog.format == "orc")
       SchemaVerifier.verifyOrc(
-        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf())
+        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf(),
+        missingNullableOk = p.catalog.missingNullableOk)
     val source = p.catalog.read(spark, p.files)
     val names = Seq(p.catalog.name, p.mapStep.name).distinct
     val sessionCatalog = spark.sessionState.catalog

@@ -31,6 +31,14 @@ trait SplittableCatalog {
     * declares schemas up front per catalog (example_catalog.rs:132-161). */
   def schema: StructType
 
+  /** Whether a declared NULLABLE column may legitimately be absent from a
+    * data file's footer — true for Delta catalogs, whose schema evolution
+    * means files written before a column was added simply lack it (absent
+    * ≡ all-null). Static file catalogs keep the reference's strict
+    * presence contract. Consumed by the engine's pre-flight
+    * [[SchemaVerifier]] pass. */
+  def missingNullableOk: Boolean = false
+
   /** Names of partition columns; values are strings appended after the data
     * columns (static_catalog.rs:111-120). */
   def partitionColumns: Seq[String]
@@ -236,7 +244,8 @@ final class StaticCatalog(
     override val nanosColumns: Seq[String] = Nil,
     override val ntzColumns: Seq[String] = Nil,
     override val format: String = "parquet",
-    override val readerOptions: Map[String, String] = Map.empty)
+    override val readerOptions: Map[String, String] = Map.empty,
+    override val missingNullableOk: Boolean = false)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),

@@ -34,6 +34,9 @@ object DeltaCatalog {
 
   private final class State {
     var schemaJson: Option[String] = None
+    // the table's stable identity (metaData.id) — evolution commits and
+    // checkpoints must carry it FORWARD, never mint a new one
+    var id: Option[String] = None
     var partitionCols: Seq[String] = Nil
     // path -> (size, partitionValues); replay order means removes win
     val live = scala.collection.mutable.LinkedHashMap[String, (Long, Map[String, String])]()
@@ -65,6 +68,21 @@ object DeltaCatalog {
       spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Map[String, String] =
     replay(spark, tablePath, versionAsOf).stats.toMap
+
+  /** The table's stable metaData.id, if the log carries one — evolution
+    * commits and checkpoints re-emit THIS id so the table keeps its
+    * identity across schema changes and log compaction. */
+  private[graft] def tableId(spark: SparkSession, tablePath: String): Option[String] =
+    replay(spark, tablePath, None).id
+
+  /** The table's declared FULL schema exactly as its latest metaData
+    * action stores it — partition columns included, in their stored
+    * positions. Evolution commits append new columns to THIS, so an
+    * evolved table's schemaString stays a strict prefix-extension of
+    * its history. */
+  private[graft] def storedSchema(spark: SparkSession, tablePath: String): Option[StructType] =
+    replay(spark, tablePath, None).schemaJson
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
 
   /** Build the catalog for the table's LATEST snapshot, or — time travel —
     * for `versionAsOf`: the snapshot exactly as of that commit version.
@@ -212,6 +230,7 @@ object DeltaCatalog {
       if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
         val md = row.getStruct(row.fieldIndex("metaData"))
         Option(md.getAs[String]("schemaString")).foreach(s => state.schemaJson = Some(s))
+        Option(md.getAs[String]("id")).foreach(i => state.id = Some(i))
         Option(md.getAs[scala.collection.Seq[String]]("partitionColumns"))
           .foreach(p => state.partitionCols = p.toSeq)
       }
@@ -253,6 +272,10 @@ object DeltaCatalog {
       case md =>
         md \ "schemaString" match {
           case JString(s) => state.schemaJson = Some(s)
+          case _ =>
+        }
+        md \ "id" match {
+          case JString(i) => state.id = Some(i)
           case _ =>
         }
         md \ "partitionColumns" match {
@@ -327,7 +350,10 @@ object DeltaCatalog {
         state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
     seedZoneCache(tablePath, dataSchema, state)
-    new StaticCatalog(name, dataSchema, state.partitionCols, files)
+    // missingNullableOk: schema evolution means pre-evolution files lack
+    // later-added nullable columns — the strict verifier must tolerate that
+    new StaticCatalog(name, dataSchema, state.partitionCols, files,
+      missingNullableOk = true)
   }
 
   /** Data skipping from the LOG: seed the zone-map pruning cache from each

@@ -32,31 +32,39 @@ object SchemaVerifier {
   def verify(
       paths: Seq[String],
       declared: StructType,
-      conf: Configuration = new Configuration()): Unit = {
+      conf: Configuration = new Configuration(),
+      missingNullableOk: Boolean = false): Unit = {
     paths.foreach { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
       val footer = try reader.getFooter finally reader.close()
       val fileSchema = footer.getFileMetaData.getSchema
       declared.fields.foreach { f =>
-        if (!fileSchema.containsField(f.name))
-          throw new BuzzException.SchemaMismatch(
-            s"file $p is missing declared column '${f.name}'")
-        val ft = fileSchema.asGroupType().getFields.stream()
-          .filter(t => t.getName == f.name).findFirst().get()
-        if (ft.isPrimitive) {
-          val prim = ft.asPrimitiveType().getPrimitiveTypeName
-          if (!compatible(prim, f.dataType))
+        if (!fileSchema.containsField(f.name)) {
+          // under schema EVOLUTION (Delta catalogs) a file written before
+          // a nullable column was added legitimately lacks it — absent ≡
+          // all-null, exactly what the reader fills in. A non-nullable
+          // declared column can never be satisfied by absence.
+          if (!(missingNullableOk && f.nullable))
             throw new BuzzException.SchemaMismatch(
-              s"file $p column '${f.name}': parquet $prim incompatible with declared ${f.dataType.sql}")
+              s"file $p is missing declared column '${f.name}'")
+        } else {
+          val ft = fileSchema.asGroupType().getFields.stream()
+            .filter(t => t.getName == f.name).findFirst().get()
+          if (ft.isPrimitive) {
+            val prim = ft.asPrimitiveType().getPrimitiveTypeName
+            if (!compatible(prim, f.dataType))
+              throw new BuzzException.SchemaMismatch(
+                s"file $p column '${f.name}': parquet $prim incompatible with declared ${f.dataType.sql}")
+          }
+          // nullability parity: parquet REQUIRED ⇔ nullable=false, anything
+          // else (OPTIONAL/REPEATED) ⇔ nullable=true — exact match, both
+          // directions, per the reference's is_nullable() equality
+          val fileNullable = ft.getRepetition != Type.Repetition.REQUIRED
+          if (fileNullable != f.nullable)
+            throw new BuzzException.SchemaMismatch(
+              s"file $p column '${f.name}': parquet repetition ${ft.getRepetition} " +
+                s"incompatible with declared nullable=${f.nullable}")
         }
-        // nullability parity: parquet REQUIRED ⇔ nullable=false, anything
-        // else (OPTIONAL/REPEATED) ⇔ nullable=true — exact match, both
-        // directions, per the reference's is_nullable() equality
-        val fileNullable = ft.getRepetition != Type.Repetition.REQUIRED
-        if (fileNullable != f.nullable)
-          throw new BuzzException.SchemaMismatch(
-            s"file $p column '${f.name}': parquet repetition ${ft.getRepetition} " +
-              s"incompatible with declared nullable=${f.nullable}")
       }
     }
   }
@@ -72,7 +80,8 @@ object SchemaVerifier {
   def verifyOrc(
       paths: Seq[String],
       declared: StructType,
-      conf: Configuration = new Configuration()): Unit = {
+      conf: Configuration = new Configuration(),
+      missingNullableOk: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     paths.foreach { p =>
       val reader = org.apache.orc.OrcFile.createReader(
@@ -84,13 +93,16 @@ object SchemaVerifier {
         } finally reader.close()
       declared.fields.foreach { f =>
         val idx = names.indexOf(f.name)
-        if (idx < 0)
-          throw new BuzzException.SchemaMismatch(
-            s"file $p is missing declared column '${f.name}'")
-        val cat = kids(idx).getCategory
-        if (!orcCompatible(cat, f.dataType))
-          throw new BuzzException.SchemaMismatch(
-            s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
+        if (idx < 0) {
+          if (!(missingNullableOk && f.nullable))
+            throw new BuzzException.SchemaMismatch(
+              s"file $p is missing declared column '${f.name}'")
+        } else {
+          val cat = kids(idx).getCategory
+          if (!orcCompatible(cat, f.dataType))
+            throw new BuzzException.SchemaMismatch(
+              s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
+        }
       }
     }
   }
