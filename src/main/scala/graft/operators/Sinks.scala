@@ -329,6 +329,8 @@ object Sinks {
     // are emitted AFTER the stats pass so the new footers are read once
     val newFiles = scala.collection.mutable.ListBuffer[(String, Path, Seq[String])]()
     val removeActions = scala.collection.mutable.ListBuffer[JValue]()
+    // raw log paths this rewrite removes — the commit loop's CONFLICT SET
+    val removedRaws = scala.collection.mutable.Set[String]()
     work.toSeq.sortBy(_._1.mkString("/")).foreach { case (pv, fs) =>
       val nOut = math.max(1L,
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
@@ -355,6 +357,7 @@ object Sinks {
       fs.foreach { f =>
         val raw = rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
           s"optimize: no raw log path for live file ${f.key} — snapshot drifted"))
+        removedRaws += raw
         removeActions += JObject("remove" -> JObject(
           "path" -> JString(raw),
           "deletionTimestamp" -> JLong(now),
@@ -382,10 +385,31 @@ object Sinks {
     val body = (addActions ++ removeActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
-    val version = version0 + 1
-    if (!FsUtil.publishCommit(spark, logDir, version, body))
-      throw new BuzzException.ExecutionError(
-        s"commit $version already exists under $logDir (concurrent writer?) — retry")
+    // CONFLICT-CHECKED commit loop: losing the rename race must not throw
+    // away the data rewrite (at 100 TB the rewrite is hours, the commit is
+    // milliseconds). The rewrite re-commits at the next version iff every
+    // file it removes is STILL live — concurrent appends and optimizes of
+    // OTHER partitions commute with it; a concurrent DELETE/OPTIMIZE that
+    // touched one of ITS inputs does not (re-adding that file's rows would
+    // resurrect deleted data), so that conflict still fails loudly.
+    var version = version0 + 1
+    var attempt = 0
+    val maxAttempts = 10
+    while (!FsUtil.publishCommit(spark, logDir, version, body)) {
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw new BuzzException.ExecutionError(
+          s"lost the optimize commit race $maxAttempts times under $logDir — giving up")
+      val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None).keySet
+      val gone = removedRaws.toSet -- liveNow
+      if (gone.nonEmpty)
+        throw new BuzzException.ExecutionError(
+          s"optimize conflicts with a concurrent commit: ${gone.size} of its " +
+            s"input files are no longer live (e.g. ${gone.head}) — rerun " +
+            "against the current snapshot")
+      version = DeltaCatalog.latestVersion(spark, logDir) + 1
+      Thread.sleep(10L * attempt)
+    }
     version
   }
 
@@ -414,49 +438,60 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
-    val head = DeltaCatalog.latestVersion(spark, logDir)
-    if (version < 0 || version > head)
-      throw new BuzzException.BadRequest(
-        s"restore target $version out of range: table is at version $head")
-    val target = DeltaCatalog.liveRawAt(spark, tablePath, Some(version))
-    val targetStats = DeltaCatalog.statsByRaw(spark, tablePath, Some(version))
-    val current = DeltaCatalog.liveRawAt(spark, tablePath, None)
-    if (target == current) return head
-    val fsys = FsUtil.fs(spark, tablePath)
-    val missing = (target.keySet -- current.keySet).filterNot(raw =>
-      fsys.exists(new Path(tablePath, DeltaCatalog.decodePath(raw))))
-    if (missing.nonEmpty)
-      throw new BuzzException.BadRequest(
-        s"cannot restore $tablePath to version $version: ${missing.size} " +
-          s"target file(s) no longer exist (vacuumed), e.g. ${missing.head}")
-    val now = System.currentTimeMillis()
-    val actions: Seq[JValue] =
-      (current.keySet -- target.keySet).toSeq.sorted.map(raw =>
-        JObject("remove" -> JObject(
-          "path" -> JString(raw),
-          "deletionTimestamp" -> JLong(now),
-          "dataChange" -> JBool(true))): JValue) ++
-      (target.keySet -- current.keySet).toSeq.sorted.map { raw =>
-        val (size, pv) = target(raw)
-        val base: List[(String, JValue)] = List(
-          "path" -> JString(raw),
-          "size" -> JLong(size),
-          "partitionValues" -> JObject(pv.map { case (k, v) =>
-            k -> (JString(v): JValue) }.toList),
-          "dataChange" -> JBool(true))
-        // re-adds keep the stats they had at the target version, so a
-        // restored table prunes exactly like the original snapshot did
-        val fields = targetStats.get(raw)
-          .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
-        JObject("add" -> JObject(fields)): JValue
+    // SEMANTIC retry loop: restore declares "the table IS version v's
+    // snapshot", so losing the commit race means recomputing the log diff
+    // against the new head — which by declaration also rolls back whatever
+    // the concurrent winner committed. Metadata-only, so recomputation is
+    // one log replay.
+    var attempt = 0
+    val maxAttempts = 10
+    while (true) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      if (version < 0 || version > head)
+        throw new BuzzException.BadRequest(
+          s"restore target $version out of range: table is at version $head")
+      val target = DeltaCatalog.liveRawAt(spark, tablePath, Some(version))
+      val targetStats = DeltaCatalog.statsByRaw(spark, tablePath, Some(version))
+      val current = DeltaCatalog.liveRawAt(spark, tablePath, None)
+      if (target == current) return head
+      val fsys = FsUtil.fs(spark, tablePath)
+      val missing = (target.keySet -- current.keySet).filterNot(raw =>
+        fsys.exists(new Path(tablePath, DeltaCatalog.decodePath(raw))))
+      if (missing.nonEmpty)
+        throw new BuzzException.BadRequest(
+          s"cannot restore $tablePath to version $version: ${missing.size} " +
+            s"target file(s) no longer exist (vacuumed), e.g. ${missing.head}")
+      val now = System.currentTimeMillis()
+      val actions: Seq[JValue] =
+        (current.keySet -- target.keySet).toSeq.sorted.map(raw =>
+          JObject("remove" -> JObject(
+            "path" -> JString(raw),
+            "deletionTimestamp" -> JLong(now),
+            "dataChange" -> JBool(true))): JValue) ++
+        (target.keySet -- current.keySet).toSeq.sorted.map { raw =>
+          val (size, pv) = target(raw)
+          val base: List[(String, JValue)] = List(
+            "path" -> JString(raw),
+            "size" -> JLong(size),
+            "partitionValues" -> JObject(pv.map { case (k, v) =>
+              k -> (JString(v): JValue) }.toList),
+            "dataChange" -> JBool(true))
+          // re-adds keep the stats they had at the target version, so a
+          // restored table prunes exactly like the original snapshot did
+          val fields = targetStats.get(raw)
+            .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+          JObject("add" -> JObject(fields)): JValue
+        }
+      val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw new BuzzException.ExecutionError(
+          s"lost the restore commit race $maxAttempts times under $logDir — giving up")
+      Thread.sleep(10L * attempt)
       }
-    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
-      .mkString("", "\n", "\n")
-    val newVersion = head + 1
-    if (!FsUtil.publishCommit(spark, logDir, newVersion, body))
-      throw new BuzzException.ExecutionError(
-        s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
-    newVersion
+    -1L // unreachable
   }
 
   /** Partition-level DELETE: one remove-actions commit dropping every
@@ -493,24 +528,36 @@ object Sinks {
         s"$partitionCol is not a partition column of $tablePath " +
           s"(partitioned by ${declared.mkString("(", ",", ")")}) — " +
           "partition DELETE only targets declared partition columns")
-    val head = DeltaCatalog.latestVersion(spark, logDir)
-    val doomed = DeltaCatalog.liveRawAt(spark, tablePath, None)
-      .collect { case (raw, (_, pv)) if pv.get(partitionCol).contains(value) => raw }
-      .toSeq.sorted
-    if (doomed.isEmpty) return head
-    val now = System.currentTimeMillis()
-    val actions: Seq[JValue] = doomed.map(raw =>
-      JObject("remove" -> JObject(
-        "path" -> JString(raw),
-        "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(true))): JValue)
-    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
-      .mkString("", "\n", "\n")
-    val newVersion = head + 1
-    if (!FsUtil.publishCommit(spark, logDir, newVersion, body))
-      throw new BuzzException.ExecutionError(
-        s"commit $newVersion already exists under $logDir (concurrent writer?) — retry")
-    newVersion
+    // SEMANTIC retry loop: the delete targets "the partition", not a file
+    // list, so losing the commit race just means recomputing the doomed
+    // set against the new head — a concurrent append into the partition
+    // lands in the recomputed set, a concurrent delete/optimize of it
+    // shrinks it, and an emptied partition degrades to the no-op. The
+    // whole retry is metadata-only (one log replay), so it is cheap.
+    var attempt = 0
+    val maxAttempts = 10
+    while (true) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      val doomed = DeltaCatalog.liveRawAt(spark, tablePath, None)
+        .collect { case (raw, (_, pv)) if pv.get(partitionCol).contains(value) => raw }
+        .toSeq.sorted
+      if (doomed.isEmpty) return head
+      val now = System.currentTimeMillis()
+      val actions: Seq[JValue] = doomed.map(raw =>
+        JObject("remove" -> JObject(
+          "path" -> JString(raw),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true))): JValue)
+      val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw new BuzzException.ExecutionError(
+          s"lost the delete commit race $maxAttempts times under $logDir — giving up")
+      Thread.sleep(10L * attempt)
+    }
+    -1L // unreachable
   }
 
   /** Per-commit change-data feed, derived from the commit's LOG ACTIONS:

@@ -107,6 +107,47 @@ class DeltaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("racing appends, OPTIMIZE and partition DELETE never lose or resurrect rows") {
+    val dir = tmpDir("delta_race")
+    // g=a takes concurrent appends, g=b is OPTIMIZE's fragmented input,
+    // g=c exists only to be deleted mid-race
+    // g=a/g=b fragmented (optimize targets), g=c one file so OPTIMIZE
+    // leaves it alone — its deletion must not conflict with the rewrite
+    val seed = (0L until 40L)
+      .map(i => (i, if (i < 8) "a" else "b"))
+      .toDF("id", "g").repartition(8)
+    Sinks.deltaAppend(seed, dir, Seq("g"))
+    Sinks.deltaAppend(
+      (100L until 110L).map(i => (i, "c")).toDF("id", "g").repartition(1),
+      dir, Seq("g"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    val appenders = (0 until 3).map { t =>
+      thread {
+        (0 until 3).foreach { i =>
+          Sinks.deltaAppend(
+            Seq((1000L + t * 10 + i, "a")).toDF("id", "g"), dir, Seq("g"))
+        }
+      }
+    }
+    val maintainers = Seq(
+      thread { Sinks.deltaOptimize(spark, dir, targetBytes = 512L * 1024 * 1024) },
+      thread { Sinks.deltaDeletePartition(spark, dir, "g", "c") })
+    (appenders ++ maintainers).foreach(_.join(120000))
+    assert(failures.isEmpty, s"racing commit failed: ${Option(failures.peek())}")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "raced")
+    val byG = cat.read(spark, cat.files).groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedByG = seed.groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.getOrElse("a", 0L) === seedByG("a") + 9L) // every append landed
+    assert(byG.getOrElse("b", 0L) === seedByG("b"))      // optimize lost nothing
+    assert(byG.getOrElse("c", 0L) === 0L)                // delete lost nothing
+  }
+
   test("evolution survives checkpoint + commit cleaning with the same id") {
     val dir = tmpDir("evolve_cp")
     Sinks.deltaAppend((0L until 6L).map(i => (i, i * 2)).toDF("id", "v"), dir)
