@@ -697,6 +697,47 @@ object SparkEntry {
            |}""".stripMargin)
     }),
 
+    // time travel by INSTANT: the same discriminating fixture as q27 (a
+    // v3 remove that must be excluded), but the catalog resolves
+    // "timestamp_as_of" through the commits' modification times (pinned
+    // here so the instant is deterministic) — an ISO instant between v2
+    // and v3 must land on v2's snapshot, not head
+    "q_delta_timestamp_travel" -> ((s, dir) => {
+      import graft.sources.DeltaFixture
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_tst_" +
+        fixtureKey(dir, "nation")
+      DeltaFixture.writeTable(s, t(s, dir, "nation"), "n_regionkey", tbl)
+      val removed = s"$tbl/n_regionkey=4/part-v2.parquet"
+      require(graft.sources.FsUtil.exists(s, removed),
+        s"fixture drift: $removed not found — update the remove path")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tbl/_delta_log/00000000000000000003.json"),
+        "{\"remove\":{\"path\":\"n_regionkey=4/part-v2.parquet\",\"dataChange\":true}}\n")
+      // pin commit v's mtime to (v+1) minutes since epoch — re-pinned on
+      // every run, so fixture reuse cannot drift the resolution. Only v2
+      // and v3 exist as JSON (the fixture checkpoints at v1 and cleans
+      // earlier commits), which also proves resolution over a compacted
+      // log: the earliest VISIBLE commit is the travel horizon
+      (2L to 3L).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(f"$tbl%s/_delta_log/$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis((v + 1) * 60000L))
+      }
+      val engine = new BuzzEngine(Map.empty)
+      engine.runJson(s,
+        s"""{
+           |"steps": [
+           | {"sql": "SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey) AS snk FROM delta_nation GROUP BY n_regionkey",
+           |  "name": "m", "step_type": "HBee"},
+           | {"sql": "SELECT n_regionkey, sum(cnt) AS n, sum(snk) AS sum_nk FROM m GROUP BY n_regionkey",
+           |  "name": "r", "step_type": "HComb"}
+           |],
+           |"capacity": {"zones": 1},
+           |"catalogs": [{"name": "delta_nation", "type": "DeltaLake",
+           |  "uri": "$tbl", "timestamp_as_of": "1970-01-01T00:03:30Z"}]
+           |}""".stripMargin)
+    }),
+
     // full loop: the partitioned sink's Hive layout is discovered back as a
     // partitioned catalog (partition columns from `source=...` dir names),
     // pruned by partition_filter BEFORE any data file is read, and queried
@@ -3321,6 +3362,13 @@ object SparkEntry {
         |FROM nation WHERE CAST(n_regionkey AS VARCHAR) <= '2'
         |GROUP BY 1""".stripMargin,
     "q27_delta_time_travel" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
+        |FROM nation
+        |GROUP BY 1""".stripMargin,
+    // instant 00:03:30 falls between v2 (00:03:00) and v3 (00:04:00), so
+    // the snapshot is v2 = the full table, same as q27's version travel
+    "q_delta_timestamp_travel" ->
       """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
         |FROM nation

@@ -36,6 +36,9 @@ final case class BuzzCatalogRef(
     catalogType: String,
     uri: String,
     versionAsOf: Option[Long] = None,
+    /** Delta time travel by instant (epoch millis); mutually exclusive
+      * with `versionAsOf` — resolution happens in the Delta catalog. */
+    timestampAsOf: Option[Long] = None,
     /** Static-catalog data format: parquet (default) | orc | csv | json.
       * Beyond reference (its engine is parquet-only, README.md:113). */
     format: Option[String] = None,
@@ -106,6 +109,26 @@ object BuzzQuery {
           case other     => throw new BuzzException.BadRequest(
             s"version_as_of must be an integer in long range, got $other")
         }
+        // optional Delta time travel by instant: epoch millis, or an
+        // ISO-8601 string ("2026-08-15T00:00:00Z"); malformed values are
+        // rejected, and declaring BOTH axes is ambiguous by construction
+        val timestampAsOf = c \ "timestamp_as_of" match {
+          case JInt(v) if v.isValidLong => Some(v.toLong)
+          case JLong(v)  => Some(v)
+          case JString(s) =>
+            try Some(java.time.Instant.parse(s).toEpochMilli)
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new BuzzException.BadRequest(
+                  s"timestamp_as_of must be epoch millis or ISO-8601 instant, got '$s'")
+            }
+          case JNothing  => None
+          case other     => throw new BuzzException.BadRequest(
+            s"timestamp_as_of must be epoch millis or an ISO-8601 string, got $other")
+        }
+        if (versionAsOf.isDefined && timestampAsOf.isDefined)
+          throw new BuzzException.BadRequest(
+            "version_as_of and timestamp_as_of are mutually exclusive")
         // optional format / schema for Static catalogs; malformed values
         // are rejected, not defaulted (same discipline as version_as_of)
         def optStr(field: String): Option[String] = c \ field match {
@@ -125,7 +148,7 @@ object BuzzQuery {
             s"'options' must be an object of string values, got $other")
         }
         BuzzCatalogRef(str(c, "name"), str(c, "type"), str(c, "uri"),
-          versionAsOf, optStr("format"), optStr("schema"), options)
+          versionAsOf, timestampAsOf, optStr("format"), optStr("schema"), options)
       }
       case JNothing => Nil
       case other    => throw new BuzzException.BadRequest(

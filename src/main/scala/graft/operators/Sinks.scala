@@ -856,7 +856,12 @@ object Sinks {
     val spark = df.sparkSession
     val logDir = s"$tablePath/_delta_log"
     val data = partitionCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
-    val tableExists = FsUtil.isDirectory(spark, logDir)
+    // "the table exists" must mean "the log HAS a commit", not "the log
+    // directory exists" — a concurrent creator mkdirs the directory
+    // BEFORE publishing v0, and validating/replaying inside that window
+    // would fail on an empty log instead of racing for version 0
+    def tableLive(): Boolean = DeltaCatalog.latestVersion(spark, logDir) >= 0
+    val tableExists = tableLive()
     // SetTransaction idempotence (the protocol's `txn` action): a commit
     // stamped (appId, version) that the log already carries at >= version
     // is a REPLAY — skip it instead of doubling the batch. This is what
@@ -865,7 +870,7 @@ object Sinks {
     // data write AND again on every commit retry (a concurrent writer may
     // have replayed the txn or changed the metaData between attempts)
     def txnAlreadyApplied(): Boolean = txn.exists { case (appId, txnVer) =>
-      FsUtil.isDirectory(spark, logDir) &&
+      tableLive() &&
         DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer)
     }
     // When evolution adds columns, holds the merged FULL schema (stored
@@ -1013,14 +1018,14 @@ object Sinks {
     val maxAttempts = 10
     var attempt = 0
     while (true) {
-      val tableNow = FsUtil.isDirectory(spark, logDir)
+      val tableNow = tableLive()
       if (attempt > 0) {
         if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
         if (tableNow) validateAgainstLive()
       }
       val version =
         if (tableNow) DeltaCatalog.latestVersion(spark, logDir) + 1 else 0L
-      if (!tableNow) fsys.mkdirs(new Path(logDir))
+      if (!tableNow) fsys.mkdirs(new Path(logDir)) // no-op if a racer made it
       if (FsUtil.publishCommit(spark, logDir, version, body(version))) return version
       attempt += 1
       if (attempt >= maxAttempts)

@@ -21,6 +21,9 @@ object CatalogResolver {
           if (r.versionAsOf.isDefined)
             throw new BuzzException.BadRequest(
               s"version_as_of is only valid for DeltaLake catalogs ('${r.name}' is Static)")
+          if (r.timestampAsOf.isDefined)
+            throw new BuzzException.BadRequest(
+              s"timestamp_as_of is only valid for DeltaLake catalogs ('${r.name}' is Static)")
           val format = r.format.getOrElse("parquet")
           if (!StaticCatalog.SupportedFormats.contains(format))
             throw new BuzzException.BadRequest(
@@ -46,7 +49,8 @@ object CatalogResolver {
           if (r.options.nonEmpty)
             throw new BuzzException.BadRequest(
               s"'options' is only valid for Static catalogs ('${r.name}' is DeltaLake)")
-          DeltaCatalog.fromDeltaLog(spark, r.uri, r.name, r.versionAsOf): SplittableCatalog
+          DeltaCatalog.fromDeltaLog(spark, r.uri, r.name, r.versionAsOf,
+            r.timestampAsOf): SplittableCatalog
         case other =>
           throw new BuzzException.BadRequest(
             s"unknown catalog type '$other' for '${r.name}' (expected Static or DeltaLake)")

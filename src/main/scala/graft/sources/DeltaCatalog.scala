@@ -90,13 +90,60 @@ object DeltaCatalog {
     * snapshot must not contain later state) and instead replays JSON
     * commits from version 0, so a target older than the cleaned-history
     * horizon fails loudly ("history was cleaned") rather than returning a
-    * partial table; a target beyond the latest version is equally loud. */
+    * partial table; a target beyond the latest version is equally loud.
+    *
+    * `timestampAsOf` (epoch millis) is the second time-travel axis:
+    * resolved to the LAST commit at-or-before the instant via
+    * [[versionAtTimestamp]], then identical to `versionAsOf`. The two are
+    * mutually exclusive — a query declaring both is ambiguous by
+    * construction and rejected, never silently tie-broken. */
   def fromDeltaLog(
       spark: SparkSession,
       tablePath: String,
       name: String,
-      versionAsOf: Option[Long] = None): StaticCatalog =
-    toCatalog(spark, tablePath, name, replay(spark, tablePath, versionAsOf))
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): StaticCatalog = {
+    if (versionAsOf.isDefined && timestampAsOf.isDefined)
+      throw new BuzzException.BadRequest(
+        "version_as_of and timestamp_as_of are mutually exclusive")
+    val v = versionAsOf.orElse(
+      timestampAsOf.map(ts => versionAtTimestamp(spark, tablePath, ts)))
+    toCatalog(spark, tablePath, name, replay(spark, tablePath, v))
+  }
+
+  /** Resolve an instant (epoch millis) to the commit version the table was
+    * at — the LAST commit whose timestamp is at-or-before `tsMillis`.
+    * Commit timestamps are the log files' modification times made
+    * MONOTONIC by a running max over version order (the protocol's own
+    * recipe: clock skew between writers must not make history non-causal).
+    * An instant before the first VISIBLE commit fails loudly — either the
+    * table didn't exist yet, or that history was checkpoint-cleaned and
+    * the answer would be a partial table; both are client errors, not a
+    * silent "earliest snapshot". */
+  private[graft] def versionAtTimestamp(
+      spark: SparkSession, tablePath: String, tsMillis: Long): Long = {
+    val logDir = s"$tablePath/_delta_log"
+    if (!FsUtil.isDirectory(spark, logDir))
+      throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
+    val commits = FsUtil.listStatus(spark, logDir)
+      .flatMap(st => st.getPath.getName match {
+        case CommitFile(v) => Some(v.toLong -> st.getModificationTime)
+        case _             => None
+      })
+      .sortBy(_._1)
+    if (commits.isEmpty)
+      throw new BuzzException.BadRequest(s"empty _delta_log under $tablePath")
+    var runningMax = Long.MinValue
+    val monotonic = commits.map { case (v, ts) =>
+      runningMax = math.max(runningMax, ts); v -> runningMax
+    }
+    if (tsMillis < monotonic.head._2)
+      throw new BuzzException.BadRequest(
+        s"timestamp_as_of $tsMillis predates the earliest visible commit of " +
+          s"$tablePath (version ${monotonic.head._1} at ${monotonic.head._2}) — " +
+          "the table did not exist yet, or that history was cleaned")
+    monotonic.takeWhile(_._2 <= tsMillis).last._1
+  }
 
   /** The RAW `add.path` log string for each live file, keyed by the
     * ABSOLUTE catalog key [[toCatalog]] surfaces. Maintenance writers

@@ -233,6 +233,77 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DeltaCatalog time travel: timestampAsOf resolves monotonic commit instants") {
+    val dir = tmpDir("graft_delta_ts")
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    def commit(v: Long, body: String, mtime: Long): Unit = {
+      val p = logDir.resolve(f"$v%020d.json")
+      Files.writeString(p, body)
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    commit(0L,
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[]}}
+         |{"add":{"path":"a.parquet","size":100,"partitionValues":{}}}
+         |""".stripMargin, 10000L)
+    commit(1L,
+      """{"add":{"path":"b.parquet","size":200,"partitionValues":{}}}
+        |""".stripMargin, 20000L)
+    // CLOCK SKEW: v2's writer stamps EARLIER than v1 — the running max
+    // must keep history causal (v2 is treated as t=20000, not 15000)
+    commit(2L,
+      """{"remove":{"path":"a.parquet"}}
+        |""".stripMargin, 15000L)
+    commit(3L,
+      """{"add":{"path":"c.parquet","size":300,"partitionValues":{}}}
+        |""".stripMargin, 30000L)
+    def namesAt(ts: Long) =
+      DeltaCatalog.fromDeltaLog(spark, dir, "ts", timestampAsOf = Some(ts))
+        .files.map(f => Paths.get(f.key).getFileName.toString).sorted
+    assert(namesAt(10000L) == Seq("a.parquet"))            // exactly at v0
+    assert(namesAt(19999L) == Seq("a.parquet"))            // between v0 and v1
+    // at t=20000 BOTH v1 and skewed v2 have effective ts 20000 — the
+    // LAST commit at-or-before the instant wins, so v2's remove applies
+    assert(namesAt(20000L) == Seq("b.parquet"))
+    assert(namesAt(29999L) == Seq("b.parquet"))
+    assert(namesAt(99999L) == Seq("b.parquet", "c.parquet")) // after head = head
+    // an instant before the table existed fails loudly
+    val e = intercept[BuzzException.BadRequest] { namesAt(9999L) }
+    assert(e.getMessage.contains("predates"))
+    // the two time-travel axes are mutually exclusive
+    intercept[BuzzException.BadRequest] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "ts",
+        versionAsOf = Some(1L), timestampAsOf = Some(20000L))
+    }
+  }
+
+  test("timestamp_as_of parses from query JSON (epoch, ISO-8601) and rejects ambiguity") {
+    import graft.model.BuzzQuery
+    def q(cat: String) =
+      s"""{"steps":[{"sql":"SELECT 1","name":"s","step_type":"HBee"}],
+          |"catalogs":[$cat]}""".stripMargin
+    val epoch = BuzzQuery.fromJson(q(
+      """{"name":"t","type":"DeltaLake","uri":"/x","timestamp_as_of":20000}"""))
+    assert(epoch.catalogs.head.timestampAsOf.contains(20000L))
+    val iso = BuzzQuery.fromJson(q(
+      """{"name":"t","type":"DeltaLake","uri":"/x","timestamp_as_of":"1970-01-01T00:00:20Z"}"""))
+    assert(iso.catalogs.head.timestampAsOf.contains(20000L))
+    intercept[BuzzException.BadRequest] { BuzzQuery.fromJson(q(
+      """{"name":"t","type":"DeltaLake","uri":"/x","timestamp_as_of":"yesterday"}""")) }
+    intercept[BuzzException.BadRequest] { BuzzQuery.fromJson(q(
+      """{"name":"t","type":"DeltaLake","uri":"/x","version_as_of":1,"timestamp_as_of":20000}""")) }
+    // Static catalogs reject the field at resolution, like version_as_of
+    val stat = BuzzQuery.fromJson(q(
+      """{"name":"t","type":"Static","uri":"/x","timestamp_as_of":20000}"""))
+    intercept[BuzzException.BadRequest] {
+      CatalogResolver.resolve(spark, stat.catalogs)
+    }
+  }
+
   test("DeltaCatalog time travel before a cleaned checkpoint fails loudly") {
     import spark.implicits._
     val dir = tmpDir("graft_delta_ttcp")
