@@ -231,6 +231,32 @@ object ScaleProbe {
       }
       report("ann_append_rows", scale, apRows, apSecs)
 
+      // Delta MERGE copy-on-write: the table is k×, the change set is
+      // FIXED (replica-0 keys only), and files are range-clustered on the
+      // key — the log's add.stats must prune the rewrite to the ~8 files
+      // that hold replica 0, so rewritten-file count and wall stay ~flat
+      // while the table grows 10×. That pruning IS the primitive's 100 TB
+      // claim; without it every merge is a table rewrite.
+      val mgDir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_merge_$scale").toString
+      val mgTbl = d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .repartitionByRange(8 * scale, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      graft.operators.Sinks.deltaAppend(mgTbl, mgDir)
+      val mgChanges = docs
+        .filter(pmod(col("doc_id"), lit(100L)) === 0)
+        .select(col("doc_id"), lit(1L).as("n_chars"))
+      val mgPre = graft.sources.DeltaCatalog.fromDeltaLog(spark, mgDir, "mg_pre")
+        .files.map(_.key).toSet
+      val (mgRewritten, mgSecs) = timed {
+        graft.operators.Sinks.deltaMerge(spark, mgDir, mgChanges, "doc_id")
+        val post = graft.sources.DeltaCatalog.fromDeltaLog(spark, mgDir, "mg_post")
+          .files.map(_.key).toSet
+        (mgPre -- post).size.toLong
+      }
+      report("merge_files_rewritten", scale, mgRewritten, mgSecs)
+
       // pagerank: k disconnected copies of the trade graph (node ids
       // offset per replica). Rounds are FIXED (power iteration), so wall
       // must track the edge count ~linearly — each round is one equi-join

@@ -1931,6 +1931,55 @@ object SparkEntry {
         .groupBy(col("version"), col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // Delta-native transactional MERGE: two range-split appends (tight
+    // per-file doc_id ranges so the change keys PRUNE through the log's
+    // add.stats), then one copy-on-write commit that updates every
+    // doc_id%10==0 row (+1000 chars) and inserts a synthetic 'srcnew'
+    // shard — the lakehouse row-upsert primitive (pruning power is
+    // asserted in DeltaMergeSpec; the oracled result is the data answer)
+    "sink_delta_merge" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltamerge_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      Sinks.deltaAppend(docs.filter(col("doc_id") <= mid), out, Seq("source"))
+      Sinks.deltaAppend(docs.filter(col("doc_id") > mid), out, Seq("source"))
+      val hits = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      val changes = hits.withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(hits.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          lit(7L).as("n_chars"), lit("srcnew").as("source")))
+      Sinks.deltaMerge(s, out, changes, "doc_id")
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_merged")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // row-level DELETE WHERE: a range-clustered table, then ONE
+    // copy-on-write commit dropping doc_id ∈ [100, 999] — candidate files
+    // come from the log's add.stats (zero footer reads), so only the
+    // zone-intersecting files rewrite (pruning asserted in DeltaMergeSpec)
+    "sink_delta_delete_where" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltadelw_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaDeleteWhere(s, out, "doc_id BETWEEN 100 AND 999")
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_delw")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // ADDITIVE schema evolution: v0 writes (doc_id, n_chars); v1 appends
     // with an extra `lang` column under mergeSchema=true (the commit
     // re-declares the merged schema, same table id); v2 appends rows that
@@ -5052,6 +5101,22 @@ object SparkEntry {
         |  SELECT 4, source, 'added', count(*)
         |  FROM documents WHERE source = 'src5' GROUP BY source)
         |SELECT version, source, status, n FROM b""".stripMargin,
+    // the deleted range re-derived: everything outside [100, 999] survives
+    "sink_delta_delete_where" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
+        |GROUP BY source""".stripMargin,
+    // merge re-derived from the construction: every %10=0 row gains 1000
+    // chars in place; the same keys re-land shifted by 1e6 under 'srcnew'
+    "sink_delta_merge" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'srcnew', 7 FROM documents WHERE doc_id % 10 = 0)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM m GROUP BY source""".stripMargin,
     // evolution re-derived from the construction: %3=0 rows predate the
     // lang column (reads null), %3=2 rows were written without n_chars
     // (reads null); only %3=1 carries both

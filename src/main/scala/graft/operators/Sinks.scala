@@ -835,6 +835,295 @@ object Sinks {
     deleted
   }
 
+  /** Delta-native transactional MERGE (copy-on-write upsert): apply a
+    * keyed change set to the TABLE — matched rows are replaced by their
+    * change row (UPDATE SET *), unmatched change rows are inserted — as
+    * ONE commit that removes only the REWRITTEN files and adds their
+    * replacements plus the insert files. Time travel to the pre-merge
+    * version keeps working (old files stay for VACUUM).
+    *
+    * The 100 TB property is the file pruning: a candidate file — one that
+    * can possibly contain a matched key — is found by joining the change
+    * keys against the LOG's per-file (min, max) key ranges
+    * (`add.stats`, metadata-sized, broadcast), so a merge that touches 3
+    * keys rewrites ~3 files, not the table. Files without a usable key
+    * range are conservative candidates. Untouched files are never read,
+    * never rewritten, and stay live under their original paths.
+    *
+    * Contract: `changes` must carry exactly the table's columns (data +
+    * partition); change keys must be UNIQUE and non-null (real MERGE's
+    * multiple-match ambiguity is an error, not a silent dedup); base keys
+    * are assumed unique (a duplicated base key would duplicate its change
+    * row — the caller owns key discipline, as in every MERGE). A change
+    * row may move a row ACROSS partitions (copy-on-write handles it
+    * naturally: the old file is removed whole, the row lands in its new
+    * partition's file). Commit races retry conflict-checked like
+    * OPTIMIZE: re-commit iff every removed file is still live.
+    *
+    * Returns the committed version. */
+  def deltaMerge(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.spark.sql.types._
+    import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_merge")
+    val partitionCols = cat.partitionColumns
+    if (!cat.schema.fieldNames.contains(keyCol))
+      throw new BuzzException.BadRequest(
+        s"merge key '$keyCol' is not a data column of $tablePath " +
+          s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
+    val ch = partitionCols.foldLeft(changes)((d, c) => d.withColumn(c, col(c).cast("string")))
+    val incoming = ch.schema.fields.filterNot(f => partitionCols.contains(f.name))
+      .map(f => f.name -> f.dataType.sql).toSeq
+    val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+    if (incoming != declared || !partitionCols.forall(ch.columns.contains))
+      throw new BuzzException.SchemaMismatch(
+        s"merge changes schema ${incoming.mkString(",")} does not match " +
+          s"$tablePath's metaData ${declared.mkString(",")} " +
+          s"(+ partition cols ${partitionCols.mkString(",")})")
+    // key discipline up front, ONE aggregate over the change set: null
+    // keys can never match, duplicate keys are MERGE's ambiguity error
+    val kstat = ch.agg(
+      count(lit(1)), countDistinct(col(keyCol)),
+      count(when(col(keyCol).isNull, 1))).head
+    if (kstat.getLong(2) > 0)
+      throw new BuzzException.BadRequest(
+        s"merge changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
+    if (kstat.getLong(0) != kstat.getLong(1))
+      throw new BuzzException.BadRequest(
+        s"merge changes carry duplicate '$keyCol' keys " +
+          s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous match")
+    if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
+
+    // candidate files: change keys joined against the log's per-file key
+    // ranges (metadata-sized, broadcast). A file whose stats lack a
+    // usable range is conservatively a candidate.
+    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath, None)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath)
+    def keyBounds(raw: String): Option[(JValue, JValue)] =
+      statsByRaw.get(raw).flatMap { s =>
+        val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
+        (j \ "minValues" \ keyCol, j \ "maxValues" \ keyCol) match {
+          case (JNothing, _) | (_, JNothing) => None
+          case (mn, mx)                      => Some((mn, mx))
+        }
+      }
+    val (ranged, unconditional) = liveRaw.keys.toSeq.sorted.partition(keyBounds(_).isDefined)
+    val matchedRaws: Seq[String] =
+      if (ranged.isEmpty) Nil
+      else {
+        import spark.implicits._
+        def num(v: JValue): Option[Double] = v match {
+          case JInt(x)     => Some(x.toDouble)
+          case JLong(x)    => Some(x.toDouble)
+          case JDouble(x)  => Some(x)
+          case JDecimal(x) => Some(x.toDouble)
+          case _           => None
+        }
+        val rangesDf = cat.schema(keyCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+            ranged.flatMap { raw =>
+              val (mn, mx) = keyBounds(raw).get
+              for (lo <- num(mn); hi <- num(mx)) yield (raw, lo, hi)
+            }.toDF("__raw", "__mn", "__mx")
+          case StringType =>
+            ranged.flatMap { raw =>
+              keyBounds(raw).get match {
+                case (JString(lo), JString(hi)) => Some((raw, lo, hi))
+                case _                          => None
+              }
+            }.toDF("__raw", "__mn", "__mx")
+          case _ => spark.emptyDataFrame // unprunable key type
+        }
+        if (rangesDf.columns.isEmpty) ranged // no pruning: all candidates
+        else ch.select(col(keyCol).as("__k")).distinct()
+          .join(broadcast(rangesDf),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select("__raw").distinct().collect().map(_.getString(0)).toSeq
+      }
+    val candRaws = (unconditional ++ matchedRaws).distinct.sorted
+    val candFiles = candRaws.map { raw =>
+      val (size, pv) = liveRaw(raw)
+      SizedFile(
+        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
+        partitionCols.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+    }
+
+    // copy-on-write: candidate rows full-outer the change set on the key;
+    // a matched row is REPLACED by its change row, unmatched change rows
+    // insert. Untouched files never enter the plan.
+    val outCols = cat.schema.fieldNames.toSeq ++ partitionCols
+    val baseCand = cat.read(spark, candFiles).select(outCols.map(col): _*).as("b")
+    val merged = baseCand
+      .join(ch.select(outCols.map(col): _*).as("c"),
+        col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .select(outCols.map(n =>
+        when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
+          .otherwise(col(s"b.$n")).as(n)): _*)
+    val adds = stageIntoTable(merged, tablePath, partitionCols)
+    commitRewrite(spark, tablePath, adds, candRaws,
+      StructType(cat.schema.fields), "merge")
+  }
+
+  /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
+    * fresh data-skipping stats, dataChange=true) under the OPTIMIZE
+    * conflict discipline: losing the version race re-commits at the next
+    * version iff every removed file is STILL live; a concurrent commit
+    * that touched one of the inputs aborts loudly. Shared by the
+    * row-level writers (MERGE, DELETE WHERE). */
+  private def commitRewrite(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      adds: Seq[(String, Long, Seq[(String, String)])],
+      removedRaws: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      opName: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val statsByPath: Map[String, String] =
+      try graft.sources.ZoneMap.deltaFileStats(
+        spark, adds.map { case (rel, _, _) => new Path(tablePath, rel).toString },
+        dataSchema)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val now = System.currentTimeMillis()
+    val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
+      val base: List[(String, JValue)] = List(
+        "path" -> JString(DeltaCatalog.encodePath(rel)),
+        "size" -> JLong(size),
+        "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
+        "dataChange" -> JBool(true))
+      val fields = statsByPath.get(new Path(tablePath, rel).toString)
+        .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+      JObject("add" -> JObject(fields))
+    }
+    val removeActions: Seq[JValue] = removedRaws.map(raw =>
+      JObject("remove" -> JObject(
+        "path" -> JString(raw),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(true))): JValue)
+    val body = (addActions ++ removeActions)
+      .map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    var version = DeltaCatalog.latestVersion(spark, logDir) + 1
+    var attempt = 0
+    val maxAttempts = 10
+    while (!FsUtil.publishCommit(spark, logDir, version, body)) {
+      attempt += 1
+      if (attempt >= maxAttempts)
+        throw new BuzzException.ExecutionError(
+          s"lost the $opName commit race $maxAttempts times under $logDir — giving up")
+      val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None).keySet
+      val gone = removedRaws.toSet -- liveNow
+      if (gone.nonEmpty)
+        throw new BuzzException.ExecutionError(
+          s"$opName conflicts with a concurrent commit: ${gone.size} of its " +
+            s"input files are no longer live (e.g. ${gone.head}) — rerun " +
+            "against the current snapshot")
+      version = DeltaCatalog.latestVersion(spark, logDir) + 1
+      Thread.sleep(10L * attempt)
+    }
+    version
+  }
+
+  /** Row-level DELETE WHERE: rewrite — as ONE commit — only the files
+    * that can possibly hold a matching row, dropping the rows where
+    * `predicateSql` is TRUE (NULL predicate rows are KEPT, SQL DELETE
+    * semantics). Candidates come from [[graft.sources.ZoneMap
+    * .pruneForQuery]] over the live file list — for a Delta table the
+    * zone cache is seeded from the log's own `add.stats`, so candidate
+    * selection reads ZERO footers; a range predicate on a clustered
+    * column rewrites only the intersecting files. Untouched files stay
+    * live under their original paths; the pre-delete snapshot remains
+    * time-travelable. Complements [[deltaDeletePartition]] (metadata-only,
+    * whole partitions) with the row-precision the GDPR/retention path
+    * needs, and [[deltaMerge]] (keyed upsert) with predicate semantics.
+    * Commit races retry conflict-checked like OPTIMIZE. Returns the new
+    * (or unchanged, when nothing can match) version. */
+  def deltaDeleteWhere(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.{DeltaCatalog, ZoneMap}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_delwhere")
+    // validate the predicate against the table schema EARLY (analysis on
+    // an empty relation) — an unresolvable column is a client error, not
+    // a mid-rewrite crash
+    val pred =
+      try {
+        val p = expr(predicateSql)
+        cat.read(spark, Nil).filter(p).queryExecution.analyzed
+        p
+      } catch {
+        case e: BuzzException.BuzzError => throw e
+        case e: Exception => throw new BuzzException.BadRequest(
+          s"invalid DELETE predicate '$predicateSql': ${e.getMessage}")
+      }
+    val candFiles = ZoneMap.pruneForQuery(
+      spark, cat.schema, cat.files, s"SELECT * FROM __t WHERE $predicateSql")
+    if (candFiles.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
+      throw new BuzzException.ExecutionError(
+        s"delete: no raw log path for live file ${f.key} — snapshot drifted")))
+    // DELETE keeps rows where the predicate is FALSE or NULL
+    val kept = cat.read(spark, candFiles)
+      .filter(!coalesce(pred, lit(false)))
+    val adds = stageIntoTable(kept, tablePath, cat.partitionColumns)
+    commitRewrite(spark, tablePath, adds, candRaws,
+      StructType(cat.schema.fields), "delete")
+  }
+
+  /** Stage `data` as parquet under a hidden temp dir INSIDE the table
+    * (same filesystem — renames stay atomic-ish and cheap), then move each
+    * file into its final `k=v/...` place; nothing is visible to readers
+    * until a commit references the files. Returns one
+    * (relPath, size, partitionValues) per staged file. A crash mid-stage
+    * leaves only invisible files for the next maintenance pass. */
+  private def stageIntoTable(
+      data: DataFrame, tablePath: String, partitionCols: Seq[String])
+      : Seq[(String, Long, Seq[(String, String)])] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    import graft.sources.FsUtil
+    import graft.model.BuzzException
+    val spark = data.sparkSession
+    val fsys = FsUtil.fs(spark, tablePath)
+    val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
+    val w = data.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+    val HivePart = "([^=/]+)=([^/]*)".r
+    def walk(dir: Path, segs: Seq[(String, String)]): Seq[(Path, Seq[(String, String)])] =
+      fsys.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) st.getPath.getName match {
+          case HivePart(k, v) => walk(st.getPath, segs :+ (k -> v))
+          case _              => walk(st.getPath, segs)
+        }
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath -> segs)
+        else Nil
+      }
+    val adds = walk(new Path(stage), Nil).map { case (file, segs) =>
+      val rel = (segs.map { case (k, v) => s"$k=$v" } :+ file.getName).mkString("/")
+      val dest = new Path(tablePath, rel)
+      fsys.mkdirs(dest.getParent)
+      if (!fsys.rename(file, dest))
+        throw new BuzzException.ExecutionError(s"staging rename failed for $rel")
+      val pv = segs.map { case (k, v) => k -> unescapePathName(v) }
+      (rel, fsys.getFileStatus(dest).getLen, pv)
+    }
+    fsys.delete(new Path(stage), true)
+    adds
+  }
+
   /** With `mergeSchema = true`, ADDITIVE schema evolution: incoming
     * columns unknown to the table are appended to its schema (forced
     * nullable — pre-evolution files lack them, and absent ≡ all-null at
@@ -926,30 +1215,7 @@ object Sinks {
     if (tableExists) validateAgainstLive()
     // stage the data files under the table, invisible until the commit
     val fsys = FsUtil.fs(spark, tablePath)
-    val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
-    val w = data.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
-    val HivePart = "([^=/]+)=([^/]*)".r
-    def walk(dir: Path, segs: Seq[(String, String)]): Seq[(Path, Seq[(String, String)])] =
-      fsys.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) st.getPath.getName match {
-          case HivePart(k, v) => walk(st.getPath, segs :+ (k -> v))
-          case _              => walk(st.getPath, segs)
-        }
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath -> segs)
-        else Nil
-      }
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-    val adds = walk(new Path(stage), Nil).map { case (file, segs) =>
-      val rel = (segs.map { case (k, v) => s"$k=$v" } :+ file.getName).mkString("/")
-      val dest = new Path(tablePath, rel)
-      fsys.mkdirs(dest.getParent)
-      if (!fsys.rename(file, dest))
-        throw new BuzzException.ExecutionError(s"staging rename failed for $rel")
-      val pv = segs.map { case (k, v) => k -> unescapePathName(v) }
-      (rel, fsys.getFileStatus(dest).getLen, pv)
-    }
-    fsys.delete(new Path(stage), true)
+    val adds = stageIntoTable(data, tablePath, partitionCols)
     // per-file data-skipping stats (the protocol's `add.stats`), computed
     // once from the new files' footers — bounded by the files THIS commit
     // wrote, and carried by the log so readers prune without footer IO.

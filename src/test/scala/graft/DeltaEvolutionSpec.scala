@@ -148,6 +148,30 @@ class DeltaEvolutionSpec extends AnyFunSuite {
     assert(byG.getOrElse("c", 0L) === 0L)                // delete lost nothing
   }
 
+  test("per-version CDF spans an evolution commit; old eras diff with the new column null") {
+    val dir = tmpDir("evolve_cdf")
+    // v0: pre-evolution era, partitions a+b
+    Sinks.deltaAppend(
+      (0L until 8L).map(i => (i, i * 2, if (i < 4) "a" else "b")).toDF("id", "v", "g"),
+      dir, Seq("g"))
+    // v1: evolution — partition c arrives WITH the new column w
+    Sinks.deltaAppend(
+      (8L until 12L).map(i => (i, i * 2, i * 3, "c")).toDF("id", "v", "w", "g"),
+      dir, Seq("g"), mergeSchema = true)
+    // v2: drop pre-evolution partition a — its files lack w entirely, so
+    // the diff must read them under the EVOLVED schema (w = null), not die
+    Sinks.deltaDeletePartition(spark, dir, "g", "a")
+    // v3: re-populate a, post-evolution
+    Sinks.deltaAppend(
+      (0L until 4L).map(i => (i, i * 2, i * 7, "a")).toDF("id", "v", "w", "g"),
+      dir, Seq("g"), mergeSchema = true)
+    val feed = Sinks.deltaChangesBetween(spark, dir, 0L, 3L, Seq("id"), Seq("v", "w"))
+      .groupBy(col("version"), col("status")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(feed === Map(
+      (1L, "added") -> 4L, (2L, "removed") -> 4L, (3L, "added") -> 4L))
+  }
+
   test("evolution survives checkpoint + commit cleaning with the same id") {
     val dir = tmpDir("evolve_cp")
     Sinks.deltaAppend((0L until 6L).map(i => (i, i * 2)).toDF("id", "v"), dir)

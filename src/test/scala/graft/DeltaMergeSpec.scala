@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.BuzzException
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** Delta-native transactional MERGE: copy-on-write upsert committing
+  * remove+add of ONLY the files whose log-recorded key ranges can match a
+  * change key — the lakehouse row-update primitive, with file pruning from
+  * `add.stats` the table already carries. */
+class DeltaMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Two appends with disjoint id ranges → two files with tight ranges. */
+  private def twoFileTable(dir: String): Unit = {
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend(
+      (100L until 110L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+  }
+
+  test("merge updates matched rows, inserts unmatched, leaves the rest") {
+    val dir = tmpDir("merge_upsert")
+    twoFileTable(dir)
+    val v = Sinks.deltaMerge(spark, dir,
+      Seq((5L, 999L), (500L, 1L)).toDF("id", "v"), "id")
+    assert(v === 2L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "merged")
+    val rows = cat.read(spark, cat.files)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 21)          // 20 base + 1 insert
+    assert(rows(5L) === 999L)         // updated in place
+    assert(rows(500L) === 1L)         // inserted
+    assert(rows(4L) === 8L)           // neighbors untouched
+    assert(rows(100L) === 200L)
+  }
+
+  test("merge rewrites ONLY files whose key range matches; others stay live") {
+    val dir = tmpDir("merge_prune")
+    twoFileTable(dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "pre").files.map(_.key).toSet
+    assert(before.size === 2)
+    val hiFile = before.find { k =>
+      spark.read.parquet(k).agg(min(col("id"))).head.getLong(0) === 100L
+    }.get
+    Sinks.deltaMerge(spark, dir, Seq((5L, 999L)).toDF("id", "v"), "id")
+    val after = DeltaCatalog.fromDeltaLog(spark, dir, "post").files.map(_.key).toSet
+    // the [100,109] file was never a candidate: same physical path, still live
+    assert(after.contains(hiFile))
+    // the [0,9] file was rewritten: its old path is gone
+    assert(!after.contains((before - hiFile).head))
+    // insert-only merge outside every range rewrites NOTHING
+    Sinks.deltaMerge(spark, dir, Seq((700L, 7L)).toDF("id", "v"), "id")
+    val after2 = DeltaCatalog.fromDeltaLog(spark, dir, "post2").files.map(_.key).toSet
+    assert(after.subsetOf(after2) && after2.size === after.size + 1)
+  }
+
+  test("merge is one transaction: time travel to the pre-merge version still works") {
+    val dir = tmpDir("merge_tt")
+    twoFileTable(dir)
+    Sinks.deltaMerge(spark, dir, Seq((5L, 999L)).toDF("id", "v"), "id")
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "pre_tt", versionAsOf = Some(1L))
+    val r = pre.read(spark, pre.files).filter(col("id") === 5L).head
+    assert(r.getLong(1) === 10L) // the pre-merge value
+  }
+
+  test("merge can move a row across partitions") {
+    val dir = tmpDir("merge_move")
+    Sinks.deltaAppend(
+      (0L until 6L).map(i => (i, i * 2, if (i < 3) "a" else "b")).toDF("id", "v", "g"),
+      dir, Seq("g"))
+    Sinks.deltaMerge(spark, dir, Seq((1L, 50L, "b")).toDF("id", "v", "g"), "id")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "moved")
+    val byG = cat.read(spark, cat.files).groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 2L, "b" -> 4L))
+    val moved = cat.read(spark, cat.files).filter(col("id") === 1L).head
+    assert(moved.getAs[String]("g") === "b" && moved.getAs[Long]("v") === 50L)
+  }
+
+  test("deltaDeleteWhere drops matching rows; NULL-predicate rows are kept") {
+    val dir = tmpDir("delwhere")
+    Sinks.deltaAppend(
+      Seq((1L, Some(5L)), (2L, Some(20L)), (3L, None), (4L, Some(30L)))
+        .toDF("id", "v"), dir)
+    val ver = Sinks.deltaDeleteWhere(spark, dir, "v > 10")
+    assert(ver === 1L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "delw")
+    val ids = cat.read(spark, cat.files).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 3L)) // v=NULL is KEPT, SQL semantics
+  }
+
+  test("deltaDeleteWhere rewrites only zone-intersecting files; travel survives") {
+    val dir = tmpDir("delwhere_prune")
+    twoFileTable(dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "dw_pre").files.map(_.key).toSet
+    val hiFile = before.find { k =>
+      spark.read.parquet(k).agg(min(col("id"))).head.getLong(0) === 100L
+    }.get
+    Sinks.deltaDeleteWhere(spark, dir, "id BETWEEN 3 AND 5")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dw_post")
+    val after = cat.files.map(_.key).toSet
+    assert(after.contains(hiFile))            // disjoint file untouched
+    assert(!after.contains((before - hiFile).head)) // intersecting file rewritten
+    assert(cat.read(spark, cat.files).count() === 17)
+    // pre-delete snapshot still travels
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "dw_tt", versionAsOf = Some(1L))
+    assert(pre.read(spark, pre.files).count() === 20)
+    // a predicate no zone can match is a version no-op
+    val v = Sinks.deltaDeleteWhere(spark, dir, "id BETWEEN 5000 AND 6000")
+    assert(v === 2L)
+  }
+
+  test("deltaDeleteWhere validates the predicate before touching data") {
+    val dir = tmpDir("delwhere_guard")
+    twoFileTable(dir)
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaDeleteWhere(spark, dir, "no_such_col = 1")
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaDeleteWhere(spark, dir, "id >")
+    }
+  }
+
+  test("duplicate, NULL-keyed, or mis-shaped change sets fail loudly") {
+    val dir = tmpDir("merge_guard")
+    twoFileTable(dir)
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaMerge(spark, dir,
+        Seq((5L, 1L), (5L, 2L)).toDF("id", "v"), "id")
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaMerge(spark, dir,
+        Seq((Some(5L), 1L), (None, 2L)).toDF("id", "v"), "id")
+    }
+    intercept[BuzzException.SchemaMismatch] {
+      Sinks.deltaMerge(spark, dir, Seq((5L, "x")).toDF("id", "v"), "id")
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaMerge(spark, dir, Seq((5L, 1L)).toDF("id", "v"), "nope")
+    }
+    // an empty change set is a no-op at the current version
+    val head = Sinks.deltaMerge(spark, dir,
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id")
+    assert(head === 1L)
+  }
+}
