@@ -1959,6 +1959,51 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // row-level UPDATE: the same range-clustered layout, ONE copy-on-write
+    // commit doubling n_chars for doc_id ∈ [100, 999] — SET evaluates
+    // against the old row, candidates prune through the log's stats
+    // (pruning + old-row semantics asserted in DeltaMergeSpec)
+    "sink_delta_update" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltaupd_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaUpdate(s, out, "doc_id BETWEEN 100 AND 999",
+        Map("n_chars" -> "n_chars * 2"))
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_upd")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // Delta-native OPTIMIZE ZORDER BY: rewrite the table Z-ordered on
+    // (doc_id, n_chars) as a dataChange=false commit, then answer a
+    // 2-D range query through the rewritten layout — lossless by oracle,
+    // second-dimension pruning asserted in DeltaMergeSpec
+    "sink_delta_zorder" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltazord_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaZorder(s, out, "doc_id", "n_chars", files = 8)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_zord")
+      cat.read(s, cat.files)
+        .filter(col("doc_id").between(100L, 999L) &&
+          col("n_chars").between(200L, 2000L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // row-level DELETE WHERE: a range-clustered table, then ONE
     // copy-on-write commit dropping doc_id ∈ [100, 999] — candidate files
     // come from the log's add.stats (zero footer reads), so only the
@@ -5101,6 +5146,19 @@ object SparkEntry {
         |  SELECT 4, source, 'added', count(*)
         |  FROM documents WHERE source = 'src5' GROUP BY source)
         |SELECT version, source, status, n FROM b""".stripMargin,
+    // the updated range re-derived: [100, 999] rows carry doubled n_chars
+    "sink_delta_update" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 999
+        |    THEN n_chars * 2 ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
+    // the z-order rewrite is lossless: the 2-D range answer is the
+    // original table's answer
+    "sink_delta_zorder" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 999 AND n_chars BETWEEN 200 AND 2000
+        |GROUP BY source""".stripMargin,
     // the deleted range re-derived: everything outside [100, 999] survives
     "sink_delta_delete_where" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars

@@ -981,7 +981,8 @@ object Sinks {
       adds: Seq[(String, Long, Seq[(String, String)])],
       removedRaws: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
-      opName: String): Long = {
+      opName: String,
+      dataChange: Boolean = true): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -999,7 +1000,7 @@ object Sinks {
         "path" -> JString(DeltaCatalog.encodePath(rel)),
         "size" -> JLong(size),
         "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
-        "dataChange" -> JBool(true))
+        "dataChange" -> JBool(dataChange))
       val fields = statsByPath.get(new Path(tablePath, rel).toString)
         .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
       JObject("add" -> JObject(fields))
@@ -1008,7 +1009,7 @@ object Sinks {
       JObject("remove" -> JObject(
         "path" -> JString(raw),
         "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(true))): JValue)
+        "dataChange" -> JBool(dataChange))): JValue)
     val body = (addActions ++ removeActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
@@ -1081,6 +1082,124 @@ object Sinks {
     val adds = stageIntoTable(kept, tablePath, cat.partitionColumns)
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "delete")
+  }
+
+  /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files
+    * Z-ordered on `(colX, colY)` and commit the layout change as one
+    * remove+add transaction with `dataChange = false` (the protocol's
+    * bytes-moved-not-facts marker — incremental consumers skip it, time
+    * travel to the pre-rewrite layout still works). The rewritten files'
+    * `add.stats` then carry TIGHT bounding boxes in BOTH dimensions, so
+    * every log-stats consumer — [[deltaMerge]] candidates,
+    * [[deltaDeleteWhere]]/[[deltaUpdate]] pruning, zone-map query
+    * skipping — prunes on either column, where a single-column sort only
+    * ever serves its own column. This is `OPTIMIZE table ZORDER BY`
+    * re-expressed over this engine's log.
+    *
+    * 100 TB shape: the bin bounds are ONE tiny aggregate broadcast back;
+    * the Z-value is a narrow integer projection; the only corpus-sized
+    * movement is the range exchange the layout IS. At cluster scale run
+    * per partition-directory (the commit shape is identical). Commit
+    * races retry conflict-checked like OPTIMIZE. */
+  def deltaZorder(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      colX: String, colY: String, bits: Int = 8, files: Int = 0): Long = {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_zorder")
+    Seq(colX, colY).foreach { c =>
+      if (!cat.schema.fieldNames.contains(c))
+        throw new BuzzException.BadRequest(
+          s"ZORDER column '$c' is not a data column of $tablePath " +
+            s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
+    }
+    if (cat.files.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val removedRaws = cat.files.map(f => rawByKey.getOrElse(f.key,
+      throw new BuzzException.ExecutionError(
+        s"zorder: no raw log path for live file ${f.key} — snapshot drifted")))
+    val nFiles = if (files > 0) files else spark.sparkContext.defaultParallelism
+    val data = cat.read(spark, cat.files)
+    val stats = data.agg(
+      min(col(colX)).as("__zx_mn"), max(col(colX)).as("__zx_mx"),
+      min(col(colY)).as("__zy_mn"), max(col(colY)).as("__zy_mx"))
+    val arranged = data.crossJoin(broadcast(stats))
+      .withColumn("__z", zInterleave(
+        binCode(col(colX), col("__zx_mn"), col("__zx_mx"), bits),
+        binCode(col(colY), col("__zy_mn"), col("__zy_mx"), bits), bits))
+      .drop("__zx_mn", "__zx_mx", "__zy_mn", "__zy_mx")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val adds = stageIntoTable(arranged, tablePath, cat.partitionColumns)
+    commitRewrite(spark, tablePath, adds, removedRaws,
+      StructType(cat.schema.fields), "zorder", dataChange = false)
+  }
+
+  /** Row-level UPDATE ... SET ... WHERE: rewrite — as ONE commit — only
+    * the files that can possibly hold a matching row, applying `set`
+    * (column → SQL expression) to rows where `predicateSql` is TRUE.
+    * Every SET expression and the predicate evaluate against the OLD row
+    * (single-projection semantics, like SQL UPDATE — a SET can swap two
+    * columns), results are cast back to each column's declared type
+    * (ANSI: overflow fails loudly, it never wraps), and NULL-predicate
+    * rows are untouched. Candidate files come from the zone harvest over
+    * the log-seeded stats cache, exactly like [[deltaDeleteWhere]] — an
+    * update keyed to a clustered range rewrites only intersecting files.
+    * Updating a PARTITION column re-homes rows (copy-on-write handles
+    * cross-partition moves naturally). Completes the DML triad with
+    * [[deltaMerge]] (keyed upsert) and [[deltaDeleteWhere]]. */
+  def deltaUpdate(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicateSql: String, set: Map[String, String]): Long = {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.{DeltaCatalog, ZoneMap}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_update")
+    if (set.isEmpty)
+      throw new BuzzException.BadRequest("UPDATE with an empty SET clause")
+    val allCols = cat.schema.fieldNames.toSeq ++ cat.partitionColumns
+    set.keys.foreach { c =>
+      if (!allCols.contains(c))
+        throw new BuzzException.BadRequest(
+          s"SET targets unknown column '$c' (table has ${allCols.mkString(",")})")
+    }
+    // validate predicate AND set expressions early: analysis over an empty
+    // relation, so a typo is a client error before any data moves
+    val empty = cat.read(spark, Nil)
+    val updatedProjection =
+      try {
+        val predTrue = coalesce(expr(predicateSql), lit(false))
+        val types = empty.schema.map(f => f.name -> f.dataType).toMap
+        val proj = empty.columns.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(predTrue, expr(e).cast(types(c))).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }
+        empty.select(proj: _*).queryExecution.analyzed
+        proj
+      } catch {
+        case e: BuzzException.BuzzError => throw e
+        case e: Exception => throw new BuzzException.BadRequest(
+          s"invalid UPDATE '$predicateSql' SET ${set.mkString(",")}: ${e.getMessage}")
+      }
+    val candFiles = ZoneMap.pruneForQuery(
+      spark, cat.schema, cat.files, s"SELECT * FROM __t WHERE $predicateSql")
+    if (candFiles.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
+      throw new BuzzException.ExecutionError(
+        s"update: no raw log path for live file ${f.key} — snapshot drifted")))
+    val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
+    val adds = stageIntoTable(updated, tablePath, cat.partitionColumns)
+    commitRewrite(spark, tablePath, adds, candRaws,
+      StructType(cat.schema.fields), "update")
   }
 
   /** Stage `data` as parquet under a hidden temp dir INSIDE the table

@@ -132,6 +132,82 @@ class DeltaMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("deltaUpdate applies SET against the OLD row, NULL-pred rows untouched") {
+    val dir = tmpDir("update_basic")
+    Sinks.deltaAppend(
+      Seq((1L, Some(10L), 100L), (2L, Some(20L), 200L), (3L, None, 300L))
+        .toDF("id", "v", "w"), dir)
+    // column swap: both SETs must see pre-update values
+    Sinks.deltaUpdate(spark, dir, "v >= 10", Map("v" -> "w", "w" -> "v"))
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "upd")
+    val rows = cat.read(spark, cat.files).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+    assert(rows(1L) === ((Some(100L), 10L)))  // swapped
+    assert(rows(2L) === ((Some(200L), 20L)))  // swapped
+    assert(rows(3L) === ((None, 300L)))       // NULL predicate: untouched
+  }
+
+  test("deltaUpdate prunes by zone range and preserves declared types") {
+    val dir = tmpDir("update_prune")
+    twoFileTable(dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "up_pre").files.map(_.key).toSet
+    val hiFile = before.find { k =>
+      spark.read.parquet(k).agg(min(col("id"))).head.getLong(0) === 100L
+    }.get
+    Sinks.deltaUpdate(spark, dir, "id BETWEEN 3 AND 5", Map("v" -> "v + 1000"))
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "up_post")
+    assert(cat.files.map(_.key).toSet.contains(hiFile)) // disjoint file untouched
+    val vals = cat.read(spark, cat.files).filter(col("id").isin(3L, 4L, 5L, 6L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals === Map(3L -> 1006L, 4L -> 1008L, 5L -> 1010L, 6L -> 12L))
+    // the update never retypes a column; garbage SETs are client errors
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaUpdate(spark, dir, "id = 1", Map("v" -> "named_struct('a', 1)"))
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaUpdate(spark, dir, "id = 1", Map("nope" -> "1"))
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaUpdate(spark, dir, "id = 1", Map.empty)
+    }
+  }
+
+  test("deltaZorder makes the SECOND dimension log-prunable, losslessly") {
+    val dir = tmpDir("zorder_delta")
+    // uncorrelated (x, y), written x-sorted: y predicates can prune nothing
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % n).toLong) // y = hashed permutation
+    }.toDF("x", "y")
+      .repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    Sinks.deltaAppend(df, dir)
+    val preFiles = DeltaCatalog.fromDeltaLog(spark, dir, "z_pre").files.size
+    assert(preFiles === 16)
+    // x-sorted layout: a y-range delete must rewrite ~every file
+    // (measured on a copy via a dry probe: we just assert the Z path)
+    val ver = Sinks.deltaZorder(spark, dir, "x", "y", files = 16)
+    assert(ver === 1L)
+    val zcat = DeltaCatalog.fromDeltaLog(spark, dir, "z_post")
+    // lossless rewrite
+    assert(zcat.read(spark, zcat.files).agg(count(lit(1)), sum(col("y"))).head
+      === df.agg(count(lit(1)), sum(col("y"))).head)
+    // the layout commit moved bytes, not facts
+    val lastCommit = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/00000000000000000001.json"))
+    assert(lastCommit.contains("\"dataChange\":false"))
+    assert(!lastCommit.contains("\"dataChange\":true"))
+    // a y-range DELETE now rewrites a strict subset of the files: its
+    // candidates prune through the rewritten add.stats on the SECOND dim
+    val zFiles = zcat.files.map(_.key).toSet
+    Sinks.deltaDeleteWhere(spark, dir, s"y BETWEEN 0 AND ${n / 8}")
+    val after = DeltaCatalog.fromDeltaLog(spark, dir, "z_del").files.map(_.key).toSet
+    val untouched = zFiles.intersect(after).size
+    assert(untouched > 0, s"y-delete rewrote all $preFiles z-ordered files — no 2-D pruning")
+    // time travel to the pre-zorder layout still answers identically
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "z_tt", versionAsOf = Some(0L))
+    assert(pre.read(spark, pre.files).count() === n.toLong)
+  }
+
   test("duplicate, NULL-keyed, or mis-shaped change sets fail loudly") {
     val dir = tmpDir("merge_guard")
     twoFileTable(dir)
