@@ -863,7 +863,8 @@ object Sinks {
     * Returns the committed version. */
   def deltaMerge(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      changes: DataFrame, keyCol: String): Long = {
+      changes: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -871,6 +872,13 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    // SetTransaction idempotence, the streaming-CDC handshake: a replayed
+    // micro-batch whose (appId, version) the log already carries is
+    // SKIPPED — exactly-once upsert end to end, like deltaAppend's leg
+    txn.foreach { case (appId, txnVer) =>
+      if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
+        return DeltaCatalog.latestVersion(spark, logDir)
+    }
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_merge")
     val partitionCols = cat.partitionColumns
     if (!cat.schema.fieldNames.contains(keyCol))
@@ -967,7 +975,7 @@ object Sinks {
           .otherwise(col(s"b.$n")).as(n)): _*)
     val adds = stageIntoTable(merged, tablePath, partitionCols)
     commitRewrite(spark, tablePath, adds, candRaws,
-      StructType(cat.schema.fields), "merge")
+      StructType(cat.schema.fields), "merge", txn = txn)
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
@@ -982,7 +990,8 @@ object Sinks {
       removedRaws: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
       opName: String,
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1010,7 +1019,11 @@ object Sinks {
         "path" -> JString(raw),
         "deletionTimestamp" -> JLong(now),
         "dataChange" -> JBool(dataChange))): JValue)
-    val body = (addActions ++ removeActions)
+    val txnActions: Seq[JValue] = txn.toSeq.map { case (appId, txnVer) =>
+      JObject("txn" -> JObject(
+        "appId" -> JString(appId), "version" -> JLong(txnVer)))
+    }
+    val body = (txnActions ++ addActions ++ removeActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     var version = DeltaCatalog.latestVersion(spark, logDir) + 1
@@ -1021,6 +1034,12 @@ object Sinks {
       if (attempt >= maxAttempts)
         throw new BuzzException.ExecutionError(
           s"lost the $opName commit race $maxAttempts times under $logDir — giving up")
+      // a concurrent REPLAY of the same streaming batch may have landed
+      // this exact commit — idempotence beats conflict detection
+      txn.foreach { case (appId, txnVer) =>
+        if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
+          return DeltaCatalog.latestVersion(spark, logDir)
+      }
       val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None).keySet
       val gone = removedRaws.toSet -- liveNow
       if (gone.nonEmpty)
