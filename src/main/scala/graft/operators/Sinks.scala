@@ -309,14 +309,17 @@ object Sinks {
     import graft.model.BuzzException
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val logDir = s"$tablePath/_delta_log"
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_optimize")
+    // pin the snapshot FIRST (commitRewrite discipline)
+    val version0 = DeltaCatalog.latestVersion(spark, logDir)
+    val asOf = if (version0 >= 0) Some(version0) else None
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_optimize",
+      versionAsOf = asOf)
     // remove actions must carry the RAW log path strings — the replay's
     // live map matches removes by exact string, and a path re-derived
     // from the decoded absolute key desyncs it for any escaped partition
     // value (splinters would stay live: doubled rows, and vacuum would
     // then reap the wrong side)
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
-    val version0 = DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath, asOf)
     val fsys = FsUtil.fs(spark, tablePath)
     val work = cat.files.groupBy(_.partitionValues).filter { case (_, fs) =>
       val nOut = math.max(1L,
@@ -324,13 +327,10 @@ object Sinks {
       fs.size > nOut
     }
     if (work.isEmpty) return version0
-    val now = System.currentTimeMillis()
-    // (relPath, absDest, partitionValues) of every rewritten file — adds
-    // are emitted AFTER the stats pass so the new footers are read once
+    // (relPath, absDest, partitionValues) of every rewritten file
     val newFiles = scala.collection.mutable.ListBuffer[(String, Path, Seq[String])]()
-    val removeActions = scala.collection.mutable.ListBuffer[JValue]()
     // raw log paths this rewrite removes — the commit loop's CONFLICT SET
-    val removedRaws = scala.collection.mutable.Set[String]()
+    val removedRaws = scala.collection.mutable.ListBuffer[String]()
     work.toSeq.sortBy(_._1.mkString("/")).foreach { case (pv, fs) =>
       val nOut = math.max(1L,
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
@@ -355,62 +355,23 @@ object Sinks {
         }
       fsys.delete(new Path(stage), true)
       fs.foreach { f =>
-        val raw = rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
+        removedRaws += rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
           s"optimize: no raw log path for live file ${f.key} — snapshot drifted"))
-        removedRaws += raw
-        removeActions += JObject("remove" -> JObject(
-          "path" -> JString(raw),
-          "deletionTimestamp" -> JLong(now),
-          "dataChange" -> JBool(false)))
       }
     }
-    // rewritten files get fresh data-skipping stats (the compacted layout
-    // usually has WIDER per-file ranges than what it replaced — stale
-    // ranges would be unsound, absent ones merely unprunable)
-    val statsByPath: Map[String, String] =
-      try graft.sources.ZoneMap.deltaFileStats(
-        spark, newFiles.map(_._2.toString).toSeq, cat.schema)
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val addActions: Seq[JValue] = newFiles.toSeq.map { case (relPath, dest, pv) =>
-      val base: List[(String, JValue)] = List(
-        "path" -> JString(graft.sources.DeltaCatalog.encodePath(relPath)),
-        "size" -> JLong(fsys.getFileStatus(dest).getLen),
-        "partitionValues" -> JObject(cat.partitionColumns.zip(pv)
-          .map { case (k, v) => k -> (JString(v): JValue) }.toList),
-        "dataChange" -> JBool(false))
-      val fields = statsByPath.get(dest.toString)
-        .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
-      JObject("add" -> JObject(fields))
+    // commitRewrite recomputes fresh data-skipping stats for the rewritten
+    // files (the compacted layout usually has WIDER per-file ranges than
+    // what it replaced — stale ranges would be unsound, absent ones merely
+    // unprunable) and runs the conflict-checked loop: losing the rename
+    // race must not throw away the data rewrite (at 100 TB the rewrite is
+    // hours, the commit is milliseconds). Concurrent appends and optimizes
+    // of OTHER partitions commute (no append probe); a concurrent
+    // DELETE/OPTIMIZE that touched one of ITS inputs fails loudly.
+    val adds = newFiles.toSeq.map { case (relPath, dest, pv) =>
+      (relPath, fsys.getFileStatus(dest).getLen, cat.partitionColumns.zip(pv))
     }
-    val body = (addActions ++ removeActions)
-      .map(a => JsonMethods.compact(JsonMethods.render(a)))
-      .mkString("", "\n", "\n")
-    // CONFLICT-CHECKED commit loop: losing the rename race must not throw
-    // away the data rewrite (at 100 TB the rewrite is hours, the commit is
-    // milliseconds). The rewrite re-commits at the next version iff every
-    // file it removes is STILL live — concurrent appends and optimizes of
-    // OTHER partitions commute with it; a concurrent DELETE/OPTIMIZE that
-    // touched one of ITS inputs does not (re-adding that file's rows would
-    // resurrect deleted data), so that conflict still fails loudly.
-    var version = version0 + 1
-    var attempt = 0
-    val maxAttempts = 10
-    while (!FsUtil.publishCommit(spark, logDir, version, body)) {
-      attempt += 1
-      if (attempt >= maxAttempts)
-        throw new BuzzException.ExecutionError(
-          s"lost the optimize commit race $maxAttempts times under $logDir — giving up")
-      val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None).keySet
-      val gone = removedRaws.toSet -- liveNow
-      if (gone.nonEmpty)
-        throw new BuzzException.ExecutionError(
-          s"optimize conflicts with a concurrent commit: ${gone.size} of its " +
-            s"input files are no longer live (e.g. ${gone.head}) — rerun " +
-            "against the current snapshot")
-      version = DeltaCatalog.latestVersion(spark, logDir) + 1
-      Thread.sleep(10L * attempt)
-    }
-    version
+    commitRewrite(spark, tablePath, adds, removedRaws.toSeq.distinct,
+      cat.schema, "optimize", snapshotVersion = version0, dataChange = false)
   }
 
   /** RESTORE: commit a rollback of the live-file set to exactly
@@ -879,7 +840,13 @@ object Sinks {
       if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
         return DeltaCatalog.latestVersion(spark, logDir)
     }
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_merge")
+    // pin the snapshot FIRST; every read below resolves at this version, so
+    // `commitRewrite(snapshotVersion = snapVer)` detects EVERY commit that
+    // lands after this point — there is no window a concurrent writer can
+    // slip into unchecked
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_merge",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     val partitionCols = cat.partitionColumns
     if (!cat.schema.fieldNames.contains(keyCol))
       throw new BuzzException.BadRequest(
@@ -898,7 +865,8 @@ object Sinks {
     // keys can never match, duplicate keys are MERGE's ambiguity error
     val kstat = ch.agg(
       count(lit(1)), countDistinct(col(keyCol)),
-      count(when(col(keyCol).isNull, 1))).head
+      count(when(col(keyCol).isNull, 1)),
+      min(col(keyCol)), max(col(keyCol))).head
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
         s"merge changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
@@ -909,47 +877,80 @@ object Sinks {
     if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
 
     // candidate files: change keys joined against the log's per-file key
-    // ranges (metadata-sized, broadcast). A file whose stats lack a
-    // usable range is conservatively a candidate.
-    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath, None)
-    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath)
-    def keyBounds(raw: String): Option[(JValue, JValue)] =
-      statsByRaw.get(raw).flatMap { s =>
+    // ranges (metadata-sized, broadcast). Pruning must only ever SHRINK
+    // the set on evidence that parses: a file whose stats are missing,
+    // malformed, or of an unexpected JSON type for the key's declared
+    // type is UNCONDITIONALLY a candidate (dropping it would keep its
+    // matched base row while the change row inserts — duplicate keys).
+    // Integral key bounds compare as exact longs, never through Double
+    // (whose 2^53 mantissa cannot represent every long).
+    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    def keyBounds(stats: Map[String, String])(raw: String): Option[(JValue, JValue)] =
+      stats.get(raw).flatMap { s =>
         val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
         (j \ "minValues" \ keyCol, j \ "maxValues" \ keyCol) match {
           case (JNothing, _) | (_, JNothing) => None
           case (mn, mx)                      => Some((mn, mx))
         }
       }
-    val (ranged, unconditional) = liveRaw.keys.toSeq.sorted.partition(keyBounds(_).isDefined)
+    def longOf(v: JValue): Option[Long] = v match {
+      case JInt(x) if x.isValidLong => Some(x.toLong)
+      case JLong(x)                 => Some(x)
+      case _                        => None // non-integral stats for an integral key
+    }
+    def doubleOf(v: JValue): Option[Double] = v match {
+      case JInt(x)     => Some(x.toDouble)
+      case JLong(x)    => Some(x.toDouble)
+      case JDouble(x)  => Some(x)
+      case JDecimal(x) => Some(x.toDouble)
+      case _           => None
+    }
+    def stringOf(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _          => None
+    }
+    val keyType = cat.schema(keyCol).dataType
+    // each live file's typed key bounds, or None when the evidence does
+    // not parse into the key's declared type (→ unconditional candidate)
+    def typedBounds(stats: Map[String, String])(raw: String): Option[(Any, Any)] =
+      keyBounds(stats)(raw).flatMap { case (mn, mx) =>
+        keyType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
+          case FloatType | DoubleType =>
+            for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
+          case StringType =>
+            for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
+          case _ => None // unprunable key type
+        }
+      }
+    val withBounds: Seq[(String, Option[(Any, Any)])] =
+      liveRaw.keys.toSeq.sorted.map(raw => raw -> typedBounds(statsByRaw)(raw))
+    val (ranged, unconditional0) = withBounds.partition(_._2.isDefined)
+    val unconditional = unconditional0.map(_._1)
     val matchedRaws: Seq[String] =
       if (ranged.isEmpty) Nil
       else {
         import spark.implicits._
-        def num(v: JValue): Option[Double] = v match {
-          case JInt(x)     => Some(x.toDouble)
-          case JLong(x)    => Some(x.toDouble)
-          case JDouble(x)  => Some(x)
-          case JDecimal(x) => Some(x.toDouble)
-          case _           => None
-        }
-        val rangesDf = cat.schema(keyCol).dataType match {
-          case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
-            ranged.flatMap { raw =>
-              val (mn, mx) = keyBounds(raw).get
-              for (lo <- num(mn); hi <- num(mx)) yield (raw, lo, hi)
+        val bounds = ranged.collect { case (raw, Some((lo, hi))) => (raw, lo, hi) }
+        val rangesDf = keyType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[Long], hi.asInstanceOf[Long])
             }.toDF("__raw", "__mn", "__mx")
-          case StringType =>
-            ranged.flatMap { raw =>
-              keyBounds(raw).get match {
-                case (JString(lo), JString(hi)) => Some((raw, lo, hi))
-                case _                          => None
-              }
+          case FloatType | DoubleType =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[Double], hi.asInstanceOf[Double])
             }.toDF("__raw", "__mn", "__mx")
-          case _ => spark.emptyDataFrame // unprunable key type
+          case _ =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[String], hi.asInstanceOf[String])
+            }.toDF("__raw", "__mn", "__mx")
         }
-        if (rangesDf.columns.isEmpty) ranged // no pruning: all candidates
-        else ch.select(col(keyCol).as("__k")).distinct()
+        ch.select(col(keyCol).as("__k")).distinct()
           .join(broadcast(rangesDf),
             col("__k") >= col("__mn") && col("__k") <= col("__mx"))
           .select("__raw").distinct().collect().map(_.getString(0)).toSeq
@@ -974,24 +975,83 @@ object Sinks {
         when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)): _*)
     val adds = stageIntoTable(merged, tablePath, partitionCols)
+    // concurrent-append probe (WriteSerializable): a file committed since
+    // the snapshot conflicts UNLESS its logged key bounds prove it is
+    // disjoint from the change keys' [min, max] envelope — its rows could
+    // carry a change key this merge matched against the OLD base, and
+    // re-committing would silently duplicate or miss them. Conservative
+    // by construction: unparseable bounds conflict; the envelope (not the
+    // exact key set) may over-reject, never under-reject.
+    val chKeyMin = kstat.get(3)
+    val chKeyMax = kstat.get(4)
+    def disjointFromChanges(lo: Any, hi: Any): Boolean = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val (l, h) = (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].longValue,
+          chKeyMax.asInstanceOf[Number].longValue)
+        h < cl || l > ch0
+      case FloatType | DoubleType =>
+        val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].doubleValue,
+          chKeyMax.asInstanceOf[Number].doubleValue)
+        h < cl || l > ch0
+      case _ =>
+        val (l, h) = (lo.asInstanceOf[String], hi.asInstanceOf[String])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[String], chKeyMax.asInstanceOf[String])
+        h < cl || l > ch0
+    }
+    val appendProbe: Map[String, (Long, Map[String, String])] => Seq[String] = {
+      appended =>
+        if (appended.isEmpty) Nil
+        else {
+          val headStats = DeltaCatalog.statsByRaw(spark, tablePath)
+          appended.keys.toSeq.sorted.filterNot { raw =>
+            typedBounds(headStats)(raw).exists { case (lo, hi) =>
+              disjointFromChanges(lo, hi)
+            }
+          }
+        }
+    }
     commitRewrite(spark, tablePath, adds, candRaws,
-      StructType(cat.schema.fields), "merge", txn = txn)
+      StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
+      txn = txn, concurrentAddConflicts = appendProbe)
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
-    * fresh data-skipping stats, dataChange=true) under the OPTIMIZE
-    * conflict discipline: losing the version race re-commits at the next
-    * version iff every removed file is STILL live; a concurrent commit
-    * that touched one of the inputs aborts loudly. Shared by the
-    * row-level writers (MERGE, DELETE WHERE). */
-  private def commitRewrite(
+    * fresh data-skipping stats) under the OPTIMIZE conflict discipline.
+    *
+    * `snapshotVersion` is the version the caller READ its live-file set
+    * at; the FIRST publish attempt targets `snapshotVersion + 1`, so ANY
+    * commit that lands between the snapshot read and this commit — not
+    * just a same-version rename loss — forces the conflict checks below.
+    * (Deriving the first target from `latestVersion + 1` at commit time
+    * would silently absorb an intermediate commit: a concurrent DELETE of
+    * one of the rewrite's inputs would have its deleted rows resurrected
+    * by the re-added rewrite output with no error.)
+    *
+    * On losing the race, the rewrite re-commits at the next version iff
+    * (a) every file it removes is STILL live (a concurrent commit that
+    * rewrote/deleted an input does not commute — re-adding its rows would
+    * resurrect deleted data), and (b) `concurrentAddConflicts`, fed the
+    * files ADDED since the snapshot, returns empty. Row-level DML (MERGE /
+    * DELETE WHERE / UPDATE) passes a predicate/key probe there — a
+    * concurrent append whose rows could match the operation must fail
+    * loudly (upstream Delta's ConcurrentAppendException under
+    * WriteSerializable), not be silently skipped; compaction (OPTIMIZE /
+    * ZORDER) commutes with appends and passes the default no-op.
+    * Shared by the row-level writers (MERGE, DELETE WHERE, UPDATE) and
+    * the layout writers (OPTIMIZE, ZORDER). */
+  private[graft] def commitRewrite(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       adds: Seq[(String, Long, Seq[(String, String)])],
       removedRaws: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
       opName: String,
+      snapshotVersion: Long,
       dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      concurrentAddConflicts: Map[String, (Long, Map[String, String])] => Seq[String] =
+        _ => Nil): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1026,7 +1086,13 @@ object Sinks {
     val body = (txnActions ++ addActions ++ removeActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
-    var version = DeltaCatalog.latestVersion(spark, logDir) + 1
+    onBeforePublish()
+    // the live set as of the SNAPSHOT the caller planned against —
+    // anything live now but absent here was appended concurrently
+    lazy val liveAtSnapshot: Set[String] =
+      if (snapshotVersion < 0) Set.empty
+      else DeltaCatalog.liveRawAt(spark, tablePath, Some(snapshotVersion)).keySet
+    var version = snapshotVersion + 1
     var attempt = 0
     val maxAttempts = 10
     while (!FsUtil.publishCommit(spark, logDir, version, body)) {
@@ -1040,18 +1106,32 @@ object Sinks {
         if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
           return DeltaCatalog.latestVersion(spark, logDir)
       }
-      val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None).keySet
-      val gone = removedRaws.toSet -- liveNow
+      val liveNow = DeltaCatalog.liveRawAt(spark, tablePath, None)
+      val gone = removedRaws.toSet -- liveNow.keySet
       if (gone.nonEmpty)
         throw new BuzzException.ExecutionError(
           s"$opName conflicts with a concurrent commit: ${gone.size} of its " +
             s"input files are no longer live (e.g. ${gone.head}) — rerun " +
             "against the current snapshot")
+      val appended = liveNow.view.filterKeys(!liveAtSnapshot.contains(_)).toMap
+      val conflicting = concurrentAddConflicts(appended)
+      if (conflicting.nonEmpty)
+        throw new BuzzException.ExecutionError(
+          s"$opName conflicts with a concurrent append: ${conflicting.size} " +
+            s"file(s) committed since snapshot v$snapshotVersion could hold " +
+            s"matching rows (e.g. ${conflicting.head}) — rerun against the " +
+            "current snapshot")
       version = DeltaCatalog.latestVersion(spark, logDir) + 1
       Thread.sleep(10L * attempt)
     }
     version
   }
+
+  /** Test seam: invoked once immediately before [[commitRewrite]]'s first
+    * publish attempt, so specs can deterministically interleave a
+    * concurrent commit between snapshot read and publish. No-op in
+    * production. */
+  private[graft] var onBeforePublish: () => Unit = () => ()
 
   /** Row-level DELETE WHERE: rewrite — as ONE commit — only the files
     * that can possibly hold a matching row, dropping the rows where
@@ -1074,7 +1154,11 @@ object Sinks {
     import graft.sources.{DeltaCatalog, ZoneMap}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_delwhere")
+    // pin the snapshot FIRST so commitRewrite can detect every commit
+    // that lands after this point (see its scaladoc)
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_delwhere",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     // validate the predicate against the table schema EARLY (analysis on
     // an empty relation) — an unresolvable column is a client error, not
     // a mid-rewrite crash
@@ -1091,7 +1175,8 @@ object Sinks {
     val candFiles = ZoneMap.pruneForQuery(
       spark, cat.schema, cat.files, s"SELECT * FROM __t WHERE $predicateSql")
     if (candFiles.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
     val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"delete: no raw log path for live file ${f.key} — snapshot drifted")))
@@ -1100,7 +1185,37 @@ object Sinks {
       .filter(!coalesce(pred, lit(false)))
     val adds = stageIntoTable(kept, tablePath, cat.partitionColumns)
     commitRewrite(spark, tablePath, adds, candRaws,
-      StructType(cat.schema.fields), "delete")
+      StructType(cat.schema.fields), "delete", snapshotVersion = snapVer,
+      concurrentAddConflicts =
+        predicateAppendProbe(spark, tablePath, predicateSql))
+  }
+
+  /** Concurrent-append probe shared by DELETE WHERE and UPDATE: of the
+    * files committed since the operation's snapshot, those whose zone
+    * evidence cannot PROVE their rows miss `predicateSql` — such an
+    * append does not commute (the rewrite would silently skip matching
+    * rows the operation's contract covers), so the commit must fail
+    * loudly (upstream Delta's ConcurrentAppendException). The probe
+    * re-resolves the HEAD catalog so the appended files' own `add.stats`
+    * seed the zone cache; a file without provable-miss stats
+    * conservatively conflicts. */
+  private def predicateAppendProbe(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicateSql: String)
+      : Map[String, (Long, Map[String, String])] => Seq[String] = { appended =>
+    if (appended.isEmpty) Nil
+    else {
+      import org.apache.hadoop.fs.Path
+      import graft.sources.{DeltaCatalog, ZoneMap}
+      val headCat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__append_probe")
+      val byKey = headCat.files.map(f => f.key -> f).toMap
+      val appendedFiles = appended.keys.toSeq.sorted.flatMap { raw =>
+        byKey.get(new Path(tablePath, DeltaCatalog.decodePath(raw)).toString)
+      }
+      ZoneMap.pruneForQuery(
+        spark, headCat.schema, appendedFiles,
+        s"SELECT * FROM __t WHERE $predicateSql", exhaustive = true).map(_.key)
+    }
   }
 
   /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files
@@ -1128,7 +1243,12 @@ object Sinks {
     import graft.model.BuzzException
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val logDir = s"$tablePath/_delta_log"
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_zorder")
+    // pin the snapshot FIRST (commitRewrite discipline). No append probe:
+    // a concurrent append's file stays live beside the rewritten layout —
+    // rows commute, only ITS bytes end up un-Z-ordered.
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_zorder",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     Seq(colX, colY).foreach { c =>
       if (!cat.schema.fieldNames.contains(c))
         throw new BuzzException.BadRequest(
@@ -1136,7 +1256,8 @@ object Sinks {
             s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
     }
     if (cat.files.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
     val removedRaws = cat.files.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"zorder: no raw log path for live file ${f.key} — snapshot drifted")))
@@ -1155,7 +1276,8 @@ object Sinks {
       .drop("__z")
     val adds = stageIntoTable(arranged, tablePath, cat.partitionColumns)
     commitRewrite(spark, tablePath, adds, removedRaws,
-      StructType(cat.schema.fields), "zorder", dataChange = false)
+      StructType(cat.schema.fields), "zorder", snapshotVersion = snapVer,
+      dataChange = false)
   }
 
   /** Row-level UPDATE ... SET ... WHERE: rewrite — as ONE commit — only
@@ -1178,7 +1300,11 @@ object Sinks {
     import graft.sources.{DeltaCatalog, ZoneMap}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_update")
+    // pin the snapshot FIRST so commitRewrite can detect every commit
+    // that lands after this point (see its scaladoc)
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_update",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     if (set.isEmpty)
       throw new BuzzException.BadRequest("UPDATE with an empty SET clause")
     val allCols = cat.schema.fieldNames.toSeq ++ cat.partitionColumns
@@ -1211,14 +1337,17 @@ object Sinks {
     val candFiles = ZoneMap.pruneForQuery(
       spark, cat.schema, cat.files, s"SELECT * FROM __t WHERE $predicateSql")
     if (candFiles.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
     val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"update: no raw log path for live file ${f.key} — snapshot drifted")))
     val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
     val adds = stageIntoTable(updated, tablePath, cat.partitionColumns)
     commitRewrite(spark, tablePath, adds, candRaws,
-      StructType(cat.schema.fields), "update")
+      StructType(cat.schema.fields), "update", snapshotVersion = snapVer,
+      concurrentAddConflicts =
+        predicateAppendProbe(spark, tablePath, predicateSql))
   }
 
   /** Stage `data` as parquet under a hidden temp dir INSIDE the table

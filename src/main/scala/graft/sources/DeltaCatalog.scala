@@ -152,8 +152,9 @@ object DeltaCatalog {
     * absolute key desyncs the log for any escaped partition value (the
     * replay's `live` map matches remove paths by exact string). */
   private[graft] def liveRawByKey(
-      spark: SparkSession, tablePath: String): Map[String, String] = {
-    val state = replay(spark, tablePath, None)
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, String] = {
+    val state = replay(spark, tablePath, versionAsOf)
     state.live.keys.map(raw =>
       new Path(tablePath, decodePath(raw)).toString -> raw).toMap
   }

@@ -110,11 +110,18 @@ object FsUtil {
         if (lock.createNewFile()) true
         else if (lock.exists() &&
                  System.currentTimeMillis() - lock.lastModified() > LockTtlMs) {
-          // presumed leaked by a crashed writer: break it and re-claim
-          // (the delete+create race between two breakers is harmless —
-          // exactly one createNewFile wins)
-          lock.delete()
-          lock.createNewFile()
+          // presumed leaked by a crashed writer: break it by ATOMIC
+          // RENAME, so exactly ONE breaker takes the stale claim.
+          // (delete+create would race: breaker B's delete can remove
+          // breaker A's FRESH lock, both createNewFile calls succeed,
+          // both rename their commit, and POSIX rename overwrites —
+          // one same-version commit silently lost, exactly what the
+          // lock exists to prevent.)
+          val tomb = new java.io.File(
+            lock.getParentFile,
+            s"${lock.getName}.broken-${java.util.UUID.randomUUID}")
+          if (lock.renameTo(tomb)) { tomb.delete(); lock.createNewFile() }
+          else false // another breaker took the stale lock first
         } else false // version claimed by a live writer
       }
       if (!claim()) false

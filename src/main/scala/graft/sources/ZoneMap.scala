@@ -525,9 +525,12 @@ object ZoneMap {
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[SizedFile],
       mapSql: String,
-      format: String = "parquet"): Seq[SizedFile] = {
+      format: String = "parquet",
+      exhaustive: Boolean = false): Seq[SizedFile] = {
     import org.apache.spark.sql.types._
-    if (files.size <= 1) return files
+    // a single surviving file saves a QUERY nothing (the scan reads it
+    // anyway), but conflict probes need the verdict even for one file
+    if (files.size <= 1 && !exhaustive) return files
     val numeric = schema.fields.collect {
       case f if Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
         .contains(f.dataType) => f.name
