@@ -1850,7 +1850,9 @@ object SparkEntry {
       Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), out, Seq("source"))
       Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), out, Seq("source"))
       Sinks.deltaOptimize(s, out, targetBytes = 512L * 1024 * 1024)
-      Sinks.deltaCheckpoint(s, out, cleanCommits = true)
+      // multi-part checkpoint (protocol V.checkpoint.I.N.parquet layout):
+      // the read-back below must seed from ALL parts after commit cleaning
+      Sinks.deltaCheckpoint(s, out, cleanCommits = true, parts = 2)
       Sinks.deltaVacuum(s, out)
       val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_maint")
       cat.read(s, cat.files)
@@ -2021,6 +2023,30 @@ object SparkEntry {
         out)
       Sinks.deltaDeleteWhere(s, out, "doc_id BETWEEN 100 AND 999")
       val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_delw")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // MERGE-ON-READ row-level DELETE (deletion vectors): two DV commits —
+    // the second MERGES the first file-wise — then a catalog read that
+    // anti-joins the sidecar out through the scan's own
+    // `_metadata.row_index`. No data file is rewritten or moved (asserted
+    // in DeltaDeletionVectorSpec); at 100 TB the delete's write cost is
+    // the sidecar, not the clustered terabytes copy-on-write would copy
+    "sink_delta_dv" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltadv_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaDeleteVectors(s, out, "doc_id BETWEEN 100 AND 999")
+      Sinks.deltaDeleteVectors(s, out, "doc_id % 100 = 7")
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_dv")
       cat.read(s, cat.files)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
@@ -5163,6 +5189,12 @@ object SparkEntry {
     "sink_delta_delete_where" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
+        |GROUP BY source""".stripMargin,
+    // merge-on-read: both DV commits' predicates, re-derived relationally
+    "sink_delta_dv" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id NOT BETWEEN 100 AND 999 AND doc_id % 100 <> 7
         |GROUP BY source""".stripMargin,
     // merge re-derived from the construction: every %10=0 row gains 1000
     // chars in place; the same keys re-land shifted by 1e6 under 'srcnew'

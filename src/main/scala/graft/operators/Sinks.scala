@@ -413,8 +413,10 @@ object Sinks {
           s"restore target $version out of range: table is at version $head")
       val target = DeltaCatalog.liveRawAt(spark, tablePath, Some(version))
       val targetStats = DeltaCatalog.statsByRaw(spark, tablePath, Some(version))
+      val targetDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(version))
       val current = DeltaCatalog.liveRawAt(spark, tablePath, None)
-      if (target == current) return head
+      val currentDvs = DeltaCatalog.dvsByRaw(spark, tablePath, None)
+      if (target == current && targetDvs == currentDvs) return head
       val fsys = FsUtil.fs(spark, tablePath)
       val missing = (target.keySet -- current.keySet).filterNot(raw =>
         fsys.exists(new Path(tablePath, DeltaCatalog.decodePath(raw))))
@@ -422,14 +424,27 @@ object Sinks {
         throw new BuzzException.BadRequest(
           s"cannot restore $tablePath to version $version: ${missing.size} " +
             s"target file(s) no longer exist (vacuumed), e.g. ${missing.head}")
+      val missingDv = targetDvs.values.toSeq.distinct
+        .filterNot(dv => fsys.exists(new Path(tablePath, dv)))
+      if (missingDv.nonEmpty)
+        throw new BuzzException.BadRequest(
+          s"cannot restore $tablePath to version $version: ${missingDv.size} " +
+            s"deletion-vector batch(es) no longer exist (vacuumed), " +
+            s"e.g. ${missingDv.head}")
       val now = System.currentTimeMillis()
+      // re-add files NEW to the restored snapshot, plus files live in both
+      // whose deletion-vector state differs (the add overwrites the live
+      // entry AND its DV descriptor — the only way to roll a DV back)
+      val readds = ((target.keySet -- current.keySet) ++
+        target.keySet.intersect(current.keySet)
+          .filter(raw => targetDvs.get(raw) != currentDvs.get(raw))).toSeq.sorted
       val actions: Seq[JValue] =
         (current.keySet -- target.keySet).toSeq.sorted.map(raw =>
           JObject("remove" -> JObject(
             "path" -> JString(raw),
             "deletionTimestamp" -> JLong(now),
             "dataChange" -> JBool(true))): JValue) ++
-        (target.keySet -- current.keySet).toSeq.sorted.map { raw =>
+        readds.map { raw =>
           val (size, pv) = target(raw)
           val base: List[(String, JValue)] = List(
             "path" -> JString(raw),
@@ -439,8 +454,13 @@ object Sinks {
             "dataChange" -> JBool(true))
           // re-adds keep the stats they had at the target version, so a
           // restored table prunes exactly like the original snapshot did
-          val fields = targetStats.get(raw)
+          val withStats = targetStats.get(raw)
             .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+          val fields = targetDvs.get(raw).fold(withStats)(dv =>
+            withStats :+ ("deletionVector" -> (JObject(
+              "storageType" -> JString("p"),
+              "pathOrInlineDv" -> JString(dv),
+              "cardinality" -> JLong(-1L)): JValue)))
           JObject("add" -> JObject(fields)): JValue
         }
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
@@ -545,11 +565,16 @@ object Sinks {
     val (adds, removes, _) = parseCommitActions(spark, tablePath, version)
     val cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, s"__cdf_v$version", versionAsOf = Some(version))
-    // partition values of removed files live in the PRE-commit snapshot
-    val pre =
-      if (removes.isEmpty) Map.empty[String, (Long, Map[String, String])]
-      else DeltaCatalog.liveRawAt(spark, tablePath, Some(version - 1))
-    changesFromActions(spark, tablePath, version, keyCols, compareCols, cat, adds, removes, pre)
+    // partition values (and DV state) of removed files live in the
+    // PRE-commit snapshot
+    val (pre, preDvs) =
+      if (removes.isEmpty)
+        (Map.empty[String, (Long, Map[String, String])], Map.empty[String, String])
+      else
+        (DeltaCatalog.liveRawAt(spark, tablePath, Some(version - 1)),
+          DeltaCatalog.dvsByRaw(spark, tablePath, Some(version - 1)))
+    changesFromActions(
+      spark, tablePath, version, keyCols, compareCols, cat, adds, removes, pre, preDvs)
   }
 
   /** One commit file's add/remove actions plus whether it carries a
@@ -557,7 +582,7 @@ object Sinks {
     * log replay. */
   private def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
-      : (Seq[(String, Long, Map[String, String])], Seq[String], Boolean) = {
+      : (Seq[(String, Long, Map[String, String], Option[String])], Seq[String], Boolean) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     import graft.sources.FsUtil
@@ -566,7 +591,8 @@ object Sinks {
     if (!FsUtil.exists(spark, commitPath))
       throw new BuzzException.BadRequest(
         s"commit $version does not exist under $tablePath/_delta_log")
-    val adds = scala.collection.mutable.ListBuffer[(String, Long, Map[String, String])]()
+    val adds =
+      scala.collection.mutable.ListBuffer[(String, Long, Map[String, String], Option[String])]()
     val removes = scala.collection.mutable.ListBuffer[String]()
     var metaChanged = false
     FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -583,7 +609,11 @@ object Sinks {
             case JObject(fields) => fields.collect { case (k, JString(s)) => k -> s }.toMap
             case _               => Map.empty[String, String]
           }
-          adds += ((raw, size, pv))
+          val dv = v \ "add" \ "deletionVector" \ "pathOrInlineDv" match {
+            case JString(d) if d.nonEmpty => Some(d)
+            case _                        => None
+          }
+          adds += ((raw, size, pv, dv))
         case _ => ()
       }
       v \ "remove" match {
@@ -606,20 +636,33 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long,
       keyCols: Seq[String], compareCols: Seq[String],
       cat: graft.sources.StaticCatalog,
-      adds: Seq[(String, Long, Map[String, String])],
+      adds: Seq[(String, Long, Map[String, String], Option[String])],
       removes: Seq[String],
-      pre: Map[String, (Long, Map[String, String])]): org.apache.spark.sql.DataFrame = {
+      pre: Map[String, (Long, Map[String, String])],
+      preDvs: Map[String, String]): org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.Path
     import graft.sources.{DeltaCatalog, SizedFile}
     import graft.model.BuzzException
+    def abs(raw: String): String =
+      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     def sized(raw: String, size: Long, pv: Map[String, String]): SizedFile =
-      SizedFile(
-        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
+      SizedFile(abs(raw), size,
         cat.partitionColumns.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-    val addedRows = cat.read(spark, adds.map((sized _).tupled))
+    // each side reads under ITS OWN deletion-vector truth: adds under the
+    // commit's descriptors, removes under the pre-commit state — a DV
+    // delete (remove+re-add of the same path) then feeds exactly the
+    // newly-deleted rows, instead of a spuriously empty diff
+    val addDvs = adds.collect { case (raw, _, _, Some(dv)) =>
+      abs(raw) -> new Path(tablePath, dv).toString
+    }.toMap
+    val addedRows = cat.withDeletionVectors(addDvs).read(
+      spark, adds.map { case (raw, size, pv, _) => sized(raw, size, pv) })
+    val remDvs = removes.flatMap(raw => preDvs.get(raw).map(dv =>
+      abs(raw) -> new Path(tablePath, dv).toString)).toMap
+    val remCat = cat.withDeletionVectors(remDvs)
     val removedRows =
-      if (removes.isEmpty) cat.read(spark, Nil)
-      else cat.read(spark, removes.map { raw =>
+      if (removes.isEmpty) remCat.read(spark, Nil)
+      else remCat.read(spark, removes.map { raw =>
         pre.get(raw) match {
           case Some((size, pv)) => sized(raw, size, pv)
           case None => throw new BuzzException.ExecutionError(
@@ -648,6 +691,7 @@ object Sinks {
     import graft.sources.DeltaCatalog
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
     var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
+    var liveDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
     var cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, "__cdf_span", versionAsOf = Some(vFrom))
     ((vFrom + 1) to vTo).map { v =>
@@ -655,11 +699,15 @@ object Sinks {
       if (metaChanged)
         cat = DeltaCatalog.fromDeltaLog(
           spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
-      // `live` is the PRE-commit state here; changesFromActions consumes
-      // it eagerly, so advancing it afterwards is safe
+      // `live`/`liveDvs` are the PRE-commit state here; changesFromActions
+      // consumes them eagerly, so advancing them afterwards is safe
       val df = changesFromActions(
-        spark, tablePath, v, keyCols, compareCols, cat, adds, removes, live)
-      live = live -- removes ++ adds.map { case (raw, size, pv) => raw -> ((size, pv)) }
+        spark, tablePath, v, keyCols, compareCols, cat, adds, removes, live, liveDvs)
+      live = live -- removes ++
+        adds.map { case (raw, size, pv, _) => raw -> ((size, pv)) }
+      // an add without a descriptor CLEARS its file's DV, like replay does
+      liveDvs = liveDvs -- removes -- adds.collect { case (raw, _, _, None) => raw } ++
+        adds.collect { case (raw, _, _, Some(dv)) => raw -> dv }
       df.select(org.apache.spark.sql.functions.lit(v).as("version"),
         org.apache.spark.sql.functions.col("*"))
     }.reduce(_.unionAll(_))
@@ -675,7 +723,7 @@ object Sinks {
     * ignores it. Returns the checkpointed version. */
   def deltaCheckpoint(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      cleanCommits: Boolean = false): Long = {
+      cleanCommits: Boolean = false, parts: Int = 1): Long = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -686,6 +734,7 @@ object Sinks {
     // them exactly once on re-read, like commit replay does
     val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
     val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath)
+    val dvByRaw = DeltaCatalog.dvsByRaw(spark, tablePath)
     val version = DeltaCatalog.latestVersion(spark, logDir)
     val fsys = FsUtil.fs(spark, tablePath)
     // full table schema = data schema + partition columns (this engine's
@@ -703,7 +752,10 @@ object Sinks {
         StructField("partitionValues", MapType(StringType, StringType)),
         // data-skipping stats must survive into the checkpoint, or commit
         // cleaning would silently degrade every read back to footer IO
-        StructField("stats", StringType))), nullable = true),
+        StructField("stats", StringType),
+        // deletion-vector descriptors must survive too, or commit cleaning
+        // would RESURRECT merge-on-read-deleted rows
+        StructField("deletionVector", StringType))), nullable = true),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))), nullable = true)))
@@ -720,25 +772,40 @@ object Sinks {
           Row(null,
             Row(raw, f.length,
               cat.partitionColumns.zip(f.partitionValues).toMap,
-              statsByRaw.get(raw).orNull), null)
+              statsByRaw.get(raw).orNull, dvByRaw.get(raw).orNull), null)
         }) ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
         DeltaCatalog.allTxns(spark, tablePath).toSeq.sortBy(_._1)
           .map { case (app, ver) => Row(null, null, Row(app, ver)) }
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
-      .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = FsUtil.listStatus(spark, stage)
-      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    fsys.delete(dest, false)
-    if (!fsys.rename(part, dest))
-      throw new graft.model.BuzzException.ExecutionError(
-        s"checkpoint rename failed for $dest")
+    // multi-part (the protocol's V.checkpoint.I.N.parquet layout): a 100 TB
+    // table's checkpoint carries millions of add rows — splitting lets N
+    // reader tasks seed the snapshot in parallel and keeps any one file
+    // under object-store hot-read sizes. Empty slices write no file, so
+    // the declared part count is the count actually LANDED.
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.min(parts, rows.size)), cpSchema)
+      .repartition(parts).write.mode("overwrite").parquet(stage)
+    val staged = FsUtil.listStatus(spark, stage)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(_.getPath)
+    val n = staged.size
+    val dests =
+      if (n == 1) Seq(new Path(logDir, f"$version%020d.checkpoint.parquet"))
+      else (1 to n).map(i =>
+        new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    staged.zip(dests).foreach { case (src, dest) =>
+      fsys.delete(dest, false)
+      if (!fsys.rename(src, dest))
+        throw new graft.model.BuzzException.ExecutionError(
+          s"checkpoint rename failed for $dest")
+    }
     fsys.delete(new Path(stage), true)
     FsUtil.writeString(spark, s"$logDir/_last_checkpoint",
-      s"""{"version":$version,"size":${rows.size}}""")
+      if (n == 1) s"""{"version":$version,"size":${rows.size}}"""
+      else s"""{"version":$version,"size":${rows.size},"parts":$n}""")
     if (cleanCommits) {
       val CommitName = raw"(\d{20})\.json".r
       FsUtil.listStatus(spark, logDir).foreach { st =>
@@ -783,7 +850,7 @@ object Sinks {
       fsys.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (name == "_delta_log") ()
+          if (name == "_delta_log" || name == "_dv") () // sidecars GC'd below
           else if (name.startsWith(".")) { fsys.delete(st.getPath, true); deleted += 1 }
           else walk(st.getPath)
         } else if (name.endsWith(".parquet") &&
@@ -793,6 +860,20 @@ object Sinks {
         }
       }
     walk(new Path(tablePath))
+    // deletion-vector batch GC: a batch dir no CURRENT descriptor points
+    // at was superseded by a later DV merge or materialized by a rewrite —
+    // same retention trade as the data tombstones above (time travel to a
+    // version that referenced it stops working)
+    val dvRoot = new Path(tablePath, "_dv")
+    if (fsys.exists(dvRoot)) {
+      val referenced = cat.deletionVectors.values.map(qual).toSet
+      fsys.listStatus(dvRoot).foreach { st =>
+        if (!referenced.contains(qual(st.getPath.toString))) {
+          fsys.delete(st.getPath, true)
+          deleted += 1
+        }
+      }
+    }
     deleted
   }
 
@@ -1051,7 +1132,8 @@ object Sinks {
       dataChange: Boolean = true,
       txn: Option[(String, Long)] = None,
       concurrentAddConflicts: Map[String, (Long, Map[String, String])] => Seq[String] =
-        _ => Nil): Long = {
+        _ => Nil,
+      dvByRel: Map[String, (String, Long)] = Map.empty): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1070,8 +1152,14 @@ object Sinks {
         "size" -> JLong(size),
         "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
         "dataChange" -> JBool(dataChange))
-      val fields = statsByPath.get(new Path(tablePath, rel).toString)
+      val withStats = statsByPath.get(new Path(tablePath, rel).toString)
         .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+      val fields = dvByRel.get(rel).fold(withStats) { case (dvRel, cardinality) =>
+        withStats :+ ("deletionVector" -> (JObject(
+          "storageType" -> JString("p"),
+          "pathOrInlineDv" -> JString(dvRel),
+          "cardinality" -> JLong(cardinality)): JValue))
+      }
       JObject("add" -> JObject(fields))
     }
     val removeActions: Seq[JValue] = removedRaws.map(raw =>
@@ -1083,7 +1171,10 @@ object Sinks {
       JObject("txn" -> JObject(
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
     }
-    val body = (txnActions ++ addActions ++ removeActions)
+    // removes BEFORE adds: replay applies actions in line order, and a
+    // deletion-vector commit re-adds the SAME path it removes — the add
+    // must win within the commit (the protocol's reconciliation order)
+    val body = (txnActions ++ removeActions ++ addActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     onBeforePublish()
@@ -1216,6 +1307,110 @@ object Sinks {
         spark, headCat.schema, appendedFiles,
         s"SELECT * FROM __t WHERE $predicateSql", exhaustive = true).map(_.key)
     }
+  }
+
+  /** Row-level DELETE as MERGE-ON-READ: instead of rewriting every file
+    * that holds a matching row ([[deltaDeleteWhere]]'s copy-on-write),
+    * write one small sidecar batch of DELETED ROW IDENTITIES
+    * (`__path` normalized file path, `__ri` parquet row index) under
+    * `_dv/`, and commit each affected file re-ADDED in place with a
+    * `deletionVector` descriptor pointing at the batch. Readers anti-join
+    * the sidecar out through the scan's own `_metadata.row_index`
+    * ([[graft.sources.SplittableCatalog.read]]), so the data plane never
+    * moves: at 100 TB, deleting one user's rows from a terabyte of
+    * clustered files is a megabyte of sidecar + one log commit, where
+    * copy-on-write re-writes the terabyte. The trade is read-side: each
+    * DV'd file pays the anti-join until a rewrite (OPTIMIZE / ZORDER /
+    * any copy-on-write DML) materializes the deletes and drops the
+    * descriptor — reads via the catalog already apply DVs, so every
+    * rewrite path materializes for free.
+    *
+    * A file whose every row ends up deleted keeps a full-cardinality DV
+    * (reads yield zero rows from it) — OPTIMIZE reclaims it. An existing
+    * DV on a re-matched file is MERGED into the new batch (a descriptor
+    * names exactly one batch); superseded batches become garbage that
+    * [[deltaVacuum]] reaps once unreferenced. Same predicate semantics as
+    * [[deltaDeleteWhere]] (TRUE deletes, NULL keeps), same zone-pruned
+    * candidate selection, same snapshot-pinned conflict discipline
+    * including the concurrent-append probe. Returns the committed (or
+    * unchanged, when nothing matches) version. */
+  def deltaDeleteVectors(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicateSql: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, FsUtil, ZoneMap}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    // pin the snapshot FIRST (commitRewrite discipline)
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_dv",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
+    val pred =
+      try {
+        val p = expr(predicateSql)
+        cat.read(spark, Nil).filter(p).queryExecution.analyzed
+        p
+      } catch {
+        case e: BuzzException.BuzzError => throw e
+        case e: Exception => throw new BuzzException.BadRequest(
+          s"invalid DELETE predicate '$predicateSql': ${e.getMessage}")
+      }
+    val candFiles = ZoneMap.pruneForQuery(
+      spark, cat.schema, cat.files, s"SELECT * FROM __t WHERE $predicateSql")
+    if (candFiles.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    // newly-matching PHYSICAL rows (the raw view sees already-DV'd rows
+    // too — re-listing them is harmless, the union dedups)
+    val matches = cat.readWithRowIndex(spark, candFiles)
+      .filter(coalesce(pred, lit(false)))
+      .select(col("__gfp").as("__path"), col("__gri").as("__ri"))
+    // carry over each candidate's EXISTING deleted rows — its descriptor
+    // will re-point to the new batch
+    val existingPairs = candFiles.flatMap(f =>
+      cat.deletionVectors.get(f.key).map(dv => (FsUtil.normalizePath(f.key), dv)))
+    val existingRows = existingPairs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (batch, pairs) =>
+        spark.read.parquet(batch)
+          .where(col("__path").isInCollection(pairs.map(_._1).distinct))
+          .select(col("__path"), col("__ri"))
+    }.reduceOption(_.unionAll(_))
+    val allDeleted = existingRows.fold(matches)(matches.unionAll(_)).distinct()
+    val batchRel = s"_dv/delete-${java.util.UUID.randomUUID}"
+    val batchAbs = s"$tablePath/$batchRel"
+    // co-locate each file's rows (readers filter per file); sidecars are
+    // DV-sized, so 32 hash partitions over-provision, never under
+    allDeleted.repartition(col("__path")).write.parquet(batchAbs)
+    // per-file cardinality from the WRITTEN batch — also the affected set
+    val counts = spark.read.parquet(batchAbs)
+      .groupBy(col("__path")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { // nothing matched anywhere: no commit
+      FsUtil.fs(spark, batchAbs).delete(new Path(batchAbs), true)
+      return DeltaCatalog.latestVersion(spark, logDir)
+    }
+    val affected = candFiles.filter(f => counts.contains(FsUtil.normalizePath(f.key)))
+    val removedRaws = affected.map(f => rawByKey.getOrElse(f.key,
+      throw new BuzzException.ExecutionError(
+        s"dv-delete: no raw log path for live file ${f.key} — snapshot drifted")))
+    // re-ADD each affected file at its own path with the DV descriptor;
+    // sizes and partition values are unchanged, stats recompute from the
+    // (unmoved) footer inside commitRewrite
+    val adds = affected.map { f =>
+      val raw = rawByKey(f.key)
+      (DeltaCatalog.decodePath(raw), f.length,
+        cat.partitionColumns.zip(f.partitionValues))
+    }
+    val dvByRel = affected.map { f =>
+      val rel = DeltaCatalog.decodePath(rawByKey(f.key))
+      rel -> (batchRel, counts(FsUtil.normalizePath(f.key)))
+    }.toMap
+    commitRewrite(spark, tablePath, adds, removedRaws,
+      org.apache.spark.sql.types.StructType(cat.schema.fields), "dv-delete",
+      snapshotVersion = snapVer,
+      concurrentAddConflicts =
+        predicateAppendProbe(spark, tablePath, predicateSql),
+      dvByRel = dvByRel)
   }
 
   /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files

@@ -68,6 +68,16 @@ trait SplittableCatalog {
 
   def files: Seq[SizedFile]
 
+  /** Merge-on-read deletion vectors: file key → sidecar parquet path
+    * holding the file's DELETED row indexes as (`__path` normalized file
+    * path, `__ri` row index). [[read]] anti-joins these out via the scan's
+    * own `_metadata.row_index`, so a row-level delete never rewrites a
+    * data file — the 100 TB GDPR path is one small sidecar write + one
+    * log commit, and the anti-join's build side is DV-sized, not
+    * table-sized. Empty for every catalog except Delta tables with DV
+    * commits. */
+  def deletionVectors: Map[String, String] = Map.empty
+
   /** Full table schema including partition columns, as workers see it. */
   final def fullSchema: StructType =
     partitionColumns.foldLeft(schema)((s, p) => s.add(p, StringType, nullable = false))
@@ -124,9 +134,25 @@ trait SplittableCatalog {
     * sentinel string) fall back to the per-tuple union; such catalogs are
     * the explicit-file kind with few tuples.
     */
-  final def read(spark: SparkSession, selected: Seq[SizedFile]): DataFrame = {
+  final def read(spark: SparkSession, selected: Seq[SizedFile]): DataFrame =
+    readInternal(spark, selected, withRowIndex = false)
+
+  /** [[read]] WITHOUT deletion-vector filtering, plus two trailing columns:
+    * `__gfp` (scheme-normalized file path) and `__gri` (the parquet scan's
+    * `_metadata.row_index`). The DV writer's raw view — it must see every
+    * physical row to compute and merge deleted row indexes. */
+  private[graft] final def readWithRowIndex(
+      spark: SparkSession, selected: Seq[SizedFile]): DataFrame =
+    readInternal(spark, selected, withRowIndex = true)
+
+  private def readInternal(
+      spark: SparkSession, selected: Seq[SizedFile], withRowIndex: Boolean): DataFrame = {
+    val outSchema =
+      if (!withRowIndex) fullSchema
+      else StructType(fullSchema.fields.toSeq ++ Seq(
+        StructField("__gfp", StringType), StructField("__gri", LongType)))
     if (selected.isEmpty) {
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     }
     // ranged-read tuning for object-store catalogs (no-op for any other
     // scheme); all of a catalog's files share one scheme, so the first
@@ -148,6 +174,17 @@ trait SplittableCatalog {
       // columns; valid reads are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+    // row identity (normalized path + row index) is attached RIGHT AFTER
+    // each load — `_metadata` is a scan-relation column and must be
+    // resolved before unions/projections hide it. Needed when this read
+    // either filters deletion vectors out or surfaces the identity itself.
+    val needsIdentity = withRowIndex ||
+      selected.exists(f => deletionVectors.contains(f.key))
+    def withIdentity(df: DataFrame): DataFrame =
+      if (!needsIdentity) df
+      else df
+        .withColumn("__gfp", FsUtil.normalizePathCol(col("_metadata.file_path")))
+        .withColumn("__gri", col("_metadata.row_index"))
     val scanned = hiveBasePath(selected) match {
       case Some(base) =>
         // partition columns are declared StringType in the user schema, so
@@ -156,22 +193,48 @@ trait SplittableCatalog {
         // Spark's own path parsing, matching the check in hiveBasePath
         val withParts = StructType(readSchema.fields.toSeq ++
           partitionColumns.map(p => StructField(p, StringType, nullable = true)))
-        spark.read.schema(withParts)
+        withIdentity(spark.read.schema(withParts)
           .option("basePath", base)
           .options(formatOptions)
           .format(format)
-          .load(selected.map(_.key): _*)
+          .load(selected.map(_.key): _*))
       case None =>
         val groups = selected.groupBy(_.partitionValues).toSeq.sortBy(_._1.mkString("/"))
         groups.map { case (partVals, fs) =>
-          val base = spark.read.schema(readSchema)
-            .options(formatOptions).format(format).load(fs.map(_.key): _*)
+          val base = withIdentity(spark.read.schema(readSchema)
+            .options(formatOptions).format(format).load(fs.map(_.key): _*))
           partitionColumns.zip(partVals).foldLeft(base) { case (df, (p, v)) =>
             df.withColumn(p, lit(v))
           }
         }.reduce(_.unionAll(_))
     }
-    val nanosConverted = nanosColumns.foldLeft(scanned) { (df, c) =>
+    // merge-on-read: anti-join each DV'd file's deleted row indexes out.
+    // The raw (writer's) view skips this — it must see every physical row.
+    val undeleted =
+      if (withRowIndex) scanned
+      else {
+        val dvd = selected.flatMap(f => deletionVectors.get(f.key)
+          .map(dv => (FsUtil.normalizePath(f.key), dv)))
+        if (dvd.isEmpty) scanned
+        else {
+          // each file's descriptor names exactly ONE sidecar batch; rows
+          // are filtered to that association so a superseded batch can
+          // still hold stale rows for OTHER files without effect
+          val dvRows = dvd.groupBy(_._2).toSeq.sortBy(_._1).map {
+            case (batch, pairs) =>
+              spark.read.parquet(batch)
+                .where(col("__path").isInCollection(pairs.map(_._1).distinct))
+                .select(col("__path"), col("__ri"))
+          }.reduce(_.unionAll(_))
+          // no broadcast hint: AQE broadcasts the (small) sidecar side on
+          // its own; a pathological multi-GB DV still executes as SMJ
+          scanned.join(dvRows,
+            scanned("__gfp") === dvRows("__path") &&
+              scanned("__gri") === dvRows("__ri"),
+            "left_anti")
+        }
+      }
+    val nanosConverted = nanosColumns.foldLeft(undeleted) { (df, c) =>
       df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
     }
     val converted = ntzColumns.foldLeft(nanosConverted) { (df, c) =>
@@ -179,7 +242,7 @@ trait SplittableCatalog {
     }
     // enforce the catalog's declared column order (data cols, then
     // partition cols) independent of the datasource's placement
-    converted.select(fullSchema.fieldNames.map(col).toSeq: _*)
+    converted.select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
   /** User-supplied reader options (a Static catalog's JSON `options`
@@ -245,11 +308,20 @@ final class StaticCatalog(
     override val ntzColumns: Seq[String] = Nil,
     override val format: String = "parquet",
     override val readerOptions: Map[String, String] = Map.empty,
-    override val missingNullableOk: Boolean = false)
+    override val missingNullableOk: Boolean = false,
+    override val deletionVectors: Map[String, String] = Map.empty)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
     "every file must carry one value per partition column")
+
+  /** Same catalog viewed under a DIFFERENT deletion-vector state — how a
+    * change-feed reader presents one side of a commit at that side's DV
+    * truth (the pre-commit state for removes, the commit's own actions
+    * for adds). */
+  private[graft] def withDeletionVectors(dv: Map[String, String]): StaticCatalog =
+    new StaticCatalog(name, schema, partitionColumns, files, nanosColumns,
+      ntzColumns, format, readerOptions, missingNullableOk, dv)
 }
 
 object StaticCatalog {

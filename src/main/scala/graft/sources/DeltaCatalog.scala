@@ -43,6 +43,9 @@ object DeltaCatalog {
     // path -> the add action's `stats` JSON (data-skipping ranges); kept in
     // lockstep with `live` — a remove, or a re-add without stats, clears it
     val stats = scala.collection.mutable.HashMap[String, String]()
+    // path -> the add action's deletion-vector sidecar path (table-relative)
+    // — merge-on-read row-level deletes; lockstep with `live` like stats
+    val dvs = scala.collection.mutable.HashMap[String, String]()
     // appId -> highest committed txn version (SetTransaction actions)
     val txns = scala.collection.mutable.HashMap[String, Long]()
   }
@@ -68,6 +71,14 @@ object DeltaCatalog {
       spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Map[String, String] =
     replay(spark, tablePath, versionAsOf).stats.toMap
+
+  /** Each live file's deletion-vector sidecar path (table-relative) keyed
+    * by RAW log path, at `versionAsOf` (None = head) — what a DV writer
+    * merges against and a checkpoint writer must persist. */
+  private[graft] def dvsByRaw(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, String] =
+    replay(spark, tablePath, versionAsOf).dvs.toMap
 
   /** The table's stable metaData.id, if the log carries one — evolution
     * commits and checkpoints re-emit THIS id so the table keeps its
@@ -246,33 +257,49 @@ object DeltaCatalog {
   }
 
   /** The `_last_checkpoint` version, or -1 when there is none. */
-  private def checkpointVersion(spark: SparkSession, logDir: String): Long = {
+  private def checkpointVersion(spark: SparkSession, logDir: String): Long =
+    checkpointMeta(spark, logDir).map(_._1).getOrElse(-1L)
+
+  /** (version, parts) from `_last_checkpoint`, or None when absent. */
+  private def checkpointMeta(
+      spark: SparkSession, logDir: String): Option[(Long, Int)] = {
     val lastCp = s"$logDir/_last_checkpoint"
-    if (!FsUtil.exists(spark, lastCp)) return -1L
+    if (!FsUtil.exists(spark, lastCp)) return None
     val meta = JsonMethods.parse(FsUtil.readString(spark, lastCp))
     val version = meta \ "version" match {
       case JInt(v)  => v.toLong
       case JLong(v) => v
       case _ => throw new BuzzException.BadRequest(s"malformed _last_checkpoint in $logDir")
     }
-    meta \ "parts" match {
-      case JInt(p) if p > 1 =>
-        throw new BuzzException.NotImplemented(
-          s"multi-part checkpoint ($p parts) at version $version")
-      case _ =>
+    val parts = meta \ "parts" match {
+      case JInt(p) if p.toInt >= 1 => p.toInt
+      case JNothing                => 1
+      case _ => throw new BuzzException.BadRequest(
+        s"malformed parts in _last_checkpoint of $logDir")
     }
-    version
+    Some((version, parts))
   }
 
-  /** Seed state from the checkpoint parquet at `version`. */
+  /** Seed state from the checkpoint parquet at `version` — single-file
+    * (`V.checkpoint.parquet`) or multi-part (`V.checkpoint.I.N.parquet`,
+    * the protocol's layout for checkpoints too large for one writer/reader
+    * task). EVERY declared part must exist — a missing part is a missing
+    * slice of the live-file set, and reading the remainder would silently
+    * drop live files; fail loudly instead. */
   private def seedFromCheckpoint(
       spark: SparkSession, logDir: String, version: Long, state: State): Unit = {
-    val cpPath = f"$logDir/$version%020d.checkpoint.parquet"
-    if (!FsUtil.exists(spark, cpPath))
+    val parts = checkpointMeta(spark, logDir).map(_._2).getOrElse(1)
+    val cpPaths =
+      if (parts == 1) Seq(f"$logDir/$version%020d.checkpoint.parquet")
+      else (1 to parts).map(i =>
+        f"$logDir/$version%020d.checkpoint.$i%010d.$parts%010d.parquet")
+    val missing = cpPaths.filterNot(FsUtil.exists(spark, _))
+    if (missing.nonEmpty)
       throw new BuzzException.BadRequest(
-        s"_last_checkpoint points to $version but $cpPath is missing")
+        s"_last_checkpoint points to $version ($parts part(s)) but " +
+          s"${missing.size} part file(s) are missing, e.g. ${missing.head}")
 
-    val df = spark.read.parquet(cpPath)
+    val df = spark.read.parquet(cpPaths: _*)
     val cols = df.columns.toSet
     df.collect().foreach { row =>
       if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
@@ -298,6 +325,11 @@ object DeltaCatalog {
           if (a.schema != null && a.schema.fieldNames.contains("stats")) {
             val s = a.getAs[String]("stats")
             if (s != null && s.nonEmpty) state.stats(path) = s
+          }
+          // pre-DV checkpoints have no `deletionVector` column — tolerated
+          if (a.schema != null && a.schema.fieldNames.contains("deletionVector")) {
+            val dv = a.getAs[String]("deletionVector")
+            if (dv != null && dv.nonEmpty) state.dvs(path) = dv
           }
         }
       }
@@ -357,13 +389,18 @@ object DeltaCatalog {
             case JString(s) if s.nonEmpty => state.stats(path) = s
             case _                        => state.stats.remove(path)
           }
+          add \ "deletionVector" \ "pathOrInlineDv" match {
+            case JString(dv) if dv.nonEmpty => state.dvs(path) = dv
+            case _                          => state.dvs.remove(path)
+          }
         }
     }
     v \ "remove" match {
       case JNothing =>
       case rm =>
         rm \ "path" match {
-          case JString(p) => state.live.remove(p); state.stats.remove(p)
+          case JString(p) =>
+            state.live.remove(p); state.stats.remove(p); state.dvs.remove(p)
           case _ =>
         }
     }
@@ -398,10 +435,15 @@ object DeltaCatalog {
         state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
     seedZoneCache(tablePath, dataSchema, state)
+    // deletion vectors, keyed by the same absolute key `files` carries
+    val dvByKey = state.dvs.toMap.map { case (raw, dvRel) =>
+      new Path(tablePath, decodePath(raw)).toString ->
+        new Path(tablePath, dvRel).toString
+    }
     // missingNullableOk: schema evolution means pre-evolution files lack
     // later-added nullable columns — the strict verifier must tolerate that
     new StaticCatalog(name, dataSchema, state.partitionCols, files,
-      missingNullableOk = true)
+      missingNullableOk = true, deletionVectors = dvByKey)
   }
 
   /** Data skipping from the LOG: seed the zone-map pruning cache from each

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** Merge-on-read row-level DELETE via deletion vectors: a sidecar of
+  * deleted row identities + a log commit, applied at read time through the
+  * scan's own `_metadata.row_index` — no data file is rewritten. The
+  * 100 TB GDPR path: the write cost is DV-sized, not table-sized. */
+class DeltaDeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** v0: ids 0-9, v1: ids 100-109 — two files with tight id ranges. */
+  private def twoFileTable(dir: String): Unit = {
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend(
+      (100L until 110L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+  }
+
+  private def ids(dir: String, asOf: Option[Long] = None): Seq[Long] = {
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_read", versionAsOf = asOf)
+    cat.read(spark, cat.files).select("id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("DV delete drops rows WITHOUT rewriting or moving any data file") {
+    val dir = tmpDir("dv_basic")
+    twoFileTable(dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "dv_pre").files
+      .map(f => f.key -> f.length).toMap
+    val ver = Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    assert(ver === 2L)
+    assert(ids(dir) === ((0L to 2L) ++ (6L to 9L) ++ (100L to 109L)))
+    val after = DeltaCatalog.fromDeltaLog(spark, dir, "dv_post")
+    // same physical files, same sizes — only the log changed
+    assert(after.files.map(f => f.key -> f.length).toMap === before)
+    // only the matching file carries a descriptor
+    assert(after.deletionVectors.size === 1)
+    // time travel to the pre-delete snapshot sees every row
+    assert(ids(dir, Some(1L)).size === 20)
+  }
+
+  test("a second DV delete on the same file MERGES the old vector") {
+    val dir = tmpDir("dv_merge")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 7)")
+    assert(ids(dir) === Seq(0L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_merged")
+    assert(cat.deletionVectors.size === 1)
+    // intermediate version: first delete applied, second not
+    assert(ids(dir, Some(2L)) === ((0L to 2L) ++ (6L to 9L) ++ (100L to 109L)))
+  }
+
+  test("NULL-predicate rows are kept (SQL DELETE semantics)") {
+    val dir = tmpDir("dv_null")
+    Sinks.deltaAppend(
+      Seq((1L, Some(5L)), (2L, Some(20L)), (3L, None), (4L, Some(30L)))
+        .toDF("id", "v"), dir)
+    Sinks.deltaDeleteVectors(spark, dir, "v > 10")
+    assert(ids(dir) === Seq(1L, 3L))
+  }
+
+  test("a predicate matching nothing is a version no-op; pruning skips disjoint files") {
+    val dir = tmpDir("dv_noop")
+    twoFileTable(dir)
+    assert(Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 5000 AND 6000") === 1L)
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "dv_n").deletionVectors.isEmpty)
+    // a delete hitting ONE file's range leaves the other undescribed
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 100 AND 101")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_n2")
+    assert(cat.deletionVectors.size === 1)
+    assert(ids(dir).size === 18)
+  }
+
+  test("copy-on-write rewrites MATERIALIZE the DV and drop the descriptor") {
+    val dir = tmpDir("dv_materialize")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    // a COW delete on the same file reads through the DV, so prior
+    // deletions survive the rewrite and the descriptor disappears
+    Sinks.deltaDeleteWhere(spark, dir, "id = 7")
+    assert(ids(dir) === Seq(0L, 1L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "dv_cow").deletionVectors.isEmpty)
+    // OPTIMIZE reclaims DV'd layouts the same way
+    val dir2 = tmpDir("dv_optimize")
+    twoFileTable(dir2)
+    Sinks.deltaDeleteVectors(spark, dir2, "id <= 107")
+    Sinks.deltaOptimize(spark, dir2, targetBytes = 1L << 30)
+    assert(ids(dir2) === Seq(108L, 109L))
+    assert(DeltaCatalog.fromDeltaLog(spark, dir2, "dv_opt").deletionVectors.isEmpty)
+  }
+
+  test("MERGE on a DV'd file sees only live rows") {
+    val dir = tmpDir("dv_mergeop")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id = 4")
+    // updating a deleted key INSERTS it (it no longer matches a base row)
+    Sinks.deltaMerge(spark, dir, Seq((4L, 999L), (5L, 111L)).toDF("id", "v"), "id")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_m")
+    val rows = cat.read(spark, cat.files).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 20)
+    assert(rows(4L) === 999L && rows(5L) === 111L)
+  }
+
+  test("DVs survive checkpoint + commit cleaning; vacuum GCs superseded batches only") {
+    val dir = tmpDir("dv_checkpoint")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 7)") // supersedes batch 1
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    assert(ids(dir) === Seq(0L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
+    // the first batch is unreferenced now: vacuum reaps it, keeps the live one
+    val dvRoot = java.nio.file.Paths.get(dir, "_dv")
+    assert(Files.list(dvRoot).count() === 2)
+    Sinks.deltaVacuum(spark, dir)
+    assert(Files.list(dvRoot).count() === 1)
+    assert(ids(dir) === Seq(0L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
+  }
+
+  test("RESTORE rolls deletion-vector state back and forward") {
+    val dir = tmpDir("dv_restore")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5") // v2
+    // restore to the pre-delete snapshot: same files, DV must CLEAR
+    val v3 = Sinks.deltaRestore(spark, dir, 1L)
+    assert(v3 === 3L)
+    assert(ids(dir).size === 20)
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "dv_r1").deletionVectors.isEmpty)
+    // and back to the deleted state: the descriptor must RETURN
+    Sinks.deltaRestore(spark, dir, 2L)
+    assert(ids(dir) === ((0L to 2L) ++ (6L to 9L) ++ (100L to 109L)))
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "dv_r2").deletionVectors.size === 1)
+  }
+
+  test("per-version CDF feeds exactly the DV-deleted rows") {
+    val dir = tmpDir("dv_cdf")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5") // v2
+    val feed = Sinks.deltaChangesAt(spark, dir, 2L, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("status"))).toSet
+    assert(feed === Set(3L -> "removed", 4L -> "removed", 5L -> "removed"))
+    // the span variant agrees and labels the version
+    val span = Sinks.deltaChangesBetween(spark, dir, 1L, 2L, Seq("id"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(r.fieldIndex("status"))))
+    assert(span.map(_._1).toSet === Set(2L))
+    assert(span.map(t => t._2 -> t._3).toSet ===
+      Set(3L -> "removed", 4L -> "removed", 5L -> "removed"))
+  }
+
+  test("DV delete on a PARTITIONED table filters only the targeted rows") {
+    val dir = tmpDir("dv_part")
+    Sinks.deltaAppend(
+      (0L until 20L).map(i => (i, i * 2, if (i < 10) "a" else "b"))
+        .toDF("id", "v", "g"), dir, Seq("g"))
+    Sinks.deltaDeleteVectors(spark, dir, "g = 'a' AND id >= 8")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_p")
+    val byG = cat.read(spark, cat.files).groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 8L, "b" -> 10L))
+  }
+}

@@ -97,6 +97,32 @@ class DeltaStatsSpec extends AnyFunSuite {
       "checkpoint-seeded catalogs must prune without footer IO")
   }
 
+  test("multi-part checkpoints round-trip the snapshot and fail loudly on a missing part") {
+    val dir = tmpDir("graft_dcp_parts")
+    writeClustered(dir)
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true, parts = 3)
+    val logFiles = FsUtil.listStatus(spark, s"$dir/_delta_log")
+      .map(_.getPath.getName).filter(_.contains("checkpoint")).sorted
+    assert(logFiles.exists(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")),
+      s"expected multi-part layout, got $logFiles")
+    ZoneMap.clearZoneCache()
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dcp_parts")
+    assert(cat.files.size == 4)
+    assert(cat.read(spark, cat.files).count() === 400L)
+    // pruning still works from checkpoint-carried stats
+    val pruned = ZoneMap.pruneForQuery(spark, cat.schema, cat.files,
+      "SELECT count(*) AS n FROM dcp_parts WHERE id BETWEEN 0 AND 99")
+    assert(pruned.size == 1, s"kept ${pruned.map(_.key)}")
+    // a missing part is a missing SLICE of the live set: loud failure,
+    // never a silently smaller table
+    val part = logFiles.find(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).get
+    FsUtil.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/_delta_log/$part"), false)
+    val e = intercept[graft.model.BuzzException.BadRequest] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "dcp_broken")
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("OPTIMIZE emits fresh stats for rewritten files; RESTORE re-attaches the old ones") {
     val dir = tmpDir("graft_dopt")
     // two tiny appends per id block -> 8 files, optimize compacts to fewer
