@@ -257,6 +257,23 @@ object ScaleProbe {
       }
       report("merge_files_rewritten", scale, mgRewritten, mgSecs)
 
+      // merge-on-read DELETE (deletion vectors) over the SAME table: a
+      // fixed doc_id range deletes the same rows at every scale. Zone
+      // pruning bounds the candidate read to the ~8 intersecting files
+      // and the sidecar write to the matches, so wall must stay ~flat
+      // while the table grows 10× — the no-rewrite primitive's 100 TB
+      // claim. Value = rows actually gone (fixed across scales).
+      val (dvGone, dvSecs) = timed {
+        graft.operators.Sinks.deltaDeleteVectors(
+          spark, mgDir, "doc_id BETWEEN 100 AND 399")
+        val cat = graft.sources.DeltaCatalog.fromDeltaLog(spark, mgDir, "dv_probe")
+        val live = cat.read(spark, cat.files)
+          .filter(col("doc_id").between(100L, 399L)).count()
+        val total = docs.filter(col("doc_id").between(100L, 399L)).count()
+        total - live
+      }
+      report("dv_delete_rows", scale, dvGone, dvSecs)
+
       // pagerank: k disconnected copies of the trade graph (node ids
       // offset per replica). Rounds are FIXED (power iteration), so wall
       // must track the edge count ~linearly — each round is one equi-join

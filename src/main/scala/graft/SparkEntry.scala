@@ -2051,6 +2051,34 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // SHALLOW CLONE: zero-copy table clone (v0 references the source's
+    // files by absolute path), then destructive DML against the CLONE —
+    // the source must still answer in full, proven by the src_docs column
+    // read back from the source AFTER the clone's delete
+    "sink_delta_clone" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_deltaclsrc_" +
+        fixtureKey(dir, "documents")
+      val dst = s"${System.getProperty("java.io.tmpdir")}/graft_deltacldst_" +
+        fixtureKey(dir, "documents")
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id"),
+        src)
+      Sinks.deltaCloneShallow(s, src, dst)
+      Sinks.deltaDeleteWhere(s, dst, "doc_id BETWEEN 100 AND 999")
+      val srcCat = DeltaCatalog.fromDeltaLog(s, src, "clone_src_after")
+      val srcDocs = srcCat.read(s, srcCat.files).count()
+      val cat = DeltaCatalog.fromDeltaLog(s, dst, "delta_clone")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("src_docs", lit(srcDocs))
+    }),
     // ADDITIVE schema evolution: v0 writes (doc_id, n_chars); v1 appends
     // with an extra `lang` column under mergeSchema=true (the commit
     // re-declares the merged schema, same table id); v2 appends rows that
@@ -5188,6 +5216,13 @@ object SparkEntry {
     // the deleted range re-derived: everything outside [100, 999] survives
     "sink_delta_delete_where" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
+        |GROUP BY source""".stripMargin,
+    // zero-copy clone + destructive DML on the clone; src_docs proves the
+    // source still answers in full afterwards
+    "sink_delta_clone" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  (SELECT count(*) FROM documents) AS src_docs
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
         |GROUP BY source""".stripMargin,
     // merge-on-read: both DV commits' predicates, re-derived relationally

@@ -1224,6 +1224,90 @@ object Sinks {
     * production. */
   private[graft] var onBeforePublish: () => Unit = () => ()
 
+  /** SHALLOW CLONE: create `dstPath` as a NEW Delta table whose v0
+    * references the SOURCE's live data files by ABSOLUTE path — zero
+    * bytes of data copied, O(#files) metadata, done in the time of one
+    * log write. The clone carries the source's schemaString verbatim,
+    * its per-file `add.stats` (so data skipping works immediately), and
+    * its deletion-vector descriptors (so merge-on-read deletes carry
+    * over) — but a FRESH table id: the clone is a different table that
+    * happens to start from the same bytes. The dev/test pattern: clone a
+    * 100 TB production table, run destructive experiments against the
+    * clone, throw it away — every write to the clone (append, DML,
+    * OPTIMIZE) is copy-on-write into the CLONE's directory, so the
+    * source is physically untouchable through the clone.
+    *
+    * Caveats (same as the upstream feature): the clone pins the source's
+    * CURRENT snapshot (later source commits don't appear), and a VACUUM
+    * on the SOURCE can reap files the clone still references once the
+    * source itself stops referencing them — cloned tables share the
+    * source's retention fate. The clone's own VACUUM never deletes
+    * source files (membership is decided under the clone's root).
+    * Returns the clone's version (always 0). */
+  def deltaCloneShallow(
+      spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val srcLog = s"$srcPath/_delta_log"
+    val dstLog = s"$dstPath/_delta_log"
+    if (DeltaCatalog.latestVersion(spark, dstLog) >= 0)
+      throw new BuzzException.BadRequest(
+        s"clone destination $dstPath is already a delta table")
+    val snapVer = DeltaCatalog.latestVersion(spark, srcLog)
+    if (snapVer < 0)
+      throw new BuzzException.BadRequest(s"no delta table at $srcPath")
+    val asOf = Some(snapVer)
+    val live = DeltaCatalog.liveRawAt(spark, srcPath, asOf)
+    val stats = DeltaCatalog.statsByRaw(spark, srcPath, asOf)
+    val dvs = DeltaCatalog.dvsByRaw(spark, srcPath, asOf)
+    val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__clone_src",
+      versionAsOf = asOf)
+    val schemaJson = DeltaCatalog.storedSchema(spark, srcPath)
+      .map(_.json)
+      .getOrElse(throw new BuzzException.BadRequest(
+        s"no metaData action in $srcPath"))
+    def absUri(rel: String): String =
+      new Path(srcPath, DeltaCatalog.decodePath(rel)).toUri.toString
+    val adds: Seq[JValue] = live.toSeq.sortBy(_._1).map { case (raw, (size, pv)) =>
+      val base: List[(String, JValue)] = List(
+        "path" -> JString(absUri(raw)),
+        "size" -> JLong(size),
+        "partitionValues" -> JObject(pv.map { case (k, v) =>
+          k -> (JString(v): JValue) }.toList),
+        "dataChange" -> JBool(true))
+      val withStats = stats.get(raw)
+        .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+      val fields = dvs.get(raw).fold(withStats)(dv =>
+        withStats :+ ("deletionVector" -> (JObject(
+          "storageType" -> JString("p"),
+          "pathOrInlineDv" -> JString(absUri(dv)),
+          "cardinality" -> JLong(-1L)): JValue)))
+      JObject("add" -> JObject(fields))
+    }
+    val actions: Seq[JValue] =
+      JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
+      JObject("metaData" -> JObject(
+        // a FRESH id: the clone is a new table, not the source's history
+        "id" -> JString(java.util.UUID.randomUUID.toString),
+        "format" -> JObject("provider" -> JString("parquet")),
+        "schemaString" -> JString(schemaJson),
+        "partitionColumns" -> JArray(
+          srcCat.partitionColumns.map(JString(_): JValue).toList))) ::
+      adds.toList
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    FsUtil.fs(spark, dstPath).mkdirs(new Path(dstLog))
+    if (!FsUtil.publishCommit(spark, dstLog, 0L, body))
+      throw new BuzzException.ExecutionError(
+        s"clone lost the v0 race under $dstLog — destination created concurrently")
+    0L
+  }
+
   /** Row-level DELETE WHERE: rewrite — as ONE commit — only the files
     * that can possibly hold a matching row, dropping the rows where
     * `predicateSql` is TRUE (NULL predicate rows are KEPT, SQL DELETE

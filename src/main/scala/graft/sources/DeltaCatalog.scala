@@ -438,7 +438,7 @@ object DeltaCatalog {
     // deletion vectors, keyed by the same absolute key `files` carries
     val dvByKey = state.dvs.toMap.map { case (raw, dvRel) =>
       new Path(tablePath, decodePath(raw)).toString ->
-        new Path(tablePath, dvRel).toString
+        new Path(tablePath, decodePath(dvRel)).toString
     }
     // missingNullableOk: schema evolution means pre-evolution files lack
     // later-added nullable columns — the strict verifier must tolerate that
@@ -497,9 +497,15 @@ object DeltaCatalog {
     * looked up and the scan fails. Falls back to the raw string for paths
     * that do not parse as URIs. */
   private[graft] def decodePath(p: String): String =
-    try new java.net.URI(p).getPath match {
-      case null => p
-      case d    => d
+    try {
+      val u = new java.net.URI(p)
+      // an ABSOLUTE URI (shallow-clone references live outside the table
+      // root) keeps its scheme/authority — getPath alone would strip them
+      if (u.getScheme != null) new Path(u).toString
+      else u.getPath match {
+        case null => p
+        case d    => d
+      }
     }
     catch { case _: java.net.URISyntaxException => p }
 
