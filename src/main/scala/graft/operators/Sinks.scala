@@ -1204,6 +1204,24 @@ object Sinks {
           s"$opName conflicts with a concurrent commit: ${gone.size} of its " +
             s"input files are no longer live (e.g. ${gone.head}) — rerun " +
             "against the current snapshot")
+      // still-live is NOT enough once deletion vectors exist: a concurrent
+      // DV delete re-adds an input file AT ITS OWN PATH with a new
+      // descriptor, and blindly re-committing would replace that
+      // descriptor with this rewrite's view of the file — resurrecting
+      // the concurrent delete's rows. Any input whose DV changed since
+      // the snapshot conflicts.
+      val dvNow = DeltaCatalog.dvsByRaw(spark, tablePath, None)
+      lazy val dvAtSnapshot =
+        if (snapshotVersion < 0) Map.empty[String, String]
+        else DeltaCatalog.dvsByRaw(spark, tablePath, Some(snapshotVersion))
+      val dvDrift = removedRaws.filter(raw =>
+        dvNow.get(raw) != dvAtSnapshot.get(raw))
+      if (dvDrift.nonEmpty)
+        throw new BuzzException.ExecutionError(
+          s"$opName conflicts with a concurrent commit: ${dvDrift.size} of " +
+            s"its input files changed deletion-vector state since snapshot " +
+            s"v$snapshotVersion (e.g. ${dvDrift.head}) — rerun against the " +
+            "current snapshot")
       val appended = liveNow.view.filterKeys(!liveAtSnapshot.contains(_)).toMap
       val conflicting = concurrentAddConflicts(appended)
       if (conflicting.nonEmpty)

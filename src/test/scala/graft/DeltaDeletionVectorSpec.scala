@@ -158,6 +158,48 @@ class DeltaDeletionVectorSpec extends AnyFunSuite {
       Set(3L -> "removed", 4L -> "removed", 5L -> "removed"))
   }
 
+  test("concurrent DV deletes of the same file conflict instead of losing rows") {
+    // still-live alone can't catch this: the racing DV delete re-adds the
+    // SAME path, so the loser must detect the descriptor CHANGE — blindly
+    // re-committing would replace the winner's DV and resurrect its rows
+    val dir = tmpDir("dv_race")
+    twoFileTable(dir)
+    Sinks.onBeforePublish =
+      () => {
+        val hook = Sinks.onBeforePublish
+        Sinks.onBeforePublish = () => () // the inner delete publishes plainly
+        try Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 2)")
+        finally Sinks.onBeforePublish = hook
+      }
+    try {
+      val e = intercept[graft.model.BuzzException.ExecutionError] {
+        Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+      }
+      assert(e.getMessage.contains("deletion-vector state"))
+    } finally Sinks.onBeforePublish = () => ()
+    // the winner's deletions survived; the loser committed nothing
+    assert(ids(dir) === ((0L +: (3L to 9L)) ++ (100L to 109L)))
+  }
+
+  test("OPTIMIZE loses loudly to a concurrent DV delete of its input") {
+    val dir = tmpDir("dv_optrace")
+    twoFileTable(dir)
+    Sinks.onBeforePublish =
+      () => {
+        val hook = Sinks.onBeforePublish
+        Sinks.onBeforePublish = () => ()
+        try Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 2)")
+        finally Sinks.onBeforePublish = hook
+      }
+    try {
+      val e = intercept[graft.model.BuzzException.ExecutionError] {
+        Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)
+      }
+      assert(e.getMessage.contains("deletion-vector state"))
+    } finally Sinks.onBeforePublish = () => ()
+    assert(ids(dir) === ((0L +: (3L to 9L)) ++ (100L to 109L)))
+  }
+
   test("DV delete on a PARTITIONED table filters only the targeted rows") {
     val dir = tmpDir("dv_part")
     Sinks.deltaAppend(
