@@ -2051,6 +2051,34 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // Incremental table-to-table SYNC: snapshot first, then only the new
+    // commits' files, exactly-once via the SetTransaction watermark — a
+    // replayed sync lands nothing twice, an OPTIMIZE between syncs ships
+    // nothing (bytes moved, not facts). The read-back must equal the
+    // source's full fact state
+    "sink_delta_sync" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_deltasysrc_" +
+        fixtureKey(dir, "documents")
+      val dst = s"${System.getProperty("java.io.tmpdir")}/graft_deltasydst_" +
+        fixtureKey(dir, "documents")
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), src)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), src)
+      Sinks.deltaSync(s, src, dst, "graft_tail") // snapshot (commits 0-1)
+      Sinks.deltaOptimize(s, src, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), src)
+      Sinks.deltaSync(s, src, dst, "graft_tail") // increment, optimize skipped
+      Sinks.deltaSync(s, src, dst, "graft_tail") // crash-replay: no dup
+      val cat = DeltaCatalog.fromDeltaLog(s, dst, "delta_sync")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // SHALLOW CLONE: zero-copy table clone (v0 references the source's
     // files by absolute path), then destructive DML against the CLONE —
     // the source must still answer in full, proven by the src_docs column
@@ -5218,6 +5246,11 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
         |GROUP BY source""".stripMargin,
+    // sync ships every fact exactly once: snapshot + increment, replay
+    // and compaction land nothing extra
+    "sink_delta_sync" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
     // zero-copy clone + destructive DML on the clone; src_docs proves the
     // source still answers in full afterwards
     "sink_delta_clone" ->

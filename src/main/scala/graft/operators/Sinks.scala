@@ -562,7 +562,8 @@ object Sinks {
       keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import graft.sources.DeltaCatalog
     require(version >= 0, s"version must be >= 0, got $version")
-    val (adds, removes, _) = parseCommitActions(spark, tablePath, version)
+    val (adds, rawRemoves, _) = parseCommitActions(spark, tablePath, version)
+    val removes = rawRemoves.map(_._1)
     val cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, s"__cdf_v$version", versionAsOf = Some(version))
     // partition values (and DV state) of removed files live in the
@@ -582,7 +583,8 @@ object Sinks {
     * log replay. */
   private def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
-      : (Seq[(String, Long, Map[String, String], Option[String])], Seq[String], Boolean) = {
+      : (Seq[(String, Long, Map[String, String], Option[String], Boolean)],
+         Seq[(String, Boolean)], Boolean) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     import graft.sources.FsUtil
@@ -591,9 +593,9 @@ object Sinks {
     if (!FsUtil.exists(spark, commitPath))
       throw new BuzzException.BadRequest(
         s"commit $version does not exist under $tablePath/_delta_log")
-    val adds =
-      scala.collection.mutable.ListBuffer[(String, Long, Map[String, String], Option[String])]()
-    val removes = scala.collection.mutable.ListBuffer[String]()
+    val adds = scala.collection.mutable
+      .ListBuffer[(String, Long, Map[String, String], Option[String], Boolean)]()
+    val removes = scala.collection.mutable.ListBuffer[(String, Boolean)]()
     var metaChanged = false
     FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).foreach { line =>
       val v = JsonMethods.parse(line)
@@ -613,12 +615,21 @@ object Sinks {
             case JString(d) if d.nonEmpty => Some(d)
             case _                        => None
           }
-          adds += ((raw, size, pv, dv))
+          val dc = v \ "add" \ "dataChange" match {
+            case JBool(b) => b
+            case _        => true // absent dataChange is a fact change
+          }
+          adds += ((raw, size, pv, dv, dc))
         case _ => ()
       }
       v \ "remove" match {
-        case JObject(_) => removes += (v \ "remove" \ "path").asInstanceOf[JString].s
-        case _          => ()
+        case JObject(_) =>
+          val dc = v \ "remove" \ "dataChange" match {
+            case JBool(b) => b
+            case _        => true
+          }
+          removes += (((v \ "remove" \ "path").asInstanceOf[JString].s, dc))
+        case _ => ()
       }
       v \ "metaData" match {
         case JObject(_) => metaChanged = true
@@ -636,7 +647,7 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long,
       keyCols: Seq[String], compareCols: Seq[String],
       cat: graft.sources.StaticCatalog,
-      adds: Seq[(String, Long, Map[String, String], Option[String])],
+      adds: Seq[(String, Long, Map[String, String], Option[String], Boolean)],
       removes: Seq[String],
       pre: Map[String, (Long, Map[String, String])],
       preDvs: Map[String, String]): org.apache.spark.sql.DataFrame = {
@@ -652,11 +663,11 @@ object Sinks {
     // commit's descriptors, removes under the pre-commit state — a DV
     // delete (remove+re-add of the same path) then feeds exactly the
     // newly-deleted rows, instead of a spuriously empty diff
-    val addDvs = adds.collect { case (raw, _, _, Some(dv)) =>
-      abs(raw) -> new Path(tablePath, dv).toString
+    val addDvs = adds.collect { case (raw, _, _, Some(dv), _) =>
+      abs(raw) -> new Path(tablePath, DeltaCatalog.decodePath(dv)).toString
     }.toMap
     val addedRows = cat.withDeletionVectors(addDvs).read(
-      spark, adds.map { case (raw, size, pv, _) => sized(raw, size, pv) })
+      spark, adds.map { case (raw, size, pv, _, _) => sized(raw, size, pv) })
     val remDvs = removes.flatMap(raw => preDvs.get(raw).map(dv =>
       abs(raw) -> new Path(tablePath, dv).toString)).toMap
     val remCat = cat.withDeletionVectors(remDvs)
@@ -695,7 +706,8 @@ object Sinks {
     var cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, "__cdf_span", versionAsOf = Some(vFrom))
     ((vFrom + 1) to vTo).map { v =>
-      val (adds, removes, metaChanged) = parseCommitActions(spark, tablePath, v)
+      val (adds, rawRemoves, metaChanged) = parseCommitActions(spark, tablePath, v)
+      val removes = rawRemoves.map(_._1)
       if (metaChanged)
         cat = DeltaCatalog.fromDeltaLog(
           spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
@@ -704,10 +716,11 @@ object Sinks {
       val df = changesFromActions(
         spark, tablePath, v, keyCols, compareCols, cat, adds, removes, live, liveDvs)
       live = live -- removes ++
-        adds.map { case (raw, size, pv, _) => raw -> ((size, pv)) }
+        adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) }
       // an add without a descriptor CLEARS its file's DV, like replay does
-      liveDvs = liveDvs -- removes -- adds.collect { case (raw, _, _, None) => raw } ++
-        adds.collect { case (raw, _, _, Some(dv)) => raw -> dv }
+      liveDvs = liveDvs -- removes --
+        adds.collect { case (raw, _, _, None, _) => raw } ++
+        adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv }
       df.select(org.apache.spark.sql.functions.lit(v).as("version"),
         org.apache.spark.sql.functions.col("*"))
     }.reduce(_.unionAll(_))
@@ -1241,6 +1254,78 @@ object Sinks {
     * concurrent commit between snapshot read and publish. No-op in
     * production. */
   private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Incremental table-to-table SYNC with exactly-once resume — the
+    * Delta streaming-source contract as one idempotent batch call.
+    * Each invocation reads the source commits SINCE THE LAST SYNC and
+    * appends their added rows to `dstPath` as ONE transactional commit
+    * stamped with SetTransaction `(appId, srcHeadVersion)`; the stamp is
+    * the resume watermark, so a crashed or replayed sync re-lands
+    * nothing (deltaAppend's txn idempotence) and the next call continues
+    * from where the last one actually COMMITTED. The first sync ships
+    * the source's full current snapshot (deletion vectors applied);
+    * later syncs read ONLY the new commits' files — IO tracks the delta,
+    * never the table, which is what makes hourly syncs of a 100 TB
+    * source viable.
+    *
+    * Commit-class semantics (upstream's streaming source, same rules):
+    * `dataChange=false` commits (OPTIMIZE/ZORDER — bytes moved, not
+    * facts) are SKIPPED; a `dataChange=true` remove (row-level DML,
+    * partition delete, DV delete, RESTORE) fails loudly — an append-only
+    * feed cannot express a retraction; re-clone or feed from
+    * [[deltaChangesBetween]] instead. Schema evolution mid-span is fine:
+    * rows are read under the source's HEAD schema (absent nullable
+    * columns read as null) and the destination evolves additively.
+    * Returns the destination's committed version (unchanged when the
+    * source has nothing new). */
+  def deltaSync(
+      spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String, appId: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, SizedFile}
+    import graft.model.BuzzException
+    val srcLog = s"$srcPath/_delta_log"
+    val dstLog = s"$dstPath/_delta_log"
+    val head = DeltaCatalog.latestVersion(spark, srcLog)
+    if (head < 0)
+      throw new BuzzException.BadRequest(s"no delta table at $srcPath")
+    val applied: Long =
+      if (DeltaCatalog.latestVersion(spark, dstLog) < 0) -1L
+      else DeltaCatalog.lastTxnVersion(spark, dstPath, appId).getOrElse(-1L)
+    if (applied >= head) return DeltaCatalog.latestVersion(spark, dstLog)
+    val cat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__sync_src",
+      versionAsOf = Some(head))
+    val batch: DataFrame =
+      if (applied < 0) {
+        // first sync: the full snapshot, deletion vectors applied
+        cat.read(spark, cat.files)
+      } else {
+        // incremental: the fact-adding files of (applied, head]
+        val spanAdds = ((applied + 1) to head).flatMap { v =>
+          val (adds, removes, _) = parseCommitActions(spark, srcPath, v)
+          val retractions = removes.filter(_._2)
+          if (retractions.nonEmpty)
+            throw new BuzzException.BadRequest(
+              s"sync($appId): source commit $v retracts " +
+                s"${retractions.size} file(s) (e.g. ${retractions.head._1}) — " +
+                "an append-only sync cannot express row removal; re-clone " +
+                "the source or consume deltaChangesBetween instead")
+          adds.collect { case (raw, size, pv, dv, true) =>
+            if (dv.isDefined)
+              throw new BuzzException.BadRequest(
+                s"sync($appId): source commit $v adds a deletion-vectored " +
+                  "file — append-only sync cannot express row removal")
+            SizedFile(
+              new Path(srcPath, DeltaCatalog.decodePath(raw)).toString, size,
+              cat.partitionColumns.map(c =>
+                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+          }
+        }
+        cat.read(spark, spanAdds)
+      }
+    deltaAppend(batch, dstPath, cat.partitionColumns,
+      txn = Some((appId, head)), mergeSchema = true)
+  }
 
   /** SHALLOW CLONE: create `dstPath` as a NEW Delta table whose v0
     * references the SOURCE's live data files by ABSOLUTE path — zero
