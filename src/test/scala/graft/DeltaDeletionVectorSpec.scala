@@ -200,6 +200,45 @@ class DeltaDeletionVectorSpec extends AnyFunSuite {
     assert(ids(dir) === ((0L +: (3L to 9L)) ++ (100L to 109L)))
   }
 
+  test("racing appends and retried DV deletes never lose appends or resurrect rows") {
+    val dir = tmpDir("dv_stress")
+    Sinks.deltaAppend(
+      (0L until 40L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), dir)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    // three appenders land disjoint high ranges while a deleter DV-drops
+    // a fixed low range, retrying on legitimate conflict aborts — the
+    // caller-visible contract is "rerun against the current snapshot"
+    val appenders = (0 until 3).map { t =>
+      thread {
+        (0 until 3).foreach { i =>
+          Sinks.deltaAppend(
+            Seq((1000L + t * 10 + i, 1L)).toDF("id", "v").coalesce(1), dir)
+        }
+      }
+    }
+    val deleter = thread {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 30) {
+        attempts += 1
+        try { Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 10 AND 19"); done = true }
+        catch { case _: graft.model.BuzzException.ExecutionError => Thread.sleep(50) }
+      }
+      if (!done) throw new IllegalStateException("DV delete never won in 30 attempts")
+    }
+    (appenders :+ deleter).foreach(_.join(120000))
+    assert(failures.isEmpty, s"racing writer failed: ${Option(failures.peek())}")
+    val got = ids(dir).toSet
+    val expected = (0L until 40L).toSet -- (10L to 19L) ++
+      (for (t <- 0 until 3; i <- 0 until 3) yield 1000L + t * 10 + i)
+    assert(got === expected)
+  }
+
   test("DV delete on a PARTITIONED table filters only the targeted rows") {
     val dir = tmpDir("dv_part")
     Sinks.deltaAppend(
