@@ -274,6 +274,38 @@ object ScaleProbe {
       }
       report("dv_delete_rows", scale, dvGone, dvSecs)
 
+      // shallow clone of the same table: zero data IO, O(#files) metadata
+      // — wall tracks file count (8×scale here), never bytes
+      val cloneDst = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_clone_$scale").toString
+      val (cloneFiles, cloneSecs) = timed {
+        graft.operators.Sinks.deltaCloneShallow(spark, mgDir, cloneDst)
+        graft.sources.DeltaCatalog.fromDeltaLog(spark, cloneDst, "cl_probe")
+          .files.size.toLong
+      }
+      report("clone_files", scale, cloneFiles, cloneSecs)
+
+      // incremental sync: after the (table-sized, untimed) snapshot sync,
+      // a FIXED-SIZE append ships as the increment — wall must track the
+      // delta, not the 10× table
+      val syncDst = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_sync_$scale").toString
+      graft.operators.Sinks.deltaSync(spark, mgDir, syncDst, "probe_tail")
+      graft.operators.Sinks.deltaAppend(
+        docs.filter(col("doc_id") < 100L)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            lit(1L).as("n_chars")).coalesce(1), mgDir)
+      val syPre = graft.sources.DeltaCatalog.fromDeltaLog(spark, syncDst, "sy_pre")
+      val syPreN = syPre.read(spark, syPre.files).count()
+      // timed: the increment sync alone (counts bracket it untimed — a
+      // table-sized count inside the timer would hide the delta-sized wall)
+      val (_, syncSecs) = timed {
+        graft.operators.Sinks.deltaSync(spark, mgDir, syncDst, "probe_tail")
+      }
+      val syPost = graft.sources.DeltaCatalog.fromDeltaLog(spark, syncDst, "sy_post")
+      val syncRows = syPost.read(spark, syPost.files).count() - syPreN
+      report("sync_increment_rows", scale, syncRows, syncSecs)
+
       // pagerank: k disconnected copies of the trade graph (node ids
       // offset per replica). Rounds are FIXED (power iteration), so wall
       // must track the edge count ~linearly — each round is one equi-join
