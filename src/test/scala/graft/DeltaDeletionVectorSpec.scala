@@ -200,6 +200,45 @@ class DeltaDeletionVectorSpec extends AnyFunSuite {
     assert(ids(dir) === ((0L +: (3L to 9L)) ++ (100L to 109L)))
   }
 
+  test("DV delete is row-equivalent to copy-on-write delete across predicate shapes") {
+    // same table, same predicate, both delete paths — read-back must agree
+    // exactly; the only difference is the write shape (sidecar vs rewrite)
+    val preds = Seq(
+      "id BETWEEN 3 AND 5", "v > 10", "id % 3 = 0",
+      "id < 0", "id >= 0", "v IS NULL OR id = 2")
+    preds.foreach { p =>
+      val cow = tmpDir("dv_equiv_cow")
+      val dv = tmpDir("dv_equiv_dv")
+      val data = Seq(
+        (0L, Some(5L)), (1L, None), (2L, Some(20L)), (3L, Some(7L)),
+        (4L, Some(0L)), (5L, Some(100L)), (6L, None), (7L, Some(14L)))
+        .toDF("id", "v")
+      Seq(cow, dv).foreach(d => Sinks.deltaAppend(
+        data.repartitionByRange(3, col("id")).sortWithinPartitions("id"), d))
+      Sinks.deltaDeleteWhere(spark, cow, p)
+      Sinks.deltaDeleteVectors(spark, dv, p)
+      def state(d: String): Set[(Long, Option[Long])] = {
+        val cat = DeltaCatalog.fromDeltaLog(spark, d, "equiv")
+        cat.read(spark, cat.files).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toSet
+      }
+      assert(state(dv) === state(cow), s"divergence under predicate '$p'")
+    }
+  }
+
+  test("scan filter pushdown survives the DV anti-join") {
+    val dir = tmpDir("dv_pushdown")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id = 4")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dv_plan")
+    val plan = cat.read(spark, cat.files).filter(col("v") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThan(v,100)"),
+      s"user filter not pushed into the DV'd scan:\n$plan")
+  }
+
   test("racing appends and retried DV deletes never lose appends or resurrect rows") {
     val dir = tmpDir("dv_stress")
     Sinks.deltaAppend(
