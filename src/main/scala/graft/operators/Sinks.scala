@@ -836,18 +836,65 @@ object Sinks {
     * behind). This is the retention decision that TRADES time travel for
     * space — versions whose files are vacuumed fail at read time — so it
     * is a separate call, never bundled into optimize. Staged (dot-prefix)
-    * directories are reaped too. Returns the number of files deleted. */
+    * directories are reaped too.
+    *
+    * `retainMs` is the protocol's `RETAIN N HOURS` guard: an unreferenced
+    * file is deleted only once its tombstone (`remove.deletionTimestamp`
+    * from the log; file mtime when history was checkpoint-cleaned) is at
+    * least that old — protecting in-flight readers of a recent snapshot
+    * and the time-travel window. The default 0 reclaims immediately
+    * (single-writer test/dev semantics); production tables should pass
+    * the upstream default of 7 days. Returns the number of files
+    * deleted. */
   def deltaVacuum(
-      spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      retainMs: Long = 0L): Long = {
     import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     import graft.sources.{DeltaCatalog, FsUtil}
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
+    val cutoff = System.currentTimeMillis() - retainMs
+    // tombstone age from the log itself: one pass over the commit JSONs,
+    // newest remove per path wins. History cleaned past a checkpoint
+    // loses its tombstones — those files date by mtime below.
+    val tombstones0: Map[String, Long] =
+      if (retainMs == 0L) Map.empty // cutoff = now: every candidate is old enough
+      else {
+        val CommitName = raw"(\d{20})\.json".r
+        val ts = scala.collection.mutable.HashMap[String, Long]()
+        FsUtil.listStatus(spark, s"$tablePath/_delta_log")
+          .filter(st => CommitName.pattern.matcher(st.getPath.getName).matches())
+          .sortBy(_.getPath.getName)
+          .foreach { st =>
+            FsUtil.readString(spark, st.getPath.toString).linesIterator
+              .filter(_.nonEmpty).foreach { line =>
+                val v = JsonMethods.parse(line)
+                (v \ "remove" \ "path", v \ "remove" \ "deletionTimestamp") match {
+                  case (JString(p), JInt(t)) =>
+                    ts(new Path(tablePath, DeltaCatalog.decodePath(p)).toString) = t.toLong
+                  case (JString(p), JLong(t)) =>
+                    ts(new Path(tablePath, DeltaCatalog.decodePath(p)).toString) = t
+                  case _ => ()
+                }
+              }
+          }
+        ts.toMap
+      }
     // membership is decided on fully-QUALIFIED absolute paths — the same
     // derivation reads use — never on re-derived relative strings, whose
     // escape/decode round-trip desyncs for escaped partition values (and
     // would then delete the CURRENT snapshot's files)
     def qual(p: String): String = fsys.makeQualified(new Path(p)).toString
+    val tombstones = tombstones0.map { case (k, v) => qual(k) -> v }
+    def oldEnough(p: Path): Boolean =
+      retainMs == 0L || {
+        val ts = tombstones.getOrElse(
+          qual(p.toString), fsys.getFileStatus(p).getModificationTime)
+        ts <= cutoff
+      }
     val live = cat.files.map(f => qual(f.key)).toSet
     // abort if any live file is not where the snapshot says it is: the
     // log↔disk mapping is broken (encoding drift, partial copy) and any
@@ -864,10 +911,12 @@ object Sinks {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name == "_delta_log" || name == "_dv") () // sidecars GC'd below
-          else if (name.startsWith(".")) { fsys.delete(st.getPath, true); deleted += 1 }
-          else walk(st.getPath)
+          else if (name.startsWith(".") && oldEnough(st.getPath)) {
+            fsys.delete(st.getPath, true); deleted += 1
+          } else if (!name.startsWith(".")) walk(st.getPath)
         } else if (name.endsWith(".parquet") &&
-            !live.contains(qual(st.getPath.toString))) {
+            !live.contains(qual(st.getPath.toString)) &&
+            oldEnough(st.getPath)) {
           fsys.delete(st.getPath, false)
           deleted += 1
         }
@@ -881,7 +930,8 @@ object Sinks {
     if (fsys.exists(dvRoot)) {
       val referenced = cat.deletionVectors.values.map(qual).toSet
       fsys.listStatus(dvRoot).foreach { st =>
-        if (!referenced.contains(qual(st.getPath.toString))) {
+        if (!referenced.contains(qual(st.getPath.toString)) &&
+            oldEnough(st.getPath)) {
           fsys.delete(st.getPath, true)
           deleted += 1
         }

@@ -179,6 +179,30 @@ class DeltaConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent append"))
   }
 
+  test("VACUUM retention keeps young tombstones; expiry reclaims them") {
+    val dir = tmpDir("vacuum_retain")
+    twoFileTable(dir)
+    Sinks.deltaDeleteWhere(spark, dir, "id <= 9") // tombstones the low file
+    // young tombstone + 1h retention: nothing reclaimed, travel still works
+    assert(Sinks.deltaVacuum(spark, dir, retainMs = 3600L * 1000) === 0L)
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "vr_tt", versionAsOf = Some(1L))
+    assert(pre.read(spark, pre.files).count() === 20L)
+    // age the tombstone past the window by rewriting the commit's
+    // deletionTimestamp (the log is the clock VACUUM trusts)
+    val commit2 = java.nio.file.Paths.get(s"$dir/_delta_log/00000000000000000002.json")
+    val aged = java.util.regex.Pattern
+      .compile("\"deletionTimestamp\":\\d+")
+      .matcher(Files.readString(commit2))
+      .replaceAll("\"deletionTimestamp\":1000")
+    Files.writeString(commit2, aged)
+    Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_delta_log/.00000000000000000002.json.crc"))
+    assert(Sinks.deltaVacuum(spark, dir, retainMs = 3600L * 1000) === 1L)
+    // the current snapshot is intact; the tombstoned version is gone
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "vr_post")
+    assert(cat.read(spark, cat.files).count() === 10L)
+  }
+
   test("stale-lock breaking is an ATOMIC take: exactly one same-version commit wins") {
     val logDir = tmpDir("lock_race") + "/_delta_log"
     Files.createDirectories(Paths.get(logDir))
