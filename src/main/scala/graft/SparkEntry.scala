@@ -664,6 +664,35 @@ object SparkEntry {
         capacity = BuzzCapacity(1),
         catalogs = Seq(BuzzCatalogRef("delta_nation", "DeltaLake", tbl))))
     }),
+    // Deletion vectors through the two-stage JSON API: the HBee map stage
+    // scans a Delta table carrying a merge-on-read DELETE — the catalog
+    // read anti-joins the sidecar out BEFORE the map SQL sees a row, so
+    // the reference's query model needs zero changes to serve DV tables
+    "q_delta_dv_2stage" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_delta_dv2s_" +
+        fixtureKey(dir, "nation")
+      FsUtil.fs(s, tbl).delete(new org.apache.hadoop.fs.Path(tbl), true)
+      Sinks.deltaAppend(
+        t(s, dir, "nation").select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey").cast("string").as("n_regionkey")),
+        tbl, Seq("n_regionkey"))
+      Sinks.deltaDeleteVectors(s, tbl, "n_nationkey % 2 = 1")
+      val engine = new BuzzEngine(Map.empty)
+      engine.run(s, BuzzQuery(
+        steps = Seq(
+          BuzzStep(
+            "SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey) AS snk " +
+              "FROM delta_nation GROUP BY n_regionkey",
+            "nation_map", BuzzStepType.HBee, None),
+          BuzzStep(
+            "SELECT n_regionkey, sum(cnt) AS n_even, sum(snk) AS sum_nk " +
+              "FROM nation_map GROUP BY n_regionkey",
+            "r", BuzzStepType.HComb, None)),
+        capacity = BuzzCapacity(1),
+        catalogs = Seq(BuzzCatalogRef("delta_nation", "DeltaLake", tbl))))
+    }),
     // Delta TIME TRAVEL through the JSON API: a v3 commit removes the last
     // partition's file, so the LATEST snapshot is missing region 4 — the
     // oracle (the full-table aggregate) passes ONLY if version_as_of = 2
@@ -3536,6 +3565,12 @@ object SparkEntry {
       """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
         |FROM nation WHERE CAST(n_regionkey AS VARCHAR) <= '2'
+        |GROUP BY 1""".stripMargin,
+    // the DV'd rows (odd nationkeys) must be invisible to the map stage
+    "q_delta_dv_2stage" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n_even,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
+        |FROM nation WHERE n_nationkey % 2 = 0
         |GROUP BY 1""".stripMargin,
     "q27_delta_time_travel" ->
       """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n,
