@@ -1976,7 +1976,7 @@ object SparkEntry {
       FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("n_chars"), col("source"))
-      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       Sinks.deltaAppend(docs.filter(col("doc_id") <= mid), out, Seq("source"))
       Sinks.deltaAppend(docs.filter(col("doc_id") > mid), out, Seq("source"))
       val hits = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)

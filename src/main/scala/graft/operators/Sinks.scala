@@ -1010,7 +1010,7 @@ object Sinks {
     val kstat = ch.agg(
       count(lit(1)), countDistinct(col(keyCol)),
       count(when(col(keyCol).isNull, 1)),
-      min(col(keyCol)), max(col(keyCol))).head
+      min(col(keyCol)), max(col(keyCol))).head()
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
         s"merge changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
