@@ -821,9 +821,16 @@ object Sinks {
       else s"""{"version":$version,"size":${rows.size},"parts":$n}""")
     if (cleanCommits) {
       val CommitName = raw"(\d{20})\.json".r
+      // superseded checkpoints go with their commits: `_last_checkpoint`
+      // names exactly one checkpoint, so older ones are pure debris (and
+      // at a checkpoint-per-day cadence on a 100 TB table they dominate
+      // _delta_log's footprint within weeks)
+      val OldCheckpoint = raw"(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet".r
       FsUtil.listStatus(spark, logDir).foreach { st =>
         st.getPath.getName match {
           case CommitName(v) if v.toLong <= version => fsys.delete(st.getPath, false)
+          case OldCheckpoint(v, _) if v.toLong < version =>
+            fsys.delete(st.getPath, false)
           case _ =>
         }
       }

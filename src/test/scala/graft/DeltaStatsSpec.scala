@@ -97,6 +97,21 @@ class DeltaStatsSpec extends AnyFunSuite {
       "checkpoint-seeded catalogs must prune without footer IO")
   }
 
+  test("a newer checkpoint with cleanCommits reaps superseded checkpoint files") {
+    val dir = tmpDir("graft_dcp_gc")
+    writeClustered(dir)
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)           // v0 cp
+    Sinks.deltaAppend(
+      (1000L until 1010L).map(i => (i, i, "w9", i.toDouble))
+        .toDF("id", "v", "tag", "x").coalesce(1), dir)
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true, parts = 2) // v1 cp
+    val cps = FsUtil.listStatus(spark, s"$dir/_delta_log")
+      .map(_.getPath.getName).filter(_.contains("checkpoint.")).sorted
+    assert(cps.forall(_.startsWith(f"${1L}%020d")), s"stale checkpoints survive: $cps")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "dcp_gc")
+    assert(cat.read(spark, cat.files).count() === 410L)
+  }
+
   test("multi-part checkpoints round-trip the snapshot and fail loudly on a missing part") {
     val dir = tmpDir("graft_dcp_parts")
     writeClustered(dir)
