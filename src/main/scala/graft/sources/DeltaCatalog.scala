@@ -345,8 +345,42 @@ object DeltaCatalog {
     }
   }
 
-  /** Apply one JSON commit action (metaData / add / remove) to the state. */
+  /** The highest Delta reader protocol version this engine implements:
+    * v1 (basic log replay) plus the v2/v3 features it actually supports
+    * (deletion vectors as add-action descriptors). A table demanding a
+    * higher minReaderVersion — or a v3 readerFeatures set containing
+    * anything beyond deletionVectors — must fail LOUDLY: silently
+    * replaying a log whose semantics we don't implement (column mapping,
+    * type widening, ...) would return wrong data, not degraded data. */
+  private val MaxReaderVersion = 3L
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  /** Apply one JSON commit action (protocol / metaData / add / remove /
+    * txn) to the state. */
   private def applyAction(v: JValue, state: State): Unit = {
+    v \ "protocol" match {
+      case JNothing =>
+      case p =>
+        val minReader = p \ "minReaderVersion" match {
+          case JInt(x)  => x.toLong
+          case JLong(x) => x
+          case _        => 1L
+        }
+        if (minReader > MaxReaderVersion)
+          throw new BuzzException.NotImplemented(
+            s"table requires Delta reader protocol $minReader; this engine " +
+              s"implements up to $MaxReaderVersion")
+        p \ "readerFeatures" match {
+          case JArray(fs) =>
+            val requested = fs.collect { case JString(f) => f }.toSet
+            val unsupported = requested -- SupportedReaderFeatures
+            if (unsupported.nonEmpty)
+              throw new BuzzException.NotImplemented(
+                s"table requires unsupported Delta reader feature(s): " +
+                  s"${unsupported.toSeq.sorted.mkString(", ")}")
+          case _ =>
+        }
+    }
     v \ "metaData" match {
       case JNothing =>
       case md =>

@@ -179,6 +179,37 @@ class DeltaConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent append"))
   }
 
+  test("a table demanding an unimplemented reader protocol fails loudly") {
+    val dir = tmpDir("protocol_guard")
+    twoFileTable(dir)
+    def rewriteProtocol(json: String): Unit = {
+      val commit0 = java.nio.file.Paths.get(s"$dir/_delta_log/00000000000000000000.json")
+      val body = Files.readString(commit0)
+        .replaceAll("\\{\"protocol\":\\{[^}]*\\}\\}", json)
+      Files.writeString(commit0, body)
+      Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/_delta_log/.00000000000000000000.json.crc"))
+    }
+    // a future reader version: silently replaying it could return wrong data
+    rewriteProtocol("""{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")
+    val e = intercept[BuzzException.NotImplemented] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "proto4")
+    }
+    assert(e.getMessage.contains("reader protocol 4"))
+    // v3 with a feature set we don't implement
+    rewriteProtocol("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["columnMapping","deletionVectors"]}}""")
+    val e2 = intercept[BuzzException.NotImplemented] {
+      DeltaCatalog.fromDeltaLog(spark, dir, "protoCM")
+    }
+    assert(e2.getMessage.contains("columnMapping"))
+    // v3 whose features we DO implement replays fine
+    rewriteProtocol("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"]}}""")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "protoDV")
+    assert(cat.read(spark, cat.files).count() === 20L)
+  }
+
   test("VACUUM retention keeps young tombstones; expiry reclaims them") {
     val dir = tmpDir("vacuum_retain")
     twoFileTable(dir)
