@@ -2080,6 +2080,34 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // RENAME COLUMN via column mapping: one metaData-only commit (zero
+    // files rewritten — asserted in DeltaColumnMappingSpec); the query
+    // surface immediately speaks the new logical name, an append lands
+    // under it, and row-level DML prunes through physically-keyed stats
+    "sink_delta_rename" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltarename_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaRenameColumn(s, out, "n_chars", "chars")
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .withColumnRenamed("n_chars", "chars")
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        out)
+      Sinks.deltaDeleteWhere(s, out, "doc_id BETWEEN 100 AND 199")
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_renamed")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
+    }),
     // Incremental table-to-table SYNC: snapshot first, then only the new
     // commits' files, exactly-once via the SetTransaction watermark — a
     // replayed sync lands nothing twice, an OPTIMIZE between syncs ships
@@ -5280,6 +5308,12 @@ object SparkEntry {
     "sink_delta_delete_where" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
+        |GROUP BY source""".stripMargin,
+    // the rename is pure metadata: the result equals the plain relational
+    // derivation under the NEW column name
+    "sink_delta_rename" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 199
         |GROUP BY source""".stripMargin,
     // sync ships every fact exactly once: snapshot + increment, replay
     // and compaction land nothing extra

@@ -336,8 +336,11 @@ object Sinks {
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
       // new files carry only the DATA columns — partition values live in
       // the log (and the k=v path), exactly like the original writers
-      val data = cat.read(spark, fs)
-        .select(cat.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val data = cat.physicalNames.foldLeft(
+        cat.read(spark, fs).select(cat.schema.fieldNames.toIndexedSeq.map(col): _*)) {
+        // compacted files keep the PHYSICAL layout under column mapping
+        case (d, (logical, physical)) => d.withColumnRenamed(logical, physical)
+      }
       val stage = s"$tablePath/.graft-optimize-${java.util.UUID.randomUUID}"
       data.repartition(nOut).write.mode("overwrite").parquet(stage)
       val destDir = cat.partitionColumns.zip(pv)
@@ -1039,10 +1042,13 @@ object Sinks {
       if (snapVer >= 0) Some(snapVer) else None)
     val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath,
       if (snapVer >= 0) Some(snapVer) else None)
+    // stats are keyed by the key's PHYSICAL name (what the files store —
+    // identity unless the key column was renamed)
+    val keyPhys = graft.sources.ColumnMapping.physicalName(cat.schema(keyCol))
     def keyBounds(stats: Map[String, String])(raw: String): Option[(JValue, JValue)] =
       stats.get(raw).flatMap { s =>
         val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
-        (j \ "minValues" \ keyCol, j \ "maxValues" \ keyCol) match {
+        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
           case (JNothing, _) | (_, JNothing) => None
           case (mn, mx)                      => Some((mn, mx))
         }
@@ -1125,7 +1131,7 @@ object Sinks {
       .select(outCols.map(n =>
         when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)): _*)
-    val adds = stageIntoTable(merged, tablePath, partitionCols)
+    val adds = stageIntoTable(merged, tablePath, partitionCols, cat.physicalNames)
     // concurrent-append probe (WriteSerializable): a file committed since
     // the snapshot conflicts UNLESS its logged key bounds prove it is
     // disjoint from the change keys' [min, max] envelope — its rows could
@@ -1213,7 +1219,8 @@ object Sinks {
     val statsByPath: Map[String, String] =
       try graft.sources.ZoneMap.deltaFileStats(
         spark, adds.map { case (rel, _, _) => new Path(tablePath, rel).toString },
-        dataSchema)
+        // the files store PHYSICAL names (identity unless column-mapped)
+        graft.sources.ColumnMapping.toPhysical(dataSchema))
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     val now = System.currentTimeMillis()
     val addActions: Seq[JValue] = adds.map { case (rel, size, pv) =>
@@ -1384,6 +1391,86 @@ object Sinks {
       txn = Some((appId, head)), mergeSchema = true)
   }
 
+  /** RENAME COLUMN via column mapping (name mode): one metaData-only
+    * commit re-declares the schema with the field under its new LOGICAL
+    * name, pinning its CURRENT physical name into the field metadata
+    * (`delta.columnMapping.physicalName`) — ZERO files rewritten at any
+    * table size. Readers scan under physical names and surface logical
+    * ones ([[graft.sources.SplittableCatalog.read]]); every writer
+    * funnels through the physical layout, so later appends/rewrites stay
+    * uniform with the old files; stats/zone pruning key by physical
+    * names throughout. The commit also raises the protocol to reader v3
+    * with the `columnMapping` feature, so a reader that does not
+    * implement the mapping fails loudly instead of reading wrong columns.
+    *
+    * Guards: partition columns cannot be renamed (their name is baked
+    * into the directory layout), the new name must collide with neither a
+    * logical nor a PHYSICAL name (two fields resolving to one parquet
+    * column would be ambiguous). Time travel to pre-rename versions
+    * serves the old name (each replay's schemaString is its own).
+    * Returns the committed version. */
+  def deltaRenameColumn(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      oldName: String, newName: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    if (newName.isEmpty || newName == oldName)
+      throw new BuzzException.BadRequest(
+        s"invalid rename '$oldName' -> '$newName'")
+    // SEMANTIC retry loop (metadata-only): losing the commit race means
+    // re-deriving the schema against the new head and re-validating
+    var attempt = 0
+    val maxAttempts = 10
+    while (attempt < maxAttempts) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      if (head < 0)
+        throw new BuzzException.BadRequest(s"no delta table at $tablePath")
+      val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_rename")
+      if (cat.partitionColumns.contains(oldName))
+        throw new BuzzException.BadRequest(
+          s"cannot rename partition column '$oldName' — its name is the " +
+            "directory layout; rewrite the table instead")
+      val stored = DeltaCatalog.storedSchema(spark, tablePath).getOrElse(
+        throw new BuzzException.BadRequest(s"no metaData action in $tablePath"))
+      if (!stored.fieldNames.contains(oldName))
+        throw new BuzzException.BadRequest(
+          s"unknown column '$oldName' (table has ${stored.fieldNames.mkString(",")})")
+      if (stored.fieldNames.contains(newName))
+        throw new BuzzException.BadRequest(
+          s"column '$newName' already exists")
+      val physicalTaken = stored.fields.map(ColumnMapping.physicalName).toSet
+      if (physicalTaken.contains(newName))
+        throw new BuzzException.BadRequest(
+          s"cannot rename to '$newName': a renamed column still stores its " +
+            "data under that physical name")
+      val renamed = org.apache.spark.sql.types.StructType(stored.fields.map(f =>
+        if (f.name == oldName) ColumnMapping.renamed(f, newName) else f))
+      val features = JArray(List(
+        JString("columnMapping"), JString("deletionVectors")))
+      val actions: Seq[JValue] = Seq(
+        JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+          "readerFeatures" -> features, "writerFeatures" -> features)),
+        JObject("metaData" -> JObject(
+          "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
+            .getOrElse(java.util.UUID.randomUUID.toString)),
+          "format" -> JObject("provider" -> JString("parquet")),
+          "schemaString" -> JString(renamed.json),
+          "partitionColumns" -> JArray(
+            cat.partitionColumns.map(JString(_): JValue).toList))))
+      val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      Thread.sleep(10L * attempt)
+    }
+    throw new BuzzException.ExecutionError(
+      s"lost the rename commit race $maxAttempts times under $logDir — giving up")
+  }
+
   /** SHALLOW CLONE: create `dstPath` as a NEW Delta table whose v0
     * references the SOURCE's live data files by ABSOLUTE path — zero
     * bytes of data copied, O(#files) metadata, done in the time of one
@@ -1518,7 +1605,7 @@ object Sinks {
     // DELETE keeps rows where the predicate is FALSE or NULL
     val kept = cat.read(spark, candFiles)
       .filter(!coalesce(pred, lit(false)))
-    val adds = stageIntoTable(kept, tablePath, cat.partitionColumns)
+    val adds = stageIntoTable(kept, tablePath, cat.partitionColumns, cat.physicalNames)
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "delete", snapshotVersion = snapVer,
       concurrentAddConflicts =
@@ -1713,7 +1800,7 @@ object Sinks {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    val adds = stageIntoTable(arranged, tablePath, cat.partitionColumns)
+    val adds = stageIntoTable(arranged, tablePath, cat.partitionColumns, cat.physicalNames)
     commitRewrite(spark, tablePath, adds, removedRaws,
       StructType(cat.schema.fields), "zorder", snapshotVersion = snapVer,
       dataChange = false)
@@ -1782,7 +1869,7 @@ object Sinks {
       throw new BuzzException.ExecutionError(
         s"update: no raw log path for live file ${f.key} — snapshot drifted")))
     val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
-    val adds = stageIntoTable(updated, tablePath, cat.partitionColumns)
+    val adds = stageIntoTable(updated, tablePath, cat.partitionColumns, cat.physicalNames)
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "update", snapshotVersion = snapVer,
       concurrentAddConflicts =
@@ -1796,7 +1883,8 @@ object Sinks {
     * (relPath, size, partitionValues) per staged file. A crash mid-stage
     * leaves only invisible files for the next maintenance pass. */
   private def stageIntoTable(
-      data: DataFrame, tablePath: String, partitionCols: Seq[String])
+      data: DataFrame, tablePath: String, partitionCols: Seq[String],
+      physicalNames: Map[String, String] = Map.empty)
       : Seq[(String, Long, Seq[(String, String)])] = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
@@ -1805,7 +1893,13 @@ object Sinks {
     val spark = data.sparkSession
     val fsys = FsUtil.fs(spark, tablePath)
     val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
-    val w = data.write.mode("overwrite")
+    // column-mapped tables store PHYSICAL names in the files — every
+    // writer funnels through here, so the physical layout stays uniform
+    // across appends and rewrites regardless of later renames
+    val physicalData = physicalNames.foldLeft(data) {
+      case (d, (logical, physical)) => d.withColumnRenamed(logical, physical)
+    }
+    val w = physicalData.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
     val HivePart = "([^=/]+)=([^/]*)".r
     def walk(dir: Path, segs: Seq[(String, String)]): Seq[(Path, Seq[(String, String)])] =
@@ -1911,6 +2005,16 @@ object Sinks {
         }
         val newCols = incomingFields.filterNot(f => declaredByName.contains(f.name))
           .map(_.copy(nullable = true))
+        // under column mapping an evolved column's name must not shadow a
+        // PHYSICAL name some renamed column still stores under — two
+        // fields resolving to one parquet column would be ambiguous
+        val physicalTaken = cat.schema.fields
+          .map(graft.sources.ColumnMapping.physicalName).toSet
+        newCols.find(f => physicalTaken.contains(f.name)).foreach { f =>
+          throw new BuzzException.SchemaMismatch(
+            s"evolution cannot add column '${f.name}': a renamed column " +
+              "still stores its data under that physical name")
+        }
         evolvedSchema =
           if (newCols.isEmpty) None
           else DeltaCatalog.storedSchema(spark, tablePath).map(stored =>
@@ -1919,15 +2023,23 @@ object Sinks {
     }
     if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
     if (tableExists) validateAgainstLive()
+    // column mapping: incoming data uses LOGICAL names; the files (and
+    // their stats) store PHYSICAL ones. Empty unless the table carries
+    // RENAME COLUMN metadata.
+    val physNames: Map[String, String] =
+      if (!tableExists) Map.empty
+      else DeltaCatalog.storedSchema(spark, tablePath)
+        .map(graft.sources.ColumnMapping.mapping).getOrElse(Map.empty)
     // stage the data files under the table, invisible until the commit
     val fsys = FsUtil.fs(spark, tablePath)
-    val adds = stageIntoTable(data, tablePath, partitionCols)
+    val adds = stageIntoTable(data, tablePath, partitionCols, physNames)
     // per-file data-skipping stats (the protocol's `add.stats`), computed
     // once from the new files' footers — bounded by the files THIS commit
     // wrote, and carried by the log so readers prune without footer IO.
     // Optional by contract: a stats failure never blocks the commit.
     val dataSchema = org.apache.spark.sql.types.StructType(
-      data.schema.fields.filterNot(f => partitionCols.contains(f.name)))
+      data.schema.fields.filterNot(f => partitionCols.contains(f.name))
+        .map(f => f.copy(name = physNames.getOrElse(f.name, f.name))))
     val statsByPath: Map[String, String] =
       try graft.sources.ZoneMap.deltaFileStats(
         spark, adds.map { case (rel, _, _) => new Path(tablePath, rel).toString },

@@ -56,8 +56,12 @@ final class BuzzEngine(
     // no repetition). csv/json read under a DECLARED schema where Spark
     // itself surfaces mismatches (and csv validates header names).
     if (verifySchemas && p.catalog.format == "parquet")
+      // footers store PHYSICAL names — verify against those (identity
+      // unless the table carries column-mapping renames)
       SchemaVerifier.verify(
-        p.files.map(_.key), p.catalog.schema, spark.sessionState.newHadoopConf(),
+        p.files.map(_.key),
+        graft.sources.ColumnMapping.toPhysical(p.catalog.schema),
+        spark.sessionState.newHadoopConf(),
         missingNullableOk = p.catalog.missingNullableOk)
     else if (verifySchemas && p.catalog.format == "orc")
       SchemaVerifier.verifyOrc(

@@ -78,6 +78,12 @@ trait SplittableCatalog {
     * commits. */
   def deletionVectors: Map[String, String] = Map.empty
 
+  /** Column mapping (logical → physical parquet name), derived from the
+    * declared schema's field metadata — non-empty only after a Delta
+    * RENAME COLUMN. [[read]] scans under physical names and surfaces
+    * logical ones; unmapped catalogs skip all of it. */
+  final def physicalNames: Map[String, String] = ColumnMapping.mapping(schema)
+
   /** Full table schema including partition columns, as workers see it. */
   final def fullSchema: StructType =
     partitionColumns.foldLeft(schema)((s, p) => s.add(p, StringType, nullable = false))
@@ -160,11 +166,15 @@ trait SplittableCatalog {
     FsUtil.applyS3aTuning(spark, selected.head.key)
     // TIMESTAMP(NANOS) columns: declared TimestampType publicly, read as
     // epoch-nanos long, truncated to µs (integer DIV — double division loses
-    // precision above 2^53 ns; DuckDB's ns→µs cast truncates identically)
-    val readSchema = StructType(schema.fields.map(f =>
-      if (nanosColumns.contains(f.name)) f.copy(dataType = LongType)
-      else if (ntzColumns.contains(f.name)) f.copy(dataType = TimestampNTZType)
-      else f))
+    // precision above 2^53 ns; DuckDB's ns→µs cast truncates identically).
+    // Column mapping: the scan schema uses each field's PHYSICAL parquet
+    // name; renamed fields come back under their logical names below.
+    val readSchema = StructType(schema.fields.map { f0 =>
+      val f = f0.copy(name = ColumnMapping.physicalName(f0))
+      if (nanosColumns.contains(f0.name)) f.copy(dataType = LongType)
+      else if (ntzColumns.contains(f0.name)) f.copy(dataType = TimestampNTZType)
+      else f
+    })
     if (nanosColumns.nonEmpty) {
       // DELIBERATE session-conf set, not scoped: the flag is consulted at
       // EXECUTION time by the parquet reader, so restoring it after building
@@ -208,14 +218,21 @@ trait SplittableCatalog {
           }
         }.reduce(_.unionAll(_))
     }
+    // surface mapped columns under their LOGICAL names from here on.
+    // Physical↔logical collisions across DIFFERENT fields are excluded by
+    // the rename/evolution guards (a physical name can only be reused by
+    // the field that owns it), so sequential renames cannot capture
+    val logicalNamed = physicalNames.foldLeft(scanned) {
+      case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
+    }
     // merge-on-read: anti-join each DV'd file's deleted row indexes out.
     // The raw (writer's) view skips this — it must see every physical row.
     val undeleted =
-      if (withRowIndex) scanned
+      if (withRowIndex) logicalNamed
       else {
         val dvd = selected.flatMap(f => deletionVectors.get(f.key)
           .map(dv => (FsUtil.normalizePath(f.key), dv)))
-        if (dvd.isEmpty) scanned
+        if (dvd.isEmpty) logicalNamed
         else {
           // each file's descriptor names exactly ONE sidecar batch; rows
           // are filtered to that association so a superseded batch can
@@ -228,9 +245,9 @@ trait SplittableCatalog {
           }.reduce(_.unionAll(_))
           // no broadcast hint: AQE broadcasts the (small) sidecar side on
           // its own; a pathological multi-GB DV still executes as SMJ
-          scanned.join(dvRows,
-            scanned("__gfp") === dvRows("__path") &&
-              scanned("__gri") === dvRows("__ri"),
+          logicalNamed.join(dvRows,
+            logicalNamed("__gfp") === dvRows("__path") &&
+              logicalNamed("__gri") === dvRows("__ri"),
             "left_anti")
         }
       }
@@ -242,7 +259,13 @@ trait SplittableCatalog {
     }
     // enforce the catalog's declared column order (data cols, then
     // partition cols) independent of the datasource's placement
-    converted.select(outSchema.fieldNames.map(col).toSeq: _*)
+    val projected = converted.select(outSchema.fieldNames.map(col).toSeq: _*)
+    // the mapping is THIS table's storage detail — it must not ride the
+    // output schema into downstream writers (a synced/derived table would
+    // otherwise claim physical names its own files don't have)
+    if (physicalNames.isEmpty) projected
+    else projected.select(projected.schema.fields.map(f =>
+      col(f.name).as(f.name, ColumnMapping.withoutMapping(f.metadata))).toSeq: _*)
   }
 
   /** User-supplied reader options (a Static catalog's JSON `options`

@@ -353,7 +353,7 @@ object DeltaCatalog {
     * replaying a log whose semantics we don't implement (column mapping,
     * type widening, ...) would return wrong data, not degraded data. */
   private val MaxReaderVersion = 3L
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   /** Apply one JSON commit action (protocol / metaData / add / remove /
     * txn) to the state. */
@@ -492,9 +492,11 @@ object DeltaCatalog {
       tablePath: String, dataSchema: StructType, state: State): Unit = {
     import org.apache.spark.sql.types._
     if (state.stats.isEmpty) return
+    // cache + stats are keyed by PHYSICAL names — what the files (and the
+    // add.stats the writers derived from their footers) actually carry
     val numeric = dataSchema.fields.collect {
       case f if Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-        .contains(f.dataType) => f.name
+        .contains(f.dataType) => ColumnMapping.physicalName(f)
     }.toSeq
     if (numeric.isEmpty) return
     def num(v: JValue): Option[Double] = v match {

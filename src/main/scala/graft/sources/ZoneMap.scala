@@ -538,8 +538,13 @@ object ZoneMap {
     val ranges = harvestRanges(spark, mapSql, numeric,
       allColumns = schema.fieldNames.toSet)
     if (ranges.isEmpty) return files
-    // resolve harvested lowercase names back to the schema's declared case
-    val byLower = numeric.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    // resolve harvested lowercase names back to the schema's declared case,
+    // then to the PHYSICAL parquet name (zone cache + footers are keyed by
+    // what the files store; identity unless column-mapping renames exist)
+    val byLower = schema.fields
+      .filter(f => numeric.contains(f.name))
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> ColumnMapping.physicalName(f))
+      .toMap
     ranges.foldLeft(files) { case (fs, (cLower, r)) =>
       val zones = zonesFor(spark, fs.map(_.key), byLower(cLower), format)
       fs.filter { f =>

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.BuzzException
+import graft.operators.Sinks
+import graft.sources.{ColumnMapping, DeltaCatalog, ZoneMap}
+
+/** RENAME COLUMN via column mapping (name mode): one metaData-only commit,
+  * zero files rewritten — readers scan physical parquet names and surface
+  * logical ones; writers keep the physical layout uniform forever after. */
+class DeltaColumnMappingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def clustered(dir: String): Unit = {
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend(
+      (100L until 110L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+  }
+
+  test("rename is metaData-only: same files, new logical name, old versions keep theirs") {
+    val dir = tmpDir("cm_basic")
+    clustered(dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "cm_pre").files
+      .map(f => f.key -> f.length).toMap
+    val ver = Sinks.deltaRenameColumn(spark, dir, "v", "value")
+    assert(ver === 2L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_post")
+    assert(cat.files.map(f => f.key -> f.length).toMap === before) // zero rewrites
+    assert(cat.schema.fieldNames.toSeq === Seq("id", "value"))
+    val rows = cat.read(spark, cat.files).select("id", "value").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(5L) === 10L && rows.size === 20)
+    // filters on the logical name push into the physical scan
+    assert(cat.read(spark, cat.files).filter(col("value") > 200L).count() === 9L)
+    // time travel serves the era's own name
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "cm_tt", versionAsOf = Some(1L))
+    assert(pre.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(pre.read(spark, pre.files).filter(col("v") === 10L).count() === 1L)
+    // the output schema does NOT leak the mapping downstream
+    assert(cat.read(spark, cat.files).schema.fields
+      .forall(!_.metadata.contains(ColumnMapping.PhysicalNameKey)))
+  }
+
+  test("appends and rewrites after a rename keep the PHYSICAL layout uniform") {
+    val dir = tmpDir("cm_write")
+    clustered(dir)
+    Sinks.deltaRenameColumn(spark, dir, "v", "value")
+    // append under the LOGICAL schema: the new file must store the
+    // physical name, so old and new files read identically
+    Sinks.deltaAppend(Seq((500L, 1L)).toDF("id", "value").coalesce(1), dir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_app")
+    assert(cat.read(spark, cat.files).count() === 21L)
+    val newFile = cat.files.map(_.key).find(_.contains("part-")).get
+    // every live file physically stores 'v'
+    cat.files.foreach { f =>
+      val phys = spark.read.parquet(f.key).schema.fieldNames.toSet
+      assert(phys === Set("id", "v"), s"${f.key} stores $phys")
+    }
+    // row-level DML on the logical name; zone pruning keyed physically
+    Sinks.deltaDeleteWhere(spark, dir, "value = 4")
+    Sinks.deltaUpdate(spark, dir, "id = 100", Map("value" -> "value + 7"))
+    Sinks.deltaMerge(spark, dir, Seq((500L, 999L)).toDF("id", "value"), "id")
+    val got = {
+      val c = DeltaCatalog.fromDeltaLog(spark, dir, "cm_dml")
+      c.read(spark, c.files).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(!got.values.toSeq.contains(4L) || got(2L) === 4L) // row v=4 (id=2) gone
+    assert(!got.contains(2L))
+    assert(got(100L) === 207L && got(500L) === 999L)
+    // OPTIMIZE keeps the physical layout too
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)
+    val opt = DeltaCatalog.fromDeltaLog(spark, dir, "cm_opt")
+    opt.files.foreach { f =>
+      assert(spark.read.parquet(f.key).schema.fieldNames.toSet === Set("id", "v"))
+    }
+    assert(opt.read(spark, opt.files).count() === 20L)
+  }
+
+  test("zone pruning and MERGE candidate pruning survive a key rename") {
+    val dir = tmpDir("cm_prune")
+    clustered(dir)
+    Sinks.deltaRenameColumn(spark, dir, "id", "doc_id")
+    ZoneMap.clearZoneCache()
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_zone")
+    // range predicate on the LOGICAL name prunes via physically-keyed stats
+    val pruned = ZoneMap.pruneForQuery(spark, cat.schema, cat.files,
+      "SELECT count(*) AS n FROM t WHERE doc_id BETWEEN 100 AND 105")
+    assert(pruned.size === 1, s"kept ${pruned.map(_.key)}")
+    // merge on the renamed key rewrites ONLY the matching file
+    val hiFile = cat.files.map(_.key).find(k =>
+      spark.read.parquet(k).agg(min(col("id"))).head().getLong(0) === 100L).get
+    Sinks.deltaMerge(spark, dir, Seq((5L, 999L)).toDF("doc_id", "v"), "doc_id")
+    val after = DeltaCatalog.fromDeltaLog(spark, dir, "cm_mg").files.map(_.key).toSet
+    assert(after.contains(hiFile), "non-matching file was rewritten")
+  }
+
+  test("deletion vectors, checkpoint and clone interoperate with renames") {
+    val dir = tmpDir("cm_dv")
+    clustered(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    Sinks.deltaRenameColumn(spark, dir, "v", "value")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_dvr")
+    assert(cat.read(spark, cat.files).count() === 17L) // DV still applied
+    // a DV delete on the RENAMED column
+    Sinks.deltaDeleteVectors(spark, dir, "value >= 216")
+    val cat2 = DeltaCatalog.fromDeltaLog(spark, dir, "cm_dvr2")
+    assert(cat2.read(spark, cat2.files).count() === 15L)
+    // checkpoint + cleaning keep mapping and DVs
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    val cat3 = DeltaCatalog.fromDeltaLog(spark, dir, "cm_cp")
+    assert(cat3.schema.fieldNames.toSeq === Seq("id", "value"))
+    assert(cat3.read(spark, cat3.files).count() === 15L)
+    // a shallow clone carries the mapping verbatim
+    val dst = tmpDir("cm_clone")
+    Sinks.deltaCloneShallow(spark, dir, dst)
+    val cl = DeltaCatalog.fromDeltaLog(spark, dst, "cm_cl")
+    assert(cl.schema.fieldNames.toSeq === Seq("id", "value"))
+    assert(cl.read(spark, cl.files).count() === 15L)
+  }
+
+  test("rename guards: partition columns, collisions, unknown columns") {
+    val dir = tmpDir("cm_guard")
+    Sinks.deltaAppend(
+      (0L until 6L).map(i => (i, i, if (i < 3) "a" else "b")).toDF("id", "v", "g"),
+      dir, Seq("g"))
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaRenameColumn(spark, dir, "g", "grp") // partition column
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaRenameColumn(spark, dir, "id", "v") // logical collision
+    }
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaRenameColumn(spark, dir, "nope", "x") // unknown
+    }
+    Sinks.deltaRenameColumn(spark, dir, "v", "w")
+    intercept[BuzzException.BadRequest] {
+      Sinks.deltaRenameColumn(spark, dir, "id", "v") // physical collision
+    }
+    intercept[BuzzException.SchemaMismatch] {
+      // evolution may not shadow the physical name either
+      Sinks.deltaAppend(Seq((9L, 9L, 9L, "a")).toDF("id", "w", "v", "g"),
+        dir, Seq("g"), mergeSchema = true)
+    }
+    // re-rename moves the logical name again; physical stays put
+    Sinks.deltaRenameColumn(spark, dir, "w", "w2")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_rr")
+    assert(cat.schema.fieldNames.toSeq === Seq("id", "w2"))
+    assert(cat.read(spark, cat.files).filter(col("w2") === 5L).count() === 1L)
+    // the protocol bump makes the table honest about the feature
+    val head = DeltaCatalog.fromDeltaLog(spark, dir, "cm_proto")
+    assert(head.physicalNames === Map("w2" -> "v"))
+  }
+}

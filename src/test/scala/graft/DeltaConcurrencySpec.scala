@@ -198,14 +198,14 @@ class DeltaConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("reader protocol 4"))
     // v3 with a feature set we don't implement
     rewriteProtocol("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["columnMapping","deletionVectors"]}}""")
+      """"readerFeatures":["typeWidening","deletionVectors"]}}""")
     val e2 = intercept[BuzzException.NotImplemented] {
-      DeltaCatalog.fromDeltaLog(spark, dir, "protoCM")
+      DeltaCatalog.fromDeltaLog(spark, dir, "protoTW")
     }
-    assert(e2.getMessage.contains("columnMapping"))
+    assert(e2.getMessage.contains("typeWidening"))
     // v3 whose features we DO implement replays fine
     rewriteProtocol("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors"]}}""")
+      """"readerFeatures":["deletionVectors","columnMapping"]}}""")
     val cat = DeltaCatalog.fromDeltaLog(spark, dir, "protoDV")
     assert(cat.read(spark, cat.files).count() === 20L)
   }
