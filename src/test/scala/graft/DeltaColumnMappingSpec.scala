@@ -127,6 +127,30 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(cl.read(spark, cl.files).count() === 15L)
   }
 
+  test("the two-stage engine queries a renamed table under its logical names") {
+    import graft.model.{BuzzCapacity, BuzzCatalogRef, BuzzQuery, BuzzStep, BuzzStepType}
+    import graft.plans.BuzzEngine
+    val dir = tmpDir("cm_engine")
+    clustered(dir)
+    Sinks.deltaRenameColumn(spark, dir, "v", "value")
+    // verifySchemas on: the strict footer check must verify the PHYSICAL
+    // names the files actually store, not the logical surface
+    val engine = new BuzzEngine(Map.empty, verifySchemas = true)
+    val out = engine.run(spark, BuzzQuery(
+      steps = Seq(
+        BuzzStep(
+          "SELECT count(*) AS n, sum(value) AS sv FROM t WHERE value > 8",
+          "m", BuzzStepType.HBee, None),
+        BuzzStep(
+          "SELECT sum(n) AS n, sum(sv) AS sv FROM m",
+          "r", BuzzStepType.HComb, None)),
+      capacity = BuzzCapacity(1),
+      catalogs = Seq(BuzzCatalogRef("t", "DeltaLake", dir))))
+    val row = out.head()
+    assert(row.getLong(0) === 15L) // v>8: ids 5..9 and 100..109
+    assert(row.getLong(1) === ((5L to 9L) ++ (100L to 109L)).map(_ * 2).sum)
+  }
+
   test("rename guards: partition columns, collisions, unknown columns") {
     val dir = tmpDir("cm_guard")
     Sinks.deltaAppend(
