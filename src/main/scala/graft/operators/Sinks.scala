@@ -697,7 +697,11 @@ object Sinks {
     * [[deltaChangesAt]] loop pays (each call replays the log twice). A
     * mid-span metaData action (schema/partitioning change) re-derives
     * the at-version catalog once at that boundary — bounded by actual
-    * schema changes, not by span. Returns (version, keyCols..., status). */
+    * schema changes, not by span. A span crossing a RENAME COLUMN
+    * boundary must be consumed per era with that era's logical names
+    * (the renamed column's `keyCols`/`compareCols` name differs across
+    * the boundary — same limitation as upstream's CDF under column
+    * mapping). Returns (version, keyCols..., status). */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
