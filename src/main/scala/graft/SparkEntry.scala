@@ -2108,6 +2108,29 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
     }),
+    // DROP COLUMN (metaData-only) then RE-ADD via evolution: the dropped
+    // bytes still sit in the old files, but the re-added column carries a
+    // fresh uuid physical name — old rows MUST aggregate as null (the
+    // drop/re-add corruption the mapping excludes by construction)
+    "sink_delta_drop" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltadrop_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), out)
+      Sinks.deltaDropColumn(s, out, "n_chars")
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), out,
+        mergeSchema = true)
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_dropped")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          count(col("n_chars")).as("n_with_chars"))
+    }),
     // Incremental table-to-table SYNC: snapshot first, then only the new
     // commits' files, exactly-once via the SetTransaction watermark — a
     // replayed sync lands nothing twice, an OPTIMIZE between syncs ships
@@ -5309,6 +5332,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
         |GROUP BY source""".stripMargin,
+    // dropped-era rows aggregate chars as NULL; only re-added rows count
+    "sink_delta_drop" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_with_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // the rename is pure metadata: the result equals the plain relational
     // derivation under the NEW column name
     "sink_delta_rename" ->

@@ -336,11 +336,11 @@ object Sinks {
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
       // new files carry only the DATA columns — partition values live in
       // the log (and the k=v path), exactly like the original writers
-      val data = cat.physicalNames.foldLeft(
-        cat.read(spark, fs).select(cat.schema.fieldNames.toIndexedSeq.map(col): _*)) {
-        // compacted files keep the PHYSICAL layout under column mapping
-        case (d, (logical, physical)) => d.withColumnRenamed(logical, physical)
-      }
+      // compacted files keep the PHYSICAL layout under column mapping
+      // (one atomic select — chained renames would collide mid-fold)
+      val data = cat.read(spark, fs).select(
+        cat.schema.fieldNames.toIndexedSeq.map(c =>
+          col(c).as(cat.physicalNames.getOrElse(c, c))): _*)
       val stage = s"$tablePath/.graft-optimize-${java.util.UUID.randomUUID}"
       data.repartition(nOut).write.mode("overwrite").parquet(stage)
       val destDir = cat.partitionColumns.zip(pv)
@@ -1475,6 +1475,75 @@ object Sinks {
       s"lost the rename commit race $maxAttempts times under $logDir — giving up")
   }
 
+  /** DROP COLUMN via column mapping: one metaData-only commit re-declares
+    * the schema WITHOUT the field — zero files rewritten; the bytes stay
+    * in place (and in every time-travelable snapshot) until rewrites age
+    * them out. Every surviving data field gets its physical name PINNED,
+    * which flips the table into mapped mode: schema evolution then
+    * assigns fresh `col-<uuid>` physical names to new columns, so
+    * re-adding a column under the dropped NAME reads the old files as
+    * all-null instead of resurrecting the dropped bytes — the classic
+    * drop/re-add corruption, excluded by construction (spec-asserted).
+    * Completes the metadata-only schema triad with additive evolution
+    * (`deltaAppend(mergeSchema)`) and [[deltaRenameColumn]].
+    *
+    * Guards: partition columns (their name is the directory layout) and
+    * the last remaining data column cannot be dropped. Returns the
+    * committed version. */
+  def deltaDropColumn(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      name: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    var attempt = 0
+    val maxAttempts = 10
+    while (attempt < maxAttempts) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      if (head < 0)
+        throw new BuzzException.BadRequest(s"no delta table at $tablePath")
+      val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_drop")
+      if (cat.partitionColumns.contains(name))
+        throw new BuzzException.BadRequest(
+          s"cannot drop partition column '$name' — its name is the " +
+            "directory layout; rewrite the table instead")
+      val stored = DeltaCatalog.storedSchema(spark, tablePath).getOrElse(
+        throw new BuzzException.BadRequest(s"no metaData action in $tablePath"))
+      if (!stored.fieldNames.contains(name))
+        throw new BuzzException.BadRequest(
+          s"unknown column '$name' (table has ${stored.fieldNames.mkString(",")})")
+      if (cat.schema.fieldNames.toSeq == Seq(name))
+        throw new BuzzException.BadRequest(
+          s"cannot drop '$name' — it is the table's only data column")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        stored.fields.filterNot(_.name == name).map(f =>
+          if (cat.partitionColumns.contains(f.name)) f
+          else ColumnMapping.pinned(f)))
+      val features = JArray(List(
+        JString("columnMapping"), JString("deletionVectors")))
+      val actions: Seq[JValue] = Seq(
+        JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+          "readerFeatures" -> features, "writerFeatures" -> features)),
+        JObject("metaData" -> JObject(
+          "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
+            .getOrElse(java.util.UUID.randomUUID.toString)),
+          "format" -> JObject("provider" -> JString("parquet")),
+          "schemaString" -> JString(newSchema.json),
+          "partitionColumns" -> JArray(
+            cat.partitionColumns.map(JString(_): JValue).toList))))
+      val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      Thread.sleep(10L * attempt)
+    }
+    throw new BuzzException.ExecutionError(
+      s"lost the drop commit race $maxAttempts times under $logDir — giving up")
+  }
+
   /** SHALLOW CLONE: create `dstPath` as a NEW Delta table whose v0
     * references the SOURCE's live data files by ABSOLUTE path — zero
     * bytes of data copied, O(#files) metadata, done in the time of one
@@ -1899,10 +1968,13 @@ object Sinks {
     val stage = s"$tablePath/.graft-stage-${java.util.UUID.randomUUID}"
     // column-mapped tables store PHYSICAL names in the files — every
     // writer funnels through here, so the physical layout stays uniform
-    // across appends and rewrites regardless of later renames
-    val physicalData = physicalNames.foldLeft(data) {
-      case (d, (logical, physical)) => d.withColumnRenamed(logical, physical)
-    }
+    // across appends and rewrites regardless of later renames. ONE atomic
+    // select, not sequential renames: a chain like (w→v, v→col-uuid)
+    // would otherwise collide on the intermediate name
+    val physicalData =
+      if (physicalNames.isEmpty) data
+      else data.select(data.columns.toIndexedSeq.map(c =>
+        col(c).as(physicalNames.getOrElse(c, c))): _*)
     val w = physicalData.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
     val HivePart = "([^=/]+)=([^/]*)".r
@@ -2007,18 +2079,30 @@ object Sinks {
               s"append omits non-nullable column '${d.name}' — its absence " +
                 "would read back as null")
         }
+        // on a MAPPED table (post rename/drop) every evolved column gets a
+        // fresh uuid PHYSICAL name: it can never collide with a live
+        // physical name NOR with bytes a dropped column left behind in old
+        // files (re-adding a dropped column's name must read all-null, not
+        // resurrect). Unmapped tables keep identity naming.
+        val tableMapped = graft.sources.ColumnMapping.isMapped(cat.schema)
         val newCols = incomingFields.filterNot(f => declaredByName.contains(f.name))
           .map(_.copy(nullable = true))
-        // under column mapping an evolved column's name must not shadow a
+          .map(f =>
+            if (tableMapped) graft.sources.ColumnMapping.withPhysical(
+              f, s"col-${java.util.UUID.randomUUID}")
+            else f)
+        // even unmapped, an evolved column's name must not shadow a
         // PHYSICAL name some renamed column still stores under — two
         // fields resolving to one parquet column would be ambiguous
         val physicalTaken = cat.schema.fields
           .map(graft.sources.ColumnMapping.physicalName).toSet
-        newCols.find(f => physicalTaken.contains(f.name)).foreach { f =>
-          throw new BuzzException.SchemaMismatch(
-            s"evolution cannot add column '${f.name}': a renamed column " +
-              "still stores its data under that physical name")
-        }
+        newCols.find(f =>
+          physicalTaken.contains(graft.sources.ColumnMapping.physicalName(f)))
+          .foreach { f =>
+            throw new BuzzException.SchemaMismatch(
+              s"evolution cannot add column '${f.name}': a renamed column " +
+                "still stores its data under that physical name")
+          }
         evolvedSchema =
           if (newCols.isEmpty) None
           else DeltaCatalog.storedSchema(spark, tablePath).map(stored =>
@@ -2029,11 +2113,14 @@ object Sinks {
     if (tableExists) validateAgainstLive()
     // column mapping: incoming data uses LOGICAL names; the files (and
     // their stats) store PHYSICAL ones. Empty unless the table carries
-    // RENAME COLUMN metadata.
+    // RENAME/DROP COLUMN metadata. An evolving append must include ITS
+    // OWN new columns' fresh physical names (not yet in the stored
+    // schema), so the evolved declaration wins when present.
     val physNames: Map[String, String] =
       if (!tableExists) Map.empty
-      else DeltaCatalog.storedSchema(spark, tablePath)
-        .map(graft.sources.ColumnMapping.mapping).getOrElse(Map.empty)
+      else graft.sources.ColumnMapping.mapping(
+        evolvedSchema.orElse(DeltaCatalog.storedSchema(spark, tablePath))
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     // stage the data files under the table, invisible until the commit
     val fsys = FsUtil.fs(spark, tablePath)
     val adds = stageIntoTable(data, tablePath, partitionCols, physNames)

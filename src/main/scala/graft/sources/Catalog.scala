@@ -218,13 +218,14 @@ trait SplittableCatalog {
           }
         }.reduce(_.unionAll(_))
     }
-    // surface mapped columns under their LOGICAL names from here on.
-    // Physical↔logical collisions across DIFFERENT fields are excluded by
-    // the rename/evolution guards (a physical name can only be reused by
-    // the field that owns it), so sequential renames cannot capture
-    val logicalNamed = physicalNames.foldLeft(scanned) {
-      case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
-    }
+    // surface mapped columns under their LOGICAL names from here on —
+    // ONE atomic select (sequential renames would collide when a rename
+    // chain reuses a live name mid-fold, e.g. w→v alongside v→col-uuid)
+    val logicalFor = physicalNames.map(_.swap)
+    val logicalNamed =
+      if (physicalNames.isEmpty) scanned
+      else scanned.select(scanned.columns.toIndexedSeq.map(c =>
+        col(c).as(logicalFor.getOrElse(c, c))): _*)
     // merge-on-read: anti-join each DV'd file's deleted row indexes out.
     // The raw (writer's) view skips this — it must see every physical row.
     val undeleted =

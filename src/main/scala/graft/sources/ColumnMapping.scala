@@ -44,6 +44,27 @@ object ColumnMapping {
         .putString(PhysicalNameKey, physicalName(f))
         .build())
 
+  /** `f` with its CURRENT physical name pinned explicitly — identity for
+    * the name, but it marks the field (and so the table) as MAPPED.
+    * DROP COLUMN pins every surviving field: evolution then assigns
+    * fresh `col-<uuid>` physical names to new columns, so a re-added
+    * column with the dropped column's name can never read the dropped
+    * bytes out of old files. */
+  def pinned(f: StructField): StructField = renamed(f, f.name)
+
+  /** `f` stored under an explicit physical name (evolution on mapped
+    * tables: fresh uuid names, collision-free by construction). */
+  def withPhysical(f: StructField, physical: String): StructField =
+    f.copy(metadata = new MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(PhysicalNameKey, physical)
+      .build())
+
+  /** Whether any field carries mapping metadata — the table-level
+    * "column mapping active" test. */
+  def isMapped(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalNameKey))
+
   /** Strip mapping metadata (for surfaces that must not leak it). */
   def withoutMapping(m: Metadata): Metadata =
     if (!m.contains(PhysicalNameKey)) m

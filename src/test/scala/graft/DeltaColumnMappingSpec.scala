@@ -127,6 +127,51 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(cl.read(spark, cl.files).count() === 15L)
   }
 
+  test("DROP COLUMN is metaData-only; re-adding the name NEVER resurrects old bytes") {
+    val dir = tmpDir("cm_drop")
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2, i * 3)).toDF("id", "v", "w").coalesce(1), dir)
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "cd_pre").files
+      .map(f => f.key -> f.length).toMap
+    val ver = Sinks.deltaDropColumn(spark, dir, "w")
+    assert(ver === 1L)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cd_post")
+    assert(cat.files.map(f => f.key -> f.length).toMap === before) // zero rewrites
+    assert(cat.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(cat.read(spark, cat.files).columns.toSeq === Seq("id", "v"))
+    // time travel still serves the dropped column
+    val pre = DeltaCatalog.fromDeltaLog(spark, dir, "cd_tt", versionAsOf = Some(0L))
+    assert(pre.read(spark, pre.files).filter(col("w") === 9L).count() === 1L)
+    // THE corruption case: re-add 'w' via evolution. Old files still store
+    // the dropped bytes under 'w', but the evolved column has a fresh uuid
+    // physical name — old rows MUST read null, never the dropped values
+    Sinks.deltaAppend(
+      Seq((100L, 1L, 777L)).toDF("id", "v", "w").coalesce(1), dir,
+      mergeSchema = true)
+    val cat2 = DeltaCatalog.fromDeltaLog(spark, dir, "cd_readd")
+    val rows = cat2.read(spark, cat2.files).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(rows(100L) === Some(777L))
+    (0L until 10L).foreach(i =>
+      assert(rows(i).isEmpty, s"dropped bytes resurrected for id=$i: ${rows(i)}"))
+    // and row-level DML keeps working on the survivors
+    Sinks.deltaDeleteWhere(spark, dir, "v = 4")
+    assert(DeltaCatalog.fromDeltaLog(spark, dir, "cd_dml").files.nonEmpty)
+    val left = { val c = DeltaCatalog.fromDeltaLog(spark, dir, "cd_left")
+      c.read(spark, c.files).count() }
+    assert(left === 10L)
+  }
+
+  test("DROP COLUMN guards: partition, unknown, last data column") {
+    val dir = tmpDir("cm_drop_guard")
+    Sinks.deltaAppend(
+      (0L until 6L).map(i => (i, if (i < 3) "a" else "b")).toDF("id", "g"),
+      dir, Seq("g"))
+    intercept[BuzzException.BadRequest] { Sinks.deltaDropColumn(spark, dir, "g") }
+    intercept[BuzzException.BadRequest] { Sinks.deltaDropColumn(spark, dir, "nope") }
+    intercept[BuzzException.BadRequest] { Sinks.deltaDropColumn(spark, dir, "id") }
+  }
+
   test("the two-stage engine queries a renamed table under its logical names") {
     import graft.model.{BuzzCapacity, BuzzCatalogRef, BuzzQuery, BuzzStep, BuzzStepType}
     import graft.plans.BuzzEngine
@@ -169,18 +214,25 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     intercept[BuzzException.BadRequest] {
       Sinks.deltaRenameColumn(spark, dir, "id", "v") // physical collision
     }
-    intercept[BuzzException.SchemaMismatch] {
-      // evolution may not shadow the physical name either
-      Sinks.deltaAppend(Seq((9L, 9L, 9L, "a")).toDF("id", "w", "v", "g"),
-        dir, Seq("g"), mergeSchema = true)
-    }
+    // evolution MAY reuse the old logical name: on a mapped table the new
+    // column gets a fresh uuid physical, so w's bytes stay w's — the
+    // re-added 'v' reads old rows as null, never as the renamed column
+    Sinks.deltaAppend(Seq((9L, 9L, 9L, "a")).toDF("id", "w", "v", "g"),
+      dir, Seq("g"), mergeSchema = true)
+    val evolved = DeltaCatalog.fromDeltaLog(spark, dir, "cm_evo")
+    val byId = evolved.read(spark, evolved.files).collect()
+      .map(r => r.getLong(0) -> (r.getLong(r.fieldIndex("w")),
+        Option(r.get(r.fieldIndex("v"))))).toMap
+    assert(byId(9L) === ((9L, Some(9L))))
+    assert(byId(1L) === ((1L, None)), "renamed column's bytes leaked into the re-added name")
     // re-rename moves the logical name again; physical stays put
     Sinks.deltaRenameColumn(spark, dir, "w", "w2")
     val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cm_rr")
-    assert(cat.schema.fieldNames.toSeq === Seq("id", "w2"))
+    assert(cat.schema.fieldNames.toSeq === Seq("id", "w2", "v"))
     assert(cat.read(spark, cat.files).filter(col("w2") === 5L).count() === 1L)
-    // the protocol bump makes the table honest about the feature
-    val head = DeltaCatalog.fromDeltaLog(spark, dir, "cm_proto")
-    assert(head.physicalNames === Map("w2" -> "v"))
+    // the mapping is honest: w2 still stores under v, the re-added v
+    // under its fresh uuid physical
+    assert(cat.physicalNames.get("w2") === Some("v"))
+    assert(cat.physicalNames.get("v").exists(_.startsWith("col-")))
   }
 }
