@@ -778,13 +778,20 @@ object Sinks {
         StructField("deletionVector", StringType))), nullable = true),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
-        StructField("version", LongType))), nullable = true)))
+        StructField("version", LongType))), nullable = true),
+      // a feature bump (DV / column mapping) must survive commit cleaning,
+      // or the checkpointed table silently reverts to an unversioned one
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", LongType),
+        StructField("minWriterVersion", LongType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))), nullable = true)))
     val rows: Seq[Row] =
       // the table's stable id must survive the checkpoint — minting a new
       // one would make readers see a different table after log cleaning
       (Row(Row(DeltaCatalog.tableId(spark, tablePath)
           .getOrElse(java.util.UUID.randomUUID.toString), fullSchema.json,
-        cat.partitionColumns), null, null) +:
+        cat.partitionColumns), null, null, null) +:
         cat.files.map { f =>
           val raw = rawByKey.getOrElse(f.key,
             throw new graft.model.BuzzException.ExecutionError(
@@ -792,12 +799,15 @@ object Sinks {
           Row(null,
             Row(raw, f.length,
               cat.partitionColumns.zip(f.partitionValues).toMap,
-              statsByRaw.get(raw).orNull, dvByRaw.get(raw).orNull), null)
+              statsByRaw.get(raw).orNull, dvByRaw.get(raw).orNull), null, null)
         }) ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
         DeltaCatalog.allTxns(spark, tablePath).toSeq.sortBy(_._1)
-          .map { case (app, ver) => Row(null, null, Row(app, ver)) }
+          .map { case (app, ver) => Row(null, null, Row(app, ver), null) } ++
+        // the protocol declaration must survive too (see cpSchema note)
+        DeltaCatalog.tableProtocol(spark, tablePath).toSeq
+          .map { case (mr, mw, rf, wf) => Row(null, null, null, Row(mr, mw, rf, wf)) }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
     // multi-part (the protocol's V.checkpoint.I.N.parquet layout): a 100 TB
@@ -1213,7 +1223,8 @@ object Sinks {
       txn: Option[(String, Long)] = None,
       concurrentAddConflicts: Map[String, (Long, Map[String, String])] => Seq[String] =
         _ => Nil,
-      dvByRel: Map[String, (String, Long)] = Map.empty): Long = {
+      dvByRel: Map[String, (String, Long)] = Map.empty,
+      protocolActions: Seq[org.json4s.JValue] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1255,7 +1266,7 @@ object Sinks {
     // removes BEFORE adds: replay applies actions in line order, and a
     // deletion-vector commit re-adds the SAME path it removes — the add
     // must win within the commit (the protocol's reconciliation order)
-    val body = (txnActions ++ removeActions ++ addActions)
+    val body = (protocolActions ++ txnActions ++ removeActions ++ addActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     onBeforePublish()
@@ -1315,6 +1326,18 @@ object Sinks {
       Thread.sleep(10L * attempt)
     }
     version
+  }
+
+  /** The reader-v3 feature declaration the mapped/DV'd writers stamp into
+    * their commits — an engine that implements neither must fail loudly
+    * rather than silently resurrect deleted rows or misread columns. */
+  private def featureProtocol: org.json4s.JValue = {
+    import org.json4s._
+    val features = JArray(List(
+      JString("columnMapping"), JString("deletionVectors")))
+    JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+      "readerFeatures" -> features, "writerFeatures" -> features))
   }
 
   /** Test seam: invoked once immediately before [[commitRewrite]]'s first
@@ -1452,12 +1475,8 @@ object Sinks {
             "data under that physical name")
       val renamed = org.apache.spark.sql.types.StructType(stored.fields.map(f =>
         if (f.name == oldName) ColumnMapping.renamed(f, newName) else f))
-      val features = JArray(List(
-        JString("columnMapping"), JString("deletionVectors")))
       val actions: Seq[JValue] = Seq(
-        JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
-          "readerFeatures" -> features, "writerFeatures" -> features)),
+        featureProtocol,
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
@@ -1521,12 +1540,8 @@ object Sinks {
         stored.fields.filterNot(_.name == name).map(f =>
           if (cat.partitionColumns.contains(f.name)) f
           else ColumnMapping.pinned(f)))
-      val features = JArray(List(
-        JString("columnMapping"), JString("deletionVectors")))
       val actions: Seq[JValue] = Seq(
-        JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
-          "readerFeatures" -> features, "writerFeatures" -> features)),
+        featureProtocol,
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
@@ -1608,9 +1623,17 @@ object Sinks {
           "cardinality" -> JLong(-1L)): JValue)))
       JObject("add" -> JObject(fields))
     }
+    // the clone inherits the source's feature obligations: carried DV
+    // descriptors or column-mapping metadata demand the v3 declaration
+    val protocol: JValue =
+      if (dvs.nonEmpty || graft.sources.ColumnMapping.isMapped(
+          org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        featureProtocol
+      else JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
     val actions: Seq[JValue] =
-      JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
+      protocol ::
       JObject("metaData" -> JObject(
         // a FRESH id: the clone is a new table, not the source's history
         "id" -> JString(java.util.UUID.randomUUID.toString),
@@ -1814,7 +1837,10 @@ object Sinks {
       snapshotVersion = snapVer,
       concurrentAddConflicts =
         predicateAppendProbe(spark, tablePath, predicateSql),
-      dvByRel = dvByRel)
+      dvByRel = dvByRel,
+      // a reader that doesn't implement DVs must fail loudly, not
+      // silently resurrect the deleted rows
+      protocolActions = Seq(featureProtocol))
   }
 
   /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files

@@ -48,6 +48,10 @@ object DeltaCatalog {
     val dvs = scala.collection.mutable.HashMap[String, String]()
     // appId -> highest committed txn version (SetTransaction actions)
     val txns = scala.collection.mutable.HashMap[String, Long]()
+    // latest protocol action: (minReaderVersion, minWriterVersion,
+    // readerFeatures, writerFeatures) — checkpoint writers must persist
+    // it or commit cleaning would silently revert a feature bump
+    var protocol: Option[(Long, Long, Seq[String], Seq[String])] = None
   }
 
   /** Highest committed SetTransaction version for `appId`, or None if the
@@ -333,6 +337,15 @@ object DeltaCatalog {
           }
         }
       }
+      if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
+        val p = row.getStruct(row.fieldIndex("protocol"))
+        def featsOf(name: String): Seq[String] =
+          if (!p.schema.fieldNames.contains(name) || p.isNullAt(p.fieldIndex(name))) Nil
+          else p.getAs[scala.collection.Seq[String]](name).toSeq
+        recordProtocol(state, p.getAs[Long]("minReaderVersion"),
+          p.getAs[Long]("minWriterVersion"),
+          featsOf("readerFeatures"), featsOf("writerFeatures"))
+      }
       if (cols("txn") && !row.isNullAt(row.fieldIndex("txn"))) {
         val t = row.getStruct(row.fieldIndex("txn"))
         val app = t.getAs[String]("appId")
@@ -355,31 +368,48 @@ object DeltaCatalog {
   private val MaxReaderVersion = 3L
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
+  /** Enforce + record one protocol declaration (from a commit action OR a
+    * checkpoint's persisted protocol row — both must gate identically). */
+  private def recordProtocol(
+      state: State, minReader: Long, minWriter: Long,
+      readerFeats: Seq[String], writerFeats: Seq[String]): Unit = {
+    if (minReader > MaxReaderVersion)
+      throw new BuzzException.NotImplemented(
+        s"table requires Delta reader protocol $minReader; this engine " +
+          s"implements up to $MaxReaderVersion")
+    val unsupported = readerFeats.toSet -- SupportedReaderFeatures
+    if (unsupported.nonEmpty)
+      throw new BuzzException.NotImplemented(
+        s"table requires unsupported Delta reader feature(s): " +
+          s"${unsupported.toSeq.sorted.mkString(", ")}")
+    state.protocol = Some((minReader, minWriter, readerFeats, writerFeats))
+  }
+
+  /** The table's latest protocol declaration, if any — what checkpoint
+    * and clone writers must carry forward. */
+  private[graft] def tableProtocol(
+      spark: SparkSession, tablePath: String)
+      : Option[(Long, Long, Seq[String], Seq[String])] =
+    replay(spark, tablePath, None).protocol
+
   /** Apply one JSON commit action (protocol / metaData / add / remove /
     * txn) to the state. */
   private def applyAction(v: JValue, state: State): Unit = {
     v \ "protocol" match {
       case JNothing =>
       case p =>
-        val minReader = p \ "minReaderVersion" match {
+        def ver(j: JValue, default: Long): Long = j match {
           case JInt(x)  => x.toLong
           case JLong(x) => x
-          case _        => 1L
+          case _        => default
         }
-        if (minReader > MaxReaderVersion)
-          throw new BuzzException.NotImplemented(
-            s"table requires Delta reader protocol $minReader; this engine " +
-              s"implements up to $MaxReaderVersion")
-        p \ "readerFeatures" match {
-          case JArray(fs) =>
-            val requested = fs.collect { case JString(f) => f }.toSet
-            val unsupported = requested -- SupportedReaderFeatures
-            if (unsupported.nonEmpty)
-              throw new BuzzException.NotImplemented(
-                s"table requires unsupported Delta reader feature(s): " +
-                  s"${unsupported.toSeq.sorted.mkString(", ")}")
-          case _ =>
+        def feats(j: JValue): Seq[String] = j match {
+          case JArray(fs) => fs.collect { case JString(f) => f }
+          case _          => Nil
         }
+        recordProtocol(state, ver(p \ "minReaderVersion", 1L),
+          ver(p \ "minWriterVersion", 1L),
+          feats(p \ "readerFeatures"), feats(p \ "writerFeatures"))
     }
     v \ "metaData" match {
       case JNothing =>

@@ -200,6 +200,26 @@ class DeltaDeletionVectorSpec extends AnyFunSuite {
     assert(ids(dir) === ((0L +: (3L to 9L)) ++ (100L to 109L)))
   }
 
+  test("DV commits declare reader v3; the bump survives checkpoint cleaning and clones") {
+    val dir = tmpDir("dv_proto")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5")
+    val commit2 = Files.readString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/00000000000000000002.json"))
+    assert(commit2.contains("\"minReaderVersion\":3") &&
+      commit2.contains("deletionVectors"),
+      "a DV commit must declare the feature — a reader without it would " +
+        s"silently resurrect rows:\n$commit2")
+    // commit cleaning must not revert the declaration
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    assert(DeltaCatalog.tableProtocol(spark, dir).exists(_._3.contains("deletionVectors")))
+    assert(ids(dir) === ((0L to 2L) ++ (6L to 9L) ++ (100L to 109L)))
+    // a clone of a DV'd table inherits the obligation
+    val dst = tmpDir("dv_proto_clone")
+    Sinks.deltaCloneShallow(spark, dir, dst)
+    assert(DeltaCatalog.tableProtocol(spark, dst).exists(_._3.contains("deletionVectors")))
+  }
+
   test("DV delete is row-equivalent to copy-on-write delete across predicate shapes") {
     // same table, same predicate, both delete paths — read-back must agree
     // exactly; the only difference is the write shape (sidecar vs rewrite)
