@@ -2108,6 +2108,27 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
     }),
+    // DESCRIBE HISTORY: every writer stamps a commitInfo action; the
+    // history is deterministic in (version, operation) for a scripted
+    // sequence, plus a data-derived column tying it to the fixture
+    "sink_delta_history" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltahist_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), out)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), out)
+      Sinks.deltaOptimize(s, out, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaDeleteWhere(s, out, "doc_id BETWEEN 100 AND 199")
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "delta_hist")
+      val liveDocs = cat.read(s, cat.files).count()
+      Sinks.deltaHistory(s, out)
+        .select(col("version"), col("operation"))
+        .withColumn("live_docs", lit(liveDocs))
+    }),
     // DROP COLUMN (metaData-only) then RE-ADD via evolution: the dropped
     // bytes still sit in the old files, but the re-added column carries a
     // fresh uuid physical name — old rows MUST aggregate as null (the
@@ -5332,6 +5353,13 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id NOT BETWEEN 100 AND 999
         |GROUP BY source""".stripMargin,
+    // the scripted operation ledger, with live_docs re-derived relationally
+    "sink_delta_history" ->
+      """SELECT v.version, v.operation,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id NOT BETWEEN 100 AND 199) AS live_docs
+        |FROM (VALUES (CAST(0 AS BIGINT), 'APPEND'), (1, 'APPEND'),
+        |             (2, 'OPTIMIZE'), (3, 'DELETE')) AS v(version, operation)""".stripMargin,
     // dropped-era rows aggregate chars as NULL; only re-added rows count
     "sink_delta_drop" ->
       """SELECT source, count(*) AS n_docs,

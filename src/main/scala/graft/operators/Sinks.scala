@@ -435,6 +435,7 @@ object Sinks {
             s"deletion-vector batch(es) no longer exist (vacuumed), " +
             s"e.g. ${missingDv.head}")
       val now = System.currentTimeMillis()
+      val info = commitInfoAction("RESTORE", Map("version" -> version.toString))
       // re-add files NEW to the restored snapshot, plus files live in both
       // whose deletion-vector state differs (the add overwrites the live
       // entry AND its DV descriptor — the only way to roll a DV back)
@@ -442,7 +443,8 @@ object Sinks {
         target.keySet.intersect(current.keySet)
           .filter(raw => targetDvs.get(raw) != currentDvs.get(raw))).toSeq.sorted
       val actions: Seq[JValue] =
-        (current.keySet -- target.keySet).toSeq.sorted.map(raw =>
+        info +:
+        ((current.keySet -- target.keySet).toSeq.sorted.map(raw =>
           JObject("remove" -> JObject(
             "path" -> JString(raw),
             "deletionTimestamp" -> JLong(now),
@@ -465,7 +467,7 @@ object Sinks {
               "pathOrInlineDv" -> JString(dv),
               "cardinality" -> JLong(-1L)): JValue)))
           JObject("add" -> JObject(fields)): JValue
-        }
+        })
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
       if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
@@ -527,11 +529,14 @@ object Sinks {
         .toSeq.sorted
       if (doomed.isEmpty) return head
       val now = System.currentTimeMillis()
-      val actions: Seq[JValue] = doomed.map(raw =>
-        JObject("remove" -> JObject(
-          "path" -> JString(raw),
-          "deletionTimestamp" -> JLong(now),
-          "dataChange" -> JBool(true))): JValue)
+      val actions: Seq[JValue] =
+        commitInfoAction("DELETE PARTITION",
+          Map("partition_column" -> partitionCol, "value" -> value)) +:
+        doomed.map(raw =>
+          JObject("remove" -> JObject(
+            "path" -> JString(raw),
+            "deletionTimestamp" -> JLong(now),
+            "dataChange" -> JBool(true))): JValue)
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
       if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
@@ -1185,7 +1190,8 @@ object Sinks {
     }
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
-      txn = txn, concurrentAddConflicts = appendProbe)
+      txn = txn, concurrentAddConflicts = appendProbe,
+      operationParams = Map("key" -> keyCol))
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
@@ -1224,7 +1230,8 @@ object Sinks {
       concurrentAddConflicts: Map[String, (Long, Map[String, String])] => Seq[String] =
         _ => Nil,
       dvByRel: Map[String, (String, Long)] = Map.empty,
-      protocolActions: Seq[org.json4s.JValue] = Nil): Long = {
+      protocolActions: Seq[org.json4s.JValue] = Nil,
+      operationParams: Map[String, String] = Map.empty): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1263,10 +1270,22 @@ object Sinks {
       JObject("txn" -> JObject(
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
     }
+    val operation = opName match {
+      case "merge"     => "MERGE"
+      case "delete"    => "DELETE"
+      case "dv-delete" => "DELETE"
+      case "update"    => "UPDATE"
+      case "optimize"  => "OPTIMIZE"
+      case "zorder"    => "OPTIMIZE ZORDER"
+      case other       => other.toUpperCase(java.util.Locale.ROOT)
+    }
+    val info = commitInfoAction(operation,
+      if (opName == "dv-delete") operationParams + ("mode" -> "merge-on-read")
+      else operationParams)
     // removes BEFORE adds: replay applies actions in line order, and a
     // deletion-vector commit re-adds the SAME path it removes — the add
     // must win within the commit (the protocol's reconciliation order)
-    val body = (protocolActions ++ txnActions ++ removeActions ++ addActions)
+    val body = (Seq(info) ++ protocolActions ++ txnActions ++ removeActions ++ addActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     onBeforePublish()
@@ -1326,6 +1345,70 @@ object Sinks {
       Thread.sleep(10L * attempt)
     }
     version
+  }
+
+  /** The audit stamp every writer prepends to its commit — the protocol's
+    * `commitInfo` action (DESCRIBE HISTORY's raw material). Replay ignores
+    * it; [[deltaHistory]] surfaces it. */
+  private def commitInfoAction(
+      operation: String, params: Map[String, String]): org.json4s.JValue = {
+    import org.json4s._
+    JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString(operation),
+      "operationParameters" -> JObject(
+        params.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+      "engineInfo" -> JString("graft")))
+  }
+
+  /** DESCRIBE HISTORY: one row per SURVIVING commit file — (version,
+    * timestamp, operation, parameters). Operations come from each
+    * commit's own `commitInfo` stamp; commits written before stamping (or
+    * by other engines) surface operation = null. History is bounded by
+    * log retention: commits cleaned into a checkpoint no longer have
+    * per-version rows (their net effect lives in the checkpoint), exactly
+    * like upstream's DESCRIBE HISTORY after log cleanup. Driver-side
+    * O(#commit files) — the log is metadata, never data-sized. */
+  def deltaHistory(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.FsUtil
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    if (!FsUtil.isDirectory(spark, logDir))
+      throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
+    val CommitName = raw"(\d{20})\.json".r
+    val rows = FsUtil.listStatus(spark, logDir).flatMap { st =>
+      st.getPath.getName match {
+        case CommitName(v) =>
+          val info = FsUtil.readString(spark, st.getPath.toString).linesIterator
+            .filter(_.nonEmpty)
+            .map(l => try JsonMethods.parse(l) \ "commitInfo"
+              catch { case _: Exception => JNothing })
+            .collectFirst { case ci if ci != JNothing => ci }
+          def str(j: JValue): Option[String] =
+            j match { case JString(s) => Some(s); case _ => None }
+          def lng(j: JValue): Option[Long] = j match {
+            case JInt(x)  => Some(x.toLong)
+            case JLong(x) => Some(x)
+            case _        => None
+          }
+          val params: Map[String, String] = info.map(_ \ "operationParameters") match {
+            case Some(JObject(fs)) =>
+              fs.collect { case (k, JString(s)) => k -> s }.toMap
+            case _ => Map.empty
+          }
+          Some((v.toLong,
+            info.flatMap(ci => lng(ci \ "timestamp"))
+              .getOrElse(st.getModificationTime),
+            info.flatMap(ci => str(ci \ "operation")).orNull,
+            params))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    import spark.implicits._
+    rows.toSeq.toDF("version", "timestamp", "operation", "parameters")
   }
 
   /** The reader-v3 feature declaration the mapped/DV'd writers stamp into
@@ -1415,7 +1498,7 @@ object Sinks {
         cat.read(spark, spanAdds)
       }
     deltaAppend(batch, dstPath, cat.partitionColumns,
-      txn = Some((appId, head)), mergeSchema = true)
+      txn = Some((appId, head)), mergeSchema = true, operationName = "SYNC")
   }
 
   /** RENAME COLUMN via column mapping (name mode): one metaData-only
@@ -1476,6 +1559,8 @@ object Sinks {
       val renamed = org.apache.spark.sql.types.StructType(stored.fields.map(f =>
         if (f.name == oldName) ColumnMapping.renamed(f, newName) else f))
       val actions: Seq[JValue] = Seq(
+        commitInfoAction("RENAME COLUMN",
+          Map("old" -> oldName, "new" -> newName)),
         featureProtocol,
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
@@ -1541,6 +1626,7 @@ object Sinks {
           if (cat.partitionColumns.contains(f.name)) f
           else ColumnMapping.pinned(f)))
       val actions: Seq[JValue] = Seq(
+        commitInfoAction("DROP COLUMN", Map("column" -> name)),
         featureProtocol,
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
@@ -1633,6 +1719,7 @@ object Sinks {
       else JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
     val actions: Seq[JValue] =
+      commitInfoAction("CLONE", Map("source" -> srcPath)) ::
       protocol ::
       JObject("metaData" -> JObject(
         // a FRESH id: the clone is a new table, not the source's history
@@ -1705,7 +1792,8 @@ object Sinks {
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "delete", snapshotVersion = snapVer,
       concurrentAddConflicts =
-        predicateAppendProbe(spark, tablePath, predicateSql))
+        predicateAppendProbe(spark, tablePath, predicateSql),
+      operationParams = Map("predicate" -> predicateSql))
   }
 
   /** Concurrent-append probe shared by DELETE WHERE and UPDATE: of the
@@ -1840,7 +1928,8 @@ object Sinks {
       dvByRel = dvByRel,
       // a reader that doesn't implement DVs must fail loudly, not
       // silently resurrect the deleted rows
-      protocolActions = Seq(featureProtocol))
+      protocolActions = Seq(featureProtocol),
+      operationParams = Map("predicate" -> predicateSql))
   }
 
   /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files
@@ -1972,7 +2061,9 @@ object Sinks {
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "update", snapshotVersion = snapVer,
       concurrentAddConflicts =
-        predicateAppendProbe(spark, tablePath, predicateSql))
+        predicateAppendProbe(spark, tablePath, predicateSql),
+      operationParams = Map("predicate" -> predicateSql) ++
+        set.map { case (k, v) => s"set:$k" -> v })
   }
 
   /** Stage `data` as parquet under a hidden temp dir INSIDE the table
@@ -2038,7 +2129,8 @@ object Sinks {
     * flag the exact-schema contract is unchanged. */
   def deltaAppend(
       df: DataFrame, tablePath: String, partitionCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None, mergeSchema: Boolean = false): Long = {
+      txn: Option[(String, Long)] = None, mergeSchema: Boolean = false,
+      operationName: String = "APPEND"): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -2180,8 +2272,11 @@ object Sinks {
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
     }
     def body(version: Long): String = {
+      val info = commitInfoAction(operationName,
+        if (partitionCols.isEmpty) Map.empty
+        else Map("partitionBy" -> partitionCols.mkString(",")))
       val actions: Seq[JValue] =
-        if (version == 0L)
+        if (version == 0L) info ::
           JObject("protocol" -> JObject(
             "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))) ::
           JObject("metaData" -> JObject(
@@ -2201,7 +2296,7 @@ object Sinks {
               "schemaString" -> JString(merged.json),
               "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList)))
           }
-          (meta ++ txnActions ++ addActions).toList
+          (info :: (meta ++ txnActions ++ addActions).toList)
         }
       actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")

@@ -179,6 +179,28 @@ class DeltaConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent append"))
   }
 
+  test("DESCRIBE HISTORY: every writer stamps its operation and parameters") {
+    val dir = tmpDir("history")
+    twoFileTable(dir)                                           // v0, v1: APPEND
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)     // v2
+    Sinks.deltaDeleteWhere(spark, dir, "id BETWEEN 3 AND 5")    // v3
+    Sinks.deltaDeleteVectors(spark, dir, "id = 7")              // v4
+    Sinks.deltaRenameColumn(spark, dir, "v", "value")           // v5
+    val h = Sinks.deltaHistory(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2),
+        r.getAs[Map[String, String]](3))).toMap
+    assert(h.keySet === (0L to 5L).toSet)
+    assert(h(0L)._1 === "APPEND" && h(1L)._1 === "APPEND")
+    assert(h(2L)._1 === "OPTIMIZE")
+    assert(h(3L)._1 === "DELETE")
+    assert(h(3L)._2("predicate") === "id BETWEEN 3 AND 5")
+    assert(h(4L)._1 === "DELETE" && h(4L)._2("mode") === "merge-on-read")
+    assert(h(5L)._1 === "RENAME COLUMN" && h(5L)._2 === Map("old" -> "v", "new" -> "value"))
+    // timestamps are monotone non-decreasing over versions
+    val ts = Sinks.deltaHistory(spark, dir).collect().map(_.getLong(1))
+    assert(ts.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
   test("a table demanding an unimplemented reader protocol fails loudly") {
     val dir = tmpDir("protocol_guard")
     twoFileTable(dir)
