@@ -402,6 +402,7 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "restore")
     // SEMANTIC retry loop: restore declares "the table IS version v's
     // snapshot", so losing the commit race means recomputing the log diff
     // against the new head — which by declaration also rolls back whatever
@@ -428,46 +429,54 @@ object Sinks {
           s"cannot restore $tablePath to version $version: ${missing.size} " +
             s"target file(s) no longer exist (vacuumed), e.g. ${missing.head}")
       val missingDv = targetDvs.values.toSeq.distinct
-        .filterNot(dv => fsys.exists(new Path(tablePath, dv)))
+        .map(d => graft.sources.DeletionVectors.resolve(tablePath, d))
+        .filter(_.storageType != "i")
+        .filterNot(r => fsys.exists(new Path(r.pathOrInline)))
       if (missingDv.nonEmpty)
         throw new BuzzException.BadRequest(
           s"cannot restore $tablePath to version $version: ${missingDv.size} " +
-            s"deletion-vector batch(es) no longer exist (vacuumed), " +
-            s"e.g. ${missingDv.head}")
+            s"deletion-vector file(s) no longer exist (vacuumed), " +
+            s"e.g. ${missingDv.head.pathOrInline}")
       val now = System.currentTimeMillis()
       val info = commitInfoAction("RESTORE", Map("version" -> version.toString))
       // re-add files NEW to the restored snapshot, plus files live in both
-      // whose deletion-vector state differs (the add overwrites the live
-      // entry AND its DV descriptor — the only way to roll a DV back)
-      val readds = ((target.keySet -- current.keySet) ++
-        target.keySet.intersect(current.keySet)
-          .filter(raw => targetDvs.get(raw) != currentDvs.get(raw))).toSeq.sorted
+      // whose deletion-vector state differs — the latter as a REMOVE
+      // (carrying the superseded descriptor, so vacuum dates its vector
+      // from THIS commit) followed by the re-add whose descriptor is the
+      // target version's, at its TRUE cardinality
+      val newFiles = (target.keySet -- current.keySet).toSeq.sorted
+      val repointed = target.keySet.intersect(current.keySet)
+        .filter(raw => targetDvs.get(raw) != currentDvs.get(raw)).toSeq.sorted
+      def removeAction(raw: String, dv: Option[graft.sources.DvDescriptor]): JValue = {
+        val base: List[(String, JValue)] = List(
+          "path" -> JString(raw),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true))
+        JObject("remove" -> JObject(dv.fold(base)(d =>
+          base :+ ("deletionVector" -> graft.sources.DeletionVectors.toJson(d)))))
+      }
+      def addAction(raw: String): JValue = {
+        val (size, pv) = target(raw)
+        val base: List[(String, JValue)] = List(
+          "path" -> JString(raw),
+          "size" -> JLong(size),
+          "partitionValues" -> JObject(pv.map { case (k, v) =>
+            k -> (JString(v): JValue) }.toList),
+          "dataChange" -> JBool(true))
+        // re-adds keep the stats they had at the target version, so a
+        // restored table prunes exactly like the original snapshot did
+        val withStats = targetStats.get(raw)
+          .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
+        val fields = targetDvs.get(raw).fold(withStats)(d =>
+          withStats :+ ("deletionVector" -> graft.sources.DeletionVectors.toJson(d)))
+        JObject("add" -> JObject(fields))
+      }
       val actions: Seq[JValue] =
         info +:
-        ((current.keySet -- target.keySet).toSeq.sorted.map(raw =>
-          JObject("remove" -> JObject(
-            "path" -> JString(raw),
-            "deletionTimestamp" -> JLong(now),
-            "dataChange" -> JBool(true))): JValue) ++
-        readds.map { raw =>
-          val (size, pv) = target(raw)
-          val base: List[(String, JValue)] = List(
-            "path" -> JString(raw),
-            "size" -> JLong(size),
-            "partitionValues" -> JObject(pv.map { case (k, v) =>
-              k -> (JString(v): JValue) }.toList),
-            "dataChange" -> JBool(true))
-          // re-adds keep the stats they had at the target version, so a
-          // restored table prunes exactly like the original snapshot did
-          val withStats = targetStats.get(raw)
-            .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
-          val fields = targetDvs.get(raw).fold(withStats)(dv =>
-            withStats :+ ("deletionVector" -> (JObject(
-              "storageType" -> JString("p"),
-              "pathOrInlineDv" -> JString(dv),
-              "cardinality" -> JLong(-1L)): JValue)))
-          JObject("add" -> JObject(fields)): JValue
-        })
+        ((current.keySet -- target.keySet).toSeq.sorted
+          .map(raw => removeAction(raw, currentDvs.get(raw))) ++
+          repointed.map(raw => removeAction(raw, currentDvs.get(raw))) ++
+          (newFiles ++ repointed).sorted.map(addAction))
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
       if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
@@ -500,6 +509,7 @@ object Sinks {
     import graft.sources.{DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "delete from")
     // a misspelled or non-partition column would otherwise silently no-op
     // (every file's partitionValues lookup misses) and return the current
     // head — indistinguishable from deleting a genuinely empty partition,
@@ -578,7 +588,8 @@ object Sinks {
     // PRE-commit snapshot
     val (pre, preDvs) =
       if (removes.isEmpty)
-        (Map.empty[String, (Long, Map[String, String])], Map.empty[String, String])
+        (Map.empty[String, (Long, Map[String, String])],
+          Map.empty[String, graft.sources.DvDescriptor])
       else
         (DeltaCatalog.liveRawAt(spark, tablePath, Some(version - 1)),
           DeltaCatalog.dvsByRaw(spark, tablePath, Some(version - 1)))
@@ -591,7 +602,7 @@ object Sinks {
     * log replay. */
   private def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
-      : (Seq[(String, Long, Map[String, String], Option[String], Boolean)],
+      : (Seq[(String, Long, Map[String, String], Option[graft.sources.DvDescriptor], Boolean)],
          Seq[(String, Boolean)], Boolean) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -602,7 +613,8 @@ object Sinks {
       throw new BuzzException.BadRequest(
         s"commit $version does not exist under $tablePath/_delta_log")
     val adds = scala.collection.mutable
-      .ListBuffer[(String, Long, Map[String, String], Option[String], Boolean)]()
+      .ListBuffer[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Boolean)]()
     val removes = scala.collection.mutable.ListBuffer[(String, Boolean)]()
     var metaChanged = false
     FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -619,10 +631,7 @@ object Sinks {
             case JObject(fields) => fields.collect { case (k, JString(s)) => k -> s }.toMap
             case _               => Map.empty[String, String]
           }
-          val dv = v \ "add" \ "deletionVector" \ "pathOrInlineDv" match {
-            case JString(d) if d.nonEmpty => Some(d)
-            case _                        => None
-          }
+          val dv = graft.sources.DeletionVectors.fromJson(v \ "add" \ "deletionVector")
           val dc = v \ "add" \ "dataChange" match {
             case JBool(b) => b
             case _        => true // absent dataChange is a fact change
@@ -655,12 +664,13 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long,
       keyCols: Seq[String], compareCols: Seq[String],
       cat: graft.sources.StaticCatalog,
-      adds: Seq[(String, Long, Map[String, String], Option[String], Boolean)],
+      adds: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Boolean)],
       removes: Seq[String],
       pre: Map[String, (Long, Map[String, String])],
-      preDvs: Map[String, String]): org.apache.spark.sql.DataFrame = {
+      preDvs: Map[String, graft.sources.DvDescriptor]): org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.Path
-    import graft.sources.{DeltaCatalog, SizedFile}
+    import graft.sources.{DeletionVectors, DeltaCatalog, SizedFile}
     import graft.model.BuzzException
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
@@ -672,12 +682,12 @@ object Sinks {
     // delete (remove+re-add of the same path) then feeds exactly the
     // newly-deleted rows, instead of a spuriously empty diff
     val addDvs = adds.collect { case (raw, _, _, Some(dv), _) =>
-      abs(raw) -> new Path(tablePath, DeltaCatalog.decodePath(dv)).toString
+      abs(raw) -> DeletionVectors.resolve(tablePath, dv)
     }.toMap
     val addedRows = cat.withDeletionVectors(addDvs).read(
       spark, adds.map { case (raw, size, pv, _, _) => sized(raw, size, pv) })
     val remDvs = removes.flatMap(raw => preDvs.get(raw).map(dv =>
-      abs(raw) -> new Path(tablePath, dv).toString)).toMap
+      abs(raw) -> DeletionVectors.resolve(tablePath, dv))).toMap
     val remCat = cat.withDeletionVectors(remDvs)
     val removedRows =
       if (removes.isEmpty) remCat.read(spark, Nil)
@@ -754,13 +764,22 @@ object Sinks {
     import org.apache.spark.sql.types._
     import graft.sources.{DeltaCatalog, FsUtil}
     val logDir = s"$tablePath/_delta_log"
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_cp")
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "checkpoint")
+    // pin ONE snapshot version FIRST and derive every state slice from it
+    // (files, stats, DVs, txns, protocol): independent unpinned replays
+    // would let a commit land between the reads, producing a checkpoint
+    // stamped at a version whose adds it misses — with cleanCommits those
+    // files drop from the live set permanently
+    val version = DeltaCatalog.latestVersion(spark, logDir)
+    onCheckpointPinned()
+    val asOf = Some(version)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_cp",
+      versionAsOf = asOf)
     // the checkpoint must persist the RAW log paths — the seed decodes
     // them exactly once on re-read, like commit replay does
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath)
-    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath)
-    val dvByRaw = DeltaCatalog.dvsByRaw(spark, tablePath)
-    val version = DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath, asOf)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath, asOf)
+    val dvByRaw = DeltaCatalog.dvsByRaw(spark, tablePath, asOf)
     val fsys = FsUtil.fs(spark, tablePath)
     // full table schema = data schema + partition columns (this engine's
     // writers declare partition columns as strings in schemaString)
@@ -778,9 +797,15 @@ object Sinks {
         // data-skipping stats must survive into the checkpoint, or commit
         // cleaning would silently degrade every read back to footer IO
         StructField("stats", StringType),
-        // deletion-vector descriptors must survive too, or commit cleaning
-        // would RESURRECT merge-on-read-deleted rows
-        StructField("deletionVector", StringType))), nullable = true),
+        // deletion-vector descriptors must survive too — as the protocol's
+        // STRUCT, or commit cleaning would RESURRECT merge-on-read-deleted
+        // rows (and a flat string would be unreadable to foreign readers)
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))), nullable = true),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))), nullable = true),
@@ -801,17 +826,20 @@ object Sinks {
           val raw = rawByKey.getOrElse(f.key,
             throw new graft.model.BuzzException.ExecutionError(
               s"checkpoint: no raw log path for live file ${f.key}"))
+          val dvRow = dvByRaw.get(raw).map(d =>
+            Row(d.storageType, d.pathOrInlineDv,
+              d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
           Row(null,
             Row(raw, f.length,
               cat.partitionColumns.zip(f.partitionValues).toMap,
-              statsByRaw.get(raw).orNull, dvByRaw.get(raw).orNull), null, null)
+              statsByRaw.get(raw).orNull, dvRow), null, null)
         }) ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
-        DeltaCatalog.allTxns(spark, tablePath).toSeq.sortBy(_._1)
+        DeltaCatalog.allTxns(spark, tablePath, asOf).toSeq.sortBy(_._1)
           .map { case (app, ver) => Row(null, null, Row(app, ver), null) } ++
         // the protocol declaration must survive too (see cpSchema note)
-        DeltaCatalog.tableProtocol(spark, tablePath).toSeq
+        DeltaCatalog.tableProtocol(spark, tablePath, asOf).toSeq
           .map { case (mr, mw, rf, wf) => Row(null, null, null, Row(mr, mw, rf, wf)) }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
@@ -883,6 +911,10 @@ object Sinks {
     import org.json4s.jackson.JsonMethods
     require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
     import graft.sources.{DeltaCatalog, FsUtil}
+    // deleting files under a table whose writer features we don't know is
+    // as dangerous as committing to it (an unknown feature may reference
+    // sidecars this GC can't see) — same gate as the log writers
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "vacuum")
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retainMs
@@ -901,11 +933,26 @@ object Sinks {
             FsUtil.readString(spark, st.getPath.toString).linesIterator
               .filter(_.nonEmpty).foreach { line =>
                 val v = JsonMethods.parse(line)
-                (v \ "remove" \ "path", v \ "remove" \ "deletionTimestamp") match {
-                  case (JString(p), JInt(t)) =>
-                    ts(new Path(tablePath, DeltaCatalog.decodePath(p)).toString) = t.toLong
-                  case (JString(p), JLong(t)) =>
+                val stamp: Option[Long] = v \ "remove" \ "deletionTimestamp" match {
+                  case JInt(t)  => Some(t.toLong)
+                  case JLong(t) => Some(t)
+                  case _        => None
+                }
+                (v \ "remove" \ "path", stamp) match {
+                  case (JString(p), Some(t)) =>
                     ts(new Path(tablePath, DeltaCatalog.decodePath(p)).toString) = t
+                    // a remove's embedded descriptor tombstones the file's
+                    // deletion VECTOR too — dating the vector from when it
+                    // became UNREFERENCED (this commit), not from its
+                    // creation time: a vector superseded moments ago must
+                    // ride out the full retention window for in-flight
+                    // readers and time travel, however old its bytes are
+                    graft.sources.DeletionVectors
+                      .fromJson(v \ "remove" \ "deletionVector")
+                      .foreach { d =>
+                        val r = graft.sources.DeletionVectors.resolve(tablePath, d)
+                        if (r.storageType != "i") ts(r.pathOrInline) = t
+                      }
                   case _ => ()
                 }
               }
@@ -934,12 +981,20 @@ object Sinks {
       throw new graft.model.BuzzException.ExecutionError(
         s"vacuum aborted: ${missing.size} live file(s) missing on disk " +
           s"(first: ${missing.head}) — snapshot and layout disagree")
+    // deletion-vector GC inputs: a `deletion_vector_*.bin` file no CURRENT
+    // descriptor points at was superseded by a DV merge or materialized by
+    // a rewrite — same retention trade as the data tombstones (time travel
+    // to a version that referenced it stops working). Dated by the
+    // superseding commit's remove tombstone above — when history was
+    // checkpoint-cleaned, mtime is the (conservative-enough) fallback.
+    val referencedDvs = cat.deletionVectors.values
+      .collect { case r if r.storageType != "i" => qual(r.pathOrInline) }.toSet
     var deleted = 0L
     def walk(dir: Path): Unit =
       fsys.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (name == "_delta_log" || name == "_dv") () // sidecars GC'd below
+          if (name == "_delta_log") ()
           else if (name.startsWith(".") && oldEnough(st.getPath)) {
             fsys.delete(st.getPath, true); deleted += 1
           } else if (!name.startsWith(".")) walk(st.getPath)
@@ -948,24 +1003,14 @@ object Sinks {
             oldEnough(st.getPath)) {
           fsys.delete(st.getPath, false)
           deleted += 1
-        }
-      }
-    walk(new Path(tablePath))
-    // deletion-vector batch GC: a batch dir no CURRENT descriptor points
-    // at was superseded by a later DV merge or materialized by a rewrite —
-    // same retention trade as the data tombstones above (time travel to a
-    // version that referenced it stops working)
-    val dvRoot = new Path(tablePath, "_dv")
-    if (fsys.exists(dvRoot)) {
-      val referenced = cat.deletionVectors.values.map(qual).toSet
-      fsys.listStatus(dvRoot).foreach { st =>
-        if (!referenced.contains(qual(st.getPath.toString)) &&
+        } else if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+            !referencedDvs.contains(qual(st.getPath.toString)) &&
             oldEnough(st.getPath)) {
-          fsys.delete(st.getPath, true)
+          fsys.delete(st.getPath, false)
           deleted += 1
         }
       }
-    }
+    walk(new Path(tablePath))
     deleted
   }
 
@@ -1229,15 +1274,19 @@ object Sinks {
       txn: Option[(String, Long)] = None,
       concurrentAddConflicts: Map[String, (Long, Map[String, String])] => Seq[String] =
         _ => Nil,
-      dvByRel: Map[String, (String, Long)] = Map.empty,
+      dvByRel: Map[String, graft.sources.DvDescriptor] = Map.empty,
       protocolActions: Seq[org.json4s.JValue] = Nil,
       operationParams: Map[String, String] = Map.empty): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.sources.{DeletionVectors, DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    // the WRITER protocol gate — mirror of the reader-side gate: a table
+    // demanding writer semantics this engine lacks must fail loudly here,
+    // never commit silently
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, opName)
     val statsByPath: Map[String, String] =
       try graft.sources.ZoneMap.deltaFileStats(
         spark, adds.map { case (rel, _, _) => new Path(tablePath, rel).toString },
@@ -1253,19 +1302,27 @@ object Sinks {
         "dataChange" -> JBool(dataChange))
       val withStats = statsByPath.get(new Path(tablePath, rel).toString)
         .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
-      val fields = dvByRel.get(rel).fold(withStats) { case (dvRel, cardinality) =>
-        withStats :+ ("deletionVector" -> (JObject(
-          "storageType" -> JString("p"),
-          "pathOrInlineDv" -> JString(dvRel),
-          "cardinality" -> JLong(cardinality)): JValue))
-      }
+      val fields = dvByRel.get(rel).fold(withStats)(d =>
+        withStats :+ ("deletionVector" -> DeletionVectors.toJson(d)))
       JObject("add" -> JObject(fields))
     }
-    val removeActions: Seq[JValue] = removedRaws.map(raw =>
-      JObject("remove" -> JObject(
+    // removes carry the file's PRE-commit DV descriptor (the protocol's
+    // remove.deletionVector field): that timestamped tombstone is what
+    // lets vacuum date a superseded vector from when it became
+    // UNREFERENCED, not from its (arbitrarily older) creation time
+    val removedDvs: Map[String, graft.sources.DvDescriptor] =
+      if (removedRaws.isEmpty) Map.empty
+      else DeltaCatalog.dvsByRaw(spark, tablePath,
+        if (snapshotVersion >= 0) Some(snapshotVersion) else None)
+    val removeActions: Seq[JValue] = removedRaws.map { raw =>
+      val base: List[(String, JValue)] = List(
         "path" -> JString(raw),
         "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(dataChange))): JValue)
+        "dataChange" -> JBool(dataChange))
+      val fields = removedDvs.get(raw).fold(base)(d =>
+        base :+ ("deletionVector" -> DeletionVectors.toJson(d)))
+      JObject("remove" -> JObject(fields)): JValue
+    }
     val txnActions: Seq[JValue] = txn.toSeq.map { case (appId, txnVer) =>
       JObject("txn" -> JObject(
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
@@ -1413,21 +1470,54 @@ object Sinks {
 
   /** The reader-v3 feature declaration the mapped/DV'd writers stamp into
     * their commits — an engine that implements neither must fail loudly
-    * rather than silently resurrect deleted rows or misread columns. */
-  private def featureProtocol: org.json4s.JValue = {
+    * rather than silently resurrect deleted rows or misread columns.
+    *
+    * The raise is a UNION with the table's pre-existing protocol, never a
+    * replacement: replay takes the LATEST protocol action, so stamping a
+    * fixed list would silently DROP a foreign table's declared features
+    * (an `appendOnly` obligation would vanish from the log the first time
+    * a DV delete touched the table). Per the protocol's upgrade rule, a
+    * legacy version tier's implied features are enumerated into the
+    * feature lists when crossing into the v3/v7 feature-list form. */
+  private def featureProtocol(
+      existing: Option[(Long, Long, Seq[String], Seq[String])]): org.json4s.JValue = {
     import org.json4s._
-    val features = JArray(List(
-      JString("columnMapping"), JString("deletionVectors")))
+    val needed = Set("columnMapping", "deletionVectors")
+    val (readerFeats, writerFeats) = existing match {
+      case None => (needed, needed)
+      case Some((mr, mw, rf, wf)) =>
+        val legacyR = if (mr >= 2 && mr < 3) Set("columnMapping") else Set.empty[String]
+        val legacyW =
+          (if (mw >= 2 && mw < 7) Set("appendOnly", "invariants") else Set.empty[String]) ++
+          (if (mw >= 3 && mw < 7) Set("checkConstraints") else Set.empty[String]) ++
+          (if (mw >= 4 && mw < 7) Set("changeDataFeed", "generatedColumns")
+           else Set.empty[String]) ++
+          (if (mw >= 5 && mw < 7) Set("columnMapping") else Set.empty[String]) ++
+          (if (mw >= 6 && mw < 7) Set("identityColumns") else Set.empty[String])
+        (needed ++ rf ++ legacyR, needed ++ wf ++ legacyW)
+    }
+    def arr(s: Set[String]) = JArray(s.toList.sorted.map(JString(_): JValue))
     JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
-      "readerFeatures" -> features, "writerFeatures" -> features))
+      "readerFeatures" -> arr(readerFeats), "writerFeatures" -> arr(writerFeats)))
   }
+
+  /** [[featureProtocol]] against `tablePath`'s current log head. */
+  private def featureProtocol(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): org.json4s.JValue =
+    featureProtocol(graft.sources.DeltaCatalog.tableProtocol(spark, tablePath, None))
 
   /** Test seam: invoked once immediately before [[commitRewrite]]'s first
     * publish attempt, so specs can deterministically interleave a
     * concurrent commit between snapshot read and publish. No-op in
     * production. */
   private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Test seam: invoked once immediately after [[deltaCheckpoint]] pins
+    * its snapshot version, so specs can deterministically land a commit
+    * mid-checkpoint and prove the pinned replay never mixes state across
+    * versions. No-op in production. */
+  private[graft] var onCheckpointPinned: () => Unit = () => ()
 
   /** Incremental table-to-table SYNC with exactly-once resume — the
     * Delta streaming-source contract as one idempotent batch call.
@@ -1476,7 +1566,33 @@ object Sinks {
       } else {
         // incremental: the fact-adding files of (applied, head]
         val spanAdds = ((applied + 1) to head).flatMap { v =>
-          val (adds, removes, _) = parseCommitActions(spark, srcPath, v)
+          val (adds, removes, metaChanged) = parseCommitActions(spark, srcPath, v)
+          if (metaChanged) {
+            // a mid-span RENAME/DROP COLUMN would otherwise diverge
+            // SILENTLY: the metaData-only commit ships no rows, later
+            // increments land under the new logical name via mergeSchema,
+            // and already-synced rows stay under the old column — the
+            // destination stops reproducing the source's facts. Detect a
+            // changed physical-name mapping and fail loudly (additive
+            // evolution — new physicals — passes untouched).
+            val before = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v - 1))
+            val after = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v))
+            for (b <- before; a <- after) {
+              import graft.sources.ColumnMapping
+              val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+              val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+              val renamed = bPhys.keySet.intersect(aPhys.keySet)
+                .filter(p => bPhys(p) != aPhys(p))
+              val dropped = bPhys.keySet -- aPhys.keySet
+              if (renamed.nonEmpty || dropped.nonEmpty)
+                throw new BuzzException.BadRequest(
+                  s"sync($appId): source commit $v renames or drops column(s) " +
+                    s"(${(renamed.map(p => s"${bPhys(p)}->${aPhys(p)}") ++
+                      dropped.map(p => s"${bPhys(p)} dropped")).toSeq.sorted.mkString(", ")}) — " +
+                    "an append-only sync cannot re-map already-shipped rows; " +
+                    "re-clone the destination or consume deltaChangesBetween")
+            }
+          }
           val retractions = removes.filter(_._2)
           if (retractions.nonEmpty)
             throw new BuzzException.BadRequest(
@@ -1527,6 +1643,7 @@ object Sinks {
     import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "rename column of")
     if (newName.isEmpty || newName == oldName)
       throw new BuzzException.BadRequest(
         s"invalid rename '$oldName' -> '$newName'")
@@ -1561,7 +1678,7 @@ object Sinks {
       val actions: Seq[JValue] = Seq(
         commitInfoAction("RENAME COLUMN",
           Map("old" -> oldName, "new" -> newName)),
-        featureProtocol,
+        featureProtocol(spark, tablePath),
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
@@ -1602,6 +1719,7 @@ object Sinks {
     import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
     import graft.model.BuzzException
     val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "drop column of")
     var attempt = 0
     val maxAttempts = 10
     while (attempt < maxAttempts) {
@@ -1627,7 +1745,7 @@ object Sinks {
           else ColumnMapping.pinned(f)))
       val actions: Seq[JValue] = Seq(
         commitInfoAction("DROP COLUMN", Map("column" -> name)),
-        featureProtocol,
+        featureProtocol(spark, tablePath),
         JObject("metaData" -> JObject(
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
@@ -1702,22 +1820,45 @@ object Sinks {
         "dataChange" -> JBool(true))
       val withStats = stats.get(raw)
         .fold(base)(s => base :+ ("stats" -> (JString(s): JValue)))
-      val fields = dvs.get(raw).fold(withStats)(dv =>
-        withStats :+ ("deletionVector" -> (JObject(
-          "storageType" -> JString("p"),
-          "pathOrInlineDv" -> JString(absUri(dv)),
-          "cardinality" -> JLong(-1L)): JValue)))
+      // a carried vector keeps its true offset/size/cardinality; "u"
+      // descriptors (paths relative to the SOURCE root) become absolute
+      // "p" references, exactly how the protocol says clones point at
+      // foreign vector files
+      val fields = dvs.get(raw).fold(withStats) { d =>
+        val ported = d.storageType match {
+          case "u" =>
+            val abs = graft.sources.DeletionVectors.resolve(srcPath, d).pathOrInline
+            d.copy(storageType = "p", pathOrInlineDv = abs)
+          case _ => d
+        }
+        withStats :+ ("deletionVector" -> graft.sources.DeletionVectors.toJson(ported))
+      }
       JObject("add" -> JObject(fields))
     }
     // the clone inherits the source's feature obligations: carried DV
     // descriptors or column-mapping metadata demand the v3 declaration
+    val srcProtocol = DeltaCatalog.tableProtocol(spark, srcPath, None)
     val protocol: JValue =
       if (dvs.nonEmpty || graft.sources.ColumnMapping.isMapped(
           org.apache.spark.sql.types.DataType.fromJson(schemaJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType]))
-        featureProtocol
-      else JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+        featureProtocol(srcProtocol)
+      else srcProtocol match {
+        // the clone keeps the source's own feature obligations verbatim
+        // (feature lists only exist at the v3/v7 tiers, per the spec)
+        case Some((mr, mw, rf, wf)) =>
+          val base: List[(String, JValue)] = List(
+            "minReaderVersion" -> JLong(mr), "minWriterVersion" -> JLong(mw))
+          val withR = if (mr >= 3) base :+
+            ("readerFeatures" -> (JArray(rf.toList.map(JString(_): JValue)): JValue))
+          else base
+          val withW = if (mw >= 7) withR :+
+            ("writerFeatures" -> (JArray(wf.toList.map(JString(_): JValue)): JValue))
+          else withR
+          JObject("protocol" -> JObject(withW))
+        case None => JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+      }
     val actions: Seq[JValue] =
       commitInfoAction("CLONE", Map("source" -> srcPath)) ::
       protocol ::
@@ -1826,11 +1967,14 @@ object Sinks {
 
   /** Row-level DELETE as MERGE-ON-READ: instead of rewriting every file
     * that holds a matching row ([[deltaDeleteWhere]]'s copy-on-write),
-    * write one small sidecar batch of DELETED ROW IDENTITIES
-    * (`__path` normalized file path, `__ri` parquet row index) under
-    * `_dv/`, and commit each affected file re-ADDED in place with a
-    * `deletionVector` descriptor pointing at the batch. Readers anti-join
-    * the sidecar out through the scan's own `_metadata.row_index`
+    * write each affected file's DELETED ROW INDEXES as a portable
+    * RoaringBitmap framed in a protocol-format `deletion_vector_*.bin`
+    * file under the table root ([[graft.sources.DeletionVectors]] — the
+    * Delta protocol's own DV persistence, so a conformant external reader
+    * decodes these vectors byte-for-byte), and commit each affected file
+    * re-ADDED in place with a `deletionVector` descriptor (`storageType`
+    * "u", offset/sizeInBytes/cardinality). Readers anti-join
+    * the vectors out through the scan's own `_metadata.row_index`
     * ([[graft.sources.SplittableCatalog.read]]), so the data plane never
     * moves: at 100 TB, deleting one user's rows from a terabyte of
     * clustered files is a megabyte of sidecar + one log commit, where
@@ -1881,30 +2025,45 @@ object Sinks {
       .filter(coalesce(pred, lit(false)))
       .select(col("__gfp").as("__path"), col("__gri").as("__ri"))
     // carry over each candidate's EXISTING deleted rows — its descriptor
-    // will re-point to the new batch
+    // will re-point to the new vector (a descriptor names exactly one)
     val existingPairs = candFiles.flatMap(f =>
       cat.deletionVectors.get(f.key).map(dv => (FsUtil.normalizePath(f.key), dv)))
-    val existingRows = existingPairs.groupBy(_._2).toSeq.sortBy(_._1).map {
-      case (batch, pairs) =>
-        spark.read.parquet(batch)
-          .where(col("__path").isInCollection(pairs.map(_._1).distinct))
-          .select(col("__path"), col("__ri"))
-    }.reduceOption(_.unionAll(_))
-    val allDeleted = existingRows.fold(matches)(matches.unionAll(_)).distinct()
-    val batchRel = s"_dv/delete-${java.util.UUID.randomUUID}"
-    val batchAbs = s"$tablePath/$batchRel"
-    // co-locate each file's rows (readers filter per file); sidecars are
-    // DV-sized, so 32 hash partitions over-provision, never under
-    allDeleted.repartition(col("__path")).write.parquet(batchAbs)
-    // per-file cardinality from the WRITTEN batch — also the affected set
-    val counts = spark.read.parquet(batchAbs)
-      .groupBy(col("__path")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) { // nothing matched anywhere: no commit
-      FsUtil.fs(spark, batchAbs).delete(new Path(batchAbs), true)
+    val existingRows = graft.sources.DeletionVectors.deletedRowsDF(spark, existingPairs)
+    val allDeleted = matches.unionAll(existingRows).distinct()
+    // write the protocol's `.bin` vector files DISTRIBUTED: each task
+    // serializes its files' portable RoaringBitmaps into one vector file
+    // under the table root and reports the framed descriptors — deleted
+    // rows never pass through the driver, and the bytes on disk are the
+    // interoperable format any conformant Delta reader decodes
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    import spark.implicits._
+    val written: Array[(String, graft.sources.DvDescriptor)] =
+      allDeleted.repartition(col("__path")).select("__path", "__ri")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val byPath = scala.collection.mutable.HashMap[String,
+            scala.collection.mutable.ArrayBuilder.ofLong]()
+          it.foreach { case (p, ri) =>
+            byPath.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuilder.ofLong) += ri
+          }
+          if (byPath.isEmpty) Iterator.empty
+          else {
+            val tableDir = new Path(tablePath)
+            val fsys = tableDir.getFileSystem(confBc.value.value)
+            val entries = byPath.toSeq.sortBy(_._1).map { case (p, b) =>
+              val rows = b.result(); java.util.Arrays.sort(rows); p -> rows
+            }
+            val (_, described) =
+              graft.sources.DeletionVectors.writeDvFile(fsys, tableDir, entries)
+            described.iterator
+          }
+        }.collect()
+    val dvByNorm: Map[String, graft.sources.DvDescriptor] = written.toMap
+    if (dvByNorm.isEmpty) // nothing matched anywhere: no commit
       return DeltaCatalog.latestVersion(spark, logDir)
-    }
-    val affected = candFiles.filter(f => counts.contains(FsUtil.normalizePath(f.key)))
+    val affected = candFiles.filter(f => dvByNorm.contains(FsUtil.normalizePath(f.key)))
     val removedRaws = affected.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"dv-delete: no raw log path for live file ${f.key} — snapshot drifted")))
@@ -1918,7 +2077,7 @@ object Sinks {
     }
     val dvByRel = affected.map { f =>
       val rel = DeltaCatalog.decodePath(rawByKey(f.key))
-      rel -> (batchRel, counts(FsUtil.normalizePath(f.key)))
+      rel -> dvByNorm(FsUtil.normalizePath(f.key))
     }.toMap
     commitRewrite(spark, tablePath, adds, removedRaws,
       org.apache.spark.sql.types.StructType(cat.schema.fields), "dv-delete",
@@ -1928,7 +2087,9 @@ object Sinks {
       dvByRel = dvByRel,
       // a reader that doesn't implement DVs must fail loudly, not
       // silently resurrect the deleted rows
-      protocolActions = Seq(featureProtocol),
+      protocolActions = Seq(featureProtocol(
+        DeltaCatalog.tableProtocol(spark, tablePath,
+          if (snapVer >= 0) Some(snapVer) else None))),
       operationParams = Map("predicate" -> predicateSql))
   }
 
@@ -2228,7 +2389,12 @@ object Sinks {
       }
     }
     if (txnAlreadyApplied()) return DeltaCatalog.latestVersion(spark, logDir)
-    if (tableExists) validateAgainstLive()
+    if (tableExists) {
+      // appends are the one operation an appendOnly table permits — the
+      // gate still rejects unimplemented writer features (invariants...)
+      DeltaCatalog.assertWriterProtocol(spark, tablePath, "append")
+      validateAgainstLive()
+    }
     // column mapping: incoming data uses LOGICAL names; the files (and
     // their stats) store PHYSICAL ones. Empty unless the table carries
     // RENAME/DROP COLUMN metadata. An evolving append must include ITS

@@ -68,15 +68,15 @@ trait SplittableCatalog {
 
   def files: Seq[SizedFile]
 
-  /** Merge-on-read deletion vectors: file key → sidecar parquet path
-    * holding the file's DELETED row indexes as (`__path` normalized file
-    * path, `__ri` row index). [[read]] anti-joins these out via the scan's
-    * own `_metadata.row_index`, so a row-level delete never rewrites a
-    * data file — the 100 TB GDPR path is one small sidecar write + one
-    * log commit, and the anti-join's build side is DV-sized, not
-    * table-sized. Empty for every catalog except Delta tables with DV
-    * commits. */
-  def deletionVectors: Map[String, String] = Map.empty
+  /** Merge-on-read deletion vectors: file key → resolved descriptor of
+    * the file's DELETED row indexes (the protocol's portable RoaringBitmap
+    * frame inside a `.bin` vector file — [[DeletionVectors]]). [[read]]
+    * anti-joins these out via the scan's own `_metadata.row_index`, so a
+    * row-level delete never rewrites a data file — the 100 TB GDPR path is
+    * one small vector write + one log commit, and the anti-join's build
+    * side is DV-sized, not table-sized. Empty for every catalog except
+    * Delta tables with DV commits. */
+  def deletionVectors: Map[String, ResolvedDv] = Map.empty
 
   /** Column mapping (logical → physical parquet name), derived from the
     * declared schema's field metadata — non-empty only after a Delta
@@ -235,16 +235,11 @@ trait SplittableCatalog {
           .map(dv => (FsUtil.normalizePath(f.key), dv)))
         if (dvd.isEmpty) logicalNamed
         else {
-          // each file's descriptor names exactly ONE sidecar batch; rows
-          // are filtered to that association so a superseded batch can
-          // still hold stale rows for OTHER files without effect
-          val dvRows = dvd.groupBy(_._2).toSeq.sortBy(_._1).map {
-            case (batch, pairs) =>
-              spark.read.parquet(batch)
-                .where(col("__path").isInCollection(pairs.map(_._1).distinct))
-                .select(col("__path"), col("__ri"))
-          }.reduce(_.unionAll(_))
-          // no broadcast hint: AQE broadcasts the (small) sidecar side on
+          // each file's descriptor frames exactly ONE vector; decode is
+          // distributed (one task per descriptor slice), so the build
+          // side never passes through the driver
+          val dvRows = DeletionVectors.deletedRowsDF(spark, dvd)
+          // no broadcast hint: AQE broadcasts the (small) vector side on
           // its own; a pathological multi-GB DV still executes as SMJ
           logicalNamed.join(dvRows,
             logicalNamed("__gfp") === dvRows("__path") &&
@@ -333,7 +328,7 @@ final class StaticCatalog(
     override val format: String = "parquet",
     override val readerOptions: Map[String, String] = Map.empty,
     override val missingNullableOk: Boolean = false,
-    override val deletionVectors: Map[String, String] = Map.empty)
+    override val deletionVectors: Map[String, ResolvedDv] = Map.empty)
   extends SplittableCatalog {
   require(
     files.forall(_.partitionValues.length == partitionColumns.length),
@@ -343,7 +338,7 @@ final class StaticCatalog(
     * change-feed reader presents one side of a commit at that side's DV
     * truth (the pre-commit state for removes, the commit's own actions
     * for adds). */
-  private[graft] def withDeletionVectors(dv: Map[String, String]): StaticCatalog =
+  private[graft] def withDeletionVectors(dv: Map[String, ResolvedDv]): StaticCatalog =
     new StaticCatalog(name, schema, partitionColumns, files, nanosColumns,
       ntzColumns, format, readerOptions, missingNullableOk, dv)
 }

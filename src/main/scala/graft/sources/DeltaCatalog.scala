@@ -43,9 +43,12 @@ object DeltaCatalog {
     // path -> the add action's `stats` JSON (data-skipping ranges); kept in
     // lockstep with `live` — a remove, or a re-add without stats, clears it
     val stats = scala.collection.mutable.HashMap[String, String]()
-    // path -> the add action's deletion-vector sidecar path (table-relative)
-    // — merge-on-read row-level deletes; lockstep with `live` like stats
-    val dvs = scala.collection.mutable.HashMap[String, String]()
+    // path -> the add action's full deletion-vector descriptor —
+    // merge-on-read row-level deletes; lockstep with `live` like stats
+    val dvs = scala.collection.mutable.HashMap[String, DvDescriptor]()
+    // table configuration from the latest metaData action — carries the
+    // writer-side obligations (delta.appendOnly, delta.constraints.*)
+    var configuration: Map[String, String] = Map.empty
     // appId -> highest committed txn version (SetTransaction actions)
     val txns = scala.collection.mutable.HashMap[String, Long]()
     // latest protocol action: (minReaderVersion, minWriterVersion,
@@ -62,10 +65,13 @@ object DeltaCatalog {
   def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] =
     replay(spark, tablePath, None).txns.get(appId)
 
-  /** Every app's highest committed txn version — what a checkpoint writer
-    * must persist so idempotence survives commit cleaning. */
-  private[graft] def allTxns(spark: SparkSession, tablePath: String): Map[String, Long] =
-    replay(spark, tablePath, None).txns.toMap
+  /** Every app's highest committed txn version at `versionAsOf` (None =
+    * head) — what a checkpoint writer must persist so idempotence
+    * survives commit cleaning. */
+  private[graft] def allTxns(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, Long] =
+    replay(spark, tablePath, versionAsOf).txns.toMap
 
   /** Each live file's `add.stats` JSON keyed by RAW log path, at
     * `versionAsOf` (None = head) — what a checkpoint writer must persist
@@ -76,12 +82,12 @@ object DeltaCatalog {
       versionAsOf: Option[Long] = None): Map[String, String] =
     replay(spark, tablePath, versionAsOf).stats.toMap
 
-  /** Each live file's deletion-vector sidecar path (table-relative) keyed
-    * by RAW log path, at `versionAsOf` (None = head) — what a DV writer
-    * merges against and a checkpoint writer must persist. */
+  /** Each live file's deletion-vector descriptor keyed by RAW log path,
+    * at `versionAsOf` (None = head) — what a DV writer merges against and
+    * a checkpoint writer must persist. */
   private[graft] def dvsByRaw(
       spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): Map[String, String] =
+      versionAsOf: Option[Long] = None): Map[String, DvDescriptor] =
     replay(spark, tablePath, versionAsOf).dvs.toMap
 
   /** The table's stable metaData.id, if the log carries one — evolution
@@ -331,9 +337,15 @@ object DeltaCatalog {
             if (s != null && s.nonEmpty) state.stats(path) = s
           }
           // pre-DV checkpoints have no `deletionVector` column — tolerated
-          if (a.schema != null && a.schema.fieldNames.contains("deletionVector")) {
-            val dv = a.getAs[String]("deletionVector")
-            if (dv != null && dv.nonEmpty) state.dvs(path) = dv
+          if (a.schema != null && a.schema.fieldNames.contains("deletionVector") &&
+              !a.isNullAt(a.fieldIndex("deletionVector"))) {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            val st = d.getAs[String]("storageType")
+            if (st != null && st.nonEmpty)
+              state.dvs(path) = DvDescriptor(st, d.getAs[String]("pathOrInlineDv"),
+                if (d.isNullAt(d.fieldIndex("offset"))) None
+                else Some(d.getAs[Int]("offset")),
+                d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality"))
           }
         }
       }
@@ -385,12 +397,99 @@ object DeltaCatalog {
     state.protocol = Some((minReader, minWriter, readerFeats, writerFeats))
   }
 
-  /** The table's latest protocol declaration, if any — what checkpoint
-    * and clone writers must carry forward. */
+  /** The table's latest protocol declaration at `versionAsOf` (None =
+    * head), if any — what checkpoint and clone writers must carry
+    * forward. */
   private[graft] def tableProtocol(
-      spark: SparkSession, tablePath: String)
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None)
       : Option[(Long, Long, Seq[String], Seq[String])] =
-    replay(spark, tablePath, None).protocol
+    replay(spark, tablePath, versionAsOf).protocol
+
+  /** The table's declared FULL schema at `versionAsOf` — what a sync/CDF
+    * span reader compares across metaData boundaries to detect a
+    * column-mapping change mid-span. */
+  private[graft] def storedSchemaAt(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Option[StructType] =
+    replay(spark, tablePath, versionAsOf).schemaJson
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+
+  /** WRITER-side protocol enforcement — the mirror of [[recordProtocol]]'s
+    * reader gate: committing to a table whose log demands writer
+    * semantics this engine does not implement (an invariant to validate,
+    * an append-only restriction, a generated column to derive) would
+    * SUCCEED silently and corrupt the table's contract for every other
+    * engine. Every mutating path calls this before publishing.
+    *
+    * Versions 1–2 are implemented directly; 3–6 (checkConstraints /
+    * generatedColumns / columnMapping-write / deletionVectors-legacy
+    * tiers) and 7's feature list are accepted exactly as far as their
+    * obligations are INERT on this table:
+    *   - `appendOnly`: accepted for appends always; for anything else only
+    *     when `delta.appendOnly` is not actually set — an append-only
+    *     table rejects row-level DML loudly, as the feature demands;
+    *   - `invariants` / `generatedColumns`: accepted only when no schema
+    *     field actually declares `delta.invariants` /
+    *     `delta.generationExpression` metadata;
+    *   - `checkConstraints`: accepted only when no `delta.constraints.*`
+    *     configuration key exists;
+    *   - `columnMapping`, `deletionVectors`, `timestampNtz`: implemented.
+    * Anything else — or an active obligation from the list above — fails
+    * with the feature named. A table this engine created is always
+    * writable (its own commits only ever declare implemented features). */
+  private val MaxWriterVersion = 7L
+  private val ImplementedWriterFeatures =
+    Set("columnMapping", "deletionVectors", "timestampNtz")
+  private val ConditionalWriterFeatures =
+    Set("appendOnly", "invariants", "checkConstraints", "generatedColumns")
+
+  private[graft] def assertWriterProtocol(
+      spark: SparkSession, tablePath: String, operation: String): Unit = {
+    if (!FsUtil.isDirectory(spark, s"$tablePath/_delta_log")) return // new table
+    val state = replay(spark, tablePath, None)
+    val (minWriter, writerFeats) = state.protocol match {
+      case None                     => return // pre-protocol log: plain v1 semantics
+      case Some((_, mw, _, wf))     => (mw, wf)
+    }
+    def fail(what: String): Nothing =
+      throw new BuzzException.NotImplemented(
+        s"cannot $operation $tablePath: table demands writer support for " +
+          s"$what, which this engine does not implement — writing anyway " +
+          "would silently violate the table's contract")
+    if (minWriter > MaxWriterVersion)
+      fail(s"Delta writer protocol $minWriter (implemented: <= $MaxWriterVersion)")
+    // the obligations active on THIS table, whether demanded by a legacy
+    // version tier (2=invariants/appendOnly, 3=+checkConstraints,
+    // 4=+generatedColumns) or by an explicit v7 feature list
+    val demanded: Set[String] =
+      if (minWriter >= 7) writerFeats.toSet
+      else Set(
+        if (minWriter >= 2) Seq("appendOnly", "invariants") else Nil,
+        if (minWriter >= 3) Seq("checkConstraints") else Nil,
+        if (minWriter >= 4) Seq("generatedColumns") else Nil,
+        if (minWriter >= 5) Seq("columnMapping") else Nil).flatten
+    val unknown = demanded -- ImplementedWriterFeatures -- ConditionalWriterFeatures
+    if (unknown.nonEmpty)
+      fail(s"Delta writer feature(s) ${unknown.toSeq.sorted.mkString(", ")}")
+    val schema = state.schemaJson
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    if (demanded("appendOnly") &&
+        state.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) &&
+        operation != "append")
+      throw new BuzzException.BadRequest(
+        s"cannot $operation $tablePath: delta.appendOnly=true — the table " +
+          "accepts appends only")
+    if (demanded("invariants") &&
+        schema.exists(_.fields.exists(_.metadata.contains("delta.invariants"))))
+      fail("column invariants (delta.invariants declared in the schema)")
+    if (demanded("generatedColumns") &&
+        schema.exists(_.fields.exists(_.metadata.contains("delta.generationExpression"))))
+      fail("generated columns (delta.generationExpression declared in the schema)")
+    if (demanded("checkConstraints") &&
+        state.configuration.keys.exists(_.startsWith("delta.constraints.")))
+      fail("CHECK constraints (delta.constraints.* configured)")
+  }
 
   /** Apply one JSON commit action (protocol / metaData / add / remove /
     * txn) to the state. */
@@ -426,6 +525,12 @@ object DeltaCatalog {
           case JArray(cols) => state.partitionCols = cols.collect { case JString(c) => c }
           case _ =>
         }
+        md \ "configuration" match {
+          case JObject(fields) =>
+            state.configuration =
+              fields.collect { case (k, JString(s)) => k -> s }.toMap
+          case _ =>
+        }
     }
     v \ "add" match {
       case JNothing =>
@@ -453,9 +558,9 @@ object DeltaCatalog {
             case JString(s) if s.nonEmpty => state.stats(path) = s
             case _                        => state.stats.remove(path)
           }
-          add \ "deletionVector" \ "pathOrInlineDv" match {
-            case JString(dv) if dv.nonEmpty => state.dvs(path) = dv
-            case _                          => state.dvs.remove(path)
+          DeletionVectors.fromJson(add \ "deletionVector") match {
+            case Some(d) => state.dvs(path) = d
+            case None    => state.dvs.remove(path)
           }
         }
     }
@@ -499,10 +604,11 @@ object DeltaCatalog {
         state.partitionCols.map(c => pv.getOrElse(c, "")))
     }
     seedZoneCache(tablePath, dataSchema, state)
-    // deletion vectors, keyed by the same absolute key `files` carries
-    val dvByKey = state.dvs.toMap.map { case (raw, dvRel) =>
+    // deletion vectors, keyed by the same absolute key `files` carries,
+    // resolved against the table root ("u" descriptors derive their file)
+    val dvByKey = state.dvs.toMap.map { case (raw, d) =>
       new Path(tablePath, decodePath(raw)).toString ->
-        new Path(tablePath, decodePath(dvRel)).toString
+        DeletionVectors.resolve(tablePath, d)
     }
     // missingNullableOk: schema evolution means pre-evolution files lack
     // later-added nullable columns — the strict verifier must tolerate that

@@ -120,12 +120,48 @@ class DeltaDeletionVectorSpec extends AnyFunSuite {
     Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 7)") // supersedes batch 1
     Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
     assert(ids(dir) === Seq(0L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
-    // the first batch is unreferenced now: vacuum reaps it, keeps the live one
-    val dvRoot = java.nio.file.Paths.get(dir, "_dv")
-    assert(Files.list(dvRoot).count() === 2)
+    // the first vector file is unreferenced now: vacuum reaps it, keeps the
+    // live one (protocol-format deletion_vector_*.bin under the table root)
+    def vectors(): Long = Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_") &&
+        p.getFileName.toString.endsWith(".bin")).count()
+    assert(vectors() === 2)
+    // within the retention window the SUPERSEDED vector survives — it is
+    // dated from when it became unreferenced (the superseding commit),
+    // never its creation mtime, so in-flight readers and time travel keep
+    // working for the promised window (here history was checkpoint-cleaned,
+    // so the conservative mtime fallback carries the same guarantee)
+    Sinks.deltaVacuum(spark, dir, retainMs = 24L * 3600 * 1000)
+    assert(vectors() === 2)
     Sinks.deltaVacuum(spark, dir)
-    assert(Files.list(dvRoot).count() === 1)
+    assert(vectors() === 1)
     assert(ids(dir) === Seq(0L, 2L, 6L, 8L, 9L) ++ (100L to 109L))
+  }
+
+  test("a superseded vector is dated from the superseding COMMIT, not its mtime") {
+    val dir = tmpDir("dv_vacuum_dating")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5") // v2: vector A
+    // make vector A's bytes LOOK ancient: creation-time dating would reap
+    // it the moment it is superseded, inside the promised retention window
+    Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_"))
+      .forEach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30L * 24 * 3600 * 1000)))
+    Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 7)") // v3 supersedes A
+    def vectors(): Long = Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_") &&
+        p.getFileName.toString.endsWith(".bin")).count()
+    assert(vectors() === 2)
+    // v3's remove tombstone carries A's descriptor stamped NOW: a 1h
+    // retention must keep A despite its 30-day-old bytes — readers of the
+    // pre-supersede snapshot are still inside their window
+    Sinks.deltaVacuum(spark, dir, retainMs = 3600 * 1000L)
+    assert(vectors() === 2)
+    assert(ids(dir, asOf = Some(2L)).size === 17)
+    Sinks.deltaVacuum(spark, dir)
+    assert(vectors() === 1)
   }
 
   test("RESTORE rolls deletion-vector state back and forward") {
