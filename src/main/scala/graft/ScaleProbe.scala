@@ -158,6 +158,35 @@ object ScaleProbe {
       }
       report("knn_join_rows", scale, knnRows, knnSecs)
 
+      // kNN self-join on a CLUSTERED corpus — the rotated replicas above
+      // are mutually DISSIMILAR (the optimistic case for IVF); a real
+      // near-duplicate-heavy corpus packs whole clusters into single
+      // buckets. Replica i here is a tiny deterministic perturbation of
+      // the original (+0.0004·i per element), so all k copies of a vector
+      // stay near-duplicates of each other and land in one bucket — the
+      // k× occupancy packing that made the sf1 bench fixture breach its
+      // bound. Production knnJoin must hold ~scale^1.5 of its pair work
+      // here via the occupancy salt-split; max occupancy is reported so
+      // the packing factor itself is in the artifact.
+      def embClustered(k: Int): DataFrame =
+        (0 until k).map { i =>
+          if (i == 0) emb
+          else emb.select(
+            (col("vec_id") + lit(i * idStride)).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(0.0004 * i)).as("embedding"))
+        }.reduce(_.unionAll(_))
+      val ec = embClustered(scale).select(col("vec_id"), col("embedding"))
+      val (knnCRows, knnCSecs) = timed {
+        graft.operators.Similarity.knnJoin(ec, "vec_id", "embedding", k = 3).count()
+      }
+      report("knn_join_clustered_rows", scale, knnCRows, knnCSecs)
+      val occ = graft.operators.Similarity.ivfBucketOccupancy(
+        graft.operators.Similarity.ivfAssignments(ec, "vec_id", "embedding"))
+      report("knn_clustered_max_occupancy", scale, occ.map(_._2).max, 0.0)
+      report("knn_clustered_avg_occupancy", scale,
+        occ.map(_._2).sum / math.max(1, occ.length), 0.0)
+
       // radius search at the PRODUCTION setting against a FIXED query set:
       // the probed fraction of the corpus shrinks as the index grows
       // (√nlist of nlist ≈ √n buckets), so scanned work per query grows

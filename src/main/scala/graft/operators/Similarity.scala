@@ -707,11 +707,27 @@ object Similarity {
     * mining, and retrieval-index validation. Same IVF pruning as
     * [[ivfTopK]], but the probe side is the corpus itself, so the
     * bucket-to-bucket join SHUFFLES on the centroid bucket key instead of
-    * broadcasting (both sides are corpus-sized): per-bucket work is
-    * |bucket| × nProbe·|bucket|, never |corpus|². `nProbe == nCentroids`
-    * probes every bucket — exactly the brute-force answer (the correctness
-    * oracle); production sets nProbe ≪ nCentroids. Returns
-    * (query_id, rank, neighbor_id, sim). */
+    * broadcasting (both sides are corpus-sized).
+    *
+    * Scale contract, by configuration — the two paths scale differently
+    * and must not be read against each other's bound:
+    *   - `nProbe == Int.MaxValue` (the EXPLICIT brute-force request, and
+    *     the correctness-oracle/bench configuration): the exact all-pairs
+    *     answer. Its honest cost is PAIR VOLUME — n(n-1) cosine kernels —
+    *     so wall grows ~quadratically with the corpus BY REQUEST; at 10×
+    *     data expect ~10–100× wall depending on where fixed costs stop
+    *     dominating. Never deploy this configuration at scale; it exists
+    *     so the oracle can check exactness and the heap top-k reduce.
+    *   - production (`nProbe ≪ nlist`, the default √nlist): per-bucket
+    *     work is Σ_b occ_b·probes_b ≈ n·nProbe·(n/nlist) — ~n^1.5 at the
+    *     default nlist ≈ √n sizing, sub-quadratic because only probed
+    *     buckets are scored. On CLUSTERED corpora (near-duplicate heavy —
+    *     the realistic 100 TB shape) tight clusters pack single buckets
+    *     past the balanced n/nlist occupancy; the occupancy-driven
+    *     salt-split below keeps that skew off the critical path (work
+    *     unchanged, stragglers split), and [[ivfBucketOccupancy]] is the
+    *     diagnostic to watch.
+    * Returns (query_id, rank, neighbor_id, sim). */
   def knnJoin(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 0, nProbe: Int = 0,
@@ -739,12 +755,67 @@ object Similarity {
       val probed = vecs.select(
         col("id").as("query_id"), col("v").as("qv"),
         explode(nearestCentroids(col("v"), cents, resolveProbe(nProbe, nlist))).as("bucket"))
-      val scored = bucketed.join(probed, Seq("bucket"))
+      // CLUSTERED corpora (near-duplicate heavy — the realistic production
+      // shape) pack IVF buckets: k-means puts more centroids in dense
+      // regions, but a tight near-dup cluster is inseparable and lands in
+      // ONE bucket however many centroids surround it. Since this join
+      // SHUFFLES on the bucket key, one packed bucket's |b|·probes_b pair
+      // work would execute as a single straggler task. Measure occupancy
+      // (an nlist-bounded aggregate — the one driver collect here, ≤2^17
+      // rows by construction) and SALT-SPLIT hot buckets: neighbors hash
+      // into ceil(occ/target) sub-buckets, probes replicate across them
+      // (the [[Joins.saltedJoin]] skew discipline applied per-bucket).
+      // Pair VOLUME is unchanged — salting restores parallelism, and the
+      // balanced-bucket common case skips it entirely (zero plan change).
+      val occ = ivfBucketOccupancy(bucketed)
+      val avgOcc = math.max(1L, occ.map(_._2).sum / math.max(1, occ.length))
+      val target = math.max(256L, 4L * avgOcc)
+      val scored = (if (occ.forall(_._2 <= target)) bucketed.join(probed, Seq("bucket"))
+      else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val saltsDf = broadcast(occ.toSeq
+          .map { case (b, c) => (b, math.min(256L, (c + target - 1) / target).toInt) }
+          .toDF("bucket", "__nsalt"))
+        val saltedN = bucketed.join(saltsDf, Seq("bucket"))
+          .withColumn("__salt",
+            pmod(xxhash64(col("neighbor_id")), col("__nsalt").cast("long")).cast("int"))
+          .drop("__nsalt")
+        val saltedP = probed.join(saltsDf, Seq("bucket"))
+          .withColumn("__salt", explode(sequence(lit(0), col("__nsalt") - 1)))
+          .drop("__nsalt")
+        saltedN.join(saltedP, Seq("bucket", "__salt")).drop("__salt")
+      })
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", cosineSim(col("cv"), col("qv")))
       rankTopK(scored, k)
     }
   }
+
+  /** The corpus's IVF bucket assignment (neighbor_id, bucket) under the
+    * auto-sized (or `nCentroids`-pinned) index — the input to
+    * [[ivfBucketOccupancy]]. Training is memoized per canonical plan, so
+    * inspecting occupancy after a [[knnJoin]] on the same corpus costs one
+    * assignment pass, never a second training run. */
+  def ivfAssignments(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 0, kmeansIters: Int = 2,
+      corpusSizeHint: Option[Long] = None): DataFrame = {
+    val nlist = resolveNlist(corpus, idCol, vecCol, nCentroids, corpusSizeHint)
+    val (_, _, bucketed, _) =
+      buildIvfIndex(corpus, idCol, vecCol, nlist, kmeansIters, corpusSizeHint)
+    bucketed.select(col("neighbor_id"), col("bucket"))
+  }
+
+  /** Per-bucket occupancy of an IVF assignment — (bucket, count), one
+    * partial-agg exchange over id-only rows, result bounded by nlist
+    * (≤ 2^17). The skew diagnostic behind [[knnJoin]]'s hot-bucket
+    * salt-split, and the number to look at when a clustered corpus's
+    * probe walls drift: max/avg occupancy IS the packing factor. */
+  def ivfBucketOccupancy(bucketed: DataFrame): Array[(Int, Long)] =
+    bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("__occ"))
+      .collect()
+      .map(r => r.getAs[Number]("bucket").intValue() -> r.getLong(r.fieldIndex("__occ")))
 
   /** Maximal-marginal-relevance diversified top-k: from the `pool` most
     * relevant candidates, greedily select `k` maximizing

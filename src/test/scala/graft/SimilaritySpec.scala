@@ -98,6 +98,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mine == brute, s"knnJoin != brute force for query ${knn.head._1}")
   }
 
+  test("knnJoin hot-bucket salt-split fires on a packed cluster and changes nothing") {
+    // 600 EXACT duplicates (the degenerate cluster: identical cosine to
+    // every centroid, tie-broken to one bucket — no centroid count can
+    // split it) + 100 spread vectors: the duplicate bucket packs far past
+    // the salt target, so the salted plan executes; exhaustive probes
+    // (nProbe == nlist, THROUGH the bucket machinery) must still equal
+    // the explicit brute-force answer pair for pair
+    val dim = 8
+    val rows = (0 until 600).map { i =>
+      (i.toLong, (0 until dim).map(d => 1.0 + (d + 1).toDouble / dim).toArray)
+    } ++ (0 until 100).map { i =>
+      (600L + i, (0 until dim).map(d =>
+        math.cos((i * dim + d + 1).toDouble)).toArray)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // occupancy diagnostic: the cluster's bucket really is packed
+    val occ = Similarity.ivfBucketOccupancy(
+      Similarity.ivfAssignments(emb, "vec_id", "embedding", nCentroids = 8))
+    assert(occ.map(_._2).max >= 500,
+      s"fixture drift: expected a packed bucket, got ${occ.toSeq.sortBy(-_._2).take(3)}")
+    val salted = Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 3, nProbe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === brute)
+  }
+
   test("ivfCentroidCount follows the √n rule with floor and cap") {
     assert(Similarity.ivfCentroidCount(1L) == 1)        // can't exceed corpus
     assert(Similarity.ivfCentroidCount(100L) == 16)     // floor
