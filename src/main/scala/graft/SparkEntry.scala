@@ -1972,6 +1972,28 @@ object SparkEntry {
         .groupBy(col("version"), col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // CDF across a RENAME COLUMN era: insert → rename → row-level delete
+    // in ONE consumed span, under the CURRENT logical names throughout —
+    // each era's reads resolve through the stable physical names, so the
+    // consumer never sees the old name. Upstream Delta's CDF refuses
+    // spans that cross a column-mapping change; this engine carries the
+    // mapping metadata that makes them well-defined.
+    "sink_delta_cdf_rename" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdfren_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), out) // v0
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), out) // v1
+      Sinks.deltaRenameColumn(s, out, "n_chars", "len")                       // v2
+      Sinks.deltaDeleteWhere(s, out, "doc_id % 7 = 0")                        // v3
+      Sinks.deltaChangesBetween(s, out, 0L, 3L, Seq("doc_id"), Seq("len"))
+        .groupBy(col("version"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // Delta-native transactional MERGE: two range-split appends (tight
     // per-file doc_id ranges so the change keys PRUNE through the log's
     // add.stats), then one copy-on-write commit that updates every
@@ -5347,6 +5369,17 @@ object SparkEntry {
         |  SELECT 4, source, 'added', count(*)
         |  FROM documents WHERE source = 'src5' GROUP BY source)
         |SELECT version, source, status, n FROM b""".stripMargin,
+    // the span's facts re-derived: v1 inserts the odd doc_ids, the rename
+    // itself ships nothing, v3 deletes every doc_id % 7 = 0 row
+    "sink_delta_cdf_rename" ->
+      """WITH b AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'added' AS status,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 3, 'removed', count(*)
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT version, status, n FROM b""".stripMargin,
     // the updated range re-derived: [100, 999] rows carry doubled n_chars
     "sink_delta_update" ->
       """SELECT source, count(*) AS n_docs,

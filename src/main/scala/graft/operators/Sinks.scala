@@ -712,31 +712,70 @@ object Sinks {
     * [[deltaChangesAt]] loop pays (each call replays the log twice). A
     * mid-span metaData action (schema/partitioning change) re-derives
     * the at-version catalog once at that boundary — bounded by actual
-    * schema changes, not by span. A span crossing a RENAME COLUMN
-    * boundary must be consumed per era with that era's logical names
-    * (the renamed column's `keyCols`/`compareCols` name differs across
-    * the boundary — same limitation as upstream's CDF under column
-    * mapping). Returns (version, keyCols..., status). */
+    * schema changes, not by span.
+    *
+    * A span may CROSS RENAME COLUMN boundaries: `keyCols`/`compareCols`
+    * are given in the CURRENT (`vTo`) logical names, and each era's reads
+    * resolve them through the column mapping (physical names are stable
+    * across renames — [[deltaRenameColumn]] pins them), so the feed
+    * surfaces every version under the names the consumer knows today.
+    * Upstream Delta's CDF refuses such spans; this engine carries the
+    * mapping metadata that makes them well-defined. A requested column
+    * whose PHYSICAL column does not exist in some era (added, or dropped
+    * and re-added mid-span) still fails loudly — those rows genuinely
+    * have no value to diff. Returns (version, keyCols..., status). */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
       keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import graft.sources.DeltaCatalog
+    import graft.sources.{ColumnMapping, DeltaCatalog}
+    import graft.model.BuzzException
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
     var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
     var liveDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
     var cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, "__cdf_span", versionAsOf = Some(vFrom))
+    // the caller's names are vTo's logical names; anchor them to PHYSICAL
+    // names once, then re-surface each era's logical name for the reads
+    val physByCurrent: Map[String, String] =
+      DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_span_to",
+          versionAsOf = Some(vTo))
+        .schema.fields.map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+    def eraNames(c: graft.sources.SplittableCatalog, cols: Seq[String],
+        v: Long): Seq[String] = {
+      val eraByPhys = c.schema.fields
+        .map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+      cols.map { cur =>
+        // partition columns live outside the data schema and can never be
+        // renamed (deltaRenameColumn guards them): identity mapping
+        if (c.partitionColumns.contains(cur)) cur
+        else {
+          val phys = physByCurrent.getOrElse(cur,
+            throw new BuzzException.BadRequest(
+              s"column '$cur' does not exist at version $vTo of $tablePath"))
+          eraByPhys.getOrElse(phys, throw new BuzzException.BadRequest(
+            s"column '$cur' (physical '$phys') does not exist at version $v " +
+              s"of $tablePath — a span across a column's addition or " +
+              "drop/re-add has no value to diff for it"))
+        }
+      }
+    }
     ((vFrom + 1) to vTo).map { v =>
       val (adds, rawRemoves, metaChanged) = parseCommitActions(spark, tablePath, v)
       val removes = rawRemoves.map(_._1)
       if (metaChanged)
         cat = DeltaCatalog.fromDeltaLog(
           spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
+      val eraKeys = eraNames(cat, keyCols, v)
+      val eraComps = eraNames(cat, compareCols, v)
       // `live`/`liveDvs` are the PRE-commit state here; changesFromActions
       // consumes them eagerly, so advancing them afterwards is safe
-      val df = changesFromActions(
-        spark, tablePath, v, keyCols, compareCols, cat, adds, removes, live, liveDvs)
+      val df0 = changesFromActions(
+        spark, tablePath, v, eraKeys, eraComps, cat, adds, removes, live, liveDvs)
+      // era-local logical names -> the consumer's current names
+      val df = eraKeys.zip(keyCols).foldLeft(df0) { case (d, (era, cur)) =>
+        if (era == cur) d else d.withColumnRenamed(era, cur)
+      }
       live = live -- removes ++
         adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) }
       // an add without a descriptor CLEARS its file's DV, like replay does

@@ -196,6 +196,33 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(row.getLong(1) === ((5L to 9L) ++ (100L to 109L)).map(_ * 2).sum)
   }
 
+  test("CDF spans a RENAME era: current names throughout; upstream refuses this") {
+    val dir = tmpDir("cm_cdf_span")
+    clustered(dir)                                            // v0, v1
+    Sinks.deltaAppend(Seq((200L, 7L)).toDF("id", "v"), dir)   // v2: insert
+    Sinks.deltaRenameColumn(spark, dir, "v", "w")             // v3: rename
+    Sinks.deltaDeleteWhere(spark, dir, "id = 5")              // v4: delete
+    // one span across the rename, consumed under the CURRENT names (id, w):
+    // the pre-rename insert surfaces, the rename itself is silent (no
+    // fact change), the post-rename delete surfaces
+    val feed = Sinks.deltaChangesBetween(spark, dir, 1L, 4L, Seq("id"), Seq("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("status"))))
+      .toSet
+    assert(feed === Set((2L, 200L, "added"), (4L, 5L, "removed")))
+    // era-local names are NOT accepted — the contract is vTo's names
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaChangesBetween(spark, dir, 1L, 4L, Seq("id"), Seq("v")))
+    assert(e.getMessage.contains("'v'"))
+    // a column added mid-span still fails loudly: nothing to diff before it
+    Sinks.deltaAppend(Seq((300L, 1L, "x")).toDF("id", "w", "tag"), dir,
+      mergeSchema = true)                                     // v5
+    val e2 = intercept[BuzzException.BadRequest](
+      Sinks.deltaChangesBetween(spark, dir, 1L, 5L, Seq("id"), Seq("tag")))
+    assert(e2.getMessage.contains("tag"))
+  }
+
   test("rename guards: partition columns, collisions, unknown columns") {
     val dir = tmpDir("cm_guard")
     Sinks.deltaAppend(
