@@ -1581,6 +1581,74 @@ object Sinks {
     * columns read as null) and the destination evolves additively.
     * Returns the destination's committed version (unchanged when the
     * source has nothing new). */
+  /** One source commit's fact-adding files under the APPEND-ONLY
+    * consumption contract shared by [[deltaSync]] and the streaming tail
+    * ([[graft.streaming.DeltaTailSource]]): dataChange=false rewrites
+    * (OPTIMIZE/ZORDER) are skipped, a fact-retracting remove or a
+    * deletion-vectored add fails loudly (append-only consumers cannot
+    * express row removal), and a metaData action that RE-MAPS physical
+    * names (RENAME/DROP COLUMN) fails loudly — already-shipped rows
+    * cannot be re-mapped downstream; additive evolution passes. */
+  private[graft] def appendOnlyFactFiles(
+      spark: org.apache.spark.sql.SparkSession, srcPath: String, v: Long,
+      cat: graft.sources.SplittableCatalog, who: String): Seq[graft.sources.SizedFile] = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, SizedFile}
+    import graft.model.BuzzException
+    val (adds, removes, metaChanged) = parseCommitActions(spark, srcPath, v)
+    // v0's metaData is the table's BIRTH, not a re-mapping: no before-state
+    if (metaChanged && v > 0) {
+      // a mid-span RENAME/DROP COLUMN would otherwise diverge SILENTLY:
+      // the metaData-only commit ships no rows, later increments land
+      // under the new logical name, and already-shipped rows stay under
+      // the old column — the consumer stops reproducing the source's
+      // facts. Detect a changed physical-name mapping and fail loudly
+      // (additive evolution — new physicals — passes untouched).
+      val before = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v - 1))
+      val after = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v))
+      for (b <- before; a <- after) {
+        import graft.sources.ColumnMapping
+        val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        val renamed = bPhys.keySet.intersect(aPhys.keySet)
+          .filter(p => bPhys(p) != aPhys(p))
+        val dropped = bPhys.keySet -- aPhys.keySet
+        if (renamed.nonEmpty || dropped.nonEmpty)
+          throw new BuzzException.BadRequest(
+            s"$who: source commit $v renames or drops column(s) " +
+              s"(${(renamed.map(p => s"${bPhys(p)}->${aPhys(p)}") ++
+                dropped.map(p => s"${bPhys(p)} dropped")).toSeq.sorted.mkString(", ")}) — " +
+              "an append-only consumer cannot re-map already-shipped rows; " +
+              "re-clone the destination or consume deltaChangesBetween")
+      }
+    }
+    val retractions = removes.filter(_._2)
+    if (retractions.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"$who: source commit $v retracts " +
+          s"${retractions.size} file(s) (e.g. ${retractions.head._1}) — " +
+          "an append-only consumer cannot express row removal; re-clone " +
+          "the source or consume deltaChangesBetween instead")
+    adds.collect { case (raw, size, pv, dv, true) =>
+      if (dv.isDefined)
+        throw new BuzzException.BadRequest(
+          s"$who: source commit $v adds a deletion-vectored " +
+            "file — an append-only consumer cannot express row removal")
+      SizedFile(
+        new Path(srcPath, DeltaCatalog.decodePath(raw)).toString, size,
+        cat.partitionColumns.map(c =>
+          pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+    }
+  }
+
+  /** The count of a commit's fact-adding files WITHOUT the contract
+    * checks — the streaming tail's admission control (maxFilesPerTrigger)
+    * sizes batches with this; the checks run in getBatch where failure
+    * is loud and attributable. */
+  private[graft] def factFileCount(
+      spark: org.apache.spark.sql.SparkSession, srcPath: String, v: Long): Int =
+    parseCommitActions(spark, srcPath, v)._1.count(_._5)
+
   def deltaSync(
       spark: org.apache.spark.sql.SparkSession, srcPath: String,
       dstPath: String, appId: String): Long = {
@@ -1604,52 +1672,8 @@ object Sinks {
         cat.read(spark, cat.files)
       } else {
         // incremental: the fact-adding files of (applied, head]
-        val spanAdds = ((applied + 1) to head).flatMap { v =>
-          val (adds, removes, metaChanged) = parseCommitActions(spark, srcPath, v)
-          if (metaChanged) {
-            // a mid-span RENAME/DROP COLUMN would otherwise diverge
-            // SILENTLY: the metaData-only commit ships no rows, later
-            // increments land under the new logical name via mergeSchema,
-            // and already-synced rows stay under the old column — the
-            // destination stops reproducing the source's facts. Detect a
-            // changed physical-name mapping and fail loudly (additive
-            // evolution — new physicals — passes untouched).
-            val before = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v - 1))
-            val after = DeltaCatalog.storedSchemaAt(spark, srcPath, Some(v))
-            for (b <- before; a <- after) {
-              import graft.sources.ColumnMapping
-              val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
-              val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
-              val renamed = bPhys.keySet.intersect(aPhys.keySet)
-                .filter(p => bPhys(p) != aPhys(p))
-              val dropped = bPhys.keySet -- aPhys.keySet
-              if (renamed.nonEmpty || dropped.nonEmpty)
-                throw new BuzzException.BadRequest(
-                  s"sync($appId): source commit $v renames or drops column(s) " +
-                    s"(${(renamed.map(p => s"${bPhys(p)}->${aPhys(p)}") ++
-                      dropped.map(p => s"${bPhys(p)} dropped")).toSeq.sorted.mkString(", ")}) — " +
-                    "an append-only sync cannot re-map already-shipped rows; " +
-                    "re-clone the destination or consume deltaChangesBetween")
-            }
-          }
-          val retractions = removes.filter(_._2)
-          if (retractions.nonEmpty)
-            throw new BuzzException.BadRequest(
-              s"sync($appId): source commit $v retracts " +
-                s"${retractions.size} file(s) (e.g. ${retractions.head._1}) — " +
-                "an append-only sync cannot express row removal; re-clone " +
-                "the source or consume deltaChangesBetween instead")
-          adds.collect { case (raw, size, pv, dv, true) =>
-            if (dv.isDefined)
-              throw new BuzzException.BadRequest(
-                s"sync($appId): source commit $v adds a deletion-vectored " +
-                  "file — append-only sync cannot express row removal")
-            SizedFile(
-              new Path(srcPath, DeltaCatalog.decodePath(raw)).toString, size,
-              cat.partitionColumns.map(c =>
-                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-          }
-        }
+        val spanAdds = ((applied + 1) to head).flatMap(v =>
+          appendOnlyFactFiles(spark, srcPath, v, cat, s"sync($appId)"))
         cat.read(spark, spanAdds)
       }
     deltaAppend(batch, dstPath, cat.partitionColumns,

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.BuzzException
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** Structured-Streaming source TAILING a Delta table's `_delta_log` — the
+  * live twin of [[graft.operators.Sinks.deltaSync]], under the identical
+  * append-only consumption contract (one shared implementation:
+  * [[Sinks.appendOnlyFactFiles]]):
+  *   - each micro-batch ships the FACT-ADDING files of a contiguous
+  *     commit-version span; `dataChange=false` rewrites (OPTIMIZE/ZORDER)
+  *     ship nothing and are never duplicated;
+  *   - a fact-retracting commit (DELETE/MERGE removes), a
+  *     deletion-vectored add, or a physical-name re-mapping (RENAME/DROP
+  *     COLUMN) FAILS the query loudly — an append-only stream cannot
+  *     express row removal or re-map rows it already emitted (additive
+  *     schema evolution passes; the batch reads under the span-end
+  *     schema);
+  *   - offsets are COMMIT VERSIONS: the engine's own write-ahead offset
+  *     log makes delivery exactly-once per version span across restarts
+  *     (the batch for (start, end] is reconstructed from the immutable
+  *     log, so a replayed batch is byte-identical);
+  *   - `maxFilesPerTrigger` (default 1000) is admission control, counted
+  *     in fact-adding FILES — the unit of scan work — with at least one
+  *     version per batch so progress is always possible.
+  *
+  * Usage: `spark.readStream.format("graft-delta-tail")
+  * .option("path", tablePath).load()` → any of the streaming twins →
+  * `writeStream`. Options: `path` (required), `startingVersion` (first
+  * version whose facts ship; default 0 = the table's whole history
+  * including its initial snapshot), `maxFilesPerTrigger`.
+  *
+  * 100 TB shape: per trigger the driver reads ONLY the new commit JSONs
+  * (tail IO, bounded by commit rate) — never a full log replay — and the
+  * batch plan is a plain bounded parquet scan of the span's files, so
+  * executor work per trigger is capped by admission control however
+  * large the table grows. Reference anchor: the reference consumes
+  * Delta tables as batch snapshots (delta_catalog.rs); the streaming
+  * tail is this engine's beyond-reference live leg. */
+class DeltaTailProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta-tail"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new BuzzException.BadRequest(
+      "graft-delta-tail requires .option(\"path\", <delta table root>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), DeltaTailSource.tableSchema(sqlContext.sparkSession, path(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new DeltaTailSource(sqlContext.sparkSession, path(parameters), parameters)
+}
+
+object DeltaTailSource {
+  /** The stream's schema: exactly what the catalog's reads produce —
+    * data columns under their current LOGICAL names plus partition
+    * columns (string-typed, the writers' declaration). */
+  private[streaming] def tableSchema(spark: SparkSession, tablePath: String): StructType = {
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__tail_schema")
+    cat.read(spark, Nil).schema
+  }
+}
+
+class DeltaTailSource(
+    spark: SparkSession, tablePath: String,
+    parameters: Map[String, String]) extends Source {
+
+  private val logDir = s"$tablePath/_delta_log"
+  private val maxFilesPerTrigger: Int = {
+    val m = parameters.get("maxFilesPerTrigger").map(_.toInt).getOrElse(1000)
+    require(m >= 1, s"maxFilesPerTrigger must be >= 1, got $m")
+    m
+  }
+  // the first version whose FACTS ship; version startingVersion-1 is the
+  // initial offset (nothing before it is ever read)
+  private val startingVersion: Long =
+    parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+
+  override val schema: StructType = DeltaTailSource.tableSchema(spark, tablePath)
+
+  // admission pacing only — correctness never depends on this (the
+  // engine's offset WAL provides start/end on restart)
+  private var lastOffered: Long = startingVersion - 1L
+
+  private def version(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json().trim.toLong
+  }
+
+  /** The next batch's end offset: walk head-ward from the last offered
+    * version accumulating fact-adding file counts until the cap — at
+    * least one version, so a single over-cap commit still ships (as its
+    * own batch). Reads only the NEW commit JSONs. */
+  override def getOffset: Option[V1Offset] = {
+    val head = DeltaCatalog.latestVersion(spark, logDir)
+    var v = lastOffered
+    var files = 0
+    var full = false
+    while (!full && v < head) {
+      val next = Sinks.factFileCount(spark, tablePath, v + 1)
+      // always admit at least one version (an over-cap single commit
+      // still ships, as its own batch) — progress is never starved
+      if (files == 0 || files + next <= maxFilesPerTrigger) {
+        files += next; v += 1
+      } else full = true
+    }
+    lastOffered = v
+    if (v >= startingVersion) Some(LongOffset(v)) else None
+  }
+
+  /** The fact-adding files of versions (start, end], read under the
+    * span-end schema — reconstructed purely from the immutable log, so a
+    * checkpoint-replayed batch is identical. A span whose commits were
+    * checkpoint-cleaned fails loudly (same contract as upstream: history
+    * consumed by a stream must outlive the stream's lag). */
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(version).getOrElse(startingVersion - 1L)
+    val to = version(end)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__tail_batch",
+      versionAsOf = Some(to))
+    val files = ((from + 1L) to to).flatMap(v =>
+      Sinks.appendOnlyFactFiles(spark, tablePath, v, cat, s"tail($tablePath)"))
+    StreamingBridge.asStreamingBatch(cat.read(spark, files))
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sinks
+import graft.streaming.CorpusStream
+
+/** The Delta streaming tail (`graft-delta-tail`): exactly-once
+  * version-span batches across restarts, OPTIMIZE skipped not duplicated,
+  * admission control in fact-adding files, and the sync contract's loud
+  * failures (retraction, rename) live inside a running query. */
+class DeltaTailStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def runOnce(dir: String, ckpt: String, name: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft-delta-tail").option("path", dir)
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Durable run: the parquet FILE sink supports checkpoint recovery
+    * (the memory sink refuses it), so restart semantics are testable —
+    * its manifest makes output exactly-once across restarts. */
+  private def runDurable(dir: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-delta-tail").option("path", dir)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def memIds(name: String): Seq[Long] =
+    spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def outIds(out: String): Seq[Long] =
+    spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("each commit's facts ship exactly once, across a restart, OPTIMIZE skipped") {
+    val dir = tmpDir("tail_basic")
+    val ckpt = tmpDir("tail_basic_ckpt")
+    val out = tmpDir("tail_basic_out")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v"), dir)
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i * 2)).toDF("id", "v"), dir)
+    runDurable(dir, ckpt, out)
+    assert(outIds(out) === (0L until 20L))
+    // new facts + a dataChange=false rewrite land while the query is DOWN
+    Sinks.deltaAppend((20L until 30L).map(i => (i, i * 2)).toDF("id", "v"), dir)
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)
+    // restart from the same checkpoint: resumed offsets admit exactly the
+    // new commit — 0-19 are never re-delivered, and the compaction ships
+    // NOTHING (its rows would otherwise all duplicate)
+    runDurable(dir, ckpt, out)
+    assert(outIds(out) === (0L until 30L))
+    // nothing new: a third run ships zero rows
+    runDurable(dir, ckpt, out)
+    assert(outIds(out) === (0L until 30L))
+  }
+
+  test("maxFilesPerTrigger paces version spans without loss or duplication") {
+    val dir = tmpDir("tail_pace")
+    val ckpt = tmpDir("tail_pace_ckpt")
+    (0 until 4).foreach(i =>
+      Sinks.deltaAppend(
+        (i * 10L until (i + 1) * 10L).map(j => (j, j)).toDF("id", "v").coalesce(1), dir))
+    val q = spark.readStream.format("graft-delta-tail").option("path", dir)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("tail_paced")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(memIds("tail_paced") === (0L until 40L))
+    // one single-file commit per batch: four data-carrying batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 4, s"expected 4 paced batches, got $dataBatches")
+  }
+
+  test("startingVersion skips the history before it") {
+    val dir = tmpDir("tail_startv")
+    val ckpt = tmpDir("tail_startv_ckpt")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)  // v0
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i)).toDF("id", "v"), dir) // v1
+    runOnce(dir, ckpt, "tail_startv", Map("startingVersion" -> "1"))
+    assert(memIds("tail_startv") === (10L until 20L))
+  }
+
+  test("the tail composes with the streaming twins (exact dedup over live commits)") {
+    val dir = tmpDir("tail_compose")
+    val ckpt = tmpDir("tail_compose_ckpt")
+    // two commits sharing duplicate text across the version boundary:
+    // the dedup twin must keep one row per distinct text over the STREAM,
+    // not per batch — the live end-to-end leg of deltaSync's pipeline
+    Sinks.deltaAppend(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+        .toDF("id", "text")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+      dir)
+    Sinks.deltaAppend(
+      Seq((4L, "beta"), (5L, "gamma"))
+        .toDF("id", "text")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:01:00"))),
+      dir)
+    val tail = spark.readStream.format("graft-delta-tail").option("path", dir)
+      .option("maxFilesPerTrigger", "1").load()
+    val q = CorpusStream.dedupExactStreaming(tail, "text", "ts")
+      .writeStream.format("memory").queryName("tail_dedup")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val texts = spark.table("tail_dedup").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts === Seq("alpha", "beta", "gamma"))
+  }
+
+  test("a retracting commit and a rename both fail the query loudly") {
+    val dir = tmpDir("tail_retract")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)
+    Sinks.deltaDeleteWhere(spark, dir, "id = 3")
+    val e = intercept[StreamingQueryException] {
+      runOnce(dir, tmpDir("tail_retract_ckpt"), "tail_retract")
+    }
+    assert(e.getMessage.contains("retracts") || e.getCause.getMessage.contains("retracts"))
+
+    val dir2 = tmpDir("tail_rename")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir2)
+    val ckpt2 = tmpDir("tail_rename_ckpt")
+    val out2 = tmpDir("tail_rename_out")
+    runDurable(dir2, ckpt2, out2) // drains v0 cleanly
+    Sinks.deltaRenameColumn(spark, dir2, "v", "w")
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i)).toDF("id", "w"), dir2)
+    val e2 = intercept[StreamingQueryException] {
+      runDurable(dir2, ckpt2, out2)
+    }
+    assert(e2.getMessage.contains("renames") || e2.getCause.getMessage.contains("renames"))
+  }
+}
