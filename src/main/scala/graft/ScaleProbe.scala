@@ -187,6 +187,62 @@ object ScaleProbe {
       report("knn_clustered_avg_occupancy", scale,
         occ.map(_._2).sum / math.max(1, occ.length), 0.0)
 
+      // Delta snapshot-replay driver bound: a synthetic checkpoint with
+      // 10^5·scale add entries (realistic ~120 B stats JSON each — the
+      // shape of a 10^6-file lakehouse table at scale 10). Replay wall
+      // and the RETAINED driver heap must track the live-file count; the
+      // heap row IS the documented cost of Spark's driver-resident file
+      // index at this table size (DeltaCatalog.replay scaladoc).
+      val repDir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_replay_$scale").toString
+      val nAdds = 100000L * scale
+      locally {
+        val logDir = new java.io.File(s"$repDir/_delta_log")
+        logDir.mkdirs()
+        val stage = s"$repDir/.cp_stage"
+        spark.range(nAdds).selectExpr(
+          """named_struct(
+            |  'path', concat('part-', lpad(cast(id as string), 10, '0'), '.parquet'),
+            |  'size', 1048576L + id % 1000,
+            |  'partitionValues', cast(map() as map<string,string>),
+            |  'stats', concat('{"numRecords":1000,"minValues":{"id":',
+            |    cast(id*1000 as string), '},"maxValues":{"id":',
+            |    cast(id*1000+999 as string), '},"nullCount":{"id":0}}')
+            |) AS add""".stripMargin)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(logDir, "00000000000000000000.checkpoint.parquet").toPath)
+        val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))).json
+        java.nio.file.Files.writeString(
+          new java.io.File(logDir, "00000000000000000001.json").toPath,
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+            s"""{"metaData":{"id":"probe","format":{"provider":"parquet"},"schemaString":${
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(
+                  org.json4s.JString(schemaJson)))},"partitionColumns":[]}}""" + "\n")
+        java.nio.file.Files.writeString(
+          new java.io.File(logDir, "_last_checkpoint").toPath,
+          s"""{"version":0,"size":$nAdds}""" + "\n")
+      }
+      def usedHeap(): Long = {
+        System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
+        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+      }
+      val h0 = usedHeap()
+      val (replayCat, repSecs) = timed {
+        graft.sources.DeltaCatalog.fromDeltaLog(spark, repDir, s"probe_replay_$scale")
+      }
+      val h1 = usedHeap() // replayCat still referenced: retained state
+      require(replayCat.files.size.toLong == nAdds,
+        s"replay fixture drift: ${replayCat.files.size} != $nAdds")
+      report("replay_adds_wall", scale, nAdds, repSecs)
+      report("replay_retained_mb", scale,
+        math.max(0L, (h1 - h0) / (1024 * 1024)), 0.0)
+
       // radius search at the PRODUCTION setting against a FIXED query set:
       // the probed fraction of the corpus shrinks as the index grows
       // (√nlist of nlist ≈ √n buckets), so scanned work per query grows

@@ -190,6 +190,19 @@ object DeltaCatalog {
       versionAsOf: Option[Long]): Map[String, (Long, Map[String, String])] =
     replay(spark, tablePath, versionAsOf).live.toMap
 
+  /** Replay the log into a [[State]]: checkpoint seed (if usable for the
+    * target version) + the JSON commit tail, strictly contiguous.
+    *
+    * Driver bound, MEASURED (SCALEPROBE replay_* rows, synthetic
+    * checkpoint with realistic per-add stats JSON): ~2.3 s / ~43 MB
+    * retained at 10^5 live files, ~18 s / ~430 MB at 10^6 — LINEAR in the
+    * live-file count, dominated by the add entries' stats strings. The
+    * checkpoint read is projected to the four consumed action columns
+    * (metaData/add/txn/protocol), so a foreign checkpoint's expired
+    * remove tombstones never reach the driver. This driver-resident shape
+    * matches Spark's own InMemoryFileIndex (the scan would hold the same
+    * file list); past ~10^7 files the next step is a distributed
+    * manifest join, not a bigger driver. */
   private def replay(
       spark: SparkSession,
       tablePath: String,
@@ -309,7 +322,16 @@ object DeltaCatalog {
         s"_last_checkpoint points to $version ($parts part(s)) but " +
           s"${missing.size} part file(s) are missing, e.g. ${missing.head}")
 
-    val df = spark.read.parquet(cpPaths: _*)
+    // project the read to the action columns replay CONSUMES: a foreign
+    // checkpoint also carries expired `remove` tombstones (history-sized)
+    // and commitInfo/domainMetadata blocks this replay ignores — without
+    // the projection the driver collect would scale with history, not
+    // with the live set
+    val raw = spark.read.parquet(cpPaths: _*)
+    val wanted = Seq("metaData", "add", "txn", "protocol")
+      .filter(raw.columns.contains)
+      .map(org.apache.spark.sql.functions.col)
+    val df = raw.select(wanted: _*)
     val cols = df.columns.toSet
     df.collect().foreach { row =>
       if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
