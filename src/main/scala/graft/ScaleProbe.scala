@@ -61,10 +61,17 @@ object ScaleProbe {
     // a comparably loaded host, and r7 proved the artifact can't say so
     // after the fact (committed walls up to 29.7x re-measured at 1.43x on
     // a quiet host)
+    // each row's loadavg is sampled at the START of its measurement:
+    // sampling at report time (r9) read the probe's OWN just-finished
+    // 32-thread wake as if it were ambient load — rows looked
+    // contaminated on a quiet host. Start-sampling plus the late-pass
+    // settle below makes "was the host quiet" answerable per row.
+    var measureStartLoad: Double = Calibration.loadAvg()
     def report(probe: String, scale: Int, value: Long, secs: Double): Unit =
-      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f,"loadavg":${Calibration.loadAvg()}%.2f}""")
+      println(f"""{"probe":"$probe","scale":$scale,"value":$value,"seconds":$secs%.2f,"loadavg":$measureStartLoad%.2f}""")
 
     def timed[A](body: => A): (A, Double) = {
+      measureStartLoad = Calibration.loadAvg()
       val t0 = System.nanoTime()
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
@@ -390,6 +397,21 @@ object ScaleProbe {
       val syPost = graft.sources.DeltaCatalog.fromDeltaLog(spark, syncDst, "sy_post")
       val syncRows = syPost.read(spark, syPost.files).count() - syPreN
       report("sync_increment_rows", scale, syncRows, syncSecs)
+
+      // ---- late pass (graph / text / ER) ----
+      // SETTLE first: the probes above just saturated all cores, and the
+      // 1-minute loadavg a row records would otherwise read the probe's
+      // OWN wake (r9's committed graph rows carried loadavg 16-20 on a
+      // 32-CPU host — ambient was quiet, the artifact couldn't say so).
+      // Wait for the load to decay (bounded), then re-calibrate so the
+      // late rows carry an ADJACENT fixed-work reference.
+      locally {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (Calibration.loadAvg() > 8.0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(5000L)
+      }
+      val (_, lateCal) = timed(Calibration.job(spark))
+      report("calibration_late_pass", scale, 50000000L, lateCal)
 
       // pagerank: k disconnected copies of the trade graph (node ids
       // offset per replica). Rounds are FIXED (power iteration), so wall
