@@ -405,11 +405,18 @@ object ScaleProbe {
       // 32-CPU host — ambient was quiet, the artifact couldn't say so).
       // Wait for the load to decay (bounded), then re-calibrate so the
       // late rows carry an ADJACENT fixed-work reference.
-      locally {
-        val deadline = System.currentTimeMillis() + 120000L
+      def settle(maxWaitMs: Long = 90000L): Unit = {
+        val deadline = System.currentTimeMillis() + maxWaitMs
         while (Calibration.loadAvg() > 8.0 && System.currentTimeMillis() < deadline)
           Thread.sleep(5000L)
       }
+      // settle before EVERY late-pass measurement (not just the group):
+      // each probe here saturates all cores for tens of seconds, so the
+      // NEXT row's start-loadavg would read the previous row's wake —
+      // per-row settling is the only way each row's loadavg answers "was
+      // the host quiet when this started" on its own
+      def timedSettled[A](body: => A): (A, Double) = { settle(); timed(body) }
+      settle(120000L)
       val (_, lateCal) = timed(Calibration.job(spark))
       report("calibration_late_pass", scale, 50000000L, lateCal)
 
@@ -430,7 +437,7 @@ object ScaleProbe {
         else edges1.select((col("src") + lit(i * idStride)).as("src"),
           (col("dst") + lit(i * idStride)).as("dst"))
       }.reduce(_.unionAll(_))
-      val (prNodes, prSecs) = timed {
+      val (prNodes, prSecs) = timedSettled {
         graft.operators.Graph.pageRank(edgesK).count()
       }
       report("pagerank_nodes", scale, prNodes, prSecs)
@@ -451,7 +458,7 @@ object ScaleProbe {
         else copurchase.select((col("src") + lit(i * idStride)).as("src"),
           (col("dst") + lit(i * idStride)).as("dst"))
       }.reduce(_.unionAll(_))
-      val (nTri, triSecs) = timed {
+      val (nTri, triSecs) = timedSettled {
         graft.operators.Graph.triangleCount(triK).collect()(0).getLong(0)
       }
       report("triangle_count", scale, nTri, triSecs)
@@ -462,7 +469,7 @@ object ScaleProbe {
       // the same per-round jobs) and core membership must be exactly
       // scale×; wall tracks edges ~linearly (one agg + two semi joins per
       // round, all unhinted)
-      val (nCore, coreSecs) = timed {
+      val (nCore, coreSecs) = timedSettled {
         graft.operators.Graph.kCore(triK, k = 6).count()
       }
       report("kcore_nodes", scale, nCore, coreSecs)
@@ -475,7 +482,7 @@ object ScaleProbe {
       // the cap the per-copy wedge volume is bounded by maxDegree·|E|, the
       // global top-k set stays k (scores tie across copies), and wall time
       // must track edges ~linearly
-      val (jlRows, jlSecs) = timed {
+      val (jlRows, jlSecs) = timedSettled {
         graft.operators.Graph.jaccardLinks(triK, k = 20, maxDegree = 64).count()
       }
       report("jaccard_links_rows", scale, jlRows, jlSecs)
@@ -492,7 +499,7 @@ object ScaleProbe {
         else li.select((col("l_orderkey") + lit(i * idStride)).as("l_orderkey"),
           col("l_partkey"))
       }.reduce(_.unionAll(_))
-      val (blRows, blSecs) = timed {
+      val (blRows, blSecs) = timedSettled {
         graft.operators.Joins.basketLift(
           basketsK, "l_orderkey", "l_partkey", minPairs = 3L * scale, k = 20).count()
       }
@@ -502,7 +509,7 @@ object ScaleProbe {
       // setting — wedge volume is bounded by maxDegree·|E| exactly like
       // jaccard (shared discipline, plan-asserted), the weighting adds no
       // exchange, and the top-k stays k rows; wall tracks edges ~linearly
-      val (aaRows, aaSecs) = timed {
+      val (aaRows, aaSecs) = timedSettled {
         graft.operators.Graph.adamicAdarLinks(triK, k = 20, maxDegree = 64).count()
       }
       report("adamic_adar_rows", scale, aaRows, aaSecs)
@@ -511,7 +518,7 @@ object ScaleProbe {
       // function of DIMENSION alone (d(d+1)/2 = 2080 at d=64), so output
       // must stay FLAT while the vector count grows k×; wall tracks the
       // per-vector triangle expansion ~linearly
-      val (cvCells, cvSecs) = timed {
+      val (cvCells, cvSecs) = timedSettled {
         graft.operators.Similarity.covarianceMatrix(embX(scale), "embedding").count()
       }
       report("covariance_cells", scale, cvCells, cvSecs)
@@ -520,7 +527,7 @@ object ScaleProbe {
       // are corpus-new, so the gram table grows ~k×, output rows exactly
       // k× docs, and the min-owner aggregation stays one partial-agg
       // exchange; wall tracks the shingle stream ~linearly
-      val (nvRows, nvSecs) = timed {
+      val (nvRows, nvSecs) = timedSettled {
         graft.operators.TextAnalysis.gramNovelty(docsX(scale), "doc_id", "text").count()
       }
       report("novelty_docs", scale, nvRows, nvSecs)
@@ -529,7 +536,7 @@ object ScaleProbe {
       // the rank assembly is groupedRank's range-partitioned one (no
       // single-reducer vocabulary window), so wall must track the token
       // stream ~linearly
-      val (zipfVocab, zipfSecs) = timed {
+      val (zipfVocab, zipfSecs) = timedSettled {
         graft.operators.TextAnalysis.zipfSlope(d, "text")
           .select(col("vocab")).collect()(0).getLong(0)
       }
@@ -555,7 +562,7 @@ object ScaleProbe {
             translate(col("c_name"), "0123456789", rot).as("c_name"))
         }
       }.reduce(_.unionAll(_))
-      val (tgPairs, tgSecs) = timed {
+      val (tgPairs, tgSecs) = timedSettled {
         graft.operators.Joins.trigramSimilarityJoin(
           custK, "c_custkey", "c_name", tau = 0.8).count()
       }
@@ -574,7 +581,7 @@ object ScaleProbe {
         else part.select((col("p_partkey") + lit(i * idStride)).as("p_partkey"),
           col("size"), col("price"), col("name_len"))
       }.reduce(_.unionAll(_))
-      val (skRows, skSecs) = timed {
+      val (skRows, skSecs) = timedSettled {
         graft.operators.Selection.skyline(
           partK, "p_partkey", Seq("size", "price", "name_len")).count()
       }
@@ -600,12 +607,12 @@ object ScaleProbe {
             col("c_nationkey"), col("c_mktsegment"))
         }
       }.reduce(_.unionAll(_))
-      val (erPairs, erPairSecs) = timed {
+      val (erPairs, erPairSecs) = timedSettled {
         graft.operators.Joins.fuzzyPairs(custErK, "c_custkey", "c_name",
           Seq("c_nationkey", "c_mktsegment")).count()
       }
       report("er_fuzzy_pairs", scale, erPairs, erPairSecs)
-      val (erEntities, erSecs) = timed {
+      val (erEntities, erSecs) = timedSettled {
         graft.operators.Joins.resolveEntities(custErK, "c_custkey", "c_name",
           Seq("c_nationkey", "c_mktsegment")).count()
       }
@@ -622,7 +629,7 @@ object ScaleProbe {
         else docs.select((col("doc_id") + lit(i * idStride)).as("doc_id"),
           col("text"))
       }.reduce(_.unionAll(_))
-      val (bpeWeight, bpeSecs) = timed {
+      val (bpeWeight, bpeSecs) = timedSettled {
         graft.operators.TextAnalysis.bpeTrain(docsExactK, "text", rounds = 8)
           .agg(sum(col("pair_count"))).collect()(0).getLong(0)
       }
@@ -633,7 +640,7 @@ object ScaleProbe {
       // tokens ~scale×) and wall must track the ONE range exchange the
       // distributed prefix sum pays — windows-sized output, no
       // corpus-sized window operator anywhere
-      val (packWindows, packSecs) = timed {
+      val (packWindows, packSecs) = timedSettled {
         graft.operators.Curation.packChunks(d, "doc_id", "text", 2048L).count()
       }
       report("pack_windows", scale, packWindows, packSecs)

@@ -179,12 +179,15 @@ object SparkEntry {
            |}""".stripMargin)
     }),
     // q3's DIRECT twin: the identical aggregation as one plain Spark query
-    // (full lifecycle — table load + agg), recorded in every bench artifact
-    // so the BASELINE two-stage-overhead gate (q3_two_stage / q3_direct
-    // ≤ 2×) rides each round's numbers instead of a one-off measurement.
+    // over the SAME read path the engine's catalog uses (a bare parquet
+    // read of events.parquet — not Tables.load, whose timestamp
+    // normalization would make the twin slower than the engine and the
+    // ratio meaningless), recorded in every bench artifact so the
+    // BASELINE two-stage-overhead gate (q3_two_stage / q3_direct ≤ 2×)
+    // rides each round's numbers instead of a one-off measurement.
     // Judge-measured r9: two-stage 1.36× full-lifecycle direct at sf0.1.
     "q3_direct" -> ((s, dir) => {
-      t(s, dir, "events")
+      s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("total"))
     }),
