@@ -132,8 +132,16 @@ class DeltaTailSource(
       versionAsOf = Some(to))
     val files = ((from + 1L) to to).flatMap(v =>
       Sinks.appendOnlyFactFiles(spark, tablePath, v, cat, s"tail($tablePath)"))
+    // a restarted query replays its WAL batch through here before any
+    // getOffset: advancing the pacing watermark means the admission walk
+    // never re-parses (possibly checkpoint-cleaned) already-shipped
+    // commits
+    lastOffered = math.max(lastOffered, to)
     StreamingBridge.asStreamingBatch(cat.read(spark, files))
   }
+
+  override def commit(end: V1Offset): Unit =
+    lastOffered = math.max(lastOffered, version(end))
 
   override def stop(): Unit = ()
 }
