@@ -797,7 +797,8 @@ object Sinks {
     * ignores it. Returns the checkpointed version. */
   def deltaCheckpoint(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      cleanCommits: Boolean = false, parts: Int = 1): Long = {
+      cleanCommits: Boolean = false, parts: Int = 1,
+      tombstoneRetainMs: Long = 7L * 24 * 3600 * 1000): Long = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -845,6 +846,20 @@ object Sinks {
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType)))))), nullable = true),
+      // UNEXPIRED remove tombstones must survive too, or commit cleaning
+      // would degrade vacuum's retention dating (file deletionTimestamps
+      // and superseded-DV unreference times) to file mtimes — exactly the
+      // early-reap class the tombstone discipline exists to prevent
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))), nullable = true),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))), nullable = true),
@@ -860,7 +875,7 @@ object Sinks {
       // one would make readers see a different table after log cleaning
       (Row(Row(DeltaCatalog.tableId(spark, tablePath)
           .getOrElse(java.util.UUID.randomUUID.toString), fullSchema.json,
-        cat.partitionColumns), null, null, null) +:
+        cat.partitionColumns), null, null, null, null) +:
         cat.files.map { f =>
           val raw = rawByKey.getOrElse(f.key,
             throw new graft.model.BuzzException.ExecutionError(
@@ -871,15 +886,27 @@ object Sinks {
           Row(null,
             Row(raw, f.length,
               cat.partitionColumns.zip(f.partitionValues).toMap,
-              statsByRaw.get(raw).orNull, dvRow), null, null)
+              statsByRaw.get(raw).orNull, dvRow), null, null, null)
         }) ++
+        // unexpired tombstones (see cpSchema note); expired ones are
+        // dropped here, which is what bounds the checkpoint's remove
+        // section by the retention window instead of table history
+        DeltaCatalog.tombstonesByRaw(spark, tablePath, asOf).toSeq
+          .filter(_._2._1 >= System.currentTimeMillis() - tombstoneRetainMs)
+          .sortBy(_._1)
+          .map { case (raw, (ts, dv)) =>
+            val dvRow = dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+              d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+            Row(null, null, Row(raw, ts, java.lang.Boolean.FALSE, dvRow), null, null)
+          } ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
         DeltaCatalog.allTxns(spark, tablePath, asOf).toSeq.sortBy(_._1)
-          .map { case (app, ver) => Row(null, null, Row(app, ver), null) } ++
+          .map { case (app, ver) => Row(null, null, null, Row(app, ver), null) } ++
         // the protocol declaration must survive too (see cpSchema note)
         DeltaCatalog.tableProtocol(spark, tablePath, asOf).toSeq
-          .map { case (mr, mw, rf, wf) => Row(null, null, null, Row(mr, mw, rf, wf)) }
+          .map { case (mr, mw, rf, wf) =>
+            Row(null, null, null, null, Row(mr, mw, rf, wf)) }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val stage = s"$tablePath/.graft-checkpoint-${java.util.UUID.randomUUID}"
     // multi-part (the protocol's V.checkpoint.I.N.parquet layout): a 100 TB
@@ -957,45 +984,31 @@ object Sinks {
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retainMs
-    // tombstone age from the log itself: one pass over the commit JSONs,
-    // newest remove per path wins. History cleaned past a checkpoint
-    // loses its tombstones — those files date by mtime below.
+    // tombstone age from the REPLAYED state (newest remove per path wins;
+    // the checkpoint carries unexpired tombstones across commit cleaning,
+    // so this map survives log retention — pre-r10, cleaning degraded
+    // dating to file mtimes and could reap inside the promised window).
+    // A remove's embedded descriptor tombstones the file's deletion
+    // VECTOR too — dating the vector from when it became UNREFERENCED,
+    // not its creation time: a vector superseded moments ago must ride
+    // out the full retention window for in-flight readers and time
+    // travel, however old its bytes are. Tombstones the checkpoint
+    // writer expired date by mtime below (conservative only when the
+    // caller's retainMs exceeds the checkpoint's tombstoneRetainMs —
+    // keep them aligned).
     val tombstones0: Map[String, Long] =
       if (retainMs == 0L) Map.empty // cutoff = now: every candidate is old enough
       else {
-        val CommitName = raw"(\d{20})\.json".r
         val ts = scala.collection.mutable.HashMap[String, Long]()
-        FsUtil.listStatus(spark, s"$tablePath/_delta_log")
-          .filter(st => CommitName.pattern.matcher(st.getPath.getName).matches())
-          .sortBy(_.getPath.getName)
-          .foreach { st =>
-            FsUtil.readString(spark, st.getPath.toString).linesIterator
-              .filter(_.nonEmpty).foreach { line =>
-                val v = JsonMethods.parse(line)
-                val stamp: Option[Long] = v \ "remove" \ "deletionTimestamp" match {
-                  case JInt(t)  => Some(t.toLong)
-                  case JLong(t) => Some(t)
-                  case _        => None
-                }
-                (v \ "remove" \ "path", stamp) match {
-                  case (JString(p), Some(t)) =>
-                    ts(new Path(tablePath, DeltaCatalog.decodePath(p)).toString) = t
-                    // a remove's embedded descriptor tombstones the file's
-                    // deletion VECTOR too — dating the vector from when it
-                    // became UNREFERENCED (this commit), not from its
-                    // creation time: a vector superseded moments ago must
-                    // ride out the full retention window for in-flight
-                    // readers and time travel, however old its bytes are
-                    graft.sources.DeletionVectors
-                      .fromJson(v \ "remove" \ "deletionVector")
-                      .foreach { d =>
-                        val r = graft.sources.DeletionVectors.resolve(tablePath, d)
-                        if (r.storageType != "i") ts(r.pathOrInline) = t
-                      }
-                  case _ => ()
-                }
-              }
-          }
+        DeltaCatalog.tombstonesByRaw(spark, tablePath).foreach {
+          case (raw, (t, dv)) =>
+            ts(new Path(tablePath, DeltaCatalog.decodePath(raw)).toString) = t
+            dv.foreach { d =>
+              val r = graft.sources.DeletionVectors.resolve(tablePath, d)
+              if (r.storageType != "i")
+                ts(r.pathOrInline) = math.max(ts.getOrElse(r.pathOrInline, 0L), t)
+            }
+        }
         ts.toMap
       }
     // membership is decided on fully-QUALIFIED absolute paths — the same

@@ -49,6 +49,14 @@ object DeltaCatalog {
     // table configuration from the latest metaData action — carries the
     // writer-side obligations (delta.appendOnly, delta.constraints.*)
     var configuration: Map[String, String] = Map.empty
+    // path -> the LATEST remove tombstone (deletionTimestamp, the removed
+    // file's pre-commit DV descriptor if any) — what dates physical GC:
+    // vacuum's retention compares against THESE, and the checkpoint
+    // writer must carry the unexpired ones or commit cleaning would
+    // silently degrade retention dating to file mtimes (per path the
+    // latest remove wins, upstream's reconciliation rule)
+    val tombstones =
+      scala.collection.mutable.HashMap[String, (Long, Option[DvDescriptor])]()
     // appId -> highest committed txn version (SetTransaction actions)
     val txns = scala.collection.mutable.HashMap[String, Long]()
     // latest protocol action: (minReaderVersion, minWriterVersion,
@@ -81,6 +89,16 @@ object DeltaCatalog {
       spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Map[String, String] =
     replay(spark, tablePath, versionAsOf).stats.toMap
+
+  /** Each removed path's LATEST tombstone — (deletionTimestamp, the
+    * pre-remove DV descriptor) keyed by RAW log path, at `versionAsOf`
+    * (None = head). What dates vacuum's retention for both data files
+    * and superseded deletion vectors, and what the checkpoint writer
+    * must carry (unexpired) across commit cleaning. */
+  private[graft] def tombstonesByRaw(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, (Long, Option[DvDescriptor])] =
+    replay(spark, tablePath, versionAsOf).tombstones.toMap
 
   /** Each live file's deletion-vector descriptor keyed by RAW log path,
     * at `versionAsOf` (None = head) — what a DV writer merges against and
@@ -322,13 +340,13 @@ object DeltaCatalog {
         s"_last_checkpoint points to $version ($parts part(s)) but " +
           s"${missing.size} part file(s) are missing, e.g. ${missing.head}")
 
-    // project the read to the action columns replay CONSUMES: a foreign
-    // checkpoint also carries expired `remove` tombstones (history-sized)
-    // and commitInfo/domainMetadata blocks this replay ignores — without
-    // the projection the driver collect would scale with history, not
-    // with the live set
+    // project the read to the action columns replay CONSUMES (incl. the
+    // unexpired remove tombstones that date vacuum's retention) — a
+    // foreign checkpoint also carries commitInfo/domainMetadata blocks
+    // this replay ignores; without the projection the driver collect
+    // would pay for them too
     val raw = spark.read.parquet(cpPaths: _*)
-    val wanted = Seq("metaData", "add", "txn", "protocol")
+    val wanted = Seq("metaData", "add", "remove", "txn", "protocol")
       .filter(raw.columns.contains)
       .map(org.apache.spark.sql.functions.col)
     val df = raw.select(wanted: _*)
@@ -388,7 +406,34 @@ object DeltaCatalog {
           state.txns(app) = math.max(state.txns.getOrElse(app, Long.MinValue), ver)
         }
       }
-      // `remove` entries in a checkpoint are expired tombstones — ignored
+      // `remove` entries are the UNEXPIRED tombstones the checkpoint
+      // carried across commit cleaning — vacuum's retention dating
+      // (file deletionTimestamp + superseded-DV descriptors) depends on
+      // them; without this read, cleaning would degrade GC dating to
+      // file mtimes
+      if (cols("remove") && !row.isNullAt(row.fieldIndex("remove"))) {
+        val r = row.getStruct(row.fieldIndex("remove"))
+        val path = r.getAs[String]("path")
+        if (path != null && path.nonEmpty &&
+            r.schema.fieldNames.contains("deletionTimestamp") &&
+            !r.isNullAt(r.fieldIndex("deletionTimestamp"))) {
+          val ts = r.getAs[Long]("deletionTimestamp")
+          val dv =
+            if (r.schema.fieldNames.contains("deletionVector") &&
+                !r.isNullAt(r.fieldIndex("deletionVector"))) {
+              val d = r.getStruct(r.fieldIndex("deletionVector"))
+              val st = d.getAs[String]("storageType")
+              if (st != null && st.nonEmpty)
+                Some(DvDescriptor(st, d.getAs[String]("pathOrInlineDv"),
+                  if (d.isNullAt(d.fieldIndex("offset"))) None
+                  else Some(d.getAs[Int]("offset")),
+                  d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
+              else None
+            } else None
+          if (state.tombstones.get(path).forall(_._1 <= ts))
+            state.tombstones(path) = (ts, dv)
+        }
+      }
     }
   }
 
@@ -592,6 +637,15 @@ object DeltaCatalog {
         rm \ "path" match {
           case JString(p) =>
             state.live.remove(p); state.stats.remove(p); state.dvs.remove(p)
+            val ts: Option[Long] = rm \ "deletionTimestamp" match {
+              case JInt(t)  => Some(t.toLong)
+              case JLong(t) => Some(t)
+              case _        => None
+            }
+            ts.foreach { t =>
+              if (state.tombstones.get(p).forall(_._1 <= t))
+                state.tombstones(p) = (t, DeletionVectors.fromJson(rm \ "deletionVector"))
+            }
           case _ =>
         }
     }

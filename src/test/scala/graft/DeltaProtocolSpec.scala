@@ -321,6 +321,69 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(allIds(dir) === ((0L to 9L) ++ (100L to 109L) ++ (300L to 309L)))
   }
 
+  test("unexpired tombstones survive checkpoint cleaning; vacuum retention stays exact") {
+    val dir = tmpDir("tomb_carry")
+    twoFileTable(dir) // v0, v1
+    val before = DeltaCatalog.fromDeltaLog(spark, dir, "tomb_pre").files.map(_.key).toSet
+    Sinks.deltaDeleteWhere(spark, dir, "id >= 100") // v2: drops the 100s file whole
+    val after = DeltaCatalog.fromDeltaLog(spark, dir, "tomb_post").files.map(_.key).toSet
+    val removed = (before -- after).toSeq
+    assert(removed.size === 1)
+    val removedLocal = Paths.get(new java.net.URI(
+      if (removed.head.startsWith("file:")) removed.head else s"file:${removed.head}"))
+    // the removed file's BYTES look ancient: after commit cleaning, mtime
+    // dating (the pre-r10 fallback) would reap it inside the window
+    Files.setLastModifiedTime(removedLocal,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 30L * 24 * 3600 * 1000))
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    assert(!Files.exists(Paths.get(s"$dir/_delta_log/00000000000000000002.json")),
+      "fixture drift: commits not cleaned")
+    // the checkpoint carried the tombstone: a 1 h retention KEEPS the file
+    Sinks.deltaVacuum(spark, dir, retainMs = 3600 * 1000L)
+    assert(Files.exists(removedLocal),
+      "tombstone lost across cleaning: retention reaped inside the window")
+    // the current snapshot reads fine throughout (the kept file is not live)
+    assert(allIds(dir).size === 10)
+    // zero retention reaps it
+    Sinks.deltaVacuum(spark, dir)
+    assert(!Files.exists(removedLocal))
+  }
+
+  test("superseded DELETION VECTORS keep exact retention dating across cleaning") {
+    val dir = tmpDir("tomb_dv_carry")
+    twoFileTable(dir)
+    Sinks.deltaDeleteVectors(spark, dir, "id BETWEEN 3 AND 5") // v2: vector A
+    Files.list(Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_"))
+      .forEach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30L * 24 * 3600 * 1000)))
+    Sinks.deltaDeleteVectors(spark, dir, "id IN (1, 7)") // v3 supersedes A
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    def vectors(): Long = Files.list(Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_") &&
+        p.getFileName.toString.endsWith(".bin")).count()
+    assert(vectors() === 2)
+    // v3's remove (carrying A's descriptor, stamped at supersede time)
+    // rode the checkpoint: 1 h retention keeps A despite 30-day-old bytes
+    Sinks.deltaVacuum(spark, dir, retainMs = 3600 * 1000L)
+    assert(vectors() === 2)
+    Sinks.deltaVacuum(spark, dir)
+    assert(vectors() === 1)
+  }
+
+  test("tombstoneRetainMs bounds the checkpoint's remove section") {
+    val dir = tmpDir("tomb_bound")
+    twoFileTable(dir)
+    Sinks.deltaDeleteWhere(spark, dir, "id >= 100")
+    // a checkpoint told to retain nothing carries no tombstones — the
+    // knob that keeps the remove section retention-window-sized instead
+    // of history-sized (callers align it with their vacuum retention)
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true, tombstoneRetainMs = 0L)
+    assert(DeltaCatalog.tombstonesByRaw(spark, dir).isEmpty)
+  }
+
   // ---- sync column re-mapping detection ----
 
   test("sync fails loudly on a mid-span RENAME and names the mapping change") {
