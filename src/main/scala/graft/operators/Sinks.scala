@@ -829,7 +829,11 @@ object Sinks {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)))), nullable = true),
+        StructField("partitionColumns", ArrayType(StringType)),
+        // the configuration carries WRITER OBLIGATIONS (delta.appendOnly,
+        // delta.constraints.*): dropping it across commit cleaning would
+        // silently disarm the writer gate on this table
+        StructField("configuration", MapType(StringType, StringType)))), nullable = true),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("size", LongType),
@@ -875,7 +879,9 @@ object Sinks {
       // one would make readers see a different table after log cleaning
       (Row(Row(DeltaCatalog.tableId(spark, tablePath)
           .getOrElse(java.util.UUID.randomUUID.toString), fullSchema.json,
-        cat.partitionColumns), null, null, null, null) +:
+        cat.partitionColumns,
+        DeltaCatalog.tableConfiguration(spark, tablePath, asOf)),
+        null, null, null, null) +:
         cat.files.map { f =>
           val raw = rawByKey.getOrElse(f.key,
             throw new graft.model.BuzzException.ExecutionError(

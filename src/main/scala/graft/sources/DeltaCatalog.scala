@@ -90,6 +90,15 @@ object DeltaCatalog {
       versionAsOf: Option[Long] = None): Map[String, String] =
     replay(spark, tablePath, versionAsOf).stats.toMap
 
+  /** The table's metaData.configuration at `versionAsOf` — the writer
+    * obligations (delta.appendOnly, delta.constraints.*) the checkpoint
+    * must persist or commit cleaning would silently disarm the writer
+    * gate. */
+  private[graft] def tableConfiguration(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Map[String, String] =
+    replay(spark, tablePath, versionAsOf).configuration
+
   /** Each removed path's LATEST tombstone — (deletionTimestamp, the
     * pre-remove DV descriptor) keyed by RAW log path, at `versionAsOf`
     * (None = head). What dates vacuum's retention for both data files
@@ -358,6 +367,10 @@ object DeltaCatalog {
         Option(md.getAs[String]("id")).foreach(i => state.id = Some(i))
         Option(md.getAs[scala.collection.Seq[String]]("partitionColumns"))
           .foreach(p => state.partitionCols = p.toSeq)
+        if (md.schema.fieldNames.contains("configuration") &&
+            !md.isNullAt(md.fieldIndex("configuration")))
+          state.configuration =
+            md.getAs[scala.collection.Map[String, String]]("configuration").toMap
       }
       if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
         val a = row.getStruct(row.fieldIndex("add"))
@@ -541,9 +554,14 @@ object DeltaCatalog {
       fail(s"Delta writer feature(s) ${unknown.toSeq.sorted.mkString(", ")}")
     val schema = state.schemaJson
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    // appendOnly forbids removing FACTS, not maintenance: appends,
+    // dataChange=false rewrites (OPTIMIZE/ZORDER), checkpoints and
+    // vacuum are all legal on an append-only table (upstream semantics);
+    // everything row-removing (DELETE/UPDATE/MERGE/RESTORE/DROP) is not
+    val appendOnlyLegal = Set("append", "optimize", "zorder", "checkpoint", "vacuum")
     if (demanded("appendOnly") &&
         state.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) &&
-        operation != "append")
+        !appendOnlyLegal.contains(operation))
       throw new BuzzException.BadRequest(
         s"cannot $operation $tablePath: delta.appendOnly=true — the table " +
           "accepts appends only")

@@ -373,6 +373,26 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(vectors() === 1)
   }
 
+  test("writer obligations (configuration) survive checkpoint cleaning") {
+    val dir = tmpDir("cfg_carry")
+    twoFileTable(dir)
+    plantProtocol(dir, """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+      """"writerFeatures":["appendOnly"]}}""")
+    plantConfiguration(dir, """{"delta.appendOnly":"true"}""")
+    // active obligation before cleaning: row-level DML rejected
+    intercept[BuzzException.BadRequest](Sinks.deltaDeleteWhere(spark, dir, "id = 3"))
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true)
+    assert(!Files.exists(Paths.get(s"$dir/_delta_log/00000000000000000000.json")),
+      "fixture drift: commits not cleaned")
+    // the obligation must still gate AFTER cleaning — dropping the
+    // configuration from the checkpoint would silently disarm it
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaDeleteWhere(spark, dir, "id = 3"))
+    assert(e.getMessage.contains("appendOnly"))
+    Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir) // appends still pass
+    assert(allIds(dir).size === 21)
+  }
+
   test("tombstoneRetainMs bounds the checkpoint's remove section") {
     val dir = tmpDir("tomb_bound")
     twoFileTable(dir)
