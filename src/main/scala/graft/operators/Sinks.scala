@@ -1668,6 +1668,21 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, srcPath: String, v: Long): Int =
     parseCommitActions(spark, srcPath, v)._1.count(_._5)
 
+  /** The table's configuration as metaData JSON fields — every writer
+    * that RE-DECLARES metaData (rename/drop/evolve/clone) must carry it
+    * forward, or the re-declaration would silently disarm the table's
+    * writer obligations (delta.appendOnly, delta.constraints.*). Empty
+    * list when the table never configured anything. */
+  private def configurationFields(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): List[(String, org.json4s.JValue)] = {
+    import org.json4s._
+    val cfg = graft.sources.DeltaCatalog.tableConfiguration(spark, tablePath)
+    if (cfg.isEmpty) Nil
+    else List("configuration" -> (JObject(cfg.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }): JValue))
+  }
+
   def deltaSync(
       spark: org.apache.spark.sql.SparkSession, srcPath: String,
       dstPath: String, appId: String): Long = {
@@ -1761,13 +1776,14 @@ object Sinks {
         commitInfoAction("RENAME COLUMN",
           Map("old" -> oldName, "new" -> newName)),
         featureProtocol(spark, tablePath),
-        JObject("metaData" -> JObject(
+        JObject("metaData" -> JObject(List[(String, JValue)](
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
           "format" -> JObject("provider" -> JString("parquet")),
           "schemaString" -> JString(renamed.json),
           "partitionColumns" -> JArray(
-            cat.partitionColumns.map(JString(_): JValue).toList))))
+            cat.partitionColumns.map(JString(_): JValue).toList)) ++
+          configurationFields(spark, tablePath))))
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
       if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
@@ -1828,13 +1844,14 @@ object Sinks {
       val actions: Seq[JValue] = Seq(
         commitInfoAction("DROP COLUMN", Map("column" -> name)),
         featureProtocol(spark, tablePath),
-        JObject("metaData" -> JObject(
+        JObject("metaData" -> JObject(List[(String, JValue)](
           "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
             .getOrElse(java.util.UUID.randomUUID.toString)),
           "format" -> JObject("provider" -> JString("parquet")),
           "schemaString" -> JString(newSchema.json),
           "partitionColumns" -> JArray(
-            cat.partitionColumns.map(JString(_): JValue).toList))))
+            cat.partitionColumns.map(JString(_): JValue).toList)) ++
+          configurationFields(spark, tablePath))))
       val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
         .mkString("", "\n", "\n")
       if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
@@ -1944,13 +1961,15 @@ object Sinks {
     val actions: Seq[JValue] =
       commitInfoAction("CLONE", Map("source" -> srcPath)) ::
       protocol ::
-      JObject("metaData" -> JObject(
+      JObject("metaData" -> JObject(List[(String, JValue)](
         // a FRESH id: the clone is a new table, not the source's history
         "id" -> JString(java.util.UUID.randomUUID.toString),
         "format" -> JObject("provider" -> JString("parquet")),
         "schemaString" -> JString(schemaJson),
         "partitionColumns" -> JArray(
-          srcCat.partitionColumns.map(JString(_): JValue).toList))) ::
+          srcCat.partitionColumns.map(JString(_): JValue).toList)) ++
+        // the clone inherits the source's writer obligations too
+        configurationFields(spark, srcPath))) ::
       adds.toList
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
@@ -2537,12 +2556,14 @@ object Sinks {
           // evolution re-declares the merged schema under the table's SAME
           // id — minting a new one would make readers see a different table
           val meta: List[JValue] = evolvedSchema.toList.map { merged =>
-            JObject("metaData" -> JObject(
+            JObject("metaData" -> JObject(List[(String, JValue)](
               "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
                 .getOrElse(java.util.UUID.randomUUID.toString)),
               "format" -> JObject("provider" -> JString("parquet")),
               "schemaString" -> JString(merged.json),
-              "partitionColumns" -> JArray(partitionCols.map(JString(_): JValue).toList)))
+              "partitionColumns" -> JArray(
+                partitionCols.map(JString(_): JValue).toList)) ++
+              configurationFields(spark, tablePath)))
           }
           (info :: (meta ++ txnActions ++ addActions).toList)
         }

@@ -554,11 +554,13 @@ object DeltaCatalog {
       fail(s"Delta writer feature(s) ${unknown.toSeq.sorted.mkString(", ")}")
     val schema = state.schemaJson
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-    // appendOnly forbids removing FACTS, not maintenance: appends,
-    // dataChange=false rewrites (OPTIMIZE/ZORDER), checkpoints and
-    // vacuum are all legal on an append-only table (upstream semantics);
-    // everything row-removing (DELETE/UPDATE/MERGE/RESTORE/DROP) is not
-    val appendOnlyLegal = Set("append", "optimize", "zorder", "checkpoint", "vacuum")
+    // appendOnly forbids removing FACTS, not maintenance or metadata:
+    // appends, dataChange=false rewrites (OPTIMIZE/ZORDER), checkpoints,
+    // vacuum and metaData-only column re-mapping are all legal on an
+    // append-only table (upstream semantics); everything row-removing
+    // (DELETE/UPDATE/MERGE/RESTORE) is not
+    val appendOnlyLegal = Set("append", "optimize", "zorder", "checkpoint",
+      "vacuum", "rename column of", "drop column of")
     if (demanded("appendOnly") &&
         state.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) &&
         !appendOnlyLegal.contains(operation))

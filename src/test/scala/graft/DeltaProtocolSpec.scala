@@ -393,6 +393,26 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(allIds(dir).size === 21)
   }
 
+  test("metaData re-declarations (rename/evolve/clone) carry configuration forward") {
+    val dir = tmpDir("cfg_redeclare")
+    twoFileTable(dir)
+    plantProtocol(dir, """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+      """"writerFeatures":["appendOnly"]}}""")
+    plantConfiguration(dir, """{"delta.appendOnly":"true"}""")
+    // RENAME re-declares metaData — the obligation must survive it
+    Sinks.deltaRenameColumn(spark, dir, "v", "w")
+    intercept[BuzzException.BadRequest](Sinks.deltaDeleteWhere(spark, dir, "id = 3"))
+    // additive evolution re-declares it again
+    Sinks.deltaAppend(Seq((300L, 1L, "x")).toDF("id", "w", "tag"), dir,
+      mergeSchema = true)
+    intercept[BuzzException.BadRequest](Sinks.deltaDeleteWhere(spark, dir, "id = 3"))
+    // a clone inherits the source's obligations
+    val cloneDir = tmpDir("cfg_clone")
+    Sinks.deltaCloneShallow(spark, dir, cloneDir)
+    intercept[BuzzException.BadRequest](Sinks.deltaDeleteWhere(spark, cloneDir, "id = 3"))
+    Sinks.deltaAppend(Seq((400L, 1L, "y")).toDF("id", "w", "tag"), cloneDir)
+  }
+
   test("tombstoneRetainMs bounds the checkpoint's remove section") {
     val dir = tmpDir("tomb_bound")
     twoFileTable(dir)
