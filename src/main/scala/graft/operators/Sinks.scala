@@ -828,6 +828,9 @@ object Sinks {
     val cpSchema = StructType(Seq(
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         // the configuration carries WRITER OBLIGATIONS (delta.appendOnly,
@@ -878,7 +881,8 @@ object Sinks {
       // the table's stable id must survive the checkpoint — minting a new
       // one would make readers see a different table after log cleaning
       (Row(Row(DeltaCatalog.tableId(spark, tablePath)
-          .getOrElse(java.util.UUID.randomUUID.toString), fullSchema.json,
+          .getOrElse(java.util.UUID.randomUUID.toString),
+        Row("parquet", Map.empty[String, String]), fullSchema.json,
         cat.partitionColumns,
         DeltaCatalog.tableConfiguration(spark, tablePath, asOf)),
         null, null, null, null) +:
