@@ -777,13 +777,19 @@ object Similarity {
         val saltsDf = broadcast(occ.toSeq
           .map { case (b, c) => (b, math.min(256L, (c + target - 1) / target).toInt) }
           .toDF("bucket", "__nsalt"))
-        val saltedN = bucketed.join(saltsDf, Seq("bucket"))
+        // LEFT join + coalesce(1): the salt map is a collected SNAPSHOT of
+        // the assignment — if a nondeterministic upstream re-evaluates
+        // into a bucket the snapshot never saw, that bucket must still
+        // score (unsalted), never silently drop its neighbors
+        val saltedN = bucketed.join(saltsDf, Seq("bucket"), "left")
+          .withColumn("__n", coalesce(col("__nsalt"), lit(1)))
           .withColumn("__salt",
-            pmod(xxhash64(col("neighbor_id")), col("__nsalt").cast("long")).cast("int"))
-          .drop("__nsalt")
-        val saltedP = probed.join(saltsDf, Seq("bucket"))
-          .withColumn("__salt", explode(sequence(lit(0), col("__nsalt") - 1)))
-          .drop("__nsalt")
+            pmod(xxhash64(col("neighbor_id")), col("__n").cast("long")).cast("int"))
+          .drop("__nsalt", "__n")
+        val saltedP = probed.join(saltsDf, Seq("bucket"), "left")
+          .withColumn("__n", coalesce(col("__nsalt"), lit(1)))
+          .withColumn("__salt", explode(sequence(lit(0), col("__n") - 1)))
+          .drop("__nsalt", "__n")
         saltedN.join(saltedP, Seq("bucket", "__salt")).drop("__salt")
       })
         .filter(col("neighbor_id") =!= col("query_id"))

@@ -813,13 +813,16 @@ object Sinks {
     val version = DeltaCatalog.latestVersion(spark, logDir)
     onCheckpointPinned()
     val asOf = Some(version)
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_cp",
-      versionAsOf = asOf)
+    // ONE replay serves every state slice (catalog, raw paths, stats,
+    // DVs, tombstones, txns, protocol, configuration) — per-accessor
+    // replays would redo the same full log replay nine times
+    val snap = DeltaCatalog.logSnapshot(spark, tablePath, "__delta_cp", asOf)
+    val cat = snap.catalog
     // the checkpoint must persist the RAW log paths — the seed decodes
     // them exactly once on re-read, like commit replay does
-    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath, asOf)
-    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath, asOf)
-    val dvByRaw = DeltaCatalog.dvsByRaw(spark, tablePath, asOf)
+    val rawByKey = snap.liveRawByKey
+    val statsByRaw = snap.statsByRaw
+    val dvByRaw = snap.dvsByRaw
     val fsys = FsUtil.fs(spark, tablePath)
     // full table schema = data schema + partition columns (this engine's
     // writers declare partition columns as strings in schemaString)
@@ -883,8 +886,7 @@ object Sinks {
       (Row(Row(DeltaCatalog.tableId(spark, tablePath)
           .getOrElse(java.util.UUID.randomUUID.toString),
         Row("parquet", Map.empty[String, String]), fullSchema.json,
-        cat.partitionColumns,
-        DeltaCatalog.tableConfiguration(spark, tablePath, asOf)),
+        cat.partitionColumns, snap.configuration),
         null, null, null, null) +:
         cat.files.map { f =>
           val raw = rawByKey.getOrElse(f.key,
@@ -901,7 +903,7 @@ object Sinks {
         // unexpired tombstones (see cpSchema note); expired ones are
         // dropped here, which is what bounds the checkpoint's remove
         // section by the retention window instead of table history
-        DeltaCatalog.tombstonesByRaw(spark, tablePath, asOf).toSeq
+        snap.tombstonesByRaw.toSeq
           .filter(_._2._1 >= System.currentTimeMillis() - tombstoneRetainMs)
           .sortBy(_._1)
           .map { case (raw, (ts, dv)) =>
@@ -911,10 +913,10 @@ object Sinks {
           } ++
         // txn state must survive into the checkpoint, or commit cleaning
         // would amnesia every writer's idempotence watermark
-        DeltaCatalog.allTxns(spark, tablePath, asOf).toSeq.sortBy(_._1)
+        snap.txns.toSeq.sortBy(_._1)
           .map { case (app, ver) => Row(null, null, null, Row(app, ver), null) } ++
         // the protocol declaration must survive too (see cpSchema note)
-        DeltaCatalog.tableProtocol(spark, tablePath, asOf).toSeq
+        snap.protocol.toSeq
           .map { case (mr, mw, rf, wf) =>
             Row(null, null, null, null, Row(mr, mw, rf, wf)) }
     require(parts >= 1, s"parts must be >= 1, got $parts")
@@ -1056,7 +1058,10 @@ object Sinks {
       fsys.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (name == "_delta_log") ()
+          // `_dv`: the pre-r10 engine dialect's parquet DV sidecars —
+          // this GC neither reads nor owns them; deleting "unreferenced"
+          // parquet inside would resurrect a legacy table's deleted rows
+          if (name == "_delta_log" || name == "_dv") ()
           else if (name.startsWith(".") && oldEnough(st.getPath)) {
             fsys.delete(st.getPath, true); deleted += 1
           } else if (!name.startsWith(".")) walk(st.getPath)
@@ -1442,7 +1447,7 @@ object Sinks {
       // the snapshot conflicts.
       val dvNow = DeltaCatalog.dvsByRaw(spark, tablePath, None)
       lazy val dvAtSnapshot =
-        if (snapshotVersion < 0) Map.empty[String, String]
+        if (snapshotVersion < 0) Map.empty[String, graft.sources.DvDescriptor]
         else DeltaCatalog.dvsByRaw(spark, tablePath, Some(snapshotVersion))
       val dvDrift = removedRaws.filter(raw =>
         dvNow.get(raw) != dvAtSnapshot.get(raw))

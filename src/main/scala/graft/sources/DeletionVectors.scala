@@ -317,8 +317,20 @@ object DeletionVectors {
       }
       (str("storageType"), str("pathOrInlineDv")) match {
         case (Some(st), Some(p)) =>
-          val size = int("sizeInBytes").getOrElse(throw new BuzzException.BadRequest(
-            s"deletionVector descriptor lacks sizeInBytes: ${JsonMethodsCompact(o)}"))
+          val size = int("sizeInBytes").getOrElse {
+            // the pre-r10 engine dialect wrote {"storageType":"p", path to
+            // a parquet sidecar dir, cardinality} with no sizing — name it
+            // explicitly instead of a generic parse error, with the way out
+            if (st == "p" && !p.endsWith(".bin"))
+              throw new BuzzException.NotImplemented(
+                s"deletionVector descriptor '$p' is the pre-r10 engine " +
+                  "dialect (parquet sidecar, no sizeInBytes/offset), not " +
+                  "the protocol's RoaringBitmap format — rewrite the " +
+                  "table's deletes (copy-on-write DELETE of the affected " +
+                  "predicate, or re-clone from a snapshot read) to migrate")
+            throw new BuzzException.BadRequest(
+              s"deletionVector descriptor lacks sizeInBytes: ${JsonMethodsCompact(o)}")
+          }
           val card = lng("cardinality").getOrElse(throw new BuzzException.BadRequest(
             s"deletionVector descriptor lacks cardinality: ${JsonMethodsCompact(o)}"))
           Some(DvDescriptor(st, p, int("offset"), size, card))

@@ -159,6 +159,37 @@ object DeltaCatalog {
     toCatalog(spark, tablePath, name, replay(spark, tablePath, v))
   }
 
+  /** Every slice of one pinned snapshot from a SINGLE replay — what bulk
+    * consumers (the checkpoint writer) use instead of one replay per
+    * accessor: at the measured ~18 s / 10^6-file replay bound, nine
+    * independent replays would turn a checkpoint into minutes of
+    * redundant identical work. */
+  private[graft] final case class LogSnapshot(
+      catalog: StaticCatalog,
+      liveRawByKey: Map[String, String],
+      statsByRaw: Map[String, String],
+      dvsByRaw: Map[String, DvDescriptor],
+      tombstonesByRaw: Map[String, (Long, Option[DvDescriptor])],
+      txns: Map[String, Long],
+      protocol: Option[(Long, Long, Seq[String], Seq[String])],
+      configuration: Map[String, String])
+
+  private[graft] def logSnapshot(
+      spark: SparkSession, tablePath: String, name: String,
+      versionAsOf: Option[Long]): LogSnapshot = {
+    val state = replay(spark, tablePath, versionAsOf)
+    LogSnapshot(
+      toCatalog(spark, tablePath, name, state),
+      state.live.keys.map(raw =>
+        new Path(tablePath, decodePath(raw)).toString -> raw).toMap,
+      state.stats.toMap,
+      state.dvs.toMap,
+      state.tombstones.toMap,
+      state.txns.toMap,
+      state.protocol,
+      state.configuration)
+  }
+
   /** Resolve an instant (epoch millis) to the commit version the table was
     * at — the LAST commit whose timestamp is at-or-before `tsMillis`.
     * Commit timestamps are the log files' modification times made
@@ -522,7 +553,8 @@ object DeltaCatalog {
   private val ImplementedWriterFeatures =
     Set("columnMapping", "deletionVectors", "timestampNtz")
   private val ConditionalWriterFeatures =
-    Set("appendOnly", "invariants", "checkConstraints", "generatedColumns")
+    Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
+      "changeDataFeed", "identityColumns")
 
   private[graft] def assertWriterProtocol(
       spark: SparkSession, tablePath: String, operation: String): Unit = {
@@ -541,14 +573,17 @@ object DeltaCatalog {
       fail(s"Delta writer protocol $minWriter (implemented: <= $MaxWriterVersion)")
     // the obligations active on THIS table, whether demanded by a legacy
     // version tier (2=invariants/appendOnly, 3=+checkConstraints,
-    // 4=+generatedColumns) or by an explicit v7 feature list
+    // 4=+changeDataFeed/generatedColumns, 5=+columnMapping,
+    // 6=+identityColumns) or by an explicit v7 feature list — the same
+    // tier enumeration the protocol-raise union uses
     val demanded: Set[String] =
       if (minWriter >= 7) writerFeats.toSet
       else Set(
         if (minWriter >= 2) Seq("appendOnly", "invariants") else Nil,
         if (minWriter >= 3) Seq("checkConstraints") else Nil,
-        if (minWriter >= 4) Seq("generatedColumns") else Nil,
-        if (minWriter >= 5) Seq("columnMapping") else Nil).flatten
+        if (minWriter >= 4) Seq("changeDataFeed", "generatedColumns") else Nil,
+        if (minWriter >= 5) Seq("columnMapping") else Nil,
+        if (minWriter >= 6) Seq("identityColumns") else Nil).flatten
     val unknown = demanded -- ImplementedWriterFeatures -- ConditionalWriterFeatures
     if (unknown.nonEmpty)
       fail(s"Delta writer feature(s) ${unknown.toSeq.sorted.mkString(", ")}")
@@ -567,15 +602,36 @@ object DeltaCatalog {
       throw new BuzzException.BadRequest(
         s"cannot $operation $tablePath: delta.appendOnly=true — the table " +
           "accepts appends only")
-    if (demanded("invariants") &&
-        schema.exists(_.fields.exists(_.metadata.contains("delta.invariants"))))
+    // field-metadata obligations can hide on NESTED struct fields —
+    // inspect the whole tree, not just the top level
+    def anyField(st: StructType, key: String): Boolean =
+      st.fields.exists { f =>
+        f.metadata.contains(key) || (f.dataType match {
+          case nested: StructType => anyField(nested, key)
+          case org.apache.spark.sql.types.ArrayType(nested: StructType, _) =>
+            anyField(nested, key)
+          case org.apache.spark.sql.types.MapType(_, nested: StructType, _) =>
+            anyField(nested, key)
+          case _ => false
+        })
+      }
+    if (demanded("invariants") && schema.exists(anyField(_, "delta.invariants")))
       fail("column invariants (delta.invariants declared in the schema)")
     if (demanded("generatedColumns") &&
-        schema.exists(_.fields.exists(_.metadata.contains("delta.generationExpression"))))
+        schema.exists(anyField(_, "delta.generationExpression")))
       fail("generated columns (delta.generationExpression declared in the schema)")
+    if (demanded("identityColumns") &&
+        schema.exists(st => anyField(st, "delta.identity.start") ||
+          anyField(st, "delta.identity.allowExplicitInsert")))
+      fail("identity columns (delta.identity.* declared in the schema)")
     if (demanded("checkConstraints") &&
         state.configuration.keys.exists(_.startsWith("delta.constraints.")))
       fail("CHECK constraints (delta.constraints.* configured)")
+    if (demanded("changeDataFeed") &&
+        state.configuration.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true")))
+      fail("change data feed (delta.enableChangeDataFeed=true — this " +
+        "engine does not write _change_data files)")
   }
 
   /** Apply one JSON commit action (protocol / metaData / add / remove /

@@ -71,6 +71,13 @@ object DeltaTailSource {
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__tail_schema")
     cat.read(spark, Nil).schema
   }
+
+  /** logical name -> stable PHYSICAL name for a catalog's data columns
+    * (partition columns map as identity — they are never renamable). */
+  private[streaming] def physByLogical(
+      cat: graft.sources.SplittableCatalog): Map[String, String] =
+    cat.schema.fields
+      .map(f => f.name -> graft.sources.ColumnMapping.physicalName(f)).toMap
 }
 
 class DeltaTailSource(
@@ -88,7 +95,14 @@ class DeltaTailSource(
   private val startingVersion: Long =
     parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
 
-  override val schema: StructType = DeltaTailSource.tableSchema(spark, tablePath)
+  private val pinnedCat =
+    DeltaCatalog.fromDeltaLog(spark, tablePath, "__tail_pin")
+  override val schema: StructType = pinnedCat.read(spark, Nil).schema
+  // the pinned era's logical -> PHYSICAL mapping: physical names are
+  // stable across renames, so a WAL-replayed batch from an older era can
+  // be conformed losslessly even when its logical names have since moved
+  private val pinnedPhys: Map[String, String] =
+    DeltaTailSource.physByLogical(pinnedCat)
 
   // admission pacing only — correctness never depends on this (the
   // engine's offset WAL provides start/end on restart)
@@ -105,6 +119,20 @@ class DeltaTailSource(
     * own batch). Reads only the NEW commit JSONs. */
   override def getOffset: Option[V1Offset] = {
     val head = DeltaCatalog.latestVersion(spark, logDir)
+    // cleaned history is a LOUD failure, not an opaque parse error: the
+    // commits this stream still needs were checkpoint-cleaned (a fresh
+    // stream older than the retention horizon, or a fully-committed
+    // restart whose watermark the engine never replayed) — skipping them
+    // silently would drop their facts from the stream
+    if (lastOffered < head &&
+        !graft.sources.FsUtil.exists(spark,
+          f"$logDir/${lastOffered + 1}%020d.json"))
+      throw new BuzzException.BadRequest(
+        s"tail($tablePath): commit ${lastOffered + 1} was checkpoint-cleaned " +
+          "— the stream's history horizon has passed. Start a fresh stream " +
+          "with startingVersion past the cleaned range (facts before it " +
+          "must come from a snapshot read/clone), or retain commits at " +
+          "least as long as the stream's lag")
     var v = lastOffered
     var files = 0
     var full = false
@@ -137,7 +165,38 @@ class DeltaTailSource(
     // never re-parses (possibly checkpoint-cleaned) already-shipped
     // commits
     lastOffered = math.max(lastOffered, to)
-    StreamingBridge.asStreamingBatch(cat.read(spark, files))
+    // CONFORM the batch to the stream's pinned schema, matched by STABLE
+    // PHYSICAL names (logical names can move under column mapping):
+    //   - a batch-era column whose physical name the pinned schema never
+    //     had = additive evolution mid-stream — fail loudly directing a
+    //     restart (upstream's contract; projecting it away would silently
+    //     drop the new column's facts);
+    //   - a pinned column absent from the batch era (a restart replaying
+    //     an old-era WAL batch after evolution) is nullable by the
+    //     evolution contract — surface it as null, exactly how a batch
+    //     read of old files under the new schema does;
+    //   - a RENAMED column conforms losslessly: its physical name matches,
+    //     so the old era's data lands under the pinned logical name.
+    val batch = cat.read(spark, files)
+    val eraPhysByLogical = DeltaTailSource.physByLogical(cat)
+    def eraPhys(c: String): String = eraPhysByLogical.getOrElse(c, c)
+    def pinPhys(c: String): String = pinnedPhys.getOrElse(c, c)
+    val pinnedPhysSet = schema.fieldNames.map(pinPhys).toSet
+    val extra = batch.columns.toSeq.filterNot(c => pinnedPhysSet(eraPhys(c)))
+    if (extra.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"tail($tablePath): the table's schema evolved mid-stream (new " +
+          s"column(s) ${extra.sorted.mkString(", ")}) — restart the " +
+          "query to consume the evolved schema; this batch is not lost")
+    val eraByPhys = batch.columns.toSeq.map(c => eraPhys(c) -> c).toMap
+    val conformed = batch.select(schema.fields.toSeq.map { f =>
+      eraByPhys.get(pinPhys(f.name)) match {
+        case Some(c) => org.apache.spark.sql.functions.col(c).as(f.name)
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    StreamingBridge.asStreamingBatch(conformed)
   }
 
   override def commit(end: V1Offset): Unit =

@@ -214,7 +214,7 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val dir = tmpDir("writer_gate")
     twoFileTable(dir)
     plantProtocol(dir, """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-      """"writerFeatures":["identityColumns"]}}""")
+      """"writerFeatures":["rowTracking"]}}""")
     val writers: Seq[(String, () => Any)] = Seq(
       "append" -> (() => Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir)),
       "delete where" -> (() => Sinks.deltaDeleteWhere(spark, dir, "id = 3")),
@@ -229,7 +229,7 @@ class DeltaProtocolSpec extends AnyFunSuite {
       "drop column" -> (() => Sinks.deltaDropColumn(spark, dir, "v")))
     writers.foreach { case (name, run) =>
       val e = intercept[BuzzException.NotImplemented](run())
-      assert(e.getMessage.contains("identityColumns"), s"$name failed wrong: ${e.getMessage}")
+      assert(e.getMessage.contains("rowTracking"), s"$name failed wrong: ${e.getMessage}")
     }
     // nothing committed: the head is still the planted table's v1
     assert(DeltaCatalog.latestVersion(spark, s"$dir/_delta_log") === 1L)
@@ -244,6 +244,79 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val e = intercept[BuzzException.NotImplemented](
       Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir))
     assert(e.getMessage.contains("writer protocol 8"))
+  }
+
+  test("legacy v4/v6 writer tiers gate their implied features when active") {
+    // minWriterVersion=6 implies identityColumns: inert without identity
+    // metadata, loud once a field declares it
+    val dir = tmpDir("writer_gate_v6")
+    twoFileTable(dir)
+    plantProtocol(dir, """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
+    Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir) // inert: passes
+    plantFieldMetadata(dir, "id", """{"delta.identity.start":1}""")
+    val e = intercept[BuzzException.NotImplemented](
+      Sinks.deltaAppend(Seq((201L, 1L)).toDF("id", "v"), dir))
+    assert(e.getMessage.contains("identity"))
+    // minWriterVersion=4 implies changeDataFeed: inert unless enabled
+    val dir2 = tmpDir("writer_gate_v4")
+    twoFileTable(dir2)
+    plantProtocol(dir2, """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir2) // inert: passes
+    plantConfiguration(dir2, """{"delta.enableChangeDataFeed":"true"}""")
+    val e2 = intercept[BuzzException.NotImplemented](
+      Sinks.deltaAppend(Seq((201L, 1L)).toDF("id", "v"), dir2))
+    assert(e2.getMessage.contains("change data feed"))
+  }
+
+  test("invariants hide on NESTED fields too") {
+    val dir = tmpDir("writer_gate_nested")
+    Sinks.deltaAppend(
+      spark.sql("SELECT 1L AS id, named_struct('x', 2L) AS s"), dir)
+    plantProtocol(dir, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    // tag the NESTED field s.x with an invariant via a JSON round-trip
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val commit0 = Paths.get(s"$dir/_delta_log/00000000000000000000.json")
+    val rewritten = Files.readString(commit0).linesIterator.map { line =>
+      val v = JsonMethods.parse(line)
+      v \ "metaData" match {
+        case JNothing => line
+        case meta =>
+          val JString(schemaString) = (meta \ "schemaString"): @unchecked
+          val marked = schemaString.replace(
+            """{"name":"x","type":"long","nullable":false,"metadata":{}}""",
+            """{"name":"x","type":"long","nullable":false,"metadata":{"delta.invariants":"x > 0"}}""")
+          assert(marked != schemaString, "fixture drift: nested field not found")
+          val JObject(fs) = meta: @unchecked
+          val newMeta = JObject(fs.filterNot(_._1 == "schemaString") :+
+            ("schemaString" -> (JString(marked): JValue)))
+          val JObject(top) = v: @unchecked
+          JsonMethods.compact(JsonMethods.render(
+            JObject(top.filterNot(_._1 == "metaData") :+ ("metaData" -> (newMeta: JValue)))))
+      }
+    }.mkString("", "\n", "\n")
+    Files.writeString(commit0, rewritten)
+    Files.deleteIfExists(
+      Paths.get(s"$dir/_delta_log/.00000000000000000000.json.crc"))
+    val e = intercept[BuzzException.NotImplemented](
+      Sinks.deltaAppend(spark.sql("SELECT 2L AS id, named_struct('x', 3L) AS s"), dir))
+    assert(e.getMessage.contains("invariants"))
+  }
+
+  test("the pre-r10 DV dialect fails with a named error; vacuum leaves _dv alone") {
+    import org.json4s.jackson.JsonMethods
+    val e = intercept[BuzzException.NotImplemented](
+      graft.sources.DeletionVectors.fromJson(JsonMethods.parse(
+        """{"storageType":"p","pathOrInlineDv":"_dv/delete-abc","cardinality":3}""")))
+    assert(e.getMessage.contains("pre-r10"))
+    // vacuum never reaches into a legacy _dv directory
+    val dir = tmpDir("legacy_dv_dir")
+    twoFileTable(dir)
+    val legacy = Paths.get(s"$dir/_dv")
+    Files.createDirectories(legacy)
+    Files.writeString(legacy.resolve("part-0000.parquet"), "legacy-bytes")
+    Sinks.deltaVacuum(spark, dir)
+    assert(Files.exists(legacy.resolve("part-0000.parquet")))
   }
 
   test("appendOnly admits appends and rejects everything row-deleting") {

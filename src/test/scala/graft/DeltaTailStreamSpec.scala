@@ -127,6 +127,43 @@ class DeltaTailStreamSpec extends AnyFunSuite {
     assert(texts === Seq("alpha", "beta", "gamma"))
   }
 
+  test("schema evolution: mid-RUN fails loudly; a fresh stream conforms old eras") {
+    val dir = tmpDir("tail_evolve")
+    Sinks.deltaAppend((0L until 5L).map(i => (i, i)).toDF("id", "v"), dir) // v0
+    // evolution landing WHILE the query runs: the run's schema is pinned
+    // at start, so the evolved batch must fail loudly — silently
+    // projecting the new column away would drop its facts
+    val q = spark.readStream.format("graft-delta-tail").option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("tail_evolving")
+      .option("checkpointLocation", tmpDir("tail_evolve_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable() // ships v0 under (id, v)
+      Sinks.deltaAppend((5L until 8L).map(i => (i, i, s"t$i")).toDF("id", "v", "tag"),
+        dir, mergeSchema = true) // v1 evolves mid-run
+      val e = intercept[StreamingQueryException](q.processAllAvailable())
+      assert(e.getMessage.contains("evolved mid-stream") ||
+        e.getCause.getMessage.contains("evolved mid-stream"))
+    } finally q.stop()
+    // a FRESH stream (pinned to the evolved schema) replays the pre-
+    // evolution era with the missing column conformed to null — per-
+    // version batches force an old-era span through the conform-up path
+    val q2 = spark.readStream.format("graft-delta-tail").option("path", dir)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("tail_evolved")
+      .option("checkpointLocation", tmpDir("tail_evolve_ckpt2"))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.table("tail_evolved")
+      .select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows.size === 8)
+    assert((0L until 5L).forall(rows(_).isEmpty), "old era must read tag as null")
+    assert((5L until 8L).forall(i => rows(i).contains(s"t$i")))
+  }
+
   test("a retracting commit and a rename both fail the query loudly") {
     val dir = tmpDir("tail_retract")
     Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)
