@@ -260,7 +260,42 @@ object DeltaCatalog {
     * remove tombstones never reach the driver. This driver-resident shape
     * matches Spark's own InMemoryFileIndex (the scan would hold the same
     * file list); past ~10^7 files the next step is a distributed
-    * manifest join, not a bigger driver. */
+    * manifest join, not a bigger driver.
+    *
+    * MEMOIZED: a Delta snapshot is immutable per (table, version), so the
+    * replayed state is cached keyed by (tablePath, resolved version,
+    * log-listing fingerprint). The fingerprint — every log file's (name,
+    * size, mtime) — makes any out-of-band change to the log directory
+    * (a cleaned commit, a test rewriting a commit body in place, a table
+    * re-created at the same path) a cache MISS instead of stale state;
+    * protocol-conformant writers only ever ADD log files, which changes
+    * the head resolution and fingerprint together. `versionAsOf = None`
+    * resolves to the listing's head version BEFORE keying, so a writer
+    * that pinned `fromDeltaLog(versionAsOf = Some(head))` and then gates
+    * through `assertWriterProtocol` (head) pays ONE replay, not two —
+    * the redundancy that doubled every Delta write's driver stall at the
+    * measured 10^6-add bound. Values are SoftReferences: a 10^6-add state
+    * retains ~430 MB, and the cache must yield to heap pressure rather
+    * than hold it. */
+  private final case class ReplayKey(tablePath: String, version: Long, fingerprint: Long)
+  private val replayCacheMax = 8
+  private val replayCache =
+    new java.util.LinkedHashMap[ReplayKey, java.lang.ref.SoftReference[State]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[ReplayKey, java.lang.ref.SoftReference[State]]): Boolean =
+        size > replayCacheMax
+    }
+  /** Count of UNCACHED (full) replays — the seam the one-replay-per-write
+    * specs count against. Monotonic; test-only reader. */
+  @volatile private[graft] var uncachedReplays: Long = 0L
+  /** Test seam: drop every memoized replay (e.g. before measuring a cold
+    * replay, or after deliberately corrupting a log in place). */
+  private[graft] def invalidateReplayCache(): Unit =
+    replayCache.synchronized(replayCache.clear())
+
+  private val CheckpointFile = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
+
   private def replay(
       spark: SparkSession,
       tablePath: String,
@@ -270,7 +305,37 @@ object DeltaCatalog {
       throw new BuzzException.BadRequest(s"no _delta_log under $tablePath")
     versionAsOf.foreach(v => if (v < 0)
       throw new BuzzException.BadRequest(s"version_as_of must be >= 0, got $v"))
+    val listing = FsUtil.listStatus(spark, logDir).sortBy(_.getPath.getName)
+    var fp = -3750763034362895579L // FNV-1a offset basis
+    listing.foreach { st =>
+      fp = (fp ^ st.getPath.getName.hashCode) * 1099511628211L
+      fp = (fp ^ st.getLen) * 1099511628211L
+      fp = (fp ^ st.getModificationTime) * 1099511628211L
+    }
+    // resolve None to the listing's head so replay(None) and the pinned
+    // replay(Some(head)) share one cache entry
+    val headInListing = (listing.flatMap(st => st.getPath.getName match {
+      case CommitFile(v)        => Some(v.toLong)
+      case CheckpointFile(v, _) => Some(v.toLong)
+      case _                    => None
+    }) :+ -1L).max
+    val key = ReplayKey(tablePath, versionAsOf.getOrElse(headInListing), fp)
+    replayCache.synchronized(Option(replayCache.get(key)).flatMap(r => Option(r.get()))) match {
+      case Some(cached) => cached
+      case None =>
+        val state = replayUncached(spark, tablePath, versionAsOf, logDir)
+        uncachedReplays += 1
+        replayCache.synchronized(
+          replayCache.put(key, new java.lang.ref.SoftReference(state)))
+        state
+    }
+  }
 
+  private def replayUncached(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long],
+      logDir: String): State = {
     val state = new State
     // a checkpoint is only usable when it is NOT ahead of the target
     // version — otherwise its state already contains later commits
