@@ -250,6 +250,42 @@ object ScaleProbe {
       report("replay_retained_mb", scale,
         math.max(0L, (h1 - h0) / (1024 * 1024)), 0.0)
 
+      // streaming-tail steady-state driver cost: the tail pins ONE
+      // snapshot at stream start, then per trigger reads ONLY the new
+      // commit JSONs (incremental metaData fold + a files-supplied
+      // catalog) — so per-trigger wall must be FLAT across table size
+      // while replay_adds_wall above grows linearly (2.1 s → 17.9 s at
+      // 10⁵ → 10⁶ adds; pre-r11 getBatch paid that PER TRIGGER). Source
+      // constructed against the nAdds-file fixture BEFORE the tail
+      // commits land, exactly a live stream's shape; 3 one-file commits
+      // then tail one per trigger.
+      locally {
+        val tailSrc = new graft.streaming.DeltaTailSource(
+          spark, repDir, Map("startingVersion" -> "2", "maxFilesPerTrigger" -> "1"))
+        val factStage = s"$repDir/.tail_fact_stage"
+        spark.range(10).toDF("id").coalesce(1).write.parquet(factStage)
+        val factSrc = new java.io.File(factStage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        (0 until 3).foreach { i =>
+          val dest = new java.io.File(repDir, s"tail-fact-$i.parquet")
+          java.nio.file.Files.copy(factSrc.toPath, dest.toPath)
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$repDir/_delta_log", f"${2 + i}%020d.json").toPath,
+            s"""{"add":{"path":"tail-fact-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+        }
+        val (_, tailSecs) = timed {
+          var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+          (0 until 3).foreach { _ =>
+            val off = tailSrc.getOffset.get
+            val batch = tailSrc.getBatch(prev, off)
+            require(batch.schema.fieldNames.contains("id"),
+              s"tail batch schema drift: ${batch.schema.fieldNames.mkString(",")}")
+            prev = Some(off)
+          }
+        }
+        report("tail_trigger_wall", scale, 3, tailSecs)
+      }
+
       // radius search at the PRODUCTION setting against a FIXED query set:
       // the probed fraction of the corpus shrinks as the index grows
       // (√nlist of nlist ≈ √n buckets), so scanned work per query grows

@@ -699,6 +699,71 @@ object DeltaCatalog {
         "engine does not write _change_data files)")
   }
 
+  /** The metaData-derived slice of a snapshot — everything a reader needs
+    * to BUILD a read plan over explicitly-supplied files (schema,
+    * partitioning, configuration, table identity) WITHOUT the live-file
+    * replay. The streaming tail pins one of these at stream start and
+    * maintains it incrementally from each trigger's new commit JSONs. */
+  private[graft] final case class MetaInfo(
+      schemaJson: Option[String],
+      partitionCols: Seq[String],
+      configuration: Map[String, String],
+      id: Option[String])
+
+  /** The [[MetaInfo]] slice at `versionAsOf` (None = head) — served from
+    * the memoized replay, so calling this right after a pinned
+    * [[fromDeltaLog]] is free. */
+  private[graft] def metaInfoAt(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): MetaInfo = {
+    val s = replay(spark, tablePath, versionAsOf)
+    MetaInfo(s.schemaJson, s.partitionCols, s.configuration, s.id)
+  }
+
+  /** A catalog carrying the given metaData and an EMPTY file list — for
+    * consumers that pass their files explicitly to `read()` (the
+    * streaming tail's span batches, whose file lists come from the span's
+    * own commit JSONs). Construction does ZERO log IO: this is what lets
+    * a tail trigger's driver cost stay flat however large the table's
+    * live set grows. */
+  private[graft] def catalogFromMeta(
+      tablePath: String, name: String, meta: MetaInfo): StaticCatalog = {
+    val schema = meta.schemaJson match {
+      case Some(s) => DataType.fromJson(s).asInstanceOf[StructType]
+      case None => throw new BuzzException.BadRequest(s"no metaData action in $tablePath")
+    }
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    new StaticCatalog(name, dataSchema, meta.partitionCols, Nil,
+      missingNullableOk = true)
+  }
+
+  /** Fold ONE commit JSON's metaData / protocol actions into `meta` — the
+    * incremental snapshot maintenance the streaming tail runs per
+    * trigger: the driver reads ONLY the new commit files (tail IO,
+    * bounded by commit rate), never replays the log. Protocol actions
+    * pass through the SAME reader gate replay enforces, so a mid-stream
+    * feature bump this engine cannot read fails loudly here too. */
+  private[graft] def applyCommitMeta(
+      spark: SparkSession, tablePath: String, v: Long,
+      meta: MetaInfo): MetaInfo = {
+    val path = f"$tablePath/_delta_log/$v%020d.json"
+    if (!FsUtil.exists(spark, path))
+      throw new BuzzException.BadRequest(
+        s"commit $v does not exist under $tablePath/_delta_log")
+    // a throwaway State seeded from `meta` reuses applyAction verbatim —
+    // including the reader-protocol gate; the add/remove/txn entries it
+    // accumulates are bounded by this one commit's size and discarded
+    val st = new State
+    st.schemaJson = meta.schemaJson
+    st.partitionCols = meta.partitionCols
+    st.configuration = meta.configuration
+    st.id = meta.id
+    FsUtil.readString(spark, path).linesIterator.filter(_.nonEmpty)
+      .foreach(line => applyAction(JsonMethods.parse(line), st))
+    MetaInfo(st.schemaJson, st.partitionCols, st.configuration, st.id)
+  }
+
   /** Apply one JSON commit action (protocol / metaData / add / remove /
     * txn) to the state. */
   private def applyAction(v: JValue, state: State): Unit = {

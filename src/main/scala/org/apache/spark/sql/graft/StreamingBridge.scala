@@ -18,4 +18,18 @@ object StreamingBridge {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for tests that drive a `Source` directly: a streaming
+    * batch re-rooted as a plain batch DataFrame so actions run on it.
+    * Unwraps the streaming `LogicalRDD` (the shape [[asStreamingBatch]]
+    * builds) — planning through the streaming wrapper would trip
+    * Catalyst's batch-execution check. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case _ => df.queryExecution.toRdd
+    }
+    spark.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

@@ -164,6 +164,35 @@ class DeltaTailStreamSpec extends AnyFunSuite {
     assert((5L until 8L).forall(i => rows(i).contains(s"t$i")))
   }
 
+  test("steady-state triggers pay ZERO full replays (one pinned replay at start only)") {
+    import graft.sources.DeltaCatalog
+    val dir = tmpDir("tail_noreplay")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir)
+    // stream starts: exactly one pinned snapshot replay
+    val src = new graft.streaming.DeltaTailSource(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    // live commits land AFTER the pin — the shape of an unbounded stream
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend((20L until 30L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir)
+    var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var shipped = Seq.empty[Long]
+    val before = DeltaCatalog.uncachedReplays
+    (0 until 3).foreach { _ =>
+      val off = src.getOffset.get
+      val batch = src.getBatch(prev, off)
+      // execute the batch plan for real (the streaming flag blocks direct
+      // actions), proving catalogFromMeta's files-supplied read works end
+      // to end
+      val ids = org.apache.spark.sql.graft.StreamingBridge.asBatch(batch)
+        .select("id").collect().map(_.getLong(0))
+      shipped = shipped ++ ids
+      prev = Some(off)
+    }
+    val replays = DeltaCatalog.uncachedReplays - before
+    assert(replays == 0,
+      s"steady-state tail triggers paid $replays full replays, expected 0")
+    assert(shipped.sorted === (0L until 30L))
+  }
+
   test("a retracting commit and a rename both fail the query loudly") {
     val dir = tmpDir("tail_retract")
     Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)
