@@ -2140,37 +2140,7 @@ object Sinks {
       cat.deletionVectors.get(f.key).map(dv => (FsUtil.normalizePath(f.key), dv)))
     val existingRows = graft.sources.DeletionVectors.deletedRowsDF(spark, existingPairs)
     val allDeleted = matches.unionAll(existingRows).distinct()
-    // write the protocol's `.bin` vector files DISTRIBUTED: each task
-    // serializes its files' portable RoaringBitmaps into one vector file
-    // under the table root and reports the framed descriptors — deleted
-    // rows never pass through the driver, and the bytes on disk are the
-    // interoperable format any conformant Delta reader decodes
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.SerializableWritable(
-        spark.sparkContext.hadoopConfiguration))
-    import spark.implicits._
-    val written: Array[(String, graft.sources.DvDescriptor)] =
-      allDeleted.repartition(col("__path")).select("__path", "__ri")
-        .as[(String, Long)]
-        .mapPartitions { it =>
-          val byPath = scala.collection.mutable.HashMap[String,
-            scala.collection.mutable.ArrayBuilder.ofLong]()
-          it.foreach { case (p, ri) =>
-            byPath.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuilder.ofLong) += ri
-          }
-          if (byPath.isEmpty) Iterator.empty
-          else {
-            val tableDir = new Path(tablePath)
-            val fsys = tableDir.getFileSystem(confBc.value.value)
-            val entries = byPath.toSeq.sortBy(_._1).map { case (p, b) =>
-              val rows = b.result(); java.util.Arrays.sort(rows); p -> rows
-            }
-            val (_, described) =
-              graft.sources.DeletionVectors.writeDvFile(fsys, tableDir, entries)
-            described.iterator
-          }
-        }.collect()
-    val dvByNorm: Map[String, graft.sources.DvDescriptor] = written.toMap
+    val dvByNorm = writeVectorFiles(spark, tablePath, allDeleted)
     if (dvByNorm.isEmpty) // nothing matched anywhere: no commit
       return DeltaCatalog.latestVersion(spark, logDir)
     val affected = candFiles.filter(f => dvByNorm.contains(FsUtil.normalizePath(f.key)))
@@ -2201,6 +2171,104 @@ object Sinks {
         DeltaCatalog.tableProtocol(spark, tablePath,
           if (snapVer >= 0) Some(snapVer) else None))),
       operationParams = Map("predicate" -> predicateSql))
+  }
+
+  /** Write the protocol's `.bin` vector files DISTRIBUTED from `rows`
+    * ((`__path` normalized file key, `__ri` row index)): each task
+    * serializes its files' portable RoaringBitmaps into one vector file
+    * under the table root and reports the framed descriptors keyed by
+    * normalized path — deleted rows never pass through the driver, and
+    * the bytes on disk are the interoperable format any conformant Delta
+    * reader decodes. Shared by [[deltaDeleteVectors]] and
+    * [[deltaMigrateDvs]]. */
+  private def writeVectorFiles(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      rows: DataFrame): Map[String, graft.sources.DvDescriptor] = {
+    import org.apache.hadoop.fs.Path
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    import spark.implicits._
+    rows.repartition(col("__path")).select("__path", "__ri")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val byPath = scala.collection.mutable.HashMap[String,
+          scala.collection.mutable.ArrayBuilder.ofLong]()
+        it.foreach { case (p, ri) =>
+          byPath.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuilder.ofLong) += ri
+        }
+        if (byPath.isEmpty) Iterator.empty
+        else {
+          val tableDir = new Path(tablePath)
+          val fsys = tableDir.getFileSystem(confBc.value.value)
+          val entries = byPath.toSeq.sortBy(_._1).map { case (p, b) =>
+            val rows0 = b.result(); java.util.Arrays.sort(rows0); p -> rows0
+          }
+          val (_, described) =
+            graft.sources.DeletionVectors.writeDvFile(fsys, tableDir, entries)
+          described.iterator
+        }
+      }.collect().toMap
+  }
+
+  /** Migrate every pre-r10 parquet-sidecar deletion vector (the engine's
+    * own legacy dialect: `storageType "p"` pointing at a `_dv/delete-*`
+    * parquet directory of (`__path`, `__ri`) rows) into the PROTOCOL's
+    * framed RoaringBitmap `.bin` format in ONE commit: each legacy-DV'd
+    * live file is re-added in place with a protocol descriptor carrying
+    * exactly the same deleted rows, `dataChange = false` (no facts
+    * change — incremental consumers skip it), under the OPTIMIZE conflict
+    * discipline. Time travel to pre-migration versions keeps reading the
+    * sidecars through the read-only legacy decode
+    * ([[graft.sources.DeletionVectors.deletedRowsDF]]); VACUUM never
+    * walks `_dv/`, so those reads stay valid. Returns the committed
+    * version, or the unchanged head when the table has no legacy
+    * vectors. */
+  def deltaMigrateDvs(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    // pin the snapshot FIRST (commitRewrite discipline)
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_migrate_dv",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
+    val affected = cat.files.filter(f =>
+      cat.deletionVectors.get(f.key).exists(_.storageType == "legacy"))
+    if (affected.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+    val rawByKey = DeltaCatalog.liveRawByKey(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    val entries = affected.map(f =>
+      (FsUtil.normalizePath(f.key), cat.deletionVectors(f.key)))
+    val rows = graft.sources.DeletionVectors.deletedRowsDF(spark, entries)
+    val dvByNorm = writeVectorFiles(spark, tablePath, rows)
+    // every affected file MUST come out with a descriptor — a sidecar
+    // that yielded no rows for a file it claims to delete from would
+    // otherwise drop the descriptor and RESURRECT those rows
+    val uncovered = affected.map(f => FsUtil.normalizePath(f.key))
+      .filterNot(dvByNorm.contains)
+    if (uncovered.nonEmpty)
+      throw new BuzzException.ExecutionError(
+        s"migrate-dvs: ${uncovered.size} legacy sidecar(s) decoded to zero " +
+          s"deleted rows for their file (e.g. ${uncovered.head}) — sidecar " +
+          "and descriptor disagree; refusing to drop the descriptor")
+    val removedRaws = affected.map(f => rawByKey.getOrElse(f.key,
+      throw new BuzzException.ExecutionError(
+        s"migrate-dvs: no raw log path for live file ${f.key} — snapshot drifted")))
+    val adds = affected.map { f =>
+      (DeltaCatalog.decodePath(rawByKey(f.key)), f.length,
+        cat.partitionColumns.zip(f.partitionValues))
+    }
+    val dvByRel = affected.map { f =>
+      DeltaCatalog.decodePath(rawByKey(f.key)) -> dvByNorm(FsUtil.normalizePath(f.key))
+    }.toMap
+    commitRewrite(spark, tablePath, adds, removedRaws,
+      StructType(cat.schema.fields), "migrate-dvs",
+      snapshotVersion = snapVer, dataChange = false, dvByRel = dvByRel,
+      protocolActions = Seq(featureProtocol(
+        DeltaCatalog.tableProtocol(spark, tablePath,
+          if (snapVer >= 0) Some(snapVer) else None))))
   }
 
   /** OPTIMIZE ZORDER BY, Delta-native: rewrite the table's live files

@@ -145,8 +145,22 @@ object DeletionVectors {
     new Path(tablePath, rel).toString
   }
 
+  /** Is `d` the pre-r10 ENGINE dialect — storageType "p" pointing at a
+    * parquet sidecar DIRECTORY (`_dv/delete-<uuid>`, rows of
+    * (`__path` normalized file key, `__ri` row index)) instead of the
+    * protocol's framed `.bin` vector file? Kept readable (read-only) so
+    * legacy tables and time travel to pre-migration versions still work;
+    * [[graft.operators.Sinks.deltaMigrateDvs]] rewrites them into
+    * protocol vectors in one commit. */
+  private[graft] def isLegacy(d: DvDescriptor): Boolean =
+    d.storageType == "p" && !d.pathOrInlineDv.endsWith(".bin")
+
   /** Resolve a log descriptor against its table root. */
   private[graft] def resolve(tablePath: String, d: DvDescriptor): ResolvedDv = d.storageType match {
+    case "p" if isLegacy(d) =>
+      // legacy sidecar paths were recorded RELATIVE to the table root
+      ResolvedDv("legacy", new Path(tablePath, d.pathOrInlineDv).toString,
+        0, d.sizeInBytes, d.cardinality)
     case "u" => ResolvedDv("u", derivedPath(tablePath, d.pathOrInlineDv),
       d.offset.getOrElse(throw new BuzzException.BadRequest(
         "deletion-vector descriptor with storageType 'u' lacks an offset")),
@@ -259,6 +273,11 @@ object DeletionVectors {
     * the length prefix against the descriptor and the CRC-32 against the
     * bytes; a mismatch is corruption, never silently fewer deletions. */
   private[graft] def readRows(conf: Configuration, r: ResolvedDv): Array[Long] = r.storageType match {
+    case "legacy" => throw new BuzzException.NotImplemented(
+      s"deletion vector '${r.pathOrInline}' is the pre-r10 parquet-sidecar " +
+        "dialect — scans decode it via deletedRowsDF; run " +
+        "Sinks.deltaMigrateDvs(table) to rewrite it into the protocol's " +
+        "RoaringBitmap format")
     case "i" => deserializeRows(z85Decode(r.pathOrInline))
     case _ =>
       val p = new Path(r.pathOrInline)
@@ -317,23 +336,21 @@ object DeletionVectors {
       }
       (str("storageType"), str("pathOrInlineDv")) match {
         case (Some(st), Some(p)) =>
-          val size = int("sizeInBytes").getOrElse {
-            // the pre-r10 engine dialect wrote {"storageType":"p", path to
-            // a parquet sidecar dir, cardinality} with no sizing — name it
-            // explicitly instead of a generic parse error, with the way out
-            if (st == "p" && !p.endsWith(".bin"))
-              throw new BuzzException.NotImplemented(
-                s"deletionVector descriptor '$p' is the pre-r10 engine " +
-                  "dialect (parquet sidecar, no sizeInBytes/offset), not " +
-                  "the protocol's RoaringBitmap format — rewrite the " +
-                  "table's deletes (copy-on-write DELETE of the affected " +
-                  "predicate, or re-clone from a snapshot read) to migrate")
-            throw new BuzzException.BadRequest(
-              s"deletionVector descriptor lacks sizeInBytes: ${JsonMethodsCompact(o)}")
-          }
           val card = lng("cardinality").getOrElse(throw new BuzzException.BadRequest(
             s"deletionVector descriptor lacks cardinality: ${JsonMethodsCompact(o)}"))
-          Some(DvDescriptor(st, p, int("offset"), size, card))
+          // the pre-r10 engine dialect wrote {"storageType":"p", path to a
+          // parquet sidecar dir, cardinality} with no sizing — READABLE
+          // (read-only: [[deletedRowsDF]] decodes the sidecar), so legacy
+          // tables and time travel keep working; deltaMigrateDvs rewrites
+          // them into protocol `.bin` vectors
+          if (st == "p" && !p.endsWith(".bin"))
+            Some(DvDescriptor(st, p, int("offset"),
+              int("sizeInBytes").getOrElse(0), card))
+          else {
+            val size = int("sizeInBytes").getOrElse(throw new BuzzException.BadRequest(
+              s"deletionVector descriptor lacks sizeInBytes: ${JsonMethodsCompact(o)}"))
+            Some(DvDescriptor(st, p, int("offset"), size, card))
+          }
         case _ => None
       }
   }
@@ -357,13 +374,38 @@ object DeletionVectors {
       StructField("__ri", LongType, nullable = false)))
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
-    val slices = math.min(entries.size, 32)
-    val rdd = spark.sparkContext.parallelize(entries, slices).flatMap {
-      case (key, dv) =>
-        readRows(confBc.value.value, dv).iterator.map(ri => Row(key, ri))
+    // pre-r10 parquet-sidecar entries decode through Spark's own parquet
+    // reader (the sidecar IS (`__path`, `__ri`) rows keyed by the same
+    // normalized file key the entries carry) — the read-only legacy path
+    // that keeps old tables and pre-migration time travel working
+    val (legacy, protocol) = entries.partition(_._2.storageType == "legacy")
+    val legacyDf: Option[org.apache.spark.sql.DataFrame] =
+      if (legacy.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = legacy.map(_._1).distinct
+        Some(spark.read.parquet(legacy.map(_._2.pathOrInline).distinct: _*)
+          .where(col("__path").isInCollection(keys))
+          .select(col("__path"), col("__ri")))
+      }
+    val protocolDf: Option[org.apache.spark.sql.DataFrame] =
+      if (protocol.isEmpty) None
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
+        val slices = math.min(protocol.size, 32)
+        val rdd = spark.sparkContext.parallelize(protocol, slices).flatMap {
+          case (key, dv) =>
+            readRows(confBc.value.value, dv).iterator.map(ri => Row(key, ri))
+        }
+        Some(spark.createDataFrame(rdd, schema))
+      }
+    (legacyDf, protocolDf) match {
+      case (Some(l), Some(p)) => l.unionAll(p)
+      case (Some(l), None)    => l
+      case (None, Some(p))    => p
+      case (None, None)       =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
-    spark.createDataFrame(rdd, schema)
   }
 }

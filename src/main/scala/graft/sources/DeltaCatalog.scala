@@ -660,7 +660,9 @@ object DeltaCatalog {
     // append-only table (upstream semantics); everything row-removing
     // (DELETE/UPDATE/MERGE/RESTORE) is not
     val appendOnlyLegal = Set("append", "optimize", "zorder", "checkpoint",
-      "vacuum", "rename column of", "drop column of")
+      "vacuum", "rename column of", "drop column of",
+      // DV-format migration moves descriptors, not facts
+      "migrate-dvs")
     if (demanded("appendOnly") &&
         state.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) &&
         !appendOnlyLegal.contains(operation))
