@@ -303,12 +303,15 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("invariants"))
   }
 
-  test("the pre-r10 DV dialect fails with a named error; vacuum leaves _dv alone") {
+  test("the pre-r10 DV dialect parses as LEGACY (read-only); vacuum leaves _dv alone") {
     import org.json4s.jackson.JsonMethods
-    val e = intercept[BuzzException.NotImplemented](
-      graft.sources.DeletionVectors.fromJson(JsonMethods.parse(
-        """{"storageType":"p","pathOrInlineDv":"_dv/delete-abc","cardinality":3}""")))
-    assert(e.getMessage.contains("pre-r10"))
+    // r11: the legacy dialect no longer bricks replay — it parses into a
+    // descriptor that resolves as the read-only "legacy" kind (the full
+    // read/migrate contract lives in DeltaLegacyDvSpec)
+    val d = graft.sources.DeletionVectors.fromJson(JsonMethods.parse(
+      """{"storageType":"p","pathOrInlineDv":"_dv/delete-abc","cardinality":3}""")).get
+    assert(graft.sources.DeletionVectors.isLegacy(d))
+    assert(graft.sources.DeletionVectors.resolve("/t", d).storageType == "legacy")
     // vacuum never reaches into a legacy _dv directory
     val dir = tmpDir("legacy_dv_dir")
     twoFileTable(dir)
