@@ -844,6 +844,14 @@ object Sinks {
         StructField("path", StringType),
         StructField("size", LongType),
         StructField("partitionValues", MapType(StringType, StringType)),
+        // the spec's REQUIRED add fields for checkpoints: a conformant
+        // foreign reader parsing the add schema may reject or mis-default
+        // their absence. dataChange is false by spec (a checkpoint
+        // restates state, it never changes facts); modificationTime is
+        // the checkpoint wall time (the per-file mtimes would cost one
+        // FileStatus per live file — 10^6 stats at the measured bound)
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
         // data-skipping stats must survive into the checkpoint, or commit
         // cleaning would silently degrade every read back to footer IO
         StructField("stats", StringType),
@@ -880,6 +888,7 @@ object Sinks {
         StructField("minWriterVersion", LongType),
         StructField("readerFeatures", ArrayType(StringType)),
         StructField("writerFeatures", ArrayType(StringType)))), nullable = true)))
+    val cpNow = System.currentTimeMillis()
     val rows: Seq[Row] =
       // the table's stable id must survive the checkpoint — minting a new
       // one would make readers see a different table after log cleaning
@@ -898,6 +907,7 @@ object Sinks {
           Row(null,
             Row(raw, f.length,
               cat.partitionColumns.zip(f.partitionValues).toMap,
+              cpNow, java.lang.Boolean.FALSE,
               statsByRaw.get(raw).orNull, dvRow), null, null, null)
         }) ++
         // unexpired tombstones (see cpSchema note); expired ones are
@@ -944,9 +954,16 @@ object Sinks {
           s"checkpoint rename failed for $dest")
     }
     fsys.delete(new Path(stage), true)
+    // the tombstone retention this checkpoint was written with rides in
+    // _last_checkpoint (foreign readers ignore unknown fields): vacuum
+    // validates its retainMs against it — a caller window LONGER than
+    // what the checkpoint retained would date expired tombstones by file
+    // mtime and could reap inside the promised window
     FsUtil.writeString(spark, s"$logDir/_last_checkpoint",
-      if (n == 1) s"""{"version":$version,"size":${rows.size}}"""
-      else s"""{"version":$version,"size":${rows.size},"parts":$n}""")
+      if (n == 1)
+        s"""{"version":$version,"size":${rows.size},"tombstoneRetainMs":$tombstoneRetainMs}"""
+      else
+        s"""{"version":$version,"size":${rows.size},"parts":$n,"tombstoneRetainMs":$tombstoneRetainMs}""")
     if (cleanCommits) {
       val CommitName = raw"(\d{20})\.json".r
       // superseded checkpoints go with their commits: `_last_checkpoint`
@@ -993,6 +1010,21 @@ object Sinks {
     // as dangerous as committing to it (an unknown feature may reference
     // sidecars this GC can't see) — same gate as the log writers
     DeltaCatalog.assertWriterProtocol(spark, tablePath, "vacuum")
+    // a window LONGER than the checkpoint's tombstone retention cannot be
+    // honored exactly: tombstones older than that retention were expired
+    // from the checkpoint, so their files would date by mtime — a file
+    // unreferenced recently but CREATED long ago could then be reaped
+    // inside the promised window. Refuse loudly instead of under-retaining.
+    DeltaCatalog.checkpointTombstoneRetention(spark, s"$tablePath/_delta_log")
+      .filter(_ < retainMs)
+      .foreach { cpRetain =>
+        throw new graft.model.BuzzException.BadRequest(
+          s"vacuum retainMs=$retainMs exceeds the tombstone retention the " +
+            s"table's checkpoint was written with ($cpRetain ms) — expired " +
+            "tombstones would date by file mtime and could be reaped " +
+            "inside the promised window; re-checkpoint with " +
+            s"tombstoneRetainMs >= $retainMs first")
+      }
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retainMs

@@ -252,17 +252,26 @@ object DeletionVectors {
     val described = scala.collection.mutable.ListBuffer[(K, DvDescriptor)]()
     try {
       out.writeByte(FormatVersion.toInt)
-      var pos = 1
+      // Long, and LOUDLY bounded: descriptor offsets are Int in the
+      // protocol schema, so a frame starting past Int.MaxValue cannot be
+      // described — an Int accumulator would silently overflow into
+      // negative/corrupt offsets instead
+      var pos: Long = 1
       entries.foreach { case (k, rows) =>
         val data = serializeRows(rows)
+        if (pos > Int.MaxValue.toLong)
+          throw new BuzzException.ExecutionError(
+            s"deletion-vector file $file grew past Int.MaxValue bytes — a " +
+              "frame at this offset is not describable in the protocol's " +
+              "Int offset field; split the write into more partitions")
         val crc = new CRC32()
         crc.update(data)
         out.writeInt(data.length) // big-endian length prefix
         out.write(data)
         out.writeInt(crc.getValue.toInt) // big-endian CRC-32
-        described += k -> DvDescriptor("u", pathOrInlineDv, Some(pos),
+        described += k -> DvDescriptor("u", pathOrInlineDv, Some(pos.toInt),
           data.length, rows.length.toLong)
-        pos += 4 + data.length + 4
+        pos += 4L + data.length + 4L
       }
     } finally out.close()
     (pathOrInlineDv, described.toList)

@@ -406,6 +406,24 @@ object DeltaCatalog {
   private def checkpointVersion(spark: SparkSession, logDir: String): Long =
     checkpointMeta(spark, logDir).map(_._1).getOrElse(-1L)
 
+  /** The tombstone retention the table's current checkpoint was written
+    * with (`tombstoneRetainMs` in `_last_checkpoint` — this engine's
+    * extension field; foreign checkpoints lack it). None when there is no
+    * checkpoint or the field is absent. Vacuum validates its window
+    * against this: tombstones older than it were EXPIRED from the
+    * checkpoint and date by file mtime, which is only conservative for
+    * windows no longer than the retention. */
+  private[graft] def checkpointTombstoneRetention(
+      spark: SparkSession, logDir: String): Option[Long] = {
+    val lastCp = s"$logDir/_last_checkpoint"
+    if (!FsUtil.exists(spark, lastCp)) return None
+    JsonMethods.parse(FsUtil.readString(spark, lastCp)) \ "tombstoneRetainMs" match {
+      case JInt(v)  => Some(v.toLong)
+      case JLong(v) => Some(v)
+      case _        => None
+    }
+  }
+
   /** (version, parts) from `_last_checkpoint`, or None when absent. */
   private def checkpointMeta(
       spark: SparkSession, logDir: String): Option[(Long, Int)] = {

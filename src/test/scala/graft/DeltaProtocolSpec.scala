@@ -500,6 +500,42 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaCatalog.tombstonesByRaw(spark, dir).isEmpty)
   }
 
+  test("checkpoint add entries carry the spec-required dataChange=false and modificationTime") {
+    val dir = tmpDir("cp_add_fields")
+    twoFileTable(dir)
+    val before = System.currentTimeMillis()
+    val v = Sinks.deltaCheckpoint(spark, dir)
+    val adds = spark.read
+      .parquet(f"$dir/_delta_log/$v%020d.checkpoint.parquet")
+      .where(col("add").isNotNull)
+      .select(col("add.dataChange"), col("add.modificationTime"))
+      .collect()
+    assert(adds.nonEmpty)
+    adds.foreach { r =>
+      assert(!r.getBoolean(0), "checkpoint add must carry dataChange=false")
+      val mt = r.getLong(1)
+      assert(mt >= before && mt <= System.currentTimeMillis(),
+        s"modificationTime $mt not a plausible checkpoint-time stamp")
+    }
+  }
+
+  test("vacuum refuses a retention window LONGER than the checkpoint's tombstone retention") {
+    val dir = tmpDir("vac_window")
+    twoFileTable(dir)
+    Sinks.deltaDeleteWhere(spark, dir, "id >= 100")
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true,
+      tombstoneRetainMs = 60L * 60 * 1000) // 1 hour retained
+    // a 2-hour vacuum window cannot be honored exactly: tombstones the
+    // checkpoint expired would date by mtime — refuse loudly
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaVacuum(spark, dir, retainMs = 2L * 60 * 60 * 1000))
+    assert(e.getMessage.contains("tombstone retention"))
+    // a window INSIDE the retention is served normally
+    Sinks.deltaVacuum(spark, dir, retainMs = 30L * 60 * 1000)
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "vac_window_read")
+    assert(cat.read(spark, cat.files).count() === 10L)
+  }
+
   // ---- sync column re-mapping detection ----
 
   test("sync fails loudly on a mid-span RENAME and names the mapping change") {
