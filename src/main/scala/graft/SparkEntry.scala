@@ -1997,6 +1997,34 @@ object SparkEntry {
         .groupBy(col("version"), col("status"))
         .agg(count(lit(1)).as("n"))
     }),
+    // ROW-LEVEL change data feed (the protocol's _change_data files): CDF
+    // enabled via TBLPROPERTIES, then one MERGE (updates +1000 chars on
+    // every doc_id%10==0 row and inserts a shifted copy) and one DELETE —
+    // both stage cdc files their commits reference, and deltaChangeFeed
+    // reads them AUTHORITATIVELY: update rows carry preimage AND
+    // postimage values, which the per-(version, type, source) sums prove
+    "sink_delta_cdf_feed" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdffeed_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs, out, Seq("source"))                            // v0
+      Sinks.deltaSetProperties(s, out,
+        Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+      val hits = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      val changes = hits.withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(hits.select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(7L).as("n_chars"), col("source")))
+      Sinks.deltaMerge(s, out, changes, "doc_id")                            // v2
+      Sinks.deltaDeleteWhere(s, out, "doc_id % 10 = 3")                      // v3
+      Sinks.deltaChangeFeed(s, out, 1L, 3L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
     // Delta-native transactional MERGE: two range-split appends (tight
     // per-file doc_id ranges so the change keys PRUNE through the log's
     // add.stats), then one copy-on-write commit that updates every
@@ -5383,6 +5411,25 @@ object SparkEntry {
         |  SELECT 3, 'removed', count(*)
         |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT version, status, n FROM b""".stripMargin,
+    // the row-level feed re-derived: v2's MERGE updates every doc_id%10=0
+    // row (preimage = original chars, postimage = +1000) and inserts a
+    // 7-char shifted copy per hit; v3 deletes the (untouched) %10=3 rows
+    "sink_delta_cdf_feed" ->
+      """WITH b AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, 'update_preimage' AS change_type,
+        |    source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY source
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', source, count(*),
+        |    CAST(sum(n_chars + 1000) AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY source
+        |  UNION ALL
+        |  SELECT 2, 'insert', source, count(*), CAST(count(*) * 7 AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY source
+        |  UNION ALL
+        |  SELECT 3, 'delete', source, count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 3 GROUP BY source)
+        |SELECT version, change_type, source, n, chars FROM b""".stripMargin,
     // the updated range re-derived: [100, 999] rows carry doubled n_chars
     "sink_delta_update" ->
       """SELECT source, count(*) AS n_docs,

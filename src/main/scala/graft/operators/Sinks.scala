@@ -787,6 +787,246 @@ object Sinks {
     }.reduce(_.unionAll(_))
   }
 
+  /** Is change-data-feed capture ACTIVE on `tablePath` at the pinned
+    * version — `delta.enableChangeDataFeed=true` in the table
+    * configuration? When active, every row-level writer below stages its
+    * change rows as `_change_data/` files and commits `cdc` actions. */
+  private def cdfActive(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Boolean =
+    graft.sources.DeltaCatalog.tableConfiguration(spark, tablePath, versionAsOf)
+      .get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
+
+  /** Stage `changeRows` — the table's columns plus `_change_type` — as
+    * the protocol's `_change_data/` parquet files, returning the cdc
+    * actions' (relPath, size, partitionValues). Data columns store
+    * PHYSICAL names exactly like the data files (a column-mapped table's
+    * feed reads under the same mapping); `_change_type` stores literally.
+    * Files land under `_change_data/<k=v dirs>/part-*.parquet`, invisible
+    * to snapshot readers (replay never adds them to the live set) and
+    * skipped by vacuum's walk. */
+  private def stageChangeData(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      partitionCols: Seq[String], physicalNames: Map[String, String],
+      changeRows: DataFrame): Seq[(String, Long, Seq[(String, String)])] =
+    stageIntoTable(changeRows, tablePath, partitionCols, physicalNames,
+      destPrefix = "_change_data")
+
+  /** One commit's `cdc` actions: (raw path, size, partitionValues). */
+  private def parseCdcActions(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String, v: Long)
+      : Seq[(String, Long, Map[String, String])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.FsUtil
+    val commitPath = f"$tablePath/_delta_log/$v%020d.json"
+    if (!FsUtil.exists(spark, commitPath)) return Nil
+    FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).flatMap { line =>
+      JsonMethods.parse(line) \ "cdc" match {
+        case c @ JObject(_) =>
+          val path = c \ "path" match { case JString(p) => p; case _ => "" }
+          val size = c \ "size" match {
+            case JLong(l) => l
+            case JInt(i)  => i.toLong
+            case _        => 0L
+          }
+          val pv = c \ "partitionValues" match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(s)) => k -> s
+              case (k, JNull) => k -> graft.sources.DeltaCatalog.NullPartitionValue
+            }.toMap
+            case _ => Map.empty[String, String]
+          }
+          if (path.nonEmpty) Some((path, size, pv)) else None
+        case _ => None
+      }
+    }.toSeq
+  }
+
+  /** Read one commit's `_change_data` files under the era catalog's
+    * schema: declared PHYSICAL data columns plus `_change_type`,
+    * partition values attached from the cdc actions, logical names
+    * surfaced. */
+  private def readChangeData(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      cat: graft.sources.StaticCatalog,
+      cdcs: Seq[(String, Long, Map[String, String])]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    import graft.sources.{ColumnMapping, DeltaCatalog}
+    val readSchema = StructType(cat.schema.fields.map(f =>
+      f.copy(name = ColumnMapping.physicalName(f))).toSeq :+
+      StructField("_change_type", StringType, nullable = false))
+    val logicalFor = cat.physicalNames.map(_.swap)
+    cdcs.groupBy(_._3).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .map { case (pv, group) =>
+        val paths = group.map { case (raw, _, _) =>
+          new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
+        }
+        val base = spark.read.schema(readSchema).parquet(paths: _*)
+        val named = base.select(base.columns.toIndexedSeq.map(c =>
+          col(c).as(logicalFor.getOrElse(c, c))): _*)
+        cat.partitionColumns.foldLeft(named)((df, c) =>
+          df.withColumn(c,
+            lit(pv.getOrElse(c, DeltaCatalog.NullPartitionValue))))
+      }.reduce(_.unionAll(_))
+  }
+
+  /** The protocol's ROW-LEVEL change feed over the commit span
+    * (vFrom, vTo]: every table column plus `_change_type` ('insert' |
+    * 'update_preimage' | 'update_postimage' | 'delete') and
+    * `_commit_version`. Commits carrying `cdc` actions — what
+    * MERGE/UPDATE/DELETE write on tables with
+    * `delta.enableChangeDataFeed=true` — are read AUTHORITATIVELY from
+    * their `_change_data/` files (bounded by the changes, never the
+    * table); commits without them DERIVE per the protocol: dataChange
+    * adds are inserts, dataChange removes are deletes (read under the
+    * PRE-commit deletion-vector state), and a rewrite commit (both,
+    * without cdc) fails loudly as pre-enablement history — its
+    * row-level diff is not recorded; [[deltaChangesBetween]] computes it
+    * as a keyed snapshot diff instead. Additive schema evolution
+    * mid-span conforms older eras with nulls; a physical re-mapping
+    * (RENAME/DROP) mid-span fails loudly, as upstream's CDF does.
+    * dataChange=false rewrites (OPTIMIZE/ZORDER/migrate) contribute
+    * nothing. */
+  def deltaChangeFeed(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeletionVectors, DeltaCatalog, SizedFile}
+    import graft.model.BuzzException
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    var cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_feed",
+      versionAsOf = Some(vFrom))
+    var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
+    var liveDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
+    def abs(raw: String): String =
+      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
+    ((vFrom + 1) to vTo).map { v =>
+      val (adds, rawRemoves, metaChanged) = parseCommitActions(spark, tablePath, v)
+      val cdcs = parseCdcActions(spark, tablePath, v)
+      if (metaChanged && v > 0) {
+        // physical re-mapping mid-span has no well-defined row feed —
+        // same detection as the append-only consumers
+        val before = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v - 1))
+        val after = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v))
+        for (b <- before; a <- after) {
+          import graft.sources.ColumnMapping
+          val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+          val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+          val renamed = bPhys.keySet.intersect(aPhys.keySet).filter(p => bPhys(p) != aPhys(p))
+          val dropped = bPhys.keySet -- aPhys.keySet
+          if (renamed.nonEmpty || dropped.nonEmpty)
+            throw new BuzzException.BadRequest(
+              s"deltaChangeFeed($tablePath): commit $v renames or drops " +
+                "column(s) mid-span — the row feed is not well-defined " +
+                "across a re-mapping; consume deltaChangesBetween instead")
+        }
+        cat = DeltaCatalog.fromDeltaLog(spark, tablePath, s"__cdf_feed_v$v",
+          versionAsOf = Some(v))
+      }
+      val factAdds = adds.filter(_._5)
+      val factRemoves = rawRemoves.filter(_._2).map(_._1)
+      val df =
+        if (cdcs.nonEmpty) readChangeData(spark, tablePath, cat, cdcs)
+        else if (factAdds.nonEmpty && factRemoves.nonEmpty)
+          throw new BuzzException.BadRequest(
+            s"deltaChangeFeed($tablePath): commit $v rewrites rows without " +
+              "cdc actions — it was written before delta.enableChangeDataFeed " +
+              "(or by a non-CDF writer); its row-level diff is not recorded. " +
+              "Read it as a keyed snapshot diff via deltaChangesBetween")
+        else if (factAdds.nonEmpty) {
+          val addDvs = factAdds.collect { case (raw, _, _, Some(dv), _) =>
+            abs(raw) -> DeletionVectors.resolve(tablePath, dv)
+          }.toMap
+          cat.withDeletionVectors(addDvs).read(spark,
+            factAdds.map { case (raw, size, pv, _, _) =>
+              SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
+                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+            }).withColumn("_change_type", lit("insert"))
+        } else if (factRemoves.nonEmpty) {
+          val remDvs = factRemoves.flatMap(raw => liveDvs.get(raw).map(dv =>
+            abs(raw) -> DeletionVectors.resolve(tablePath, dv))).toMap
+          cat.withDeletionVectors(remDvs).read(spark,
+            factRemoves.map { raw =>
+              live.get(raw) match {
+                case Some((size, pv)) =>
+                  SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
+                    pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+                case None => throw new BuzzException.ExecutionError(
+                  s"commit $v removes $raw which is not live at ${v - 1}")
+              }
+            }).withColumn("_change_type", lit("delete"))
+        } else
+          cat.read(spark, Nil)
+            .withColumn("_change_type", lit("")).limit(0)
+      // advance the incrementally-maintained pre-commit state
+      live = live -- rawRemoves.map(_._1) ++
+        adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) }
+      liveDvs = liveDvs -- rawRemoves.map(_._1) --
+        adds.collect { case (raw, _, _, None, _) => raw } ++
+        adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv }
+      df.select(lit(v).as("_commit_version"), col("*"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Set (or overwrite) table properties — one metaData-only commit
+    * re-declaring the stored schema with `updates` merged into the
+    * configuration (`TBLPROPERTIES`). The writer-obligation keys this
+    * engine understands become ACTIVE immediately: `delta.appendOnly`
+    * gates row-level DML, `delta.enableChangeDataFeed` makes every later
+    * MERGE/UPDATE/DELETE stage `_change_data` files (the commit also
+    * raises the protocol with the `changeDataFeed` writer feature so
+    * non-CDF writers fail loudly instead of silently skipping capture).
+    * Returns the committed version. */
+  def deltaSetProperties(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      updates: Map[String, String]): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    require(updates.nonEmpty, "deltaSetProperties with no updates")
+    val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "set properties of")
+    var attempt = 0
+    val maxAttempts = 10
+    while (attempt < maxAttempts) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      if (head < 0)
+        throw new BuzzException.BadRequest(s"no delta table at $tablePath")
+      val stored = DeltaCatalog.storedSchema(spark, tablePath).getOrElse(
+        throw new BuzzException.BadRequest(s"no metaData action in $tablePath"))
+      val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_props")
+      val merged = DeltaCatalog.tableConfiguration(spark, tablePath) ++ updates
+      val cdfOn = updates.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))
+      val actions: Seq[JValue] =
+        Seq(commitInfoAction("SET TBLPROPERTIES", updates)) ++
+        (if (cdfOn)
+          Seq(featureProtocol(
+            DeltaCatalog.tableProtocol(spark, tablePath, None),
+            extraWriter = Set("changeDataFeed")))
+         else Nil) ++
+        Seq(JObject("metaData" -> JObject(List[(String, JValue)](
+          "id" -> JString(DeltaCatalog.tableId(spark, tablePath)
+            .getOrElse(java.util.UUID.randomUUID.toString)),
+          "format" -> JObject("provider" -> JString("parquet")),
+          "schemaString" -> JString(stored.json),
+          "partitionColumns" -> JArray(
+            cat.partitionColumns.map(JString(_): JValue).toList),
+          "configuration" -> JObject(merged.toList.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) })))))
+      val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+        .mkString("", "\n", "\n")
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      Thread.sleep(10L * attempt)
+    }
+    throw new BuzzException.ExecutionError(
+      s"lost the properties commit race $maxAttempts times under $logDir — giving up")
+  }
+
   /** Write a single-part checkpoint of the CURRENT snapshot at the latest
     * version and advertise it via `_last_checkpoint` — the log-compaction
     * step that keeps a long-lived table's open cost O(checkpoint + tail)
@@ -1092,8 +1332,11 @@ object Sinks {
         if (st.isDirectory) {
           // `_dv`: the pre-r10 engine dialect's parquet DV sidecars —
           // this GC neither reads nor owns them; deleting "unreferenced"
-          // parquet inside would resurrect a legacy table's deleted rows
-          if (name == "_delta_log" || name == "_dv") ()
+          // parquet inside would resurrect a legacy table's deleted rows.
+          // `_change_data`: cdc files are referenced by their COMMIT
+          // JSONs, never by the live set — "unreferenced" is meaningless
+          // here and deleting them would amputate the change feed
+          if (name == "_delta_log" || name == "_dv" || name == "_change_data") ()
           else if (name.startsWith(".") && oldEnough(st.getPath)) {
             fsys.delete(st.getPath, true); deleted += 1
           } else if (!name.startsWith(".")) walk(st.getPath)
@@ -1295,6 +1538,24 @@ object Sinks {
         when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)): _*)
     val adds = stageIntoTable(merged, tablePath, partitionCols, cat.physicalNames)
+    // change-data capture (delta.enableChangeDataFeed): matched rows ship
+    // preimage + postimage, unmatched change rows ship as inserts —
+    // bounded by the candidates and the change set, never the table
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else {
+        val baseRows = cat.read(spark, candFiles).select(outCols.map(col): _*)
+        val chRows = ch.select(outCols.map(col): _*)
+        val pre = baseRows.join(chRows.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        stageChangeData(spark, tablePath, partitionCols, cat.physicalNames,
+          pre.unionByName(post).unionByName(ins)
+            .select((outCols :+ "_change_type").map(col): _*))
+      }
     // concurrent-append probe (WriteSerializable): a file committed since
     // the snapshot conflicts UNLESS its logged key bounds prove it is
     // disjoint from the change keys' [min, max] envelope — its rows could
@@ -1335,7 +1596,7 @@ object Sinks {
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
       txn = txn, concurrentAddConflicts = appendProbe,
-      operationParams = Map("key" -> keyCol))
+      operationParams = Map("key" -> keyCol), cdcAdds = cdcAdds)
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
@@ -1375,7 +1636,8 @@ object Sinks {
         _ => Nil,
       dvByRel: Map[String, graft.sources.DvDescriptor] = Map.empty,
       protocolActions: Seq[org.json4s.JValue] = Nil,
-      operationParams: Map[String, String] = Map.empty): Long = {
+      operationParams: Map[String, String] = Map.empty,
+      cdcAdds: Seq[(String, Long, Seq[(String, String)])] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1426,6 +1688,16 @@ object Sinks {
       JObject("txn" -> JObject(
         "appId" -> JString(appId), "version" -> JLong(txnVer)))
     }
+    // the protocol's change-data actions: replay ignores them (cdc files
+    // are never part of the live set); change-feed readers consume them
+    // AUTHORITATIVELY for this commit instead of deriving from add/remove
+    val cdcActions: Seq[JValue] = cdcAdds.map { case (rel, size, pv) =>
+      JObject("cdc" -> JObject(List[(String, JValue)](
+        "path" -> JString(DeltaCatalog.encodePath(rel)),
+        "partitionValues" -> JObject(pv.map { case (k, v) => k -> (JString(v): JValue) }.toList),
+        "size" -> JLong(size),
+        "dataChange" -> JBool(false))))
+    }
     val operation = opName match {
       case "merge"     => "MERGE"
       case "delete"    => "DELETE"
@@ -1441,7 +1713,8 @@ object Sinks {
     // removes BEFORE adds: replay applies actions in line order, and a
     // deletion-vector commit re-adds the SAME path it removes — the add
     // must win within the commit (the protocol's reconciliation order)
-    val body = (Seq(info) ++ protocolActions ++ txnActions ++ removeActions ++ addActions)
+    val body = (Seq(info) ++ protocolActions ++ txnActions ++ cdcActions ++
+        removeActions ++ addActions)
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n")
     onBeforePublish()
@@ -1579,11 +1852,12 @@ object Sinks {
     * legacy version tier's implied features are enumerated into the
     * feature lists when crossing into the v3/v7 feature-list form. */
   private def featureProtocol(
-      existing: Option[(Long, Long, Seq[String], Seq[String])]): org.json4s.JValue = {
+      existing: Option[(Long, Long, Seq[String], Seq[String])],
+      extraWriter: Set[String] = Set.empty): org.json4s.JValue = {
     import org.json4s._
     val needed = Set("columnMapping", "deletionVectors")
     val (readerFeats, writerFeats) = existing match {
-      case None => (needed, needed)
+      case None => (needed, needed ++ extraWriter)
       case Some((mr, mw, rf, wf)) =>
         val legacyR = if (mr >= 2 && mr < 3) Set("columnMapping") else Set.empty[String]
         val legacyW =
@@ -1593,7 +1867,7 @@ object Sinks {
            else Set.empty[String]) ++
           (if (mw >= 5 && mw < 7) Set("columnMapping") else Set.empty[String]) ++
           (if (mw >= 6 && mw < 7) Set("identityColumns") else Set.empty[String])
-        (needed ++ rf ++ legacyR, needed ++ wf ++ legacyW)
+        (needed ++ rf ++ legacyR, needed ++ wf ++ legacyW ++ extraWriter)
     }
     def arr(s: Set[String]) = JArray(s.toList.sorted.map(JString(_): JValue))
     JObject("protocol" -> JObject(
@@ -2072,11 +2346,17 @@ object Sinks {
     val kept = cat.read(spark, candFiles)
       .filter(!coalesce(pred, lit(false)))
     val adds = stageIntoTable(kept, tablePath, cat.partitionColumns, cat.physicalNames)
+    // change-data capture: exactly the deleted rows
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
+        cat.read(spark, candFiles).filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "delete", snapshotVersion = snapVer,
       concurrentAddConflicts =
         predicateAppendProbe(spark, tablePath, predicateSql),
-      operationParams = Map("predicate" -> predicateSql))
+      operationParams = Map("predicate" -> predicateSql), cdcAdds = cdcAdds)
   }
 
   /** Concurrent-append probe shared by DELETE WHERE and UPDATE: of the
@@ -2191,12 +2471,20 @@ object Sinks {
       val rel = DeltaCatalog.decodePath(rawByKey(f.key))
       rel -> dvByNorm(FsUtil.normalizePath(f.key))
     }.toMap
+    // change-data capture: the NEWLY-deleted visible rows (the DV-applied
+    // read excludes rows earlier vectors already deleted)
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
+        cat.read(spark, candFiles).filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     commitRewrite(spark, tablePath, adds, removedRaws,
       org.apache.spark.sql.types.StructType(cat.schema.fields), "dv-delete",
       snapshotVersion = snapVer,
       concurrentAddConflicts =
         predicateAppendProbe(spark, tablePath, predicateSql),
       dvByRel = dvByRel,
+      cdcAdds = cdcAdds,
       // a reader that doesn't implement DVs must fail loudly, not
       // silently resurrect the deleted rows
       protocolActions = Seq(featureProtocol(
@@ -2429,12 +2717,24 @@ object Sinks {
         s"update: no raw log path for live file ${f.key} — snapshot drifted")))
     val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
     val adds = stageIntoTable(updated, tablePath, cat.partitionColumns, cat.physicalNames)
+    // change-data capture: the matched rows' before AND after images
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else {
+        val hit = cat.read(spark, candFiles)
+          .filter(coalesce(expr(predicateSql), lit(false)))
+        stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
+          hit.withColumn("_change_type", lit("update_preimage")).unionByName(
+            hit.select(updatedProjection: _*)
+              .withColumn("_change_type", lit("update_postimage"))))
+      }
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "update", snapshotVersion = snapVer,
       concurrentAddConflicts =
         predicateAppendProbe(spark, tablePath, predicateSql),
       operationParams = Map("predicate" -> predicateSql) ++
-        set.map { case (k, v) => s"set:$k" -> v })
+        set.map { case (k, v) => s"set:$k" -> v },
+      cdcAdds = cdcAdds)
   }
 
   /** Stage `data` as parquet under a hidden temp dir INSIDE the table
@@ -2445,7 +2745,8 @@ object Sinks {
     * leaves only invisible files for the next maintenance pass. */
   private def stageIntoTable(
       data: DataFrame, tablePath: String, partitionCols: Seq[String],
-      physicalNames: Map[String, String] = Map.empty)
+      physicalNames: Map[String, String] = Map.empty,
+      destPrefix: String = "")
       : Seq[(String, Long, Seq[(String, String)])] = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
@@ -2476,7 +2777,8 @@ object Sinks {
         else Nil
       }
     val adds = walk(new Path(stage), Nil).map { case (file, segs) =>
-      val rel = (segs.map { case (k, v) => s"$k=$v" } :+ file.getName).mkString("/")
+      val rel = ((if (destPrefix.isEmpty) Nil else Seq(destPrefix)) ++
+        segs.map { case (k, v) => s"$k=$v" } :+ file.getName).mkString("/")
       val dest = new Path(tablePath, rel)
       fsys.mkdirs(dest.getParent)
       if (!fsys.rename(file, dest))

@@ -634,10 +634,14 @@ object DeltaCatalog {
     * writable (its own commits only ever declare implemented features). */
   private val MaxWriterVersion = 7L
   private val ImplementedWriterFeatures =
-    Set("columnMapping", "deletionVectors", "timestampNtz")
+    Set("columnMapping", "deletionVectors", "timestampNtz",
+      // r11: row-level writers stage protocol _change_data files and
+      // commit cdc actions when delta.enableChangeDataFeed is active
+      // (Sinks.stageChangeData / deltaChangeFeed)
+      "changeDataFeed")
   private val ConditionalWriterFeatures =
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
-      "changeDataFeed", "identityColumns")
+      "identityColumns")
 
   private[graft] def assertWriterProtocol(
       spark: SparkSession, tablePath: String, operation: String): Unit = {
@@ -679,8 +683,9 @@ object DeltaCatalog {
     // (DELETE/UPDATE/MERGE/RESTORE) is not
     val appendOnlyLegal = Set("append", "optimize", "zorder", "checkpoint",
       "vacuum", "rename column of", "drop column of",
-      // DV-format migration moves descriptors, not facts
-      "migrate-dvs")
+      // DV-format migration moves descriptors, not facts; property
+      // changes are metadata-only
+      "migrate-dvs", "set properties of")
     if (demanded("appendOnly") &&
         state.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) &&
         !appendOnlyLegal.contains(operation))
@@ -712,11 +717,9 @@ object DeltaCatalog {
     if (demanded("checkConstraints") &&
         state.configuration.keys.exists(_.startsWith("delta.constraints.")))
       fail("CHECK constraints (delta.constraints.* configured)")
-    if (demanded("changeDataFeed") &&
-        state.configuration.get("delta.enableChangeDataFeed")
-          .exists(_.equalsIgnoreCase("true")))
-      fail("change data feed (delta.enableChangeDataFeed=true — this " +
-        "engine does not write _change_data files)")
+    // changeDataFeed is IMPLEMENTED (r11): with delta.enableChangeDataFeed
+    // active, the row-level writers stage protocol _change_data files and
+    // commit cdc actions — no gate needed
   }
 
   /** The metaData-derived slice of a snapshot — everything a reader needs

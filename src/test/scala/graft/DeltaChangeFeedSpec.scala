@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.BuzzException
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** The protocol's change data feed, WRITER side (with
+  * `delta.enableChangeDataFeed=true`, MERGE/UPDATE/DELETE stage
+  * `_change_data/` parquet files and commit `cdc` actions) and READER side
+  * ([[Sinks.deltaChangeFeed]]: cdc commits read authoritatively,
+  * append/full-remove commits derive insert/delete, pre-enablement
+  * rewrites fail loudly). Round 10's writer gate REJECTED active-CDF
+  * tables outright; round 11 makes the feature real. */
+class DeltaChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** A CDF-enabled two-file table: ids 0-9 (v0), 10-19 (v1), CDF on (v2). */
+  private def cdfTable(dir: String): Unit = {
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+  }
+
+  private def feed(dir: String, vFrom: Long, vTo: Long): Seq[(Long, String, Long, Long)] =
+    Sinks.deltaChangeFeed(spark, dir, vFrom, vTo)
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+  test("MERGE on a CDF table feeds preimage/postimage/insert rows with exact values") {
+    val dir = tmpDir("cdf_merge")
+    cdfTable(dir)
+    // v3: update id=5 (v 10 -> 500), insert id=100
+    Sinks.deltaMerge(spark, dir,
+      Seq((5L, 500L), (100L, 1L)).toDF("id", "v"), "id")
+    val rows = feed(dir, 2L, 3L)
+    assert(rows === Seq(
+      (3L, "insert", 100L, 1L),
+      (3L, "update_postimage", 5L, 500L),
+      (3L, "update_preimage", 5L, 10L)))
+    // the table itself is right too
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "cdf_merge_read")
+    val live = cat.read(spark, cat.files).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live(5L) == 500L && live(100L) == 1L && live.size == 21)
+  }
+
+  test("UPDATE and both DELETE flavors feed their row images") {
+    val dir = tmpDir("cdf_dml")
+    cdfTable(dir)
+    Sinks.deltaUpdate(spark, dir, "id = 7", Map("v" -> "v + 1"))  // v3: 14 -> 15
+    Sinks.deltaDeleteWhere(spark, dir, "id = 8")                  // v4: copy-on-write
+    Sinks.deltaDeleteVectors(spark, dir, "id = 15")               // v5: merge-on-read
+    val rows = feed(dir, 2L, 5L)
+    assert(rows === Seq(
+      (3L, "update_postimage", 7L, 15L),
+      (3L, "update_preimage", 7L, 14L),
+      (4L, "delete", 8L, 16L),
+      (5L, "delete", 15L, 30L)))
+  }
+
+  test("commits without cdc DERIVE: appends feed inserts, partition deletes feed deletes") {
+    val dir = tmpDir("cdf_derive")
+    Sinks.deltaAppend(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "p"), dir, Seq("p")) // v0
+    Sinks.deltaAppend(Seq((3L, 30L, "a")).toDF("id", "v", "p"), dir, Seq("p")) // v1
+    Sinks.deltaDeletePartition(spark, dir, "p", "a")                           // v2
+    val rows = Sinks.deltaChangeFeed(spark, dir, 0L, 2L)
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows === Seq(
+      (1L, "insert", 3L, "a"),
+      (2L, "delete", 1L, "a"),
+      (2L, "delete", 3L, "a")))
+  }
+
+  test("a pre-enablement rewrite commit in the span fails loudly, naming the way out") {
+    val dir = tmpDir("cdf_pre")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir) // v0
+    Sinks.deltaDeleteWhere(spark, dir, "id = 3")                            // v1: no CDF yet
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaChangeFeed(spark, dir, 0L, 1L).collect())
+    assert(e.getMessage.contains("deltaChangesBetween"))
+    // dataChange=false rewrites contribute NOTHING (not an error)
+    Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true")) // v2
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)                 // v3
+    assert(Sinks.deltaChangeFeed(spark, dir, 2L, 3L).count() === 0L)
+  }
+
+  test("cdc files survive vacuum; the feed replays identically after OPTIMIZE") {
+    val dir = tmpDir("cdf_vacuum")
+    cdfTable(dir)
+    Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id") // v3
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)             // v4
+    Sinks.deltaVacuum(spark, dir) // reaps the pre-optimize data files
+    val rows = feed(dir, 2L, 3L)
+    assert(rows === Seq(
+      (3L, "update_postimage", 5L, 500L),
+      (3L, "update_preimage", 5L, 10L)))
+  }
+
+  test("the feed conforms ADDITIVE evolution and refuses a mid-span rename") {
+    val dir = tmpDir("cdf_evolve")
+    cdfTable(dir)
+    Sinks.deltaAppend(Seq((100L, 1L, "x")).toDF("id", "v", "tag"), dir,
+      mergeSchema = true) // v3 evolves additively
+    val rows = Sinks.deltaChangeFeed(spark, dir, 0L, 3L)
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), Option(r.getString(3))))
+    assert(rows.count(_._1 == 3L) === 1)
+    assert(rows.filter(_._1 < 3L).forall(_._4.isEmpty), "old eras conform tag to null")
+    assert(rows.find(_._1 == 3L).get._4.contains("x"))
+    Sinks.deltaRenameColumn(spark, dir, "v", "w") // v4
+    Sinks.deltaAppend(Seq((101L, 2L, "y")).toDF("id", "w", "tag"), dir) // v5
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaChangeFeed(spark, dir, 0L, 5L).collect())
+    assert(e.getMessage.contains("renames or drops"))
+  }
+}

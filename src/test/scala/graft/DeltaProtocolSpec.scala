@@ -257,15 +257,23 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val e = intercept[BuzzException.NotImplemented](
       Sinks.deltaAppend(Seq((201L, 1L)).toDF("id", "v"), dir))
     assert(e.getMessage.contains("identity"))
-    // minWriterVersion=4 implies changeDataFeed: inert unless enabled
+    // minWriterVersion=4 implies changeDataFeed: IMPLEMENTED since r11 —
+    // an ACTIVE delta.enableChangeDataFeed is accepted, appends derive as
+    // inserts, and row-level DML stages protocol _change_data files
+    // (DeltaChangeFeedSpec holds the full feed contract)
     val dir2 = tmpDir("writer_gate_v4")
     twoFileTable(dir2)
     plantProtocol(dir2, """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
     Sinks.deltaAppend(Seq((200L, 1L)).toDF("id", "v"), dir2) // inert: passes
     plantConfiguration(dir2, """{"delta.enableChangeDataFeed":"true"}""")
-    val e2 = intercept[BuzzException.NotImplemented](
-      Sinks.deltaAppend(Seq((201L, 1L)).toDF("id", "v"), dir2))
-    assert(e2.getMessage.contains("change data feed"))
+    Sinks.deltaAppend(Seq((201L, 1L)).toDF("id", "v"), dir2) // active: STILL passes
+    val v = Sinks.deltaDeleteWhere(spark, dir2, "id = 201")
+    val commitBody = Files.readString(
+      Paths.get(f"$dir2/_delta_log/$v%020d.json"))
+    assert(commitBody.contains("\"cdc\""),
+      "DML on a CDF-active table must commit cdc actions")
+    assert(Files.exists(Paths.get(s"$dir2/_change_data")),
+      "DML on a CDF-active table must stage _change_data files")
   }
 
   test("invariants hide on NESTED fields too") {
