@@ -164,6 +164,52 @@ class DeltaTailStreamSpec extends AnyFunSuite {
     assert((5L until 8L).forall(i => rows(i).contains(s"t$i")))
   }
 
+  test("lakehouse in, curated stream out: tail → curateStreaming is exactly-once across a restart") {
+    import java.sql.Timestamp
+    val dir = tmpDir("tail_curate")
+    val ckpt = tmpDir("tail_curate_ckpt")
+    val out = tmpDir("tail_curate_out")
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val goodA = Seq.fill(12)(
+      "the quick brown fox jumps over the lazy dog today again").mkString(" ")
+    val goodB = Seq.fill(12)(
+      "a different well formed english sentence with many plain words here").mkString(" ")
+    def runCurated(): Unit = {
+      val tail = spark.readStream.format("graft-delta-tail").option("path", dir)
+        .option("maxFilesPerTrigger", "1").load()
+      val q = CorpusStream.curateStreaming(tail, "id", "text", "ts", minQuality = 0.5)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // v0 lands on the LIVE table: one good doc (with PII to redact), one
+    // quality reject
+    Sinks.deltaAppend(Seq(
+      (1L, goodA + " mail me at a@b.com", ts(0)),
+      (2L, "short", ts(1))).toDF("id", "text", "ts"), dir)
+    runCurated()
+    val first = spark.read.parquet(out).collect()
+    assert(first.map(_.getLong(0)).toSeq === Seq(1L))
+    val text1 = first(0).getString(first(0).fieldIndex("text"))
+    assert(text1.contains("<PII>") && !text1.contains("a@b.com"))
+    // while the query is DOWN, the lakehouse keeps moving: v1 carries an
+    // exact dup of v0's good doc (same text) plus a fresh good doc
+    Sinks.deltaAppend(Seq(
+      (3L, goodA + " mail me at a@b.com", ts(10)),
+      (4L, goodB, ts(11))).toDF("id", "text", "ts"), dir)
+    // RESTART from the same checkpoint: the tail resumes at its committed
+    // version offset, and the dedup state (persisted in the checkpoint)
+    // suppresses the cross-restart duplicate — id 3 never lands
+    runCurated()
+    val second = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(second === Seq(1L, 4L),
+      s"expected exactly-once curated ids [1,4], got $second")
+    // a third run with nothing new re-delivers NOTHING
+    runCurated()
+    assert(spark.read.parquet(out).count() === 2L)
+  }
+
   test("steady-state triggers pay ZERO full replays (one pinned replay at start only)") {
     import graft.sources.DeltaCatalog
     val dir = tmpDir("tail_noreplay")
