@@ -580,7 +580,8 @@ object Sinks {
       keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import graft.sources.DeltaCatalog
     require(version >= 0, s"version must be >= 0, got $version")
-    val (adds, rawRemoves, _) = parseCommitActions(spark, tablePath, version)
+    val ca = parseCommitActions(spark, tablePath, version)
+    val (adds, rawRemoves) = (ca.adds, ca.removes)
     val removes = rawRemoves.map(_._1)
     val cat = DeltaCatalog.fromDeltaLog(
       spark, tablePath, s"__cdf_v$version", versionAsOf = Some(version))
@@ -597,13 +598,20 @@ object Sinks {
       spark, tablePath, version, keyCols, compareCols, cat, adds, removes, pre, preDvs)
   }
 
-  /** One commit file's add/remove actions plus whether it carries a
-    * metaData action (schema/partitioning change). One file read; no
-    * log replay. */
+  /** One commit file's parsed actions: (adds, removes, metaData-changed
+    * flag, cdc actions). ONE file read and ONE parse pass serve every
+    * consumer — the change-feed reader needs add/remove AND cdc from the
+    * same commit, and parsing twice would double the driver's tail IO. */
+  private final case class CommitActions(
+      adds: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Boolean)],
+      removes: Seq[(String, Boolean)],
+      metaChanged: Boolean,
+      cdcs: Seq[(String, Long, Map[String, String])])
+
   private def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
-      : (Seq[(String, Long, Map[String, String], Option[graft.sources.DvDescriptor], Boolean)],
-         Seq[(String, Boolean)], Boolean) = {
+      : CommitActions = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     import graft.sources.FsUtil
@@ -616,6 +624,7 @@ object Sinks {
       .ListBuffer[(String, Long, Map[String, String],
         Option[graft.sources.DvDescriptor], Boolean)]()
     val removes = scala.collection.mutable.ListBuffer[(String, Boolean)]()
+    val cdcs = scala.collection.mutable.ListBuffer[(String, Long, Map[String, String])]()
     var metaChanged = false
     FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).foreach { line =>
       val v = JsonMethods.parse(line)
@@ -652,8 +661,26 @@ object Sinks {
         case JObject(_) => metaChanged = true
         case _          => ()
       }
+      v \ "cdc" match {
+        case c @ JObject(_) =>
+          val path = c \ "path" match { case JString(p) => p; case _ => "" }
+          val size = c \ "size" match {
+            case JLong(l) => l
+            case JInt(i)  => i.toLong
+            case _        => 0L
+          }
+          val pv = c \ "partitionValues" match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(s)) => k -> s
+              case (k, JNull) => k -> graft.sources.DeltaCatalog.NullPartitionValue
+            }.toMap
+            case _ => Map.empty[String, String]
+          }
+          if (path.nonEmpty) cdcs += ((path, size, pv))
+        case _ => ()
+      }
     }
-    (adds.toSeq, removes.toSeq, metaChanged)
+    CommitActions(adds.toSeq, removes.toSeq, metaChanged, cdcs.toSeq)
   }
 
   /** The snapshot-diff feed of one commit given its parsed actions, the
@@ -761,7 +788,8 @@ object Sinks {
       }
     }
     ((vFrom + 1) to vTo).map { v =>
-      val (adds, rawRemoves, metaChanged) = parseCommitActions(spark, tablePath, v)
+      val ca = parseCommitActions(spark, tablePath, v)
+      val (adds, rawRemoves, metaChanged) = (ca.adds, ca.removes, ca.metaChanged)
       val removes = rawRemoves.map(_._1)
       if (metaChanged)
         cat = DeltaCatalog.fromDeltaLog(
@@ -803,45 +831,21 @@ object Sinks {
     * PHYSICAL names exactly like the data files (a column-mapped table's
     * feed reads under the same mapping); `_change_type` stores literally.
     * Files land under `_change_data/<k=v dirs>/part-*.parquet`, invisible
-    * to snapshot readers (replay never adds them to the live set) and
-    * skipped by vacuum's walk. */
+    * to snapshot readers (replay never adds them to the live set); vacuum
+    * reaps them only when no surviving commit references them.
+    *
+    * Capture deliberately RE-SCANS the candidate files (one extra pruned
+    * read per DML, MERGE: extra joins): the alternative — caching the
+    * single rewrite scan to split kept vs changed rows — pins a
+    * candidate-sized dataset in memory, which at 100 TB candidates is the
+    * worse trade. Capture cost is bounded by the PRUNED candidate set and
+    * only paid when the table opted into CDF. */
   private def stageChangeData(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       partitionCols: Seq[String], physicalNames: Map[String, String],
       changeRows: DataFrame): Seq[(String, Long, Seq[(String, String)])] =
     stageIntoTable(changeRows, tablePath, partitionCols, physicalNames,
       destPrefix = "_change_data")
-
-  /** One commit's `cdc` actions: (raw path, size, partitionValues). */
-  private def parseCdcActions(
-      spark: org.apache.spark.sql.SparkSession, tablePath: String, v: Long)
-      : Seq[(String, Long, Map[String, String])] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    import graft.sources.FsUtil
-    val commitPath = f"$tablePath/_delta_log/$v%020d.json"
-    if (!FsUtil.exists(spark, commitPath)) return Nil
-    FsUtil.readString(spark, commitPath).linesIterator.filter(_.nonEmpty).flatMap { line =>
-      JsonMethods.parse(line) \ "cdc" match {
-        case c @ JObject(_) =>
-          val path = c \ "path" match { case JString(p) => p; case _ => "" }
-          val size = c \ "size" match {
-            case JLong(l) => l
-            case JInt(i)  => i.toLong
-            case _        => 0L
-          }
-          val pv = c \ "partitionValues" match {
-            case JObject(fields) => fields.collect {
-              case (k, JString(s)) => k -> s
-              case (k, JNull) => k -> graft.sources.DeltaCatalog.NullPartitionValue
-            }.toMap
-            case _ => Map.empty[String, String]
-          }
-          if (path.nonEmpty) Some((path, size, pv)) else None
-        case _ => None
-      }
-    }.toSeq
-  }
 
   /** Read one commit's `_change_data` files under the era catalog's
     * schema: declared PHYSICAL data columns plus `_change_type`,
@@ -903,8 +907,9 @@ object Sinks {
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     ((vFrom + 1) to vTo).map { v =>
-      val (adds, rawRemoves, metaChanged) = parseCommitActions(spark, tablePath, v)
-      val cdcs = parseCdcActions(spark, tablePath, v)
+      val ca = parseCommitActions(spark, tablePath, v)
+      val (adds, rawRemoves, metaChanged, cdcs) =
+        (ca.adds, ca.removes, ca.metaChanged, ca.cdcs)
       if (metaChanged && v > 0) {
         // physical re-mapping mid-span has no well-defined row feed —
         // same detection as the append-only consumers
@@ -1001,6 +1006,18 @@ object Sinks {
       val merged = DeltaCatalog.tableConfiguration(spark, tablePath) ++ updates
       val cdfOn = updates.get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))
+      if (cdfOn) {
+        // the feed's own output columns are reserved: a data column named
+        // _change_type would be clobbered by capture and make the feed's
+        // read schema ambiguous (upstream rejects enabling CDF likewise)
+        val reserved = Set("_change_type", "_commit_version")
+        val clash = stored.fieldNames.filter(reserved).sorted
+        if (clash.nonEmpty)
+          throw new BuzzException.BadRequest(
+            s"cannot enable change data feed on $tablePath: column(s) " +
+              s"${clash.mkString(", ")} are reserved for the feed's output — " +
+              "rename them first")
+      }
       val actions: Seq[JValue] =
         Seq(commitInfoAction("SET TBLPROPERTIES", updates)) ++
         (if (cdfOn)
@@ -1194,16 +1211,26 @@ object Sinks {
           s"checkpoint rename failed for $dest")
     }
     fsys.delete(new Path(stage), true)
-    // the tombstone retention this checkpoint was written with rides in
-    // _last_checkpoint (foreign readers ignore unknown fields): vacuum
-    // validates its retainMs against it — a caller window LONGER than
-    // what the checkpoint retained would date expired tombstones by file
-    // mtime and could reap inside the promised window
+    // the tombstone EXPIRY WATERMARK rides in _last_checkpoint (foreign
+    // readers ignore unknown fields): tombstones with deletionTimestamp
+    // below `tombstoneFloor` may have been expired from SOME checkpoint
+    // in this table's seed chain and are unrecoverable — their files date
+    // by mtime, which vacuum may only trust for cutoffs that stay ABOVE
+    // the floor. Each checkpoint's own expiry threshold is (its wall time
+    // - its retention); the chain's floor is the MAXIMUM over history —a
+    // later checkpoint declaring a LONGER retention seeds from the
+    // earlier one's survivors and cannot resurrect what it dropped. The
+    // floor is a fixed instant, so it ages out naturally: once
+    // now - retainMs clears it, any window is exact again.
+    val tombstoneFloor = math.max(
+      graft.sources.DeltaCatalog.checkpointTombstoneFloor(spark, logDir)
+        .getOrElse(Long.MinValue),
+      cpNow - tombstoneRetainMs)
     FsUtil.writeString(spark, s"$logDir/_last_checkpoint",
       if (n == 1)
-        s"""{"version":$version,"size":${rows.size},"tombstoneRetainMs":$tombstoneRetainMs}"""
+        s"""{"version":$version,"size":${rows.size},"tombstoneRetainMs":$tombstoneRetainMs,"tombstoneFloor":$tombstoneFloor}"""
       else
-        s"""{"version":$version,"size":${rows.size},"parts":$n,"tombstoneRetainMs":$tombstoneRetainMs}""")
+        s"""{"version":$version,"size":${rows.size},"parts":$n,"tombstoneRetainMs":$tombstoneRetainMs,"tombstoneFloor":$tombstoneFloor}""")
     if (cleanCommits) {
       val CommitName = raw"(\d{20})\.json".r
       // superseded checkpoints go with their commits: `_last_checkpoint`
@@ -1250,20 +1277,23 @@ object Sinks {
     // as dangerous as committing to it (an unknown feature may reference
     // sidecars this GC can't see) — same gate as the log writers
     DeltaCatalog.assertWriterProtocol(spark, tablePath, "vacuum")
-    // a window LONGER than the checkpoint's tombstone retention cannot be
-    // honored exactly: tombstones older than that retention were expired
-    // from the checkpoint, so their files would date by mtime — a file
-    // unreferenced recently but CREATED long ago could then be reaped
-    // inside the promised window. Refuse loudly instead of under-retaining.
-    DeltaCatalog.checkpointTombstoneRetention(spark, s"$tablePath/_delta_log")
-      .filter(_ < retainMs)
-      .foreach { cpRetain =>
+    // a retention cutoff BELOW the table's tombstone expiry watermark
+    // cannot be honored exactly: tombstones under the floor were expired
+    // by some past checkpoint (a later checkpoint cannot resurrect them,
+    // however long its declared retention), so their files would date by
+    // file mtime — a file unreferenced recently but CREATED long ago
+    // could then be reaped inside the promised window. Refuse loudly
+    // instead of under-retaining; the floor ages out as wall time passes.
+    DeltaCatalog.checkpointTombstoneFloor(spark, s"$tablePath/_delta_log")
+      .filter(floor => retainMs > 0L &&
+        System.currentTimeMillis() - retainMs < floor)
+      .foreach { floor =>
         throw new graft.model.BuzzException.BadRequest(
-          s"vacuum retainMs=$retainMs exceeds the tombstone retention the " +
-            s"table's checkpoint was written with ($cpRetain ms) — expired " +
-            "tombstones would date by file mtime and could be reaped " +
-            "inside the promised window; re-checkpoint with " +
-            s"tombstoneRetainMs >= $retainMs first")
+          s"vacuum retainMs=$retainMs reaches below the table's tombstone " +
+            s"expiry watermark ($floor): a past checkpoint expired " +
+            "tombstones in that range, so files there date by mtime and " +
+            "could be reaped inside the promised window — use a shorter " +
+            "window, or retry once the watermark has aged past it")
       }
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_vacuum")
     val fsys = FsUtil.fs(spark, tablePath)
@@ -1353,6 +1383,37 @@ object Sinks {
         }
       }
     walk(new Path(tablePath))
+    // _change_data GC: a cdc file is referenced by its COMMIT JSON, never
+    // the live set, so "unreferenced" means no SURVIVING commit's cdc
+    // actions name it — a conflicted writer's orphaned staging, or files
+    // whose commits were checkpoint-cleaned (their feed span is already
+    // unreadable). One scan of the surviving commits builds the reference
+    // set; reaping dates by mtime under the same retention rule.
+    val cdcDir = new Path(tablePath, "_change_data")
+    if (fsys.exists(cdcDir)) {
+      val CommitName = raw"(\d{20})\.json".r
+      val referencedCdc: Set[String] =
+        graft.sources.FsUtil.listStatus(spark, s"$tablePath/_delta_log")
+          .flatMap(st => st.getPath.getName match {
+            case CommitName(v) =>
+              parseCommitActions(spark, tablePath, v.toLong).cdcs.map {
+                case (raw, _, _) =>
+                  qual(new Path(tablePath, DeltaCatalog.decodePath(raw)).toString)
+              }
+            case _ => Nil
+          }).toSet
+      def walkCdc(dir: Path): Unit =
+        fsys.listStatus(dir).foreach { st =>
+          if (st.isDirectory) walkCdc(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet") &&
+              !referencedCdc.contains(qual(st.getPath.toString)) &&
+              oldEnough(st.getPath)) {
+            fsys.delete(st.getPath, false)
+            deleted += 1
+          }
+        }
+      walkCdc(cdcDir)
+    }
     deleted
   }
 
@@ -1548,7 +1609,12 @@ object Sinks {
         val chRows = ch.select(outCols.map(col): _*)
         val pre = baseRows.join(chRows.select(col(keyCol)), Seq(keyCol), "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val post = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_semi")
+        // postimages via INNER join against base keys, not semi: a
+        // duplicated base key rewrites N rows to the change values (the
+        // documented caller-owns-uniqueness contract), so the feed must
+        // pair N preimages with N postimages or a replica applying it
+        // diverges from the table
+        val post = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "inner")
           .withColumn("_change_type", lit("update_postimage"))
         val ins = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_anti")
           .withColumn("_change_type", lit("insert"))
@@ -1762,6 +1828,25 @@ object Sinks {
             s"its input files changed deletion-vector state since snapshot " +
             s"v$snapshotVersion (e.g. ${dvDrift.head}) — rerun against the " +
             "current snapshot")
+      // a concurrent metaData/configuration change does NOT commute with a
+      // rewrite: the plan AND its capture decisions were made under the
+      // snapshot's metadata (a schema evolution changes the projection; a
+      // TBLPROPERTIES flip like delta.enableChangeDataFeed or
+      // delta.appendOnly changes what this commit is OBLIGED to carry) —
+      // upstream Delta's MetadataChangedException. Fail loudly, rerun.
+      if (snapshotVersion >= 0) {
+        val metaAtSnapshot = (
+          DeltaCatalog.storedSchemaAt(spark, tablePath, Some(snapshotVersion)).map(_.json),
+          DeltaCatalog.tableConfiguration(spark, tablePath, Some(snapshotVersion)))
+        val metaNow = (
+          DeltaCatalog.storedSchema(spark, tablePath).map(_.json),
+          DeltaCatalog.tableConfiguration(spark, tablePath))
+        if (metaNow != metaAtSnapshot)
+          throw new BuzzException.ExecutionError(
+            s"$opName conflicts with a concurrent metadata change: the " +
+              s"table's schema or configuration moved since snapshot " +
+              s"v$snapshotVersion — rerun against the current snapshot")
+      }
       val appended = liveNow.view.filterKeys(!liveAtSnapshot.contains(_)).toMap
       val conflicting = concurrentAddConflicts(appended)
       if (conflicting.nonEmpty)
@@ -1929,7 +2014,8 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     import graft.sources.{DeltaCatalog, SizedFile}
     import graft.model.BuzzException
-    val (adds, removes, metaChanged) = parseCommitActions(spark, srcPath, v)
+    val ca = parseCommitActions(spark, srcPath, v)
+    val (adds, removes, metaChanged) = (ca.adds, ca.removes, ca.metaChanged)
     // v0's metaData is the table's BIRTH, not a re-mapping: no before-state
     if (metaChanged && v > 0) {
       // a mid-span RENAME/DROP COLUMN would otherwise diverge SILENTLY:
@@ -1981,7 +2067,7 @@ object Sinks {
     * is loud and attributable. */
   private[graft] def factFileCount(
       spark: org.apache.spark.sql.SparkSession, srcPath: String, v: Long): Int =
-    parseCommitActions(spark, srcPath, v)._1.count(_._5)
+    parseCommitActions(spark, srcPath, v).adds.count(_._5)
 
   /** The table's configuration as metaData JSON fields — every writer
     * that RE-DECLARES metaData (rename/drop/evolve/clone) must carry it
@@ -2342,16 +2428,25 @@ object Sinks {
     val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"delete: no raw log path for live file ${f.key} — snapshot drifted")))
+    // change-data capture: exactly the deleted rows. Computed FIRST —
+    // when capture is on and ZERO rows match (candidate stats were
+    // conservative), committing the no-op rewrite anyway would publish a
+    // dataChange commit with no cdc actions, permanently poisoning
+    // deltaChangeFeed over every span containing it; no facts change, so
+    // skip the commit entirely.
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else {
+        val deleted = cat.read(spark, candFiles)
+          .filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+        if (deleted.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+        stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames, deleted)
+      }
     // DELETE keeps rows where the predicate is FALSE or NULL
     val kept = cat.read(spark, candFiles)
       .filter(!coalesce(pred, lit(false)))
     val adds = stageIntoTable(kept, tablePath, cat.partitionColumns, cat.physicalNames)
-    // change-data capture: exactly the deleted rows
-    val cdcAdds =
-      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
-      else stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
-        cat.read(spark, candFiles).filter(coalesce(pred, lit(false)))
-          .withColumn("_change_type", lit("delete")))
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "delete", snapshotVersion = snapVer,
       concurrentAddConflicts =
@@ -2472,12 +2567,20 @@ object Sinks {
       rel -> dvByNorm(FsUtil.normalizePath(f.key))
     }.toMap
     // change-data capture: the NEWLY-deleted visible rows (the DV-applied
-    // read excludes rows earlier vectors already deleted)
+    // read excludes rows earlier vectors already deleted). Zero visible
+    // matches with capture on — e.g. re-running a predicate whose rows an
+    // earlier vector already deleted — means no facts change: skip the
+    // commit instead of publishing a cdc-less rewrite that would poison
+    // the feed (see deltaDeleteWhere).
     val cdcAdds =
       if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
-      else stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
-        cat.read(spark, candFiles).filter(coalesce(pred, lit(false)))
-          .withColumn("_change_type", lit("delete")))
+      else {
+        val deleted = cat.read(spark, candFiles)
+          .filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+        if (deleted.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
+        stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames, deleted)
+      }
     commitRewrite(spark, tablePath, adds, removedRaws,
       org.apache.spark.sql.types.StructType(cat.schema.fields), "dv-delete",
       snapshotVersion = snapVer,
@@ -2715,19 +2818,23 @@ object Sinks {
     val candRaws = candFiles.map(f => rawByKey.getOrElse(f.key,
       throw new BuzzException.ExecutionError(
         s"update: no raw log path for live file ${f.key} — snapshot drifted")))
-    val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
-    val adds = stageIntoTable(updated, tablePath, cat.partitionColumns, cat.physicalNames)
-    // change-data capture: the matched rows' before AND after images
+    // change-data capture: the matched rows' before AND after images.
+    // Computed FIRST — zero matched rows with capture on means no facts
+    // change: skip the commit instead of publishing a cdc-less rewrite
+    // that would poison the feed (see deltaDeleteWhere).
     val cdcAdds =
       if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
       else {
         val hit = cat.read(spark, candFiles)
           .filter(coalesce(expr(predicateSql), lit(false)))
+        if (hit.isEmpty) return DeltaCatalog.latestVersion(spark, logDir)
         stageChangeData(spark, tablePath, cat.partitionColumns, cat.physicalNames,
           hit.withColumn("_change_type", lit("update_preimage")).unionByName(
             hit.select(updatedProjection: _*)
               .withColumn("_change_type", lit("update_postimage"))))
       }
+    val updated = cat.read(spark, candFiles).select(updatedProjection: _*)
+    val adds = stageIntoTable(updated, tablePath, cat.partitionColumns, cat.physicalNames)
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "update", snapshotVersion = snapVer,
       concurrentAddConflicts =

@@ -323,10 +323,17 @@ object DeltaCatalog {
     replayCache.synchronized(Option(replayCache.get(key)).flatMap(r => Option(r.get()))) match {
       case Some(cached) => cached
       case None =>
-        val state = replayUncached(spark, tablePath, versionAsOf, logDir)
-        uncachedReplays += 1
-        replayCache.synchronized(
-          replayCache.put(key, new java.lang.ref.SoftReference(state)))
+        // replay at the version RESOLVED FROM THIS LISTING, never at an
+        // unpinned head: replayUncached re-lists the directory, and a
+        // commit landing between the two listings would otherwise cache a
+        // state one version AHEAD of its (version, fingerprint) key
+        val pinned = versionAsOf.orElse(
+          if (headInListing >= 0) Some(headInListing) else None)
+        val state = replayUncached(spark, tablePath, pinned, logDir)
+        replayCache.synchronized {
+          uncachedReplays += 1
+          replayCache.put(key, new java.lang.ref.SoftReference(state))
+        }
         state
     }
   }
@@ -414,10 +421,25 @@ object DeltaCatalog {
     * checkpoint and date by file mtime, which is only conservative for
     * windows no longer than the retention. */
   private[graft] def checkpointTombstoneRetention(
-      spark: SparkSession, logDir: String): Option[Long] = {
+      spark: SparkSession, logDir: String): Option[Long] =
+    lastCheckpointLong(spark, logDir, "tombstoneRetainMs")
+
+  /** The tombstone EXPIRY WATERMARK (`tombstoneFloor` in
+    * `_last_checkpoint`): the minimum over checkpoint history of
+    * (checkpoint time - its tombstoneRetainMs). Tombstones below it may
+    * have been expired by SOME past checkpoint and are unrecoverable —
+    * vacuum's retention cutoff must stay at-or-above it or mtime dating
+    * stops being conservative. Carried forward monotonically by the
+    * checkpoint writer; ages out as wall time passes. */
+  private[graft] def checkpointTombstoneFloor(
+      spark: SparkSession, logDir: String): Option[Long] =
+    lastCheckpointLong(spark, logDir, "tombstoneFloor")
+
+  private def lastCheckpointLong(
+      spark: SparkSession, logDir: String, field: String): Option[Long] = {
     val lastCp = s"$logDir/_last_checkpoint"
     if (!FsUtil.exists(spark, lastCp)) return None
-    JsonMethods.parse(FsUtil.readString(spark, lastCp)) \ "tombstoneRetainMs" match {
+    JsonMethods.parse(FsUtil.readString(spark, lastCp)) \ field match {
       case JInt(v)  => Some(v.toLong)
       case JLong(v) => Some(v)
       case _        => None

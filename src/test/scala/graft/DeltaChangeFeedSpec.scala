@@ -109,6 +109,86 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
       (3L, "update_preimage", 5L, 10L)))
   }
 
+  test("zero-match DML on a CDF table commits NOTHING — the feed is never poisoned") {
+    val dir = tmpDir("cdf_nomatch")
+    cdfTable(dir)
+    val head = DeltaCatalog.latestVersion(spark, s"$dir/_delta_log")
+    // stats put id=5 inside a candidate file's range, but no row matches
+    // the conjunction — pre-fix this committed a dataChange rewrite with
+    // no cdc actions, making every later feed over the span fail
+    assert(Sinks.deltaDeleteWhere(spark, dir, "id = 5 AND v = 999") === head)
+    assert(Sinks.deltaUpdate(spark, dir, "id = 5 AND v = 999",
+      Map("v" -> "v + 1")) === head)
+    // re-running a DV delete whose rows an earlier vector already removed
+    Sinks.deltaDeleteVectors(spark, dir, "id = 6")          // head + 1
+    assert(Sinks.deltaDeleteVectors(spark, dir, "id = 6") === head + 1)
+    // the whole span still reads as a feed
+    val rows = feed(dir, 2L, head + 1)
+    assert(rows === Seq((head + 1, "delete", 6L, 12L)))
+  }
+
+  test("MERGE postimages pair preimages even when the base duplicates a key") {
+    val dir = tmpDir("cdf_dupkey")
+    // key 5 exists TWICE (two appends) — the documented caller-owns-
+    // uniqueness contract rewrites both; the feed must pair 2 pre with 2 post
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend(Seq((5L, 777L)).toDF("id", "v"), dir)
+    Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id")
+    val rows = feed(dir, 2L, 3L)
+    assert(rows.count(_._2 == "update_preimage") === 2)
+    assert(rows.count(_._2 == "update_postimage") === 2)
+    assert(rows.filter(_._2 == "update_postimage").forall(_._4 == 500L))
+    assert(rows.filter(_._2 == "update_preimage").map(_._4).sorted === Seq(10L, 777L))
+  }
+
+  test("a concurrent TBLPROPERTIES flip conflicts the in-flight DML instead of skipping capture") {
+    val dir = tmpDir("cdf_race")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    // a MERGE plans under CDF-off; CDF turns on between its snapshot read
+    // and publish — silently absorbing that would commit the rewrite
+    // WITHOUT capture although CDF is active from the prior version
+    Sinks.onBeforePublish = () => {
+      Sinks.onBeforePublish = () => ()
+      Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+    }
+    try {
+      val e = intercept[graft.model.BuzzException.ExecutionError](
+        Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id"))
+      assert(e.getMessage.contains("metadata change"))
+    } finally Sinks.onBeforePublish = () => ()
+    // rerun against the current snapshot: captures properly
+    val v = Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id")
+    val rows = feed(dir, v - 1, v)
+    assert(rows.map(_._2).sorted === Seq("update_postimage", "update_preimage"))
+  }
+
+  test("enabling CDF refuses reserved column names") {
+    val dir = tmpDir("cdf_reserved")
+    Sinks.deltaAppend(Seq((1L, "x")).toDF("id", "_change_type"), dir)
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true")))
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("vacuum reaps ORPHANED cdc files (no surviving commit references them), keeps referenced ones") {
+    val dir = tmpDir("cdf_gc")
+    cdfTable(dir)
+    Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id") // v3: real cdc
+    // plant an orphan — the shape a conflicted writer's staging leaves
+    val orphan = java.nio.file.Paths.get(s"$dir/_change_data/part-orphan.parquet")
+    Seq((1L, 1L, "insert")).toDF("id", "v", "_change_type")
+      .coalesce(1).write.parquet(s"$dir/.cdc_stage_tmp")
+    val staged = new java.io.File(s"$dir/.cdc_stage_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(staged.toPath, orphan)
+    Sinks.deltaVacuum(spark, dir)
+    assert(!java.nio.file.Files.exists(orphan), "orphaned cdc file must be reaped")
+    // the referenced cdc file survives: the feed still replays
+    val rows = feed(dir, 2L, 3L)
+    assert(rows.map(_._2).sorted === Seq("update_postimage", "update_preimage"))
+  }
+
   test("the feed conforms ADDITIVE evolution and refuses a mid-span rename") {
     val dir = tmpDir("cdf_evolve")
     cdfTable(dir)

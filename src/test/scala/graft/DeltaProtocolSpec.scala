@@ -527,21 +527,30 @@ class DeltaProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("vacuum refuses a retention window LONGER than the checkpoint's tombstone retention") {
+  test("vacuum refuses a window reaching below the tombstone expiry watermark; the floor is monotone") {
     val dir = tmpDir("vac_window")
     twoFileTable(dir)
     Sinks.deltaDeleteWhere(spark, dir, "id >= 100")
     Sinks.deltaCheckpoint(spark, dir, cleanCommits = true,
       tombstoneRetainMs = 60L * 60 * 1000) // 1 hour retained
-    // a 2-hour vacuum window cannot be honored exactly: tombstones the
-    // checkpoint expired would date by mtime — refuse loudly
+    // a 2-hour vacuum window reaches below the watermark (tombstones the
+    // checkpoint expired would date by mtime) — refuse loudly
     val e = intercept[BuzzException.BadRequest](
       Sinks.deltaVacuum(spark, dir, retainMs = 2L * 60 * 60 * 1000))
-    assert(e.getMessage.contains("tombstone retention"))
-    // a window INSIDE the retention is served normally
+    assert(e.getMessage.contains("expiry watermark"))
+    // a window INSIDE the watermark is served normally
     Sinks.deltaVacuum(spark, dir, retainMs = 30L * 60 * 1000)
     val cat = DeltaCatalog.fromDeltaLog(spark, dir, "vac_window_read")
     assert(cat.read(spark, cat.files).count() === 10L)
+    // the floor is MONOTONE: re-checkpointing with a LONGER declared
+    // retention (the r10-advice remedy) cannot resurrect what the first
+    // checkpoint dropped — the 2-hour window still refuses
+    Sinks.deltaAppend(Seq((300L, 1L)).toDF("id", "v"), dir)
+    Sinks.deltaCheckpoint(spark, dir, cleanCommits = true,
+      tombstoneRetainMs = 7L * 24 * 3600 * 1000)
+    val e2 = intercept[BuzzException.BadRequest](
+      Sinks.deltaVacuum(spark, dir, retainMs = 2L * 60 * 60 * 1000))
+    assert(e2.getMessage.contains("expiry watermark"))
   }
 
   // ---- sync column re-mapping detection ----
