@@ -2255,6 +2255,104 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // LIVE LOG TAIL (graft-delta-tail): stream the documents-backed Delta
+    // table through the V1 source into a parquet sink across TWO runs —
+    // run 1 ships commits 0-1, then (query down) an OPTIMIZE rewrite and
+    // a third append land, and run 2 resumes from the checkpoint: the
+    // compaction must ship NOTHING (dataChange=false) and the new facts
+    // exactly once. The read-back aggregate equals the plain relational
+    // derivation over ALL documents iff exactly-once held end to end.
+    "sink_delta_tail" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltatailsrc_$key"
+      val out = s"$tmp/graft_deltatailout_$key"
+      val ckpt = s"$tmp/graft_deltatailckpt_$key"
+      Seq(src, out, ckpt).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-delta-tail").option("path", src)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), src)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), src)
+      runOnce() // ships commits 0-1
+      Sinks.deltaOptimize(s, src, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 2), src)
+      runOnce() // resume: compaction ships nothing, the append exactly once
+      s.read.parquet(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // LEGACY-DV MIGRATION: hand-author the pre-r10 parquet-sidecar delete
+    // dialect (byte-for-byte the r8/r9 action shape: storageType "p",
+    // relative sidecar dir, cardinality, no sizing) on top of two appends,
+    // then deltaMigrateDvs rewrites it into protocol .bin vectors in ONE
+    // commit. legacy_docs time-travels to the PRE-migration version
+    // afterwards (the read-only sidecar decode must keep answering), and
+    // the post-migration protocol DELETE proves the table is writable
+    // again under the normal writer gate.
+    "sink_delta_migrate_dv" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_deltamigdv_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, out).delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0).repartition(4), out)
+      Sinks.deltaAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1).repartition(4), out)
+      // the legacy commit: (__path, __ri) row identities of doc_id%10=3
+      // into a _dv/ parquet sidecar, each affected file removed + re-added
+      // with the legacy descriptor — exactly what the r8/r9 engine wrote
+      val raw = {
+        val c = DeltaCatalog.fromDeltaLog(s, out, "mig_fixture_raw")
+        c.readWithRowIndex(s, c.files)
+      }
+      val batchRel = "_dv/delete-mig-fixture"
+      raw.filter(pmod(col("doc_id"), lit(10L)) === 3)
+        .select(col("__gfp").as("__path"), col("__gri").as("__ri"))
+        .coalesce(1).write.parquet(s"$out/$batchRel")
+      val perFile = s.read.parquet(s"$out/$batchRel")
+        .groupBy("__path").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cat = DeltaCatalog.fromDeltaLog(s, out, "mig_fixture")
+      val rawByKey = DeltaCatalog.liveRawByKey(s, out)
+      val now = java.lang.System.currentTimeMillis()
+      val lines = cat.files
+        .filter(f => perFile.contains(FsUtil.normalizePath(f.key)))
+        .map { f =>
+          val rawPath = rawByKey(f.key)
+          val card = perFile(FsUtil.normalizePath(f.key))
+          s"""{"remove":{"path":"$rawPath","deletionTimestamp":$now,"dataChange":true}}""" +
+            "\n" +
+            s"""{"add":{"path":"$rawPath","size":${f.length},"partitionValues":{},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$batchRel","cardinality":$card}}}"""
+        }
+      val legacyVer = DeltaCatalog.latestVersion(s, s"$out/_delta_log") + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$out/_delta_log/$legacyVer%020d.json"),
+        lines.mkString("", "\n", "\n"))
+      Sinks.deltaMigrateDvs(s, out)
+      val legacyCat = DeltaCatalog.fromDeltaLog(s, out, "mig_pre_travel",
+        versionAsOf = Some(legacyVer))
+      val legacyDocs = legacyCat.read(s, legacyCat.files).count()
+      Sinks.deltaDeleteWhere(s, out, "doc_id BETWEEN 100 AND 199")
+      val fin = DeltaCatalog.fromDeltaLog(s, out, "mig_final")
+      fin.read(s, fin.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("legacy_docs", lit(legacyDocs))
+    }),
     // SHALLOW CLONE: zero-copy table clone (v0 references the source's
     // files by absolute path), then destructive DML against the CLONE —
     // the source must still answer in full, proven by the src_docs column
@@ -5484,6 +5582,21 @@ object SparkEntry {
     "sink_delta_sync" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY source""".stripMargin,
+    // the streaming tail ships every fact exactly once across a restart:
+    // two pre-stream commits, a mid-downtime OPTIMIZE (ships nothing) and
+    // append — the sink equals the full relational derivation
+    "sink_delta_tail" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
+    // legacy sidecar deletes doc_id%10=3; migration preserves them
+    // bit-for-bit (legacy_docs re-reads the PRE-migration version through
+    // the sidecar decode), then a protocol DELETE drops 100-199
+    "sink_delta_migrate_dv" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 3) AS legacy_docs
+        |FROM documents
+        |WHERE doc_id % 10 <> 3 AND doc_id NOT BETWEEN 100 AND 199
+        |GROUP BY source""".stripMargin,
     // zero-copy clone + destructive DML on the clone; src_docs proves the
     // source still answers in full afterwards
     "sink_delta_clone" ->
