@@ -286,6 +286,39 @@ object ScaleProbe {
         report("tail_trigger_wall", scale, 3, tailSecs)
       }
 
+      // streaming change feed steady-state driver cost: same contract as
+      // the tail — the source seeds its feed state from the pin's
+      // memoized replay at construction, then per trigger folds ONLY the
+      // new commit JSONs into it, so per-trigger wall must be FLAT across
+      // table size (replay_adds_wall above is what a rebase would cost).
+      // Constructed at the post-tail head, then 3 fresh one-file commits
+      // tail one per trigger.
+      locally {
+        val cdfSrc = new graft.streaming.DeltaCdfSource(
+          spark, repDir, Map("startingVersion" -> "5", "maxFilesPerTrigger" -> "1"))
+        val factStage = s"$repDir/.tail_fact_stage"
+        val factSrc = new java.io.File(factStage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        (0 until 3).foreach { i =>
+          val dest = new java.io.File(repDir, s"cdf-fact-$i.parquet")
+          java.nio.file.Files.copy(factSrc.toPath, dest.toPath)
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$repDir/_delta_log", f"${5 + i}%020d.json").toPath,
+            s"""{"add":{"path":"cdf-fact-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+        }
+        val (_, cdfSecs) = timed {
+          var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+          (0 until 3).foreach { _ =>
+            val off = cdfSrc.getOffset.get
+            val batch = cdfSrc.getBatch(prev, off)
+            require(batch.schema.fieldNames.contains("_change_type"),
+              s"cdf batch schema drift: ${batch.schema.fieldNames.mkString(",")}")
+            prev = Some(off)
+          }
+        }
+        report("cdf_trigger_wall", scale, 3, cdfSecs)
+      }
+
       // radius search at the PRODUCTION setting against a FIXED query set:
       // the probed fraction of the corpus shrinks as the index grows
       // (√nlist of nlist ≈ √n buckets), so scanned work per query grows
@@ -452,6 +485,13 @@ object ScaleProbe {
       // per-row settling is the only way each row's loadavg answers "was
       // the host quiet when this started" on its own
       def timedSettled[A](body: => A): (A, Double) = { settle(); timed(body) }
+      // the late pass (graph/text/ER) never touches Delta: drop the
+      // replay memo's SoftReference ballast (the 1e6-add probe state
+      // retains ~0.5 GB until LRU-evicted, and SoftReferences survive
+      // GC until heap pressure) so these rows measure the operators,
+      // not the cache's GC drag — and stay comparable to the pre-memo
+      // recordings
+      graft.sources.DeltaCatalog.invalidateReplayCache()
       settle(120000L)
       val (_, lateCal) = timed(Calibration.job(spark))
       report("calibration_late_pass", scale, 50000000L, lateCal)

@@ -2292,6 +2292,84 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // LOG-BASED REPLICATION (deltaReplicate = deltaChangeFeed →
+    // deltaApplyChanges): bootstrap a replica from the source snapshot,
+    // then row-level DML lands on the source — a MERGE update and a
+    // DELETE, both CDF-captured — and ONE incremental call replicates
+    // them: the feed is bounded by the new commits' changes (never the
+    // table), the apply nets it per key and rewrites only candidate
+    // files, and the applied-through version rides the replica commit as
+    // a SetTransaction so the call is idempotent. The replica aggregate
+    // equals the relational derivation iff src and dst converged.
+    "sink_delta_replicate" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltareplsrc_$key"
+      val dst = s"$tmp/graft_deltarepldst_$key"
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), src)
+      Sinks.deltaSetProperties(s, src,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), src)
+      Sinks.deltaReplicate(s, src, dst, "doc_id") // bootstrap
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      Sinks.deltaDeleteWhere(s, src, "doc_id % 10 = 7")
+      Sinks.deltaReplicate(s, src, dst, "doc_id") // incremental feed apply
+      val cat = graft.sources.DeltaCatalog.fromDeltaLog(s, dst, "repl_out")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // STREAMING CHANGE FEED (graft-delta-cdf): the row-level feed as a
+    // live source across TWO runs — run 1 ships the initial snapshot as
+    // inserts; while the query is down a CDF-captured MERGE update, a
+    // DELETE, an OPTIMIZE (ships nothing) and an append land; run 2
+    // resumes from the checkpoint and ships exactly the new changes,
+    // preimages and postimages included. The per-change-type aggregate
+    // over the sink equals the relational derivation iff delivery was
+    // exactly-once and the _change_data reads authoritative.
+    "sink_delta_cdf_stream" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltacdfssrc_$key"
+      val out = s"$tmp/graft_deltacdfsout_$key"
+      val ckpt = s"$tmp/graft_deltacdfsckpt_$key"
+      Seq(src, out, ckpt).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-delta-cdf").option("path", src)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), src)
+      Sinks.deltaSetProperties(s, src,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      runOnce() // ships the v0 snapshot as inserts
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(15L)) === 0)
+          .withColumn("n_chars", col("n_chars") + 500), "doc_id")
+      Sinks.deltaDeleteWhere(s, src, "doc_id % 30 = 3")
+      Sinks.deltaOptimize(s, src, targetBytes = 512L * 1024 * 1024)
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(3L)) === 1), src)
+      runOnce() // resume: pre/post/delete/insert once, compaction nothing
+      s.read.parquet(out)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
     // LEGACY-DV MIGRATION: hand-author the pre-r10 parquet-sidecar delete
     // dialect (byte-for-byte the r8/r9 action shape: storageType "p",
     // relative sidecar dir, cardinality, no sizing) on top of two appends,
@@ -5588,6 +5666,29 @@ object SparkEntry {
     "sink_delta_tail" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY source""".stripMargin,
+    // log-based replication: bootstrap + one incremental feed apply; the
+    // replica equals the source after a MERGE update (+1000 on %10=4) and
+    // a DELETE (%10=7)
+    "sink_delta_replicate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 10 <> 7 GROUP BY source""".stripMargin,
+    // the streaming change feed across a restart: the initial snapshot
+    // (%3=0) and the late append (%3=1) as inserts, the MERGE's pre/post
+    // images (%15=0, +500), the DELETE's rows (%30=3), OPTIMIZE nothing
+    "sink_delta_cdf_stream" ->
+      """SELECT _change_type, count(*) AS n, CAST(sum(ch) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT 'insert' AS _change_type, n_chars AS ch FROM documents
+        |    WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL SELECT 'update_preimage', n_chars FROM documents
+        |    WHERE doc_id % 15 = 0
+        |  UNION ALL SELECT 'update_postimage', n_chars + 500 FROM documents
+        |    WHERE doc_id % 15 = 0
+        |  UNION ALL SELECT 'delete', n_chars FROM documents
+        |    WHERE doc_id % 30 = 3
+        |) GROUP BY _change_type""".stripMargin,
     // legacy sidecar deletes doc_id%10=3; migration preserves them
     // bit-for-bit (legacy_docs re-reads the PRE-migration version through
     // the sidecar decode), then a protocol DELETE drops 100-199

@@ -602,14 +602,14 @@ object Sinks {
     * flag, cdc actions). ONE file read and ONE parse pass serve every
     * consumer — the change-feed reader needs add/remove AND cdc from the
     * same commit, and parsing twice would double the driver's tail IO. */
-  private final case class CommitActions(
+  private[graft] final case class CommitActions(
       adds: Seq[(String, Long, Map[String, String],
         Option[graft.sources.DvDescriptor], Boolean)],
       removes: Seq[(String, Boolean)],
       metaChanged: Boolean,
       cdcs: Seq[(String, Long, Map[String, String])])
 
-  private def parseCommitActions(
+  private[graft] def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
       : CommitActions = {
     import org.json4s._
@@ -896,21 +896,16 @@ object Sinks {
   def deltaChangeFeed(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    import graft.sources.{DeletionVectors, DeltaCatalog, SizedFile}
+    import graft.sources.DeltaCatalog
     import graft.model.BuzzException
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
     var cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_feed",
       versionAsOf = Some(vFrom))
     var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
     var liveDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
-    def abs(raw: String): String =
-      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     ((vFrom + 1) to vTo).map { v =>
       val ca = parseCommitActions(spark, tablePath, v)
-      val (adds, rawRemoves, metaChanged, cdcs) =
-        (ca.adds, ca.removes, ca.metaChanged, ca.cdcs)
-      if (metaChanged && v > 0) {
+      if (ca.metaChanged && v > 0) {
         // physical re-mapping mid-span has no well-defined row feed —
         // same detection as the append-only consumers
         val before = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v - 1))
@@ -930,49 +925,92 @@ object Sinks {
         cat = DeltaCatalog.fromDeltaLog(spark, tablePath, s"__cdf_feed_v$v",
           versionAsOf = Some(v))
       }
-      val factAdds = adds.filter(_._5)
-      val factRemoves = rawRemoves.filter(_._2).map(_._1)
-      val df =
-        if (cdcs.nonEmpty) readChangeData(spark, tablePath, cat, cdcs)
-        else if (factAdds.nonEmpty && factRemoves.nonEmpty)
-          throw new BuzzException.BadRequest(
-            s"deltaChangeFeed($tablePath): commit $v rewrites rows without " +
-              "cdc actions — it was written before delta.enableChangeDataFeed " +
-              "(or by a non-CDF writer); its row-level diff is not recorded. " +
-              "Read it as a keyed snapshot diff via deltaChangesBetween")
-        else if (factAdds.nonEmpty) {
-          val addDvs = factAdds.collect { case (raw, _, _, Some(dv), _) =>
-            abs(raw) -> DeletionVectors.resolve(tablePath, dv)
-          }.toMap
-          cat.withDeletionVectors(addDvs).read(spark,
-            factAdds.map { case (raw, size, pv, _, _) =>
-              SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
-                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-            }).withColumn("_change_type", lit("insert"))
-        } else if (factRemoves.nonEmpty) {
-          val remDvs = factRemoves.flatMap(raw => liveDvs.get(raw).map(dv =>
-            abs(raw) -> DeletionVectors.resolve(tablePath, dv))).toMap
-          cat.withDeletionVectors(remDvs).read(spark,
-            factRemoves.map { raw =>
-              live.get(raw) match {
-                case Some((size, pv)) =>
-                  SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
-                    pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-                case None => throw new BuzzException.ExecutionError(
-                  s"commit $v removes $raw which is not live at ${v - 1}")
-              }
-            }).withColumn("_change_type", lit("delete"))
-        } else
-          cat.read(spark, Nil)
-            .withColumn("_change_type", lit("")).limit(0)
+      val df = feedFromActions(spark, tablePath, v, cat, ca, live, liveDvs)
       // advance the incrementally-maintained pre-commit state
-      live = live -- rawRemoves.map(_._1) ++
-        adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) }
-      liveDvs = liveDvs -- rawRemoves.map(_._1) --
-        adds.collect { case (raw, _, _, None, _) => raw } ++
-        adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv }
+      val advanced = advanceFeedState(live, liveDvs, ca)
+      live = advanced._1
+      liveDvs = advanced._2
       df.select(lit(v).as("_commit_version"), col("*"))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One commit's ROW-LEVEL feed (every table column + `_change_type`)
+    * given its parsed actions, the at-version catalog, and the PRE-commit
+    * live state — the per-version body shared by [[deltaChangeFeed]] and
+    * the `graft-delta-cdf` streaming source (which maintains the state
+    * incrementally across triggers instead of re-seeding per span). */
+  private[graft] def feedFromActions(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String, v: Long,
+      cat: graft.sources.StaticCatalog, ca: CommitActions,
+      live: Map[String, (Long, Map[String, String])],
+      liveDvs: Map[String, graft.sources.DvDescriptor]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeletionVectors, DeltaCatalog, SizedFile}
+    import graft.model.BuzzException
+    def abs(raw: String): String =
+      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
+    val factAdds = ca.adds.filter(_._5)
+    val factRemoves = ca.removes.filter(_._2).map(_._1)
+    if (ca.cdcs.nonEmpty) readChangeData(spark, tablePath, cat, ca.cdcs)
+    else if (factAdds.nonEmpty && factRemoves.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"deltaChangeFeed($tablePath): commit $v rewrites rows without " +
+          "cdc actions — it was written before delta.enableChangeDataFeed " +
+          "(or by a non-CDF writer); its row-level diff is not recorded. " +
+          "Read it as a keyed snapshot diff via deltaChangesBetween")
+    else if (factAdds.nonEmpty) {
+      val addDvs = factAdds.collect { case (raw, _, _, Some(dv), _) =>
+        abs(raw) -> DeletionVectors.resolve(tablePath, dv)
+      }.toMap
+      cat.withDeletionVectors(addDvs).read(spark,
+        factAdds.map { case (raw, size, pv, _, _) =>
+          SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
+            pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+        }).withColumn("_change_type", lit("insert"))
+    } else if (factRemoves.nonEmpty) {
+      val remDvs = factRemoves.flatMap(raw => liveDvs.get(raw).map(dv =>
+        abs(raw) -> DeletionVectors.resolve(tablePath, dv))).toMap
+      cat.withDeletionVectors(remDvs).read(spark,
+        factRemoves.map { raw =>
+          live.get(raw) match {
+            case Some((size, pv)) =>
+              SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
+                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+            case None => throw new BuzzException.ExecutionError(
+              s"commit $v removes $raw which is not live at ${v - 1}")
+          }
+        }).withColumn("_change_type", lit("delete"))
+    } else
+      cat.read(spark, Nil)
+        .withColumn("_change_type", lit("")).limit(0)
+  }
+
+  /** Fold one commit's adds/removes into the (live files, live DVs) maps —
+    * the post-commit state. An add without a descriptor CLEARS its file's
+    * DV, exactly like replay does. */
+  private[graft] def advanceFeedState(
+      live: Map[String, (Long, Map[String, String])],
+      liveDvs: Map[String, graft.sources.DvDescriptor],
+      ca: CommitActions): (Map[String, (Long, Map[String, String])],
+        Map[String, graft.sources.DvDescriptor]) = {
+    val removes = ca.removes.map(_._1)
+    (live -- removes ++
+      ca.adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) },
+      liveDvs -- removes --
+        ca.adds.collect { case (raw, _, _, None, _) => raw } ++
+        ca.adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv })
+  }
+
+  /** A commit's change-feed ADMISSION cost in files — the unit of scan
+    * work a `graft-delta-cdf` micro-batch pays for it: the cdc files when
+    * the commit recorded its row-level feed, otherwise the derived
+    * fact-changing adds + removes. */
+  private[graft] def cdfFileCount(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      version: Long): Int = {
+    val ca = parseCommitActions(spark, tablePath, version)
+    if (ca.cdcs.nonEmpty) ca.cdcs.size
+    else ca.adds.count(_._5) + ca.removes.count(_._2)
   }
 
   /** Set (or overwrite) table properties — one metaData-only commit
@@ -1417,6 +1455,163 @@ object Sinks {
     deleted
   }
 
+  /** The key-range pruning a keyed writer (MERGE / APPLY CHANGES) runs
+    * before its copy-on-write rewrite: `candRaws`/`candFiles` are the live
+    * files that can possibly contain a touched key, `typedBounds` parses a
+    * stats map into the key's declared type (shared with the
+    * concurrent-append probe), `keyType` the key's Catalyst type. */
+  private[graft] final case class KeyPruning(
+      candRaws: Seq[String],
+      candFiles: Seq[graft.sources.SizedFile],
+      typedBounds: Map[String, String] => String => Option[(Any, Any)],
+      keyType: org.apache.spark.sql.types.DataType)
+
+  /** Candidate files for a keyed rewrite: the distinct touched keys
+    * (single-column DataFrame named `__k`) joined against the LOG's
+    * per-file (min, max) key ranges (`add.stats`, metadata-sized,
+    * broadcast), so an operation touching 3 keys rewrites ~3 files, not
+    * the table. Pruning must only ever SHRINK the set on evidence that
+    * parses: a file whose stats are missing, malformed, or of an
+    * unexpected JSON type for the key's declared type is UNCONDITIONALLY
+    * a candidate (dropping it would keep its matched base row while the
+    * change row inserts — duplicate keys). Integral key bounds compare as
+    * exact longs, never through Double (whose 2^53 mantissa cannot
+    * represent every long). */
+  private def pruneCandidatesByKey(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      snapVer: Long, cat: graft.sources.StaticCatalog,
+      keys: DataFrame, keyCol: String): KeyPruning = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.spark.sql.types._
+    import graft.sources.{DeltaCatalog, SizedFile}
+    val partitionCols = cat.partitionColumns
+    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath,
+      if (snapVer >= 0) Some(snapVer) else None)
+    // stats are keyed by the key's PHYSICAL name (what the files store —
+    // identity unless the key column was renamed)
+    val keyPhys = graft.sources.ColumnMapping.physicalName(cat.schema(keyCol))
+    def keyBounds(stats: Map[String, String])(raw: String): Option[(JValue, JValue)] =
+      stats.get(raw).flatMap { s =>
+        val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
+        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
+          case (JNothing, _) | (_, JNothing) => None
+          case (mn, mx)                      => Some((mn, mx))
+        }
+      }
+    def longOf(v: JValue): Option[Long] = v match {
+      case JInt(x) if x.isValidLong => Some(x.toLong)
+      case JLong(x)                 => Some(x)
+      case _                        => None // non-integral stats for an integral key
+    }
+    def doubleOf(v: JValue): Option[Double] = v match {
+      case JInt(x)     => Some(x.toDouble)
+      case JLong(x)    => Some(x.toDouble)
+      case JDouble(x)  => Some(x)
+      case JDecimal(x) => Some(x.toDouble)
+      case _           => None
+    }
+    def stringOf(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _          => None
+    }
+    val keyType = cat.schema(keyCol).dataType
+    // each live file's typed key bounds, or None when the evidence does
+    // not parse into the key's declared type (→ unconditional candidate)
+    def typedBounds(stats: Map[String, String])(raw: String): Option[(Any, Any)] =
+      keyBounds(stats)(raw).flatMap { case (mn, mx) =>
+        keyType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
+          case FloatType | DoubleType =>
+            for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
+          case StringType =>
+            for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
+          case _ => None // unprunable key type
+        }
+      }
+    val withBounds: Seq[(String, Option[(Any, Any)])] =
+      liveRaw.keys.toSeq.sorted.map(raw => raw -> typedBounds(statsByRaw)(raw))
+    val (ranged, unconditional0) = withBounds.partition(_._2.isDefined)
+    val unconditional = unconditional0.map(_._1)
+    val matchedRaws: Seq[String] =
+      if (ranged.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val bounds = ranged.collect { case (raw, Some((lo, hi))) => (raw, lo, hi) }
+        val rangesDf = keyType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+            }.toDF("__raw", "__mn", "__mx")
+          case FloatType | DoubleType =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+            }.toDF("__raw", "__mn", "__mx")
+          case _ =>
+            bounds.map { case (raw, lo, hi) =>
+              (raw, lo.asInstanceOf[String], hi.asInstanceOf[String])
+            }.toDF("__raw", "__mn", "__mx")
+        }
+        keys.join(broadcast(rangesDf),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select("__raw").distinct().collect().map(_.getString(0)).toSeq
+      }
+    val candRaws = (unconditional ++ matchedRaws).distinct.sorted
+    val candFiles = candRaws.map { raw =>
+      val (size, pv) = liveRaw(raw)
+      SizedFile(
+        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
+        partitionCols.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+    }
+    KeyPruning(candRaws, candFiles, s => typedBounds(s), keyType)
+  }
+
+  /** The concurrent-append probe (WriteSerializable) for a keyed rewrite:
+    * a file committed since the snapshot conflicts UNLESS its logged key
+    * bounds prove it is disjoint from the touched keys' [min, max]
+    * envelope — its rows could carry a key this operation matched against
+    * the OLD base, and re-committing would silently duplicate or miss
+    * them. Conservative by construction: unparseable bounds conflict; the
+    * envelope (not the exact key set) may over-reject, never
+    * under-reject. */
+  private def keyEnvelopeProbe(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      pruning: KeyPruning, chKeyMin: Any, chKeyMax: Any)
+      : Map[String, (Long, Map[String, String])] => Seq[String] = {
+    import org.apache.spark.sql.types._
+    import graft.sources.DeltaCatalog
+    def disjointFromChanges(lo: Any, hi: Any): Boolean = pruning.keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val (l, h) = (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].longValue,
+          chKeyMax.asInstanceOf[Number].longValue)
+        h < cl || l > ch0
+      case FloatType | DoubleType =>
+        val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].doubleValue,
+          chKeyMax.asInstanceOf[Number].doubleValue)
+        h < cl || l > ch0
+      case _ =>
+        val (l, h) = (lo.asInstanceOf[String], hi.asInstanceOf[String])
+        val (cl, ch0) = (chKeyMin.asInstanceOf[String], chKeyMax.asInstanceOf[String])
+        h < cl || l > ch0
+    }
+    appended =>
+      if (appended.isEmpty) Nil
+      else {
+        val headStats = DeltaCatalog.statsByRaw(spark, tablePath)
+        appended.keys.toSeq.sorted.filterNot { raw =>
+          pruning.typedBounds(headStats)(raw).exists { case (lo, hi) =>
+            disjointFromChanges(lo, hi)
+          }
+        }
+      }
+  }
+
   /** Delta-native transactional MERGE (copy-on-write upsert): apply a
     * keyed change set to the TABLE — matched rows are replaced by their
     * change row (UPDATE SET *), unmatched change rows are inserted — as
@@ -1497,95 +1692,10 @@ object Sinks {
           s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous match")
     if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
 
-    // candidate files: change keys joined against the log's per-file key
-    // ranges (metadata-sized, broadcast). Pruning must only ever SHRINK
-    // the set on evidence that parses: a file whose stats are missing,
-    // malformed, or of an unexpected JSON type for the key's declared
-    // type is UNCONDITIONALLY a candidate (dropping it would keep its
-    // matched base row while the change row inserts — duplicate keys).
-    // Integral key bounds compare as exact longs, never through Double
-    // (whose 2^53 mantissa cannot represent every long).
-    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath,
-      if (snapVer >= 0) Some(snapVer) else None)
-    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath,
-      if (snapVer >= 0) Some(snapVer) else None)
-    // stats are keyed by the key's PHYSICAL name (what the files store —
-    // identity unless the key column was renamed)
-    val keyPhys = graft.sources.ColumnMapping.physicalName(cat.schema(keyCol))
-    def keyBounds(stats: Map[String, String])(raw: String): Option[(JValue, JValue)] =
-      stats.get(raw).flatMap { s =>
-        val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
-        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
-          case (JNothing, _) | (_, JNothing) => None
-          case (mn, mx)                      => Some((mn, mx))
-        }
-      }
-    def longOf(v: JValue): Option[Long] = v match {
-      case JInt(x) if x.isValidLong => Some(x.toLong)
-      case JLong(x)                 => Some(x)
-      case _                        => None // non-integral stats for an integral key
-    }
-    def doubleOf(v: JValue): Option[Double] = v match {
-      case JInt(x)     => Some(x.toDouble)
-      case JLong(x)    => Some(x.toDouble)
-      case JDouble(x)  => Some(x)
-      case JDecimal(x) => Some(x.toDouble)
-      case _           => None
-    }
-    def stringOf(v: JValue): Option[String] = v match {
-      case JString(s) => Some(s)
-      case _          => None
-    }
-    val keyType = cat.schema(keyCol).dataType
-    // each live file's typed key bounds, or None when the evidence does
-    // not parse into the key's declared type (→ unconditional candidate)
-    def typedBounds(stats: Map[String, String])(raw: String): Option[(Any, Any)] =
-      keyBounds(stats)(raw).flatMap { case (mn, mx) =>
-        keyType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
-          case FloatType | DoubleType =>
-            for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
-          case StringType =>
-            for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
-          case _ => None // unprunable key type
-        }
-      }
-    val withBounds: Seq[(String, Option[(Any, Any)])] =
-      liveRaw.keys.toSeq.sorted.map(raw => raw -> typedBounds(statsByRaw)(raw))
-    val (ranged, unconditional0) = withBounds.partition(_._2.isDefined)
-    val unconditional = unconditional0.map(_._1)
-    val matchedRaws: Seq[String] =
-      if (ranged.isEmpty) Nil
-      else {
-        import spark.implicits._
-        val bounds = ranged.collect { case (raw, Some((lo, hi))) => (raw, lo, hi) }
-        val rangesDf = keyType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            bounds.map { case (raw, lo, hi) =>
-              (raw, lo.asInstanceOf[Long], hi.asInstanceOf[Long])
-            }.toDF("__raw", "__mn", "__mx")
-          case FloatType | DoubleType =>
-            bounds.map { case (raw, lo, hi) =>
-              (raw, lo.asInstanceOf[Double], hi.asInstanceOf[Double])
-            }.toDF("__raw", "__mn", "__mx")
-          case _ =>
-            bounds.map { case (raw, lo, hi) =>
-              (raw, lo.asInstanceOf[String], hi.asInstanceOf[String])
-            }.toDF("__raw", "__mn", "__mx")
-        }
-        ch.select(col(keyCol).as("__k")).distinct()
-          .join(broadcast(rangesDf),
-            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-          .select("__raw").distinct().collect().map(_.getString(0)).toSeq
-      }
-    val candRaws = (unconditional ++ matchedRaws).distinct.sorted
-    val candFiles = candRaws.map { raw =>
-      val (size, pv) = liveRaw(raw)
-      SizedFile(
-        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
-        partitionCols.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-    }
+    val pruning = pruneCandidatesByKey(spark, tablePath, snapVer, cat,
+      ch.select(col(keyCol).as("__k")).distinct(), keyCol)
+    val candRaws = pruning.candRaws
+    val candFiles = pruning.candFiles
 
     // copy-on-write: candidate rows full-outer the change set on the key;
     // a matched row is REPLACED by its change row, unmatched change rows
@@ -1622,47 +1732,205 @@ object Sinks {
           pre.unionByName(post).unionByName(ins)
             .select((outCols :+ "_change_type").map(col): _*))
       }
-    // concurrent-append probe (WriteSerializable): a file committed since
-    // the snapshot conflicts UNLESS its logged key bounds prove it is
-    // disjoint from the change keys' [min, max] envelope — its rows could
-    // carry a change key this merge matched against the OLD base, and
-    // re-committing would silently duplicate or miss them. Conservative
-    // by construction: unparseable bounds conflict; the envelope (not the
-    // exact key set) may over-reject, never under-reject.
-    val chKeyMin = kstat.get(3)
-    val chKeyMax = kstat.get(4)
-    def disjointFromChanges(lo: Any, hi: Any): Boolean = keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        val (l, h) = (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].longValue,
-          chKeyMax.asInstanceOf[Number].longValue)
-        h < cl || l > ch0
-      case FloatType | DoubleType =>
-        val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].doubleValue,
-          chKeyMax.asInstanceOf[Number].doubleValue)
-        h < cl || l > ch0
-      case _ =>
-        val (l, h) = (lo.asInstanceOf[String], hi.asInstanceOf[String])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[String], chKeyMax.asInstanceOf[String])
-        h < cl || l > ch0
-    }
-    val appendProbe: Map[String, (Long, Map[String, String])] => Seq[String] = {
-      appended =>
-        if (appended.isEmpty) Nil
-        else {
-          val headStats = DeltaCatalog.statsByRaw(spark, tablePath)
-          appended.keys.toSeq.sorted.filterNot { raw =>
-            typedBounds(headStats)(raw).exists { case (lo, hi) =>
-              disjointFromChanges(lo, hi)
-            }
-          }
-        }
-    }
+    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning,
+      kstat.get(3), kstat.get(4))
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
       txn = txn, concurrentAddConflicts = appendProbe,
       operationParams = Map("key" -> keyCol), cdcAdds = cdcAdds)
+  }
+
+  /** APPLY a CHANGE-FEED dialect change set — the table's columns plus
+    * `_change_type` ('insert' | 'update_preimage' | 'update_postimage' |
+    * 'delete') and optionally `_commit_version` — to the table: MERGE
+    * generalized with a DELETE leg, consuming [[deltaChangeFeed]] /
+    * `graft-delta-cdf` output directly. This is the CDC-apply half of
+    * log-based replication: tail a source table's feed, apply it here,
+    * and the tables converge.
+    *
+    * NETTING: `update_preimage` rows are informational and dropped; when
+    * `_commit_version` is present, the LAST change per key wins (an
+    * earlier insert then later delete nets to the delete). After netting
+    * each key must be unique and non-null — two changes to one key at the
+    * same version is the same ambiguity error as MERGE's duplicate keys.
+    * A netted 'delete' whose key is absent from the table is a NO-OP
+    * (CDC replay is idempotent), never an error.
+    *
+    * Same 100 TB shape as [[deltaMerge]]: candidate files come from the
+    * net keys joined against the log's per-file key ranges (an apply
+    * touching 3 keys rewrites ~3 files, not the table), one conflict-
+    * checked commit, SetTransaction idempotence via `txn` for exactly-once
+    * streaming apply, and CDF capture on THIS table when it opted in
+    * (deletes ship the base row as 'delete', updates pre+post, inserts
+    * insert — a replica's replica stays consistent). Returns the
+    * committed version. */
+  def deltaApplyChanges(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.types._
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    txn.foreach { case (appId, txnVer) =>
+      if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
+        return DeltaCatalog.latestVersion(spark, logDir)
+    }
+    if (!changes.columns.contains("_change_type"))
+      throw new BuzzException.BadRequest(
+        "deltaApplyChanges: changes carry no _change_type column — for a " +
+          "plain keyed upsert use deltaMerge")
+    val snapVer = DeltaCatalog.latestVersion(spark, logDir)
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_apply",
+      versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
+    val partitionCols = cat.partitionColumns
+    if (!cat.schema.fieldNames.contains(keyCol))
+      throw new BuzzException.BadRequest(
+        s"apply key '$keyCol' is not a data column of $tablePath " +
+          s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
+    val hasVer = changes.columns.contains("_commit_version")
+    val ch0 = partitionCols.foldLeft(changes)((d, c) =>
+      d.withColumn(c, col(c).cast("string")))
+    val metaCols = Seq("_change_type") ++ (if (hasVer) Seq("_commit_version") else Nil)
+    val incoming = ch0.schema.fields
+      .filterNot(f => partitionCols.contains(f.name) || metaCols.contains(f.name))
+      .map(f => f.name -> f.dataType.sql).toSeq
+    val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+    if (incoming != declared || !partitionCols.forall(ch0.columns.contains))
+      throw new BuzzException.SchemaMismatch(
+        s"apply changes schema ${incoming.mkString(",")} does not match " +
+          s"$tablePath's metaData ${declared.mkString(",")} " +
+          s"(+ partition cols ${partitionCols.mkString(",")})")
+    val badTypes = ch0.select(col("_change_type")).distinct().collect()
+      .map(_.getString(0))
+      .filterNot(Set("insert", "update_preimage", "update_postimage", "delete"))
+    if (badTypes.nonEmpty)
+      throw new BuzzException.BadRequest(
+        s"deltaApplyChanges: unknown _change_type value(s) ${badTypes.sorted.mkString(", ")}")
+    // NET the feed: preimages drop, then the last change per key wins
+    val nonPre = ch0.filter(col("_change_type") =!= "update_preimage")
+    val last =
+      if (!hasVer) nonPre
+      else {
+        val vmax = nonPre.groupBy(col(keyCol).as("__k"))
+          .agg(max(col("_commit_version")).as("__vmax"))
+        nonPre.join(vmax,
+          col(keyCol) === col("__k") && col("_commit_version") === col("__vmax"))
+          .drop("__k", "__vmax")
+      }
+    // key discipline over the NET set: nulls never match; a key still
+    // duplicated after netting (same winning version, or no version
+    // column) is ambiguous, exactly like MERGE
+    val kstat = last.agg(
+      count(lit(1)), countDistinct(col(keyCol)),
+      count(when(col(keyCol).isNull, 1)),
+      min(col(keyCol)), max(col(keyCol))).head()
+    if (kstat.getLong(2) > 0)
+      throw new BuzzException.BadRequest(
+        s"apply changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
+    if (kstat.getLong(0) != kstat.getLong(1))
+      throw new BuzzException.BadRequest(
+        s"apply changes net to duplicate '$keyCol' keys " +
+          s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous")
+    if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
+
+    val pruning = pruneCandidatesByKey(spark, tablePath, snapVer, cat,
+      last.select(col(keyCol).as("__k")).distinct(), keyCol)
+
+    // generalized copy-on-write: matched delete drops the row, matched
+    // upsert replaces it, unmatched upsert inserts, unmatched delete
+    // no-ops. Untouched files never enter the plan.
+    val outCols = cat.schema.fieldNames.toSeq ++ partitionCols
+    val baseCand = cat.read(spark, pruning.candFiles)
+      .select(outCols.map(col): _*).as("b")
+    val chAll = last.select((outCols :+ "_change_type").map(col): _*).as("c")
+    val rewritten = baseCand
+      .join(chAll, col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .filter(col("c._change_type").isNull || col("c._change_type") =!= "delete")
+      .select(outCols.map(n =>
+        when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
+          .otherwise(col(s"b.$n")).as(n)): _*)
+    val adds = stageIntoTable(rewritten, tablePath, partitionCols, cat.physicalNames)
+    // CDF capture on THIS table: updates ship pre+post, inserts insert,
+    // matched deletes ship the BASE row as 'delete' — bounded by the
+    // candidates and the change set, never the table
+    val cdcAdds =
+      if (!cdfActive(spark, tablePath, if (snapVer >= 0) Some(snapVer) else None)) Nil
+      else {
+        val baseRows = cat.read(spark, pruning.candFiles).select(outCols.map(col): _*)
+        val ups = last.filter(col("_change_type") =!= "delete")
+          .select(outCols.map(col): _*)
+        val delKeys = last.filter(col("_change_type") === "delete")
+          .select(col(keyCol))
+        val pre = baseRows.join(ups.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = ups.join(baseRows.select(col(keyCol)), Seq(keyCol), "inner")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = ups.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val del = baseRows.join(delKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("delete"))
+        stageChangeData(spark, tablePath, partitionCols, cat.physicalNames,
+          pre.unionByName(post).unionByName(ins).unionByName(del)
+            .select((outCols :+ "_change_type").map(col): _*))
+      }
+    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning,
+      kstat.get(3), kstat.get(4))
+    commitRewrite(spark, tablePath, adds, pruning.candRaws,
+      StructType(cat.schema.fields), "apply changes to",
+      snapshotVersion = snapVer, txn = txn,
+      concurrentAddConflicts = appendProbe,
+      operationParams = Map("key" -> keyCol), cdcAdds = cdcAdds)
+  }
+
+  /** REPLICATE `srcPath` into `dstPath` by tailing the source's row-level
+    * change feed — log-based CDC replication, the batch twin of
+    * `graft-delta-cdf` → [[deltaApplyChanges]]:
+    *
+    *   - first call BOOTSTRAPS: one snapshot read of src at its head,
+    *     appended into a fresh dst (same partitioning);
+    *   - each later call reads ONLY the feed of (lastApplied, srcHead] —
+    *     [[deltaChangeFeed]], bounded by the new commits' changes, never
+    *     the table — nets it and applies it in ONE commit;
+    *   - the applied-through src version rides the dst commit as a
+    *     SetTransaction (`appId = "graft-replicate:" + srcPath`), so the
+    *     watermark is ATOMIC with the data: a crashed/replayed call can
+    *     never double-apply (idempotence), and calling with nothing new
+    *     is a no-op;
+    *   - a dst that exists WITHOUT the watermark fails loudly (it is not
+    *     this source's replica — applying a feed to it would corrupt it).
+    *
+    * Row-level DML on src must have been CDF-captured
+    * (`delta.enableChangeDataFeed`) — a rewrite commit without cdc
+    * actions fails loudly in the feed, naming the fix. Returns dst's
+    * committed version (or its head when already caught up). */
+  def deltaReplicate(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCol: String): Long = {
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    val appId = s"graft-replicate:$srcPath"
+    val srcHead = DeltaCatalog.latestVersion(spark, s"$srcPath/_delta_log")
+    if (srcHead < 0)
+      throw new BuzzException.BadRequest(
+        s"deltaReplicate: source $srcPath has no Delta log")
+    val dstHead = DeltaCatalog.latestVersion(spark, s"$dstPath/_delta_log")
+    if (dstHead < 0) {
+      // bootstrap: snapshot at srcHead, watermark atomic with the data
+      val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__replicate_src",
+        versionAsOf = Some(srcHead))
+      return deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
+        partitionCols = srcCat.partitionColumns,
+        txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP")
+    }
+    val applied = DeltaCatalog.lastTxnVersion(spark, dstPath, appId).getOrElse(
+      throw new BuzzException.BadRequest(
+        s"deltaReplicate: $dstPath exists but carries no '$appId' " +
+          "watermark — it is not a replica of this source; replicate " +
+          "into a fresh path (or drop the table) instead"))
+    if (applied >= srcHead) return dstHead
+    val feed = deltaChangeFeed(spark, srcPath, applied, srcHead)
+    deltaApplyChanges(spark, dstPath, feed, keyCol, txn = Some((appId, srcHead)))
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with
@@ -1765,13 +2033,14 @@ object Sinks {
         "dataChange" -> JBool(false))))
     }
     val operation = opName match {
-      case "merge"     => "MERGE"
-      case "delete"    => "DELETE"
-      case "dv-delete" => "DELETE"
-      case "update"    => "UPDATE"
-      case "optimize"  => "OPTIMIZE"
-      case "zorder"    => "OPTIMIZE ZORDER"
-      case other       => other.toUpperCase(java.util.Locale.ROOT)
+      case "merge"            => "MERGE"
+      case "delete"           => "DELETE"
+      case "dv-delete"        => "DELETE"
+      case "update"           => "UPDATE"
+      case "optimize"         => "OPTIMIZE"
+      case "zorder"           => "OPTIMIZE ZORDER"
+      case "apply changes to" => "APPLY CHANGES"
+      case other              => other.toUpperCase(java.util.Locale.ROOT)
     }
     val info = commitInfoAction(operation,
       if (opName == "dv-delete") operationParams + ("mode" -> "merge-on-read")

@@ -253,8 +253,12 @@ object DeltaCatalog {
     *
     * Driver bound, MEASURED (SCALEPROBE replay_* rows, synthetic
     * checkpoint with realistic per-add stats JSON): ~2.3 s / ~43 MB
-    * retained at 10^5 live files, ~18 s / ~430 MB at 10^6 — LINEAR in the
-    * live-file count, dominated by the add entries' stats strings. The
+    * retained at 10^5 live files, ~18 s at 10^6 — LINEAR in the
+    * live-file count, dominated by the add entries' stats strings.
+    * Retention at 10^6 is ~430 MB for the State alone and ~700 MB while
+    * BOTH the memo's cached State and a live catalog's derived file list
+    * are reachable (the r11-measured 735 MB row) — the memo's price for
+    * never re-replaying; SoftReferences yield it under heap pressure. The
     * checkpoint read is projected to the four consumed action columns
     * (metaData/add/txn/protocol), so a foreign checkpoint's expired
     * remove tombstones never reach the driver. This driver-resident shape

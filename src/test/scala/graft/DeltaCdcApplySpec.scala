@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.BuzzException
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** CDC apply ([[Sinks.deltaApplyChanges]]) and log-based replication
+  * ([[Sinks.deltaReplicate]]): feed-dialect netting, the delete leg,
+  * SetTransaction idempotence, candidate-file pruning, CDF re-capture on
+  * the replica, and src→dst convergence across row-level DML. */
+class DeltaCdcApplySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def liveMap(dir: String): Map[Long, Long] = {
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "apply_read")
+    cat.read(spark, cat.files).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** ids 0-9 (v0, one file) and 10-19 (v1, one file). */
+  private def twoFileTable(dir: String): Unit = {
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+  }
+
+  test("apply: upserts replace/insert, deletes drop, absent-key delete no-ops") {
+    val dir = tmpDir("apply_basic")
+    twoFileTable(dir)
+    val changes = Seq(
+      (5L, 500L, "update_postimage"),
+      (5L, 10L, "update_preimage"), // informational — dropped by netting
+      (100L, 1L, "insert"),
+      (7L, 0L, "delete"),
+      (999L, 0L, "delete")          // absent key: no-op, not an error
+    ).toDF("id", "v", "_change_type")
+    Sinks.deltaApplyChanges(spark, dir, changes, "id")
+    val live = liveMap(dir)
+    assert(live(5L) === 500L)
+    assert(live(100L) === 1L)
+    assert(!live.contains(7L))
+    assert(live.size === 20) // 20 - 1 delete + 1 insert
+  }
+
+  test("apply nets by _commit_version: the LAST change per key wins") {
+    val dir = tmpDir("apply_net")
+    twoFileTable(dir)
+    val changes = Seq(
+      // id 3: updated at v5 then DELETED at v7 — nets to the delete
+      (3L, 300L, "update_postimage", 5L),
+      (3L, 0L, "delete", 7L),
+      // id 4: deleted at v5 then RE-INSERTED at v7 — nets to the insert
+      (4L, 0L, "delete", 5L),
+      (4L, 444L, "insert", 7L),
+      // id 6: two updates — the later one wins
+      (6L, 60L, "update_postimage", 5L),
+      (6L, 600L, "update_postimage", 7L)
+    ).toDF("id", "v", "_change_type", "_commit_version")
+    Sinks.deltaApplyChanges(spark, dir, changes, "id")
+    val live = liveMap(dir)
+    assert(!live.contains(3L))
+    assert(live(4L) === 444L)
+    assert(live(6L) === 600L)
+    assert(live.size === 19)
+  }
+
+  test("apply rejects duplicate net keys, null keys, and unknown change types") {
+    val dir = tmpDir("apply_dup")
+    twoFileTable(dir)
+    val dup = Seq((5L, 1L, "insert"), (5L, 2L, "insert"))
+      .toDF("id", "v", "_change_type")
+    val e1 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, dup, "id"))
+    assert(e1.getMessage.contains("duplicate"))
+    val nul = Seq((Option.empty[Long], 1L, "insert"))
+      .toDF("id", "v", "_change_type")
+    val e2 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, nul, "id"))
+    assert(e2.getMessage.contains("NULL"))
+    val bad = Seq((5L, 1L, "upsert")).toDF("id", "v", "_change_type")
+    val e3 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, bad, "id"))
+    assert(e3.getMessage.contains("unknown _change_type"))
+  }
+
+  test("apply is exactly-once under the SetTransaction handshake") {
+    val dir = tmpDir("apply_txn")
+    twoFileTable(dir)
+    val changes = Seq((5L, 500L, "update_postimage")).toDF("id", "v", "_change_type")
+    val v1 = Sinks.deltaApplyChanges(spark, dir, changes, "id",
+      txn = Some(("app1", 10L)))
+    // replayed batch: same (appId, version) — skipped, version unchanged
+    val v2 = Sinks.deltaApplyChanges(spark, dir,
+      Seq((5L, 999L, "update_postimage")).toDF("id", "v", "_change_type"),
+      "id", txn = Some(("app1", 10L)))
+    assert(v2 === v1)
+    assert(liveMap(dir)(5L) === 500L)
+  }
+
+  test("apply prunes: a 2-key change set rewrites only the files that can hold them") {
+    val dir = tmpDir("apply_prune")
+    // four single-file commits with disjoint id ranges
+    (0 until 4).foreach(i =>
+      Sinks.deltaAppend(
+        (i * 10L until (i + 1) * 10L).map(j => (j, j)).toDF("id", "v").coalesce(1), dir))
+    val head = Sinks.deltaApplyChanges(spark, dir,
+      Seq((5L, 500L, "update_postimage"), (35L, 0L, "delete"))
+        .toDF("id", "v", "_change_type"), "id")
+    // the APPLY commit must remove exactly the two candidate files
+    val removed = graft.sources.FsUtil
+      .readString(spark, f"$dir/_delta_log/$head%020d.json")
+      .linesIterator.count(_.contains("\"remove\""))
+    assert(removed === 2, s"expected 2 rewritten files, got $removed")
+    val live = liveMap(dir)
+    assert(live(5L) === 500L && !live.contains(35L) && live.size === 39)
+  }
+
+  test("apply re-captures CDF on a feed-enabled table (deletes ship the base row)") {
+    val dir = tmpDir("apply_cdf")
+    twoFileTable(dir)
+    Sinks.deltaSetProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true")) // v2
+    val v = Sinks.deltaApplyChanges(spark, dir, Seq(
+      (5L, 500L, "update_postimage"),
+      (100L, 1L, "insert"),
+      (7L, 0L, "delete")).toDF("id", "v", "_change_type"), "id") // v3
+    val rows = Sinks.deltaChangeFeed(spark, dir, v - 1, v)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows === Seq(
+      ("delete", 7L, 14L),
+      ("insert", 100L, 1L),
+      ("update_postimage", 5L, 500L),
+      ("update_preimage", 5L, 10L)))
+  }
+
+  test("replicate: bootstrap, incremental DML convergence, caught-up no-op") {
+    val src = tmpDir("repl_src")
+    val dst = tmpDir("repl_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    // bootstrap ships the snapshot
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    assert(liveMap(dst) === liveMap(src))
+    // row-level DML on src: update + insert (MERGE), then a delete
+    Sinks.deltaMerge(spark, src,
+      Seq((5L, 500L), (100L, 1L)).toDF("id", "v"), "id")
+    Sinks.deltaDeleteWhere(spark, src, "id = 8")
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    val srcLive = liveMap(src)
+    assert(liveMap(dst) === srcLive)
+    assert(srcLive(5L) === 500L && srcLive(100L) === 1L && !srcLive.contains(8L))
+    // caught up: a third call commits nothing
+    val before = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    assert(Sinks.deltaReplicate(spark, src, dst, "id") === before)
+    assert(DeltaCatalog.latestVersion(spark, s"$dst/_delta_log") === before)
+  }
+
+  test("replicate survives an OPTIMIZE on src (ships nothing) and refuses a foreign dst") {
+    val src = tmpDir("repl_opt_src")
+    val dst = tmpDir("repl_opt_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    Sinks.deltaOptimize(spark, src, targetBytes = 1L << 30)
+    Sinks.deltaAppend(Seq((20L, 40L)).toDF("id", "v"), src)
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    assert(liveMap(dst) === liveMap(src))
+    assert(liveMap(dst).size === 21)
+    // a table that is NOT this source's replica must be refused
+    val foreign = tmpDir("repl_foreign")
+    Sinks.deltaAppend(Seq((1L, 1L)).toDF("id", "v"), foreign)
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaReplicate(spark, src, foreign, "id"))
+    assert(e.getMessage.contains("watermark"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sinks
+import graft.sources.DeltaCatalog
+
+/** The streaming change feed (`graft-delta-cdf`): row-level changes per
+  * version span, authoritative `_change_data` reads for CDF commits,
+  * derived inserts/deletes otherwise, exactly-once across restarts, and
+  * streaming REPLICATION end to end (source feed → foreachBatch
+  * [[Sinks.deltaApplyChanges]] with the txn handshake). */
+class DeltaCdfStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def runOnce(dir: String, ckpt: String, name: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft-delta-cdf").option("path", dir)
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def runDurable(dir: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def changeRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+    df.select(col("_commit_version"), col("_change_type"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+  test("inserts, update images, and deletes stream with exact values and versions") {
+    val dir = tmpDir("cdfs_basic")
+    val ckpt = tmpDir("cdfs_basic_ckpt")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v"), dir) // v0
+    Sinks.deltaSetProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                              // v1
+    Sinks.deltaMerge(spark, dir, Seq((5L, 500L), (100L, 1L)).toDF("id", "v"), "id") // v2
+    Sinks.deltaDeleteWhere(spark, dir, "id = 8")                                // v3
+    runOnce(dir, ckpt, "cdfs_basic")
+    val rows = changeRows(spark.table("cdfs_basic"))
+    assert(rows.filter(_._1 == 0L) ===
+      (0L until 10L).map(i => (0L, "insert", i, i * 2)))
+    assert(rows.filter(_._1 >= 2L) === Seq(
+      (2L, "insert", 100L, 1L),
+      (2L, "update_postimage", 5L, 500L),
+      (2L, "update_preimage", 5L, 10L),
+      (3L, "delete", 8L, 16L)))
+  }
+
+  test("restart resumes exactly-once; OPTIMIZE ships nothing") {
+    val dir = tmpDir("cdfs_restart")
+    val ckpt = tmpDir("cdfs_restart_ckpt")
+    val out = tmpDir("cdfs_restart_out")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)   // v0
+    runDurable(dir, ckpt, out)
+    // while the query is down: CDF on, compaction, an update, an append
+    Sinks.deltaSetProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                            // v1
+    Sinks.deltaOptimize(spark, dir, targetBytes = 1L << 30)                   // v2
+    Sinks.deltaUpdate(spark, dir, "id = 3", Map("v" -> "v + 100"))            // v3
+    Sinks.deltaAppend(Seq((10L, 10L)).toDF("id", "v"), dir)                   // v4
+    runDurable(dir, ckpt, out)
+    runDurable(dir, ckpt, out) // nothing new: zero rows
+    val rows = changeRows(spark.read.parquet(out))
+    assert(rows.count(_._1 == 0L) === 10)       // initial snapshot once
+    assert(rows.count(_._1 == 2L) === 0)        // OPTIMIZE invisible
+    assert(rows.filter(_._1 == 3L) === Seq(
+      (3L, "update_postimage", 3L, 103L),
+      (3L, "update_preimage", 3L, 3L)))
+    assert(rows.filter(_._1 == 4L) === Seq((4L, "insert", 10L, 10L)))
+    assert(rows.size === 13)
+  }
+
+  test("startingVersion skips history; maxFilesPerTrigger paces spans") {
+    val dir = tmpDir("cdfs_pace")
+    val ckpt = tmpDir("cdfs_pace_ckpt")
+    (0 until 3).foreach(i =>
+      Sinks.deltaAppend(
+        (i * 10L until (i + 1) * 10L).map(j => (j, j)).toDF("id", "v").coalesce(1), dir))
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdfs_pace")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("cdfs_pace").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (10L until 30L)) // v0 skipped
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 2, s"expected 2 paced batches, got $dataBatches")
+  }
+
+  test("a rewrite commit without cdc actions fails the query loudly") {
+    val dir = tmpDir("cdfs_rewrite")
+    val ckpt = tmpDir("cdfs_rewrite_ckpt")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)
+    // CDF never enabled: this merge rewrites rows with no recorded feed
+    Sinks.deltaMerge(spark, dir, Seq((5L, 500L)).toDF("id", "v"), "id")
+    val e = intercept[StreamingQueryException](runOnce(dir, ckpt, "cdfs_rw"))
+    assert(e.getCause.getMessage.contains("without"),
+      s"unexpected: ${e.getCause.getMessage}")
+  }
+
+  test("schema evolution: mid-RUN fails loudly; a fresh stream conforms old eras") {
+    val dir = tmpDir("cdfs_evolve")
+    Sinks.deltaAppend((0L until 5L).map(i => (i, i)).toDF("id", "v"), dir) // v0
+    // evolution landing WHILE the query runs: the run's schema is pinned
+    // at start, so the evolved batch must fail loudly — silently
+    // projecting the new column away would corrupt a replica applying
+    // this feed
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("cdfs_evolving")
+      .option("checkpointLocation", tmpDir("cdfs_evolve_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable() // ships v0's inserts under (id, v)
+      Sinks.deltaAppend(Seq((5L, 5L, 99L)).toDF("id", "v", "extra"), dir,
+        mergeSchema = true) // v1 evolves mid-run
+      val e = intercept[StreamingQueryException](q.processAllAvailable())
+      assert(e.getMessage.contains("evolved mid-stream") ||
+        e.getCause.getMessage.contains("evolved mid-stream"))
+    } finally q.stop()
+    // a FRESH stream (pinned to the evolved schema) replays the pre-
+    // evolution era's changes with the missing column conformed to null
+    val ckpt2 = tmpDir("cdfs_evolve_ckpt2")
+    val out2 = tmpDir("cdfs_evolve_out2")
+    runDurable(dir, ckpt2, out2)
+    val rows = spark.read.parquet(out2)
+    assert(rows.count() === 6)
+    assert(rows.filter(col("_change_type") === "insert").count() === 6)
+    assert(rows.filter(col("extra").isNotNull).count() === 1)
+  }
+
+  test("streaming replication: feed → apply with the txn handshake, exactly-once") {
+    val src = tmpDir("cdfs_repl_src")
+    val dst = tmpDir("cdfs_repl_dst") + "/replica"
+    val ckpt = tmpDir("cdfs_repl_ckpt")
+    Sinks.deltaAppend((0L until 20L).map(i => (i, i * 2)).toDF("id", "v"), src) // v0
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))                              // v1
+    // replica bootstrap (batch), then the live leg applies the feed
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    val startV = DeltaCatalog.latestVersion(spark, s"$src/_delta_log") + 1
+    def runRepl(): Unit = {
+      val q = spark.readStream.format("graft-delta-cdf").option("path", src)
+        .option("startingVersion", startV.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Sinks.deltaApplyChanges(spark, dst,
+            batch, "id", txn = Some((s"cdfs-repl:$src", batchId)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Sinks.deltaMerge(spark, src, Seq((5L, 500L), (100L, 1L)).toDF("id", "v"), "id")
+    runRepl()
+    // downtime DML, then a resumed run catches up exactly-once
+    Sinks.deltaDeleteWhere(spark, src, "id = 8")
+    Sinks.deltaUpdate(spark, src, "id = 6", Map("v" -> "v + 1"))
+    runRepl()
+    def live(dir: String): Map[Long, Long] = {
+      val cat = DeltaCatalog.fromDeltaLog(spark, dir, "repl_cmp")
+      cat.read(spark, cat.files).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val s = live(src)
+    assert(live(dst) === s)
+    assert(s(5L) === 500L && s(100L) === 1L && s(6L) === 13L && !s.contains(8L))
+  }
+}
