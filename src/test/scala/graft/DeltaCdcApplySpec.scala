@@ -166,6 +166,29 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(DeltaCatalog.latestVersion(spark, s"$dst/_delta_log") === before)
   }
 
+  test("replicate a PARTITIONED source, partition-moving update included") {
+    val src = tmpDir("repl_part_src")
+    val dst = tmpDir("repl_part_dst") + "/replica"
+    Sinks.deltaAppend(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a")).toDF("id", "v", "p"),
+      src, Seq("p"))
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    // id=1 MOVES partition a -> b (value update too); id=2 deleted
+    Sinks.deltaMerge(spark, src, Seq((1L, 11L, "b")).toDF("id", "v", "p"), "id")
+    Sinks.deltaDeleteWhere(spark, src, "id = 2")
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    def rows(dir: String): Set[(Long, Long, String)] = {
+      val cat = DeltaCatalog.fromDeltaLog(spark, dir, "repl_part_read")
+      cat.read(spark, cat.files).select(col("id"), col("v"), col("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val s = rows(src)
+    assert(rows(dst) === s)
+    assert(s === Set((1L, 11L, "b"), (3L, 30L, "a")))
+  }
+
   test("replicate survives an OPTIMIZE on src (ships nothing) and refuses a foreign dst") {
     val src = tmpDir("repl_opt_src")
     val dst = tmpDir("repl_opt_dst") + "/replica"
