@@ -2327,6 +2327,46 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // RESYNC FALLBACK (deltaReplicate → deltaResync): a RESTORE lands on
+    // the source mid-replication — its rewrite commit records no
+    // row-level feed, so replicate detects the inexpressible span (one
+    // tail-IO pass over the commit JSONs) and falls back to the KEYED
+    // SNAPSHOT DIFF: both snapshots scanned once, src-only rows insert,
+    // dst-only delete, differing update, applied candidate-file-bounded
+    // under the same watermark. The replica aggregate equals the
+    // relational derivation iff the replica converged THROUGH the
+    // restore (first merge rolled back, second merge + delete kept).
+    "sink_delta_resync" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.{DeltaCatalog, FsUtil}
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltaresyncsrc_$key"
+      val dst = s"$tmp/graft_deltaresyncdst_$key"
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), src)
+      Sinks.deltaSetProperties(s, src,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), src)
+      Sinks.deltaReplicate(s, src, dst, "doc_id") // bootstrap
+      val preMerge = DeltaCatalog.latestVersion(s, s"$src/_delta_log")
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      Sinks.deltaRestore(s, src, preMerge) // rolls the merge back, no cdc
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 1)
+          .withColumn("n_chars", col("n_chars") + 2000), "doc_id")
+      Sinks.deltaDeleteWhere(s, src, "doc_id % 10 = 7")
+      Sinks.deltaReplicate(s, src, dst, "doc_id") // span inexpressible → resync
+      val cat = DeltaCatalog.fromDeltaLog(s, dst, "resync_out")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // STREAMING CHANGE FEED (graft-delta-cdf): the row-level feed as a
     // live source across TWO runs — run 1 ships the initial snapshot as
     // inserts; while the query is down a CDF-captured MERGE update, a
@@ -5672,6 +5712,15 @@ object SparkEntry {
     "sink_delta_replicate" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 10 <> 7 GROUP BY source""".stripMargin,
+    // replicate across a RESTORE: the first merge (+1000 on %10=4) is
+    // rolled back by the restore, the second (+2000 on %10=1) and the
+    // delete (%10=7) land after — the resync fallback must converge to
+    // exactly that state
+    "sink_delta_resync" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN n_chars + 2000
         |                ELSE n_chars END) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 10 <> 7 GROUP BY source""".stripMargin,
     // the streaming change feed across a restart: the initial snapshot

@@ -1929,8 +1929,94 @@ object Sinks {
           "watermark — it is not a replica of this source; replicate " +
           "into a fresh path (or drop the table) instead"))
     if (applied >= srcHead) return dstHead
-    val feed = deltaChangeFeed(spark, srcPath, applied, srcHead)
-    deltaApplyChanges(spark, dstPath, feed, keyCol, txn = Some((appId, srcHead)))
+    // is the span's ROW-LEVEL feed expressible? A commit that rewrites
+    // rows WITHOUT cdc actions — a RESTORE, or row-level DML from before
+    // delta.enableChangeDataFeed — has no recorded feed; fall back to the
+    // keyed SNAPSHOT DIFF, which is correct across any history (one
+    // tail-IO pass over the span's commit JSONs decides, deterministic —
+    // no exception-driven control flow)
+    val expressible = ((applied + 1) to srcHead).forall { v =>
+      val ca = parseCommitActions(spark, srcPath, v)
+      ca.cdcs.nonEmpty || !(ca.adds.exists(_._5) && ca.removes.exists(_._2))
+    }
+    if (expressible) {
+      val feed = deltaChangeFeed(spark, srcPath, applied, srcHead)
+      deltaApplyChanges(spark, dstPath, feed, keyCol, txn = Some((appId, srcHead)))
+    } else
+      deltaResync(spark, srcPath, dstPath, keyCol)
+  }
+
+  /** CONVERGE `dstPath` to `srcPath`'s current snapshot by KEYED DIFF —
+    * the repair leg of replication, correct across ANY source history
+    * (RESTORE, row-level DML from before CDF enablement, or a replica
+    * someone wrote to directly): read both snapshots ONCE, full-outer on
+    * the key, emit the MINIMAL change set (src-only rows insert, dst-only
+    * rows delete, null-safe-differing rows update), and apply it in one
+    * commit under the same `graft-replicate:` watermark
+    * [[deltaReplicate]] uses — the two compose freely, and replicate
+    * itself falls back to this when a feed span is not CDC-expressible.
+    *
+    * Cost is one scan of EACH snapshot plus a key-shuffled join — the
+    * feed path is cheaper when available (bounded by the changes); this
+    * is the path whose cost is bounded by the TABLES. The apply still
+    * rewrites only candidate files, so an almost-converged resync
+    * commits almost nothing. DESTRUCTIVE toward dst by design (dst-only
+    * rows are deleted); calling it directly on a non-replica adopts the
+    * table as a replica (stamps the watermark). A src whose keys are not
+    * unique fails in the apply's key discipline. Returns dst's committed
+    * version (or its head when nothing differs). */
+  def deltaResync(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCol: String): Long = {
+    import graft.sources.DeltaCatalog
+    import graft.model.BuzzException
+    val appId = s"graft-replicate:$srcPath"
+    val srcHead = DeltaCatalog.latestVersion(spark, s"$srcPath/_delta_log")
+    if (srcHead < 0)
+      throw new BuzzException.BadRequest(
+        s"deltaResync: source $srcPath has no Delta log")
+    if (DeltaCatalog.latestVersion(spark, s"$dstPath/_delta_log") < 0) {
+      val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
+        versionAsOf = Some(srcHead))
+      return deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
+        partitionCols = srcCat.partitionColumns,
+        txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP")
+    }
+    val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
+      versionAsOf = Some(srcHead))
+    val dstCat = DeltaCatalog.fromDeltaLog(spark, dstPath, "__resync_dst")
+    val cols: Seq[String] =
+      dstCat.schema.fieldNames.toSeq ++ dstCat.partitionColumns
+    val missing = cols.filterNot(srcCat.read(spark, Nil).columns.contains)
+    if (missing.nonEmpty)
+      throw new BuzzException.SchemaMismatch(
+        s"deltaResync: source $srcPath lacks replica column(s) " +
+          s"${missing.mkString(", ")}")
+    val sDf = srcCat.read(spark, srcCat.files).select(cols.map(col): _*).as("s")
+    val dDf = dstCat.read(spark, dstCat.files).select(cols.map(col): _*).as("d")
+    val sKey = col(s"s.$keyCol")
+    val dKey = col(s"d.$keyCol")
+    // null-safe comparison: a column differing only in nullness differs
+    val differs = cols.filterNot(_ == keyCol)
+      .map(c => !(col(s"s.$c") <=> col(s"d.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changes = sDf
+      .join(dDf, sKey === dKey, "full_outer")
+      .select(cols.map(c =>
+        when(sKey.isNotNull, col(s"s.$c")).otherwise(col(s"d.$c")).as(c)) :+
+        when(dKey.isNull, lit("insert"))
+          .when(sKey.isNull, lit("delete"))
+          .when(differs, lit("update_postimage"))
+          .otherwise(lit(null)).as("_change_type"): _*)
+      .filter(col("_change_type").isNotNull)
+    // the SetTransaction guard protects ADVANCING spans from replay; a
+    // repair at an src version already stamped (drift at an unchanged
+    // source) must still apply — pass no txn, the watermark is already
+    // current
+    val alreadyStamped =
+      DeltaCatalog.lastTxnVersion(spark, dstPath, appId).exists(_ >= srcHead)
+    deltaApplyChanges(spark, dstPath, changes, keyCol,
+      txn = if (alreadyStamped) None else Some((appId, srcHead)))
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with

@@ -189,6 +189,60 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(s === Set((1L, 11L, "b"), (3L, 30L, "a")))
   }
 
+  test("replicate falls back to keyed resync across a RESTORE on src") {
+    val src = tmpDir("repl_restore_src")
+    val dst = tmpDir("repl_restore_dst") + "/replica"
+    twoFileTable(src) // v0, v1
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true")) // v2
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    Sinks.deltaMerge(spark, src, Seq((5L, 500L)).toDF("id", "v"), "id") // v3
+    val preMerge = 2L
+    Sinks.deltaRestore(spark, src, preMerge) // v4: rewrite WITHOUT cdc
+    Sinks.deltaMerge(spark, src, Seq((6L, 600L)).toDF("id", "v"), "id") // v5
+    // the span (2, 5] contains the restore — feed not expressible, the
+    // keyed snapshot diff must converge the replica anyway
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    val s = liveMap(src)
+    assert(liveMap(dst) === s)
+    assert(s(5L) === 10L, "restore rolled the first merge back")
+    assert(s(6L) === 600L)
+    // and the watermark advanced: a follow-up call is a no-op
+    val before = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    assert(Sinks.deltaReplicate(spark, src, dst, "id") === before)
+  }
+
+  test("replicate of a NEVER-CDF source resyncs instead of failing") {
+    val src = tmpDir("repl_nocdf_src")
+    val dst = tmpDir("repl_nocdf_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    // row-level DML with no CDF: the span's feed is not recorded
+    Sinks.deltaMerge(spark, src, Seq((5L, 500L), (100L, 1L)).toDF("id", "v"), "id")
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    assert(liveMap(dst) === liveMap(src))
+    assert(liveMap(dst)(5L) === 500L)
+  }
+
+  test("deltaResync repairs a replica someone wrote to directly") {
+    val src = tmpDir("resync_src")
+    val dst = tmpDir("resync_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaResync(spark, src, dst, "id") // bootstrap leg
+    assert(liveMap(dst) === liveMap(src))
+    // drift: a foreign row lands on the replica, a real row vanishes
+    Sinks.deltaAppend(Seq((999L, 9L)).toDF("id", "v"), dst)
+    Sinks.deltaDeleteWhere(spark, dst, "id = 3")
+    val v = Sinks.deltaResync(spark, src, dst, "id")
+    assert(liveMap(dst) === liveMap(src))
+    // minimal apply: the repair commit nets exactly 2 changes (the
+    // foreign row deleted, id=3 re-inserted) — candidate-file bounded
+    val removed = graft.sources.FsUtil
+      .readString(spark, f"$dst/_delta_log/$v%020d.json")
+      .linesIterator.count(_.contains("\"remove\""))
+    assert(removed <= 2, s"resync rewrote $removed files for a 2-row drift")
+  }
+
   test("replicate survives an OPTIMIZE on src (ships nothing) and refuses a foreign dst") {
     val src = tmpDir("repl_opt_src")
     val dst = tmpDir("repl_opt_dst") + "/replica"
