@@ -1941,9 +1941,51 @@ object Sinks {
     }
     if (expressible) {
       val feed = deltaChangeFeed(spark, srcPath, applied, srcHead)
-      deltaApplyChanges(spark, dstPath, feed, keyCol, txn = Some((appId, srcHead)))
+      val v = deltaApplyChanges(spark, dstPath, feed, keyCol,
+        txn = Some((appId, srcHead)))
+      // a span netting to zero changes (OPTIMIZE/metadata only) commits
+      // nothing — advance the watermark with a txn-only commit or every
+      // later call re-reads the same span
+      if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
+        commitWatermark(spark, dstPath, appId, srcHead)
+      else v
     } else
       deltaResync(spark, srcPath, dstPath, keyCol)
+  }
+
+  /** Advance a SetTransaction watermark with a TXN-ONLY commit — what a
+    * replication span that NETS TO ZERO CHANGES (only OPTIMIZE /
+    * metadata commits, or a diff that found nothing) records: no
+    * data-touching apply happens, but the applied-through version must
+    * still land or every later call re-reads the same span. Removes/adds
+    * nothing, so it commutes with everything — race losses just retry at
+    * the next version. */
+  private def commitWatermark(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      appId: String, txnVer: Long): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.sources.{DeltaCatalog, FsUtil}
+    import graft.model.BuzzException
+    val logDir = s"$tablePath/_delta_log"
+    DeltaCatalog.assertWriterProtocol(spark, tablePath, "stamp watermark on")
+    val actions: Seq[JValue] = Seq(
+      commitInfoAction("APPLY CHANGES", Map("netChanges" -> "0")),
+      JObject("txn" -> JObject(
+        "appId" -> JString(appId), "version" -> JLong(txnVer))))
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n")
+    var attempt = 0
+    while (attempt < 10) {
+      val head = DeltaCatalog.latestVersion(spark, logDir)
+      if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
+        return head // a concurrent call already advanced it
+      if (FsUtil.publishCommit(spark, logDir, head + 1, body)) return head + 1
+      attempt += 1
+      Thread.sleep(10L * attempt)
+    }
+    throw new BuzzException.ExecutionError(
+      s"lost the watermark commit race 10 times under $logDir — giving up")
   }
 
   /** CONVERGE `dstPath` to `srcPath`'s current snapshot by KEYED DIFF —
@@ -1960,11 +2002,12 @@ object Sinks {
     * feed path is cheaper when available (bounded by the changes); this
     * is the path whose cost is bounded by the TABLES. The apply still
     * rewrites only candidate files, so an almost-converged resync
-    * commits almost nothing. DESTRUCTIVE toward dst by design (dst-only
-    * rows are deleted); calling it directly on a non-replica adopts the
-    * table as a replica (stamps the watermark). A src whose keys are not
-    * unique fails in the apply's key discipline. Returns dst's committed
-    * version (or its head when nothing differs). */
+    * commits almost nothing (a fully-converged one commits a txn-only
+    * watermark). DESTRUCTIVE toward dst by design (dst-only rows are
+    * deleted); calling it directly on a non-replica adopts the table as
+    * a replica (stamps the watermark). A src whose keys are not unique
+    * fails in the apply's key discipline. Returns dst's committed
+    * version. */
   def deltaResync(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, keyCol: String): Long = {
@@ -2015,8 +2058,13 @@ object Sinks {
     // current
     val alreadyStamped =
       DeltaCatalog.lastTxnVersion(spark, dstPath, appId).exists(_ >= srcHead)
-    deltaApplyChanges(spark, dstPath, changes, keyCol,
+    val v = deltaApplyChanges(spark, dstPath, changes, keyCol,
       txn = if (alreadyStamped) None else Some((appId, srcHead)))
+    // an already-converged diff commits nothing: stamp the watermark so
+    // replicate's fallback does not re-diff the same span forever
+    if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
+      commitWatermark(spark, dstPath, appId, srcHead)
+    else v
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with

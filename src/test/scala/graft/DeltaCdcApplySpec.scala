@@ -189,6 +189,24 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(s === Set((1L, 11L, "b"), (3L, 30L, "a")))
   }
 
+  test("a zero-change span advances the watermark with a txn-only commit") {
+    val src = tmpDir("repl_wm_src")
+    val dst = tmpDir("repl_wm_dst") + "/replica"
+    twoFileTable(src) // v0, v1
+    Sinks.deltaReplicate(spark, src, dst, "id") // bootstrap @ src v1
+    Sinks.deltaOptimize(spark, src, targetBytes = 1L << 30) // src v2, no facts
+    val appId = s"graft-replicate:$src"
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    // the span (1,2] nets to nothing: no data commit, but the watermark
+    // MUST land (txn-only) or every later call re-reads the span
+    assert(DeltaCatalog.lastTxnVersion(spark, dst, appId) === Some(2L))
+    assert(liveMap(dst).size === 20)
+    // caught up: a third call commits nothing further
+    val before = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    assert(Sinks.deltaReplicate(spark, src, dst, "id") === before)
+    assert(DeltaCatalog.latestVersion(spark, s"$dst/_delta_log") === before)
+  }
+
   test("replicate falls back to keyed resync across a RESTORE on src") {
     val src = tmpDir("repl_restore_src")
     val dst = tmpDir("repl_restore_dst") + "/replica"
