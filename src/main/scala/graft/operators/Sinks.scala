@@ -1801,12 +1801,24 @@ object Sinks {
         s"apply changes schema ${incoming.mkString(",")} does not match " +
           s"$tablePath's metaData ${declared.mkString(",")} " +
           s"(+ partition cols ${partitionCols.mkString(",")})")
-    val badTypes = ch0.select(col("_change_type")).distinct().collect()
-      .map(_.getString(0))
+    // contract check in ONE pass over the distinct (type, version-null)
+    // pairs: an unknown or NULL _change_type, or a NULL _commit_version,
+    // must fail loudly — the netting below would otherwise silently DROP
+    // such rows (null never equals the per-key max, null <> 'x' is null)
+    val badTypes = ch0.select(col("_change_type"),
+        if (hasVer) col("_commit_version").isNull else lit(false))
+      .distinct().collect()
+      .map(r => (Option(r.getString(0)).getOrElse("NULL"), r.getBoolean(1)))
+    val unknown = badTypes.map(_._1)
       .filterNot(Set("insert", "update_preimage", "update_postimage", "delete"))
-    if (badTypes.nonEmpty)
+    if (unknown.nonEmpty)
       throw new BuzzException.BadRequest(
-        s"deltaApplyChanges: unknown _change_type value(s) ${badTypes.sorted.mkString(", ")}")
+        s"deltaApplyChanges: unknown _change_type value(s) ${unknown.sorted.mkString(", ")}")
+    if (badTypes.exists(_._2))
+      throw new BuzzException.BadRequest(
+        "deltaApplyChanges: NULL _commit_version row(s) — the netting " +
+          "order is undefined for them; drop the column for an unordered " +
+          "change set, or fill the version")
     // NET the feed: preimages drop, then the last change per key wins
     val nonPre = ch0.filter(col("_change_type") =!= "update_preimage")
     val last =

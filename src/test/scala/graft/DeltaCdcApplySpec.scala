@@ -89,6 +89,18 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     val e3 = intercept[BuzzException.BadRequest](
       Sinks.deltaApplyChanges(spark, dir, bad, "id"))
     assert(e3.getMessage.contains("unknown _change_type"))
+    // a NULL type or NULL version would be silently DROPPED by the
+    // netting (null never equals anything) — both must fail loudly
+    val nulType = Seq((5L, 1L, Option.empty[String]))
+      .toDF("id", "v", "_change_type")
+    val e4 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, nulType, "id"))
+    assert(e4.getMessage.contains("unknown _change_type"))
+    val nulVer = Seq((5L, 1L, "insert", Option.empty[Long]))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val e5 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, nulVer, "id"))
+    assert(e5.getMessage.contains("NULL _commit_version"))
   }
 
   test("apply is exactly-once under the SetTransaction handshake") {
