@@ -492,6 +492,7 @@ object ScaleProbe {
       // not the cache's GC drag — and stay comparable to the pre-memo
       // recordings
       graft.sources.DeltaCatalog.invalidateReplayCache()
+      graft.operators.Sinks.invalidateCommitParseCache()
       settle(120000L)
       val (_, lateCal) = timed(Calibration.job(spark))
       report("calibration_late_pass", scale, 50000000L, lateCal)

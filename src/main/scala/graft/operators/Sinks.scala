@@ -609,6 +609,32 @@ object Sinks {
       metaChanged: Boolean,
       cdcs: Seq[(String, Long, Map[String, String])])
 
+  /** MEMOIZED per (table, version, commit-file length, mtime): a published
+    * commit JSON is immutable, so one parse serves every consumer — the
+    * streaming sources' admission walk ([[cdfFileCount]] /
+    * [[factFileCount]]) and their getBatch re-read the same versions each
+    * trigger, and without the memo each trigger paid the tail IO twice.
+    * The file's (length, mtime) in the key makes an out-of-band in-place
+    * edit (log corruption, a test rewriting a commit body) a MISS instead
+    * of stale actions — the same discipline as the replay memo's listing
+    * fingerprint. The lookup costs ONE getFileStatus (which doubles as
+    * the existence check the uncached path already paid). */
+  private final case class CommitParseKey(
+      tablePath: String, version: Long, len: Long, mtime: Long)
+  private val commitParseCacheMax = 1024
+  private val commitParseCache =
+    new java.util.LinkedHashMap[CommitParseKey, CommitActions](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CommitParseKey, CommitActions]): Boolean =
+        size > commitParseCacheMax
+    }
+  /** Count of UNCACHED commit-JSON parses — the seam the one-parse-per-
+    * commit-per-trigger specs count against. Monotonic; test-only reader. */
+  @volatile private[graft] var uncachedCommitParses: Long = 0L
+  /** Test seam: drop every memoized commit parse. */
+  private[graft] def invalidateCommitParseCache(): Unit =
+    commitParseCache.synchronized(commitParseCache.clear())
+
   private[graft] def parseCommitActions(
       spark: org.apache.spark.sql.SparkSession, tablePath: String, version: Long)
       : CommitActions = {
@@ -617,9 +643,17 @@ object Sinks {
     import graft.sources.FsUtil
     import graft.model.BuzzException
     val commitPath = f"$tablePath/_delta_log/$version%020d.json"
-    if (!FsUtil.exists(spark, commitPath))
-      throw new BuzzException.BadRequest(
-        s"commit $version does not exist under $tablePath/_delta_log")
+    val st =
+      try FsUtil.status(spark, commitPath)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new BuzzException.BadRequest(
+            s"commit $version does not exist under $tablePath/_delta_log")
+      }
+    val cacheKey = CommitParseKey(
+      tablePath, version, st.getLen, st.getModificationTime)
+    commitParseCache.synchronized(Option(commitParseCache.get(cacheKey)))
+      .foreach(ca => return ca)
     val adds = scala.collection.mutable
       .ListBuffer[(String, Long, Map[String, String],
         Option[graft.sources.DvDescriptor], Boolean)]()
@@ -680,7 +714,12 @@ object Sinks {
         case _ => ()
       }
     }
-    CommitActions(adds.toSeq, removes.toSeq, metaChanged, cdcs.toSeq)
+    val parsed = CommitActions(adds.toSeq, removes.toSeq, metaChanged, cdcs.toSeq)
+    commitParseCache.synchronized {
+      uncachedCommitParses += 1
+      commitParseCache.put(cacheKey, parsed)
+    }
+    parsed
   }
 
   /** The snapshot-diff feed of one commit given its parsed actions, the
@@ -847,33 +886,71 @@ object Sinks {
     stageIntoTable(changeRows, tablePath, partitionCols, physicalNames,
       destPrefix = "_change_data")
 
-  /** Read one commit's `_change_data` files under the era catalog's
-    * schema: declared PHYSICAL data columns plus `_change_type`,
-    * partition values attached from the cdc actions, logical names
-    * surfaced. */
+  /** Join each row's `_commit_version` from its source file — the seam
+    * that lets a MULTI-COMMIT run read as ONE relation and still label
+    * every row with the commit that produced it. `df` carries `__gfp`
+    * (the scan's scheme-normalized file path); `pathToVersion` maps the
+    * same normalized form, one row per file — file-count-sized, built on
+    * the driver from the commit actions already in hand, and BROADCAST
+    * (an executor-side hash lookup per row, never a shuffle). The join is
+    * inner on purpose: every scanned row comes from a listed file, so a
+    * miss would be an engine bug surfacing as lost rows in the oracled
+    * feed queries, not silence. */
+  private def attachCommitVersions(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      pathToVersion: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = pathToVersion.map { case (p, v) =>
+      org.apache.spark.sql.Row(p, v)
+    }
+    val verDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("__gvp", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false))))
+    df.join(broadcast(verDf), df("__gfp") === verDf("__gvp"))
+      .drop("__gfp", "__gvp")
+  }
+
+  /** Read a RUN of commits' `_change_data` files — one schema era, any
+    * number of contiguous commits — under the era catalog's schema:
+    * declared PHYSICAL data columns plus `_change_type`, partition values
+    * attached from the cdc actions, logical names surfaced,
+    * `_commit_version` joined per file. One relation per touched
+    * partition tuple, NOT per commit: a replica catching up over
+    * thousands of small CDF commits plans a bounded-width scan. */
   private def readChangeData(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       cat: graft.sources.StaticCatalog,
-      cdcs: Seq[(String, Long, Map[String, String])]): DataFrame = {
+      cdcs: Seq[(String, Long, Map[String, String], Long)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types._
-    import graft.sources.{ColumnMapping, DeltaCatalog}
+    import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
     val readSchema = StructType(cat.schema.fields.map(f =>
       f.copy(name = ColumnMapping.physicalName(f))).toSeq :+
       StructField("_change_type", StringType, nullable = false))
     val logicalFor = cat.physicalNames.map(_.swap)
-    cdcs.groupBy(_._3).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    val scanned = cdcs.groupBy(_._3).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .map { case (pv, group) =>
-        val paths = group.map { case (raw, _, _) =>
+        val paths = group.map { case (raw, _, _, _) =>
           new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
         }
         val base = spark.read.schema(readSchema).parquet(paths: _*)
+          .withColumn("__gfp",
+            FsUtil.normalizePathCol(col("_metadata.file_path")))
         val named = base.select(base.columns.toIndexedSeq.map(c =>
           col(c).as(logicalFor.getOrElse(c, c))): _*)
         cat.partitionColumns.foldLeft(named)((df, c) =>
           df.withColumn(c,
             lit(pv.getOrElse(c, DeltaCatalog.NullPartitionValue))))
       }.reduce(_.unionAll(_))
+    attachCommitVersions(spark, scanned,
+      cdcs.map { case (raw, _, _, v) =>
+        FsUtil.normalizePath(
+          new Path(tablePath, DeltaCatalog.decodePath(raw)).toString) -> v
+      })
   }
 
   /** The protocol's ROW-LEVEL change feed over the commit span
@@ -899,90 +976,178 @@ object Sinks {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
-    var cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_feed",
+    val cat0 = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_feed",
       versionAsOf = Some(vFrom))
-    var live = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
-    var liveDvs = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
-    ((vFrom + 1) to vTo).map { v =>
-      val ca = parseCommitActions(spark, tablePath, v)
-      if (ca.metaChanged && v > 0) {
-        // physical re-mapping mid-span has no well-defined row feed —
-        // same detection as the append-only consumers
-        val before = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v - 1))
-        val after = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v))
-        for (b <- before; a <- after) {
-          import graft.sources.ColumnMapping
-          val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
-          val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
-          val renamed = bPhys.keySet.intersect(aPhys.keySet).filter(p => bPhys(p) != aPhys(p))
-          val dropped = bPhys.keySet -- aPhys.keySet
-          if (renamed.nonEmpty || dropped.nonEmpty)
-            throw new BuzzException.BadRequest(
-              s"deltaChangeFeed($tablePath): commit $v renames or drops " +
-                "column(s) mid-span — the row feed is not well-defined " +
-                "across a re-mapping; consume deltaChangesBetween instead")
-        }
-        cat = DeltaCatalog.fromDeltaLog(spark, tablePath, s"__cdf_feed_v$v",
-          versionAsOf = Some(v))
+    val live0 = DeltaCatalog.liveRawAt(spark, tablePath, Some(vFrom))
+    val liveDvs0 = DeltaCatalog.dvsByRaw(spark, tablePath, Some(vFrom))
+    val onMetaChange: Long => graft.sources.StaticCatalog = { v =>
+      // physical re-mapping mid-span has no well-defined row feed —
+      // same detection as the append-only consumers
+      val before = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v - 1))
+      val after = DeltaCatalog.storedSchemaAt(spark, tablePath, Some(v))
+      for (b <- before; a <- after) {
+        import graft.sources.ColumnMapping
+        val bPhys = b.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        val aPhys = a.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        val renamed = bPhys.keySet.intersect(aPhys.keySet).filter(p => bPhys(p) != aPhys(p))
+        val dropped = bPhys.keySet -- aPhys.keySet
+        if (renamed.nonEmpty || dropped.nonEmpty)
+          throw new BuzzException.BadRequest(
+            s"deltaChangeFeed($tablePath): commit $v renames or drops " +
+              "column(s) mid-span — the row feed is not well-defined " +
+              "across a re-mapping; consume deltaChangesBetween instead")
       }
-      val df = feedFromActions(spark, tablePath, v, cat, ca, live, liveDvs)
-      // advance the incrementally-maintained pre-commit state
+      DeltaCatalog.fromDeltaLog(spark, tablePath, s"__cdf_feed_v$v",
+        versionAsOf = Some(v))
+    }
+    val (runs, catEnd, _, _) = collectFeedRuns(
+      spark, tablePath, vFrom, vTo, cat0, live0, liveDvs0, onMetaChange)
+    if (runs.isEmpty)
+      catEnd.read(spark, Nil)
+        .withColumn("_change_type", lit(""))
+        .select(lit(0L).as("_commit_version"), col("*"))
+        .limit(0)
+    else
+      runs.map { run =>
+        val df = readFeedRun(spark, tablePath, run)
+        val tableCols = run.cat.schema.fieldNames.toSeq ++ run.cat.partitionColumns
+        df.select((col("_commit_version") +: tableCols.map(col) :+
+          col("_change_type")): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** A maximal run of CONTIGUOUS same-kind, same-schema-era commits
+    * inside a feed span: `kind` is "cdc" (authoritative `_change_data`
+    * files), "insert" (derived: dataChange adds only) or "delete"
+    * (derived: dataChange removes only, read under the PRE-commit DV
+    * state resolved at collection time); `files` is
+    * (raw path, size, partitionValues, DV to read under, commit version).
+    * The run — not the commit — is the unit the feed builds ONE relation
+    * for: plan width is bounded by kind/era ALTERNATIONS in the span, so
+    * a replica catching up over thousands of small same-kind commits
+    * plans a handful of scans instead of an unbounded nested union
+    * (a driver-side Catalyst analysis stall at exactly the lag where
+    * 100 TB catch-up must work). */
+  private[graft] final case class FeedRun(
+      kind: String,
+      cat: graft.sources.StaticCatalog,
+      files: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Long)])
+
+  /** Walk the commits of (vFrom, vTo] once — parsing each commit JSON
+    * once, memoized — grouping them into [[FeedRun]]s and advancing the
+    * incrementally-maintained (live files, live DVs) state.
+    * `onMetaChange` is the caller's schema-era transition: it validates
+    * the change (rename/drop detection differs between the batch feed and
+    * the pinned streaming source) and returns the era catalog at `v`; a
+    * metaData commit always closes the current run. A run also closes
+    * when the SAME file path would appear twice (its two occurrences need
+    * different version labels, and the per-file version join admits one).
+    * Returns (runs, end-of-span catalog, post-span live, post-span DVs). */
+  private[graft] def collectFeedRuns(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      vFrom: Long, vTo: Long,
+      cat0: graft.sources.StaticCatalog,
+      live0: Map[String, (Long, Map[String, String])],
+      liveDvs0: Map[String, graft.sources.DvDescriptor],
+      onMetaChange: Long => graft.sources.StaticCatalog)
+      : (Seq[FeedRun], graft.sources.StaticCatalog,
+         Map[String, (Long, Map[String, String])],
+         Map[String, graft.sources.DvDescriptor]) = {
+    import graft.model.BuzzException
+    var cat = cat0
+    var live = live0
+    var liveDvs = liveDvs0
+    val runs = scala.collection.mutable.ListBuffer[FeedRun]()
+    var curKind: String = null
+    var curCat: graft.sources.StaticCatalog = null
+    val curFiles = scala.collection.mutable.ListBuffer[
+      (String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Long)]()
+    val curPaths = scala.collection.mutable.HashSet[String]()
+    def flush(): Unit = if (curKind != null) {
+      runs += FeedRun(curKind, curCat, curFiles.toList)
+      curKind = null; curFiles.clear(); curPaths.clear()
+    }
+    ((vFrom + 1) to vTo).foreach { v =>
+      val ca = parseCommitActions(spark, tablePath, v)
+      if (ca.metaChanged) {
+        flush()
+        cat = onMetaChange(v)
+      }
+      if (cat == null)
+        throw new BuzzException.ExecutionError(
+          s"cdf($tablePath): commit $v precedes any metaData action — " +
+            "the log violates the protocol (version 0 must declare metaData)")
+      val factAdds = ca.adds.filter(_._5)
+      val factRemoves = ca.removes.filter(_._2).map(_._1)
+      val (kind, files) =
+        if (ca.cdcs.nonEmpty)
+          ("cdc", ca.cdcs.map { case (raw, size, pv) =>
+            (raw, size, pv,
+              None: Option[graft.sources.DvDescriptor], v) })
+        else if (factAdds.nonEmpty && factRemoves.nonEmpty)
+          throw new BuzzException.BadRequest(
+            s"deltaChangeFeed($tablePath): commit $v rewrites rows without " +
+              "cdc actions — it was written before delta.enableChangeDataFeed " +
+              "(or by a non-CDF writer); its row-level diff is not recorded. " +
+              "Read it as a keyed snapshot diff via deltaChangesBetween")
+        else if (factAdds.nonEmpty)
+          ("insert", factAdds.map { case (raw, size, pv, dv, _) =>
+            (raw, size, pv, dv, v) })
+        else if (factRemoves.nonEmpty)
+          ("delete", factRemoves.map { raw =>
+            live.get(raw) match {
+              case Some((size, pv)) => (raw, size, pv, liveDvs.get(raw), v)
+              case None => throw new BuzzException.ExecutionError(
+                s"commit $v removes $raw which is not live at ${v - 1}")
+            }
+          })
+        else (null, Nil)
+      if (kind != null) {
+        if (curKind != kind || files.exists(f => curPaths(f._1))) flush()
+        if (curKind == null) { curKind = kind; curCat = cat }
+        curFiles ++= files
+        curPaths ++= files.map(_._1)
+      }
       val advanced = advanceFeedState(live, liveDvs, ca)
       live = advanced._1
       liveDvs = advanced._2
-      df.select(lit(v).as("_commit_version"), col("*"))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    flush()
+    (runs.toList, cat, live, liveDvs)
   }
 
-  /** One commit's ROW-LEVEL feed (every table column + `_change_type`)
-    * given its parsed actions, the at-version catalog, and the PRE-commit
-    * live state — the per-version body shared by [[deltaChangeFeed]] and
-    * the `graft-delta-cdf` streaming source (which maintains the state
-    * incrementally across triggers instead of re-seeding per span). */
-  private[graft] def feedFromActions(
-      spark: org.apache.spark.sql.SparkSession, tablePath: String, v: Long,
-      cat: graft.sources.StaticCatalog, ca: CommitActions,
-      live: Map[String, (Long, Map[String, String])],
-      liveDvs: Map[String, graft.sources.DvDescriptor]): DataFrame = {
+  /** ONE relation for one [[FeedRun]]: every table column (the run era's
+    * logical names) + `_change_type` + `_commit_version` (joined per
+    * source file, [[attachCommitVersions]]). Derived kinds read through
+    * the era catalog — one partitioned FileScan with each file's own
+    * deletion-vector truth (adds under the commit's descriptors, removes
+    * under the pre-commit state the walker resolved). */
+  private[graft] def readFeedRun(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      run: FeedRun): DataFrame = {
     import org.apache.hadoop.fs.Path
-    import graft.sources.{DeletionVectors, DeltaCatalog, SizedFile}
-    import graft.model.BuzzException
+    import graft.sources.{DeletionVectors, DeltaCatalog, FsUtil, SizedFile}
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
-    val factAdds = ca.adds.filter(_._5)
-    val factRemoves = ca.removes.filter(_._2).map(_._1)
-    if (ca.cdcs.nonEmpty) readChangeData(spark, tablePath, cat, ca.cdcs)
-    else if (factAdds.nonEmpty && factRemoves.nonEmpty)
-      throw new BuzzException.BadRequest(
-        s"deltaChangeFeed($tablePath): commit $v rewrites rows without " +
-          "cdc actions — it was written before delta.enableChangeDataFeed " +
-          "(or by a non-CDF writer); its row-level diff is not recorded. " +
-          "Read it as a keyed snapshot diff via deltaChangesBetween")
-    else if (factAdds.nonEmpty) {
-      val addDvs = factAdds.collect { case (raw, _, _, Some(dv), _) =>
+    if (run.kind == "cdc") readChangeData(spark, tablePath, run.cat, run.files
+      .map { case (raw, size, pv, _, v) => (raw, size, pv, v) })
+    else {
+      val dvs = run.files.collect { case (raw, _, _, Some(dv), _) =>
         abs(raw) -> DeletionVectors.resolve(tablePath, dv)
       }.toMap
-      cat.withDeletionVectors(addDvs).read(spark,
-        factAdds.map { case (raw, size, pv, _, _) =>
-          SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
-            pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-        }).withColumn("_change_type", lit("insert"))
-    } else if (factRemoves.nonEmpty) {
-      val remDvs = factRemoves.flatMap(raw => liveDvs.get(raw).map(dv =>
-        abs(raw) -> DeletionVectors.resolve(tablePath, dv))).toMap
-      cat.withDeletionVectors(remDvs).read(spark,
-        factRemoves.map { raw =>
-          live.get(raw) match {
-            case Some((size, pv)) =>
-              SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
-                pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-            case None => throw new BuzzException.ExecutionError(
-              s"commit $v removes $raw which is not live at ${v - 1}")
-          }
-        }).withColumn("_change_type", lit("delete"))
-    } else
-      cat.read(spark, Nil)
-        .withColumn("_change_type", lit("")).limit(0)
+      val sized = run.files.map { case (raw, size, pv, _, _) =>
+        SizedFile(abs(raw), size, run.cat.partitionColumns.map(c =>
+          pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+      }
+      val df = run.cat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
+      attachCommitVersions(spark, df,
+        run.files.map { case (raw, _, _, _, v) =>
+          FsUtil.normalizePath(abs(raw)) -> v
+        }).withColumn("_change_type",
+          lit(if (run.kind == "insert") "insert" else "delete"))
+    }
   }
 
   /** Fold one commit's adds/removes into the (live files, live DVs) maps —

@@ -141,7 +141,7 @@ trait SplittableCatalog {
     * the explicit-file kind with few tuples.
     */
   final def read(spark: SparkSession, selected: Seq[SizedFile]): DataFrame =
-    readInternal(spark, selected, withRowIndex = false)
+    readInternal(spark, selected, withRowIndex = false, keepPath = false)
 
   /** [[read]] WITHOUT deletion-vector filtering, plus two trailing columns:
     * `__gfp` (scheme-normalized file path) and `__gri` (the parquet scan's
@@ -149,14 +149,27 @@ trait SplittableCatalog {
     * physical row to compute and merge deleted row indexes. */
   private[graft] final def readWithRowIndex(
       spark: SparkSession, selected: Seq[SizedFile]): DataFrame =
-    readInternal(spark, selected, withRowIndex = true)
+    readInternal(spark, selected, withRowIndex = true, keepPath = false)
+
+  /** [[read]] (deletion vectors applied) plus one trailing `__gfp` column
+    * — the scheme-normalized source-file path of each row. The change-feed
+    * readers join per-file metadata (the commit version that added or
+    * removed a file) back onto the rows of a MULTI-COMMIT single-relation
+    * scan, which is what keeps a long feed span's plan width bounded by
+    * schema-era runs instead of one union leaf per commit. */
+  private[graft] final def readKeepingPath(
+      spark: SparkSession, selected: Seq[SizedFile]): DataFrame =
+    readInternal(spark, selected, withRowIndex = false, keepPath = true)
 
   private def readInternal(
-      spark: SparkSession, selected: Seq[SizedFile], withRowIndex: Boolean): DataFrame = {
+      spark: SparkSession, selected: Seq[SizedFile], withRowIndex: Boolean,
+      keepPath: Boolean): DataFrame = {
     val outSchema =
-      if (!withRowIndex) fullSchema
-      else StructType(fullSchema.fields.toSeq ++ Seq(
+      if (withRowIndex) StructType(fullSchema.fields.toSeq ++ Seq(
         StructField("__gfp", StringType), StructField("__gri", LongType)))
+      else if (keepPath) StructType(
+        fullSchema.fields.toSeq :+ StructField("__gfp", StringType))
+      else fullSchema
     if (selected.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     }
@@ -188,7 +201,7 @@ trait SplittableCatalog {
     // each load — `_metadata` is a scan-relation column and must be
     // resolved before unions/projections hide it. Needed when this read
     // either filters deletion vectors out or surfaces the identity itself.
-    val needsIdentity = withRowIndex ||
+    val needsIdentity = withRowIndex || keepPath ||
       selected.exists(f => deletionVectors.contains(f.key))
     def withIdentity(df: DataFrame): DataFrame =
       if (!needsIdentity) df

@@ -64,24 +64,42 @@ class DeltaCdfProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new BuzzException.BadRequest(
       "graft-delta-cdf requires .option(\"path\", <delta table root>)"))
 
+  // sourceSchema resolves the table's pin version ONCE and createSource
+  // (Spark's DataSource v1 streaming path calls both on the same provider
+  // instance) consumes it, so the analyzed plan schema and the source's
+  // batch schema agree even when a schema-changing commit lands between
+  // the two calls. If a caller reaches createSource without sourceSchema
+  // (a fresh provider instance), the source re-pins at head — the
+  // original narrow race, confined to that path.
+  private val pinByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), DeltaCdfSource.feedSchema(sqlContext.sparkSession, path(parameters)))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val p = path(parameters)
+    val pin = DeltaCatalog.latestVersion(sqlContext.sparkSession, s"$p/_delta_log")
+    pinByPath.put(p, pin)
+    (shortName(), DeltaCdfSource.feedSchema(sqlContext.sparkSession, p,
+      if (pin >= 0) Some(pin) else None))
+  }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new DeltaCdfSource(sqlContext.sparkSession, path(parameters), parameters)
+    new DeltaCdfSource(sqlContext.sparkSession, path(parameters), parameters,
+      Option(pinByPath.remove(path(parameters))).map(_.longValue))
 }
 
 object DeltaCdfSource {
   /** The stream's schema: [[Sinks.deltaChangeFeed]]'s column order —
     * `_commit_version`, the table's columns (data + partition, current
-    * logical names), `_change_type`. */
+    * logical names), `_change_type` — at `versionAsOf` (None = head). */
   private[streaming] def feedSchema(
-      spark: SparkSession, tablePath: String): StructType = {
-    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_schema")
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): StructType = {
+    val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_schema",
+      versionAsOf = versionAsOf)
     StructType(
       StructField("_commit_version", LongType, nullable = false) +:
       cat.read(spark, Nil).schema.fields :+
@@ -91,7 +109,8 @@ object DeltaCdfSource {
 
 class DeltaCdfSource(
     spark: SparkSession, tablePath: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String],
+    pinHint: Option[Long] = None) extends Source {
 
   private val logDir = s"$tablePath/_delta_log"
   private val maxFilesPerTrigger: Int = {
@@ -99,11 +118,22 @@ class DeltaCdfSource(
     require(m >= 1, s"maxFilesPerTrigger must be >= 1, got $m")
     m
   }
+  // bounds the admission walk's driver tail IO per trigger (commit JSONs
+  // parsed); the batch PLAN stays bounded regardless — runs, not commits,
+  // are its unit ([[Sinks.collectFeedRuns]])
+  private val maxVersionsPerTrigger: Int = {
+    val m = parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(1000)
+    require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m")
+    m
+  }
   private val startingVersion: Long =
     parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
 
   // stream-start pinning: ONE snapshot replay anchors the stream's schema
-  private val pinnedVersion: Long = DeltaCatalog.latestVersion(spark, logDir)
+  // (the provider's sourceSchema pin when it ran, so analysis and batches
+  // agree; head otherwise)
+  private val pinnedVersion: Long =
+    pinHint.getOrElse(DeltaCatalog.latestVersion(spark, logDir))
   private val pinnedCat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__cdf_pin",
     versionAsOf = if (pinnedVersion >= 0) Some(pinnedVersion) else None)
   /** The TABLE slice of the stream schema (no feed columns). */
@@ -175,10 +205,11 @@ class DeltaCdfSource(
           "with startingVersion past the cleaned range (state before it " +
           "must come from a snapshot read/clone), or retain commits at " +
           "least as long as the stream's lag")
-    var v = lastOffered
+    val base = lastOffered
+    var v = base
     var files = 0
     var full = false
-    while (!full && v < head) {
+    while (!full && v < head && v - base < maxVersionsPerTrigger) {
       val next = Sinks.cdfFileCount(spark, tablePath, v + 1)
       if (files == 0 || files + next <= maxFilesPerTrigger) {
         files += next; v += 1
@@ -189,7 +220,11 @@ class DeltaCdfSource(
   }
 
   /** The row-level feed of versions (start, end], reconstructed purely
-    * from the immutable log — a WAL-replayed batch is identical. */
+    * from the immutable log — a WAL-replayed batch is identical. Commits
+    * are grouped into same-kind, same-era RUNS ([[Sinks.collectFeedRuns]])
+    * and each run reads as ONE relation with `_commit_version` joined per
+    * file, so the batch plan's width is bounded by kind/era alternations
+    * — never by the number of commits admission let through. */
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion - 1L)
     val to = version(end)
@@ -201,46 +236,48 @@ class DeltaCdfSource(
     // (previous batch ended exactly at `from`); a restart's WAL replay or
     // the first batch rebases once
     if (stateVersion != from) rebase(from)
-    val parts = ((from + 1L) to to).map { v =>
-      val ca = Sinks.parseCommitActions(spark, tablePath, v)
-      if (ca.metaChanged) {
-        val prevPhys: Set[String] = Option(eraMeta).toSeq
-          .flatMap(m => m.schemaJson.toSeq)
-          .flatMap(s => org.apache.spark.sql.types.DataType.fromJson(s)
-            .asInstanceOf[StructType].fields)
-          .map(f => ColumnMapping.physicalName(f)).toSet
-        eraMeta = Option(eraMeta) match {
-          case Some(m) => DeltaCatalog.applyCommitMeta(spark, tablePath, v, m)
-          case None    => DeltaCatalog.metaInfoAt(spark, tablePath, Some(v))
-        }
-        eraCat = DeltaCatalog.catalogFromMeta(tablePath, "__cdf_batch", eraMeta)
-        val newPhys = eraCat.schema.fields
-          .map(f => ColumnMapping.physicalName(f)).toSet
-        val dropped = prevPhys -- newPhys
-        if (prevPhys.nonEmpty && dropped.nonEmpty)
-          throw new BuzzException.BadRequest(
-            s"cdf($tablePath): commit $v drops column(s) mid-stream — " +
-              "their changes are not expressible under the stream's " +
-              "pinned schema; restart the query (renames conform; only " +
-              "drops fail)")
+    val onMetaChange: Long => graft.sources.StaticCatalog = { v =>
+      val prevPhys: Set[String] = Option(eraMeta).toSeq
+        .flatMap(m => m.schemaJson.toSeq)
+        .flatMap(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[StructType].fields)
+        .map(f => ColumnMapping.physicalName(f)).toSet
+      eraMeta = Option(eraMeta) match {
+        case Some(m) => DeltaCatalog.applyCommitMeta(spark, tablePath, v, m)
+        case None    => DeltaCatalog.metaInfoAt(spark, tablePath, Some(v))
       }
-      if (eraCat == null)
-        throw new BuzzException.ExecutionError(
-          s"cdf($tablePath): commit $v precedes any metaData action — " +
-            "the log violates the protocol (version 0 must declare metaData)")
-      val df = Sinks.feedFromActions(spark, tablePath, v, eraCat, ca, live, liveDvs)
-      val advanced = Sinks.advanceFeedState(live, liveDvs, ca)
-      live = advanced._1
-      liveDvs = advanced._2
+      eraCat = DeltaCatalog.catalogFromMeta(tablePath, "__cdf_batch", eraMeta)
+      val newPhys = eraCat.schema.fields
+        .map(f => ColumnMapping.physicalName(f)).toSet
+      val dropped = prevPhys -- newPhys
+      if (prevPhys.nonEmpty && dropped.nonEmpty)
+        throw new BuzzException.BadRequest(
+          s"cdf($tablePath): commit $v drops column(s) mid-stream — " +
+            "their changes are not expressible under the stream's pinned " +
+            "schema, and a restart from this checkpoint replays the same " +
+            "span into the same failure. Start a FRESH stream (new " +
+            "checkpoint) pinned at the post-drop schema; renames conform, " +
+            "only drops fail")
+      eraCat
+    }
+    val (runs, _, liveEnd, liveDvsEnd) = Sinks.collectFeedRuns(
+      spark, tablePath, from, to, eraCat, live, liveDvs, onMetaChange)
+    live = liveEnd
+    liveDvs = liveDvsEnd
+    stateVersion = to
+    lastOffered = math.max(lastOffered, to)
+    val parts = runs.map { run =>
+      val df = Sinks.readFeedRun(spark, tablePath, run)
       // conform to the PINNED table schema by stable physical names:
       // a renamed era column lands under the pinned logical name; a
       // column the pinned schema never had = mid-stream evolution — loud
-      val eraPhysByLogical = eraCat.schema.fields
+      val eraPhysByLogical = run.cat.schema.fields
         .map(f => f.name -> ColumnMapping.physicalName(f)).toMap
       def eraPhys(c: String): String = eraPhysByLogical.getOrElse(c, c)
       def pinPhys(c: String): String = pinnedPhys.getOrElse(c, c)
       val pinnedPhysSet = pinnedTable.fieldNames.map(pinPhys).toSet
-      val dataCols = df.columns.toSeq.filterNot(_ == "_change_type")
+      val dataCols = df.columns.toSeq
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
       val extra = dataCols.filterNot(c => pinnedPhysSet(eraPhys(c)))
       if (extra.nonEmpty)
         throw new BuzzException.BadRequest(
@@ -249,7 +286,7 @@ class DeltaCdfSource(
             "query to consume the evolved schema; this batch is not lost")
       val eraByPhys = dataCols.map(c => eraPhys(c) -> c).toMap
       df.select(
-        lit(v).as("_commit_version") +:
+        col("_commit_version") +:
         pinnedTable.fields.toSeq.map { f =>
           eraByPhys.get(pinPhys(f.name)) match {
             case Some(c) => col(c).as(f.name)
@@ -257,9 +294,11 @@ class DeltaCdfSource(
           }
         } :+ col("_change_type"): _*)
     }
-    stateVersion = to
-    lastOffered = math.max(lastOffered, to)
-    val batch = parts.reduce(_.unionAll(_))
+    val batch =
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else parts.reduce(_.unionAll(_))
     StreamingBridge.asStreamingBatch(batch)
   }
 

@@ -98,6 +98,14 @@ class DeltaTailSource(
     require(m >= 1, s"maxFilesPerTrigger must be >= 1, got $m")
     m
   }
+  // bounds the admission walk's driver tail IO per trigger (commit JSONs
+  // parsed) — a stream resuming behind thousands of tiny commits paces
+  // its catch-up instead of walking the whole lag in one getOffset
+  private val maxVersionsPerTrigger: Int = {
+    val m = parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(1000)
+    require(m >= 1, s"maxVersionsPerTrigger must be >= 1, got $m")
+    m
+  }
   // the first version whose FACTS ship; version startingVersion-1 is the
   // initial offset (nothing before it is ever read)
   private val startingVersion: Long =
@@ -154,10 +162,11 @@ class DeltaTailSource(
           "with startingVersion past the cleaned range (facts before it " +
           "must come from a snapshot read/clone), or retain commits at " +
           "least as long as the stream's lag")
-    var v = lastOffered
+    val base = lastOffered
+    var v = base
     var files = 0
     var full = false
-    while (!full && v < head) {
+    while (!full && v < head && v - base < maxVersionsPerTrigger) {
       val next = Sinks.factFileCount(spark, tablePath, v + 1)
       // always admit at least one version (an over-cap single commit
       // still ships, as its own batch) — progress is never starved
