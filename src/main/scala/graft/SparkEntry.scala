@@ -2367,6 +2367,45 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // COMPOSITE-KEY REPLICATION: the replica's primary key is the TUPLE
+    // (k1, k2) = (doc_id % 97, doc_id div 97) — each column alone is
+    // heavily duplicated, so matching on any single column would conflate
+    // rows. A composite-key MERGE updates every tuple with k1=10 (one k1,
+    // many k2 — exactly the shape single-column keying gets wrong), a
+    // DELETE drops half of k1=20, and the catch-up applies with
+    // maxVersionsPerApply=1: each lagged commit lands as its own
+    // watermarked chunk (the crash-resumable long-lag path). The replica
+    // aggregate equals the relational derivation iff tuple matching,
+    // per-column intersected pruning, and chunked watermarks all hold.
+    "sink_delta_replicate_ck" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltareplcksrc_$key"
+      val dst = s"$tmp/graft_deltareplckdst_$key"
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        (col("doc_id") % 97).as("k1"),
+        expr("doc_id DIV 97").as("k2"),
+        col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("k2"), lit(2L)) === 0), src)
+      Sinks.deltaSetProperties(s, src,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      Sinks.deltaAppend(docs.filter(pmod(col("k2"), lit(2L)) === 1), src)
+      Sinks.deltaReplicate(s, src, dst, Seq("k1", "k2")) // bootstrap
+      Sinks.deltaMerge(s, src,
+        docs.filter(col("k1") === 10)
+          .withColumn("n_chars", col("n_chars") + 1000), Seq("k1", "k2"))
+      Sinks.deltaDeleteWhere(s, src, "k1 = 20 AND k2 % 2 = 0")
+      Sinks.deltaReplicate(s, src, dst, Seq("k1", "k2"),
+        maxVersionsPerApply = 1) // chunked: one watermarked apply per commit
+      val cat = graft.sources.DeltaCatalog.fromDeltaLog(s, dst, "repl_ck_out")
+      cat.read(s, cat.files)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // STREAMING CHANGE FEED (graft-delta-cdf): the row-level feed as a
     // live source across TWO runs — run 1 ships the initial snapshot as
     // inserts; while the query is down a CDF-captured MERGE update, a
@@ -5723,6 +5762,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN n_chars + 2000
         |                ELSE n_chars END) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 10 <> 7 GROUP BY source""".stripMargin,
+    // composite-key replication: tuple (doc_id%97, doc_id//97) is the key;
+    // the MERGE adds 1000 where k1=10, the DELETE drops k1=20 with even
+    // k2, chunked catch-up applies one commit per watermarked chunk
+    "sink_delta_replicate_ck" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 97 = 10 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE NOT (doc_id % 97 = 20 AND (doc_id // 97) % 2 = 0)
+        |GROUP BY source""".stripMargin,
     // the streaming change feed across a restart: the initial snapshot
     // (%3=0) and the late append (%3=1) as inserts, the MERGE's pre/post
     // images (%15=0, +500), the DELETE's rows (%30=3), OPTIMIZE nothing

@@ -1735,6 +1735,33 @@ object Sinks {
     KeyPruning(candRaws, candFiles, s => typedBounds(s), keyType)
   }
 
+  /** COMPOSITE-KEY candidate pruning: intersect the per-column verdicts.
+    * A file can hold a row matching some change tuple only if EVERY key
+    * column's logged (min, max) admits some change value of that column —
+    * the contrapositive makes any single column's disjointness a sound
+    * prune, so the intersection is a sound (and tighter) candidate set.
+    * The returned typedBounds/keyType describe the LEADING column (what
+    * the concurrent-append envelope probe uses — conservative: it
+    * over-detects conflicts on the first column alone, never misses one).
+    * Cost: one broadcast range-join per key column over metadata-sized
+    * inputs. */
+  private def pruneCandidatesByKeys(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      snapVer: Long, cat: graft.sources.StaticCatalog,
+      changes: DataFrame, keyCols: Seq[String]): KeyPruning = {
+    val prunings = keyCols.map(k =>
+      pruneCandidatesByKey(spark, tablePath, snapVer, cat,
+        changes.select(col(k).as("__k")).distinct(), k))
+    if (prunings.sizeIs == 1) prunings.head
+    else {
+      val keep = prunings.map(_.candRaws.toSet).reduce(_ intersect _)
+      val head = prunings.head
+      val fileByRaw = head.candRaws.zip(head.candFiles).toMap
+      val raws = head.candRaws.filter(keep)
+      KeyPruning(raws, raws.map(fileByRaw), head.typedBounds, head.keyType)
+    }
+  }
+
   /** The concurrent-append probe (WriteSerializable) for a keyed rewrite:
     * a file committed since the snapshot conflicts UNLESS its logged key
     * bounds prove it is disjoint from the touched keys' [min, max]
@@ -1805,7 +1832,25 @@ object Sinks {
     * Returns the committed version. */
   def deltaMerge(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      changes: DataFrame, keyCol: String,
+      changes: DataFrame, keyCol: String): Long =
+    deltaMerge(spark, tablePath, changes, Seq(keyCol), None)
+
+  def deltaMerge(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCol: String, txn: Option[(String, Long)]): Long =
+    deltaMerge(spark, tablePath, changes, Seq(keyCol), txn)
+
+  /** Composite-key [[deltaMerge]] primary: `keyCols` is the (compound)
+    * match key — every CDC entry point takes the same shape the
+    * SCD2/reconcile helpers always did. Key discipline (non-null, unique)
+    * applies to the TUPLE; candidate pruning intersects the per-column
+    * verdicts (a file can hold a matching composite key only if EVERY key
+    * column's logged range admits some change value of that column), and
+    * the concurrent-append probe uses the leading column's envelope —
+    * conservative, never under-rejecting. */
+  def deltaMerge(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCols: Seq[String],
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     import org.json4s._
@@ -1813,6 +1858,8 @@ object Sinks {
     import org.apache.spark.sql.types._
     import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
     import graft.model.BuzzException
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"merge keys must be non-empty and distinct, got ${keyCols.mkString(",")}")
     val logDir = s"$tablePath/_delta_log"
     // SetTransaction idempotence, the streaming-CDC handshake: a replayed
     // micro-batch whose (appId, version) the log already carries is
@@ -1829,10 +1876,10 @@ object Sinks {
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_merge",
       versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     val partitionCols = cat.partitionColumns
-    if (!cat.schema.fieldNames.contains(keyCol))
+    keyCols.foreach(k => if (!cat.schema.fieldNames.contains(k))
       throw new BuzzException.BadRequest(
-        s"merge key '$keyCol' is not a data column of $tablePath " +
-          s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
+        s"merge key '$k' is not a data column of $tablePath " +
+          s"(data columns: ${cat.schema.fieldNames.mkString(",")})"))
     val ch = partitionCols.foldLeft(changes)((d, c) => d.withColumn(c, col(c).cast("string")))
     val incoming = ch.schema.fields.filterNot(f => partitionCols.contains(f.name))
       .map(f => f.name -> f.dataType.sql).toSeq
@@ -1843,22 +1890,24 @@ object Sinks {
           s"$tablePath's metaData ${declared.mkString(",")} " +
           s"(+ partition cols ${partitionCols.mkString(",")})")
     // key discipline up front, ONE aggregate over the change set: null
-    // keys can never match, duplicate keys are MERGE's ambiguity error
+    // key components can never match, duplicate key tuples are MERGE's
+    // ambiguity error
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val kstat = ch.agg(
-      count(lit(1)), countDistinct(col(keyCol)),
-      count(when(col(keyCol).isNull, 1)),
-      min(col(keyCol)), max(col(keyCol))).head()
+      count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
+      count(when(anyKeyNull, 1)),
+      min(col(keyCols.head)), max(col(keyCols.head))).head()
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
-        s"merge changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
+        s"merge changes carry ${kstat.getLong(2)} NULL " +
+          s"'${keyCols.mkString(",")}' key(s)")
     if (kstat.getLong(0) != kstat.getLong(1))
       throw new BuzzException.BadRequest(
-        s"merge changes carry duplicate '$keyCol' keys " +
+        s"merge changes carry duplicate '${keyCols.mkString(",")}' keys " +
           s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous match")
     if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
 
-    val pruning = pruneCandidatesByKey(spark, tablePath, snapVer, cat,
-      ch.select(col(keyCol).as("__k")).distinct(), keyCol)
+    val pruning = pruneCandidatesByKeys(spark, tablePath, snapVer, cat, ch, keyCols)
     val candRaws = pruning.candRaws
     val candFiles = pruning.candFiles
 
@@ -1866,12 +1915,12 @@ object Sinks {
     // a matched row is REPLACED by its change row, unmatched change rows
     // insert. Untouched files never enter the plan.
     val outCols = cat.schema.fieldNames.toSeq ++ partitionCols
+    val keyEq = keyCols.map(k => col(s"b.$k") === col(s"c.$k")).reduce(_ && _)
     val baseCand = cat.read(spark, candFiles).select(outCols.map(col): _*).as("b")
     val merged = baseCand
-      .join(ch.select(outCols.map(col): _*).as("c"),
-        col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .join(ch.select(outCols.map(col): _*).as("c"), keyEq, "full_outer")
       .select(outCols.map(n =>
-        when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
+        when(col(s"c.${keyCols.head}").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)): _*)
     val adds = stageIntoTable(merged, tablePath, partitionCols, cat.physicalNames)
     // change-data capture (delta.enableChangeDataFeed): matched rows ship
@@ -1882,16 +1931,19 @@ object Sinks {
       else {
         val baseRows = cat.read(spark, candFiles).select(outCols.map(col): _*)
         val chRows = ch.select(outCols.map(col): _*)
-        val pre = baseRows.join(chRows.select(col(keyCol)), Seq(keyCol), "left_semi")
+        val pre = baseRows.join(chRows.select(keyCols.map(col): _*),
+            keyCols, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
         // postimages via INNER join against base keys, not semi: a
         // duplicated base key rewrites N rows to the change values (the
         // documented caller-owns-uniqueness contract), so the feed must
         // pair N preimages with N postimages or a replica applying it
         // diverges from the table
-        val post = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "inner")
+        val post = chRows.join(baseRows.select(keyCols.map(col): _*),
+            keyCols, "inner")
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = chRows.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+        val ins = chRows.join(baseRows.select(keyCols.map(col): _*),
+            keyCols, "left_anti")
           .withColumn("_change_type", lit("insert"))
         stageChangeData(spark, tablePath, partitionCols, cat.physicalNames,
           pre.unionByName(post).unionByName(ins)
@@ -1902,7 +1954,7 @@ object Sinks {
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
       txn = txn, concurrentAddConflicts = appendProbe,
-      operationParams = Map("key" -> keyCol), cdcAdds = cdcAdds)
+      operationParams = Map("key" -> keyCols.mkString(",")), cdcAdds = cdcAdds)
   }
 
   /** APPLY a CHANGE-FEED dialect change set — the table's columns plus
@@ -1931,11 +1983,26 @@ object Sinks {
     * committed version. */
   def deltaApplyChanges(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      changes: DataFrame, keyCol: String,
+      changes: DataFrame, keyCol: String): Long =
+    deltaApplyChanges(spark, tablePath, changes, Seq(keyCol), None)
+
+  def deltaApplyChanges(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCol: String, txn: Option[(String, Long)]): Long =
+    deltaApplyChanges(spark, tablePath, changes, Seq(keyCol), txn)
+
+  /** Composite-key [[deltaApplyChanges]] primary — netting, key
+    * discipline, candidate pruning and the concurrent-append probe all
+    * operate on the key TUPLE (see [[deltaMerge]]'s composite notes). */
+  def deltaApplyChanges(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCols: Seq[String],
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.types._
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"apply keys must be non-empty and distinct, got ${keyCols.mkString(",")}")
     val logDir = s"$tablePath/_delta_log"
     txn.foreach { case (appId, txnVer) =>
       if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
@@ -1949,10 +2016,10 @@ object Sinks {
     val cat = DeltaCatalog.fromDeltaLog(spark, tablePath, "__delta_apply",
       versionAsOf = if (snapVer >= 0) Some(snapVer) else None)
     val partitionCols = cat.partitionColumns
-    if (!cat.schema.fieldNames.contains(keyCol))
+    keyCols.foreach(k => if (!cat.schema.fieldNames.contains(k))
       throw new BuzzException.BadRequest(
-        s"apply key '$keyCol' is not a data column of $tablePath " +
-          s"(data columns: ${cat.schema.fieldNames.mkString(",")})")
+        s"apply key '$k' is not a data column of $tablePath " +
+          s"(data columns: ${cat.schema.fieldNames.mkString(",")})"))
     val hasVer = changes.columns.contains("_commit_version")
     val ch0 = partitionCols.foldLeft(changes)((d, c) =>
       d.withColumn(c, col(c).cast("string")))
@@ -1989,43 +2056,46 @@ object Sinks {
     val last =
       if (!hasVer) nonPre
       else {
-        val vmax = nonPre.groupBy(col(keyCol).as("__k"))
+        val vmax = nonPre.groupBy(keyCols.map(k => col(k).as(s"__k_$k")): _*)
           .agg(max(col("_commit_version")).as("__vmax"))
         nonPre.join(vmax,
-          col(keyCol) === col("__k") && col("_commit_version") === col("__vmax"))
-          .drop("__k", "__vmax")
+          keyCols.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+            col("_commit_version") === col("__vmax"))
+          .drop(keyCols.map(k => s"__k_$k") :+ "__vmax": _*)
       }
     // key discipline over the NET set: nulls never match; a key still
     // duplicated after netting (same winning version, or no version
     // column) is ambiguous, exactly like MERGE
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val kstat = last.agg(
-      count(lit(1)), countDistinct(col(keyCol)),
-      count(when(col(keyCol).isNull, 1)),
-      min(col(keyCol)), max(col(keyCol))).head()
+      count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
+      count(when(anyKeyNull, 1)),
+      min(col(keyCols.head)), max(col(keyCols.head))).head()
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
-        s"apply changes carry ${kstat.getLong(2)} NULL '$keyCol' key(s)")
+        s"apply changes carry ${kstat.getLong(2)} NULL " +
+          s"'${keyCols.mkString(",")}' key(s)")
     if (kstat.getLong(0) != kstat.getLong(1))
       throw new BuzzException.BadRequest(
-        s"apply changes net to duplicate '$keyCol' keys " +
+        s"apply changes net to duplicate '${keyCols.mkString(",")}' keys " +
           s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous")
     if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
 
-    val pruning = pruneCandidatesByKey(spark, tablePath, snapVer, cat,
-      last.select(col(keyCol).as("__k")).distinct(), keyCol)
+    val pruning = pruneCandidatesByKeys(spark, tablePath, snapVer, cat, last, keyCols)
 
     // generalized copy-on-write: matched delete drops the row, matched
     // upsert replaces it, unmatched upsert inserts, unmatched delete
     // no-ops. Untouched files never enter the plan.
     val outCols = cat.schema.fieldNames.toSeq ++ partitionCols
+    val keyEq = keyCols.map(k => col(s"b.$k") === col(s"c.$k")).reduce(_ && _)
     val baseCand = cat.read(spark, pruning.candFiles)
       .select(outCols.map(col): _*).as("b")
     val chAll = last.select((outCols :+ "_change_type").map(col): _*).as("c")
     val rewritten = baseCand
-      .join(chAll, col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .join(chAll, keyEq, "full_outer")
       .filter(col("c._change_type").isNull || col("c._change_type") =!= "delete")
       .select(outCols.map(n =>
-        when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
+        when(col(s"c.${keyCols.head}").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)): _*)
     val adds = stageIntoTable(rewritten, tablePath, partitionCols, cat.physicalNames)
     // CDF capture on THIS table: updates ship pre+post, inserts insert,
@@ -2038,14 +2108,17 @@ object Sinks {
         val ups = last.filter(col("_change_type") =!= "delete")
           .select(outCols.map(col): _*)
         val delKeys = last.filter(col("_change_type") === "delete")
-          .select(col(keyCol))
-        val pre = baseRows.join(ups.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select(keyCols.map(col): _*)
+        val pre = baseRows.join(ups.select(keyCols.map(col): _*),
+            keyCols, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val post = ups.join(baseRows.select(col(keyCol)), Seq(keyCol), "inner")
+        val post = ups.join(baseRows.select(keyCols.map(col): _*),
+            keyCols, "inner")
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = ups.join(baseRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+        val ins = ups.join(baseRows.select(keyCols.map(col): _*),
+            keyCols, "left_anti")
           .withColumn("_change_type", lit("insert"))
-        val del = baseRows.join(delKeys, Seq(keyCol), "left_semi")
+        val del = baseRows.join(delKeys, keyCols, "left_semi")
           .withColumn("_change_type", lit("delete"))
         stageChangeData(spark, tablePath, partitionCols, cat.physicalNames,
           pre.unionByName(post).unionByName(ins).unionByName(del)
@@ -2057,7 +2130,7 @@ object Sinks {
       StructType(cat.schema.fields), "apply changes to",
       snapshotVersion = snapVer, txn = txn,
       concurrentAddConflicts = appendProbe,
-      operationParams = Map("key" -> keyCol), cdcAdds = cdcAdds)
+      operationParams = Map("key" -> keyCols.mkString(",")), cdcAdds = cdcAdds)
   }
 
   /** REPLICATE `srcPath` into `dstPath` by tailing the source's row-level
@@ -2083,9 +2156,27 @@ object Sinks {
     * committed version (or its head when already caught up). */
   def deltaReplicate(
       spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, keyCol: String): Long = {
+      srcPath: String, dstPath: String, keyCol: String): Long =
+    deltaReplicate(spark, srcPath, dstPath, Seq(keyCol))
+
+  /** Composite-key / bounded-catch-up [[deltaReplicate]] primary:
+    * `keyCols` is the replica's (compound) primary key;
+    * `maxVersionsPerApply` CHUNKS a long catch-up — a replica that lagged
+    * 10⁴ commits applies them as ⌈lag / N⌉ successive feeds, each its own
+    * conflict-checked dst commit carrying the chunk-end SetTransaction
+    * watermark, so (a) per-apply driver work (feed walk, netting, key
+    * stats) is bounded by the chunk however long the lag, and (b) a crash
+    * mid-catch-up resumes AT THE LAST CHUNK's watermark instead of
+    * redoing the whole span — the idempotence the watermark already
+    * guarantees makes chunked commits exactly as safe as one. */
+  def deltaReplicate(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCols: Seq[String],
+      maxVersionsPerApply: Int = 1000): Long = {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
+    require(maxVersionsPerApply >= 1,
+      s"maxVersionsPerApply must be >= 1, got $maxVersionsPerApply")
     val appId = s"graft-replicate:$srcPath"
     val srcHead = DeltaCatalog.latestVersion(spark, s"$srcPath/_delta_log")
     if (srcHead < 0)
@@ -2106,28 +2197,67 @@ object Sinks {
           "watermark — it is not a replica of this source; replicate " +
           "into a fresh path (or drop the table) instead"))
     if (applied >= srcHead) return dstHead
-    // is the span's ROW-LEVEL feed expressible? A commit that rewrites
-    // rows WITHOUT cdc actions — a RESTORE, or row-level DML from before
-    // delta.enableChangeDataFeed — has no recorded feed; fall back to the
-    // keyed SNAPSHOT DIFF, which is correct across any history (one
-    // tail-IO pass over the span's commit JSONs decides, deterministic —
-    // no exception-driven control flow)
-    val expressible = ((applied + 1) to srcHead).forall { v =>
-      val ca = parseCommitActions(spark, srcPath, v)
-      ca.cdcs.nonEmpty || !(ca.adds.exists(_._5) && ca.removes.exists(_._2))
-    }
-    if (expressible) {
-      val feed = deltaChangeFeed(spark, srcPath, applied, srcHead)
-      val v = deltaApplyChanges(spark, dstPath, feed, keyCol,
-        txn = Some((appId, srcHead)))
-      // a span netting to zero changes (OPTIMIZE/metadata only) commits
+    var from = applied
+    var result = dstHead
+    while (from < srcHead) {
+      val chunkEnd = math.min(from + maxVersionsPerApply, srcHead)
+      // is the chunk's ROW-LEVEL feed expressible? A commit that rewrites
+      // rows WITHOUT cdc actions — a RESTORE, or row-level DML from before
+      // delta.enableChangeDataFeed — has no recorded feed; fall back to the
+      // keyed SNAPSHOT DIFF, which is correct across any history (one
+      // tail-IO pass over the chunk's commit JSONs decides, deterministic —
+      // no exception-driven control flow). The resync converges dst to
+      // srcHead in one shot, so it also ends the catch-up loop.
+      val expressible = ((from + 1) to chunkEnd).forall { v =>
+        val ca = parseCommitActions(spark, srcPath, v)
+        ca.cdcs.nonEmpty || !(ca.adds.exists(_._5) && ca.removes.exists(_._2))
+      }
+      if (!expressible)
+        return deltaResync(spark, srcPath, dstPath, keyCols)
+      val feed = deltaChangeFeed(spark, srcPath, from, chunkEnd)
+      // additive schema evolution carried by the feed evolves dst FIRST
+      // (renames/drops already failed loudly in the feed walk)
+      evolveReplicaSchema(spark, dstPath, feed)
+      val v = deltaApplyChanges(spark, dstPath, feed, keyCols,
+        txn = Some((appId, chunkEnd)))
+      // a chunk netting to zero changes (OPTIMIZE/metadata only) commits
       // nothing — advance the watermark with a txn-only commit or every
       // later call re-reads the same span
-      if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
-        commitWatermark(spark, dstPath, appId, srcHead)
-      else v
-    } else
-      deltaResync(spark, srcPath, dstPath, keyCol)
+      result =
+        if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < chunkEnd))
+          commitWatermark(spark, dstPath, appId, chunkEnd)
+        else v
+      from = chunkEnd
+    }
+    result
+  }
+
+  /** ADDITIVE schema evolution for a replica: when `feed` (a change-feed
+    * or snapshot-diff change set) carries columns dst does not have yet —
+    * the source was ALTERed ADD COLUMN since the last apply — evolve dst
+    * BEFORE applying, via [[deltaAppend]]'s evolution commit (zero data
+    * files, merged schema re-declared under the table's id, new columns
+    * forced nullable with fresh physical names on mapped tables). Old
+    * replica rows read the new column as null, exactly like the source's
+    * own pre-evolution rows. Non-additive changes never reach here:
+    * renames/drops fail loudly in the feed walk, and a retype fails in
+    * deltaAppend's evolution check. No-op when dst already has every feed
+    * column. */
+  private def evolveReplicaSchema(
+      spark: org.apache.spark.sql.SparkSession, dstPath: String,
+      feed: DataFrame): Unit = {
+    import graft.sources.DeltaCatalog
+    val dstCat = DeltaCatalog.fromDeltaLog(spark, dstPath, "__replicate_evolve")
+    val dstCols = (dstCat.schema.fieldNames ++ dstCat.partitionColumns).toSet
+    val feedDataCols = feed.schema.fields.toSeq.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version")
+    if (feedDataCols.forall(f => dstCols(f.name))) return
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(feedDataCols))
+    deltaAppend(empty, dstPath, partitionCols = dstCat.partitionColumns,
+      mergeSchema = true, operationName = "REPLICATE EVOLVE")
+    ()
   }
 
   /** Advance a SetTransaction watermark with a TXN-ONLY commit — what a
@@ -2187,9 +2317,17 @@ object Sinks {
     * version. */
   def deltaResync(
       spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, keyCol: String): Long = {
+      srcPath: String, dstPath: String, keyCol: String): Long =
+    deltaResync(spark, srcPath, dstPath, Seq(keyCol))
+
+  /** Composite-key [[deltaResync]] primary. */
+  def deltaResync(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCols: Seq[String]): Long = {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"resync keys must be non-empty and distinct, got ${keyCols.mkString(",")}")
     val appId = s"graft-replicate:$srcPath"
     val srcHead = DeltaCatalog.latestVersion(spark, s"$srcPath/_delta_log")
     if (srcHead < 0)
@@ -2204,24 +2342,34 @@ object Sinks {
     }
     val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
       versionAsOf = Some(srcHead))
-    val dstCat = DeltaCatalog.fromDeltaLog(spark, dstPath, "__resync_dst")
-    val cols: Seq[String] =
-      dstCat.schema.fieldNames.toSeq ++ dstCat.partitionColumns
-    val missing = cols.filterNot(srcCat.read(spark, Nil).columns.contains)
+    // schema agreement BOTH ways before diffing: src missing a replica
+    // column is never expressible (fail loudly); src-only columns are the
+    // source's ADDITIVE evolution — evolve dst first (the feed path does
+    // the same), then diff under the EVOLVED schema so the new column's
+    // data replicates instead of being silently projected away
+    val srcRead = srcCat.read(spark, srcCat.files)
+    val dstCat0 = DeltaCatalog.fromDeltaLog(spark, dstPath, "__resync_dst")
+    val missing = (dstCat0.schema.fieldNames.toSeq ++ dstCat0.partitionColumns)
+      .filterNot(srcRead.columns.contains)
     if (missing.nonEmpty)
       throw new BuzzException.SchemaMismatch(
         s"deltaResync: source $srcPath lacks replica column(s) " +
           s"${missing.mkString(", ")}")
-    val sDf = srcCat.read(spark, srcCat.files).select(cols.map(col): _*).as("s")
+    evolveReplicaSchema(spark, dstPath, srcRead)
+    val dstCat = DeltaCatalog.fromDeltaLog(spark, dstPath, "__resync_dst")
+    val cols: Seq[String] =
+      dstCat.schema.fieldNames.toSeq ++ dstCat.partitionColumns
+    val sDf = srcRead.select(cols.map(col): _*).as("s")
     val dDf = dstCat.read(spark, dstCat.files).select(cols.map(col): _*).as("d")
-    val sKey = col(s"s.$keyCol")
-    val dKey = col(s"d.$keyCol")
+    val sKey = col(s"s.${keyCols.head}")
+    val dKey = col(s"d.${keyCols.head}")
+    val keyEq = keyCols.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
     // null-safe comparison: a column differing only in nullness differs
-    val differs = cols.filterNot(_ == keyCol)
+    val differs = cols.filterNot(keyCols.contains)
       .map(c => !(col(s"s.$c") <=> col(s"d.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val changes = sDf
-      .join(dDf, sKey === dKey, "full_outer")
+      .join(dDf, keyEq, "full_outer")
       .select(cols.map(c =>
         when(sKey.isNotNull, col(s"s.$c")).otherwise(col(s"d.$c")).as(c)) :+
         when(dKey.isNull, lit("insert"))
@@ -2235,7 +2383,7 @@ object Sinks {
     // current
     val alreadyStamped =
       DeltaCatalog.lastTxnVersion(spark, dstPath, appId).exists(_ >= srcHead)
-    val v = deltaApplyChanges(spark, dstPath, changes, keyCol,
+    val v = deltaApplyChanges(spark, dstPath, changes, keyCols,
       txn = if (alreadyStamped) None else Some((appId, srcHead)))
     // an already-converged diff commits nothing: stamp the watermark so
     // replicate's fallback does not re-diff the same span forever

@@ -290,4 +290,169 @@ class DeltaCdcApplySpec extends AnyFunSuite {
       Sinks.deltaReplicate(spark, src, foreign, "id"))
     assert(e.getMessage.contains("watermark"))
   }
+
+  private def liveMap2(dir: String): Map[(Long, String), Long] = {
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "apply_read2")
+    cat.read(spark, cat.files).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  test("COMPOSITE keys: apply matches on the tuple, not any single column") {
+    val dir = tmpDir("apply_ck")
+    // (k1, k2) is the key; k1 alone is heavily duplicated
+    Sinks.deltaAppend(
+      (0L until 10L).flatMap(i => Seq((i, "a", i * 2), (i, "b", i * 3)))
+        .toDF("k1", "k2", "v").coalesce(1), dir)
+    val changes = Seq(
+      (5L, "a", 500L, "update_postimage"), // touches ONLY (5,a), not (5,b)
+      (5L, "b", 10L, "update_preimage"),   // informational
+      (7L, "b", 0L, "delete"),             // (7,a) must survive
+      (100L, "a", 1L, "insert"),
+      // two changes sharing k1 — distinct tuples, NOT a duplicate key
+      (3L, "a", 30L, "update_postimage"),
+      (3L, "b", 31L, "update_postimage")
+    ).toDF("k1", "k2", "v", "_change_type")
+    Sinks.deltaApplyChanges(spark, dir, changes, Seq("k1", "k2"))
+    val live = liveMap2(dir)
+    assert(live((5L, "a")) === 500L && live((5L, "b")) === 15L)
+    assert(!live.contains((7L, "b")) && live((7L, "a")) === 14L)
+    assert(live((100L, "a")) === 1L)
+    assert(live((3L, "a")) === 30L && live((3L, "b")) === 31L)
+    // a genuinely duplicated TUPLE still fails
+    val dup = Seq((1L, "a", 1L, "insert"), (1L, "a", 2L, "insert"))
+      .toDF("k1", "k2", "v", "_change_type")
+    val e = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, dup, Seq("k1", "k2")))
+    assert(e.getMessage.contains("duplicate"))
+    // a NULL key COMPONENT fails
+    val nul = Seq((Some(1L), None: Option[String], 1L, "insert"))
+      .toDF("k1", "k2", "v", "_change_type")
+    val e2 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, nul, Seq("k1", "k2")))
+    assert(e2.getMessage.contains("NULL"))
+  }
+
+  test("COMPOSITE keys: merge + netting + replicate converge end to end") {
+    val src = tmpDir("repl_ck_src")
+    val dst = tmpDir("repl_ck_dst") + "/replica"
+    Sinks.deltaAppend(
+      (0L until 8L).flatMap(i => Seq((i, "x", i), (i, "y", i * 10)))
+        .toDF("k1", "k2", "v").coalesce(1), src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, Seq("k1", "k2")) // bootstrap
+    // composite-key MERGE (CDF-captured), then a delete of one tuple
+    Sinks.deltaMerge(spark, src,
+      Seq((2L, "x", 222L), (2L, "y", 223L), (50L, "x", 5L))
+        .toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    Sinks.deltaDeleteWhere(spark, src, "k1 = 4 AND k2 = 'y'")
+    Sinks.deltaReplicate(spark, src, dst, Seq("k1", "k2"))
+    assert(liveMap2(dst) === liveMap2(src))
+    assert(liveMap2(dst)((2L, "x")) === 222L)
+    assert(!liveMap2(dst).contains((4L, "y")) &&
+      liveMap2(dst).contains((4L, "x")))
+    // netting by _commit_version on the tuple: later change wins per tuple
+    val feed = Seq(
+      (1L, "x", 111L, "update_postimage", 5L),
+      (1L, "x", 0L, "delete", 7L),
+      (1L, "y", 119L, "update_postimage", 7L)
+    ).toDF("k1", "k2", "v", "_change_type", "_commit_version")
+    Sinks.deltaApplyChanges(spark, dst, feed, Seq("k1", "k2"))
+    assert(!liveMap2(dst).contains((1L, "x")))
+    assert(liveMap2(dst)((1L, "y")) === 119L)
+  }
+
+  test("chunked catch-up: maxVersionsPerApply applies a long lag as bounded watermarked commits") {
+    val src = tmpDir("repl_chunk_src")
+    val dst = tmpDir("repl_chunk_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, "id") // bootstrap @ src v2
+    // 7 commits of lag, with CROSS-CHUNK ordering semantics to honor:
+    // id=1 updated in an early commit, deleted in a late one
+    Sinks.deltaMerge(spark, src, Seq((1L, 111L)).toDF("id", "v"), "id")
+    Sinks.deltaMerge(spark, src, Seq((30L, 1L)).toDF("id", "v"), "id")
+    Sinks.deltaMerge(spark, src, Seq((31L, 2L)).toDF("id", "v"), "id")
+    Sinks.deltaOptimize(spark, src, targetBytes = 1L << 30)
+    Sinks.deltaMerge(spark, src, Seq((32L, 3L)).toDF("id", "v"), "id")
+    Sinks.deltaDeleteWhere(spark, src, "id = 1")
+    Sinks.deltaMerge(spark, src, Seq((33L, 4L)).toDF("id", "v"), "id")
+    val dstBefore = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    Sinks.deltaReplicate(spark, src, dst, Seq("id"), maxVersionsPerApply = 2)
+    assert(liveMap(dst) === liveMap(src))
+    assert(!liveMap(dst).contains(1L) && liveMap(dst)(33L) === 4L)
+    // the catch-up landed as MULTIPLE commits (ceil(7/2) chunks, empties
+    // as txn-only watermarks), each individually crash-resumable
+    val dstAfter = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    assert(dstAfter - dstBefore >= 3,
+      s"expected >=3 chunked commits, got ${dstAfter - dstBefore}")
+    // watermark is at src head; re-running is a no-op
+    assert(Sinks.deltaReplicate(spark, src, dst, Seq("id"), 2) === dstAfter)
+  }
+
+  test("ADDITIVE src evolution mid-replication evolves the replica (old rows null); resync agrees") {
+    val src = tmpDir("repl_evolve_src")
+    val dst = tmpDir("repl_evolve_dst") + "/replica"
+    twoFileTable(src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, "id") // bootstrap, 2-column era
+    // src evolves: ALTER ADD COLUMN via an evolving append, then DML
+    // touching the new column
+    Sinks.deltaAppend(Seq((20L, 40L, "fresh")).toDF("id", "v", "tag"), src,
+      mergeSchema = true)
+    Sinks.deltaMerge(spark, src,
+      Seq((5L, 500L, "tagged")).toDF("id", "v", "tag"), "id")
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dst, "evolve_read")
+    assert(cat.schema.fieldNames.toSeq === Seq("id", "v", "tag"))
+    val rows = cat.read(spark, cat.files).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows(20L) === ((40L, Some("fresh"))))
+    assert(rows(5L) === ((500L, Some("tagged"))))
+    assert(rows(3L) === ((6L, None)), "pre-evolution rows read null tag")
+    assert(rows.size === 21)
+    // resync across the same evolution finds NOTHING to repair (and would
+    // itself evolve an un-evolved replica rather than dropping the column)
+    val head = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    Sinks.deltaResync(spark, src, dst, "id")
+    val srcCat = DeltaCatalog.fromDeltaLog(spark, src, "evolve_src_read")
+    assert(cat.read(spark, cat.files).count() ===
+      srcCat.read(spark, srcCat.files).count())
+    val repairs = (head + 1 to DeltaCatalog.latestVersion(spark, s"$dst/_delta_log"))
+      .map(v => graft.sources.FsUtil
+        .readString(spark, f"$dst/_delta_log/$v%020d.json"))
+      .count(_.contains("\"add\""))
+    assert(repairs === 0, "a converged evolved replica must resync to zero changes")
+  }
+
+  test("the feed plans BOUNDED width: many small same-kind commits read as ONE relation") {
+    val src = tmpDir("feed_width_src")
+    Sinks.deltaAppend(Seq((0L, 0L)).toDF("id", "v"), src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    // 40 one-file insert commits — the replication-lag shape
+    (1L to 40L).foreach(i =>
+      Sinks.deltaAppend(Seq((i, i)).toDF("id", "v").coalesce(1), src))
+    val head = DeltaCatalog.latestVersion(spark, s"$src/_delta_log")
+    val feed = Sinks.deltaChangeFeed(spark, src, 1L, head)
+    // one insert run: 1 file scan + 1 broadcast (path -> version) local
+    // relation — NOT one leaf per commit
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4, s"40-commit span planned $leaves leaves")
+    assert(feed.count() === 40L)
+    assert(feed.select("_commit_version").distinct().count() === 40L)
+    // alternating kinds still label versions exactly: delete, insert,
+    // delete — three runs, each version's rows correct
+    Sinks.deltaDeleteWhere(spark, src, "id = 40")        // cdc-captured
+    Sinks.deltaAppend(Seq((50L, 5L)).toDF("id", "v"), src)
+    val head2 = DeltaCatalog.latestVersion(spark, s"$src/_delta_log")
+    val tail = Sinks.deltaChangeFeed(spark, src, head, head2)
+      .select(col("_commit_version"), col("_change_type"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(tail === Seq(
+      (head + 1, "delete", 40L),
+      (head + 2, "insert", 50L)).sorted)
+  }
 }

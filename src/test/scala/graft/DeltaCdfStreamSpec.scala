@@ -192,4 +192,74 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     assert(live(dst) === s)
     assert(s(5L) === 500L && s(100L) === 1L && s(6L) === 13L && !s.contains(8L))
   }
+
+  test("batch-boundary semantics: images of ONE key split across batches still converge") {
+    // an update's preimage+postimage always share a commit (and so a
+    // batch), but successive updates of the SAME key land in successive
+    // batches under maxFilesPerTrigger=1 — batch N applies postimage v_n,
+    // batch N+1 ships {preimage v_n, postimage v_(n+1)}: the preimage is
+    // informational (netting drops it) and the apply must not see the
+    // repeat of v_n's value as a conflict
+    val src = tmpDir("cdfs_bb_src")
+    val dst = tmpDir("cdfs_bb_dst") + "/replica"
+    val ckpt = tmpDir("cdfs_bb_ckpt")
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1), src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, "id")
+    val startV = DeltaCatalog.latestVersion(spark, s"$src/_delta_log") + 1
+    // three successive updates of id=3 (+ a delete-then-reinsert of id=4):
+    // each is its own commit, forced into its own micro-batch
+    Sinks.deltaMerge(spark, src, Seq((3L, 100L)).toDF("id", "v"), "id")
+    Sinks.deltaMerge(spark, src, Seq((3L, 200L)).toDF("id", "v"), "id")
+    Sinks.deltaDeleteWhere(spark, src, "id = 4")
+    Sinks.deltaMerge(spark, src, Seq((4L, 444L), (3L, 300L)).toDF("id", "v"), "id")
+    var applies = 0
+    val q = spark.readStream.format("graft-delta-cdf").option("path", src)
+      .option("startingVersion", startV.toString)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Sinks.deltaApplyChanges(spark, dst,
+          batch, "id", txn = Some((s"cdfs-bb:$src", batchId)))
+        applies += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(applies >= 4, s"pacing should split the 4 commits, got $applies batches")
+    def live(dir: String): Map[Long, Long] = {
+      val cat = DeltaCatalog.fromDeltaLog(spark, dir, "bb_cmp")
+      cat.read(spark, cat.files).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(live(dst) === live(src))
+    assert(live(dst)(3L) === 300L && live(dst)(4L) === 444L)
+  }
+
+  test("maxVersionsPerTrigger paces catch-up; each trigger parses each commit JSON once") {
+    val dir = tmpDir("cdfs_vpt")
+    val ckpt = tmpDir("cdfs_vpt_ckpt")
+    Sinks.deltaAppend(Seq((0L, 0L)).toDF("id", "v"), dir)
+    // 8 one-row commits of lag
+    (1L to 8L).foreach(i =>
+      Sinks.deltaAppend(Seq((i, i)).toDF("id", "v").coalesce(1), dir))
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .option("maxVersionsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("cdfs_vpt")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val parsesBefore = Sinks.uncachedCommitParses
+    try q.processAllAvailable() finally q.stop()
+    val parses = Sinks.uncachedCommitParses - parsesBefore
+    assert(spark.table("cdfs_vpt").count() === 9)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 3, s"9 versions / 3 per trigger: got $dataBatches")
+    // admission (getOffset) and the batch walk (getBatch) share ONE parse
+    // per commit via the memo: 9 commits -> at most 9 uncached parses
+    // across the whole run (plus none for replayed versions)
+    assert(parses <= 9, s"9 commits parsed $parses times — memo not serving")
+  }
 }
