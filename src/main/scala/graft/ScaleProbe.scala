@@ -319,6 +319,56 @@ object ScaleProbe {
         report("cdf_trigger_wall", scale, 3, cdfSecs)
       }
 
+      // CDC feed plan width under replication lag: a replica catching up
+      // over N small commits must plan a BOUNDED-width feed (runs, not
+      // commits, are the relation unit — r11 built one union leaf per
+      // commit, a super-linear driver analysis stall at high lag). Rows:
+      // feed wall + leaf count at a 10-commit and a 1000-one-file-commit
+      // span (the `scale` field carries the SPAN LENGTH), then a full
+      // replicate catch-up over the 1000-commit lag. Healthy: leaves flat
+      // (~2-3 at both spans), wall ~linear in span (tail IO + scan, never
+      // analysis-quadratic), replicate converges in seconds. Run once —
+      // span length, not corpus scale, is this probe's variable.
+      if (scale == 1) locally {
+        val lagSrc = java.nio.file.Files
+          .createTempDirectory("graft_probe_lag_src").toString
+        val lagDst = java.nio.file.Files
+          .createTempDirectory("graft_probe_lag_dst").toString + "/replica"
+        graft.operators.Sinks.deltaAppend(
+          spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+            .coalesce(1), lagSrc)
+        graft.operators.Sinks.deltaReplicate(spark, lagSrc, lagDst, "id")
+        val part = new java.io.File(lagSrc).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        (1 to 1000).foreach { i =>
+          val dest = new java.io.File(lagSrc, s"c-$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dest.toPath)
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$lagSrc/_delta_log", f"$i%020d.json").toPath,
+            s"""{"add":{"path":"c-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+        }
+        for (span <- Seq(10, 1000)) {
+          graft.operators.Sinks.invalidateCommitParseCache()
+          val (leaves, spanSecs) = timed {
+            val feed = graft.operators.Sinks.deltaChangeFeed(
+              spark, lagSrc, 0L, span.toLong)
+            require(feed.count() == 10L * span,
+              s"span feed drift at $span")
+            feed.queryExecution.optimizedPlan.collectLeaves().size.toLong
+          }
+          report("feed_span_plan_wall", span, leaves, spanSecs)
+        }
+        graft.operators.Sinks.invalidateCommitParseCache()
+        val (dstRows, replSecs) = timed {
+          graft.operators.Sinks.deltaReplicate(spark, lagSrc, lagDst, "id")
+          val cat = graft.sources.DeltaCatalog.fromDeltaLog(
+            spark, lagDst, "lag_dst_read")
+          cat.read(spark, cat.files).count()
+        }
+        require(dstRows == 10L, s"lag replicate drift: $dstRows rows")
+        report("replicate_lag_wall", 1000, dstRows, replSecs)
+      }
+
       // radius search at the PRODUCTION setting against a FIXED query set:
       // the probed fraction of the corpus shrinks as the index grows
       // (√nlist of nlist ≈ √n buckets), so scanned work per query grows

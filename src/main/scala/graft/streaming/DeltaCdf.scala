@@ -33,12 +33,30 @@ import graft.sources.{ColumnMapping, DeltaCatalog, DvDescriptor}
   *     end-to-end streaming REPLICATION exactly-once;
   *   - `maxFilesPerTrigger` (default 1000) is admission control counted
   *     in change files (cdc files, else derived add/remove files), with
-  *     at least one version per batch so progress is always possible.
+  *     at least one version per batch so progress is always possible;
+  *     `maxVersionsPerTrigger` (default 1000) additionally bounds the
+  *     admission walk's driver tail IO when a lagged stream catches up
+  *     over many tiny commits.
   *
   * Usage: `spark.readStream.format("graft-delta-cdf")
   * .option("path", tablePath).load()`. Options: `path` (required),
   * `startingVersion` (first version whose changes ship; default 0 — the
-  * initial snapshot ships as inserts), `maxFilesPerTrigger`.
+  * initial snapshot ships as inserts), `maxFilesPerTrigger`,
+  * `maxVersionsPerTrigger`.
+  *
+  * PLAN WIDTH is bounded regardless of admission: a batch's commits are
+  * grouped into contiguous same-kind, same-schema-era RUNS
+  * ([[Sinks.collectFeedRuns]]) and each run reads as ONE relation with
+  * `_commit_version` joined per file — 1000 one-file insert commits plan
+  * one scan, not a 1000-leaf union (SCALEPROBE feed_span_plan_wall).
+  *
+  * Replication consumers pipe batches into [[Sinks.deltaApplyChanges]]
+  * with the batch's `txn` handshake (exactly-once). Batch-boundary
+  * semantics when pacing splits a key's history: every update's
+  * preimage+postimage share a commit (and so a batch); successive
+  * changes of one key may land in successive batches, applied in batch
+  * order — netting inside each apply keeps that convergent
+  * (DeltaCdfStreamSpec pins it).
   *
   * Schema discipline mirrors the tail: the stream PINS the table schema
   * at start; a mid-stream RENAME conforms losslessly (physical names are

@@ -36,7 +36,9 @@ import graft.sources.DeltaCatalog
   * .option("path", tablePath).load()` → any of the streaming twins →
   * `writeStream`. Options: `path` (required), `startingVersion` (first
   * version whose facts ship; default 0 = the table's whole history
-  * including its initial snapshot), `maxFilesPerTrigger`.
+  * including its initial snapshot), `maxFilesPerTrigger`,
+  * `maxVersionsPerTrigger` (default 1000 — bounds the admission walk's
+  * driver tail IO when catching up over many tiny commits).
   *
   * 100 TB shape: ONE full snapshot replay at stream START (pinning the
   * schema era); after that, per trigger the driver reads ONLY the new
