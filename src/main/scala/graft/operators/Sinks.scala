@@ -789,7 +789,15 @@ object Sinks {
     * mapping metadata that makes them well-defined. A requested column
     * whose PHYSICAL column does not exist in some era (added, or dropped
     * and re-added mid-span) still fails loudly — those rows genuinely
-    * have no value to diff. Returns (version, keyCols..., status). */
+    * have no value to diff. Returns (version, keyCols..., status).
+    *
+    * Plan width is LINEAR in span length BY CONTRACT — each version is an
+    * independent keyed diff (its own join of pre-state removes against
+    * adds), so versions cannot share a relation the way the row-level
+    * feed's same-kind runs do ([[collectFeedRuns]]). Consume long spans
+    * in bounded chunks; for replication-shaped consumption (where only
+    * the NET row images matter) [[deltaChangeFeed]] / [[deltaReplicate]]
+    * are the bounded-plan paths. */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
