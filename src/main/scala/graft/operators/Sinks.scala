@@ -791,13 +791,17 @@ object Sinks {
     * and re-added mid-span) still fails loudly — those rows genuinely
     * have no value to diff. Returns (version, keyCols..., status).
     *
-    * Plan width is LINEAR in span length BY CONTRACT — each version is an
-    * independent keyed diff (its own join of pre-state removes against
-    * adds), so versions cannot share a relation the way the row-level
-    * feed's same-kind runs do ([[collectFeedRuns]]). Consume long spans
-    * in bounded chunks; for replication-shaped consumption (where only
-    * the NET row images matter) [[deltaChangeFeed]] / [[deltaReplicate]]
-    * are the bounded-plan paths. */
+    * Plan width: a commit that REWRITES rows (both adds and removes)
+    * keeps its own keyed diff — the semantics need the join of its
+    * pre-state against its adds — but contiguous single-sided commits
+    * (adds only → every key 'added'; removes only → every key 'removed';
+    * the degenerate diffs where the join's other side is empty) batch
+    * into ONE relation per same-era run with the version joined per file,
+    * the same bounded-width shape as the row-level feed
+    * ([[collectFeedRuns]]). Append-heavy history — the common long span —
+    * therefore plans O(eras), and only genuine rewrite commits add a
+    * join each; a span that is ALL rewrites is linear by contract —
+    * consume such spans in bounded chunks. */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
@@ -834,22 +838,93 @@ object Sinks {
         }
       }
     }
-    ((vFrom + 1) to vTo).map { v =>
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeletionVectors, DvDescriptor, SizedFile}
+    def abs(raw: String): String =
+      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
+    val frames = scala.collection.mutable.ListBuffer[org.apache.spark.sql.DataFrame]()
+    // pending single-sided run: contiguous same-era commits whose diff is
+    // degenerate (adds only = 'added', removes only = 'removed') batch
+    // into ONE relation; rewrite commits flush it and keep their join
+    var runStatus: String = null
+    var runCat: graft.sources.StaticCatalog = null
+    var runEraKeys: Seq[String] = null
+    val runFiles = scala.collection.mutable.ListBuffer[
+      (String, Long, Map[String, String], Option[DvDescriptor], Long)]()
+    val runPaths = scala.collection.mutable.HashSet[String]()
+    def flushRun(): Unit = if (runStatus != null) {
+      val dvs = runFiles.toSeq.collect { case (raw, _, _, Some(dv), _) =>
+        abs(raw) -> DeletionVectors.resolve(tablePath, dv)
+      }.toMap
+      val sized = runFiles.toSeq.map { case (raw, size, pv, _, _) =>
+        SizedFile(abs(raw), size, runCat.partitionColumns.map(c =>
+          pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+      }
+      val df = runCat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
+      val withVer = attachCommitVersions(spark, df,
+        runFiles.toSeq.map { case (raw, _, _, _, v) =>
+          graft.sources.FsUtil.normalizePath(abs(raw)) -> v
+        })
+      // era-local logical key names -> the consumer's current names
+      val renamed = runEraKeys.zip(keyCols)
+        .foldLeft(withVer.select(
+          (runEraKeys :+ "_commit_version").map(org.apache.spark.sql.functions.col): _*)) {
+          case (d, (era, cur)) =>
+            if (era == cur) d else d.withColumnRenamed(era, cur)
+        }
+      frames += renamed.select(
+        org.apache.spark.sql.functions.col("_commit_version").as("version") +:
+        keyCols.map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.lit(runStatus).as("status"): _*)
+      runStatus = null; runFiles.clear(); runPaths.clear()
+    }
+    ((vFrom + 1) to vTo).foreach { v =>
       val ca = parseCommitActions(spark, tablePath, v)
       val (adds, rawRemoves, metaChanged) = (ca.adds, ca.removes, ca.metaChanged)
       val removes = rawRemoves.map(_._1)
-      if (metaChanged)
+      if (metaChanged) {
+        flushRun()
         cat = DeltaCatalog.fromDeltaLog(
           spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
+      }
+      // name resolution runs for EVERY version (empty commits included,
+      // as before) — the loud missing-column contract is span-wide, not
+      // just where a join happens to need the column
       val eraKeys = eraNames(cat, keyCols, v)
       val eraComps = eraNames(cat, compareCols, v)
-      // `live`/`liveDvs` are the PRE-commit state here; changesFromActions
-      // consumes them eagerly, so advancing them afterwards is safe
-      val df0 = changesFromActions(
-        spark, tablePath, v, eraKeys, eraComps, cat, adds, removes, live, liveDvs)
-      // era-local logical names -> the consumer's current names
-      val df = eraKeys.zip(keyCols).foldLeft(df0) { case (d, (era, cur)) =>
-        if (era == cur) d else d.withColumnRenamed(era, cur)
+      if (adds.nonEmpty || removes.nonEmpty) {
+        if (adds.nonEmpty && removes.nonEmpty) {
+          flushRun()
+          // `live`/`liveDvs` are the PRE-commit state here;
+          // changesFromActions consumes them eagerly, so advancing them
+          // afterwards is safe
+          val df0 = changesFromActions(
+            spark, tablePath, v, eraKeys, eraComps, cat, adds, removes, live, liveDvs)
+          val df = eraKeys.zip(keyCols).foldLeft(df0) { case (d, (era, cur)) =>
+            if (era == cur) d else d.withColumnRenamed(era, cur)
+          }
+          frames += df.select(org.apache.spark.sql.functions.lit(v).as("version"),
+            org.apache.spark.sql.functions.col("*"))
+        } else {
+          val (status, files) =
+            if (adds.nonEmpty)
+              ("added", adds.map { case (raw, size, pv, dv, _) =>
+                (raw, size, pv, dv, v) })
+            else
+              ("removed", removes.map { raw =>
+                live.get(raw) match {
+                  case Some((size, pv)) => (raw, size, pv, liveDvs.get(raw), v)
+                  case None => throw new BuzzException.ExecutionError(
+                    s"commit $v removes $raw which is not live at ${v - 1}")
+                }
+              })
+          if (runStatus != status || files.exists(f => runPaths(f._1))) flushRun()
+          if (runStatus == null) {
+            runStatus = status; runCat = cat; runEraKeys = eraKeys
+          }
+          runFiles ++= files
+          runPaths ++= files.map(_._1)
+        }
       }
       live = live -- removes ++
         adds.map { case (raw, size, pv, _, _) => raw -> ((size, pv)) }
@@ -857,9 +932,22 @@ object Sinks {
       liveDvs = liveDvs -- removes --
         adds.collect { case (raw, _, _, None, _) => raw } ++
         adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv }
-      df.select(org.apache.spark.sql.functions.lit(v).as("version"),
-        org.apache.spark.sql.functions.col("*"))
-    }.reduce(_.unionAll(_))
+    }
+    flushRun()
+    if (frames.isEmpty) {
+      // a span of only metaData/empty commits diffs to nothing: the empty
+      // frame through the SAME machinery, so schema/names/types match the
+      // non-empty shape exactly
+      val eraKeys = eraNames(cat, keyCols, vTo)
+      val eraComps = eraNames(cat, compareCols, vTo)
+      val df0 = changesFromActions(spark, tablePath, vTo, eraKeys, eraComps,
+        cat, Nil, Nil, Map.empty, Map.empty)
+      val df = eraKeys.zip(keyCols).foldLeft(df0) { case (d, (era, cur)) =>
+        if (era == cur) d else d.withColumnRenamed(era, cur)
+      }
+      df.select(org.apache.spark.sql.functions.lit(vTo).as("version"),
+        org.apache.spark.sql.functions.col("*")).limit(0)
+    } else frames.reduce(_.unionAll(_))
   }
 
   /** Is change-data-feed capture ACTIVE on `tablePath` at the pinned

@@ -454,5 +454,14 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(tail === Seq(
       (head + 1, "delete", 40L),
       (head + 2, "insert", 50L)).sorted)
+    // the keyed snapshot-diff reader batches its DEGENERATE commits the
+    // same way: 40 insert-only commits = one 'added' relation (+ the
+    // version map), not 40 diff joins
+    val diff = Sinks.deltaChangesBetween(spark, src, 1L, head, Seq("id"), Seq("v"))
+    val diffLeaves = diff.queryExecution.optimizedPlan.collectLeaves().size
+    assert(diffLeaves <= 4, s"40-commit diff span planned $diffLeaves leaves")
+    assert(diff.count() === 40L)
+    assert(diff.select("status").distinct().collect().map(_.getString(0)).toSeq === Seq("added"))
+    assert(diff.select("version").distinct().count() === 40L)
   }
 }
