@@ -238,6 +238,31 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     assert(live(dst)(3L) === 300L && live(dst)(4L) === 444L)
   }
 
+  test("a mid-stream RENAME conforms losslessly under the pinned names (only drops fail)") {
+    val dir = tmpDir("cdfs_rename")
+    val ckpt = tmpDir("cdfs_rename_ckpt")
+    Sinks.deltaAppend((0L until 5L).map(i => (i, i * 2)).toDF("id", "v"), dir) // v0
+    Sinks.deltaSetProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                             // v1
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("cdfs_rename")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // ships v0 inserts under (id, v)
+      // rename lands WHILE the query runs; later changes store the same
+      // PHYSICAL column, so the pinned stream keeps surfacing it as `v`
+      Sinks.deltaRenameColumn(spark, dir, "v", "w")                            // v2
+      Sinks.deltaMerge(spark, dir, Seq((3L, 300L)).toDF("id", "w"), "id")      // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = changeRows(spark.table("cdfs_rename"))
+    assert(rows.filter(_._1 == 3L) === Seq(
+      (3L, "update_postimage", 3L, 300L),
+      (3L, "update_preimage", 3L, 6L)), "post-rename changes conform to the pinned name 'v'")
+  }
+
   test("maxVersionsPerTrigger paces catch-up; each trigger parses each commit JSON once") {
     val dir = tmpDir("cdfs_vpt")
     val ckpt = tmpDir("cdfs_vpt_ckpt")

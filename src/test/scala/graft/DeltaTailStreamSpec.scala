@@ -239,6 +239,24 @@ class DeltaTailStreamSpec extends AnyFunSuite {
     assert(shipped.sorted === (0L until 30L))
   }
 
+  test("each trigger parses each new commit JSON once (admission + batch share the memo)") {
+    val dir = tmpDir("tail_oneparse")
+    Sinks.deltaAppend((0L until 5L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir)
+    val src = new graft.streaming.DeltaTailSource(spark, dir, Map.empty)
+    // 4 live one-file commits; one trigger walks them ALL: getOffset's
+    // factFileCount per candidate version + getBatch's appendOnlyFactFiles
+    // re-read would be 2 parses per commit without the memo
+    (1L to 4L).foreach(i =>
+      Sinks.deltaAppend(Seq((10L + i, i)).toDF("id", "v").coalesce(1), dir))
+    Sinks.invalidateCommitParseCache()
+    val before = Sinks.uncachedCommitParses
+    val off = src.getOffset.get
+    val batch = src.getBatch(None, off)
+    assert(org.apache.spark.sql.graft.StreamingBridge.asBatch(batch).count() === 9)
+    val parses = Sinks.uncachedCommitParses - before
+    assert(parses <= 5, s"5 commits parsed $parses times in one trigger — memo not serving")
+  }
+
   test("a retracting commit and a rename both fail the query loudly") {
     val dir = tmpDir("tail_retract")
     Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir)
