@@ -1010,43 +1010,33 @@ object Sinks {
   }
 
   /** Read a RUN of commits' `_change_data` files — one schema era, any
-    * number of contiguous commits — under the era catalog's schema:
-    * declared PHYSICAL data columns plus `_change_type`, partition values
-    * attached from the cdc actions, logical names surfaced,
-    * `_commit_version` joined per file. One relation per touched
-    * partition tuple, NOT per commit: a replica catching up over
-    * thousands of small CDF commits plans a bounded-width scan. */
+    * number of contiguous commits — under the era catalog's schema plus
+    * `_change_type`, with `_commit_version` joined per file. Rides the
+    * SAME catalog read machinery as data files (declared physical names,
+    * logical surfacing, Hive-layout single-scan): cdc files land under
+    * `_change_data/<k=v dirs>/` in exactly the table's partition layout,
+    * so a run reads as ONE FileScan however many commits OR partition
+    * tuples it spans (pathological partition values fall back to the
+    * per-tuple union, like any catalog read). */
   private def readChangeData(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       cat: graft.sources.StaticCatalog,
       cdcs: Seq[(String, Long, Map[String, String], Long)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types._
-    import graft.sources.{ColumnMapping, DeltaCatalog, FsUtil}
-    val readSchema = StructType(cat.schema.fields.map(f =>
-      f.copy(name = ColumnMapping.physicalName(f))).toSeq :+
+    import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
+    def abs(raw: String): String =
+      new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
+    val cdcSchema = StructType(cat.schema.fields.toSeq :+
       StructField("_change_type", StringType, nullable = false))
-    val logicalFor = cat.physicalNames.map(_.swap)
-    val scanned = cdcs.groupBy(_._3).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-      .map { case (pv, group) =>
-        val paths = group.map { case (raw, _, _, _) =>
-          new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
-        }
-        val base = spark.read.schema(readSchema).parquet(paths: _*)
-          .withColumn("__gfp",
-            FsUtil.normalizePathCol(col("_metadata.file_path")))
-        val named = base.select(base.columns.toIndexedSeq.map(c =>
-          col(c).as(logicalFor.getOrElse(c, c))): _*)
-        cat.partitionColumns.foldLeft(named)((df, c) =>
-          df.withColumn(c,
-            lit(pv.getOrElse(c, DeltaCatalog.NullPartitionValue))))
-      }.reduce(_.unionAll(_))
-    attachCommitVersions(spark, scanned,
-      cdcs.map { case (raw, _, _, v) =>
-        FsUtil.normalizePath(
-          new Path(tablePath, DeltaCatalog.decodePath(raw)).toString) -> v
-      })
+    val cdcCat = new graft.sources.StaticCatalog(
+      s"${cat.name}_cdc", cdcSchema, cat.partitionColumns, Nil)
+    val sized = cdcs.map { case (raw, size, pv, _) =>
+      SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
+        pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
+    }
+    attachCommitVersions(spark, cdcCat.readKeepingPath(spark, sized),
+      cdcs.map { case (raw, _, _, v) => FsUtil.normalizePath(abs(raw)) -> v })
   }
 
   /** The protocol's ROW-LEVEL change feed over the commit span

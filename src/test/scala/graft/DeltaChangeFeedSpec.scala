@@ -84,6 +84,33 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
       (2L, "delete", 3L, "a")))
   }
 
+  test("a PARTITIONED table's cdc run reads as ONE scan across partition tuples") {
+    val dir = tmpDir("cdf_part_scan")
+    Sinks.deltaAppend(
+      (0L until 30L).map(i => (i, i * 2, s"p${i % 3}")).toDF("id", "v", "p"),
+      dir, Seq("p"))
+    Sinks.deltaSetProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+    // one MERGE touching rows in all 3 partitions -> cdc files under 3
+    // partition dirs; the feed must still plan ONE FileScan for them
+    // (hive-layout single scan), not one leaf per partition tuple
+    Sinks.deltaMerge(spark, dir,
+      Seq((0L, 100L, "p0"), (1L, 101L, "p1"), (2L, 102L, "p2"))
+        .toDF("id", "v", "p"), "id")
+    val feed = Sinks.deltaChangeFeed(spark, dir, 1L, 2L)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 3, s"3-partition cdc run planned $leaves leaves")
+    val rows = feed.select(col("_change_type"), col("id"), col("v"), col("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows === Seq(
+      ("update_postimage", 0L, 100L, "p0"),
+      ("update_postimage", 1L, 101L, "p1"),
+      ("update_postimage", 2L, 102L, "p2"),
+      ("update_preimage", 0L, 0L, "p0"),
+      ("update_preimage", 1L, 2L, "p1"),
+      ("update_preimage", 2L, 4L, "p2")))
+  }
+
   test("a pre-enablement rewrite commit in the span fails loudly, naming the way out") {
     val dir = tmpDir("cdf_pre")
     Sinks.deltaAppend((0L until 10L).map(i => (i, i)).toDF("id", "v"), dir) // v0
