@@ -238,6 +238,43 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     assert(live(dst)(3L) === 300L && live(dst)(4L) === 444L)
   }
 
+  test("streaming replication with a COMPOSITE key: feed → apply(Seq) converges") {
+    val src = tmpDir("cdfs_ck_src")
+    val dst = tmpDir("cdfs_ck_dst") + "/replica"
+    val ckpt = tmpDir("cdfs_ck_ckpt")
+    Sinks.deltaAppend(
+      (0L until 6L).flatMap(i => Seq((i, "a", i), (i, "b", i * 10)))
+        .toDF("k1", "k2", "v").coalesce(1), src)
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    Sinks.deltaReplicate(spark, src, dst, Seq("k1", "k2"))
+    val startV = DeltaCatalog.latestVersion(spark, s"$src/_delta_log") + 1
+    // tuple-keyed DML: k1=2 exists under BOTH k2 values; only (2,a) moves
+    Sinks.deltaMerge(spark, src,
+      Seq((2L, "a", 222L)).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    Sinks.deltaDeleteWhere(spark, src, "k1 = 4 AND k2 = 'b'")
+    val q = spark.readStream.format("graft-delta-cdf").option("path", src)
+      .option("startingVersion", startV.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Sinks.deltaApplyChanges(spark, dst,
+          batch, Seq("k1", "k2"), txn = Some((s"cdfs-ck:$src", batchId)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def live(dir: String): Map[(Long, String), Long] = {
+      val cat = DeltaCatalog.fromDeltaLog(spark, dir, "ck_cmp")
+      cat.read(spark, cat.files).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val s = live(src)
+    assert(live(dst) === s)
+    assert(s((2L, "a")) === 222L && s((2L, "b")) === 20L && !s.contains((4L, "b")))
+  }
+
   test("a mid-stream RENAME conforms losslessly under the pinned names (only drops fail)") {
     val dir = tmpDir("cdfs_rename")
     val ckpt = tmpDir("cdfs_rename_ckpt")
