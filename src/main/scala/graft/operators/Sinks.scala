@@ -1102,18 +1102,24 @@ object Sinks {
       }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** A maximal run of CONTIGUOUS same-kind, same-schema-era commits
-    * inside a feed span: `kind` is "cdc" (authoritative `_change_data`
-    * files), "insert" (derived: dataChange adds only) or "delete"
-    * (derived: dataChange removes only, read under the PRE-commit DV
-    * state resolved at collection time); `files` is
+  /** A GROUP of same-kind, same-schema-era commits inside a feed span —
+    * NOT necessarily contiguous: `kind` is "cdc" (authoritative
+    * `_change_data` files), "insert" (derived: dataChange adds only) or
+    * "delete" (derived: dataChange removes only, read under the
+    * PRE-commit DV state resolved at collection time); `files` is
     * (raw path, size, partitionValues, DV to read under, commit version).
     * The run — not the commit — is the unit the feed builds ONE relation
-    * for: plan width is bounded by kind/era ALTERNATIONS in the span, so
-    * a replica catching up over thousands of small same-kind commits
-    * plans a handful of scans instead of an unbounded nested union
-    * (a driver-side Catalyst analysis stall at exactly the lag where
-    * 100 TB catch-up must work). */
+    * for, and because every per-file truth (version label, DV to read
+    * under, partition values) is resolved by the walker AT ITS COMMIT,
+    * the feed is a SET of per-file-labeled change rows — reading need not
+    * preserve commit contiguity, so commits of one (era, kind) share one
+    * run however the span interleaves kinds. Plan width is bounded by
+    * schema eras × the three kinds (× rare per-path re-add generations),
+    * never by commit count or by the span's alternation pattern — the
+    * kind-ALTERNATING history (append, CDF-delete, append, …) of a
+    * trigger-per-commit upsert pipeline plans the same handful of scans
+    * as a same-kind span (a driver-side Catalyst analysis stall at
+    * exactly the lag where 100 TB catch-up must work). */
   private[graft] final case class FeedRun(
       kind: String,
       cat: graft.sources.StaticCatalog,
@@ -1122,14 +1128,21 @@ object Sinks {
 
   /** Walk the commits of (vFrom, vTo] once — parsing each commit JSON
     * once, memoized — grouping them into [[FeedRun]]s and advancing the
-    * incrementally-maintained (live files, live DVs) state.
-    * `onMetaChange` is the caller's schema-era transition: it validates
-    * the change (rename/drop detection differs between the batch feed and
-    * the pinned streaming source) and returns the era catalog at `v`; a
-    * metaData commit always closes the current run. A run also closes
-    * when the SAME file path would appear twice (its two occurrences need
-    * different version labels, and the per-file version join admits one).
-    * Returns (runs, end-of-span catalog, post-span live, post-span DVs). */
+    * incrementally-maintained (live files, live DVs) state. Grouping is
+    * by (schema era, kind, generation), NON-contiguously: a commit's
+    * files join the era's OPEN run of their kind regardless of what kinds
+    * landed in between, so an alternating history costs no extra plan
+    * width. `onMetaChange` is the caller's schema-era transition: it
+    * validates the change (rename/drop detection differs between the
+    * batch feed and the pinned streaming source) and returns the era
+    * catalog at `v`; a metaData commit starts a new era (its runs are
+    * distinct — different physical schema). A run also closes when the
+    * SAME file path would appear twice within it (its two occurrences
+    * need different version labels, and the per-file version join admits
+    * one) — the `generation` component; collisions only ever come from a
+    * path removed and later re-added, so generations stay O(1) in
+    * practice. Returns (runs in first-file order, end-of-span catalog,
+    * post-span live, post-span DVs). */
   private[graft] def collectFeedRuns(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
@@ -1144,22 +1157,23 @@ object Sinks {
     var cat = cat0
     var live = live0
     var liveDvs = liveDvs0
-    val runs = scala.collection.mutable.ListBuffer[FeedRun]()
-    var curKind: String = null
-    var curCat: graft.sources.StaticCatalog = null
-    val curFiles = scala.collection.mutable.ListBuffer[
-      (String, Long, Map[String, String],
-        Option[graft.sources.DvDescriptor], Long)]()
-    val curPaths = scala.collection.mutable.HashSet[String]()
-    def flush(): Unit = if (curKind != null) {
-      runs += FeedRun(curKind, curCat, curFiles.toList)
-      curKind = null; curFiles.clear(); curPaths.clear()
+    var eraIdx = 0
+    // open runs keyed by (era, kind, generation), kept in first-file
+    // order; a run accumulates files from EVERY commit of its (era, kind)
+    // until a path collision bumps the generation
+    final class OpenRun(val kind: String, val cat: graft.sources.StaticCatalog) {
+      val files = scala.collection.mutable.ListBuffer[
+        (String, Long, Map[String, String],
+          Option[graft.sources.DvDescriptor], Long)]()
+      val paths = scala.collection.mutable.HashSet[String]()
     }
+    val open = scala.collection.mutable.LinkedHashMap[(Int, String, Int), OpenRun]()
+    val curGen = scala.collection.mutable.HashMap[(Int, String), Int]()
     ((vFrom + 1) to vTo).foreach { v =>
       val ca = parseCommitActions(spark, tablePath, v)
       if (ca.metaChanged) {
-        flush()
         cat = onMetaChange(v)
+        eraIdx += 1
       }
       if (cat == null)
         throw new BuzzException.ExecutionError(
@@ -1191,17 +1205,22 @@ object Sinks {
           })
         else (null, Nil)
       if (kind != null) {
-        if (curKind != kind || files.exists(f => curPaths(f._1))) flush()
-        if (curKind == null) { curKind = kind; curCat = cat }
-        curFiles ++= files
-        curPaths ++= files.map(_._1)
+        var gen = curGen.getOrElse((eraIdx, kind), 0)
+        var run = open.getOrElseUpdate((eraIdx, kind, gen), new OpenRun(kind, cat))
+        if (files.exists(f => run.paths(f._1))) {
+          gen += 1
+          curGen((eraIdx, kind)) = gen
+          run = open.getOrElseUpdate((eraIdx, kind, gen), new OpenRun(kind, cat))
+        }
+        run.files ++= files
+        run.paths ++= files.map(_._1)
       }
       val advanced = advanceFeedState(live, liveDvs, ca)
       live = advanced._1
       liveDvs = advanced._2
     }
-    flush()
-    (runs.toList, cat, live, liveDvs)
+    (open.values.map(r => FeedRun(r.kind, r.cat, r.files.toList)).toList,
+      cat, live, liveDvs)
   }
 
   /** ONE relation for one [[FeedRun]]: every table column (the run era's

@@ -45,7 +45,7 @@ import graft.sources.{ColumnMapping, DeltaCatalog, DvDescriptor}
   * `maxVersionsPerTrigger`.
   *
   * PLAN WIDTH is bounded regardless of admission: a batch's commits are
-  * grouped into contiguous same-kind, same-schema-era RUNS
+  * grouped into same-kind, same-schema-era RUNS (non-contiguous)
   * ([[Sinks.collectFeedRuns]]) and each run reads as ONE relation with
   * `_commit_version` joined per file — 1000 one-file insert commits plan
   * one scan, not a 1000-leaf union (SCALEPROBE feed_span_plan_wall).
@@ -241,8 +241,9 @@ class DeltaCdfSource(
     * from the immutable log — a WAL-replayed batch is identical. Commits
     * are grouped into same-kind, same-era RUNS ([[Sinks.collectFeedRuns]])
     * and each run reads as ONE relation with `_commit_version` joined per
-    * file, so the batch plan's width is bounded by kind/era alternations
-    * — never by the number of commits admission let through. */
+    * file, so the batch plan's width is bounded by schema eras × kinds —
+    * never by the number of commits admission let through, nor by the
+    * span's kind-alternation pattern (runs are non-contiguous). */
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion - 1L)
     val to = version(end)

@@ -216,6 +216,74 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows.map(_._2).sorted === Seq("update_postimage", "update_preimage"))
   }
 
+  test("an ALTERNATING derived span (append/partition-delete interleaved) plans bounded leaves with exact row images") {
+    // the trigger-per-commit shape that defeated CONTIGUOUS run-grouping:
+    // kinds alternate every commit, so r12 planned one leaf per commit
+    // (capped only by the 1000-version chunk). Non-contiguous grouping
+    // reads ALL inserts of the era as one relation and ALL deletes as
+    // another — per-file version labels keep every row image exact.
+    val dir = tmpDir("cdf_alt_derived")
+    Sinks.deltaAppend(
+      Seq((0L, "p0"), (1L, "p0")).toDF("id", "p"), dir, Seq("p")) // v0
+    (1 to 9).foreach { i =>
+      Sinks.deltaAppend(                                  // v(2i-1): insert
+        Seq((2L * i, s"p$i"), (2L * i + 1, s"p$i")).toDF("id", "p"),
+        dir, Seq("p"))
+      Sinks.deltaDeletePartition(spark, dir, "p", s"p${i - 1}") // v(2i): delete
+    }
+    val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 18L)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    // 2 leaves per run (the FileScan + its broadcast per-file version
+    // map), 2 runs (insert, delete) — FLAT in commit count
+    assert(leaves <= 4,
+      s"18-commit alternating derived span planned $leaves leaves, expected <= 4")
+    val rows = feed
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val expected = ((1 to 9).flatMap { i =>
+      Seq((2L * i - 1, "insert", 2L * i, s"p$i"),
+          (2L * i - 1, "insert", 2L * i + 1, s"p$i"))
+    } ++ (1 to 9).flatMap { i =>
+      Seq((2L * i, "delete", 2L * i - 2, s"p${i - 1}"),
+          (2L * i, "delete", 2L * i - 1, s"p${i - 1}"))
+    }).sortBy(t => (t._1, t._2, t._3))
+    assert(rows === expected)
+  }
+
+  test("an ALTERNATING cdc/derived span (append / CDF DELETE interleaved) plans bounded leaves with exact row images") {
+    // the upsert-pipeline shape VERDICT r12 named: derived inserts and
+    // authoritative cdc commits strictly interleaved. cdc files have a
+    // different physical schema (stored _change_type), so they group
+    // separately — but into ONE cdc relation, not one per commit.
+    val dir = tmpDir("cdf_alt_mixed")
+    Sinks.deltaAppend(Seq((0L, 0L), (1L, 2L)).toDF("id", "v").coalesce(1), dir) // v0
+    Sinks.deltaSetProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                              // v1
+    (1 to 6).foreach { i =>
+      Sinks.deltaAppend(                                       // v(2i): insert
+        Seq((2L * i, 4L * i), (2L * i + 1, 4L * i + 2)).toDF("id", "v").coalesce(1), dir)
+      Sinks.deltaDeleteWhere(spark, dir, s"id = ${2 * i}")     // v(2i+1): cdc
+    }
+    val feed = Sinks.deltaChangeFeed(spark, dir, 1L, 13L)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    // 2 leaves per run (FileScan + broadcast version map), 2 runs
+    // (derived inserts, cdc) — FLAT in commit count
+    assert(leaves <= 4,
+      s"12-commit alternating cdc/derived span planned $leaves leaves, expected <= 4")
+    val rows = feed
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val expected = ((1 to 6).flatMap { i =>
+      Seq((2L * i, "insert", 2L * i, 4L * i),
+          (2L * i, "insert", 2L * i + 1, 4L * i + 2))
+    } ++ (1 to 6).map { i =>
+      (2L * i + 1, "delete", 2L * i, 4L * i)
+    }).sortBy(t => (t._1, t._2, t._3))
+    assert(rows === expected)
+  }
+
   test("the feed conforms ADDITIVE evolution and refuses a mid-span rename") {
     val dir = tmpDir("cdf_evolve")
     cdfTable(dir)
