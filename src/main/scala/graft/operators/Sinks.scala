@@ -1727,51 +1727,61 @@ object Sinks {
 
   /** The key-range pruning a keyed writer (MERGE / APPLY CHANGES) runs
     * before its copy-on-write rewrite: `candRaws`/`candFiles` are the live
-    * files that can possibly contain a touched key, `typedBounds` parses a
-    * stats map into the key's declared type (shared with the
-    * concurrent-append probe), `keyType` the key's Catalyst type. */
+    * files that can possibly contain a touched key TUPLE, `columns` one
+    * entry per key column (in `keyCols` order) carrying that column's
+    * bounds extractor and Catalyst type — shared with the
+    * concurrent-append probe, which intersects EVERY column's evidence. */
   private[graft] final case class KeyPruning(
       candRaws: Seq[String],
       candFiles: Seq[graft.sources.SizedFile],
-      typedBounds: Map[String, String] => String => Option[(Any, Any)],
+      columns: Seq[KeyColumnPruning])
+
+  /** One key column's pruning machinery: `typedBounds` extracts a file's
+    * logged (min, max) for this column from the PRE-PARSED stats map —
+    * None when the evidence is missing, malformed, or of an unexpected
+    * JSON type for the column's declared type. */
+  private[graft] final case class KeyColumnPruning(
+      keyCol: String,
+      typedBounds: Map[String, org.json4s.JValue] => String => Option[(Any, Any)],
       keyType: org.apache.spark.sql.types.DataType)
 
-  /** Candidate files for a keyed rewrite: the distinct touched keys
-    * (single-column DataFrame named `__k`) joined against the LOG's
-    * per-file (min, max) key ranges (`add.stats`, metadata-sized,
-    * broadcast), so an operation touching 3 keys rewrites ~3 files, not
-    * the table. Pruning must only ever SHRINK the set on evidence that
-    * parses: a file whose stats are missing, malformed, or of an
-    * unexpected JSON type for the key's declared type is UNCONDITIONALLY
-    * a candidate (dropping it would keep its matched base row while the
-    * change row inserts — duplicate keys). Integral key bounds compare as
-    * exact longs, never through Double (whose 2^53 mantissa cannot
-    * represent every long). */
-  private def pruneCandidatesByKey(
-      spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      snapVer: Long, cat: graft.sources.StaticCatalog,
-      keys: DataFrame, keyCol: String): KeyPruning = {
-    import org.apache.hadoop.fs.Path
+  /** Count of FULL stats-map parse passes (one per keyed apply) — the seam
+    * the one-parse-per-apply spec counts against. Monotonic; test-only. */
+  @volatile private[graft] var statsParsePasses: Long = 0L
+
+  /** Parse each file's `add.stats` JSON ONCE for all key columns — the
+    * hoisted shared pass (r12 ran one full parse per key column: at 10^6
+    * live files x 4 key columns, 4 driver-side passes where one serves).
+    * Malformed stats parse to JNothing (-> unconditional candidate). */
+  private def parseStatsJson(
+      stats: Map[String, String],
+      raws: Iterable[String]): Map[String, org.json4s.JValue] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    import org.apache.spark.sql.types._
-    import graft.sources.{DeltaCatalog, SizedFile}
-    val partitionCols = cat.partitionColumns
-    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath,
-      if (snapVer >= 0) Some(snapVer) else None)
-    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath,
-      if (snapVer >= 0) Some(snapVer) else None)
-    // stats are keyed by the key's PHYSICAL name (what the files store —
-    // identity unless the key column was renamed)
-    val keyPhys = graft.sources.ColumnMapping.physicalName(cat.schema(keyCol))
-    def keyBounds(stats: Map[String, String])(raw: String): Option[(JValue, JValue)] =
-      stats.get(raw).flatMap { s =>
-        val j = try JsonMethods.parse(s) catch { case _: Exception => JNothing }
-        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
-          case (JNothing, _) | (_, JNothing) => None
-          case (mn, mx)                      => Some((mn, mx))
-        }
+    statsParsePasses += 1
+    raws.iterator.flatMap { raw =>
+      stats.get(raw).map { s =>
+        raw -> (try JsonMethods.parse(s) catch { case _: Exception => JNothing })
       }
+    }.toMap
+  }
+
+  /** One key column's typed-bounds extractor over the pre-parsed stats.
+    * Pruning must only ever SHRINK the set on evidence that parses: a
+    * file whose stats are missing, malformed, or of an unexpected JSON
+    * type for the column's declared type yields None (-> unconditional
+    * candidate: dropping it would keep its matched base row while the
+    * change row inserts — duplicate keys). Integral bounds compare as
+    * exact longs, never through Double (whose 2^53 mantissa cannot
+    * represent every long). */
+  private def keyColumnPruning(
+      cat: graft.sources.StaticCatalog, keyCol: String): KeyColumnPruning = {
+    import org.json4s._
+    import org.apache.spark.sql.types._
+    // stats are keyed by the column's PHYSICAL name (what the files
+    // store — identity unless the column was renamed)
+    val keyPhys = graft.sources.ColumnMapping.physicalName(cat.schema(keyCol))
+    val keyType = cat.schema(keyCol).dataType
     def longOf(v: JValue): Option[Long] = v match {
       case JInt(x) if x.isValidLong => Some(x.toLong)
       case JLong(x)                 => Some(x)
@@ -1788,23 +1798,33 @@ object Sinks {
       case JString(s) => Some(s)
       case _          => None
     }
-    val keyType = cat.schema(keyCol).dataType
-    // each live file's typed key bounds, or None when the evidence does
-    // not parse into the key's declared type (→ unconditional candidate)
-    def typedBounds(stats: Map[String, String])(raw: String): Option[(Any, Any)] =
-      keyBounds(stats)(raw).flatMap { case (mn, mx) =>
-        keyType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
-          case FloatType | DoubleType =>
-            for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
-          case StringType =>
-            for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
-          case _ => None // unprunable key type
+    def typedBounds(parsed: Map[String, JValue])(raw: String): Option[(Any, Any)] =
+      parsed.get(raw).flatMap { j =>
+        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
+          case (JNothing, _) | (_, JNothing) => None
+          case (mn, mx) => keyType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
+            case FloatType | DoubleType =>
+              for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
+            case StringType =>
+              for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
+            case _ => None // unprunable key type
+          }
         }
       }
-    val withBounds: Seq[(String, Option[(Any, Any)])] =
-      liveRaw.keys.toSeq.sorted.map(raw => raw -> typedBounds(statsByRaw)(raw))
+    KeyColumnPruning(keyCol, parsed => typedBounds(parsed), keyType)
+  }
+
+  /** One column's surviving candidate raws: the column's distinct touched
+    * keys joined against the live files' logged (min, max) ranges
+    * (metadata-sized, broadcast). Boundless files survive unconditionally. */
+  private def pruneOneColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      withBounds: Seq[(String, Option[(Any, Any)])],
+      keys: DataFrame,
+      keyType: org.apache.spark.sql.types.DataType): Set[String] = {
+    import org.apache.spark.sql.types._
     val (ranged, unconditional0) = withBounds.partition(_._2.isDefined)
     val unconditional = unconditional0.map(_._1)
     val matchedRaws: Seq[String] =
@@ -1830,14 +1850,7 @@ object Sinks {
             col("__k") >= col("__mn") && col("__k") <= col("__mx"))
           .select("__raw").distinct().collect().map(_.getString(0)).toSeq
       }
-    val candRaws = (unconditional ++ matchedRaws).distinct.sorted
-    val candFiles = candRaws.map { raw =>
-      val (size, pv) = liveRaw(raw)
-      SizedFile(
-        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
-        partitionCols.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
-    }
-    KeyPruning(candRaws, candFiles, s => typedBounds(s), keyType)
+    (unconditional ++ matchedRaws).toSet
   }
 
   /** COMPOSITE-KEY candidate pruning: intersect the per-column verdicts.
@@ -1845,65 +1858,88 @@ object Sinks {
     * column's logged (min, max) admits some change value of that column —
     * the contrapositive makes any single column's disjointness a sound
     * prune, so the intersection is a sound (and tighter) candidate set.
-    * The returned typedBounds/keyType describe the LEADING column (what
-    * the concurrent-append envelope probe uses — conservative: it
-    * over-detects conflicts on the first column alone, never misses one).
-    * Cost: one broadcast range-join per key column over metadata-sized
-    * inputs. */
+    * The snapshot metadata (live map, stats) is fetched ONCE and the
+    * stats JSON parsed ONCE for all columns (seam-counted:
+    * [[statsParsePasses]]); per column the only repeated work is one
+    * broadcast range-join over metadata-sized inputs. */
   private def pruneCandidatesByKeys(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       snapVer: Long, cat: graft.sources.StaticCatalog,
       changes: DataFrame, keyCols: Seq[String]): KeyPruning = {
-    val prunings = keyCols.map(k =>
-      pruneCandidatesByKey(spark, tablePath, snapVer, cat,
-        changes.select(col(k).as("__k")).distinct(), k))
-    if (prunings.sizeIs == 1) prunings.head
-    else {
-      val keep = prunings.map(_.candRaws.toSet).reduce(_ intersect _)
-      val head = prunings.head
-      val fileByRaw = head.candRaws.zip(head.candFiles).toMap
-      val raws = head.candRaws.filter(keep)
-      KeyPruning(raws, raws.map(fileByRaw), head.typedBounds, head.keyType)
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{DeltaCatalog, SizedFile}
+    val ver = if (snapVer >= 0) Some(snapVer) else None
+    val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath, ver)
+    val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath, ver)
+    val liveSorted = liveRaw.keys.toSeq.sorted
+    val parsed = parseStatsJson(statsByRaw, liveSorted)
+    val columns = keyCols.map(k => keyColumnPruning(cat, k))
+    val keep = columns.map { c =>
+      val withBounds = liveSorted.map(raw => raw -> c.typedBounds(parsed)(raw))
+      pruneOneColumn(spark,
+        withBounds, changes.select(col(c.keyCol).as("__k")).distinct(), c.keyType)
+    }.reduce(_ intersect _)
+    val candRaws = liveSorted.filter(keep)
+    val partitionCols = cat.partitionColumns
+    val candFiles = candRaws.map { raw =>
+      val (size, pv) = liveRaw(raw)
+      SizedFile(
+        new Path(tablePath, DeltaCatalog.decodePath(raw)).toString, size,
+        partitionCols.map(c => pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
     }
+    KeyPruning(candRaws, candFiles, columns)
   }
 
   /** The concurrent-append probe (WriteSerializable) for a keyed rewrite:
-    * a file committed since the snapshot conflicts UNLESS its logged key
-    * bounds prove it is disjoint from the touched keys' [min, max]
-    * envelope — its rows could carry a key this operation matched against
-    * the OLD base, and re-committing would silently duplicate or miss
-    * them. Conservative by construction: unparseable bounds conflict; the
-    * envelope (not the exact key set) may over-reject, never
-    * under-reject. */
+    * a file committed since the snapshot conflicts UNLESS its logged
+    * bounds prove it disjoint from the touched keys' per-column [min,
+    * max] envelopes — its rows could carry a key this operation matched
+    * against the OLD base, and re-committing would silently duplicate or
+    * miss them. EVERY key column's evidence counts: all change tuples'
+    * values for column c lie inside c's envelope, so a file whose logged
+    * range for ANY ONE column misses that envelope cannot hold a
+    * matching composite key (disjointness in one coordinate is
+    * disjointness of the tuples) — a concurrent append disjoint only in
+    * the SECOND key column commits without a retry, where r12's
+    * leading-column-only probe throttled every concurrent writer under a
+    * low-cardinality leading key. Still conservative by construction:
+    * unparseable bounds conflict; envelopes (not exact key sets) may
+    * over-reject, never under-reject. `envelopes` aligns with
+    * `pruning.columns`. */
   private def keyEnvelopeProbe(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      pruning: KeyPruning, chKeyMin: Any, chKeyMax: Any)
+      pruning: KeyPruning, envelopes: Seq[(Any, Any)])
       : Map[String, (Long, Map[String, String])] => Seq[String] = {
     import org.apache.spark.sql.types._
     import graft.sources.DeltaCatalog
-    def disjointFromChanges(lo: Any, hi: Any): Boolean = pruning.keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        val (l, h) = (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].longValue,
-          chKeyMax.asInstanceOf[Number].longValue)
-        h < cl || l > ch0
-      case FloatType | DoubleType =>
-        val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[Number].doubleValue,
-          chKeyMax.asInstanceOf[Number].doubleValue)
-        h < cl || l > ch0
-      case _ =>
-        val (l, h) = (lo.asInstanceOf[String], hi.asInstanceOf[String])
-        val (cl, ch0) = (chKeyMin.asInstanceOf[String], chKeyMax.asInstanceOf[String])
-        h < cl || l > ch0
-    }
+    def disjoint(keyType: DataType, lo: Any, hi: Any, chMin: Any, chMax: Any): Boolean =
+      keyType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val (l, h) = (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+          val (cl, ch0) = (chMin.asInstanceOf[Number].longValue,
+            chMax.asInstanceOf[Number].longValue)
+          h < cl || l > ch0
+        case FloatType | DoubleType =>
+          val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+          val (cl, ch0) = (chMin.asInstanceOf[Number].doubleValue,
+            chMax.asInstanceOf[Number].doubleValue)
+          h < cl || l > ch0
+        case _ =>
+          val (l, h) = (lo.asInstanceOf[String], hi.asInstanceOf[String])
+          val (cl, ch0) = (chMin.asInstanceOf[String], chMax.asInstanceOf[String])
+          h < cl || l > ch0
+      }
     appended =>
       if (appended.isEmpty) Nil
       else {
+        // parse ONLY the appended files' stats, once for all columns
         val headStats = DeltaCatalog.statsByRaw(spark, tablePath)
+        val parsed = parseStatsJson(headStats, appended.keys.toSeq.sorted)
         appended.keys.toSeq.sorted.filterNot { raw =>
-          pruning.typedBounds(headStats)(raw).exists { case (lo, hi) =>
-            disjointFromChanges(lo, hi)
+          pruning.columns.zip(envelopes).exists { case (c, (cl, ch)) =>
+            c.typedBounds(parsed)(raw).exists { case (lo, hi) =>
+              disjoint(c.keyType, lo, hi, cl, ch)
+            }
           }
         }
       }
@@ -1951,8 +1987,9 @@ object Sinks {
     * applies to the TUPLE; candidate pruning intersects the per-column
     * verdicts (a file can hold a matching composite key only if EVERY key
     * column's logged range admits some change value of that column), and
-    * the concurrent-append probe uses the leading column's envelope —
-    * conservative, never under-rejecting. */
+    * the concurrent-append probe intersects the per-column envelopes the
+    * same way — an append disjoint in ANY key column commits without a
+    * retry; still conservative, never under-rejecting. */
   def deltaMerge(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       changes: DataFrame, keyCols: Seq[String],
@@ -1998,10 +2035,16 @@ object Sinks {
     // key components can never match, duplicate key tuples are MERGE's
     // ambiguity error
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // one aggregate: count / distinct / null-count, then EVERY key
+    // column's (min, max) — the per-column envelopes the concurrent-
+    // append probe intersects
     val kstat = ch.agg(
-      count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
-      count(when(anyKeyNull, 1)),
-      min(col(keyCols.head)), max(col(keyCols.head))).head()
+      count(lit(1)),
+      (Seq(countDistinct(keyCols.head, keyCols.tail: _*),
+        count(when(anyKeyNull, 1))) ++
+        keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))): _*).head()
+    val envelopes = keyCols.indices.map(i =>
+      (kstat.get(3 + 2 * i), kstat.get(4 + 2 * i)))
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
         s"merge changes carry ${kstat.getLong(2)} NULL " +
@@ -2054,8 +2097,7 @@ object Sinks {
           pre.unionByName(post).unionByName(ins)
             .select((outCols :+ "_change_type").map(col): _*))
       }
-    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning,
-      kstat.get(3), kstat.get(4))
+    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning, envelopes)
     commitRewrite(spark, tablePath, adds, candRaws,
       StructType(cat.schema.fields), "merge", snapshotVersion = snapVer,
       txn = txn, concurrentAddConflicts = appendProbe,
@@ -2173,9 +2215,12 @@ object Sinks {
     // column) is ambiguous, exactly like MERGE
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val kstat = last.agg(
-      count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
-      count(when(anyKeyNull, 1)),
-      min(col(keyCols.head)), max(col(keyCols.head))).head()
+      count(lit(1)),
+      (Seq(countDistinct(keyCols.head, keyCols.tail: _*),
+        count(when(anyKeyNull, 1))) ++
+        keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))): _*).head()
+    val envelopes = keyCols.indices.map(i =>
+      (kstat.get(3 + 2 * i), kstat.get(4 + 2 * i)))
     if (kstat.getLong(2) > 0)
       throw new BuzzException.BadRequest(
         s"apply changes carry ${kstat.getLong(2)} NULL " +
@@ -2229,8 +2274,7 @@ object Sinks {
           pre.unionByName(post).unionByName(ins).unionByName(del)
             .select((outCols :+ "_change_type").map(col): _*))
       }
-    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning,
-      kstat.get(3), kstat.get(4))
+    val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning, envelopes)
     commitRewrite(spark, tablePath, adds, pruning.candRaws,
       StructType(cat.schema.fields), "apply changes to",
       snapshotVersion = snapVer, txn = txn,

@@ -294,4 +294,42 @@ class DeltaConcurrencySpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(logDir, f"${3L}%020d.json")) === "late\n")
     assert(!Files.exists(lock))
   }
+
+  test("composite-key append probe intersects per-column envelopes: disjoint in the SECOND column commits") {
+    // r12's probe consulted the LEADING column only — with a
+    // low-cardinality leading key every concurrent append conflicted,
+    // throttling concurrent writers. The fixture makes the leading
+    // envelope USELESS (k1 = 1 everywhere) and proves the second
+    // column's evidence clears the append.
+    val dir = tmpDir("apply_envelope_ck")
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (1L, i, i * 2)).toDF("k1", "k2", "v").coalesce(1), dir)
+    // change set touches (k1=1, k2 in {2,3}): envelopes k1 [1,1], k2 [2,3]
+    val changes = Seq((1L, 2L, 200L, "update_postimage"), (1L, 3L, 300L, "update_postimage"))
+      .toDF("k1", "k2", "v", "_change_type")
+    // concurrent append (1, 100): k1 overlaps, k2 provably disjoint
+    val ver = withHook(() => Sinks.deltaAppend(
+      Seq((1L, 100L, 1L)).toDF("k1", "k2", "v").coalesce(1), dir)) {
+      Sinks.deltaApplyChanges(spark, dir, changes, Seq("k1", "k2"))
+    }
+    assert(ver === 2L) // snapshot v0, append took v1, apply re-committed at v2
+    val rows = {
+      val cat = DeltaCatalog.fromDeltaLog(spark, dir, "env_ck_read")
+      cat.read(spark, cat.files).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    assert(rows((1L, 2L)) === 200L && rows((1L, 3L)) === 300L)
+    assert(rows((1L, 100L)) === 1L && rows.size === 11)
+    // negative control: an append overlapping EVERY column's envelope
+    // still conflicts loudly
+    val e = intercept[BuzzException.ExecutionError] {
+      withHook(() => Sinks.deltaAppend(
+        Seq((1L, 3L, 9L)).toDF("k1", "k2", "v").coalesce(1), dir)) {
+        Sinks.deltaApplyChanges(spark, dir,
+          Seq((1L, 3L, 301L, "update_postimage")).toDF("k1", "k2", "v", "_change_type"),
+          Seq("k1", "k2"))
+      }
+    }
+    assert(e.getMessage.contains("concurrent append"))
+  }
 }

@@ -122,4 +122,40 @@ class DeltaReplayCountSpec extends AnyFunSuite {
     // appended + the hand-planted one) — stale cache would still show 3
     assert(cat2.files.size == 4)
   }
+
+  test("a keyed apply parses the snapshot's stats ONCE, however many key columns") {
+    // r12 re-derived liveRawAt + statsByRaw and re-parsed every file's
+    // stats JSON per key column — at 10^6 live files x 4 key columns,
+    // 4 full driver-side passes where one serves. The parse pass is now
+    // hoisted out of the per-column loop and seam-counted.
+    val dir = tmpDir("stats_parse_count")
+    Sinks.deltaAppend(
+      (0L until 20L).map(i => (i % 4, i % 5, i, i * 2))
+        .toDF("k1", "k2", "k3", "v").coalesce(2), dir)
+    def parses[A](body: => A): Long = {
+      val before = Sinks.statsParsePasses
+      body
+      Sinks.statsParsePasses - before
+    }
+    val oneKey = parses {
+      Sinks.deltaMerge(spark, dir,
+        Seq((0L, 0L, 0L, 100L)).toDF("k1", "k2", "k3", "v"), "k3")
+    }
+    assert(oneKey == 1, s"1-column MERGE paid $oneKey stats parses, expected 1")
+    val threeKeys = parses {
+      Sinks.deltaMerge(spark, dir,
+        Seq((1L, 1L, 1L, 100L)).toDF("k1", "k2", "k3", "v"),
+        Seq("k1", "k2", "k3"))
+    }
+    assert(threeKeys == 1,
+      s"3-column MERGE paid $threeKeys stats parses, expected 1")
+    val applyThree = parses {
+      Sinks.deltaApplyChanges(spark, dir,
+        Seq((2L, 2L, 2L, 200L, "update_postimage"))
+          .toDF("k1", "k2", "k3", "v", "_change_type"),
+        Seq("k1", "k2", "k3"))
+    }
+    assert(applyThree == 1,
+      s"3-column APPLY paid $applyThree stats parses, expected 1")
+  }
 }
