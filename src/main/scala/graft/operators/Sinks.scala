@@ -618,10 +618,26 @@ object Sinks {
     * edit (log corruption, a test rewriting a commit body) a MISS instead
     * of stale actions — the same discipline as the replay memo's listing
     * fingerprint. The lookup costs ONE getFileStatus (which doubles as
-    * the existence check the uncached path already paid). */
+    * the existence check the uncached path already paid).
+    *
+    * ASSUMPTION (documented, not just implied): published commits are
+    * IMMUTABLE — the Delta protocol's contract (a writer only ever adds
+    * new log files). On a filesystem with coarse mtime granularity an
+    * in-place SAME-LENGTH rewrite landing within one mtime granule would
+    * serve stale actions; no protocol-conformant writer does that, and
+    * the engine's own log-corruption tests either change the length or
+    * call [[invalidateCommitParseCache]] first.
+    *
+    * The LRU bound is count-based, so commits carrying very large action
+    * lists (a CLONE or bootstrap re-adding 10^5+ files) are NOT memoized
+    * ([[commitParseMemoMaxActions]]) — a handful of such entries would
+    * pin table-metadata-sized driver memory behind a cache sized for
+    * tail-IO commits; their consumers (replay, clone) memoize at the
+    * snapshot level instead. */
   private final case class CommitParseKey(
       tablePath: String, version: Long, len: Long, mtime: Long)
   private val commitParseCacheMax = 1024
+  private val commitParseMemoMaxActions = 10000
   private val commitParseCache =
     new java.util.LinkedHashMap[CommitParseKey, CommitActions](64, 0.75f, true) {
       override def removeEldestEntry(
@@ -715,9 +731,11 @@ object Sinks {
       }
     }
     val parsed = CommitActions(adds.toSeq, removes.toSeq, metaChanged, cdcs.toSeq)
+    val actionCount = parsed.adds.size + parsed.removes.size + parsed.cdcs.size
     commitParseCache.synchronized {
       uncachedCommitParses += 1
-      commitParseCache.put(cacheKey, parsed)
+      if (actionCount <= commitParseMemoMaxActions)
+        commitParseCache.put(cacheKey, parsed)
     }
     parsed
   }
@@ -989,13 +1007,21 @@ object Sinks {
     * same normalized form, one row per file — file-count-sized, built on
     * the driver from the commit actions already in hand, and BROADCAST
     * (an executor-side hash lookup per row, never a shuffle). The join is
-    * inner on purpose: every scanned row comes from a listed file, so a
-    * miss would be an engine bug surfacing as lost rows in the oracled
-    * feed queries, not silence. */
-  private def attachCommitVersions(
+    * LEFT with an executor-side raise_error guard: every scanned row
+    * comes from a listed file, so a miss is an engine bug (the scan's
+    * `_metadata.file_path` normalization disagreeing with
+    * [[graft.sources.FsUtil.normalizePath]] — e.g. a percent-encoded or
+    * exotic file name) and must surface as an ERROR NAMING THE PATH, not
+    * as silently vanished change rows (what an inner join's miss looks
+    * like). AssertNotNull re-declares the guarded column non-nullable —
+    * the guard fires before it ever could — so the feed schema keeps the
+    * protocol's non-null `_commit_version`. */
+  private[graft] def attachCommitVersions(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       pathToVersion: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    import org.apache.spark.sql.graftshim.GraftColumn
     val rows = pathToVersion.map { case (p, v) =>
       org.apache.spark.sql.Row(p, v)
     }
@@ -1004,9 +1030,18 @@ object Sinks {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(Seq(
         StructField("__gvp", StringType, nullable = false),
-        StructField("_commit_version", LongType, nullable = false))))
-    df.join(broadcast(verDf), df("__gfp") === verDf("__gvp"))
-      .drop("__gfp", "__gvp")
+        StructField("__gver", LongType, nullable = false))))
+    val joined = df.join(broadcast(verDf), df("__gfp") === verDf("__gvp"), "left")
+    val guarded = when(col("__gvp").isNull,
+        raise_error(concat(
+          lit("cdf engine bug: scanned row's file is missing from the " +
+            "per-file commit map (path normalization mismatch): "),
+          col("__gfp"))).cast(LongType))
+      .otherwise(col("__gver"))
+    joined.withColumn("_commit_version",
+        GraftColumn.of(AssertNotNull(GraftColumn.expr(guarded),
+          Seq("engine-internal per-file commit version"))))
+      .drop("__gfp", "__gvp", "__gver")
   }
 
   /** Read a RUN of commits' `_change_data` files — one schema era, any
@@ -2168,18 +2203,40 @@ object Sinks {
         s"apply key '$k' is not a data column of $tablePath " +
           s"(data columns: ${cat.schema.fieldNames.mkString(",")})"))
     val hasVer = changes.columns.contains("_commit_version")
+    // partition columns are checked BEFORE the cast fold (col() on a
+    // missing name is a raw AnalysisException) and are never defaulted:
+    // every change row must say which partition it lands in
+    val missingPart = partitionCols.filterNot(changes.columns.contains)
+    if (missingPart.nonEmpty)
+      throw new BuzzException.SchemaMismatch(
+        s"apply changes lack partition column(s) ${missingPart.mkString(", ")} " +
+          s"of $tablePath — partition columns cannot be defaulted")
     val ch0 = partitionCols.foldLeft(changes)((d, c) =>
       d.withColumn(c, col(c).cast("string")))
     val metaCols = Seq("_change_type") ++ (if (hasVer) Seq("_commit_version") else Nil)
     val incoming = ch0.schema.fields
       .filterNot(f => partitionCols.contains(f.name) || metaCols.contains(f.name))
       .map(f => f.name -> f.dataType.sql).toSeq
+    // the ADDITIVE-EVOLUTION seam: a change set missing dst DATA columns
+    // is a feed from before the source's ADD COLUMN — reachable in
+    // chunked replication when a crashed run already evolved the replica
+    // and the resume's smaller chunk ends before the evolution commit.
+    // Those rows' columns did not exist at their commits, so they project
+    // as typed NULLs (the feed's own allowMissingColumns conformance)
+    // instead of wedging catch-up behind a SchemaMismatch until a manual
+    // resync. Partition columns cannot be defaulted (every row must land
+    // in a partition) and still fail below; extra, retyped or reordered
+    // surviving columns fail exactly as before.
+    val missingData = cat.schema.fields.toSeq.filterNot(f => ch0.columns.contains(f.name))
     val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+      .filterNot { case (n, _) => missingData.exists(_.name == n) }
     if (incoming != declared || !partitionCols.forall(ch0.columns.contains))
       throw new BuzzException.SchemaMismatch(
         s"apply changes schema ${incoming.mkString(",")} does not match " +
           s"$tablePath's metaData ${declared.mkString(",")} " +
           s"(+ partition cols ${partitionCols.mkString(",")})")
+    val chc = missingData.foldLeft(ch0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
     // contract check in ONE pass over the distinct (type, version-null)
     // pairs: an unknown or NULL _change_type, or a NULL _commit_version,
     // must fail loudly — the netting below would otherwise silently DROP
@@ -2198,15 +2255,19 @@ object Sinks {
         "deltaApplyChanges: NULL _commit_version row(s) — the netting " +
           "order is undefined for them; drop the column for an unordered " +
           "change set, or fill the version")
-    // NET the feed: preimages drop, then the last change per key wins
-    val nonPre = ch0.filter(col("_change_type") =!= "update_preimage")
+    // NET the feed: preimages drop, then the last change per key wins.
+    // The vmax join matches keys NULL-SAFELY (<=>): a NULL key component
+    // must survive netting to reach the loud NULL-key check below —
+    // null-unsafe equality would silently DISCARD null-keyed changes
+    // instead of rejecting them as the key-discipline contract promises.
+    val nonPre = chc.filter(col("_change_type") =!= "update_preimage")
     val last =
       if (!hasVer) nonPre
       else {
         val vmax = nonPre.groupBy(keyCols.map(k => col(k).as(s"__k_$k")): _*)
           .agg(max(col("_commit_version")).as("__vmax"))
         nonPre.join(vmax,
-          keyCols.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+          keyCols.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _) &&
             col("_commit_version") === col("__vmax"))
           .drop(keyCols.map(k => s"__k_$k") :+ "__vmax": _*)
       }

@@ -101,6 +101,43 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     val e5 = intercept[BuzzException.BadRequest](
       Sinks.deltaApplyChanges(spark, dir, nulVer, "id"))
     assert(e5.getMessage.contains("NULL _commit_version"))
+    // a NULL KEY in a VERSIONED change set must also fail loudly: the
+    // vmax netting join matches keys null-safely (<=>) so the row
+    // SURVIVES to the key-discipline check — null-unsafe equality
+    // dropped it before the check ever ran, silently discarding the
+    // change instead of rejecting it
+    val nulKeyVer = Seq((Option.empty[Long], 1L, "insert", 5L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val e6 = intercept[BuzzException.BadRequest](
+      Sinks.deltaApplyChanges(spark, dir, nulKeyVer, "id"))
+    assert(e6.getMessage.contains("NULL"))
+  }
+
+  test("a change set missing a dst data column projects typed NULLs (the chunked-resume evolution seam)") {
+    // reachable in chunked replicate: a crashed run already evolved the
+    // replica, the resume's smaller chunk ends before the source's ADD
+    // COLUMN commit — those rows' column did not exist at their commits,
+    // so the apply writes typed nulls instead of wedging on SchemaMismatch
+    val dir = tmpDir("apply_missing_col")
+    Sinks.deltaAppend(
+      Seq((5L, 10L, "keep"), (6L, 12L, "stay")).toDF("id", "v", "w").coalesce(1), dir)
+    val changes = Seq((5L, 500L, "update_postimage"), (100L, 1L, "insert"))
+      .toDF("id", "v", "_change_type") // no `w`
+    Sinks.deltaApplyChanges(spark, dir, changes, "id")
+    val cat = DeltaCatalog.fromDeltaLog(spark, dir, "missing_col_read")
+    val rows = cat.read(spark, cat.files).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows(5L) === ((500L, None)), "updated row's missing column is null")
+    assert(rows(6L) === ((12L, Some("stay"))), "untouched row keeps its value")
+    assert(rows(100L) === ((1L, None)), "inserted row's missing column is null")
+    // a missing PARTITION column still fails loudly — rows must land somewhere
+    val pdir = tmpDir("apply_missing_part")
+    Sinks.deltaAppend(
+      Seq((1L, 2L, "a")).toDF("id", "v", "p"), pdir, Seq("p"))
+    val noPart = Seq((1L, 3L, "update_postimage")).toDF("id", "v", "_change_type")
+    val e = intercept[BuzzException.SchemaMismatch](
+      Sinks.deltaApplyChanges(spark, pdir, noPart, "id"))
+    assert(e.getMessage.contains("partition"))
   }
 
   test("apply is exactly-once under the SetTransaction handshake") {

@@ -284,6 +284,26 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
+  test("a per-file version-map miss fails LOUDLY naming the path, and the attached column stays non-nullable") {
+    // the seam every feed relation rides: a normalization disagreement
+    // between the scan's _metadata.file_path and the walker's map would
+    // previously vanish rows through the inner join; the left join +
+    // raise_error guard makes it an error naming the path
+    val hit = Seq(("file:/tmp/graft_feed_x.parquet", 1L)).toDF("__gfp", "id")
+    val ok = Sinks.attachCommitVersions(spark, hit,
+      Seq("file:/tmp/graft_feed_x.parquet" -> 7L))
+    assert(ok.select("_commit_version").head.getLong(0) === 7L)
+    assert(!ok.schema("_commit_version").nullable,
+      "the protocol's _commit_version must stay non-nullable")
+    val miss = Sinks.attachCommitVersions(spark, hit,
+      Seq("file:/tmp/graft_feed_OTHER.parquet" -> 7L))
+    val e = intercept[Throwable](miss.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("normalization mismatch") &&
+      m.contains("graft_feed_x.parquet")), s"got: ${chain(e).mkString(" | ")}")
+  }
+
   test("the feed conforms ADDITIVE evolution and refuses a mid-span rename") {
     val dir = tmpDir("cdf_evolve")
     cdfTable(dir)
