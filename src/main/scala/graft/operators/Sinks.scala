@@ -2179,7 +2179,31 @@ object Sinks {
   def deltaApplyChanges(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       changes: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    deltaApplyChangesMetrics(spark, tablePath, changes, keyCols, txn).version
+
+  /** One keyed apply's observability — the CDC counterpart of
+    * [[graft.plans.BuzzEngine]]'s per-worker query metrics (reference
+    * precedent: hbee_service.rs:45-52 reports each worker's scan work):
+    * `version` the committed dst version (the current head when the
+    * apply was an idempotent txn replay or netted to zero changes),
+    * `netChanges` rows in the netted change set, `filesScanned` the
+    * pruned candidate files read, `filesRewritten` candidates
+    * removed+replaced (== scanned under copy-on-write), `filesAdded`
+    * replacement + insert files committed. The same numbers ride the
+    * commit's operationParameters, so `deltaHistory` answers "what did
+    * each apply cost" long after the call returned. */
+  final case class ApplyMetrics(
+      version: Long, netChanges: Long, filesScanned: Long,
+      filesRewritten: Long, filesAdded: Long)
+
+  /** [[deltaApplyChanges]] returning [[ApplyMetrics]] instead of just the
+    * version — what replication sums per chunk into its
+    * [[ReplicateReport]]. */
+  def deltaApplyChangesMetrics(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      changes: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): ApplyMetrics = {
     import org.apache.spark.sql.types._
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
@@ -2188,7 +2212,7 @@ object Sinks {
     val logDir = s"$tablePath/_delta_log"
     txn.foreach { case (appId, txnVer) =>
       if (DeltaCatalog.lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVer))
-        return DeltaCatalog.latestVersion(spark, logDir)
+        return ApplyMetrics(DeltaCatalog.latestVersion(spark, logDir), 0L, 0L, 0L, 0L)
     }
     if (!changes.columns.contains("_change_type"))
       throw new BuzzException.BadRequest(
@@ -2290,7 +2314,8 @@ object Sinks {
       throw new BuzzException.BadRequest(
         s"apply changes net to duplicate '${keyCols.mkString(",")}' keys " +
           s"(${kstat.getLong(0)} rows, ${kstat.getLong(1)} distinct) — ambiguous")
-    if (kstat.getLong(0) == 0L) return DeltaCatalog.latestVersion(spark, logDir)
+    if (kstat.getLong(0) == 0L)
+      return ApplyMetrics(DeltaCatalog.latestVersion(spark, logDir), 0L, 0L, 0L, 0L)
 
     val pruning = pruneCandidatesByKeys(spark, tablePath, snapVer, cat, last, keyCols)
 
@@ -2336,11 +2361,17 @@ object Sinks {
             .select((outCols :+ "_change_type").map(col): _*))
       }
     val appendProbe = keyEnvelopeProbe(spark, tablePath, pruning, envelopes)
-    commitRewrite(spark, tablePath, adds, pruning.candRaws,
+    val v = commitRewrite(spark, tablePath, adds, pruning.candRaws,
       StructType(cat.schema.fields), "apply changes to",
       snapshotVersion = snapVer, txn = txn,
       concurrentAddConflicts = appendProbe,
-      operationParams = Map("key" -> keyCols.mkString(",")), cdcAdds = cdcAdds)
+      operationParams = Map(
+        "key" -> keyCols.mkString(","),
+        "netChanges" -> kstat.getLong(0).toString,
+        "filesRewritten" -> pruning.candRaws.size.toString,
+        "filesAdded" -> adds.size.toString), cdcAdds = cdcAdds)
+    ApplyMetrics(v, kstat.getLong(0), pruning.candRaws.size.toLong,
+      pruning.candRaws.size.toLong, adds.size.toLong)
   }
 
   /** REPLICATE `srcPath` into `dstPath` by tailing the source's row-level
@@ -2382,7 +2413,30 @@ object Sinks {
   def deltaReplicate(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, keyCols: Seq[String],
-      maxVersionsPerApply: Int = 1000): Long = {
+      maxVersionsPerApply: Int = 1000): Long =
+    deltaReplicateReport(spark, srcPath, dstPath, keyCols,
+      maxVersionsPerApply).version
+
+  /** What one [[deltaReplicate]] call DID — the replication counterpart
+    * of the engine's per-worker query metrics (every chunk's numbers
+    * also ride its dst commit's operationParameters, so `deltaHistory`
+    * keeps the per-apply record durably): `version` dst's committed
+    * head, `chunks` watermarked applies performed, `versions` source
+    * commits consumed this call, `rowsNetted` / `filesRewritten` /
+    * `filesAdded` summed over the chunks' [[ApplyMetrics]],
+    * `bootstrapped` / `resynced` which leg ran (a bootstrap's one
+    * snapshot append and an untouched caught-up call both report zero
+    * chunk sums). */
+  final case class ReplicateReport(
+      version: Long, chunks: Long, versions: Long, rowsNetted: Long,
+      filesRewritten: Long, filesAdded: Long,
+      bootstrapped: Boolean, resynced: Boolean)
+
+  /** [[deltaReplicate]] returning the full [[ReplicateReport]]. */
+  def deltaReplicateReport(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCols: Seq[String],
+      maxVersionsPerApply: Int = 1000): ReplicateReport = {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
     require(maxVersionsPerApply >= 1,
@@ -2397,18 +2451,26 @@ object Sinks {
       // bootstrap: snapshot at srcHead, watermark atomic with the data
       val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__replicate_src",
         versionAsOf = Some(srcHead))
-      return deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
+      val v = deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
         partitionCols = srcCat.partitionColumns,
         txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP")
+      return ReplicateReport(v, 0L, 0L, 0L, 0L, 0L,
+        bootstrapped = true, resynced = false)
     }
     val applied = DeltaCatalog.lastTxnVersion(spark, dstPath, appId).getOrElse(
       throw new BuzzException.BadRequest(
         s"deltaReplicate: $dstPath exists but carries no '$appId' " +
           "watermark — it is not a replica of this source; replicate " +
           "into a fresh path (or drop the table) instead"))
-    if (applied >= srcHead) return dstHead
+    if (applied >= srcHead)
+      return ReplicateReport(dstHead, 0L, 0L, 0L, 0L, 0L,
+        bootstrapped = false, resynced = false)
     var from = applied
     var result = dstHead
+    var chunks = 0L
+    var rows = 0L
+    var rewritten = 0L
+    var added = 0L
     while (from < srcHead) {
       val chunkEnd = math.min(from + maxVersionsPerApply, srcHead)
       // is the chunk's ROW-LEVEL feed expressible? A commit that rewrites
@@ -2422,24 +2484,33 @@ object Sinks {
         val ca = parseCommitActions(spark, srcPath, v)
         ca.cdcs.nonEmpty || !(ca.adds.exists(_._5) && ca.removes.exists(_._2))
       }
-      if (!expressible)
-        return deltaResync(spark, srcPath, dstPath, keyCols)
+      if (!expressible) {
+        val m = resyncMetrics(spark, srcPath, dstPath, keyCols)
+        return ReplicateReport(m.version, chunks + 1L, srcHead - applied,
+          rows + m.netChanges, rewritten + m.filesRewritten,
+          added + m.filesAdded, bootstrapped = false, resynced = true)
+      }
       val feed = deltaChangeFeed(spark, srcPath, from, chunkEnd)
       // additive schema evolution carried by the feed evolves dst FIRST
       // (renames/drops already failed loudly in the feed walk)
       evolveReplicaSchema(spark, dstPath, feed)
-      val v = deltaApplyChanges(spark, dstPath, feed, keyCols,
+      val m = deltaApplyChangesMetrics(spark, dstPath, feed, keyCols,
         txn = Some((appId, chunkEnd)))
+      chunks += 1L
+      rows += m.netChanges
+      rewritten += m.filesRewritten
+      added += m.filesAdded
       // a chunk netting to zero changes (OPTIMIZE/metadata only) commits
       // nothing — advance the watermark with a txn-only commit or every
       // later call re-reads the same span
       result =
         if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < chunkEnd))
           commitWatermark(spark, dstPath, appId, chunkEnd)
-        else v
+        else m.version
       from = chunkEnd
     }
-    result
+    ReplicateReport(result, chunks, srcHead - applied, rows, rewritten, added,
+      bootstrapped = false, resynced = false)
   }
 
   /** ADDITIVE schema evolution for a replica: when `feed` (a change-feed
@@ -2533,7 +2604,14 @@ object Sinks {
   /** Composite-key [[deltaResync]] primary. */
   def deltaResync(
       spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, keyCols: Seq[String]): Long = {
+      srcPath: String, dstPath: String, keyCols: Seq[String]): Long =
+    resyncMetrics(spark, srcPath, dstPath, keyCols).version
+
+  /** [[deltaResync]] with the diff-apply's [[ApplyMetrics]] — what
+    * replicate's inexpressible-span fallback folds into its report. */
+  private def resyncMetrics(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, keyCols: Seq[String]): ApplyMetrics = {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
@@ -2546,9 +2624,11 @@ object Sinks {
     if (DeltaCatalog.latestVersion(spark, s"$dstPath/_delta_log") < 0) {
       val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
         versionAsOf = Some(srcHead))
-      return deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
-        partitionCols = srcCat.partitionColumns,
-        txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP")
+      return ApplyMetrics(
+        deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
+          partitionCols = srcCat.partitionColumns,
+          txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP"),
+        0L, 0L, 0L, 0L)
     }
     val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
       versionAsOf = Some(srcHead))
@@ -2593,13 +2673,15 @@ object Sinks {
     // current
     val alreadyStamped =
       DeltaCatalog.lastTxnVersion(spark, dstPath, appId).exists(_ >= srcHead)
-    val v = deltaApplyChanges(spark, dstPath, changes, keyCols,
+    val m = deltaApplyChangesMetrics(spark, dstPath, changes, keyCols,
       txn = if (alreadyStamped) None else Some((appId, srcHead)))
     // an already-converged diff commits nothing: stamp the watermark so
     // replicate's fallback does not re-diff the same span forever
-    if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
-      commitWatermark(spark, dstPath, appId, srcHead)
-    else v
+    val outVer =
+      if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
+        commitWatermark(spark, dstPath, appId, srcHead)
+      else m.version
+    m.copy(version = outVer)
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with

@@ -113,6 +113,43 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(e6.getMessage.contains("NULL"))
   }
 
+  test("replicate REPORTS its work (chunks/versions/rows/files) and the commits carry the numbers") {
+    val src = tmpDir("repl_report_src")
+    val dst = tmpDir("repl_report_dst") + "/replica"
+    twoFileTable(src)                                          // v0, v1
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))             // v2
+    val boot = Sinks.deltaReplicateReport(spark, src, dst, Seq("id"))
+    assert(boot.bootstrapped && !boot.resynced && boot.chunks === 0L)
+    Sinks.deltaMerge(spark, src, Seq((5L, 500L)).toDF("id", "v"), "id") // v3
+    Sinks.deltaDeleteWhere(spark, src, "id = 12")                       // v4
+    val r = Sinks.deltaReplicateReport(spark, src, dst, Seq("id"),
+      maxVersionsPerApply = 1) // one watermarked chunk per lagged commit
+    assert(!r.bootstrapped && !r.resynced)
+    assert(r.chunks === 2L && r.versions === 2L,
+      s"expected 2 chunks over 2 versions, got ${r.chunks}/${r.versions}")
+    assert(r.rowsNetted === 2L, s"1 update + 1 delete net, got ${r.rowsNetted}")
+    assert(r.filesRewritten === 2L && r.filesAdded >= 2L,
+      s"each chunk rewrites its one candidate file, got ${r.filesRewritten}/${r.filesAdded}")
+    // the numbers are DURABLE: each apply commit's operationParameters
+    // carry them, so deltaHistory answers long after the call returned
+    val applies = Sinks.deltaHistory(spark, dst).collect()
+      .filter(_.getString(2) == "APPLY CHANGES")
+      .map(_.getAs[Map[String, String]](3))
+      .filter(_.contains("netChanges"))
+    assert(applies.map(_("netChanges").toLong).sum === 2L)
+    assert(applies.map(_("filesRewritten").toLong).sum === 2L)
+    // caught up: the report says so in zeros
+    val up = Sinks.deltaReplicateReport(spark, src, dst, Seq("id"))
+    assert(up.chunks === 0L && up.versions === 0L && up.rowsNetted === 0L
+      && !up.bootstrapped && !up.resynced)
+    // the replica actually converged
+    val cat = DeltaCatalog.fromDeltaLog(spark, dst, "repl_report_read")
+    val rows = cat.read(spark, cat.files).collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+    assert(rows(5L) === 500L && !rows.contains(12L) && rows.size === 19)
+  }
+
   test("a change set missing a dst data column projects typed NULLs (the chunked-resume evolution seam)") {
     // reachable in chunked replicate: a crashed run already evolved the
     // replica, the resume's smaller chunk ends before the source's ADD
