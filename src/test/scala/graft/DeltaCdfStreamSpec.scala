@@ -324,4 +324,47 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     // across the whole run (plus none for replayed versions)
     assert(parses <= 9, s"9 commits parsed $parses times — memo not serving")
   }
+
+  test("restart INTO a 1000-commit backlog: admission chunks it and the stream converges exactly-once") {
+    // the streaming twin of replicate's chunked catch-up: a stream that
+    // was down while 1000 one-file commits landed must resume from its
+    // checkpoint, admit the backlog in maxVersionsPerTrigger-bounded
+    // triggers (each trigger's plan bounded by runs, not commits), and
+    // deliver every version exactly once.
+    val dir = tmpDir("cdfs_lag")
+    val ckpt = tmpDir("cdfs_lag_ckpt")
+    val out = tmpDir("cdfs_lag_out")
+    Sinks.deltaAppend(
+      (0L until 5L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir) // v0
+    runDurable(dir, ckpt, out) // batch 0: the snapshot as inserts
+    // 1000 commits of lag, hand-authored for speed (one copied 5-row
+    // file + one add JSON per commit — the protocol shape deltaAppend
+    // would write, without 1000 Spark write jobs)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    (1 to 1000).foreach { i =>
+      val dest = new java.io.File(dir, s"lag-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"$i%020d.json").toPath,
+        s"""{"add":{"path":"lag-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+    }
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .option("maxVersionsPerTrigger", "100")
+      .option("maxFilesPerTrigger", "100000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 10, s"1000 versions / 100 per trigger: got $dataBatches")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 5L + 5L * 1000L, "every commit's rows exactly once")
+    assert(rows.select("_commit_version").distinct().count() === 1001L)
+    assert(rows.filter(col("_change_type") =!= "insert").count() === 0L)
+    // convergence is stable: nothing new, nothing re-delivered
+    runDurable(dir, ckpt, out)
+    assert(spark.read.parquet(out).count() === 5L + 5L * 1000L)
+  }
 }
