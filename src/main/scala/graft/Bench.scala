@@ -104,6 +104,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the BASELINE two-stage-overhead gate rides EVERY bench artifact
+    // (min-of-3 full-lifecycle pair, fresh engine per rep) so the gate
+    // trend is visible round over round without a separate GateProbe run
+    println(GateProbe.gateLine(spark, sfDir, reps = 3))
     val calibAfter = calibrate()
     val loadAfter = loadAvg()
     val calib = f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +

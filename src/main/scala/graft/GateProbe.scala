@@ -36,6 +36,14 @@ object GateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(gateLine(spark, sfDir, reps))
+    spark.stop()
+  }
+
+  /** Measure the full-lifecycle two-stage/direct pair and render the
+    * one-line JSON — reusable so every Bench artifact carries the gate
+    * row without a separate run (VERDICT r12 #7). */
+  def gateLine(spark: SparkSession, sfDir: String, reps: Int): String = {
 
     val eventsDdl = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
@@ -93,7 +101,6 @@ object GateProbe {
     // warmth asymmetrically (both passes follow the shared warm-up).
     val tsMin = minOf(() => twoStage())
     val dMin = minOf(() => direct())
-    println(f"""{"probe":"two_stage_gate","two_stage_min":$tsMin%.3f,"direct_min":$dMin%.3f,"ratio":${tsMin / dMin}%.3f,"reps":$reps,"sf":"$sfDir"}""")
-    spark.stop()
+    f"""{"probe":"two_stage_gate","two_stage_min":$tsMin%.3f,"direct_min":$dMin%.3f,"ratio":${tsMin / dMin}%.3f,"reps":$reps,"sf":"$sfDir"}"""
   }
 }

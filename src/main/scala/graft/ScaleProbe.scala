@@ -367,6 +367,65 @@ object ScaleProbe {
         }
         require(dstRows == 10L, s"lag replicate drift: $dstRows rows")
         report("replicate_lag_wall", 1000, dstRows, replSecs)
+
+        // the ALTERNATING history — the shape that defeated r12's
+        // CONTIGUOUS run-grouping (one plan leaf per commit): 1000
+        // commits strictly alternating add / remove. Non-contiguous
+        // (era, kind) grouping must plan the same handful of leaves as
+        // the same-kind span above, wall ~linear in span. Each added
+        // file carries DISTINCT ids, so the net feed over the span is
+        // pure no-op deletes and the replica converges to its bootstrap
+        // rows — key discipline holds end to end.
+        val altSrc = java.nio.file.Files
+          .createTempDirectory("graft_probe_alt_src").toString
+        val altDst = java.nio.file.Files
+          .createTempDirectory("graft_probe_alt_dst").toString + "/replica"
+        graft.operators.Sinks.deltaAppend(
+          spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+            .coalesce(1), altSrc)
+        graft.operators.Sinks.deltaReplicate(spark, altSrc, altDst, "id")
+        val altStage = java.nio.file.Files
+          .createTempDirectory("graft_probe_alt_stage").toString
+        spark.range(1000000L, 1005000L)
+          .select(col("id"), (col("id") * 2).as("v"))
+          .repartition(500).write.mode("overwrite").parquet(altStage)
+        val altParts = new java.io.File(altStage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        require(altParts.length == 500, s"alt stage wrote ${altParts.length} files")
+        altParts.zipWithIndex.foreach { case (p, k) =>
+          val dest = new java.io.File(altSrc, s"alt-$k.parquet")
+          java.nio.file.Files.copy(p.toPath, dest.toPath)
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$altSrc/_delta_log", f"${2 * k + 1}%020d.json").toPath,
+            s"""{"add":{"path":"alt-$k.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$altSrc/_delta_log", f"${2 * k + 2}%020d.json").toPath,
+            s"""{"remove":{"path":"alt-$k.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+        }
+        graft.operators.Sinks.invalidateCommitParseCache()
+        val (altLeaves, altSecs) = timed {
+          val feed = graft.operators.Sinks.deltaChangeFeed(
+            spark, altSrc, 0L, 1000L)
+          require(feed.count() == 10000L, "alternating span feed drift")
+          feed.queryExecution.optimizedPlan.collectLeaves().size.toLong
+        }
+        // healthy: ~4 (2 runs x [FileScan + broadcast version map]) at a
+        // 1000-commit alternating span — r12 planned ~1000 here
+        report("feed_alt_span_plan_wall", 1000, altLeaves, altSecs)
+        graft.operators.Sinks.invalidateCommitParseCache()
+        val (altDstRows, altReplSecs) = timed {
+          val rep = graft.operators.Sinks.deltaReplicateReport(
+            spark, altSrc, altDst, Seq("id"))
+          require(rep.versions == 1000L && rep.rowsNetted == 5000L,
+            s"alternating replicate drift: ${rep.versions} versions, " +
+              s"${rep.rowsNetted} netted")
+          val cat = graft.sources.DeltaCatalog.fromDeltaLog(
+            spark, altDst, "alt_dst_read")
+          cat.read(spark, cat.files).count()
+        }
+        require(altDstRows == 10L, s"alternating replicate drift: $altDstRows rows")
+        report("replicate_alt_lag_wall", 1000, altDstRows, altReplSecs)
       }
 
       // radius search at the PRODUCTION setting against a FIXED query set:
