@@ -2037,6 +2037,33 @@ object SparkEntry {
           col("_change_type").as("change_type"), col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
+    // ALTERNATING-KIND FEED: appends (derived inserts) strictly
+    // interleaved with partition deletes (derived deletes) — the
+    // trigger-per-commit history shape whose feed plan r12 built one
+    // relation per commit for (bounded only by the 1000-version chunk
+    // cap). Non-contiguous run grouping reads the whole span as TWO
+    // relations; the aggregate is right iff every insert and delete
+    // ships exactly once with its own commit's version label.
+    "sink_delta_feed_alternating" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_deltafeedalt_" +
+        fixtureKey(dir, "documents")
+      FsUtil.fs(s, src).delete(new org.apache.hadoop.fs.Path(src), true)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(4L)).cast("string").as("b"))
+      Sinks.deltaAppend(docs.filter(col("b") === "0"), src, Seq("b"))   // v0
+      (1 to 3).foreach { b =>
+        Sinks.deltaAppend(docs.filter(col("b") === b.toString),
+          src, Seq("b"))                                 // v1,v3,v5: inserts
+        Sinks.deltaDeletePartition(s, src, "b", (b - 1).toString) // v2,v4,v6
+      }
+      Sinks.deltaChangeFeed(s, src, 0L, 6L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("_commit_version")).as("n_versions"))
+    }),
     // Delta-native transactional MERGE: two range-split appends (tight
     // per-file doc_id ranges so the change keys PRUNE through the log's
     // add.stats), then one copy-on-write commit that updates every
@@ -5697,6 +5724,19 @@ object SparkEntry {
         |  SELECT 3, 'delete', source, count(*), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 10 = 3 GROUP BY source)
         |SELECT version, change_type, source, n, chars FROM b""".stripMargin,
+    // the alternating span (0,6]: inserts = buckets 1-3 (appended at
+    // v1/v3/v5), deletes = buckets 0-2 (partition-dropped at v2/v4/v6) —
+    // each change type spans exactly 3 distinct commit versions
+    "sink_delta_feed_alternating" ->
+      """SELECT _change_type, CAST(n AS BIGINT) AS n,
+        |  CAST(chars AS BIGINT) AS chars, CAST(3 AS BIGINT) AS n_versions
+        |FROM (
+        |  SELECT 'insert' AS _change_type, count(*) AS n, sum(n_chars) AS chars
+        |  FROM documents WHERE doc_id % 4 IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT 'delete', count(*), sum(n_chars)
+        |  FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+        |)""".stripMargin,
     // the updated range re-derived: [100, 999] rows carry doubled n_chars
     "sink_delta_update" ->
       """SELECT source, count(*) AS n_docs,
