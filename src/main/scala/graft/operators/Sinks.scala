@@ -811,15 +811,16 @@ object Sinks {
     *
     * Plan width: a commit that REWRITES rows (both adds and removes)
     * keeps its own keyed diff — the semantics need the join of its
-    * pre-state against its adds — but contiguous single-sided commits
-    * (adds only → every key 'added'; removes only → every key 'removed';
-    * the degenerate diffs where the join's other side is empty) batch
-    * into ONE relation per same-era run with the version joined per file,
-    * the same bounded-width shape as the row-level feed
-    * ([[collectFeedRuns]]). Append-heavy history — the common long span —
-    * therefore plans O(eras), and only genuine rewrite commits add a
-    * join each; a span that is ALL rewrites is linear by contract —
-    * consume such spans in bounded chunks. */
+    * pre-state against its adds — but single-sided commits (adds only →
+    * every key 'added'; removes only → every key 'removed'; the
+    * degenerate diffs where the join's other side is empty) batch into
+    * ONE relation per (schema era, status), NON-contiguously with the
+    * version joined per file — the same bounded-width shape as the
+    * row-level feed ([[collectFeedRuns]]): an added/removed-ALTERNATING
+    * span (or appends interleaved with rewrites) plans O(eras), never
+    * O(commits). Only genuine rewrite commits add a join each; a span
+    * that is ALL rewrites is linear by contract — consume such spans in
+    * bounded chunks. */
   def deltaChangesBetween(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
@@ -861,49 +862,54 @@ object Sinks {
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     val frames = scala.collection.mutable.ListBuffer[org.apache.spark.sql.DataFrame]()
-    // pending single-sided run: contiguous same-era commits whose diff is
-    // degenerate (adds only = 'added', removes only = 'removed') batch
-    // into ONE relation; rewrite commits flush it and keep their join
-    var runStatus: String = null
-    var runCat: graft.sources.StaticCatalog = null
-    var runEraKeys: Seq[String] = null
-    val runFiles = scala.collection.mutable.ListBuffer[
-      (String, Long, Map[String, String], Option[DvDescriptor], Long)]()
-    val runPaths = scala.collection.mutable.HashSet[String]()
-    def flushRun(): Unit = if (runStatus != null) {
-      val dvs = runFiles.toSeq.collect { case (raw, _, _, Some(dv), _) =>
+    // single-sided runs keyed by (schema era, status, path-collision
+    // generation), NON-contiguous like the row-level feed's
+    // collectFeedRuns: the degenerate diffs are per-file-labeled, so
+    // commits of one (era, status) share one relation however the span
+    // interleaves them with the other status or with rewrite commits
+    // (whose keyed joins are independent frames and never force a flush)
+    final class DiffRun(val status: String,
+        val cat: graft.sources.StaticCatalog, val eraKeys: Seq[String]) {
+      val files = scala.collection.mutable.ListBuffer[
+        (String, Long, Map[String, String], Option[DvDescriptor], Long)]()
+      val paths = scala.collection.mutable.HashSet[String]()
+    }
+    var eraIdx = 0
+    val open = scala.collection.mutable.LinkedHashMap[(Int, String, Int), DiffRun]()
+    val curGen = scala.collection.mutable.HashMap[(Int, String), Int]()
+    def runFrame(run: DiffRun): org.apache.spark.sql.DataFrame = {
+      val dvs = run.files.toSeq.collect { case (raw, _, _, Some(dv), _) =>
         abs(raw) -> DeletionVectors.resolve(tablePath, dv)
       }.toMap
-      val sized = runFiles.toSeq.map { case (raw, size, pv, _, _) =>
-        SizedFile(abs(raw), size, runCat.partitionColumns.map(c =>
+      val sized = run.files.toSeq.map { case (raw, size, pv, _, _) =>
+        SizedFile(abs(raw), size, run.cat.partitionColumns.map(c =>
           pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
       }
-      val df = runCat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
+      val df = run.cat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
       val withVer = attachCommitVersions(spark, df,
-        runFiles.toSeq.map { case (raw, _, _, _, v) =>
+        run.files.toSeq.map { case (raw, _, _, _, v) =>
           graft.sources.FsUtil.normalizePath(abs(raw)) -> v
         })
       // era-local logical key names -> the consumer's current names
-      val renamed = runEraKeys.zip(keyCols)
+      val renamed = run.eraKeys.zip(keyCols)
         .foldLeft(withVer.select(
-          (runEraKeys :+ "_commit_version").map(org.apache.spark.sql.functions.col): _*)) {
+          (run.eraKeys :+ "_commit_version").map(org.apache.spark.sql.functions.col): _*)) {
           case (d, (era, cur)) =>
             if (era == cur) d else d.withColumnRenamed(era, cur)
         }
-      frames += renamed.select(
+      renamed.select(
         org.apache.spark.sql.functions.col("_commit_version").as("version") +:
         keyCols.map(org.apache.spark.sql.functions.col) :+
-        org.apache.spark.sql.functions.lit(runStatus).as("status"): _*)
-      runStatus = null; runFiles.clear(); runPaths.clear()
+        org.apache.spark.sql.functions.lit(run.status).as("status"): _*)
     }
     ((vFrom + 1) to vTo).foreach { v =>
       val ca = parseCommitActions(spark, tablePath, v)
       val (adds, rawRemoves, metaChanged) = (ca.adds, ca.removes, ca.metaChanged)
       val removes = rawRemoves.map(_._1)
       if (metaChanged) {
-        flushRun()
         cat = DeltaCatalog.fromDeltaLog(
           spark, tablePath, s"__cdf_v$v", versionAsOf = Some(v))
+        eraIdx += 1
       }
       // name resolution runs for EVERY version (empty commits included,
       // as before) — the loud missing-column contract is span-wide, not
@@ -912,7 +918,6 @@ object Sinks {
       val eraComps = eraNames(cat, compareCols, v)
       if (adds.nonEmpty || removes.nonEmpty) {
         if (adds.nonEmpty && removes.nonEmpty) {
-          flushRun()
           // `live`/`liveDvs` are the PRE-commit state here;
           // changesFromActions consumes them eagerly, so advancing them
           // afterwards is safe
@@ -936,12 +941,17 @@ object Sinks {
                     s"commit $v removes $raw which is not live at ${v - 1}")
                 }
               })
-          if (runStatus != status || files.exists(f => runPaths(f._1))) flushRun()
-          if (runStatus == null) {
-            runStatus = status; runCat = cat; runEraKeys = eraKeys
+          var gen = curGen.getOrElse((eraIdx, status), 0)
+          var run = open.getOrElseUpdate((eraIdx, status, gen),
+            new DiffRun(status, cat, eraKeys))
+          if (files.exists(f => run.paths(f._1))) {
+            gen += 1
+            curGen((eraIdx, status)) = gen
+            run = open.getOrElseUpdate((eraIdx, status, gen),
+              new DiffRun(status, cat, eraKeys))
           }
-          runFiles ++= files
-          runPaths ++= files.map(_._1)
+          run.files ++= files
+          run.paths ++= files.map(_._1)
         }
       }
       live = live -- removes ++
@@ -951,7 +961,7 @@ object Sinks {
         adds.collect { case (raw, _, _, None, _) => raw } ++
         adds.collect { case (raw, _, _, Some(dv), _) => raw -> dv }
     }
-    flushRun()
+    frames ++= open.values.map(runFrame)
     if (frames.isEmpty) {
       // a span of only metaData/empty commits diffs to nothing: the empty
       // frame through the SAME machinery, so schema/names/types match the
