@@ -123,6 +123,31 @@ class DeltaReplayCountSpec extends AnyFunSuite {
     assert(cat2.files.size == 4)
   }
 
+  test("the commit-parse memo skips commits above the action bound (never pins table-sized metadata)") {
+    val dir = tmpDir("parse_memo_bound")
+    seed(dir)
+    def parses[A](body: => A): Long = {
+      val before = Sinks.uncachedCommitParses
+      body
+      Sinks.uncachedCommitParses - before
+    }
+    // a normal commit is memoized: second parse is a cache hit
+    val p1 = parses(Sinks.parseCommitActions(spark, dir, 0L))
+    val p2 = parses(Sinks.parseCommitActions(spark, dir, 0L))
+    assert(p1 <= 1 && p2 == 0, s"small commit parsed ($p1, $p2) — memo not serving")
+    // a clone/bootstrap-shaped commit (>10k adds) parses but is NOT
+    // cached — re-parsing it pays again instead of pinning the memo
+    val big = (0 until 10001).map(i =>
+      s"""{"add":{"path":"big-$i.parquet","size":1,"partitionValues":{},"dataChange":true}}""")
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/00000000000000000002.json"), big)
+    val b1 = parses(Sinks.parseCommitActions(spark, dir, 2L))
+    val b2 = parses(Sinks.parseCommitActions(spark, dir, 2L))
+    assert(b1 == 1 && b2 == 1,
+      s"oversized commit should parse uncached every time, got ($b1, $b2)")
+  }
+
   test("a keyed apply parses the snapshot's stats ONCE, however many key columns") {
     // r12 re-derived liveRawAt + statsByRaw and re-parsed every file's
     // stats JSON per key column — at 10^6 live files x 4 key columns,
