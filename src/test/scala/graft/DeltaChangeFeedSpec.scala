@@ -251,6 +251,33 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
+  test("a path removed and RE-ADDED in one span splits generations: each occurrence keeps its own version label") {
+    // the per-file version join admits one row per path per relation, so
+    // a re-added path (RESTORE is the real-world writer of re-adds) must
+    // start a new generation of its kind's run — never be dropped,
+    // double-labeled, or force per-commit plans
+    val dir = tmpDir("cdf_readd")
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, s"a")).toDF("id", "p").coalesce(1),
+      dir, Seq("p"))                                 // v0
+    Sinks.deltaDeletePartition(spark, dir, "p", "a") // v1: remove-only
+    Sinks.deltaRestore(spark, dir, 0L)               // v2: re-adds the v0 file
+    Sinks.deltaDeletePartition(spark, dir, "p", "a") // v3: remove-only again
+    Sinks.deltaRestore(spark, dir, 0L)               // v4: re-adds again
+    val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 4L)
+    val rows = feed.select(col("_commit_version"), col("_change_type"))
+      .groupBy(col("_commit_version"), col("_change_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(
+      (1L, "delete", 10L), (2L, "insert", 10L),
+      (3L, "delete", 10L), (4L, "insert", 10L)))
+    // two generations per kind: 4 runs x (scan + version map) = 8 leaves,
+    // still flat in span length
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 8, s"re-add span planned $leaves leaves")
+  }
+
   test("the keyed snapshot DIFF also batches an ALTERNATING added/removed span into two relations") {
     // deltaChangesBetween shares the non-contiguous grouping: an
     // added/removed-alternating span (append, partition-delete, ...)
