@@ -104,12 +104,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // the BASELINE two-stage-overhead gate rides EVERY bench artifact
-    // (min-of-3 full-lifecycle pair, fresh engine per rep) so the gate
-    // trend is visible round over round without a separate GateProbe run
-    println(GateProbe.gateLine(spark, sfDir, reps = 3))
     val calibAfter = calibrate()
     val loadAfter = loadAvg()
+    // the BASELINE two-stage-overhead gate rides EVERY bench artifact
+    // (min-of-3 full-lifecycle pair, fresh engine per rep) so the gate
+    // trend is visible round over round without a separate GateProbe
+    // run. It executes AFTER the calibration capture — its own query
+    // executions must not contaminate calib_sec_after/loadavg_after —
+    // and guarded: a gate failure must never cost the totals the whole
+    // measured pass already earned.
+    try println(GateProbe.gateLine(spark, sfDir, reps = 3))
+    catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      println(s"""{"probe":"two_stage_gate","error":${q(msg)}}""")
+    }
     val calib = f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
       f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calib,"sf":${q(sfDir)}}""")

@@ -1787,29 +1787,26 @@ object Sinks {
     * JSON type for the column's declared type. */
   private[graft] final case class KeyColumnPruning(
       keyCol: String,
-      typedBounds: Map[String, org.json4s.JValue] => String => Option[(Any, Any)],
+      boundsOf: org.json4s.JValue => Option[(Any, Any)],
       keyType: org.apache.spark.sql.types.DataType)
 
-  /** Count of FULL stats-map parse passes (one per keyed apply) — the seam
-    * the one-parse-per-apply spec counts against. Monotonic; test-only. */
+  /** Count of FULL stats parse passes (one per keyed apply) — the seam
+    * the one-parse-per-apply spec counts against. Incremented under a
+    * lock (concurrent keyed applies are supported; a bare volatile
+    * read-modify-write would lose counts). Monotonic; test-only. */
   @volatile private[graft] var statsParsePasses: Long = 0L
+  private val statsParseLock = new Object
+  private def countStatsParsePass(): Unit =
+    statsParseLock.synchronized { statsParsePasses += 1 }
 
-  /** Parse each file's `add.stats` JSON ONCE for all key columns — the
-    * hoisted shared pass (r12 ran one full parse per key column: at 10^6
-    * live files x 4 key columns, 4 driver-side passes where one serves).
-    * Malformed stats parse to JNothing (-> unconditional candidate). */
-  private def parseStatsJson(
-      stats: Map[String, String],
-      raws: Iterable[String]): Map[String, org.json4s.JValue] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    statsParsePasses += 1
-    raws.iterator.flatMap { raw =>
-      stats.get(raw).map { s =>
-        raw -> (try JsonMethods.parse(s) catch { case _: Exception => JNothing })
-      }
-    }.toMap
-  }
+  /** Parse ONE file's `add.stats` JSON (JNothing when malformed — the
+    * unconditional-candidate signal). Callers iterate file-at-a-time and
+    * reduce the AST to typed bounds IMMEDIATELY: at 10^6 live files a
+    * map of retained json4s trees would be a multi-GB driver residency,
+    * so no AST may outlive its own iteration. */
+  private def parseOneStats(s: String): org.json4s.JValue =
+    try org.json4s.jackson.JsonMethods.parse(s)
+    catch { case _: Exception => org.json4s.JNothing }
 
   /** One key column's typed-bounds extractor over the pre-parsed stats.
     * Pruning must only ever SHRINK the set on evidence that parses: a
@@ -1843,22 +1840,20 @@ object Sinks {
       case JString(s) => Some(s)
       case _          => None
     }
-    def typedBounds(parsed: Map[String, JValue])(raw: String): Option[(Any, Any)] =
-      parsed.get(raw).flatMap { j =>
-        (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
-          case (JNothing, _) | (_, JNothing) => None
-          case (mn, mx) => keyType match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
-            case FloatType | DoubleType =>
-              for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
-            case StringType =>
-              for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
-            case _ => None // unprunable key type
-          }
+    def boundsOf(j: JValue): Option[(Any, Any)] =
+      (j \ "minValues" \ keyPhys, j \ "maxValues" \ keyPhys) match {
+        case (JNothing, _) | (_, JNothing) => None
+        case (mn, mx) => keyType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            for (lo <- longOf(mn); hi <- longOf(mx)) yield (lo, hi)
+          case FloatType | DoubleType =>
+            for (lo <- doubleOf(mn); hi <- doubleOf(mx)) yield (lo, hi)
+          case StringType =>
+            for (lo <- stringOf(mn); hi <- stringOf(mx)) yield (lo, hi)
+          case _ => None // unprunable key type
         }
       }
-    KeyColumnPruning(keyCol, parsed => typedBounds(parsed), keyType)
+    KeyColumnPruning(keyCol, j => boundsOf(j), keyType)
   }
 
   /** One column's surviving candidate raws: the column's distinct touched
@@ -1917,10 +1912,26 @@ object Sinks {
     val liveRaw = DeltaCatalog.liveRawAt(spark, tablePath, ver)
     val statsByRaw = DeltaCatalog.statsByRaw(spark, tablePath, ver)
     val liveSorted = liveRaw.keys.toSeq.sorted
-    val parsed = parseStatsJson(statsByRaw, liveSorted)
     val columns = keyCols.map(k => keyColumnPruning(cat, k))
-    val keep = columns.map { c =>
-      val withBounds = liveSorted.map(raw => raw -> c.typedBounds(parsed)(raw))
+    // ONE pass over the live set: each file's stats JSON is parsed once
+    // and reduced to EVERY key column's typed bounds immediately — the
+    // AST never outlives its iteration (10^6 retained json4s trees would
+    // be a multi-GB driver residency), and the pass count is the seam
+    // the one-parse-per-apply spec pins
+    countStatsParsePass()
+    val boundsBuilders =
+      columns.map(_ => Map.newBuilder[String, (Any, Any)])
+    liveSorted.foreach { raw =>
+      statsByRaw.get(raw).foreach { stats =>
+        val j = parseOneStats(stats)
+        columns.iterator.zip(boundsBuilders.iterator).foreach {
+          case (c, b) => c.boundsOf(j).foreach(bb => b += raw -> bb)
+        }
+      }
+    }
+    val boundsPerColumn = boundsBuilders.map(_.result())
+    val keep = columns.zip(boundsPerColumn).map { case (c, bounds) =>
+      val withBounds = liveSorted.map(raw => raw -> bounds.get(raw))
       pruneOneColumn(spark,
         withBounds, changes.select(col(c.keyCol).as("__k")).distinct(), c.keyType)
     }.reduce(_ intersect _)
@@ -1977,12 +1988,15 @@ object Sinks {
     appended =>
       if (appended.isEmpty) Nil
       else {
-        // parse ONLY the appended files' stats, once for all columns
+        // parse ONLY the appended files' stats, once per file for all
+        // columns (AST transient, like the pruning pass)
         val headStats = DeltaCatalog.statsByRaw(spark, tablePath)
-        val parsed = parseStatsJson(headStats, appended.keys.toSeq.sorted)
+        countStatsParsePass()
         appended.keys.toSeq.sorted.filterNot { raw =>
+          val j = headStats.get(raw)
+            .map(parseOneStats).getOrElse(org.json4s.JNothing)
           pruning.columns.zip(envelopes).exists { case (c, (cl, ch)) =>
-            c.typedBounds(parsed)(raw).exists { case (lo, hi) =>
+            c.boundsOf(j).exists { case (lo, hi) =>
               disjoint(c.keyType, lo, hi, cl, ch)
             }
           }
@@ -2185,12 +2199,19 @@ object Sinks {
 
   /** Composite-key [[deltaApplyChanges]] primary — netting, key
     * discipline, candidate pruning and the concurrent-append probe all
-    * operate on the key TUPLE (see [[deltaMerge]]'s composite notes). */
+    * operate on the key TUPLE (see [[deltaMerge]]'s composite notes).
+    * `allowMissingColumns` opts into the ADDITIVE-EVOLUTION seam: dst
+    * data columns absent from the change set project as typed NULLs
+    * (what replication's chunked resume needs); the DEFAULT is the loud
+    * SchemaMismatch — a direct caller's accidentally-dropped column must
+    * never silently null out matched rows' values. */
   def deltaApplyChanges(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       changes: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long =
-    deltaApplyChangesMetrics(spark, tablePath, changes, keyCols, txn).version
+      txn: Option[(String, Long)] = None,
+      allowMissingColumns: Boolean = false): Long =
+    deltaApplyChangesMetrics(spark, tablePath, changes, keyCols, txn,
+      allowMissingColumns).version
 
   /** One keyed apply's observability — the CDC counterpart of
     * [[graft.plans.BuzzEngine]]'s per-worker query metrics (reference
@@ -2199,8 +2220,11 @@ object Sinks {
     * apply was an idempotent txn replay or netted to zero changes),
     * `netChanges` rows in the netted change set, `filesScanned` the
     * pruned candidate files read, `filesRewritten` candidates
-    * removed+replaced (== scanned under copy-on-write), `filesAdded`
-    * replacement + insert files committed. The same numbers ride the
+    * removed+replaced — EQUAL to `filesScanned` today BY CONSTRUCTION
+    * (pure copy-on-write rewrites every candidate it reads); the two
+    * fields exist separately for a future merge-on-read apply, where a
+    * scanned-but-untouched candidate would diverge them. `filesAdded`
+    * is the replacement + insert files committed. The numbers ride the
     * commit's operationParameters, so `deltaHistory` answers "what did
     * each apply cost" long after the call returned. */
   final case class ApplyMetrics(
@@ -2213,7 +2237,8 @@ object Sinks {
   def deltaApplyChangesMetrics(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       changes: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)] = None): ApplyMetrics = {
+      txn: Option[(String, Long)] = None,
+      allowMissingColumns: Boolean = false): ApplyMetrics = {
     import org.apache.spark.sql.types._
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
@@ -2255,13 +2280,23 @@ object Sinks {
     // is a feed from before the source's ADD COLUMN — reachable in
     // chunked replication when a crashed run already evolved the replica
     // and the resume's smaller chunk ends before the evolution commit.
-    // Those rows' columns did not exist at their commits, so they project
-    // as typed NULLs (the feed's own allowMissingColumns conformance)
-    // instead of wedging catch-up behind a SchemaMismatch until a manual
-    // resync. Partition columns cannot be defaulted (every row must land
-    // in a partition) and still fail below; extra, retyped or reordered
-    // surviving columns fail exactly as before.
+    // Those rows' columns did not exist at their commits, so under
+    // allowMissingColumns they project as typed NULLs (the feed's own
+    // conformance) instead of wedging catch-up behind a SchemaMismatch
+    // until a manual resync — but ONLY under the flag: for a direct
+    // caller a missing column is far more likely a dropped projection,
+    // and silently nulling matched rows' values would be data loss.
+    // Partition columns cannot be defaulted (every row must land in a
+    // partition) and always fail; extra, retyped or reordered surviving
+    // columns fail exactly as before.
     val missingData = cat.schema.fields.toSeq.filterNot(f => ch0.columns.contains(f.name))
+    if (missingData.nonEmpty && !allowMissingColumns)
+      throw new BuzzException.SchemaMismatch(
+        s"apply changes lack data column(s) " +
+          s"${missingData.map(_.name).mkString(", ")} of $tablePath — a " +
+          "pre-evolution feed chunk may pass allowMissingColumns = true " +
+          "to project them as typed NULLs; anything else should fix the " +
+          "change set (or deltaResync to converge from snapshots)")
     val declared = cat.schema.fields.map(f => f.name -> f.dataType.sql).toSeq
       .filterNot { case (n, _) => missingData.exists(_.name == n) }
     if (incoming != declared || !partitionCols.forall(ch0.columns.contains))
@@ -2495,8 +2530,11 @@ object Sinks {
         ca.cdcs.nonEmpty || !(ca.adds.exists(_._5) && ca.removes.exists(_._2))
       }
       if (!expressible) {
-        val m = resyncMetrics(spark, srcPath, dstPath, keyCols)
-        return ReplicateReport(m.version, chunks + 1L, srcHead - applied,
+        // the resync may converge PAST this call's pinned srcHead (it
+        // re-reads its own head); versions counts what it really consumed
+        val (m, stamped) = resyncMetrics(spark, srcPath, dstPath, keyCols)
+        return ReplicateReport(m.version, chunks + 1L,
+          math.max(stamped, srcHead) - applied,
           rows + m.netChanges, rewritten + m.filesRewritten,
           added + m.filesAdded, bootstrapped = false, resynced = true)
       }
@@ -2505,7 +2543,7 @@ object Sinks {
       // (renames/drops already failed loudly in the feed walk)
       evolveReplicaSchema(spark, dstPath, feed)
       val m = deltaApplyChangesMetrics(spark, dstPath, feed, keyCols,
-        txn = Some((appId, chunkEnd)))
+        txn = Some((appId, chunkEnd)), allowMissingColumns = true)
       chunks += 1L
       rows += m.netChanges
       rewritten += m.filesRewritten
@@ -2615,13 +2653,16 @@ object Sinks {
   def deltaResync(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, keyCols: Seq[String]): Long =
-    resyncMetrics(spark, srcPath, dstPath, keyCols).version
+    resyncMetrics(spark, srcPath, dstPath, keyCols)._1.version
 
-  /** [[deltaResync]] with the diff-apply's [[ApplyMetrics]] — what
-    * replicate's inexpressible-span fallback folds into its report. */
+  /** [[deltaResync]] with the diff-apply's [[ApplyMetrics]] and the SRC
+    * HEAD it actually converged to/stamped — resync re-reads its own
+    * head, which can be NEWER than a falling-back replicate's pinned
+    * snapshot, and the report's `versions` must count what was really
+    * consumed. */
   private def resyncMetrics(
       spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, keyCols: Seq[String]): ApplyMetrics = {
+      srcPath: String, dstPath: String, keyCols: Seq[String]): (ApplyMetrics, Long) = {
     import graft.sources.DeltaCatalog
     import graft.model.BuzzException
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
@@ -2634,11 +2675,11 @@ object Sinks {
     if (DeltaCatalog.latestVersion(spark, s"$dstPath/_delta_log") < 0) {
       val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
         versionAsOf = Some(srcHead))
-      return ApplyMetrics(
+      return (ApplyMetrics(
         deltaAppend(srcCat.read(spark, srcCat.files), dstPath,
           partitionCols = srcCat.partitionColumns,
           txn = Some((appId, srcHead)), operationName = "REPLICATE BOOTSTRAP"),
-        0L, 0L, 0L, 0L)
+        0L, 0L, 0L, 0L), srcHead)
     }
     val srcCat = DeltaCatalog.fromDeltaLog(spark, srcPath, "__resync_src",
       versionAsOf = Some(srcHead))
@@ -2691,7 +2732,7 @@ object Sinks {
       if (DeltaCatalog.lastTxnVersion(spark, dstPath, appId).forall(_ < srcHead))
         commitWatermark(spark, dstPath, appId, srcHead)
       else m.version
-    m.copy(version = outVer)
+    (m.copy(version = outVer), srcHead)
   }
 
   /** Commit a copy-on-write REWRITE (remove `removedRaws`, add `adds` with

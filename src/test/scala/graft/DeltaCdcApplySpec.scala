@@ -154,13 +154,20 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     // reachable in chunked replicate: a crashed run already evolved the
     // replica, the resume's smaller chunk ends before the source's ADD
     // COLUMN commit — those rows' column did not exist at their commits,
-    // so the apply writes typed nulls instead of wedging on SchemaMismatch
+    // so UNDER allowMissingColumns the apply writes typed nulls instead
+    // of wedging on SchemaMismatch. The DEFAULT stays loud: a direct
+    // caller's dropped projection must never silently null out values.
     val dir = tmpDir("apply_missing_col")
     Sinks.deltaAppend(
       Seq((5L, 10L, "keep"), (6L, 12L, "stay")).toDF("id", "v", "w").coalesce(1), dir)
     val changes = Seq((5L, 500L, "update_postimage"), (100L, 1L, "insert"))
       .toDF("id", "v", "_change_type") // no `w`
-    Sinks.deltaApplyChanges(spark, dir, changes, "id")
+    val loud = intercept[BuzzException.SchemaMismatch](
+      Sinks.deltaApplyChanges(spark, dir, changes, "id"))
+    assert(loud.getMessage.contains("w") &&
+      loud.getMessage.contains("allowMissingColumns"))
+    Sinks.deltaApplyChanges(spark, dir, changes, Seq("id"),
+      allowMissingColumns = true)
     val cat = DeltaCatalog.fromDeltaLog(spark, dir, "missing_col_read")
     val rows = cat.read(spark, cat.files).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
