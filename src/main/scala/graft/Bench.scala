@@ -113,8 +113,10 @@ object Bench {
     // executions must not contaminate calib_sec_after/loadavg_after —
     // and guarded: a gate failure must never cost the totals the whole
     // measured pass already earned.
+    // NonFatal only: a fatal JVM error (OOM, LinkageError) must propagate
+    // — totals printed after one would come from a corrupted session
     try println(GateProbe.gateLine(spark, sfDir, reps = 3))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       println(s"""{"probe":"two_stage_gate","error":${q(msg)}}""")
     }

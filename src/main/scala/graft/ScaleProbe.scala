@@ -426,6 +426,61 @@ object ScaleProbe {
         }
         require(altDstRows == 10L, s"alternating replicate drift: $altDstRows rows")
         report("replicate_alt_lag_wall", 1000, altDstRows, altReplSecs)
+
+        // the PING-PONG history — r13's named residual: ONE path added /
+        // removed alternately for 1000 commits (repeated RESTOREs between
+        // two versions are the protocol-legal writer of this shape).
+        // Pre-aliasing this planned one generation per OCCURRENCE (~N/2
+        // relations per kind: 200 leaves and 9.6 s at span 100; span 200
+        // did not finish in 9 minutes). Per-occurrence aliasing reads the
+        // file once per kind and explodes its version labels — healthy:
+        // 4 leaves (2 runs x [FileScan + version map]) and wall flat in
+        // span, with every occurrence labeled (500 x 10 rows per kind).
+        val ppSrc = java.nio.file.Files
+          .createTempDirectory("graft_probe_pp_src").toString
+        val ppDst = java.nio.file.Files
+          .createTempDirectory("graft_probe_pp_dst").toString + "/replica"
+        graft.operators.Sinks.deltaAppend(
+          spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+            .coalesce(1), ppSrc)
+        graft.operators.Sinks.deltaReplicate(spark, ppSrc, ppDst, "id")
+        val ppStage = java.nio.file.Files
+          .createTempDirectory("graft_probe_pp_stage").toString
+        spark.range(100L, 110L).select(col("id"), (col("id") * 2).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(ppStage)
+        val ppPart = new java.io.File(ppStage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val ppDest = new java.io.File(ppSrc, "pp.parquet")
+        java.nio.file.Files.copy(ppPart.toPath, ppDest.toPath)
+        (1 to 500).foreach { k =>
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$ppSrc/_delta_log", f"${2 * k - 1}%020d.json").toPath,
+            s"""{"add":{"path":"pp.parquet","size":${ppDest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+          java.nio.file.Files.writeString(
+            new java.io.File(s"$ppSrc/_delta_log", f"${2 * k}%020d.json").toPath,
+            s"""{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+        }
+        graft.operators.Sinks.invalidateCommitParseCache()
+        val (ppLeaves, ppSecs) = timed {
+          val feed = graft.operators.Sinks.deltaChangeFeed(
+            spark, ppSrc, 0L, 1000L)
+          require(feed.count() == 10000L, "ping-pong span feed drift")
+          feed.queryExecution.optimizedPlan.collectLeaves().size.toLong
+        }
+        report("feed_pingpong_plan_wall", 1000, ppLeaves, ppSecs)
+        graft.operators.Sinks.invalidateCommitParseCache()
+        val (ppDstRows, ppReplSecs) = timed {
+          val rep = graft.operators.Sinks.deltaReplicateReport(
+            spark, ppSrc, ppDst, Seq("id"))
+          require(rep.versions == 1000L && rep.rowsNetted == 10L,
+            s"ping-pong replicate drift: ${rep.versions} versions, " +
+              s"${rep.rowsNetted} netted")
+          val cat = graft.sources.DeltaCatalog.fromDeltaLog(
+            spark, ppDst, "pp_dst_read")
+          cat.read(spark, cat.files).count()
+        }
+        require(ppDstRows == 10L, s"ping-pong replicate drift: $ppDstRows rows")
+        report("replicate_pingpong_lag_wall", 1000, ppDstRows, ppReplSecs)
       }
 
       // radius search at the PRODUCTION setting against a FIXED query set:
@@ -753,6 +808,31 @@ object ScaleProbe {
           custK, "c_custkey", "c_name", tau = 0.8).count()
       }
       report("trigram_join_pairs", scale, tgPairs, tgSecs)
+      // the PPJoin CANDIDATE volume the verify stage pays for — the wall
+      // of er_trigram_join/er_pair_features tracks this count, so its 1×
+      // → 10× ratio is the measured law behind "growth ≈ candidate
+      // volume, sub-linear per pair": candidates must grow ~like the
+      // verified pairs (replica-local blocks), never quadratically
+      val (tgCands, tgCandSecs) = timedSettled {
+        graft.operators.Joins.trigramCandidatePairs(
+          custK, "c_custkey", "c_name", tau = 0.8).count()
+      }
+      report("trigram_candidates", scale, tgCands, tgCandSecs)
+      // er_pair_features' own volume: one featurized row per VERIFIED
+      // pair (two id equi-joins + per-pair kernels on top of the trigram
+      // join) — recorded beside the candidate count so the bench row's
+      // 10×-data wall reads directly against its two drivers
+      val (pfRows, pfSecs) = timedSettled {
+        val c = custK
+        graft.operators.Joins.trigramSimilarityJoin(
+            c, "c_custkey", "c_name", tau = 0.8)
+          .join(c.select(col("c_custkey").as("id_a"), col("c_name").as("__na")), "id_a")
+          .join(c.select(col("c_custkey").as("id_b"), col("c_name").as("__nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("__na"), col("__nb")).as("lev"))
+          .count()
+      }
+      report("pair_features_candidates", scale, pfRows, pfSecs)
 
       // skyline: k exact replicas of the part dims — every copy of a
       // frontier point survives (no strict dim), so rows must be exactly

@@ -1605,6 +1605,42 @@ object SparkEntry {
           k = 3, nCentroids = 0, nProbe = Int.MaxValue)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
+    // the PRODUCTION kNN-join plan — index training, bucket-shuffled
+    // corpus-to-corpus join, occupancy check, heap top-k — at
+    // exhaustive-through-buckets probes (nProbe clamps to nlist), so the
+    // result must equal ann_knn_join's brute force EXACTLY: the same
+    // oracle trick as ann_ivf, now hash-checking the self-join machinery
+    // knnJoin deploys at scale (production sets nProbe << nlist; its
+    // recall is unit-tested). Benched beside ann_knn_join so the two
+    // configurations' walls sit in one artifact.
+    "ann_knn_join_ivf" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nCentroids = 0, nProbe = 1 << 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+    // FORCED HOT BUCKET: 600 identical copies of one vector land in ONE
+    // IVF bucket (identical vectors share a nearest centroid, whatever
+    // training does), pushing its occupancy past the salt threshold —
+    // max occ 603 vs target 360 at this fixture (occupancy asserted in
+    // SimilaritySpec) — so THIS query's plan takes knnJoin's
+    // occupancy-driven salt-split branch, and the oracle hash-checks it:
+    // at exhaustive probes the salted bucket join must still reproduce
+    // brute force exactly (ties among the identical copies break by
+    // neighbor_id in both engines). The base corpus is pinned to the
+    // 300 base vectors so the fixture is scale-invariant in the bench.
+    "ann_knn_join_hot" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      val hot = emb.filter(col("vec_id") === 0)
+        .crossJoin(s.range(600).select(col("id").as("__i")))
+        .select((lit(100000L) + col("__i")).as("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding")).unionByName(hot)
+      Similarity.knnJoin(corpus, "vec_id", "embedding",
+          k = 3, nCentroids = 32, nProbe = 1 << 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
     // radius search: every corpus vector within cosine 0.3 of each query —
     // the "all sufficiently similar" contract top-k can't express. nProbe
     // = 1<<20 clamps to nlist: every bucket probed THROUGH the bucket
@@ -2393,6 +2429,60 @@ object SparkEntry {
       cat.read(s, cat.files)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // REPLICATION OBSERVABILITY, hash-pinned: a fixture history of known
+    // shape — bootstrap, then four CDF-expressible commits caught up at
+    // maxVersionsPerApply=2 — makes every ReplicateReport field the
+    // oracle can know derivable in SQL: chunks/versions/flags are
+    // fixture constants, rows_netted is the per-key net change count
+    // (updated keys + deleted keys + updated keys + appended keys), and
+    // dst's committed version is the bootstrap commit plus one commit
+    // per chunk. files_* counts are physical-layout-dependent, so the
+    // oracle pins their SIGN (updates rewrite candidates, every chunk
+    // adds files), not their count. A third call proves idempotence:
+    // caught up ⇒ zero chunks, zero versions, head unchanged.
+    "sink_delta_replicate_report" -> ((s, dir) => {
+      import graft.operators.Sinks
+      import graft.sources.FsUtil
+      val key = fixtureKey(dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_deltareplrepsrc_$key"
+      val dst = s"$tmp/graft_deltareplrepdst_$key"
+      Seq(src, dst).foreach(p =>
+        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("source"))
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), src) // v0
+      Sinks.deltaSetProperties(s, src,
+        Map("delta.enableChangeDataFeed" -> "true"))                         // v1
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), src) // v2
+      val boot = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"))
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")           // v3
+      Sinks.deltaDeleteWhere(s, src, "doc_id % 10 = 7")                      // v4
+      Sinks.deltaMerge(s, src,
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 1)
+          .withColumn("n_chars", col("n_chars") + 2000), "doc_id")           // v5
+      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("n_chars"), col("source")), src)                               // v6
+      val rep = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"),
+        maxVersionsPerApply = 2)
+      val noop = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"),
+        maxVersionsPerApply = 2)
+      import s.implicits._
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      Seq((flag(boot.bootstrapped && !boot.resynced && boot.chunks == 0L
+          && boot.versions == 0L),
+        rep.chunks, rep.versions, rep.rowsNetted, rep.version,
+        flag(rep.bootstrapped), flag(rep.resynced),
+        flag(rep.filesRewritten > 0L), flag(rep.filesAdded > 0L),
+        flag(noop.chunks == 0L && noop.versions == 0L
+          && noop.version == rep.version)))
+        .toDF("boot_ok", "chunks", "versions", "rows_netted", "dst_version",
+          "bootstrapped", "resynced", "files_rewritten_pos",
+          "files_added_pos", "noop_ok")
     }),
     // COMPOSITE-KEY REPLICATION: the replica's primary key is the TUPLE
     // (k1, k2) = (doc_id % 97, doc_id div 97) — each column alone is
@@ -5802,6 +5892,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN n_chars + 2000
         |                ELSE n_chars END) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 10 <> 7 GROUP BY source""".stripMargin,
+    // the ReplicateReport's oracle-knowable fields: chunk/version/flag
+    // constants from the fixture shape, rows_netted = one netted change
+    // row per touched key (updated %10=4, deleted %10=7, updated %10=1,
+    // appended %10=0 under shifted ids), dst head = bootstrap + one
+    // commit per chunk; files_* counts are layout-dependent so only
+    // their sign is pinned
+    "sink_delta_replicate_report" ->
+      """SELECT CAST(1 AS BIGINT) AS boot_ok,
+        |  CAST(2 AS BIGINT) AS chunks,
+        |  CAST(4 AS BIGINT) AS versions,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 IN (1, 4, 7))
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS rows_netted,
+        |  CAST(2 AS BIGINT) AS dst_version,
+        |  CAST(0 AS BIGINT) AS bootstrapped,
+        |  CAST(0 AS BIGINT) AS resynced,
+        |  CAST(1 AS BIGINT) AS files_rewritten_pos,
+        |  CAST(1 AS BIGINT) AS files_added_pos,
+        |  CAST(1 AS BIGINT) AS noop_ok""".stripMargin,
     // composite-key replication: tuple (doc_id%97, doc_id//97) is the key;
     // the MERGE adds 1000 where k1=10, the DELETE drops k1=20 with even
     // k2, chunked catch-up applies one commit per watermarked chunk
@@ -6152,6 +6260,35 @@ object SparkEntry {
         |             c.vec_id) AS BIGINT) AS rank,
         |  c.vec_id AS neighbor_id
         |FROM embeddings c, embeddings q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
+    // the IVF-config twin at exhaustive probes must equal brute force
+    "ann_knn_join_ivf" ->
+      """SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings c, embeddings q
+        |WHERE c.vec_id <> q.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
+    // salted hot-bucket plan, same exhaustive-equals-brute-force oracle;
+    // ties among the 600 identical copies break by vec_id in both engines
+    "ann_knn_join_hot" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+        |  UNION ALL
+        |  SELECT 100000 + r.i AS vec_id, b.embedding
+        |  FROM embeddings b, range(600) r(i) WHERE b.vec_id = 0
+        |)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        |FROM corpus c, corpus q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 3""".stripMargin,
     "ann_range" ->

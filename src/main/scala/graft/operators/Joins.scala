@@ -175,8 +175,37 @@ object Joins {
     * shorter than 3 chars have no trigram and drop out. */
   def trigramSimilarityJoin(
       df: DataFrame, idCol: String, strCol: String, tau: Double): DataFrame = {
-    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    val (cands, sets) = trigramCandidateStage(df, idCol, strCol, tau)
     import graft.functions.GraftFunctions.sortedIntersectCount
+    cands
+      .join(sets.select(col("id").as("id_a"), col("__gsort").as("__ga"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__gsort").as("__gb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("__i",
+        sortedIntersectCount(col("__ga"), col("__gb")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The PPJoin CANDIDATE set [[trigramSimilarityJoin]] verifies —
+    * (id_a, id_b) pairs surviving the rarity-ordered prefix filter and
+    * the length filter, before the sorted-merge Jaccard verify. The
+    * scale diagnostic: the join's wall tracks THIS volume (each
+    * candidate pays one merge of two gram arrays), so recording it
+    * beside the verified-pair count separates "candidate blowup" (a
+    * blocking problem) from "pair-rich data" (a corpus property). */
+  def trigramCandidatePairs(
+      df: DataFrame, idCol: String, strCol: String, tau: Double): DataFrame =
+    trigramCandidateStage(df, idCol, strCol, tau)._1
+
+  /** Shared candidate stage: (candidate pairs, per-id gram sets). */
+  private def trigramCandidateStage(
+      df: DataFrame, idCol: String, strCol: String, tau: Double)
+      : (DataFrame, DataFrame) = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
     val rows = OpUtils.widen(df)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 3)
@@ -204,17 +233,7 @@ object Joins {
         col("__nb") * lit(tau) <= col("__na") &&
         col("__na") * lit(tau) <= col("__nb"))
       .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(sets.select(col("id").as("id_a"), col("__gsort").as("__ga"),
-        col("__n").as("__na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("__gsort").as("__gb"),
-        col("__n").as("__nb")), "id_b")
-      .withColumn("__i",
-        sortedIntersectCount(col("__ga"), col("__gb")).cast("double"))
-      .withColumn("jaccard",
-        col("__i") / (col("__na") + col("__nb") - col("__i")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (cands, sets)
   }
 
   /** Pair-completeness eval of [[fuzzyPairs]]' deletion-variant blocking

@@ -862,33 +862,34 @@ object Sinks {
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     val frames = scala.collection.mutable.ListBuffer[org.apache.spark.sql.DataFrame]()
-    // single-sided runs keyed by (schema era, status, path-collision
+    // single-sided runs keyed by (schema era, status, identity-mismatch
     // generation), NON-contiguous like the row-level feed's
     // collectFeedRuns: the degenerate diffs are per-file-labeled, so
     // commits of one (era, status) share one relation however the span
     // interleaves them with the other status or with rewrite commits
-    // (whose keyed joins are independent frames and never force a flush)
+    // (whose keyed joins are independent frames and never force a flush);
+    // a ping-pong path re-occurring with identical identity aliases onto
+    // its entry (per-occurrence version labels), like the feed's
     final class DiffRun(val status: String,
         val cat: graft.sources.StaticCatalog, val eraKeys: Seq[String]) {
-      val files = scala.collection.mutable.ListBuffer[
-        (String, Long, Map[String, String], Option[DvDescriptor], Long)]()
-      val paths = scala.collection.mutable.HashSet[String]()
+      val files = new RunFiles
     }
     var eraIdx = 0
     val open = scala.collection.mutable.LinkedHashMap[(Int, String, Int), DiffRun]()
     val curGen = scala.collection.mutable.HashMap[(Int, String), Int]()
     def runFrame(run: DiffRun): org.apache.spark.sql.DataFrame = {
-      val dvs = run.files.toSeq.collect { case (raw, _, _, Some(dv), _) =>
+      val runFiles = run.files.toSeq
+      val dvs = runFiles.collect { case (raw, _, _, Some(dv), _) =>
         abs(raw) -> DeletionVectors.resolve(tablePath, dv)
       }.toMap
-      val sized = run.files.toSeq.map { case (raw, size, pv, _, _) =>
+      val sized = runFiles.map { case (raw, size, pv, _, _) =>
         SizedFile(abs(raw), size, run.cat.partitionColumns.map(c =>
           pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
       }
       val df = run.cat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
-      val withVer = attachCommitVersions(spark, df,
-        run.files.toSeq.map { case (raw, _, _, _, v) =>
-          graft.sources.FsUtil.normalizePath(abs(raw)) -> v
+      val withVer = attachCommitVersionsMulti(spark, df,
+        runFiles.map { case (raw, _, _, _, vs) =>
+          graft.sources.FsUtil.normalizePath(abs(raw)) -> vs
         })
       // era-local logical key names -> the consumer's current names
       val renamed = run.eraKeys.zip(keyCols)
@@ -944,14 +945,13 @@ object Sinks {
           var gen = curGen.getOrElse((eraIdx, status), 0)
           var run = open.getOrElseUpdate((eraIdx, status, gen),
             new DiffRun(status, cat, eraKeys))
-          if (files.exists(f => run.paths(f._1))) {
+          if (!run.files.accepts(files)) {
             gen += 1
             curGen((eraIdx, status)) = gen
             run = open.getOrElseUpdate((eraIdx, status, gen),
               new DiffRun(status, cat, eraKeys))
           }
-          run.files ++= files
-          run.paths ++= files.map(_._1)
+          run.files.add(files)
         }
       }
       live = live -- removes ++
@@ -1028,6 +1028,54 @@ object Sinks {
     * protocol's non-null `_commit_version`. */
   private[graft] def attachCommitVersions(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      pathToVersion: Seq[(String, Long)]): DataFrame =
+    attachCommitVersionsScalar(spark, df, pathToVersion)
+
+  /** [[attachCommitVersions]] for PER-OCCURRENCE ALIASED files: a path
+    * the span added (or removed) at SEVERAL versions within one run —
+    * the single-path ping-pong history (remove, re-add, remove, …, e.g.
+    * repeated RESTOREs oscillating between two versions) — maps to the
+    * ASCENDING list of its occurrence labels. The file is scanned ONCE;
+    * `explode` emits one labeled copy of each row per occurrence, so
+    * plan width stays eras × kinds however often the history oscillates
+    * one path (pre-aliasing, each re-add bumped a generation: ~N/2
+    * relations per kind over an N-commit span, measured superlinear in
+    * driver wall). The all-singleton case — every history a conformant
+    * writer produces at depth — dispatches to the scalar join: zero
+    * plan difference vs the pre-aliasing feed. */
+  private[graft] def attachCommitVersionsMulti(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      pathToVersions: Seq[(String, Seq[Long])]): DataFrame =
+    if (pathToVersions.forall(_._2.lengthCompare(1) == 0))
+      attachCommitVersionsScalar(spark, df,
+        pathToVersions.map { case (p, vs) => p -> vs.head })
+    else {
+      import org.apache.spark.sql.types._
+      val arrTpe = ArrayType(LongType, containsNull = false)
+      val rows = pathToVersions.map { case (p, vs) =>
+        org.apache.spark.sql.Row(p, vs)
+      }
+      val verDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("__gvp", StringType, nullable = false),
+          StructField("__gvers", arrTpe, nullable = false))))
+      val joined = df.join(broadcast(verDf), df("__gfp") === verDf("__gvp"), "left")
+      // same loud miss guard as the scalar join; the guarded array's
+      // containsNull=false makes the exploded _commit_version non-nullable
+      val guarded = when(col("__gvp").isNull,
+          raise_error(concat(
+            lit("cdf engine bug: scanned row's file is missing from the " +
+              "per-file commit map (path normalization mismatch): "),
+            col("__gfp"))).cast(arrTpe))
+        .otherwise(col("__gvers"))
+      joined.withColumn("_commit_version", explode(guarded))
+        .drop("__gfp", "__gvp", "__gvers")
+    }
+
+  private def attachCommitVersionsScalar(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       pathToVersion: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
@@ -1066,7 +1114,7 @@ object Sinks {
   private def readChangeData(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       cat: graft.sources.StaticCatalog,
-      cdcs: Seq[(String, Long, Map[String, String], Long)]): DataFrame = {
+      cdcs: Seq[(String, Long, Map[String, String], Seq[Long])]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types._
     import graft.sources.{DeltaCatalog, FsUtil, SizedFile}
@@ -1080,8 +1128,8 @@ object Sinks {
       SizedFile(abs(raw), size, cat.partitionColumns.map(c =>
         pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
     }
-    attachCommitVersions(spark, cdcCat.readKeepingPath(spark, sized),
-      cdcs.map { case (raw, _, _, v) => FsUtil.normalizePath(abs(raw)) -> v })
+    attachCommitVersionsMulti(spark, cdcCat.readKeepingPath(spark, sized),
+      cdcs.map { case (raw, _, _, vs) => FsUtil.normalizePath(abs(raw)) -> vs })
   }
 
   /** The protocol's ROW-LEVEL change feed over the commit span
@@ -1152,7 +1200,10 @@ object Sinks {
     * `_change_data` files), "insert" (derived: dataChange adds only) or
     * "delete" (derived: dataChange removes only, read under the
     * PRE-commit DV state resolved at collection time); `files` is
-    * (raw path, size, partitionValues, DV to read under, commit version).
+    * (raw path, size, partitionValues, DV to read under, ascending
+    * occurrence versions) — ONE entry per distinct path, whose version
+    * list grows past one element only when a ping-pong history re-adds
+    * the path with identical identity ([[RunFiles]]).
     * The run — not the commit — is the unit the feed builds ONE relation
     * for, and because every per-file truth (version label, DV to read
     * under, partition values) is resolved by the walker AT ITS COMMIT,
@@ -1169,7 +1220,45 @@ object Sinks {
       kind: String,
       cat: graft.sources.StaticCatalog,
       files: Seq[(String, Long, Map[String, String],
-        Option[graft.sources.DvDescriptor], Long)])
+        Option[graft.sources.DvDescriptor], Seq[Long])])
+
+  /** Per-path file accumulator for a NON-contiguous run: one entry per
+    * DISTINCT path, carrying its (size, partitionValues, DV) identity
+    * and the ascending list of its occurrence version labels. An
+    * occurrence whose identity matches an existing entry ALIASES onto
+    * it — the run's single read of the file will emit one labeled copy
+    * of its rows per version ([[attachCommitVersionsMulti]]) — so a
+    * single-path ping-pong history (remove, re-add, remove, … between
+    * the same versions) costs version labels, never plan width. Only an
+    * identity-MISMATCHED collision (a path re-added with a different
+    * size, partition tuple, or deletion-vector truth — its two
+    * occurrences are different row sets and need different reads)
+    * forces the caller's generation bump. */
+  private[graft] final class RunFiles {
+    import scala.collection.mutable
+    private val entries = mutable.LinkedHashMap[String,
+      (Long, Map[String, String], Option[graft.sources.DvDescriptor],
+        mutable.ListBuffer[Long])]()
+    /** Can every occurrence land here without an identity conflict? */
+    def accepts(files: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Long)]): Boolean =
+      files.forall { case (p, size, pv, dv, _) =>
+        entries.get(p).forall { case (s0, pv0, dv0, _) =>
+          s0 == size && pv0 == pv && dv0 == dv
+        }
+      }
+    def add(files: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Long)]): Unit =
+      files.foreach { case (p, size, pv, dv, v) =>
+        entries.getOrElseUpdate(p,
+          (size, pv, dv, mutable.ListBuffer[Long]()))._4 += v
+      }
+    def toSeq: Seq[(String, Long, Map[String, String],
+        Option[graft.sources.DvDescriptor], Seq[Long])] =
+      entries.iterator.map { case (p, (s, pv, dv, vs)) =>
+        (p, s, pv, dv, vs.toList)
+      }.toList
+  }
 
   /** Walk the commits of (vFrom, vTo] once — parsing each commit JSON
     * once, memoized — grouping them into [[FeedRun]]s and advancing the
@@ -1181,13 +1270,17 @@ object Sinks {
     * validates the change (rename/drop detection differs between the
     * batch feed and the pinned streaming source) and returns the era
     * catalog at `v`; a metaData commit starts a new era (its runs are
-    * distinct — different physical schema). A run also closes when the
-    * SAME file path would appear twice within it (its two occurrences
-    * need different version labels, and the per-file version join admits
-    * one) — the `generation` component; collisions only ever come from a
-    * path removed and later re-added, so generations stay O(1) in
-    * practice. Returns (runs in first-file order, end-of-span catalog,
-    * post-span live, post-span DVs). */
+    * distinct — different physical schema). A path appearing AGAIN
+    * within a run — removed and later re-added, the ping-pong history —
+    * ALIASES onto its existing entry when its (size, partitionValues,
+    * DV) identity matches: the run reads the file once and labels its
+    * rows once per occurrence version, so even a span that oscillates
+    * ONE path for N commits plans eras × kinds relations (pre-aliasing
+    * it planned ~N/2 per kind, measured superlinear in driver wall). A
+    * run closes only on an identity-MISMATCHED collision (different row
+    * set — needs its own read) — the `generation` component, O(1) in
+    * any real history. Returns (runs in first-file order, end-of-span
+    * catalog, post-span live, post-span DVs). */
   private[graft] def collectFeedRuns(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       vFrom: Long, vTo: Long,
@@ -1204,13 +1297,12 @@ object Sinks {
     var liveDvs = liveDvs0
     var eraIdx = 0
     // open runs keyed by (era, kind, generation), kept in first-file
-    // order; a run accumulates files from EVERY commit of its (era, kind)
-    // until a path collision bumps the generation
+    // order; a run accumulates files from EVERY commit of its (era, kind),
+    // aliasing identity-matched re-occurrences of a path onto one entry
+    // (per-occurrence version labels); only an identity-MISMATCHED
+    // collision bumps the generation
     final class OpenRun(val kind: String, val cat: graft.sources.StaticCatalog) {
-      val files = scala.collection.mutable.ListBuffer[
-        (String, Long, Map[String, String],
-          Option[graft.sources.DvDescriptor], Long)]()
-      val paths = scala.collection.mutable.HashSet[String]()
+      val files = new RunFiles
     }
     val open = scala.collection.mutable.LinkedHashMap[(Int, String, Int), OpenRun]()
     val curGen = scala.collection.mutable.HashMap[(Int, String), Int]()
@@ -1252,19 +1344,18 @@ object Sinks {
       if (kind != null) {
         var gen = curGen.getOrElse((eraIdx, kind), 0)
         var run = open.getOrElseUpdate((eraIdx, kind, gen), new OpenRun(kind, cat))
-        if (files.exists(f => run.paths(f._1))) {
+        if (!run.files.accepts(files)) {
           gen += 1
           curGen((eraIdx, kind)) = gen
           run = open.getOrElseUpdate((eraIdx, kind, gen), new OpenRun(kind, cat))
         }
-        run.files ++= files
-        run.paths ++= files.map(_._1)
+        run.files.add(files)
       }
       val advanced = advanceFeedState(live, liveDvs, ca)
       live = advanced._1
       liveDvs = advanced._2
     }
-    (open.values.map(r => FeedRun(r.kind, r.cat, r.files.toList)).toList,
+    (open.values.map(r => FeedRun(r.kind, r.cat, r.files.toSeq)).toList,
       cat, live, liveDvs)
   }
 
@@ -1282,7 +1373,7 @@ object Sinks {
     def abs(raw: String): String =
       new Path(tablePath, DeltaCatalog.decodePath(raw)).toString
     if (run.kind == "cdc") readChangeData(spark, tablePath, run.cat, run.files
-      .map { case (raw, size, pv, _, v) => (raw, size, pv, v) })
+      .map { case (raw, size, pv, _, vs) => (raw, size, pv, vs) })
     else {
       val dvs = run.files.collect { case (raw, _, _, Some(dv), _) =>
         abs(raw) -> DeletionVectors.resolve(tablePath, dv)
@@ -1292,9 +1383,9 @@ object Sinks {
           pv.getOrElse(c, DeltaCatalog.NullPartitionValue)))
       }
       val df = run.cat.withDeletionVectors(dvs).readKeepingPath(spark, sized)
-      attachCommitVersions(spark, df,
-        run.files.map { case (raw, _, _, _, v) =>
-          FsUtil.normalizePath(abs(raw)) -> v
+      attachCommitVersionsMulti(spark, df,
+        run.files.map { case (raw, _, _, _, vs) =>
+          FsUtil.normalizePath(abs(raw)) -> vs
         }).withColumn("_change_type",
           lit(if (run.kind == "insert") "insert" else "delete"))
     }
@@ -2468,10 +2559,12 @@ object Sinks {
     * keeps the per-apply record durably): `version` dst's committed
     * head, `chunks` watermarked applies performed, `versions` source
     * commits consumed this call, `rowsNetted` / `filesRewritten` /
-    * `filesAdded` summed over the chunks' [[ApplyMetrics]],
-    * `bootstrapped` / `resynced` which leg ran (a bootstrap's one
-    * snapshot append and an untouched caught-up call both report zero
-    * chunk sums). */
+    * `filesAdded` summed over the chunks' [[ApplyMetrics]] (a resync
+    * fallback's one snapshot-diff apply contributes its metrics and
+    * sets `resynced` — it is NOT a maxVersionsPerApply-bounded chunk,
+    * so it does not count in `chunks`), `bootstrapped` / `resynced`
+    * which leg ran (a bootstrap's one snapshot append and an untouched
+    * caught-up call both report zero chunk sums). */
   final case class ReplicateReport(
       version: Long, chunks: Long, versions: Long, rowsNetted: Long,
       filesRewritten: Long, filesAdded: Long,
@@ -2531,9 +2624,11 @@ object Sinks {
       }
       if (!expressible) {
         // the resync may converge PAST this call's pinned srcHead (it
-        // re-reads its own head); versions counts what it really consumed
+        // re-reads its own head); versions counts what it really consumed.
+        // `chunks` stays the feed-apply count — the resync leg is not a
+        // maxVersionsPerApply-bounded chunk; `resynced` records it ran
         val (m, stamped) = resyncMetrics(spark, srcPath, dstPath, keyCols)
-        return ReplicateReport(m.version, chunks + 1L,
+        return ReplicateReport(m.version, chunks,
           math.max(stamped, srcHead) - applied,
           rows + m.netChanges, rewritten + m.filesRewritten,
           added + m.filesAdded, bootstrapped = false, resynced = true)

@@ -313,7 +313,14 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     Sinks.deltaMerge(spark, src, Seq((6L, 600L)).toDF("id", "v"), "id") // v5
     // the span (2, 5] contains the restore — feed not expressible, the
     // keyed snapshot diff must converge the replica anyway
-    Sinks.deltaReplicate(spark, src, dst, "id")
+    val rep = Sinks.deltaReplicateReport(spark, src, dst, Seq("id"))
+    // the resync leg is NOT a maxVersionsPerApply-bounded chunk: the
+    // report keeps `chunks` as the feed-apply count (zero here — the
+    // FIRST chunk was already inexpressible) and records the fallback in
+    // `resynced`, never double-encoding it
+    assert(rep.resynced && !rep.bootstrapped)
+    assert(rep.chunks === 0L, s"resync leg must not count as a chunk, got ${rep.chunks}")
+    assert(rep.versions === 3L, s"expected 3 source versions consumed, got ${rep.versions}")
     val s = liveMap(src)
     assert(liveMap(dst) === s)
     assert(s(5L) === 10L, "restore rolled the first merge back")

@@ -251,11 +251,12 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
-  test("a path removed and RE-ADDED in one span splits generations: each occurrence keeps its own version label") {
-    // the per-file version join admits one row per path per relation, so
-    // a re-added path (RESTORE is the real-world writer of re-adds) must
-    // start a new generation of its kind's run — never be dropped,
-    // double-labeled, or force per-commit plans
+  test("a path removed and RE-ADDED in one span ALIASES: each occurrence keeps its own version label, plan width flat") {
+    // a re-added path (RESTORE is the real-world writer of re-adds) with
+    // an identical (size, partitionValues, DV) identity aliases onto its
+    // run's one entry: the file is scanned ONCE and its rows labeled once
+    // per occurrence — never dropped, double-labeled, or planned
+    // per-occurrence (pre-aliasing each re-add bumped a generation)
     val dir = tmpDir("cdf_readd")
     Sinks.deltaAppend(
       (0L until 10L).map(i => (i, s"a")).toDF("id", "p").coalesce(1),
@@ -272,10 +273,95 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows === Seq(
       (1L, "delete", 10L), (2L, "insert", 10L),
       (3L, "delete", 10L), (4L, "insert", 10L)))
-    // two generations per kind: 4 runs x (scan + version map) = 8 leaves,
-    // still flat in span length
+    // ONE run per kind, re-occurrences aliased: 2 runs x (scan + version
+    // map) = 4 leaves, flat in span length AND in re-add count
     val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
-    assert(leaves <= 8, s"re-add span planned $leaves leaves")
+    assert(leaves <= 4, s"re-add span planned $leaves leaves")
+  }
+
+  test("a 100-commit single-path PING-PONG span plans flat and labels every occurrence") {
+    // the r13 residual: a history oscillating ONE path (add, remove, add,
+    // …, e.g. repeated RESTOREs between two versions) planned one
+    // generation per occurrence — ~N/2 relations per kind, measured
+    // superlinear in driver wall (span 200 did not finish in 9 minutes
+    // pre-fix). Aliasing reads the file once per kind and explodes the
+    // occurrence labels: eras x kinds relations at ANY oscillation depth.
+    val dir = tmpDir("cdf_pingpong")
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir) // v0
+    val stage = tmpDir("cdf_pingpong_stage")
+    (100L until 110L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "pp.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    (1 to 50).foreach { k =>
+      Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"${2 * k - 1}%020d.json").toPath,
+        s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+      Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"${2 * k}%020d.json").toPath,
+        s"""{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+    }
+    val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 100L)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4, s"100-commit ping-pong span planned $leaves leaves")
+    val byKind = feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_commit_version")).as("nv"),
+        min(col("_commit_version")).as("vmin"),
+        max(col("_commit_version")).as("vmax"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // 50 occurrences x 10 rows per kind; inserts at odd versions 1..99,
+    // deletes at even versions 2..100 — every occurrence its own label
+    assert(byKind === Seq(
+      ("delete", 500L, 50L, 2L, 100L), ("insert", 500L, 50L, 1L, 99L)))
+    // spot-check one exploded occurrence pair: the same physical row
+    // appears once per occurrence version, values intact
+    val one = feed.filter(col("id") === 104L && col("_change_type") === "insert")
+      .select(col("_commit_version"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one === (1 to 50).map(k => (2L * k - 1, 208L)))
+  }
+
+  test("RunFiles aliases identity-matched re-occurrences and refuses identity mismatches") {
+    val rf = new Sinks.RunFiles
+    val a1 = Seq(("p1", 10L, Map("k" -> "a"),
+      None: Option[graft.sources.DvDescriptor], 1L))
+    assert(rf.accepts(a1)); rf.add(a1)
+    // same identity, later version: aliases
+    val a2 = Seq(("p1", 10L, Map("k" -> "a"),
+      None: Option[graft.sources.DvDescriptor], 3L))
+    assert(rf.accepts(a2)); rf.add(a2)
+    // different size, partition tuple, or DV: refused (caller bumps gen)
+    assert(!rf.accepts(Seq(("p1", 11L, Map("k" -> "a"), None, 5L))))
+    assert(!rf.accepts(Seq(("p1", 10L, Map("k" -> "b"), None, 5L))))
+    assert(!rf.accepts(Seq(("p1", 10L, Map("k" -> "a"),
+      Some(graft.sources.DvDescriptor("u", "q", None, 8, 2L)), 5L))))
+    // a batch with ONE mismatched file refuses as a whole
+    assert(!rf.accepts(Seq(
+      ("p2", 7L, Map.empty[String, String], None, 5L),
+      ("p1", 11L, Map("k" -> "a"), None, 5L))))
+    assert(rf.toSeq === Seq(("p1", 10L, Map("k" -> "a"), None, Seq(1L, 3L))))
+  }
+
+  test("the MULTI version map explodes per-occurrence labels, stays non-nullable, and misses fail loudly") {
+    val hit = Seq(("file:/tmp/graft_feed_m.parquet", 1L)).toDF("__gfp", "id")
+    val ok = Sinks.attachCommitVersionsMulti(spark, hit,
+      Seq("file:/tmp/graft_feed_m.parquet" -> Seq(3L, 9L)))
+    assert(ok.select("_commit_version").collect().map(_.getLong(0)).sorted
+      === Array(3L, 9L))
+    assert(!ok.schema("_commit_version").nullable,
+      "the protocol's _commit_version must stay non-nullable")
+    val miss = Sinks.attachCommitVersionsMulti(spark, hit,
+      Seq("file:/tmp/graft_feed_OTHER.parquet" -> Seq(3L, 9L)))
+    val e = intercept[Throwable](miss.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("normalization mismatch") &&
+      m.contains("graft_feed_m.parquet")), s"got: ${chain(e).mkString(" | ")}")
   }
 
   test("the keyed snapshot DIFF also batches an ALTERNATING added/removed span into two relations") {

@@ -152,7 +152,12 @@ class DeltaReplayCountSpec extends AnyFunSuite {
     // r12 re-derived liveRawAt + statsByRaw and re-parsed every file's
     // stats JSON per key column — at 10^6 live files x 4 key columns,
     // 4 full driver-side passes where one serves. The parse pass is now
-    // hoisted out of the per-column loop and seam-counted.
+    // hoisted out of the per-column loop and seam-counted. NOTE: the
+    // seam is a PROCESS-GLOBAL counter shared by every keyed apply (the
+    // concurrent-append envelope probe increments it too), so the exact
+    // deltas below assume the suite runs its tests sequentially with no
+    // concurrent apply in flight — ScalaTest's default here, and the
+    // reason these assertions live in this single-threaded suite.
     val dir = tmpDir("stats_parse_count")
     Sinks.deltaAppend(
       (0L until 20L).map(i => (i % 4, i % 5, i, i * 2))

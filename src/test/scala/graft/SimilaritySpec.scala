@@ -127,6 +127,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(salted === brute)
   }
 
+  test("the ann_knn_join_hot driver fixture exceeds knnJoin's salt threshold — its oracle row hash-checks the salted branch") {
+    // replicate the DRIVER QUERY's corpus exactly (300 base embeddings +
+    // 600 copies of vector 0, nCentroids = 32) and assert the occupancy
+    // decision knnJoin makes — max occ > max(256, 4·avg over nonempty
+    // buckets) — fires, so the CORRECTNESS entry for ann_knn_join_hot
+    // really exercises the occupancy-driven salt-split, not the balanced
+    // fast path (tuned at sf0.01: max 603 vs target 360)
+    val embAll = Tables.load(spark, TestSpark.sf, "embeddings")
+    val hot = embAll.filter($"vec_id" === 0)
+      .crossJoin(spark.range(600).select($"id".as("__i")))
+      .select((org.apache.spark.sql.functions.lit(100000L) + $"__i")
+        .as("vec_id"), $"embedding")
+    val corpus = embAll.filter($"vec_id" < 300)
+      .select($"vec_id", $"embedding").unionByName(hot)
+    val occ = Similarity.ivfBucketOccupancy(
+        Similarity.ivfAssignments(corpus, "vec_id", "embedding", nCentroids = 32))
+      .map(_._2)
+    val avg = math.max(1L, occ.sum / math.max(1, occ.length))
+    val target = math.max(256L, 4L * avg)
+    assert(occ.max > target,
+      s"ann_knn_join_hot fixture drift: max occupancy ${occ.max} does not " +
+        s"exceed the salt target $target — the query would take the " +
+        "balanced fast path and hash-check nothing new")
+  }
+
   test("ivfCentroidCount follows the √n rule with floor and cap") {
     assert(Similarity.ivfCentroidCount(1L) == 1)        // can't exceed corpus
     assert(Similarity.ivfCentroidCount(100L) == 16)     // floor
