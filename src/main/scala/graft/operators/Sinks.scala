@@ -1247,12 +1247,21 @@ object Sinks {
           s0 == size && pv0 == pv && dv0 == dv
         }
       }
+    /** One batch = one commit's files. A path listed twice WITHIN a
+      * batch is a protocol violation (one action per path per commit) —
+      * loud, never silently aliased into a double-emitted row set. */
     def add(files: Seq[(String, Long, Map[String, String],
-        Option[graft.sources.DvDescriptor], Long)]): Unit =
+        Option[graft.sources.DvDescriptor], Long)]): Unit = {
+      val batch = mutable.HashSet[String]()
       files.foreach { case (p, size, pv, dv, v) =>
+        if (!batch.add(p))
+          throw new graft.model.BuzzException.ExecutionError(
+            s"commit $v lists file $p twice — the log violates the " +
+              "protocol (one action per path per commit)")
         entries.getOrElseUpdate(p,
           (size, pv, dv, mutable.ListBuffer[Long]()))._4 += v
       }
+    }
     def toSeq: Seq[(String, Long, Map[String, String],
         Option[graft.sources.DvDescriptor], Seq[Long])] =
       entries.iterator.map { case (p, (s, pv, dv, vs)) =>

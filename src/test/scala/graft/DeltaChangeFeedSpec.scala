@@ -326,6 +326,65 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(one === (1 to 50).map(k => (2L * k - 1, 208L)))
   }
 
+  test("an identity-MISMATCHED re-add still splits generations: a different partition truth needs its own read") {
+    // aliasing is gated on the (size, partitionValues, DV) identity: a
+    // path re-added under a DIFFERENT partition tuple is a different row
+    // set, so the generation split must survive the aliasing fast path —
+    // two reads per kind, each occurrence with its own version label AND
+    // its own partition value
+    val dir = tmpDir("cdf_genbump")
+    Sinks.deltaAppend(
+      (0L until 4L).map(i => (i, i * 2, "a")).toDF("id", "v", "p").coalesce(1),
+      dir, Seq("p")) // v0: one file under p=a
+    val paDir = new java.io.File(dir, "p=a")
+    val part = paDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "gb.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    def addJson(pv: String): String =
+      s"""{"add":{"path":"gb.parquet","size":${dest.length},"partitionValues":{"p":"$pv"},"dataChange":true}}""" + "\n"
+    val removeJson =
+      """{"remove":{"path":"gb.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n"
+    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${1}%020d.json").toPath, addJson("a"))
+    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${2}%020d.json").toPath, removeJson)
+    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${3}%020d.json").toPath, addJson("b"))
+    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${4}%020d.json").toPath, removeJson)
+    val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 4L)
+    val rows = feed.select(col("_commit_version"), col("_change_type"), col("p"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "insert", "a"), (2L, "delete", "a"),
+      (3L, "insert", "b"), (4L, "delete", "b")))
+    assert(feed.count() === 16)
+    // 2 generations x 2 kinds, single-occurrence runs: more than the
+    // aliased span's 4 leaves (the split really happened), at most 8
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves > 4 && leaves <= 8,
+      s"identity-mismatched re-add planned $leaves leaves, expected (4, 8]")
+  }
+
+  test("a commit listing the same path twice fails LOUDLY as a protocol violation") {
+    // RunFiles would otherwise alias the duplicate onto one entry and
+    // explode every row twice at the same version — silently
+    val dir = tmpDir("cdf_dup")
+    Sinks.deltaAppend(
+      (0L until 4L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "dup.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    val add =
+      s"""{"add":{"path":"dup.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}"""
+    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${1}%020d.json").toPath,
+      add + "\n" + add + "\n")
+    val e = intercept[Throwable](
+      Sinks.deltaChangeFeed(spark, dir, 0L, 1L).count())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("twice") && m.contains("dup.parquet")),
+      s"got: ${chain(e).mkString(" | ")}")
+  }
+
   test("RunFiles aliases identity-matched re-occurrences and refuses identity mismatches") {
     val rf = new Sinks.RunFiles
     val a1 = Seq(("p1", 10L, Map("k" -> "a"),
