@@ -479,6 +479,53 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(Sinks.deltaReplicate(spark, src, dst, Seq("id"), 2) === dstAfter)
   }
 
+  test("replicate converges across a single-path PING-PONG lag, chunk boundaries cutting mid-oscillation") {
+    // the r13 residual's APPLY side: a lag oscillating ONE path (add,
+    // remove, add, … — repeated RESTOREs between two versions) reaches
+    // the replica through ALIASED multi-version runs (one read,
+    // explode-labeled occurrences), and per-key netting must land on
+    // each key's LAST occurrence. maxVersionsPerApply = 3 over a
+    // 13-commit lag makes every chunk boundary cut mid-oscillation, so
+    // each chunk's net FLIPS the ping-ponged keys' presence — [add,
+    // remove, add] nets insert, [remove, add, remove] nets delete —
+    // and the final lone ADD must leave them alive.
+    val src = tmpDir("repl_pp_src")
+    val dst = tmpDir("repl_pp_dst") + "/replica"
+    Sinks.deltaAppend(
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), src) // v0
+    Sinks.deltaReplicate(spark, src, dst, "id") // bootstrap @ v0
+    val stage = tmpDir("repl_pp_stage")
+    (100L until 110L).map(i => (i, i * 3)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(src, "pp.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    val addJson =
+      s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n"
+    val removeJson =
+      """{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n"
+    (1 to 6).foreach { k =>
+      Files.writeString(
+        new java.io.File(s"$src/_delta_log", f"${2 * k - 1}%020d.json").toPath, addJson)
+      Files.writeString(
+        new java.io.File(s"$src/_delta_log", f"${2 * k}%020d.json").toPath, removeJson)
+    }
+    Files.writeString(
+      new java.io.File(s"$src/_delta_log", f"${13}%020d.json").toPath, addJson)
+    val dstBefore = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    Sinks.deltaReplicate(spark, src, dst, Seq("id"), maxVersionsPerApply = 3)
+    assert(liveMap(dst) === liveMap(src))
+    assert(liveMap(dst)(104L) === 312L && liveMap(dst)(4L) === 8L &&
+      liveMap(dst).size === 20)
+    // ceil(13/3) = 5 individually-watermarked chunks landed
+    val dstAfter = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
+    assert(dstAfter - dstBefore === 5,
+      s"expected 5 chunked commits, got ${dstAfter - dstBefore}")
+    // caught up: re-running is a no-op at the same watermark
+    assert(Sinks.deltaReplicate(spark, src, dst, Seq("id"), 3) === dstAfter)
+  }
+
   test("ADDITIVE src evolution mid-replication evolves the replica (old rows null); resync agrees") {
     val src = tmpDir("repl_evolve_src")
     val dst = tmpDir("repl_evolve_dst") + "/replica"
