@@ -367,4 +367,60 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     runDurable(dir, ckpt, out)
     assert(spark.read.parquet(out).count() === 5L + 5L * 1000L)
   }
+
+  test("restart INTO a PING-PONG backlog: aliased runs per trigger, every occurrence exactly-once") {
+    // the streaming twin of the r13 residual: the down-time lag
+    // oscillates ONE path (add, remove, add, … — repeated RESTOREs
+    // between two versions). Each resumed trigger's 50-commit span
+    // aliases onto 2 runs (one read per kind, explode-labeled
+    // occurrences) instead of ~25 relations per kind, and the stream
+    // must still deliver every occurrence of every version exactly
+    // once across the trigger boundaries that cut mid-oscillation.
+    val dir = tmpDir("cdfs_pp")
+    val ckpt = tmpDir("cdfs_pp_ckpt")
+    val out = tmpDir("cdfs_pp_out")
+    Sinks.deltaAppend(
+      (0L until 5L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir) // v0
+    runDurable(dir, ckpt, out) // batch 0: the snapshot as inserts
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "pp.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    (1 to 100).foreach { k =>
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"${2 * k - 1}%020d.json").toPath,
+        s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"${2 * k}%020d.json").toPath,
+        """{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+    }
+    val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
+      .option("maxVersionsPerTrigger", "50")
+      .option("maxFilesPerTrigger", "100000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 4, s"200 versions / 50 per trigger: got $dataBatches")
+    val rows = spark.read.parquet(out)
+    // 5 snapshot inserts + 100 add-occurrences x 5 rows + 100
+    // remove-occurrences x 5 rows, each under its own version label
+    assert(rows.count() === 5L + 5L * 200L, "every occurrence exactly once")
+    assert(rows.select("_commit_version").distinct().count() === 201L)
+    assert(rows.filter(col("_change_type") === "insert")
+      .filter(col("_commit_version") > 0).count() === 500L)
+    assert(rows.filter(col("_change_type") === "delete").count() === 500L)
+    // odd versions are the adds, even the removes — spot-check one row
+    // through a mid-oscillation trigger boundary (v50 remove, v51 add)
+    val edge = rows.filter(col("id") === 3L)
+      .filter(col("_commit_version").isin(50L, 51L))
+      .select(col("_commit_version"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(edge === Seq((50L, "delete"), (51L, "insert")))
+    // convergence is stable: nothing new, nothing re-delivered
+    runDurable(dir, ckpt, out)
+    assert(spark.read.parquet(out).count() === 5L + 5L * 200L)
+  }
 }
