@@ -279,6 +279,41 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(leaves <= 4, s"re-add span planned $leaves leaves")
   }
 
+  test("repeated RESTORE oscillation between two versions plans flat through the real operator") {
+    // the r13 residual's named scenario, driven end to end by the real
+    // writer: restore(v0) removes the appended file, restore(v1) re-adds
+    // it, 20 times — every commit RESTORE authors is single-kind (pure
+    // remove or pure re-add against the live state it reads), so the
+    // whole oscillation is feed-expressible and must alias: 2 runs, each
+    // occurrence labeled with its own restore commit's version.
+    val dir = tmpDir("cdf_restoreosc")
+    Sinks.deltaAppend(
+      (0L until 5L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir)   // v0
+    Sinks.deltaAppend(
+      (10L until 15L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir) // v1
+    (1 to 20).foreach { _ =>
+      Sinks.deltaRestore(spark, dir, 0L) // pure remove of the v1 file
+      Sinks.deltaRestore(spark, dir, 1L) // pure re-add of the v1 file
+    }
+    assert(DeltaCatalog.latestVersion(spark, s"$dir/_delta_log") === 41L)
+    val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 41L)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4, s"40-restore oscillation planned $leaves leaves")
+    val byKind = feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_commit_version")).as("nv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // inserts: v1's append + 20 re-adds (odd versions 3..41); deletes:
+    // 20 removes (even versions 2..40); 5 rows per occurrence
+    assert(byKind === Seq(("delete", 100L, 20L), ("insert", 105L, 21L)))
+    val vs = feed.filter(col("id") === 12L)
+      .select(col("_commit_version"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(vs === ((1L, "insert") +: (1 to 20).flatMap(k =>
+      Seq((2L * k, "delete"), (2L * k + 1, "insert")))))
+  }
+
   test("a 100-commit single-path PING-PONG span plans flat and labels every occurrence") {
     // the r13 residual: a history oscillating ONE path (add, remove, add,
     // …, e.g. repeated RESTOREs between two versions) planned one
