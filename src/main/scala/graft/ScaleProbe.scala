@@ -269,9 +269,8 @@ object ScaleProbe {
         (0 until 3).foreach { i =>
           val dest = new java.io.File(repDir, s"tail-fact-$i.parquet")
           java.nio.file.Files.copy(factSrc.toPath, dest.toPath)
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$repDir/_delta_log", f"${2 + i}%020d.json").toPath,
-            s"""{"add":{"path":"tail-fact-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+          graft.DeltaLogFixtures.writeAdd(
+            repDir, 2L + i, s"tail-fact-$i.parquet", dest.length)
         }
         val (_, tailSecs) = timed {
           var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
@@ -302,9 +301,8 @@ object ScaleProbe {
         (0 until 3).foreach { i =>
           val dest = new java.io.File(repDir, s"cdf-fact-$i.parquet")
           java.nio.file.Files.copy(factSrc.toPath, dest.toPath)
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$repDir/_delta_log", f"${5 + i}%020d.json").toPath,
-            s"""{"add":{"path":"cdf-fact-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+          graft.DeltaLogFixtures.writeAdd(
+            repDir, 5L + i, s"cdf-fact-$i.parquet", dest.length)
         }
         val (_, cdfSecs) = timed {
           var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
@@ -343,9 +341,8 @@ object ScaleProbe {
         (1 to 1000).foreach { i =>
           val dest = new java.io.File(lagSrc, s"c-$i.parquet")
           java.nio.file.Files.copy(part.toPath, dest.toPath)
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$lagSrc/_delta_log", f"$i%020d.json").toPath,
-            s"""{"add":{"path":"c-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+          graft.DeltaLogFixtures.writeAdd(
+            lagSrc, i.toLong, s"c-$i.parquet", dest.length)
         }
         for (span <- Seq(10, 1000)) {
           graft.operators.Sinks.invalidateCommitParseCache()
@@ -396,12 +393,9 @@ object ScaleProbe {
         altParts.zipWithIndex.foreach { case (p, k) =>
           val dest = new java.io.File(altSrc, s"alt-$k.parquet")
           java.nio.file.Files.copy(p.toPath, dest.toPath)
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$altSrc/_delta_log", f"${2 * k + 1}%020d.json").toPath,
-            s"""{"add":{"path":"alt-$k.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$altSrc/_delta_log", f"${2 * k + 2}%020d.json").toPath,
-            s"""{"remove":{"path":"alt-$k.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+          graft.DeltaLogFixtures.writeAdd(
+            altSrc, 2L * k + 1, s"alt-$k.parquet", dest.length)
+          graft.DeltaLogFixtures.writeRemove(altSrc, 2L * k + 2, s"alt-$k.parquet")
         }
         graft.operators.Sinks.invalidateCommitParseCache()
         val (altLeaves, altSecs) = timed {
@@ -453,12 +447,9 @@ object ScaleProbe {
         val ppDest = new java.io.File(ppSrc, "pp.parquet")
         java.nio.file.Files.copy(ppPart.toPath, ppDest.toPath)
         (1 to 500).foreach { k =>
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$ppSrc/_delta_log", f"${2 * k - 1}%020d.json").toPath,
-            s"""{"add":{"path":"pp.parquet","size":${ppDest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
-          java.nio.file.Files.writeString(
-            new java.io.File(s"$ppSrc/_delta_log", f"${2 * k}%020d.json").toPath,
-            s"""{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+          graft.DeltaLogFixtures.writeAdd(
+            ppSrc, 2L * k - 1, "pp.parquet", ppDest.length)
+          graft.DeltaLogFixtures.writeRemove(ppSrc, 2L * k, "pp.parquet")
         }
         graft.operators.Sinks.invalidateCommitParseCache()
         val (ppLeaves, ppSecs) = timed {

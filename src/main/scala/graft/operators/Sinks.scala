@@ -1025,13 +1025,11 @@ object Sinks {
     * as silently vanished change rows (what an inner join's miss looks
     * like). AssertNotNull re-declares the guarded column non-nullable —
     * the guard fires before it ever could — so the feed schema keeps the
-    * protocol's non-null `_commit_version`. */
-  private[graft] def attachCommitVersions(
-      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-      pathToVersion: Seq[(String, Long)]): DataFrame =
-    attachCommitVersionsScalar(spark, df, pathToVersion)
-
-  /** [[attachCommitVersions]] for PER-OCCURRENCE ALIASED files: a path
+    * protocol's non-null `_commit_version`. That scalar join
+    * ([[attachCommitVersionsScalar]]) is the all-singleton dispatch
+    * target of [[attachCommitVersionsMulti]], the single entry point.
+    *
+    * The MULTI form handles PER-OCCURRENCE ALIASED files: a path
     * the span added (or removed) at SEVERAL versions within one run —
     * the single-path ping-pong history (remove, re-add, remove, …, e.g.
     * repeated RESTOREs oscillating between two versions) — maps to the
@@ -1370,7 +1368,7 @@ object Sinks {
 
   /** ONE relation for one [[FeedRun]]: every table column (the run era's
     * logical names) + `_change_type` + `_commit_version` (joined per
-    * source file, [[attachCommitVersions]]). Derived kinds read through
+    * source file, [[attachCommitVersionsMulti]]). Derived kinds read through
     * the era catalog — one partitioned FileScan with each file's own
     * deletion-vector truth (adds under the commit's descriptors, removes
     * under the pre-commit state the walker resolved). */

@@ -501,18 +501,11 @@ class DeltaCdcApplySpec extends AnyFunSuite {
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     val dest = new java.io.File(src, "pp.parquet")
     Files.copy(part.toPath, dest.toPath)
-    val addJson =
-      s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n"
-    val removeJson =
-      """{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n"
     (1 to 6).foreach { k =>
-      Files.writeString(
-        new java.io.File(s"$src/_delta_log", f"${2 * k - 1}%020d.json").toPath, addJson)
-      Files.writeString(
-        new java.io.File(s"$src/_delta_log", f"${2 * k}%020d.json").toPath, removeJson)
+      DeltaLogFixtures.writeAdd(src, 2L * k - 1, "pp.parquet", dest.length)
+      DeltaLogFixtures.writeRemove(src, 2L * k, "pp.parquet")
     }
-    Files.writeString(
-      new java.io.File(s"$src/_delta_log", f"${13}%020d.json").toPath, addJson)
+    DeltaLogFixtures.writeAdd(src, 13L, "pp.parquet", dest.length)
     val dstBefore = DeltaCatalog.latestVersion(spark, s"$dst/_delta_log")
     Sinks.deltaReplicate(spark, src, dst, Seq("id"), maxVersionsPerApply = 3)
     assert(liveMap(dst) === liveMap(src))

@@ -345,9 +345,7 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     (1 to 1000).foreach { i =>
       val dest = new java.io.File(dir, s"lag-$i.parquet")
       java.nio.file.Files.copy(part.toPath, dest.toPath)
-      java.nio.file.Files.writeString(
-        new java.io.File(s"$dir/_delta_log", f"$i%020d.json").toPath,
-        s"""{"add":{"path":"lag-$i.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
+      DeltaLogFixtures.writeAdd(dir, i.toLong, s"lag-$i.parquet", dest.length)
     }
     val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
       .option("maxVersionsPerTrigger", "100")
@@ -387,12 +385,8 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     val dest = new java.io.File(dir, "pp.parquet")
     java.nio.file.Files.copy(part.toPath, dest.toPath)
     (1 to 100).foreach { k =>
-      java.nio.file.Files.writeString(
-        new java.io.File(s"$dir/_delta_log", f"${2 * k - 1}%020d.json").toPath,
-        s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
-      java.nio.file.Files.writeString(
-        new java.io.File(s"$dir/_delta_log", f"${2 * k}%020d.json").toPath,
-        """{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+      DeltaLogFixtures.writeAdd(dir, 2L * k - 1, "pp.parquet", dest.length)
+      DeltaLogFixtures.writeRemove(dir, 2L * k, "pp.parquet")
     }
     val q = spark.readStream.format("graft-delta-cdf").option("path", dir)
       .option("maxVersionsPerTrigger", "50")

@@ -332,12 +332,8 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     val dest = new java.io.File(dir, "pp.parquet")
     Files.copy(part.toPath, dest.toPath)
     (1 to 50).foreach { k =>
-      Files.writeString(
-        new java.io.File(s"$dir/_delta_log", f"${2 * k - 1}%020d.json").toPath,
-        s"""{"add":{"path":"pp.parquet","size":${dest.length},"partitionValues":{},"dataChange":true}}""" + "\n")
-      Files.writeString(
-        new java.io.File(s"$dir/_delta_log", f"${2 * k}%020d.json").toPath,
-        s"""{"remove":{"path":"pp.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+      DeltaLogFixtures.writeAdd(dir, 2L * k - 1, "pp.parquet", dest.length)
+      DeltaLogFixtures.writeRemove(dir, 2L * k, "pp.parquet")
     }
     val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 100L)
     val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
@@ -375,14 +371,10 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     val part = paDir.listFiles().find(_.getName.endsWith(".parquet")).get
     val dest = new java.io.File(dir, "gb.parquet")
     Files.copy(part.toPath, dest.toPath)
-    def addJson(pv: String): String =
-      s"""{"add":{"path":"gb.parquet","size":${dest.length},"partitionValues":{"p":"$pv"},"dataChange":true}}""" + "\n"
-    val removeJson =
-      """{"remove":{"path":"gb.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n"
-    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${1}%020d.json").toPath, addJson("a"))
-    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${2}%020d.json").toPath, removeJson)
-    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${3}%020d.json").toPath, addJson("b"))
-    Files.writeString(new java.io.File(s"$dir/_delta_log", f"${4}%020d.json").toPath, removeJson)
+    DeltaLogFixtures.writeAdd(dir, 1L, "gb.parquet", dest.length, Map("p" -> "a"))
+    DeltaLogFixtures.writeRemove(dir, 2L, "gb.parquet")
+    DeltaLogFixtures.writeAdd(dir, 3L, "gb.parquet", dest.length, Map("p" -> "b"))
+    DeltaLogFixtures.writeRemove(dir, 4L, "gb.parquet")
     val feed = Sinks.deltaChangeFeed(spark, dir, 0L, 4L)
     val rows = feed.select(col("_commit_version"), col("_change_type"), col("p"))
       .distinct().collect()
@@ -527,13 +519,13 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     // previously vanish rows through the inner join; the left join +
     // raise_error guard makes it an error naming the path
     val hit = Seq(("file:/tmp/graft_feed_x.parquet", 1L)).toDF("__gfp", "id")
-    val ok = Sinks.attachCommitVersions(spark, hit,
-      Seq("file:/tmp/graft_feed_x.parquet" -> 7L))
+    val ok = Sinks.attachCommitVersionsMulti(spark, hit,
+      Seq("file:/tmp/graft_feed_x.parquet" -> Seq(7L))) // singleton -> scalar dispatch
     assert(ok.select("_commit_version").head.getLong(0) === 7L)
     assert(!ok.schema("_commit_version").nullable,
       "the protocol's _commit_version must stay non-nullable")
-    val miss = Sinks.attachCommitVersions(spark, hit,
-      Seq("file:/tmp/graft_feed_OTHER.parquet" -> 7L))
+    val miss = Sinks.attachCommitVersionsMulti(spark, hit,
+      Seq("file:/tmp/graft_feed_OTHER.parquet" -> Seq(7L)))
     val e = intercept[Throwable](miss.collect())
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
