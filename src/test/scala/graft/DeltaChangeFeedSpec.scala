@@ -480,6 +480,40 @@ class DeltaChangeFeedSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
+  test("the keyed snapshot DIFF aliases a PING-PONG path: flat plan, every occurrence's status and version exact") {
+    // DiffRun rides the same RunFiles aliasing as the feed, through its
+    // own read path (runFrame's keyed projection + era renames): one
+    // path oscillating for 20 commits must diff as 2 relations with
+    // per-occurrence version labels, not ~10 per status
+    val dir = tmpDir("diff_pp")
+    Sinks.deltaAppend(
+      (0L until 5L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), dir) // v0
+    val stage = tmpDir("diff_pp_stage")
+    (100L until 105L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "pp.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    (1 to 10).foreach { k =>
+      DeltaLogFixtures.writeAdd(dir, 2L * k - 1, "pp.parquet", dest.length)
+      DeltaLogFixtures.writeRemove(dir, 2L * k, "pp.parquet")
+    }
+    val diff = Sinks.deltaChangesBetween(spark, dir, 0L, 20L, Seq("id"), Seq("v"))
+    val leaves = diff.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4, s"20-commit ping-pong diff span planned $leaves leaves")
+    val byStatus = diff.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("version")).as("nv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // 10 occurrences x 5 keys per status, each under its own version
+    assert(byStatus === Seq(("added", 50L, 10L), ("removed", 50L, 10L)))
+    val one = diff.filter(col("id") === 102L).select(col("version"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(one === (1 to 10).flatMap(k =>
+      Seq((2L * k - 1, "added"), (2L * k, "removed"))))
+  }
+
   test("an ALTERNATING cdc/derived span (append / CDF DELETE interleaved) plans bounded leaves with exact row images") {
     // the upsert-pipeline shape VERDICT r12 named: derived inserts and
     // authoritative cdc commits strictly interleaved. cdc files have a
