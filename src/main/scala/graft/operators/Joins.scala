@@ -166,7 +166,20 @@ object Joins {
     * gram-equi-join never form because ubiquitous grams sit at every
     * record's suffix end and are filtered from blocking. A size-ratio
     * guard (tau*na <= nb <= na/tau) prunes length-incompatible pairs in
-    * the same join. Each surviving candidate is verified ONCE: grams
+    * the same join, and POSITIONAL filtering (the PPJoin refinement of
+    * plain prefix filtering) prunes by WHERE in each prefix the shared
+    * gram sits: a match at 0-indexed rarity positions (pa, pb) caps the
+    * achievable overlap at min(na-pa, nb-pb) — every common gram of a
+    * valid pair lies at or after its FIRST common gram in the shared
+    * global order — while Jaccard >= tau needs overlap >=
+    * tau/(1+tau)·(na+nb), so rows whose cap falls short are dropped
+    * before the candidate distinct. Recall stays exact (the first common
+    * gram of a true pair passes by construction); the candidate set —
+    * which the probe suite measured growing ~n^1.5 under plain prefix
+    * filtering — shrinks toward the verified-pair count, because
+    * same-bucket records that merely share one mid-rarity gram are now
+    * also required to have enough tail left to reach tau. Each surviving
+    * candidate is verified ONCE: grams
     * travel as xxhash64 longs (value-sorted arrays, the 64-bit
     * sorted-merge discipline) through two id equi-joins, intersection by
     * the O(|a|+|b|) `sorted_intersect_count` kernel.
@@ -191,8 +204,9 @@ object Joins {
   }
 
   /** The PPJoin CANDIDATE set [[trigramSimilarityJoin]] verifies —
-    * (id_a, id_b) pairs surviving the rarity-ordered prefix filter and
-    * the length filter, before the sorted-merge Jaccard verify. The
+    * (id_a, id_b) pairs surviving the rarity-ordered prefix filter, the
+    * length filter, and the positional overlap-cap filter, before the
+    * sorted-merge Jaccard verify. The
     * scale diagnostic: the join's wall tracks THIS volume (each
     * candidate pays one merge of two gram arrays), so recording it
     * beside the verified-pair count separates "candidate blowup" (a
@@ -226,12 +240,25 @@ object Joins {
         slice(col("__rare"), lit(1),
           (size(col("__rare")) - ceil(lit(tau) * size(col("__rare"))) + 1)
             .cast("int")).as("__prefix")))
-    val pref = sets.select(col("id"), col("__n"), explode(col("__prefix")).as("g"))
-    val cands = pref.select(col("g"), col("id").as("id_a"), col("__n").as("__na"))
-      .join(pref.select(col("g"), col("id").as("id_b"), col("__n").as("__nb")), "g")
+    // posexplode keeps each prefix gram's 0-indexed slot in the rarity
+    // order — the position PPJoin's filter needs. A prefix gram at slot p
+    // leaves at most n-p grams (itself + the suffix) to overlap with.
+    val pref = sets.select(col("id"), col("__n"),
+      posexplode(col("__prefix")).as(Seq("__p", "g")))
+    // Overlap required for Jaccard >= tau is tau/(1+tau)·(na+nb); the
+    // integer cap min(na-pa, nb-pb) must reach it. Comparing against the
+    // REAL value (minus one ulp-scale epsilon) rather than its ceil keeps
+    // the test exactly as permissive as the integer inequality while
+    // immune to ceil() flipping on floating-point dust at exact integers.
+    val cands = pref.select(col("g"), col("id").as("id_a"),
+        col("__n").as("__na"), col("__p").as("__pa"))
+      .join(pref.select(col("g"), col("id").as("id_b"),
+        col("__n").as("__nb"), col("__p").as("__pb")), "g")
       .filter(col("id_a") < col("id_b") &&
         col("__nb") * lit(tau) <= col("__na") &&
-        col("__na") * lit(tau) <= col("__nb"))
+        col("__na") * lit(tau) <= col("__nb") &&
+        least(col("__na") - col("__pa"), col("__nb") - col("__pb")) +
+          lit(1e-9) >= lit(tau / (1.0 + tau)) * (col("__na") + col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
     (cands, sets)
   }

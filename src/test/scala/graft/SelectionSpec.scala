@@ -132,6 +132,60 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("trigramCandidatePairs equals the abstract PPJoin positional model") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // Pure-Scala reference of the candidate stage's semantics — rarity
+    // order, prefix length, length filter, positional overlap cap — with
+    // Spark supplying only the gram hash (so the rarity tiebreak matches
+    // production bit for bit). Asserts the production candidate set IS
+    // the model's, and that the positional cap strictly prunes the plain
+    // prefix-filter set on this corpus (the r14 superlinearity fix).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "widget", "gadget", "spring",
+      "acme", "corp", "ltd")
+    val names = (1L to 80L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val tau = 0.7
+    val gramSets = names.filter(_._2.length >= 3)
+      .map { case (id, s) => id -> s.sliding(3).toSet }.toMap
+    val allGrams = gramSets.values.flatten.toSeq.distinct
+    val hash = allGrams.toDF("g")
+      .select(col("g"), xxhash64(col("g")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df_ = allGrams.map(g =>
+      hash(g) -> gramSets.values.count(_.contains(g)).toLong).toMap
+    // per-id: gram hashes in rarity order (df asc, hash asc) + prefix len
+    val ordered = gramSets.map { case (id, gs) =>
+      id -> gs.toSeq.map(hash).sortBy(h => (df_(h), h))
+    }
+    def prefixLen(n: Int) = n - math.ceil(tau * n).toInt + 1
+    // (id, n, slot) per prefix gram hash
+    val prefixEntries = for {
+      (id, hs) <- ordered.toSeq
+      (h, p) <- hs.take(prefixLen(hs.size)).zipWithIndex
+    } yield (h, id, hs.size, p)
+    val byGram = prefixEntries.groupBy(_._1)
+    def pairsWith(positional: Boolean) = (for {
+      (_, es) <- byGram.toSeq
+      (_, ia, na, pa) <- es; (_, ib, nb, pb) <- es
+      if ia < ib && nb * tau <= na && na * tau <= nb
+      if !positional ||
+        math.min(na - pa, nb - pb) + 1e-9 >= tau / (1.0 + tau) * (na + nb)
+    } yield (ia, ib)).toSet
+    val model = pairsWith(positional = true)
+    val plain = pairsWith(positional = false)
+    val got = Joins.trigramCandidatePairs(names.toDF("id", "s"), "id", "s", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == model,
+      s"missing=${model -- got} extra=${got -- model}")
+    assert(model.subsetOf(plain) && model.size < plain.size,
+      s"positional cap should strictly prune: ${model.size} vs ${plain.size}")
+    // recall witness: every verified pair is a candidate
+    val verified = Joins.trigramSimilarityJoin(names.toDF("id", "s"), "id", "s", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(got))
+  }
+
   test("goldenFields: mode with min-tie and rounded max per resolved entity") {
     graft.functions.GraftFunctions.registerAll(spark)
     // names 'aa1'/'aa2'/'aa3' chain at edit distance 1 (one entity);
