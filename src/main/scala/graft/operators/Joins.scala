@@ -154,32 +154,31 @@ object Joins {
     * words, multi-char typos, re-ordered name parts — at the cost of a
     * coarser similarity notion.
     *
-    * Candidate generation is PREFIX FILTERING (the SSJoin/PPJoin
-    * discipline): order every record's distinct grams by global rarity
+    * Candidate generation is MULTI-GRAM PREFIX FILTERING (the
+    * SSJoin/PPJoin discipline, keyed on K-gram subsets rather than single
+    * grams): order every record's distinct grams by global rarity
     * (document frequency, gram-hash tiebreak — one vocab-sized count
-    * table, re-joined at gram cardinality) and emit only each record's
-    * `n - ceil(tau*n) + 1` RAREST grams as block keys. Any pair at
-    * Jaccard >= tau provably shares a key within both prefixes (overlap
-    * >= ceil(tau*max(na,nb)) cannot hide entirely in the dropped
-    * suffixes), so recall is exact; bucket occupancy follows gram RARITY,
-    * not corpus size — the stop-gram buckets that square a naive
-    * gram-equi-join never form because ubiquitous grams sit at every
-    * record's suffix end and are filtered from blocking. A size-ratio
-    * guard (tau*na <= nb <= na/tau) prunes length-incompatible pairs in
-    * the same join, and POSITIONAL filtering (the PPJoin refinement of
-    * plain prefix filtering) prunes by WHERE in each prefix the shared
-    * gram sits: a match at 0-indexed rarity positions (pa, pb) caps the
-    * achievable overlap at min(na-pa, nb-pb) — every common gram of a
-    * valid pair lies at or after its FIRST common gram in the shared
-    * global order — while Jaccard >= tau needs overlap >=
-    * tau/(1+tau)·(na+nb), so rows whose cap falls short are dropped
-    * before the candidate distinct. Recall stays exact (the first common
-    * gram of a true pair passes by construction); the candidate set —
-    * which the probe suite measured growing ~n^1.5 under plain prefix
-    * filtering — shrinks toward the verified-pair count, because
-    * same-bucket records that merely share one mid-rarity gram are now
-    * also required to have enough tail left to reach tau. Each surviving
-    * candidate is verified ONCE: grams
+    * table, re-joined at gram cardinality) and emit every K-subset of
+    * the record's `n - ceil(tau*n) + K` rarest grams as block keys,
+    * where the corpus-global arity K (<= 3, chosen from two collected
+    * stats — see the candidate-stage scaladoc) never exceeds the overlap
+    * a valid pair must have. Any pair at Jaccard >= tau provably shares
+    * its K rarest COMMON grams as a key within both extended prefixes,
+    * so recall is exact; bucket occupancy follows the JOINT rarity of K
+    * grams, not corpus size — single-gram buckets square on corpora
+    * whose gram space is small (digit-heavy identifiers: the probe
+    * suite measured ~n^1.5 candidate growth under plain K=1 prefix
+    * filtering, and candidate ≈ verified-pair count under K=3). A
+    * size-ratio guard (tau*na <= nb <= na/tau) prunes
+    * length-incompatible pairs in the same join, and POSITIONAL
+    * filtering (the PPJoin refinement) prunes by WHERE the shared key
+    * sits: a key whose last gram matches at 0-indexed rarity slots
+    * (pa, pb) caps the achievable overlap at min(na-pa, nb-pb) + K-1 —
+    * for a valid pair's witness key every other common gram lies after
+    * the key's last slot on both sides — while Jaccard >= tau needs
+    * overlap >= tau/(1+tau)·(na+nb), so rows whose cap falls short are
+    * dropped before the candidate distinct. Each surviving candidate is
+    * verified ONCE: grams
     * travel as xxhash64 longs (value-sorted arrays, the 64-bit
     * sorted-merge discipline) through two id equi-joins, intersection by
     * the O(|a|+|b|) `sorted_intersect_count` kernel.
@@ -215,7 +214,29 @@ object Joins {
       df: DataFrame, idCol: String, strCol: String, tau: Double): DataFrame =
     trigramCandidateStage(df, idCol, strCol, tau)._1
 
-  /** Shared candidate stage: (candidate pairs, per-id gram sets). */
+  /** Emission cap for the multi-gram prefix arity: arity k is only used
+    * when every record's K-subset count C(ua+k, k) stays under this, so
+    * loose thresholds / long records degrade to the plain k=1 prefix
+    * instead of exploding the blocking exchange. */
+  private val MaxPrefixEmissions = 64L
+
+  /** Shared candidate stage: (candidate pairs, per-id gram sets).
+    *
+    * Blocking key arity K is chosen PER CORPUS from two collected longs
+    * (min set size, max unshared-gram budget): any pair at Jaccard >= tau
+    * has overlap o >= ceil(tau·max(na,nb)) >= ceil(tau·n_min), so for
+    * K <= ceil(tau·n_min) its K rarest COMMON grams exist, and the j-th
+    * of them sits at 0-indexed rarity slot <= ua + j - 1 on each side
+    * (at most ua = n - ceil(tau·n) unshared grams precede it) — i.e.
+    * inside the EXTENDED prefix of ua + K slots. Each record therefore
+    * emits every K-subset of its extended prefix (grams in global rarity
+    * order, key = xxhash64 of the tuple) and recall is exact; bucket
+    * occupancy falls with the JOINT rarity of K grams, which is what
+    * keeps candidate growth ~linear on corpora whose single-gram space
+    * is too small to spread (the probed 32×-at-10× failure mode — digit
+    * trigrams). K degrades to 1 (the classic PPJoin prefix) when short
+    * sets or the emission cap demand it; K=1 emission is the plain
+    * posexploded prefix. */
   private def trigramCandidateStage(
       df: DataFrame, idCol: String, strCol: String, tau: Double)
       : (DataFrame, DataFrame) = {
@@ -228,6 +249,22 @@ object Joins {
         "array_distinct(transform(sequence(1, length(s) - 2), " +
           "i -> substring(s, i, 3)))")).as("g"))
       .select(col("id"), xxhash64(col("g")).as("g")))
+    // two corpus stats pick the blocking arity — a bounded driver collect
+    // (one row of two longs), same discipline as the ANN nlist snapshot
+    val statsRow = grams.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__mn"),
+        max(col("__n") - ceil(lit(tau) * col("__n"))).as("__ua"))
+      .collect()(0)
+    val arity: Int =
+      if (statsRow.isNullAt(0)) 1
+      else {
+        val nMin = statsRow.getLong(0)
+        val uaMax = statsRow.getLong(1)
+        def comb(m: Long, k: Int): Long =
+          k match { case 2 => m * (m - 1) / 2; case 3 => m * (m - 1) * (m - 2) / 6 }
+        (3 to 2 by -1).find(k => k <= math.ceil(tau * nMin).toLong &&
+          comb(uaMax + k, k) <= MaxPrefixEmissions).getOrElse(1)
+      }
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val sets = OpUtils.shared(grams.join(dfreq, "g")
       .groupBy(col("id"))
@@ -238,18 +275,39 @@ object Joins {
         array_sort(col("__rare")).as("__gsort"),
         size(col("__rare")).as("__n"),
         slice(col("__rare"), lit(1),
-          (size(col("__rare")) - ceil(lit(tau) * size(col("__rare"))) + 1)
+          (size(col("__rare")) - ceil(lit(tau) * size(col("__rare"))) + lit(arity))
             .cast("int")).as("__prefix")))
-    // posexplode keeps each prefix gram's 0-indexed slot in the rarity
-    // order — the position PPJoin's filter needs. A prefix gram at slot p
-    // leaves at most n-p grams (itself + the suffix) to overlap with.
-    val pref = sets.select(col("id"), col("__n"),
-      posexplode(col("__prefix")).as(Seq("__p", "g")))
-    // Overlap required for Jaccard >= tau is tau/(1+tau)·(na+nb); the
-    // integer cap min(na-pa, nb-pb) must reach it. Comparing against the
-    // REAL value (minus one ulp-scale epsilon) rather than its ceil keeps
-    // the test exactly as permissive as the integer inequality while
-    // immune to ceil() flipping on floating-point dust at exact integers.
+    // Emission: (key, 0-indexed rarity slot of the key's LAST gram). For
+    // K=1 that is the plain posexploded prefix; for K>=2, all K-subsets
+    // of the extended prefix in rarity order (subsets of a shared total
+    // order list, so equal gram tuples align across records).
+    val keyCombos = arity match {
+      case 2 =>
+        "flatten(transform(sequence(1, size(__prefix) - 1), i -> " +
+          "transform(sequence(i + 1, size(__prefix)), j -> " +
+          "struct(xxhash64(element_at(__prefix, i), element_at(__prefix, j)) " +
+          "AS g, j - 1 AS p))))"
+      case 3 =>
+        "flatten(flatten(transform(sequence(1, size(__prefix) - 2), i -> " +
+          "transform(sequence(i + 1, size(__prefix) - 1), j -> " +
+          "transform(sequence(j + 1, size(__prefix)), l -> " +
+          "struct(xxhash64(element_at(__prefix, i), element_at(__prefix, j), " +
+          "element_at(__prefix, l)) AS g, l - 1 AS p))))))"
+      case _ => null
+    }
+    val pref =
+      if (arity == 1) sets.select(col("id"), col("__n"),
+        posexplode(col("__prefix")).as(Seq("__p", "g")))
+      else sets.select(col("id"), col("__n"), explode(expr(keyCombos)).as("__e"))
+        .select(col("id"), col("__n"), col("__e.p").as("__p"), col("__e.g").as("g"))
+    // Positional filter (PPJoin): for the witness key — a valid pair's K
+    // rarest common grams — every OTHER common gram sits strictly after
+    // the key's last slot on both sides, so overlap <= K + min(na-1-pa,
+    // nb-1-pb) = min(na-pa, nb-pb) + K-1, which must reach the Jaccard
+    // requirement tau/(1+tau)·(na+nb). Comparing against the REAL value
+    // (minus one ulp-scale epsilon) rather than its ceil keeps the test
+    // exactly as permissive as the integer inequality while immune to
+    // ceil() flipping on floating-point dust at exact integers.
     val cands = pref.select(col("g"), col("id").as("id_a"),
         col("__n").as("__na"), col("__p").as("__pa"))
       .join(pref.select(col("g"), col("id").as("id_b"),
@@ -258,7 +316,8 @@ object Joins {
         col("__nb") * lit(tau) <= col("__na") &&
         col("__na") * lit(tau) <= col("__nb") &&
         least(col("__na") - col("__pa"), col("__nb") - col("__pb")) +
-          lit(1e-9) >= lit(tau / (1.0 + tau)) * (col("__na") + col("__nb")))
+          lit(arity - 1) + lit(1e-9) >=
+          lit(tau / (1.0 + tau)) * (col("__na") + col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
     (cands, sets)
   }

@@ -154,32 +154,42 @@ class SelectionSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val df_ = allGrams.map(g =>
       hash(g) -> gramSets.values.count(_.contains(g)).toLong).toMap
-    // per-id: gram hashes in rarity order (df asc, hash asc) + prefix len
+    // per-id: gram hashes in rarity order (df asc, hash asc)
     val ordered = gramSets.map { case (id, gs) =>
       id -> gs.toSeq.map(hash).sortBy(h => (df_(h), h))
     }
-    def prefixLen(n: Int) = n - math.ceil(tau * n).toInt + 1
-    // (id, n, slot) per prefix gram hash
-    val prefixEntries = for {
+    def ua(n: Int) = n - math.ceil(tau * n).toInt
+    // corpus-global blocking arity, same rule as production
+    val nMin = ordered.values.map(_.size).min
+    val uaMax = ordered.values.map(hs => ua(hs.size)).max
+    def comb(m: Long, k: Int): Long =
+      if (k == 2) m * (m - 1) / 2 else m * (m - 1) * (m - 2) / 6
+    val arity = (3 to 2 by -1).find(k =>
+      k <= math.ceil(tau * nMin).toLong && comb(uaMax + k, k) <= 64L).getOrElse(1)
+    // (key = K-subset of the extended prefix in rarity order,
+    //  id, n, 0-indexed slot of the key's last gram)
+    def entries(k: Int) = for {
       (id, hs) <- ordered.toSeq
-      (h, p) <- hs.take(prefixLen(hs.size)).zipWithIndex
-    } yield (h, id, hs.size, p)
-    val byGram = prefixEntries.groupBy(_._1)
-    def pairsWith(positional: Boolean) = (for {
-      (_, es) <- byGram.toSeq
+      ext = hs.take(ua(hs.size) + k).zipWithIndex
+      sub <- ext.combinations(k)
+    } yield (sub.map(_._1), id, hs.size, sub.last._2)
+    def pairsWith(k: Int, positional: Boolean) = (for {
+      (_, es) <- entries(k).groupBy(_._1).toSeq
       (_, ia, na, pa) <- es; (_, ib, nb, pb) <- es
       if ia < ib && nb * tau <= na && na * tau <= nb
       if !positional ||
-        math.min(na - pa, nb - pb) + 1e-9 >= tau / (1.0 + tau) * (na + nb)
+        math.min(na - pa, nb - pb) + (k - 1) + 1e-9 >=
+          tau / (1.0 + tau) * (na + nb)
     } yield (ia, ib)).toSet
-    val model = pairsWith(positional = true)
-    val plain = pairsWith(positional = false)
+    val model = pairsWith(arity, positional = true)
+    val plain = pairsWith(1, positional = false)
     val got = Joins.trigramCandidatePairs(names.toDF("id", "s"), "id", "s", tau)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(arity >= 2, s"corpus should trigger a multi-gram arity, got $arity")
     assert(got == model,
-      s"missing=${model -- got} extra=${got -- model}")
+      s"arity=$arity missing=${model -- got} extra=${got -- model}")
     assert(model.subsetOf(plain) && model.size < plain.size,
-      s"positional cap should strictly prune: ${model.size} vs ${plain.size}")
+      s"positional+arity cap should strictly prune: ${model.size} vs ${plain.size}")
     // recall witness: every verified pair is a candidate
     val verified = Joins.trigramSimilarityJoin(names.toDF("id", "s"), "id", "s", tau)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
