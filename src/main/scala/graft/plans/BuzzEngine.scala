@@ -36,7 +36,13 @@ final class BuzzEngine(
     new QueryPlanner(resolved).plan(spark, query)
   }
 
-  /** Plan + build the final DataFrame (lazy; no job runs until an action).
+  /** Validate + build the final DataFrame (lazy; no job runs until an
+    * action). Uses [[QueryPlanner.validateAndPrune]] rather than the full
+    * [[plan]]: the statements are analyzed ONCE, against the real source,
+    * instead of first against empty relations — halving the per-query
+    * analysis work the two-stage-overhead gate pays on every cold rep.
+    * Analysis failures still surface as [[BuzzException.PlanError]] before
+    * any job runs (`spark.sql` analyzes eagerly; see `analyzed`).
     *
     * The catalog and map-output temp views exist only while the statements
     * are analyzed: `spark.sql` resolves views eagerly, so the returned
@@ -47,9 +53,27 @@ final class BuzzEngine(
     * a catalog or step name would still race between register and drop;
     * use distinct step names (or sessions) for concurrent queries. */
   def run(spark: SparkSession, query: BuzzQuery): DataFrame =
-    buildDf(spark, plan(spark, query))
+    buildDf(spark, validateAndPrune(spark, query))
 
-  private def buildDf(spark: SparkSession, p: DistributedPlan): DataFrame = {
+  private def validateAndPrune(spark: SparkSession, query: BuzzQuery): PrunedPlan = {
+    val resolved = catalogs ++ CatalogResolver.resolve(spark, query.catalogs)
+    new QueryPlanner(resolved).validateAndPrune(spark, query)
+  }
+
+  /** `spark.sql` with analysis failures translated to the planner's error
+    * type — the run path's analysis happens here (against the real
+    * source), so bad SQL must fault identically to [[plan]]'s eager
+    * empty-relation analysis. Runtime failures are untouched (they occur
+    * at action time, after this returns). */
+  private def analyzed(spark: SparkSession, sql: String): DataFrame =
+    try spark.sql(sql)
+    catch {
+      case e: BuzzException.BuzzError => throw e
+      case e: Exception =>
+        throw new BuzzException.PlanError(s"analysis of '$sql' failed: ${e.getMessage}")
+    }
+
+  private def buildDf(spark: SparkSession, p: PrunedPlan): DataFrame = {
     // strict pre-flight schema verification for the self-describing
     // formats: parquet checks physical type + repetition (the reference's
     // exact contract), ORC checks presence + category (its footer carries
@@ -73,9 +97,9 @@ final class BuzzEngine(
     val prior = names.map(n => n -> sessionCatalog.getRawTempView(n))
     try {
       source.createOrReplaceTempView(p.catalog.name)
-      val mapDf = spark.sql(p.mapStep.sql)
+      val mapDf = analyzed(spark, p.mapStep.sql)
       mapDf.createOrReplaceTempView(p.mapStep.name)
-      spark.sql(p.reduceStep.sql)
+      analyzed(spark, p.reduceStep.sql)
     } finally {
       names.foreach(spark.catalog.dropTempView)
       prior.foreach { case (n, v) =>
@@ -140,7 +164,7 @@ final class BuzzEngine(
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      val p = plan(spark, query)
+      val p = validateAndPrune(spark, query)
       val df = buildDf(spark, p)
       val rows =
         try df.collect()

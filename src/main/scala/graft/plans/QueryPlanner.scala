@@ -21,6 +21,20 @@ final case class DistributedPlan(
     mapOutputSchema: StructType,
     reduceOutputSchema: StructType)
 
+/** [[DistributedPlan]] minus the derived output schemas: everything the
+  * EXECUTION path needs. `run` builds the real DataFrames anyway, so
+  * deriving schemas from empty relations first would analyze each
+  * statement twice per query — a fixed cost the two-stage-overhead gate
+  * pays on every cold rep. `mapSource` is the identifier the map SQL
+  * reads (as written, pre case-normalization), kept for the plan-time
+  * empty-relation analysis that [[QueryPlanner.plan]] layers on top. */
+final case class PrunedPlan(
+    catalog: SplittableCatalog,
+    files: Seq[SizedFile],
+    mapStep: BuzzStep,
+    reduceStep: BuzzStep,
+    mapSource: String)
+
 /** Validates a two-step buzz query and prunes the catalog, mirroring
   * `QueryPlanner.plan` (`/root/reference/code/src/services/fuse/
   * query_planner.rs:59-177`):
@@ -36,7 +50,29 @@ final case class DistributedPlan(
   */
 final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
 
+  /** Full validation: [[validateAndPrune]] plus eager derivation of both
+    * output schemas by analyzing each statement against an empty relation
+    * — analysis errors surface HERE, with no source read. The execution
+    * path ([[BuzzEngine.run]]) uses [[validateAndPrune]] directly and
+    * analyzes each statement once against the real source instead. */
   def plan(spark: SparkSession, query: BuzzQuery): DistributedPlan = {
+    val v = validateAndPrune(spark, query)
+    // Analyze the map SQL against an empty relation to derive its output
+    // schema and surface analysis errors at plan time, then validate the
+    // reduce SQL the same way against that schema.
+    val mapSchema =
+      analyzeAgainstEmpty(spark, v.mapStep.sql, v.mapSource, v.catalog.fullSchema)
+    val reduceSchema =
+      analyzeAgainstEmpty(spark, v.reduceStep.sql, v.mapStep.name, mapSchema)
+    DistributedPlan(v.catalog, v.files, v.mapStep, v.reduceStep, mapSchema, reduceSchema)
+  }
+
+  /** Structural validation + file pruning — every plan-SHAPE error (step
+    * count/kinds, zones, multi-source statements, unknown catalog, reduce
+    * source mismatch, dead partition_filter) surfaces here; statement
+    * ANALYSIS is the caller's (eager empty-relation analysis in [[plan]],
+    * real-source analysis in the run path). */
+  private[graft] def validateAndPrune(spark: SparkSession, query: BuzzQuery): PrunedPlan = {
     if (query.steps.length != 2)
       throw new BuzzException.PlanError(
         s"exactly 2 steps (HBee, HComb) required, got ${query.steps.length}")
@@ -75,12 +111,6 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
       throw new BuzzException.PlanError(
         s"reduce step must read the map step's output '${mapStep.name}', reads '$reduceSource'")
 
-    // Analyze the map SQL against an empty relation to derive its output
-    // schema and surface analysis errors at plan time, then validate the
-    // reduce SQL the same way against that schema.
-    val mapSchema = analyzeAgainstEmpty(spark, mapStep.sql, mapSource, catalog.fullSchema)
-    val reduceSchema = analyzeAgainstEmpty(spark, reduceStep.sql, mapStep.name, mapSchema)
-
     // zone-map file skipping after partition pruning: a range predicate in
     // the map SQL's WHERE prunes FILES through the footer-stats manifest
     // the way partition_filter prunes directories (beyond-reference — the
@@ -94,7 +124,7 @@ final class QueryPlanner(catalogs: Map[String, SplittableCatalog]) {
         graft.sources.ZoneMap.pruneForQuery(
           spark, catalog.schema, pruned, mapStep.sql, catalog.format)
       else pruned // csv/json carry no footer stats; nothing to prune by
-    DistributedPlan(catalog, files, mapStep, reduceStep, mapSchema, reduceSchema)
+    PrunedPlan(catalog, files, mapStep, reduceStep, mapSource)
   }
 
   /** The single base table a statement reads; rejects multi-source plans

@@ -12,6 +12,17 @@ import graft.model.{BuzzCatalogRef, BuzzException}
   * directory of parquet files) rather than a key into compiled-in catalogs —
   * same resolution step, without the hardcoded example registry. */
 object CatalogResolver {
+
+  /** Parsed-DDL memo: `StructType.fromDDL` pays a parser warm-up on first
+    * use and a full parse per call; catalogs re-resolve per query (the
+    * reference re-configures per request too), so the same schema string
+    * parses once per process instead of once per query. Failures are not
+    * cached — invalid DDL re-throws on every call. Bounded by the number
+    * of distinct schema strings a process ever sees (catalog-count-sized,
+    * not data-sized). */
+  private val ddlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def resolve(
       spark: SparkSession,
       refs: Seq[BuzzCatalogRef]): Map[String, SplittableCatalog] =
@@ -30,7 +41,7 @@ object CatalogResolver {
               s"unknown format '$format' for catalog '${r.name}' " +
                 s"(expected one of ${StaticCatalog.SupportedFormats.toSeq.sorted.mkString(", ")})")
           val declared = r.schemaDdl.map { ddl =>
-            try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            try ddlCache.computeIfAbsent(ddl, org.apache.spark.sql.types.StructType.fromDDL)
             catch {
               case e: Exception => throw new BuzzException.BadRequest(
                 s"invalid schema DDL for catalog '${r.name}': ${e.getMessage}")
