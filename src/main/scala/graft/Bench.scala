@@ -48,6 +48,20 @@ object Bench {
     spark.catalog.clearCache()
     graft.operators.PipelineCache.clear()
 
+    // untimed MEASURED-SF warm-up: the warm-dir pass above settles JIT and
+    // codegen but not the measured SF's page cache or first-shuffle sizing,
+    // so the alphabetically-first family ate the session's first-touch
+    // costs (r14 committed pair: ann_saved_append 25.0 s in one pass vs
+    // 10.1 s in the other on identical code). One cheap query per big
+    // table (embeddings / documents / lineitem / events) absorbs that
+    // transient outside any timed row, mirroring the calibration warm-up.
+    Seq("ann_brute", "text_tokens", "q1_agg", "events_hourly").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    graft.operators.PipelineCache.clear()
+
     // fixed-size calibration job (SF-independent): the same work runs
     // before and after the measured pass, so host-load contamination is
     // visible INSIDE the artifact — if calib seconds swing, the per-query

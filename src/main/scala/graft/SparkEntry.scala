@@ -2441,40 +2441,63 @@ object SparkEntry {
     // oracle pins their SIGN (updates rewrite candidates, every chunk
     // adds files), not their count. A third call proves idempotence:
     // caught up ⇒ zero chunks, zero versions, head unchanged.
+    //
+    // The source history AND the bootstrap-state replica are built ONCE
+    // per testdata signature (the fixtureKey discipline — VERDICT r14 #4:
+    // the benched wall previously measured seven fixture commits, not the
+    // operator); each run file-copies the replica template to a fresh dst
+    // and performs the LIVE chunked catch-up + idempotence probe against
+    // it. boot_ok pins the bootstrap report recorded when the template
+    // was built (same testdata signature — a stale template can never
+    // carry a different history).
     "sink_delta_replicate_report" -> ((s, dir) => {
       import graft.operators.Sinks
       import graft.sources.FsUtil
       val key = fixtureKey(dir, "documents")
       val tmp = System.getProperty("java.io.tmpdir")
       val src = s"$tmp/graft_deltareplrepsrc_$key"
-      val dst = s"$tmp/graft_deltareplrepdst_$key"
-      Seq(src, dst).foreach(p =>
-        FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+      val bootTpl = s"$tmp/graft_deltareplrepboot_$key"
+      val marker = s"$bootTpl/_GRAFT_FIXTURE_READY"
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("n_chars"), col("source"))
-      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), src) // v0
-      Sinks.deltaSetProperties(s, src,
-        Map("delta.enableChangeDataFeed" -> "true"))                         // v1
-      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), src) // v2
-      val boot = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"))
-      Sinks.deltaMerge(s, src,
-        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
-          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")           // v3
-      Sinks.deltaDeleteWhere(s, src, "doc_id % 10 = 7")                      // v4
-      Sinks.deltaMerge(s, src,
-        docs.filter(pmod(col("doc_id"), lit(10L)) === 1)
-          .withColumn("n_chars", col("n_chars") + 2000), "doc_id")           // v5
-      Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          col("n_chars"), col("source")), src)                               // v6
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      if (!FsUtil.exists(s, marker)) {
+        Seq(src, bootTpl).foreach(p =>
+          FsUtil.fs(s, p).delete(new org.apache.hadoop.fs.Path(p), true))
+        Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), src) // v0
+        Sinks.deltaSetProperties(s, src,
+          Map("delta.enableChangeDataFeed" -> "true"))                         // v1
+        Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), src) // v2
+        val boot = Sinks.deltaReplicateReport(s, src, bootTpl, Seq("doc_id"))
+        Sinks.deltaMerge(s, src,
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+            .withColumn("n_chars", col("n_chars") + 1000), "doc_id")           // v3
+        Sinks.deltaDeleteWhere(s, src, "doc_id % 10 = 7")                      // v4
+        Sinks.deltaMerge(s, src,
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 1)
+            .withColumn("n_chars", col("n_chars") + 2000), "doc_id")           // v5
+        Sinks.deltaAppend(docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("n_chars"), col("source")), src)                               // v6
+        FsUtil.writeString(s, s"$bootTpl/_GRAFT_BOOT_OK",
+          flag(boot.bootstrapped && !boot.resynced && boot.chunks == 0L
+            && boot.versions == 0L).toString)
+        FsUtil.writeString(s, marker, "ok") // completion witness, written LAST
+      }
+      val bootOk = FsUtil.readString(s, s"$bootTpl/_GRAFT_BOOT_OK").trim.toLong
+      val dst = s"$tmp/graft_deltareplrepdst_$key"
+      val fs = FsUtil.fs(s, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(bootTpl),
+        fs, new org.apache.hadoop.fs.Path(dst),
+        false, s.sessionState.newHadoopConf())
       val rep = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"),
         maxVersionsPerApply = 2)
       val noop = Sinks.deltaReplicateReport(s, src, dst, Seq("doc_id"),
         maxVersionsPerApply = 2)
       import s.implicits._
-      def flag(b: Boolean): Long = if (b) 1L else 0L
-      Seq((flag(boot.bootstrapped && !boot.resynced && boot.chunks == 0L
-          && boot.versions == 0L),
+      Seq((bootOk,
         rep.chunks, rep.versions, rep.rowsNetted, rep.version,
         flag(rep.bootstrapped), flag(rep.resynced),
         flag(rep.filesRewritten > 0L), flag(rep.filesAdded > 0L),
