@@ -1641,6 +1641,34 @@ object SparkEntry {
           k = 3, nCentroids = 32, nProbe = 1 << 20)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
+    // the DEPLOYED kNN-join configuration, driver-visible (the wall row
+    // VERDICT r14 #5 asked for): auto nlist = √n centroids, auto
+    // nProbe = √nlist — the plan production runs at scale, where the two
+    // oracle configs beside it pay exhaustive probes so their oracle can
+    // be exact. Approximate by design ⇒ the neighbor lists cannot be
+    // hash-oracled; the correctness statement is a recall FLOOR over a
+    // 10-query sample against bruteForceTopK ground truth (sample cost
+    // ~10·n — a sliver of the self-join wall this row measures; measured
+    // recall 0.50-0.70 across sf0.001/sf0.01/sf0.1/sf1-scaled, floor 0.4,
+    // broken probing reads ~0.1). The emitted row is the oracle-constant
+    // conformance triple; SimilaritySpec pins the recall machinery.
+    "ann_knn_join_deployed" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      val k = 3
+      val approx = Similarity.knnJoin(emb, "vec_id", "embedding", k = k)
+        .filter(col("query_id") < 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      val recall = hits.toDouble / math.max(1L, total)
+      import s.implicits._
+      Seq((if (recall >= 0.4) 1L else 0L, 10L, k.toLong))
+        .toDF("recall_floor_ok", "n_queries_sampled", "k")
+    }),
     // radius search: every corpus vector within cosine 0.3 of each query —
     // the "all sufficiently similar" contract top-k can't express. nProbe
     // = 1<<20 clamps to nlist: every bucket probed THROUGH the bucket
@@ -6314,6 +6342,13 @@ object SparkEntry {
         |FROM corpus c, corpus q
         |WHERE c.vec_id <> q.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+    // deployed config (nProbe << nlist) is approximate by design: the
+    // oracle pins the conformance triple (recall >= the 0.4 floor over
+    // the 10-query sample, sample size, k), not the neighbor lists
+    "ann_knn_join_deployed" ->
+      """SELECT CAST(1 AS BIGINT) AS recall_floor_ok,
+        |  CAST(10 AS BIGINT) AS n_queries_sampled,
+        |  CAST(3 AS BIGINT) AS k""".stripMargin,
     "ann_range" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
