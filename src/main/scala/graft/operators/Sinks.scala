@@ -1060,16 +1060,25 @@ object Sinks {
           StructField("__gvp", StringType, nullable = false),
           StructField("__gvers", arrTpe, nullable = false))))
       val joined = df.join(broadcast(verDf), df("__gfp") === verDf("__gvp"), "left")
-      // same loud miss guard as the scalar join; the guarded array's
-      // containsNull=false makes the exploded _commit_version non-nullable
+      // same loud miss guard as the scalar join
       val guarded = when(col("__gvp").isNull,
           raise_error(concat(
             lit("cdf engine bug: scanned row's file is missing from the " +
               "per-file commit map (path normalization mismatch): "),
             col("__gfp"))).cast(arrTpe))
         .otherwise(col("__gvers"))
-      joined.withColumn("_commit_version", explode(guarded))
-        .drop("__gfp", "__gvp", "__gvers")
+      // PIN the exploded version non-nullable with the same AssertNotNull
+      // the scalar path uses, rather than relying on when/otherwise
+      // propagating the array's containsNull=false — a Spark upgrade
+      // changing that inference must not silently flip the feed schema
+      // to a nullable _commit_version (the spec guards both paths)
+      import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+      import org.apache.spark.sql.graftshim.GraftColumn
+      joined.withColumn("__gver1", explode(guarded))
+        .withColumn("_commit_version",
+          GraftColumn.of(AssertNotNull(GraftColumn.expr(col("__gver1")),
+            Seq("engine-internal per-file commit version list"))))
+        .drop("__gfp", "__gvp", "__gvers", "__gver1")
     }
 
   private def attachCommitVersionsScalar(
