@@ -113,7 +113,10 @@ object ScaleProbe {
       // dedup_clusters end-to-end: minhash pairs -> CC rounds
       val (_, clSecs) = timed {
         val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
-        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+        // cutoff 0: the probe measures the DISTRIBUTED loop's round
+        // scaling; the small-graph driver fast path would report 0 rounds
+        val (labels, rounds) =
+          Dedup.connectedComponentsWithRounds(pairs, localEdgeCutoff = 0)
         report("clusters_rounds", scale, rounds.toLong, 0.0)
         report("clusters_labels", scale, labels.count(), 0.0)
       }
@@ -129,7 +132,7 @@ object ScaleProbe {
         val chain = spark.range(1L, chainLen)
           .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
         val (labels, rounds) = Dedup.connectedComponentsWithRounds(
-          chain, maxIterations = 64)
+          chain, maxIterations = 64, localEdgeCutoff = 0)
         // one component labeled by the chain head
         require(labels.agg(countDistinct(col("comp"))).collect()(0).getLong(0) == 1L)
         rounds

@@ -244,7 +244,10 @@ class DedupSpec extends AnyFunSuite {
     // 2·log2(d) + slack, loose enough to be stable, tight enough that any
     // regression to diameter-bound convergence trips it immediately
     val chain = (1L to 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIterations = 64)
+    // cutoff 0: this spec pins the DISTRIBUTED loop's round bound; the
+    // small-graph driver fast path would trivially report 0 rounds
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      chain, maxIterations = 64, localEdgeCutoff = 0)
     val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length == 512 && comps.forall(_._2 == 1L))
     assert(rounds <= 22, s"expected ~log2(512)=9-ish rounds, got $rounds")
@@ -267,12 +270,52 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 2L, "tiny doc")))
   }
 
+  test("small-graph CC fast path: identical labels to the loop, zero rounds") {
+    // mixed shapes: chain, clique, pair, self-pair-only node, shared ids
+    val rnd = new scala.util.Random(7)
+    val edges = ((1L to 200L).map(i => (i, i + 1)) ++              // long chain
+      (for (a <- 300L to 320L; b <- a + 1 to 320L) yield (a, b)) ++ // clique
+      Seq((400L, 400L), (500L, 501L)) ++                            // self-pair, pair
+      (1 to 300).map(_ => (rnd.nextInt(100).toLong + 600L,
+        rnd.nextInt(100).toLong + 600L)))                           // random blob
+      .toDF("id_a", "id_b")
+    val (fast, fastRounds) = Dedup.connectedComponentsWithRounds(
+      edges, localEdgeCutoff = 1000000)
+    val (loop, loopRounds) = Dedup.connectedComponentsWithRounds(
+      edges, maxIterations = 64, localEdgeCutoff = 0)
+    assert(fastRounds == 0 && loopRounds > 0)
+    val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == l)
+    assert(f(400L) == 400L) // self-pair-only node labels itself
+  }
+
+  test("CC fast path preserves the input id type in both columns") {
+    val edges = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b") // ints
+    val out = Dedup.connectedComponents(edges)
+    assert(out.schema("id").dataType.simpleString == "int")
+    assert(out.schema("comp").dataType.simpleString == "int")
+    val m = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
+  test("non-integral id types always take the loop") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    assert(rounds > 0) // string ids cannot collect as longs — loop path
+    val m = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("connected components fail loudly instead of returning partial labels") {
     // a 6-node chain cannot converge in 1 iteration — partial labels would
     // silently keep several "keepers" in one duplicate cluster
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIterations = 1).collect()
+      // cutoff 0: non-convergence is a LOOP property; the driver fast
+      // path needs no rounds and would (correctly) succeed here
+      Dedup.connectedComponentsWithRounds(
+        chain, maxIterations = 1, localEdgeCutoff = 0)._1.collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
