@@ -331,7 +331,22 @@ object Sinks {
     val newFiles = scala.collection.mutable.ListBuffer[(String, Path, Seq[String])]()
     // raw log paths this rewrite removes — the commit loop's CONFLICT SET
     val removedRaws = scala.collection.mutable.ListBuffer[String]()
-    work.toSeq.sortBy(_._1.mkString("/")).foreach { case (pv, fs) =>
+    // partition groups rewrite INDEPENDENTLY (each reads only its own
+    // files, stages under its own UUID dir, renames into its own k=v
+    // dir), so run them from a small thread pool instead of serially:
+    // Spark's scheduler happily overlaps the per-group jobs (the
+    // guide's back-fill discipline), and — what actually dominated the
+    // profile at small groups — the per-group DRIVER work (plan
+    // analysis, staging listStatus, renames) overlaps too. Results land
+    // in a work-index-addressed array and are flattened in sorted-group
+    // order, so the commit's action order stays deterministic.
+    val workSeq = work.toSeq.sortBy(_._1.mkString("/"))
+    val conc = math.max(1, math.min(workSeq.size,
+      spark.conf.get("spark.graft.optimize.maxConcurrentRewrites", "8").toInt))
+    val results =
+      new Array[(Seq[(String, Path, Seq[String])], Seq[String])](workSeq.size)
+    def rewriteGroup(pv: Seq[String], fs: Seq[graft.sources.SizedFile])
+        : (Seq[(String, Path, Seq[String])], Seq[String]) = {
       val nOut = math.max(1L,
         math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toLong).toInt
       // new files carry only the DATA columns — partition values live in
@@ -345,6 +360,7 @@ object Sinks {
       data.repartition(nOut).write.mode("overwrite").parquet(stage)
       val destDir = cat.partitionColumns.zip(pv)
         .map { case (k, v) => s"$k=${escapePathName(v)}" }.mkString("/")
+      val localNew = scala.collection.mutable.ListBuffer[(String, Path, Seq[String])]()
       FsUtil.listStatus(spark, stage)
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
           val name = s"optimized-${java.util.UUID.randomUUID}.parquet"
@@ -354,14 +370,36 @@ object Sinks {
           if (!fsys.rename(st.getPath, dest))
             throw new BuzzException.ExecutionError(
               s"optimize staging rename failed for $relPath")
-          newFiles += ((relPath, dest, pv))
+          localNew += ((relPath, dest, pv))
         }
       fsys.delete(new Path(stage), true)
-      fs.foreach { f =>
-        removedRaws += rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
+      val localRemoved = fs.map { f =>
+        rawByKey.getOrElse(f.key, throw new BuzzException.ExecutionError(
           s"optimize: no raw log path for live file ${f.key} — snapshot drifted"))
       }
+      (localNew.toSeq, localRemoved)
     }
+    if (conc <= 1) {
+      workSeq.zipWithIndex.foreach { case ((pv, fs), i) =>
+        results(i) = rewriteGroup(pv, fs)
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      try {
+        val futs = workSeq.zipWithIndex.map { case ((pv, fs), i) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = results(i) = rewriteGroup(pv, fs)
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch { // surface the group's own exception, not the pool wrapper
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdownNow()
+    }
+    results.foreach { case (nf, rr) => newFiles ++= nf; removedRaws ++= rr }
     // commitRewrite recomputes fresh data-skipping stats for the rewritten
     // files (the compacted layout usually has WIDER per-file ranges than
     // what it replaced — stale ranges would be unsound, absent ones merely

@@ -188,10 +188,23 @@ object ZoneMap {
     if (wanted.isEmpty || paths.isEmpty) return Map.empty
     val confProps = spark.sessionState.newHadoopConf().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    val parallelism = math.min(paths.size, spark.sparkContext.defaultParallelism).max(1)
-    spark.sparkContext.parallelize(paths, parallelism).map { p =>
-      p -> deltaStatsForFile(confProps, p, wanted)
-    }.collect().collect { case (p, Some(j)) => p -> j }.toMap
+    // small commits read their footers ON THE DRIVER: the commit's own
+    // staging walk/renames just touched these files driver-side, and
+    // scheduling a distributed job for a handful of footer reads costs
+    // more than the reads (profiled: the per-append stats job was pure
+    // scheduling latency at single-digit file counts). Large commits —
+    // the 100 TB regime, thousands of files per append — keep the job.
+    val localCutoff =
+      spark.conf.get("spark.graft.stats.localFooterCutoff", "32").toInt
+    if (paths.size <= localCutoff)
+      paths.map(p => p -> deltaStatsForFile(confProps, p, wanted))
+        .collect { case (p, Some(j)) => p -> j }.toMap
+    else {
+      val parallelism = math.min(paths.size, spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(paths, parallelism).map { p =>
+        p -> deltaStatsForFile(confProps, p, wanted)
+      }.collect().collect { case (p, Some(j)) => p -> j }.toMap
+    }
   }
 
   /** One file's stats JSON; None when the footer is unreadable. */
