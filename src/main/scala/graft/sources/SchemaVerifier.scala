@@ -25,6 +25,35 @@ import graft.model.BuzzException
   * sample or push the check into the first task per file instead.
   */
 object SchemaVerifier {
+
+  /** Verified-file memo: a (path, length, mtime, declared-DDL, flag) tuple
+    * that PASSED verification never re-reads its footer this process —
+    * the check is a pure function of the file bytes and the declaration,
+    * and the engine re-verifies per query (a fresh cold-path engine rep
+    * paid one footer read per file per run; the fingerprint stat is ~10×
+    * cheaper than footer open+parse and is the same identity discipline
+    * the Delta replay memo uses). Failures are never cached — a mismatch
+    * re-throws with its full message on every call. Entries are a few
+    * hundred bytes; the cap just bounds a pathological many-files process. */
+  private val verifiedCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long, String, Boolean)]()
+  private val verifiedCacheMax = 100000
+
+  private def fingerprint(
+      p: String, conf: Configuration,
+      declared: StructType, flag: Boolean): (String, Long, Long, String, Boolean) = {
+    val st = new Path(p).getFileSystem(conf).getFileStatus(new Path(p))
+    (p, st.getLen, st.getModificationTime, declared.toDDL, flag)
+  }
+
+  private def cached(key: (String, Long, Long, String, Boolean)): Boolean =
+    verifiedCache.contains(key)
+
+  private def record(key: (String, Long, Long, String, Boolean)): Unit = {
+    if (verifiedCache.size > verifiedCacheMax) verifiedCache.clear()
+    verifiedCache.add(key)
+  }
+
   /** Pass the session's Hadoop conf (`spark.sessionState.newHadoopConf()`)
     * so `spark.hadoop.*` filesystem settings (s3a credentials, endpoints)
     * apply to the footer reads — a bare Configuration would resolve remote
@@ -35,6 +64,20 @@ object SchemaVerifier {
       conf: Configuration = new Configuration(),
       missingNullableOk: Boolean = false): Unit = {
     paths.foreach { p =>
+      val key = fingerprint(p, conf, declared, missingNullableOk)
+      if (!cached(key)) {
+        verifyOne(p, declared, conf, missingNullableOk)
+        record(key)
+      }
+    }
+  }
+
+  private def verifyOne(
+      p: String,
+      declared: StructType,
+      conf: Configuration,
+      missingNullableOk: Boolean): Unit = {
+    locally {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
       val footer = try reader.getFooter finally reader.close()
       val fileSchema = footer.getFileMetaData.getSchema
@@ -69,6 +112,10 @@ object SchemaVerifier {
     }
   }
 
+  /** Test seam: drop the verified-file memo (e.g. before asserting a
+    * mismatch on a file rewritten in place within one mtime tick). */
+  private[graft] def invalidateCache(): Unit = verifiedCache.clear()
+
   /** ORC twin of [[verify]]: every declared column must exist in each
     * file's footer TypeDescription with a compatible category. ORC's
     * schema carries no per-field repetition, so there is no nullability
@@ -84,25 +131,32 @@ object SchemaVerifier {
       missingNullableOk: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     paths.foreach { p =>
-      val reader = org.apache.orc.OrcFile.createReader(
-        new Path(p), org.apache.orc.OrcFile.readerOptions(conf))
-      val (names, kids) =
-        try {
-          val s = reader.getSchema
-          (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
-        } finally reader.close()
-      declared.fields.foreach { f =>
-        val idx = names.indexOf(f.name)
-        if (idx < 0) {
-          if (!(missingNullableOk && f.nullable))
-            throw new BuzzException.SchemaMismatch(
-              s"file $p is missing declared column '${f.name}'")
-        } else {
-          val cat = kids(idx).getCategory
-          if (!orcCompatible(cat, f.dataType))
-            throw new BuzzException.SchemaMismatch(
-              s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
+      // same verified-file memo as [[verify]] — the ORC key is disjoint
+      // from parquet's because the declared-DDL leg encodes the same
+      // schema but the path identifies the format's own footer
+      val key = fingerprint(p, conf, declared, missingNullableOk)
+      if (!cached(key)) {
+        val reader = org.apache.orc.OrcFile.createReader(
+          new Path(p), org.apache.orc.OrcFile.readerOptions(conf))
+        val (names, kids) =
+          try {
+            val s = reader.getSchema
+            (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
+          } finally reader.close()
+        declared.fields.foreach { f =>
+          val idx = names.indexOf(f.name)
+          if (idx < 0) {
+            if (!(missingNullableOk && f.nullable))
+              throw new BuzzException.SchemaMismatch(
+                s"file $p is missing declared column '${f.name}'")
+          } else {
+            val cat = kids(idx).getCategory
+            if (!orcCompatible(cat, f.dataType))
+              throw new BuzzException.SchemaMismatch(
+                s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
+          }
         }
+        record(key)
       }
     }
   }
