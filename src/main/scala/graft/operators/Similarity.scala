@@ -903,7 +903,14 @@ object Similarity {
     * cross the exchange per task. Per-vector CPU is O(d²) — inherent to
     * covariance; for d in the thousands, batch the triangle into a custom
     * block Aggregator, same exchange shape. Cells rounded 6 dp. */
-  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+  def covarianceMatrix(df0: DataFrame, vecCol: String): DataFrame = {
+    // the triangle expansion is O(d²) CPU per VECTOR — a small corpus
+    // arriving as one file split would serialize all of it on one task
+    // (profiled: embed_pca's covariance stage ran 4.6 s single-task at
+    // sf0.1); widen spreads the rows before the per-row work, and the
+    // partial aggregation still folds map-side so the exchange carries
+    // only d(d+1)/2 cell partials per task
+    val df = OpUtils.widen(df0)
     val pairs = df.select(explode(expr(
         s"""flatten(transform(sequence(0, size($vecCol) - 1), i ->
            |  transform(sequence(i, size($vecCol) - 1), j -> struct(
