@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One forked JVM PER SUITE, several in flight: the suites are independent
+// (each builds its own fixtures in per-test tmpdirs; ports are ephemeral)
+// but a single shared fork serializes them behind one local[4]
+// SparkContext, leaving most of the host idle — measured 9m36s for the
+// full suite on a quiet 32-core host. Per-suite JVMs give hard isolation
+// (no shared-session conf races, no PipelineCache cross-talk) and let the
+// scheduler overlap suites; the fork budget bounds memory and CPU
+// oversubscription. SPARK_GRAFT_TEST_FORKS=1 restores serial runs.
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory((Test / baseDirectory).value)
+  (Test / definedTests).value.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(opts)))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "8").toInt))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -137,6 +137,24 @@ object Bench {
     val calib = f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
       f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calib,"sf":${q(sfDir)}}""")
+    // LAYERED TAIL BLOCK (additions only — every line above is unchanged):
+    // a tail-window capture keeps only the LAST ~2 KB of output, and the
+    // 12 KB aggregate line above has eaten that window every round
+    // (BENCH_r08–r15 all parsed to null). Re-print the per-query numbers
+    // in ascending order so the HEAVIEST queries sit nearest the end and
+    // survive any tail cut, preceded by per-family subtotals (complete
+    // coverage at ~20 lines when a wider window is kept).
+    val fams = results.groupBy { case (k, _) =>
+      if (k.startsWith("q") && k.drop(1).takeWhile(_ != '_').forall(_.isDigit)) "q"
+      else if (k.startsWith("source_")) "source"
+      else k.takeWhile(_ != '_')
+    }
+    fams.toSeq.sortBy(_._1).foreach { case (f, qs2) =>
+      println(f"""{"metric":"family","name":${q(f)},"value":${qs2.map(_._2).sum}%.3f,"n":${qs2.size},"unit":"sec"}""")
+    }
+    results.sortBy(_._2).foreach { case (k, v) =>
+      println(f"""{"metric":"query","name":${q(k)},"value":$v%.4f,"unit":"sec"}""")
+    }
     // compact headline LAST: carries the total even if the line above was
     // truncated by a tail capture
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"reps":$reps,$calib,"sf":${q(sfDir)}}""")
