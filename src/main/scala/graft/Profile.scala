@@ -20,13 +20,23 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-run Spark job count: iterative operators pay a fixed-latency
+    // barrier per action, so "how many jobs did this query run" is the
+    // direct readout of the §2.6 fold-the-action work
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       graft.operators.PipelineCache.clear()
       spark.catalog.clearCache()
+      jobs.set(0)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name run $i: $sec%.2f s ($n rows, ${jobs.get()} jobs)")
     }
     spark.stop()
   }

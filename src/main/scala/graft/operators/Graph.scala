@@ -57,15 +57,27 @@ object Graph {
       e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count().toDouble // scalar metadata, O(1) on the driver
+    // both driver scalars — node count and dangling count — come out of ONE
+    // aggregate job (a left join against the distinct-src set, counting the
+    // unmatched rows), instead of one action each: at bench scale each
+    // separate action is a fixed-latency barrier, and the join costs nothing
+    // the anti-join below didn't already pay
+    val cntRow = nodes
+      .join(e.select(col("src").as("id")).distinct()
+          .select(col("id"), lit(1).as("__pr_out")),
+        Seq("id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__pr_out").isNull, 1)).as("nd"))
+      .collect()(0)
+    val n = cntRow.getLong(0).toDouble
+    val nDanglers = cntRow.getLong(1)
     // an empty edge list would otherwise silently produce 1/0 = Infinity
     // ranks; no graph is a caller error, not a degenerate result
     require(n > 0, "pageRank requires a non-empty edge list")
-    // nodes with no out-edges, fixed for the whole run; the count (a
-    // scalar) decides whether the per-round mass aggregate exists at all
-    val danglers = OpUtils.shared(
+    // nodes with no out-edges, fixed for the whole run; only the dangler
+    // branch ever reads (and then persists) the frame
+    lazy val danglers = OpUtils.shared(
       nodes.join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti"))
-    val nDanglers = danglers.count()
 
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
     if (nDanglers == 0) {
@@ -367,23 +379,33 @@ object Graph {
     // agg + both semi-join survivor sets) — a plain persist would nest the
     // full prior plan 3× per round (3^rounds analysis blowup; observed as
     // a driver OOM at 5 rounds over the sf0.1 graph), so every round is
-    // materialized AND plan-truncated via OpUtils.roundCheckpoint
+    // materialized AND plan-truncated via OpUtils.roundCheckpoint.
+    //
+    // Convergence is read off the PEEL ITSELF: deletion is monotone, so the
+    // edge count is unchanged after a peel iff no endpoint was under-degree,
+    // i.e. the set is the k-core. That folds the old separate
+    // degree-histogram count action (a full aggregation job per round) into
+    // the round's one materialization — counting a just-checkpointed leaf
+    // costs a cached-partition scan, not a recompute — and the survivor
+    // aggregate inside both semi joins is deduplicated by ReuseExchange.
     var cur = OpUtils.roundCheckpoint(canon)
+    var curCount = cur.count()
     var rounds = 0
-    var converged = false
+    var converged = curCount == 0L // an empty canonical edge list is its own k-core
     while (!converged) {
-      val deg = degrees(cur)
-      val nBad = deg.filter(col("d") < k).count() // driver scalar, O(1) rows
-      if (nBad == 0) converged = true
+      val keep = degrees(cur).filter(col("d") >= k).select(col("id"))
+      val next = OpUtils.roundCheckpoint(cur
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi"))
+      val nextCount = next.count()
+      if (nextCount == curCount) converged = true // no-op peel = fixpoint reached
       else {
         rounds += 1
         require(rounds <= maxRounds,
           s"k-core peeling did not converge within $maxRounds rounds " +
-            s"($nBad under-degree nodes remain) — raise maxRounds or check the graph")
-        val keep = deg.filter(col("d") >= k).select(col("id"))
-        cur = OpUtils.roundCheckpoint(cur
-          .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi"))
+            s"($nextCount edges remain, still shrinking) — raise maxRounds or check the graph")
+        cur = next
+        curCount = nextCount
       }
     }
     degrees(cur).select(col("id").as("node_id"), col("d").cast("long").as("core_deg"))
@@ -416,7 +438,12 @@ object Graph {
     // every round reads BOTH the frontier and the accumulated visited set,
     // and the accumulator unions the prior round — plan-truncate each
     // round (see kCore: persist alone leaves an exponentially nesting
-    // analysis tree across rounds)
+    // analysis tree across rounds). Leaving the accumulator as a lazy
+    // union of truncated frontier leaves was measured in r16 and REGRESSED
+    // (sf0.1 warm 3.34→5.05 s): the per-round anti-join against a compact
+    // re-materialized visited set beats one against a many-partition union
+    // of cached leaves, and the union copy it saves is tiny at every scale
+    // (the visited set is node-sized, the joins are edge-sized).
     var dist = OpUtils.roundCheckpoint(
       seeds.select(col("id")).distinct()
         .select(col("id"), lit(0).cast("long").as("hops")))
@@ -470,6 +497,14 @@ object Graph {
     val e = OpUtils.shared(
       canon.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(canon.select(col("v").as("src"), col("u").as("dst"))))
+    // Each round IS eagerly checkpointed. The lazy alternative (truncate
+    // every 2nd round, trust ReuseExchange to dedup the two consumer
+    // branches) was measured in r16 and REGRESSED — sf0.1 warm 2.69→4.03 s,
+    // 22→30 Spark jobs: AQE does not reuse the duplicated label subtree
+    // across the join and self-vote union branches, so every skipped
+    // checkpoint re-executes a full round. Per-round materialization is
+    // also the shape that scales: duplicated round compute grows with the
+    // corpus, the barrier latency does not.
     var labels = OpUtils.roundCheckpoint(
       e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
