@@ -1656,9 +1656,17 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val emb = t(s, dir, "embeddings")
       val k = 3
-      val approx = Similarity.knnJoin(emb, "vec_id", "embedding", k = k)
-        .filter(col("query_id") < 10)
+      // the FULL deployed self-join is materialized before the recall
+      // sample is cut (eager localCheckpoint barrier): without it Catalyst
+      // pushes the sample's query_id filter INTO the join and the row
+      // times a 10-query probe, not the deployed all-pairs wall its name
+      // claims (VERDICT r15 #4). The materialized frame is n·k id pairs —
+      // tiny next to the join that produced it — and lives only inside
+      // this query's timed region.
+      val full = Similarity.knnJoin(emb, "vec_id", "embedding", k = k)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val approx = full.filter(col("query_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = k)
         .select(col("query_id"), col("neighbor_id"))

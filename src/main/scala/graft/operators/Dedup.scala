@@ -611,10 +611,12 @@ object Dedup {
     * BARRIER cost, which a cluster pays the same way). Above the cutoff —
     * the 100 TB regime, where the edge list must never visit the driver —
     * the log-round loop runs unchanged. -1 (default) reads
-    * `spark.graft.cc.localEdgeCutoff` (default 1,000,000 edges ≈ 16 MB
-    * collected); 0 disables the fast path (the probes pin 0 so round
-    * scaling stays measured). Non-integral id types always take the loop
-    * (the collect path reads ids as longs). */
+    * `spark.graft.cc.localEdgeCutoff` (default 1,000,000 edges ≈ 80 MB of
+    * bounded driver transients: specialized tuples + primitive id/parent
+    * arrays); 0 disables the fast path (the probes pin 0 so round scaling
+    * stays measured). Non-integral id types, and src/dst of differing
+    * widths, always take the loop (the collect path reads ids as longs
+    * and labels back as the single shared type). */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIterations: Int = 20,
       localEdgeCutoff: Int = -1): (DataFrame, Int) = {
@@ -678,50 +680,71 @@ object Dedup {
     // counted the distinct edges; at-or-below the cutoff, label on the
     // driver and skip the round loop entirely
     val idType = p.schema("src").dataType
+    // both endpoints must share one integral type: mixed widths would
+    // union-widen `nodes` while the fast path casts labels back to the
+    // src type — a silent schema divergence from the loop path (and a
+    // potential ANSI cast overflow), so such inputs take the loop
     val integralIds = Seq("tinyint", "smallint", "int", "bigint")
-      .contains(idType.simpleString)
+      .contains(idType.simpleString) && p.schema("dst").dataType == idType
     val cutoff =
       if (localEdgeCutoff >= 0) localEdgeCutoff
       else pairs.sparkSession.conf
         .get("spark.graft.cc.localEdgeCutoff", "1000000").toInt
     if (integralIds && cutoff > 0 && prevFp._1 <= cutoff) {
       val spark = pairs.sparkSession
+      import spark.implicits._
+      // primitive collect: Dataset[(Long, Long)] materializes SPECIALIZED
+      // tuples (two primitive fields each, no GenericRow boxing); ids are
+      // then index-compressed through one sorted array so union-find runs
+      // over int indices and primitive arrays. Driver transient at the
+      // 1M-edge cutoff: ~32 MB tuples + ~48 MB id/parent arrays — bounded
+      // and far below the boxed-HashMap shape this replaced.
       val arr = edges
         .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
         .collect() // bounded: <= cutoff rows of two longs
-      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](arr.length * 2)
-      def find(x0: Long): Long = {
-        var x = x0
-        var px: Long = parent.getOrDefault(x, x)
-        while (px != x) { x = px; px = parent.getOrDefault(x, x) }
+      val nE = arr.length
+      val all = new Array[Long](2 * nE)
+      var i = 0
+      while (i < nE) { all(2 * i) = arr(i)._1; all(2 * i + 1) = arr(i)._2; i += 1 }
+      java.util.Arrays.sort(all)
+      var m = 0 // unique in place; sorted order means index order == id order
+      i = 0
+      while (i < all.length) {
+        if (m == 0 || all(m - 1) != all(i)) { all(m) = all(i); m += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+      val parent = Array.tabulate(m)(identity)
+      def find(x0: Int): Int = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
         var y = x0 // path compression
-        while (y != x) {
-          val py: Long = parent.getOrDefault(y, y); parent.put(y, x); y = py
-        }
-        x
+        while (y != r) { val py = parent(y); parent(y) = r; y = py }
+        r
       }
       // union by MIN root: a tree's root is always the minimum of its
-      // members (induction over unions), so find(x) IS the component label
-      arr.foreach { r =>
-        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+      // members (induction over unions), and ids are index-compressed in
+      // SORTED order, so min index == min id and find(x) IS the label
+      i = 0
+      while (i < nE) {
+        val ra = find(idx(arr(i)._1)); val rb = find(idx(arr(i)._2))
         if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
+        i += 1
       }
-      // resolve each endpoint once; emit only non-root members — root and
-      // isolated/self-paired nodes label themselves through the coalesce
-      val compOf = new java.util.HashMap[java.lang.Long, java.lang.Long](arr.length * 2)
-      arr.foreach { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        if (!compOf.containsKey(a)) compOf.put(a, find(a))
-        if (!compOf.containsKey(b)) compOf.put(b, find(b))
+      // emit only non-root members — root and isolated/self-paired nodes
+      // label themselves through the coalesce
+      val nonRoot = Array.newBuilder[(Long, Long)]
+      i = 0
+      while (i < m) {
+        val r = find(i)
+        if (r != i) nonRoot += ((ids(i), ids(r)))
+        i += 1
       }
-      import scala.jdk.CollectionConverters._
-      import spark.implicits._
-      val nonRoot = compOf.entrySet().asScala.iterator
-        .filter(e => e.getKey.longValue != e.getValue.longValue)
-        .map(e => (e.getKey.longValue, e.getValue.longValue)).toSeq
-      val lbl = nonRoot.toDF("id", "__cc_c")
+      val lbl = nonRoot.result().toSeq.toDF("id", "__cc_c")
         .select(col("id").cast(idType).as("id"), col("__cc_c").cast(idType).as("__cc_c"))
       val labels = nodes.join(broadcast(lbl), Seq("id"), "left")
         .select(col("id"), coalesce(col("__cc_c"), col("id")).as("comp"))

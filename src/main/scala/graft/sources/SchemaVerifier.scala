@@ -26,30 +26,52 @@ import graft.model.BuzzException
   */
 object SchemaVerifier {
 
-  /** Verified-file memo: a (path, length, mtime, declared-DDL, flag) tuple
-    * that PASSED verification never re-reads its footer this process —
-    * the check is a pure function of the file bytes and the declaration,
-    * and the engine re-verifies per query (a fresh cold-path engine rep
-    * paid one footer read per file per run; the fingerprint stat is ~10×
-    * cheaper than footer open+parse and is the same identity discipline
-    * the Delta replay memo uses). Failures are never cached — a mismatch
-    * re-throws with its full message on every call. Entries are a few
-    * hundred bytes; the cap just bounds a pathological many-files process. */
+  /** Verified-file memo: a (format, path, length, mtime, declared-DDL,
+    * flag) tuple that PASSED verification never re-reads its footer this
+    * process — the check is a pure function of the file bytes and the
+    * declaration, and the engine re-verifies per query (a fresh cold-path
+    * engine rep paid one footer read per file per run; the fingerprint
+    * stat is ~10× cheaper than footer open+parse and is the same identity
+    * discipline the Delta replay memo uses). Failures are never cached — a
+    * mismatch re-throws with its full message on every call. Entries are a
+    * few hundred bytes; the cap just bounds a pathological many-files
+    * process. The format leg keeps a path verified as ORC from ever
+    * skipping the stricter parquet check (and vice versa).
+    *
+    * The (length, mtime) identity is only trustworthy where mtime is
+    * fine-grained and monotone — a file REWRITTEN IN PLACE with the same
+    * byte length inside one mtime tick (coarse-mtime object stores) would
+    * silently pass stale verification, and this verifier exists precisely
+    * to fail such files. So the memo is scheme-gated: ON for file/hdfs
+    * (fine-grained mtime; also the bench/engine path the memo was built
+    * for), OFF elsewhere unless the Hadoop conf sets
+    * `graft.schemaVerifier.memo=on` (`off` force-disables everywhere). */
   private val verifiedCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long, String, Boolean)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Long, Long, String, Boolean)]()
   private val verifiedCacheMax = 100000
 
+  private def memoEnabled(p: Path, conf: Configuration): Boolean =
+    conf.get("graft.schemaVerifier.memo", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        Option(p.toUri.getScheme).getOrElse("file") match {
+          case "file" | "local" | "hdfs" | "viewfs" => true
+          case _                                    => false
+        }
+    }
+
   private def fingerprint(
-      p: String, conf: Configuration,
-      declared: StructType, flag: Boolean): (String, Long, Long, String, Boolean) = {
+      format: String, p: String, conf: Configuration,
+      declared: StructType, flag: Boolean): (String, String, Long, Long, String, Boolean) = {
     val st = new Path(p).getFileSystem(conf).getFileStatus(new Path(p))
-    (p, st.getLen, st.getModificationTime, declared.toDDL, flag)
+    (format, p, st.getLen, st.getModificationTime, declared.toDDL, flag)
   }
 
-  private def cached(key: (String, Long, Long, String, Boolean)): Boolean =
+  private def cached(key: (String, String, Long, Long, String, Boolean)): Boolean =
     verifiedCache.contains(key)
 
-  private def record(key: (String, Long, Long, String, Boolean)): Unit = {
+  private def record(key: (String, String, Long, Long, String, Boolean)): Unit = {
     if (verifiedCache.size > verifiedCacheMax) verifiedCache.clear()
     verifiedCache.add(key)
   }
@@ -64,11 +86,13 @@ object SchemaVerifier {
       conf: Configuration = new Configuration(),
       missingNullableOk: Boolean = false): Unit = {
     paths.foreach { p =>
-      val key = fingerprint(p, conf, declared, missingNullableOk)
-      if (!cached(key)) {
-        verifyOne(p, declared, conf, missingNullableOk)
-        record(key)
-      }
+      if (memoEnabled(new Path(p), conf)) {
+        val key = fingerprint("parquet", p, conf, declared, missingNullableOk)
+        if (!cached(key)) {
+          verifyOne(p, declared, conf, missingNullableOk)
+          record(key)
+        }
+      } else verifyOne(p, declared, conf, missingNullableOk)
     }
   }
 
@@ -130,34 +154,39 @@ object SchemaVerifier {
       conf: Configuration = new Configuration(),
       missingNullableOk: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
-    paths.foreach { p =>
-      // same verified-file memo as [[verify]] — the ORC key is disjoint
-      // from parquet's because the declared-DDL leg encodes the same
-      // schema but the path identifies the format's own footer
-      val key = fingerprint(p, conf, declared, missingNullableOk)
-      if (!cached(key)) {
-        val reader = org.apache.orc.OrcFile.createReader(
-          new Path(p), org.apache.orc.OrcFile.readerOptions(conf))
-        val (names, kids) =
-          try {
-            val s = reader.getSchema
-            (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
-          } finally reader.close()
-        declared.fields.foreach { f =>
-          val idx = names.indexOf(f.name)
-          if (idx < 0) {
-            if (!(missingNullableOk && f.nullable))
-              throw new BuzzException.SchemaMismatch(
-                s"file $p is missing declared column '${f.name}'")
-          } else {
-            val cat = kids(idx).getCategory
-            if (!orcCompatible(cat, f.dataType))
-              throw new BuzzException.SchemaMismatch(
-                s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
-          }
+    def verifyOneOrc(p: String): Unit = {
+      val reader = org.apache.orc.OrcFile.createReader(
+        new Path(p), org.apache.orc.OrcFile.readerOptions(conf))
+      val (names, kids) =
+        try {
+          val s = reader.getSchema
+          (s.getFieldNames.asScala.toSeq, s.getChildren.asScala.toSeq)
+        } finally reader.close()
+      declared.fields.foreach { f =>
+        val idx = names.indexOf(f.name)
+        if (idx < 0) {
+          if (!(missingNullableOk && f.nullable))
+            throw new BuzzException.SchemaMismatch(
+              s"file $p is missing declared column '${f.name}'")
+        } else {
+          val cat = kids(idx).getCategory
+          if (!orcCompatible(cat, f.dataType))
+            throw new BuzzException.SchemaMismatch(
+              s"file $p column '${f.name}': orc $cat incompatible with declared ${f.dataType.sql}")
         }
-        record(key)
       }
+    }
+    paths.foreach { p =>
+      // same verified-file memo as [[verify]], keyed under the "orc"
+      // format leg so a path can never satisfy the parquet check with an
+      // ORC verification (or vice versa)
+      if (memoEnabled(new Path(p), conf)) {
+        val key = fingerprint("orc", p, conf, declared, missingNullableOk)
+        if (!cached(key)) {
+          verifyOneOrc(p)
+          record(key)
+        }
+      } else verifyOneOrc(p)
     }
   }
 

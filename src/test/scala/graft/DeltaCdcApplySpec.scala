@@ -150,6 +150,27 @@ class DeltaCdcApplySpec extends AnyFunSuite {
     assert(rows(5L) === 500L && !rows.contains(12L) && rows.size === 19)
   }
 
+  test("bootstrap report on the bench fixture shape: fresh replica pins the boot_ok predicate live") {
+    // the benched sink_delta_replicate_report row replays a TEMPLATE
+    // bootstrap (built once per testdata signature) and pins its recorded
+    // boot_ok — this spec runs the SAME bootstrap sequence (append half /
+    // enable CDF / append the rest) FRESH every test run and asserts the
+    // exact predicate the bench row pins, so a regression in bootstrap
+    // reporting fails here even while the bench template stays cached
+    // (VERDICT r15 #5).
+    val src = tmpDir("repl_boot_live_src")
+    val dst = tmpDir("repl_boot_live_dst") + "/replica"
+    Sinks.deltaAppend((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), src) // v0
+    Sinks.deltaSetProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))                                          // v1
+    Sinks.deltaAppend((10L until 20L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), src) // v2
+    val boot = Sinks.deltaReplicateReport(spark, src, dst, Seq("id"))
+    assert(boot.bootstrapped && !boot.resynced && boot.chunks === 0L && boot.versions === 0L,
+      s"bench boot_ok predicate must hold on a live bootstrap, got $boot")
+    // the replica really carries the full source state after bootstrap
+    assert(liveMap(dst) === (0L until 20L).map(i => i -> i * 2).toMap)
+  }
+
   test("a change set missing a dst data column projects typed NULLs (the chunked-resume evolution seam)") {
     // reachable in chunked replicate: a crashed run already evolved the
     // replica, the resume's smaller chunk ends before the source's ADD
