@@ -72,12 +72,25 @@ object GateBreakdown {
       val tValidate = ms(t)
       t = System.nanoTime()
       val source = pruned.catalog.read(spark, pruned.files)
+      val tRead = ms(t)
+      t = System.nanoTime()
       source.createOrReplaceTempView(pruned.catalog.name)
+      val tView1 = ms(t)
+      t = System.nanoTime()
       val mapDf = spark.sql(pruned.mapStep.sql)
+      val tSql1 = ms(t)
+      t = System.nanoTime()
       mapDf.createOrReplaceTempView(pruned.mapStep.name)
+      val tView2 = ms(t)
+      t = System.nanoTime()
       val df = spark.sql(pruned.reduceStep.sql)
+      val tSql2 = ms(t)
+      t = System.nanoTime()
       Seq(pruned.catalog.name, pruned.mapStep.name).foreach(spark.catalog.dropTempView)
-      val tBuild = ms(t)
+      val tDrop = ms(t)
+      val tBuild = tRead + tView1 + tSql1 + tView2 + tSql2 + tDrop
+      println(f"[gate]   build detail: read=$tRead%.1f view1=$tView1%.1f sql1=$tSql1%.1f " +
+        f"view2=$tView2%.1f sql2=$tSql2%.1f drop=$tDrop%.1f")
       t = System.nanoTime()
       df.count()
       val tExec = ms(t)
